@@ -1,0 +1,256 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Distance kernels over `ArrayType(FloatType)` vectors, as native Catalyst
+  * expressions with whole-stage codegen (tight primitive float loops — the
+  * JVM analogue of the reference's AVX kernels).
+  *
+  * Semantics mirror the reference scoring functions
+  * (reference: src/include/scoring.h:90-428):
+  *   - sum_of_squares_distance  (squared L2)        scoring.h:90-124
+  *   - sqrt_sum_of_squares_distance (true L2)       scoring.h:126-165
+  *   - inner product (dot); the reference's 1/dot reciprocal trick
+  *     (scoring.h:344-380) is applied at the index layer, not here
+  *   - cosine_distance = 1 - cos                    scoring.h:392-420
+  * Accumulation is in float32 to match the reference's `score_type = float`
+  * (reference: src/include/detail/flat/qv.h:197).
+  */
+abstract class BinaryVectorExpression extends BinaryExpression {
+  override def dataType: DataType = FloatType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<float> arguments, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+
+  /** Java source for the accumulation loop; `a`, `b` are ArrayData vars,
+    * result must be assigned to `ev.value` (a float). */
+  protected def loopCode(ctx: CodegenContext, a: String, b: String, result: String): String
+
+  protected def checkDims(an: Int, bn: Int): Unit =
+    if (an != bn) throw new IllegalArgumentException(
+      s"graft: vector dimension mismatch: $an vs $bn")
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  throw new IllegalArgumentException("graft: vector dimension mismatch: "
+         |    + $a.numElements() + " vs " + $b.numElements());
+         |}
+         |${loopCode(ctx, a, b, ev.value)}
+       """.stripMargin
+    })
+}
+
+/** Squared L2 distance (reference: scoring.h:90-124, SUM_OF_SQUARES metric). */
+case class SumOfSquaresDistance(left: Expression, right: Expression)
+    extends BinaryVectorExpression {
+  override def prettyName: String = "dist_sos"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements(); checkDims(n, b.numElements())
+    var s = 0.0f; var i = 0
+    while (i < n) { val d = a.getFloat(i) - b.getFloat(i); s += d * d; i += 1 }
+    s
+  }
+
+  override protected def loopCode(ctx: CodegenContext, a: String, b: String, result: String): String = {
+    val i = ctx.freshName("i"); val s = ctx.freshName("s"); val d = ctx.freshName("d")
+    s"""
+       |float $s = 0.0f;
+       |int $i = 0; final int n$i = $a.numElements();
+       |while ($i < n$i) {
+       |  float $d = $a.getFloat($i) - $b.getFloat($i);
+       |  $s += $d * $d; $i++;
+       |}
+       |$result = $s;
+     """.stripMargin
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** True L2 distance (reference: scoring.h:126-165, L2 metric). */
+case class EuclideanDistance(left: Expression, right: Expression)
+    extends BinaryVectorExpression {
+  override def prettyName: String = "dist_l2"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements(); checkDims(n, b.numElements())
+    var s = 0.0f; var i = 0
+    while (i < n) { val d = a.getFloat(i) - b.getFloat(i); s += d * d; i += 1 }
+    math.sqrt(s.toDouble).toFloat
+  }
+
+  override protected def loopCode(ctx: CodegenContext, a: String, b: String, result: String): String = {
+    val i = ctx.freshName("i"); val s = ctx.freshName("s"); val d = ctx.freshName("d")
+    s"""
+       |float $s = 0.0f;
+       |int $i = 0; final int n$i = $a.numElements();
+       |while ($i < n$i) {
+       |  float $d = $a.getFloat($i) - $b.getFloat($i);
+       |  $s += $d * $d; $i++;
+       |}
+       |$result = (float) java.lang.Math.sqrt((double) $s);
+     """.stripMargin
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Raw inner product (dot). The reference's INNER_PRODUCT *distance* is
+  * 1/dot so min-heaps order correctly (reference: scoring.h:344-380); that
+  * reciprocal + the result flip (reference:
+  * apis/python/src/tiledb/vector_search/index.py:287-296) live in the index
+  * layer so this primitive stays reusable. */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryVectorExpression {
+  override def prettyName: String = "dot_product"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements(); checkDims(n, b.numElements())
+    var s = 0.0f; var i = 0
+    while (i < n) { s += a.getFloat(i) * b.getFloat(i); i += 1 }
+    s
+  }
+
+  override protected def loopCode(ctx: CodegenContext, a: String, b: String, result: String): String = {
+    val i = ctx.freshName("i"); val s = ctx.freshName("s")
+    s"""
+       |float $s = 0.0f;
+       |int $i = 0; final int n$i = $a.numElements();
+       |while ($i < n$i) { $s += $a.getFloat($i) * $b.getFloat($i); $i++; }
+       |$result = $s;
+     """.stripMargin
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Cosine distance = 1 - dot/(|a||b|) (reference: scoring.h:392-420).
+  * Zero-norm inputs yield distance 1.0 (orthogonal-by-convention). */
+case class CosineDistance(left: Expression, right: Expression)
+    extends BinaryVectorExpression {
+  override def prettyName: String = "dist_cosine"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements(); checkDims(n, b.numElements())
+    var dot = 0.0f; var na = 0.0f; var nb = 0.0f; var i = 0
+    while (i < n) {
+      val x = a.getFloat(i); val y = b.getFloat(i)
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    val denom = math.sqrt(na.toDouble).toFloat * math.sqrt(nb.toDouble).toFloat
+    if (denom == 0.0f) 1.0f else 1.0f - dot / denom
+  }
+
+  override protected def loopCode(ctx: CodegenContext, a: String, b: String, result: String): String = {
+    val i = ctx.freshName("i"); val dot = ctx.freshName("dot")
+    val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+    val x = ctx.freshName("x"); val y = ctx.freshName("y"); val den = ctx.freshName("den")
+    s"""
+       |float $dot = 0.0f; float $na = 0.0f; float $nb = 0.0f;
+       |int $i = 0; final int n$i = $a.numElements();
+       |while ($i < n$i) {
+       |  float $x = $a.getFloat($i); float $y = $b.getFloat($i);
+       |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y; $i++;
+       |}
+       |float $den = (float) java.lang.Math.sqrt((double) $na)
+       |           * (float) java.lang.Math.sqrt((double) $nb);
+       |$result = ($den == 0.0f) ? 1.0f : 1.0f - $dot / $den;
+     """.stripMargin
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** L2 norm of a vector. */
+case class L2Norm(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VectorExprChecks.unaryFloatArray(prettyName, child)
+  override def dataType: DataType = FloatType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vector_norm"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    var s = 0.0f; var i = 0; val n = a.numElements()
+    while (i < n) { val x = a.getFloat(i); s += x * x; i += 1 }
+    math.sqrt(s.toDouble).toFloat
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i"); val s = ctx.freshName("s"); val x = ctx.freshName("x")
+      s"""
+         |float $s = 0.0f;
+         |int $i = 0; final int n$i = $a.numElements();
+         |while ($i < n$i) { float $x = $a.getFloat($i); $s += $x * $x; $i++; }
+         |${ev.value} = (float) java.lang.Math.sqrt((double) $s);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Unit-normalize a vector (reference:
+  * apis/python/src/tiledb/vector_search/utils.py:114-146 `normalize_vectors`;
+  * used by IVF_FLAT's cosine-as-normalized-L2 strategy,
+  * ivf_flat_index.py:254-255). Zero vectors pass through unchanged. */
+case class NormalizeVector(child: Expression) extends UnaryExpression
+    with codegen.CodegenFallback {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VectorExprChecks.unaryFloatArray(prettyName, child)
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vector_normalize"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    var s = 0.0f; var i = 0
+    while (i < n) { val x = a.getFloat(i); s += x * x; i += 1 }
+    val norm = math.sqrt(s.toDouble).toFloat
+    val out = new Array[Float](n)
+    i = 0
+    if (norm == 0.0f) { while (i < n) { out(i) = a.getFloat(i); i += 1 } }
+    else { while (i < n) { out(i) = a.getFloat(i) / norm; i += 1 } }
+    new GenericArrayData(out)
+  }
+
+  // Interpreted eval is fine here: normalize runs once per row at ingestion,
+  // not in the per-candidate scoring loop.
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+private[graft] object VectorExprChecks {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  def unaryFloatArray(name: String, child: Expression): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$name requires an array<float> argument, got ${other.catalogString}")
+  }
+}

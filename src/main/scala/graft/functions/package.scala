@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.graftshim.{toColumn, toExpression}
+import org.apache.spark.sql.catalyst.expressions.Literal
+
+import graft.operators.MinTopK
+
+/** Column-level API for the graft vector kernels.
+  *
+  * All functions are native Catalyst expressions (whole-stage codegen'd
+  * float loops), not Scala UDFs — they stay inside WholeStageCodegen spans.
+  */
+package object functions {
+
+  /** Squared L2 distance (reference metric SUM_OF_SQUARES=0). */
+  def dist_sos(a: Column, b: Column): Column =
+    toColumn(SumOfSquaresDistance(toExpression(a), toExpression(b)))
+
+  /** Euclidean distance (reference metric L2=3). */
+  def dist_l2(a: Column, b: Column): Column =
+    toColumn(EuclideanDistance(toExpression(a), toExpression(b)))
+
+  /** Inner product (raw dot; reference metric INNER_PRODUCT=1 is 1/dot). */
+  def dot_product(a: Column, b: Column): Column =
+    toColumn(DotProduct(toExpression(a), toExpression(b)))
+
+  /** Cosine distance 1-cos (reference metric COSINE=2). */
+  def dist_cosine(a: Column, b: Column): Column =
+    toColumn(CosineDistance(toExpression(a), toExpression(b)))
+
+  def vector_norm(a: Column): Column = toColumn(L2Norm(toExpression(a)))
+
+  def vector_normalize(a: Column): Column = toColumn(NormalizeVector(toExpression(a)))
+
+  /** Grouped top-k: keeps the k smallest (score, id) pairs per group.
+    * Returns array<struct<id:long, score:float>> sorted ascending. */
+  def min_topk(score: Column, id: Column, k: Int): Column =
+    toColumn(MinTopK(toExpression(score), toExpression(id), k).toAggregateExpression())
+
+  /** Register SQL names for the kernels in a session (dist_l2, dist_sos,
+    * dot_product, dist_cosine, vector_norm, vector_normalize, min_topk). */
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("dist_l2", es => EuclideanDistance(es(0), es(1)), "builtin")
+    reg.createOrReplaceTempFunction("dist_sos", es => SumOfSquaresDistance(es(0), es(1)), "builtin")
+    reg.createOrReplaceTempFunction("dot_product", es => DotProduct(es(0), es(1)), "builtin")
+    reg.createOrReplaceTempFunction("dist_cosine", es => CosineDistance(es(0), es(1)), "builtin")
+    reg.createOrReplaceTempFunction("vector_norm", es => L2Norm(es(0)), "builtin")
+    reg.createOrReplaceTempFunction("vector_normalize", es => NormalizeVector(es(0)), "builtin")
+    reg.createOrReplaceTempFunction("min_topk", es => {
+      val k = es(2) match {
+        case Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"min_topk: k must be an integer literal, got $other")
+      }
+      MinTopK(es(0), es(1), k)
+    }, "builtin")
+  }
+}

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+
+/** Distance metrics, numbered to match the reference enum
+  * (reference: src/include/scoring.h:423-428). */
+sealed abstract class DistanceMetric(val id: Int)
+object DistanceMetric {
+  case object SumOfSquares extends DistanceMetric(0)
+  case object InnerProduct extends DistanceMetric(1)
+  case object Cosine extends DistanceMetric(2)
+  case object L2 extends DistanceMetric(3)
+
+  def fromId(i: Int): DistanceMetric = i match {
+    case 0 => SumOfSquares
+    case 1 => InnerProduct
+    case 2 => Cosine
+    case 3 => L2
+    case other => throw new IllegalArgumentException(s"unknown distance metric id $other")
+  }
+
+  /** Heap score: ascending = better for every metric. Inner product negates
+    * the dot so a min-heap keeps the largest dots (the reference instead
+    * scores 1/dot, scoring.h:344-380 — same ordering for positive dots, but
+    * negation is total and avoids the inf/NaN patch-up until output time). */
+  def score(m: DistanceMetric)(v: Column, q: Column): Column = m match {
+    case SumOfSquares => dist_sos(v, q)
+    case InnerProduct => -dot_product(v, q)
+    case Cosine => dist_cosine(v, q)
+    case L2 => dist_l2(v, q)
+  }
+
+  /** Reported distance from the internal heap score — identity except for
+    * inner product, where the reference reports 1/dot with 0-dot → inf
+    * flipped to MAX_FLOAT (reference: index.py:287-296 `flip_results`). */
+  def reportedDistance(m: DistanceMetric)(score: Column): Column = m match {
+    case InnerProduct =>
+      val dot = -score
+      when(dot === 0.0f, lit(Float.MaxValue)).otherwise(lit(1.0f) / dot)
+    case _ => score
+  }
+}
+
+/** Exact (brute-force) k-NN: the FLAT index query kernel.
+  *
+  * The plan is the Spark-native reshaping of the reference's
+  * `vq_query_heap` (reference: src/include/detail/flat/vq.h:40-120 — outer
+  * loop over DB blocks, per-thread bounded heaps, then consolidate):
+  * broadcast the (small) query set against the (huge) DB side, score every
+  * (db row × query) pair inside one codegen'd stage, and reduce with the
+  * [[MinTopK]] partial→final aggregate. Per (query, input-partition) only k
+  * rows cross the shuffle; the DB table is never collected or sorted.
+  */
+object Knn {
+
+  /** @param db      DataFrame with columns (idCol: Long, vecCol: Array[Float])
+    * @param queries DataFrame with columns (qidCol: Long, qvecCol: Array[Float]);
+    *                must be broadcast-sized (queries are per the reference a
+    *                small batch, index.py:298-312)
+    * @return (qid, rank, id, distance) — rank is 1-based by ascending distance
+    */
+  def bruteForce(
+      db: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      metric: DistanceMetric = DistanceMetric.L2,
+      idCol: String = "id",
+      vecCol: String = "vector",
+      qidCol: String = "qid",
+      qvecCol: String = "qvec"): DataFrame = {
+    val q = queries.select(col(qidCol).cast("long").as("__qid"), col(qvecCol).as("__qvec"))
+    val d = db.select(col(idCol).cast("long").as("__id"), col(vecCol).as("__vec"))
+    val scored = d
+      .crossJoin(broadcast(q))
+      .select(
+        col("__qid"),
+        col("__id"),
+        DistanceMetric.score(metric)(col("__vec"), col("__qvec")).as("__score"))
+    topKFromScores(scored, k, metric)
+  }
+
+  /** Final top-k reduction over pre-scored (qid, id, score) candidates. */
+  def topKFromScores(scored: DataFrame, k: Int, metric: DistanceMetric): DataFrame = {
+    scored
+      .groupBy(col("__qid"))
+      .agg(min_topk(col("__score"), col("__id"), k).as("__topk"))
+      .select(col("__qid"), posexplode(col("__topk")).as(Seq("__pos", "__hit")))
+      .select(
+        col("__qid").as("qid"),
+        (col("__pos") + 1).cast("int").as("rank"),
+        col("__hit.id").as("id"),
+        DistanceMetric.reportedDistance(metric)(col("__hit.score")).as("distance"))
+  }
+}

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions._
+import graft.operators.{DistanceMetric, Knn, TopKHeap}
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sf0001 = "/root/testdata/sf0.001"
+}
+
+class VectorFunctionsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private lazy val sampled = {
+    import spark.implicits._
+    Seq(
+      (1L, Array(1.0f, 2.0f, 3.0f)),
+      (2L, Array(4.0f, 5.0f, 6.0f)),
+      (3L, Array(0.0f, 0.0f, 0.0f))
+    ).toDF("id", "vec")
+  }
+
+  test("dist_sos / dist_l2 / dot / cosine match scalar reference") {
+    import spark.implicits._
+    val a = Array(1.0f, 2.0f, 3.0f); val b = Array(4.0f, 5.0f, 6.0f)
+    val df = Seq((a, b)).toDF("a", "b")
+    val row = df.select(
+      dist_sos($"a", $"b"), dist_l2($"a", $"b"),
+      dot_product($"a", $"b"), dist_cosine($"a", $"b")).head()
+    assert(row.getFloat(0) === 27.0f)
+    assert(math.abs(row.getFloat(1) - math.sqrt(27.0).toFloat) < 1e-6)
+    assert(row.getFloat(2) === 32.0f)
+    val cos = 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))
+    assert(math.abs(row.getFloat(3) - (1.0 - cos)) < 1e-6)
+  }
+
+  test("normalize yields unit norm; zero vector passes through") {
+    import spark.implicits._
+    val norms = sampled.select($"id", vector_norm(vector_normalize($"vec")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getFloat(1)).toMap
+    assert(math.abs(norms(1L) - 1.0f) < 1e-6)
+    assert(math.abs(norms(2L) - 1.0f) < 1e-6)
+    assert(norms(3L) === 0.0f)
+  }
+
+  test("dimension mismatch throws") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+    val e = intercept[Exception] { df.select(dist_l2($"a", $"b")).head() }
+    assert(e.getMessage.contains("dimension mismatch")
+      || e.getCause != null && e.getCause.getMessage.contains("dimension mismatch"))
+  }
+
+  test("TopKHeap keeps k smallest with (score,id) tie-break, merge works") {
+    val h = new TopKHeap(3)
+    Seq((5.0f, 50L), (1.0f, 10L), (3.0f, 30L), (2.0f, 20L), (4.0f, 40L))
+      .foreach { case (s, i) => h.insert(s, i) }
+    assert(h.sorted.toSeq === Seq((1.0f, 10L), (2.0f, 20L), (3.0f, 30L)))
+    val h2 = new TopKHeap(3)
+    h2.insert(0.5f, 5L); h2.insert(2.0f, 19L) // tie on score=2.0 → smaller id wins
+    h.merge(h2)
+    assert(h.sorted.toSeq === Seq((0.5f, 5L), (1.0f, 10L), (2.0f, 19L)))
+  }
+
+  test("brute-force knn recovers exact neighbors on a tiny fixture") {
+    import spark.implicits._
+    // db on a line: distance from query q=(0) is |x|
+    val db = (0 until 100).map(i => (i.toLong, Array(i.toFloat))).toDF("id", "vector")
+    val q = Seq((0L, Array(0.0f))).toDF("qid", "qvec")
+    val got = Knn.bruteForce(db, q, 5, DistanceMetric.L2)
+      .orderBy("rank").select("id").as[Long].collect().toSeq
+    assert(got === Seq(0L, 1L, 2L, 3L, 4L))
+  }
+
+  test("knn flat matches a collect-side exact scan on sf0.001 embeddings") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val data = emb.select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    val queries = data.filter(_._1 < 3)
+    val expected = queries.map { case (qid, qv) =>
+      val top = data.map { case (id, v) =>
+        var s = 0.0f; var i = 0
+        while (i < v.length) { val d = v(i) - qv(i); s += d * d; i += 1 }
+        (s, id)
+      }.sortBy(t => (t._1, t._2)).take(7).map(_._2).toSeq
+      qid -> top
+    }.toMap
+    val got = Knn.bruteForce(
+        emb, emb.where($"vec_id" < 3), 7, DistanceMetric.SumOfSquares,
+        idCol = "vec_id", vecCol = "embedding", qidCol = "vec_id", qvecCol = "embedding")
+      .orderBy("qid", "rank").select("qid", "id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, hits) => q -> hits.map(_._2).toSeq }
+    assert(got === expected)
+  }
+}
