@@ -1,8 +1,11 @@
 package graft
 
+import java.nio.file.Files
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.index.{Ingest, VectorIndex}
 import graft.operators.{DistanceMetric, Knn}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -41,6 +44,109 @@ object SparkEntry {
        |QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY $orderBy, n.vec_id) <= $K
        |ORDER BY qid, neighbor_id""".stripMargin
 
+  // ----- index-backed operators (built once per (sfDir, label) and reused
+  // across queries in the same session) -----
+
+  private val indexCache = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def cachedIndex(label: String, dir: String)(build: String => Unit): String =
+    indexCache.getOrElseUpdate(s"$label|$dir", {
+      val uri = Files.createTempDirectory(s"graft_entry_$label").toString
+      build(uri)
+      uri
+    })
+
+  private def embAsIndexInput(spark: SparkSession, dir: String): DataFrame =
+    emb(spark, dir).select(col("vec_id").as("external_id"), col("embedding").as("vector"))
+
+  private def idxQueries(spark: SparkSession, dir: String): DataFrame =
+    emb(spark, dir).where(col("vec_id") < NQ)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+
+  private def idsOnly(hits: DataFrame): DataFrame =
+    hits.select(col("qid"), col("id").as("neighbor_id")).orderBy("qid", "neighbor_id")
+
+  /** IVF_FLAT with nprobe=partitions: exact-equivalent, validates the whole
+    * partition/prune/probe pipeline against the brute-force oracle. */
+  private def ivfProbeAll(spark: SparkSession, dir: String): DataFrame = {
+    val uri = cachedIndex("ivf_l2", dir) { u =>
+      Ingest.ingest(spark, u, embAsIndexInput(spark, dir), "IVF_FLAT",
+        DistanceMetric.L2, timestamp = 1000L)
+    }
+    idsOnly(VectorIndex.open(spark, uri).query(idxQueries(spark, dir), K, nprobe = 1 << 30))
+  }
+
+  /** IVF_FLAT cosine (normalize-at-ingest + L2 probe, reference
+    * ivf_flat_index.py:254-255), probe-all → matches cosine brute force. */
+  private def ivfCosineProbeAll(spark: SparkSession, dir: String): DataFrame = {
+    val uri = cachedIndex("ivf_cos", dir) { u =>
+      Ingest.ingest(spark, u, embAsIndexInput(spark, dir), "IVF_FLAT",
+        DistanceMetric.Cosine, timestamp = 1000L)
+    }
+    idsOnly(VectorIndex.open(spark, uri).query(idxQueries(spark, dir), K, nprobe = 1 << 30))
+  }
+
+  /** IVF_FLAT pruned probe (the production path): no SQL oracle (k-means is
+    * engine-internal), driver records rows-only; recall is spec-tested. */
+  private def ivfNprobe(spark: SparkSession, dir: String): DataFrame = {
+    val uri = cachedIndex("ivf_l2", dir) { u =>
+      Ingest.ingest(spark, u, embAsIndexInput(spark, dir), "IVF_FLAT",
+        DistanceMetric.L2, timestamp = 1000L)
+    }
+    idsOnly(VectorIndex.open(spark, uri).query(idxQueries(spark, dir), K))
+  }
+
+  /** FLAT index + updates log: delete ids %20==0, re-vector ids %20==1
+    * (reversed), add ids+1000000 for vec_id<50 — then query through the
+    * two-branch merge (reference: index.py:338-416). */
+  private def updatesKnn(spark: SparkSession, dir: String): DataFrame = {
+    val uri = cachedIndex("flat_upd", dir) { u =>
+      val base = embAsIndexInput(spark, dir)
+      val idx = Ingest.ingest(spark, u, base, "FLAT", DistanceMetric.L2, timestamp = 1000L)
+      idx.deleteBatch(base.where(col("external_id") % 20 === 0), ts = 1100L)
+      idx.updateBatch(base.where(col("external_id") % 20 === 1)
+        .select(col("external_id"), reverse(col("vector")).as("vector")), ts = 1100L)
+      idx.updateBatch(base.where(col("external_id") < 50)
+        .select((col("external_id") + 1000000L).as("external_id"),
+          reverse(col("vector")).as("vector")), ts = 1100L)
+    }
+    idsOnly(VectorIndex.open(spark, uri).query(idxQueries(spark, dir), K))
+  }
+
+  /** Two base versions (evens at ts=1000, all at ts=2000); read at ts=1500
+    * must see only the first (reference: index.py:94-177). */
+  private def timetravelKnn(spark: SparkSession, dir: String): DataFrame = {
+    val uri = cachedIndex("flat_tt", dir) { u =>
+      val base = embAsIndexInput(spark, dir)
+      Ingest.ingest(spark, u, base.where(col("external_id") % 2 === 0), "FLAT",
+        DistanceMetric.L2, timestamp = 1000L)
+      Ingest.ingest(spark, u, base, "FLAT", DistanceMetric.L2,
+        timestamp = 2000L, appendMeta = true)
+    }
+    idsOnly(VectorIndex.open(spark, uri, Some(1500L)).query(idxQueries(spark, dir), K))
+  }
+
+  private val updatesOracle: String =
+    s"""WITH merged AS (
+       |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 NOT IN (0, 1)
+       |  UNION ALL
+       |  SELECT vec_id, list_reverse(embedding) FROM embeddings WHERE vec_id % 20 = 1
+       |  UNION ALL
+       |  SELECT vec_id + 1000000, list_reverse(embedding) FROM embeddings WHERE vec_id < 50
+       |)
+       |SELECT q.vec_id AS qid, n.vec_id AS neighbor_id
+       |FROM (SELECT * FROM embeddings WHERE vec_id < $NQ) q
+       |CROSS JOIN merged n
+       |QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY list_distance(n.embedding, q.embedding), n.vec_id) <= $K
+       |ORDER BY qid, neighbor_id""".stripMargin
+
+  private val timetravelOracle: String =
+    s"""SELECT q.vec_id AS qid, n.vec_id AS neighbor_id
+       |FROM (SELECT * FROM embeddings WHERE vec_id < $NQ) q
+       |CROSS JOIN (SELECT * FROM embeddings WHERE vec_id % 2 = 0) n
+       |QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY list_distance(n.embedding, q.embedding), n.vec_id) <= $K
+       |ORDER BY qid, neighbor_id""".stripMargin
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     knnFlat(DistanceMetric.L2)(spark, "/root/testdata/sf0.001")
@@ -51,6 +157,11 @@ object SparkEntry {
     "knn_flat_sos" -> (knnFlat(DistanceMetric.SumOfSquares) _),
     "knn_flat_cosine" -> (knnFlat(DistanceMetric.Cosine) _),
     "knn_flat_ip" -> (knnFlat(DistanceMetric.InnerProduct) _),
+    "ivf_flat_probe_all" -> (ivfProbeAll _),
+    "ivf_flat_cosine_probe_all" -> (ivfCosineProbeAll _),
+    "ivf_flat_nprobe" -> (ivfNprobe _),
+    "updates_knn" -> (updatesKnn _),
+    "timetravel_knn" -> (timetravelKnn _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -60,5 +171,11 @@ object SparkEntry {
     "knn_flat_sos" -> knnOracle("list_distance(n.embedding, q.embedding)"),
     "knn_flat_cosine" -> knnOracle("list_cosine_similarity(n.embedding, q.embedding) DESC"),
     "knn_flat_ip" -> knnOracle("list_inner_product(n.embedding, q.embedding) DESC"),
+    "ivf_flat_probe_all" -> knnOracle("list_distance(n.embedding, q.embedding)"),
+    "ivf_flat_cosine_probe_all" -> knnOracle("list_cosine_similarity(n.embedding, q.embedding) DESC"),
+    // ivf_flat_nprobe: intentionally no oracle (approximate, engine-internal
+    // k-means); driver records rows-only, recall asserted in IndexSpec.
+    "updates_knn" -> updatesOracle,
+    "timetravel_knn" -> timetravelOracle,
   )
 }

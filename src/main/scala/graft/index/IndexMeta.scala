@@ -1,0 +1,95 @@
+package graft.index
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import org.json4s.jackson.Serialization
+
+import graft.operators.DistanceMetric
+
+/** Index-group metadata, the Spark-side analogue of the reference's TileDB
+  * group metadata (reference:
+  * apis/python/src/tiledb/vector_search/index.py:900-919 `create_metadata`,
+  * ingestion.py:3405-3415 commit path). Stored as `index.json` in the index
+  * root directory.
+  *
+  * `ingestionTimestamps(i)` / `baseSizes(i)` / `partitionHistory(i)` describe
+  * the i-th ingestion (base version); time travel picks the latest entry
+  * ≤ the read timestamp (reference: index.py:94-177).
+  */
+case class IndexMeta(
+    indexType: String, // FLAT | IVF_FLAT | IVF_PQ | VAMANA
+    dtype: String, // float32 | uint8 | int8
+    dimensions: Int,
+    distanceMetric: Int,
+    storageVersion: String,
+    ingestionTimestamps: List[Long],
+    baseSizes: List[Long],
+    partitionHistory: List[Int],
+    hasUpdates: Boolean) {
+
+  def metric: DistanceMetric = DistanceMetric.fromId(distanceMetric)
+
+  /** Index of the base version active at `ts` (reference: index.py:139-171
+    * `history_index`): latest ingestion with timestamp ≤ ts, or -1 when the
+    * read predates the first ingestion (empty-index semantics). */
+  def historyIndex(ts: Long): Int = {
+    var i = -1
+    var j = 0
+    while (j < ingestionTimestamps.length) {
+      if (ingestionTimestamps(j) <= ts) i = j
+      j += 1
+    }
+    i
+  }
+
+  def latestTimestamp: Long =
+    if (ingestionTimestamps.isEmpty) 0L else ingestionTimestamps.max
+}
+
+object IndexMeta {
+  implicit private val formats: Formats = DefaultFormats
+
+  val StorageVersion = "0.3" // mirrors the reference's current version
+  // (reference: src/include/index/index_defs.h:75, storage_formats.py:48)
+
+  def write(rootDir: String, meta: IndexMeta): Unit = {
+    val dir = Paths.get(rootDir)
+    Files.createDirectories(dir)
+    val json = Serialization.writePretty(Map(
+      "dataset_type" -> "vector_search",
+      "index_type" -> meta.indexType,
+      "dtype" -> meta.dtype,
+      "dimensions" -> meta.dimensions,
+      "distance_metric" -> meta.distanceMetric,
+      "storage_version" -> meta.storageVersion,
+      "ingestion_timestamps" -> meta.ingestionTimestamps,
+      "base_sizes" -> meta.baseSizes,
+      "partition_history" -> meta.partitionHistory,
+      "has_updates" -> meta.hasUpdates))
+    Files.write(dir.resolve("index.json"), json.getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
+      StandardOpenOption.WRITE)
+  }
+
+  def read(rootDir: String): IndexMeta = {
+    val raw = new String(
+      Files.readAllBytes(Paths.get(rootDir).resolve("index.json")), StandardCharsets.UTF_8)
+    val j = JsonMethods.parse(raw)
+    IndexMeta(
+      indexType = (j \ "index_type").extract[String],
+      dtype = (j \ "dtype").extract[String],
+      dimensions = (j \ "dimensions").extract[Int],
+      distanceMetric = (j \ "distance_metric").extract[Int],
+      storageVersion = (j \ "storage_version").extract[String],
+      ingestionTimestamps = (j \ "ingestion_timestamps").extract[List[Long]],
+      baseSizes = (j \ "base_sizes").extract[List[Long]],
+      partitionHistory = (j \ "partition_history").extract[List[Int]],
+      hasUpdates = (j \ "has_updates").extract[Boolean])
+  }
+
+  def exists(rootDir: String): Boolean =
+    Files.exists(Paths.get(rootDir).resolve("index.json"))
+}

@@ -1,0 +1,149 @@
+package graft.index
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.ml.linalg.{Vector => MlVector}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{vector_normalize, NearestCentroid}
+import org.apache.spark.sql.graftshim.{toColumn, toExpression}
+import graft.operators.DistanceMetric
+
+/** Index build — the Spark re-expression of the reference's ingestion DAG
+  * (reference: apis/python/src/tiledb/vector_search/ingestion.py:42 `ingest`;
+  * DAG assembly :2363-3012). The explicit task-graph structure (centroids
+  * node → fan-out assign/shuffle → consolidate partitions) collapses into a
+  * single declarative plan: MLlib k-means (its treeAggregate IS the
+  * reference's partial+final distributed k-means, ingestion.py:1447-1580),
+  * a codegen'd argmin assignment pass, and one `partitionBy(partition_id)`
+  * write that plays the role of the locally-shuffled + consolidated CSR
+  * layout (reference: detail/ivf/index.h:146-230).
+  */
+object Ingest {
+
+  /** Auto partition count: √size, ≥100 vectors per partition for k-means
+    * (reference: ingestion.py:3180-3186). */
+  def autoPartitions(size: Long): Int = {
+    val bySqrt = math.max(1, math.sqrt(size.toDouble).toInt)
+    math.max(1, math.min(bySqrt, (size / 100).toInt))
+  }
+
+  /** Training sample: min(size, 100·partitions) FIRST_N rows
+    * (reference: ingestion.py:3187-3193; TrainingSamplingPolicy.FIRST_N
+    * ingestion.py:34-39). */
+  def autoTrainingSize(size: Long, partitions: Int): Int =
+    math.min(size, 100L * partitions).toInt
+
+  /** Build (or append a new version of) an index from `source`
+    * (columns: external_id: Long, vector: Array[Float]).
+    *
+    * @param normalizeDone true when `source` vectors are already normalized
+    *                      (consolidation path for COSINE indexes)
+    * @param appendMeta    true to append to existing metadata (new version)
+    */
+  def ingest(
+      spark: SparkSession,
+      uri: String,
+      source: DataFrame,
+      indexType: String,
+      metric: DistanceMetric = DistanceMetric.L2,
+      timestamp: Long = System.currentTimeMillis(),
+      partitions: Option[Int] = None,
+      trainingSampleSize: Option[Int] = None,
+      appendMeta: Boolean = false,
+      normalizeDone: Boolean = false): VectorIndex = {
+
+    val prior: Option[IndexMeta] =
+      if (appendMeta && IndexMeta.exists(uri)) Some(IndexMeta.read(uri)) else None
+    prior.foreach { m =>
+      require(m.ingestionTimestamps.forall(_ < timestamp),
+        s"ingestion timestamp $timestamp must exceed prior ${m.ingestionTimestamps}")
+    }
+
+    val base0 = source.select(
+      col("external_id").cast("long").as("external_id"),
+      col("vector").cast("array<float>").as("vector"))
+    // COSINE rides on normalized vectors + L2 kernels for IVF
+    // (reference: ivf_flat_index.py:254-255, ingestion.py:2616-2663).
+    val normalize = metric == DistanceMetric.Cosine && indexType != "FLAT" && !normalizeDone
+    val base = if (normalize) {
+      base0.select(col("external_id"), vector_normalize(col("vector")).as("vector"))
+    } else base0
+
+    val dims = base.select(size(col("vector"))).head().getInt(0)
+    val count = base.count()
+
+    val numParts: Int = indexType match {
+      case "FLAT" => 0
+      case _ => partitions.getOrElse(autoPartitions(count))
+    }
+
+    indexType match {
+      case "FLAT" =>
+        base.write.mode("overwrite").parquet(s"$uri/base/v=$timestamp")
+      case "IVF_FLAT" =>
+        val centroids = trainCentroids(base, numParts,
+          trainingSampleSize.getOrElse(autoTrainingSize(count, numParts)))
+        writeCentroids(spark, uri, timestamp, centroids)
+        val assigned = base.withColumn("partition_id",
+          toColumn(NearestCentroid(toExpression(col("vector")), centroids)))
+        assigned.write.mode("overwrite")
+          .partitionBy("partition_id")
+          .parquet(s"$uri/base/v=$timestamp")
+      case other =>
+        throw new IllegalArgumentException(s"unsupported index_type $other")
+    }
+
+    val meta = IndexMeta(
+      indexType = indexType,
+      dtype = "float32",
+      dimensions = dims,
+      distanceMetric = metric.id,
+      storageVersion = IndexMeta.StorageVersion,
+      ingestionTimestamps = prior.map(_.ingestionTimestamps).getOrElse(Nil) :+ timestamp,
+      baseSizes = prior.map(_.baseSizes).getOrElse(Nil) :+ count,
+      partitionHistory = prior.map(_.partitionHistory).getOrElse(Nil) :+ numParts,
+      hasUpdates = prior.exists(_.hasUpdates))
+    IndexMeta.write(uri, meta)
+    // Open at latest (not at `timestamp`) so subsequently-appended updates
+    // are visible through the returned handle, matching the reference's
+    // `return index.open(...)` at current time (ingestion.py:3418).
+    VectorIndex.open(spark, uri)
+  }
+
+  /** K-means training via MLlib (reference trains centrally with sklearn or
+    * distributes 5 Lloyd iterations by hand, ingestion.py:1343-1580; MLlib's
+    * k-means|| + distributed Lloyd is the same partial/final aggregation
+    * pattern, built in). FIRST_N sampling keeps builds deterministic. */
+  def trainCentroids(base: DataFrame, k: Int, sampleSize: Int): Array[Array[Float]] = {
+    val sample = base.select(array_to_vector(col("vector")).as("features"))
+      .limit(sampleSize)
+      .cache()
+    try {
+      val n = sample.count()
+      val kEff = math.min(k.toLong, n).toInt
+      val model = new KMeans()
+        .setK(kEff)
+        .setSeed(42L)
+        .setMaxIter(10)
+        .setFeaturesCol("features")
+        .fit(sample)
+      val centers = model.clusterCenters.map(v => v.toArray.map(_.toFloat))
+      // The reference backfills empty/underful partitions so exactly
+      // `partitions` centroids exist (index/kmeans.h:229-360 fixup); MLlib
+      // can return < k centers only when n < k, which kEff already handles.
+      centers
+    } finally { sample.unpersist() }
+  }
+
+  private def writeCentroids(
+      spark: SparkSession, uri: String, ts: Long, centroids: Array[Array[Float]]): Unit = {
+    import spark.implicits._
+    centroids.zipWithIndex
+      .map { case (c, i) => (i, c) }
+      .toSeq.toDF("partition_id", "centroid")
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$uri/centroids/v=$ts")
+  }
+}

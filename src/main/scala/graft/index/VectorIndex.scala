@@ -1,0 +1,283 @@
+package graft.index
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.{dist_sos, vector_normalize}
+import graft.operators.{DistanceMetric, Knn}
+
+/** A queryable vector index version, the Spark-side analogue of the
+  * reference's `Index` base class (reference:
+  * apis/python/src/tiledb/vector_search/index.py:57-598).
+  *
+  * Storage layout under `uri` (all Parquet; see FIXTURES.md §2):
+  *   - `index.json`                       group metadata ([[IndexMeta]])
+  *   - `base/v=<ts>/`                     vectors of the ingestion at <ts>
+  *   - `centroids/v=<ts>/`                IVF centroids of that ingestion
+  *   - `updates/`                         append-only updates log
+  *
+  * Time travel (reference: index.py:94-177): a read at `ts` sees the base
+  * version with the latest ingestion timestamp ≤ ts plus updates-log entries
+  * in (base_ts, ts].
+  */
+abstract class VectorIndex(
+    val spark: SparkSession,
+    val uri: String,
+    val meta: IndexMeta,
+    val readTimestamp: Long) {
+
+  protected val historyIdx: Int = meta.historyIndex(readTimestamp)
+  protected val baseTimestamp: Long =
+    if (historyIdx >= 0) meta.ingestionTimestamps(historyIdx) else -1L
+
+  def metric: DistanceMetric = meta.metric
+
+  /** The active base version's vectors: (external_id, vector[, partition_id]).
+    * Empty (with correct schema) when the read predates the first ingestion. */
+  def baseVectors(): DataFrame
+
+  /** k-NN over the base version only (no updates merge). */
+  protected def queryBase(queries: DataFrame, k: Int, nprobe: Int): DataFrame
+
+  /** Full query semantics with updates merge (reference: index.py:338-416):
+    * when the updates log has entries in-window, the base is queried for 2k
+    * candidates, hits whose id was updated/deleted are masked out
+    * (anti join — the reference overwrites with MAX sentinels, index.py:376-388),
+    * the additions are brute-forced, and both branches re-merge to top-k.
+    *
+    * @param queries (qid: Long, qvec: Array[Float])
+    * @return (qid, rank, id, distance)
+    */
+  def query(queries: DataFrame, k: Int, nprobe: Int = 0): DataFrame = {
+    val q = queries.select(col("qid").cast("long").as("qid"), col("qvec"))
+    val upd = updatesInWindow()
+    if (upd.isEmpty) return queryBase(q, k, nprobe)
+
+    val latest = latestUpdatePerId(upd.get)
+    val updatedIds = latest.select(col("external_id"))
+    // retrieval_k = 2k when updates are present (reference: index.py:352-364)
+    val baseHits = queryBase(q, 2 * k, nprobe)
+      .join(broadcast(updatedIds),
+        col("id") === updatedIds("external_id"), "left_anti")
+    val additions = latest.where(col("vector").isNotNull)
+      .select(col("external_id").as("id"), col("vector"))
+    val addHits = Knn.bruteForce(additions, q, k, metric,
+      idCol = "id", vecCol = "vector", qidCol = "qid", qvecCol = "qvec")
+    val merged = baseHits.select("qid", "id", "distance")
+      .unionByName(addHits.select("qid", "id", "distance"))
+      .select(col("qid").as("__qid"), col("id").as("__id"),
+        distanceToScore(col("distance")).as("__score"))
+    Knn.topKFromScores(merged, k, metric)
+  }
+
+  /** Inverse of [[DistanceMetric.reportedDistance]] for re-merging branches. */
+  private def distanceToScore(distance: org.apache.spark.sql.Column) = metric match {
+    case DistanceMetric.InnerProduct =>
+      when(distance === lit(Float.MaxValue), lit(0.0f)).otherwise(lit(-1.0f) / distance)
+    case _ => distance.cast("float")
+  }
+
+  // ----- updates log (reference: index.py:418-501, 764-814) -----
+
+  protected def updatesPath: String = s"$uri/updates"
+
+  protected def updatesLog(): Option[DataFrame] =
+    if (Files.exists(Paths.get(updatesPath)) &&
+        Files.list(Paths.get(updatesPath)).findFirst().isPresent) {
+      Some(spark.read.parquet(updatesPath))
+    } else None
+
+  /** Updates visible at this read: ts in (base_ts, read_ts]. */
+  protected def updatesInWindow(): Option[DataFrame] = updatesLog().map { log =>
+    log.where(col("ts") > baseTimestamp && col("ts") <= readTimestamp)
+  }.filter(df => !df.isEmpty)
+
+  /** Last-write-wins per external id (the reference's sparse-array
+    * overwrite semantics, index.py:876-897). */
+  protected def latestUpdatePerId(upd: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("external_id")).orderBy(col("ts").desc)
+    upd.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Upsert a batch of (external_id, vector) at `ts`
+    * (reference: index.py:418-462 `update_batch`). */
+  def updateBatch(vectors: DataFrame, ts: Long): Unit = {
+    vectors.select(
+        col("external_id").cast("long"),
+        col("vector").cast("array<float>"),
+        lit(ts).as("ts"))
+      .write.mode("append").parquet(updatesPath)
+    IndexMeta.write(uri, meta.copy(hasUpdates = true))
+  }
+
+  /** Tombstone a batch of ids at `ts`: vector = null
+    * (reference: index.py:464-501 — empty vector ⇒ delete). */
+  def deleteBatch(ids: DataFrame, ts: Long): Unit = {
+    ids.select(
+        col("external_id").cast("long"),
+        lit(null).cast("array<float>").as("vector"),
+        lit(ts).as("ts"))
+      .write.mode("append").parquet(updatesPath)
+    IndexMeta.write(uri, meta.copy(hasUpdates = true))
+  }
+
+  /** Merge base + updates into a fresh base version at `newTs`
+    * (reference: index.py:503-577 `consolidate_updates`). Re-trains /
+    * re-partitions per index type via [[Ingest]]. */
+  def consolidateUpdates(newTs: Long, partitions: Option[Int] = None): VectorIndex = {
+    val upd = updatesInWindow()
+    val merged = upd match {
+      case None => baseVectors().select("external_id", "vector")
+      case Some(u) =>
+        val latest = latestUpdatePerId(u)
+        val adds = latest.where(col("vector").isNotNull).select("external_id", "vector")
+        baseVectors().select("external_id", "vector")
+          .join(broadcast(latest.select("external_id")), Seq("external_id"), "left_anti")
+          .unionByName(adds)
+    }
+    Ingest.ingest(spark, uri, merged, meta.indexType, metric, newTs,
+      partitions = partitions, normalizeDone = true, appendMeta = true)
+    VectorIndex.open(spark, uri)
+  }
+
+  /** Drop base versions strictly older than `ts` and rewrite metadata
+    * (reference: index.py:626-735 `clear_history`). */
+  def clearHistory(ts: Long): Unit = {
+    val keep = meta.ingestionTimestamps.zipWithIndex.filter { case (t, _) => t >= ts }
+    val dropTs = meta.ingestionTimestamps.filter(_ < ts)
+    dropTs.foreach { t =>
+      Storage.deleteRecursively(Paths.get(s"$uri/base/v=$t"))
+      Storage.deleteRecursively(Paths.get(s"$uri/centroids/v=$t"))
+    }
+    val keepIdx = keep.map(_._2).toSet
+    IndexMeta.write(uri, meta.copy(
+      ingestionTimestamps = keep.map(_._1),
+      baseSizes = meta.baseSizes.zipWithIndex.collect { case (s, i) if keepIdx(i) => s },
+      partitionHistory = meta.partitionHistory.zipWithIndex.collect { case (p, i) if keepIdx(i) => p }))
+  }
+}
+
+object VectorIndex {
+  /** Open an index, optionally at a historical timestamp
+    * (reference: index.py:94-177). */
+  def open(spark: SparkSession, uri: String, timestamp: Option[Long] = None): VectorIndex = {
+    val meta = IndexMeta.read(uri)
+    val ts = timestamp.getOrElse(Long.MaxValue)
+    meta.indexType match {
+      case "FLAT" => new FlatIndex(spark, uri, meta, ts)
+      case "IVF_FLAT" => new IvfFlatIndex(spark, uri, meta, ts)
+      case other => throw new IllegalArgumentException(s"unsupported index_type $other")
+    }
+  }
+}
+
+private[index] object Storage {
+  def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+    }
+}
+
+/** FLAT index: exact brute-force scan (reference:
+  * apis/python/src/tiledb/vector_search/flat_index.py:115-147; C++ kernel
+  * detail/flat/vq.h:40-120). The Spark plan IS the vq loop: partition-at-a-
+  * time scan with per-partition bounded heaps, then a k-bounded merge. */
+class FlatIndex(spark: SparkSession, uri: String, meta: IndexMeta, ts: Long)
+    extends VectorIndex(spark, uri, meta, ts) {
+
+  override def baseVectors(): DataFrame =
+    if (historyIdx < 0) {
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("external_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("vector",
+            org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)))))
+    } else spark.read.parquet(s"$uri/base/v=$baseTimestamp")
+      .select("external_id", "vector")
+
+  override protected def queryBase(queries: DataFrame, k: Int, nprobe: Int): DataFrame =
+    Knn.bruteForce(baseVectors(), queries, k, metric,
+      idCol = "external_id", vecCol = "vector", qidCol = "qid", qvecCol = "qvec")
+}
+
+/** IVF_FLAT index (reference:
+  * apis/python/src/tiledb/vector_search/ivf_flat_index.py:189-310; C++
+  * kernels src/include/detail/ivf/qv.h).
+  *
+  * Spark mapping: vectors live in Parquet partitioned by `partition_id`, so
+  * the nprobe centroid pruning becomes a `partition_id IN (...)` predicate
+  * that Catalyst turns into physical partition pruning — only the probed
+  * partitions' files are read, the Spark equivalent of the CSR-offset probe
+  * (reference: detail/ivf/qv.h:99-153).
+  *
+  * COSINE is served by normalizing at ingestion + querying with L2, exactly
+  * like the reference (ivf_flat_index.py:254-255, ingestion.py:2616-2663).
+  */
+class IvfFlatIndex(spark: SparkSession, uri: String, meta: IndexMeta, ts: Long)
+    extends VectorIndex(spark, uri, meta, ts) {
+
+  lazy val centroids: Array[Array[Float]] =
+    if (historyIdx < 0) Array.empty
+    else spark.read.parquet(s"$uri/centroids/v=$baseTimestamp")
+      .orderBy("partition_id")
+      .collect()
+      .map(r => r.getSeq[Float](r.fieldIndex("centroid")).toArray)
+
+  override def baseVectors(): DataFrame =
+    if (historyIdx < 0) new FlatIndex(spark, uri, meta, ts).baseVectors()
+    else spark.read.parquet(s"$uri/base/v=$baseTimestamp")
+      .select("external_id", "vector", "partition_id")
+
+  /** The probe metric runs on normalized vectors for COSINE. */
+  private def probeMetric: DistanceMetric = metric match {
+    case DistanceMetric.Cosine => DistanceMetric.SumOfSquares
+    case m => m
+  }
+
+  override protected def queryBase(queries: DataFrame, k: Int, nprobe0: Int): DataFrame = {
+    if (historyIdx < 0) {
+      return Knn.bruteForce(baseVectors(), queries, k, metric,
+        idCol = "external_id", vecCol = "vector")
+    }
+    val parts = centroids.length
+    val nprobe = if (nprobe0 <= 0) math.max(1, math.sqrt(parts.toDouble).toInt)
+      else math.min(nprobe0, parts) // reference: ivf_flat_index.py:213-215,260
+    val qn = metric match {
+      case DistanceMetric.Cosine => queries.select(col("qid"),
+        vector_normalize(col("qvec")).as("qvec"))
+      case _ => queries
+    }
+    // Driver-side probe: queries are a small batch (reference holds them in
+    // RAM too, index.py:298-312); centroids are broadcast-sized by design.
+    val qRows = qn.select(col("qid"), col("qvec")).collect()
+    val probes: Seq[(Long, Array[Float], Array[Int])] = qRows.toSeq.map { r =>
+      val qid = r.getLong(0)
+      val qv = r.getSeq[Float](1).toArray
+      (qid, qv, graft.functions.NearestCentroid.topNProbe(qv, centroids, nprobe))
+    }
+    val activeParts = probes.flatMap(_._3).distinct.sorted
+    import spark.implicits._
+    val pairs = probes.flatMap { case (qid, qv, ps) => ps.map(p => (qid, p, qv)) }
+      .toDF("qid", "partition_id", "qvec")
+    // partition_id IN (...) reaches the parquet scan as partition pruning.
+    val pruned = baseVectors().where(col("partition_id").isin(activeParts: _*))
+    val qscore = if (metric == DistanceMetric.Cosine) probeMetric else metric
+    val scored = pruned
+      .join(broadcast(pairs), Seq("partition_id"))
+      .select(col("qid").as("__qid"), col("external_id").as("__id"),
+        DistanceMetric.score(qscore)(col("vector"), col("qvec")).as("__score"))
+    val hits = Knn.topKFromScores(scored, k, qscore)
+    metric match {
+      case DistanceMetric.Cosine =>
+        // normalized-L2 scores back to cosine distance: d_cos = sos/2
+        hits.withColumn("distance", (col("distance") / 2.0f).cast("float"))
+      case _ => hits
+    }
+  }
+}
