@@ -7,6 +7,8 @@ import org.apache.spark.sql.functions._
 
 import graft.index.{Ingest, VectorIndex}
 import graft.operators.{DistanceMetric, Knn}
+import graft.text.{Dedup, TextOps, WinnowFingerprint}
+import org.apache.spark.sql.graftshim.{toColumn, toExpression}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -147,6 +149,58 @@ object SparkEntry {
        |QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY list_distance(n.embedding, q.embedding), n.vec_id) <= $K
        |ORDER BY qid, neighbor_id""".stripMargin
 
+  // ----- text analysis / dedup operators (documents + embeddings tables) -----
+
+  private def textTokenCount(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("doc_id"),
+      TextOps.tokenCount(col("text")).cast("long").as("n_tokens")).orderBy("doc_id")
+
+  private def textQuality(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id") +: TextOps.qualityFacets(col("text"))
+        .map { case (n, c) => c.cast("long").as(n) }: _*).orderBy("doc_id")
+
+  private def textFingerprint(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("doc_id"),
+      TextOps.fingerprintMd5(col("text")).as("fp")).orderBy("doc_id")
+
+  private def textLangId(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("doc_id"),
+      TextOps.langId(col("text")).as("lang_pred")).orderBy("doc_id")
+
+  private def textWinnow(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("doc_id"),
+        toColumn(WinnowFingerprint(toExpression(col("text")))).as("fps"))
+      .select(col("doc_id"), size(col("fps")).cast("long").as("n_fp"),
+        array_min(col("fps")).as("fp_min")).orderBy("doc_id")
+
+  private def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(docs(spark, dir), fingerprint = TextOps.tokenSetFingerprint)
+      .orderBy("fp")
+
+  private def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(docs(spark, dir), 0.8, Seq("lang", "source"))
+      .orderBy("id_a", "id_b")
+
+  private def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(docs(spark, dir), 0.8).orderBy("id_a", "id_b")
+
+  private def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(docs(spark, dir), maxHamming = 3).orderBy("id_a", "id_b")
+
+  private def dedupEmbeddingCosine(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingCosinePairs(emb(spark, dir), 0.4).orderBy("id_a", "id_b")
+
+  /** DuckDB-side 3-shingle set CTE shared by the jaccard oracles. */
+  private val shingleCte: String =
+    """WITH t AS (SELECT doc_id, lang, source, text,
+      |            regexp_split_to_array(trim(text), '\s+') toks FROM documents),
+      |s AS (SELECT doc_id, lang, source,
+      |        CASE WHEN len(toks) < 3 THEN [trim(text)]
+      |             ELSE list_distinct(list_transform(range(1, len(toks)-1),
+      |                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END sh
+      |      FROM t)""".stripMargin
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     knnFlat(DistanceMetric.L2)(spark, "/root/testdata/sf0.001")
@@ -162,6 +216,16 @@ object SparkEntry {
     "ivf_flat_nprobe" -> (ivfNprobe _),
     "updates_knn" -> (updatesKnn _),
     "timetravel_knn" -> (timetravelKnn _),
+    "text_token_count" -> (textTokenCount _),
+    "text_quality" -> (textQuality _),
+    "text_fingerprint" -> (textFingerprint _),
+    "text_langid" -> (textLangId _),
+    "text_winnow" -> (textWinnow _),
+    "dedup_exact" -> (dedupExact _),
+    "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "dedup_simhash" -> (dedupSimhash _),
+    "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -177,5 +241,45 @@ object SparkEntry {
     // k-means); driver records rows-only, recall asserted in IndexSpec.
     "updates_knn" -> updatesOracle,
     "timetravel_knn" -> timetravelOracle,
+    "text_token_count" ->
+      """SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      """WITH t AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') toks FROM documents)
+        |SELECT doc_id,
+        |  length(text) AS n_chars,
+        |  len(toks) AS n_tokens,
+        |  len(list_distinct(toks)) AS n_distinct_tokens,
+        |  len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it','that','for'], x))) AS n_stopwords,
+        |  length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id, md5(lower(array_to_string(regexp_split_to_array(trim(text), '\s+'), ' '))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // text_langid / text_winnow / dedup_simhash: engine-internal hash
+    // heuristics, no SQL equivalent — rows-only checks; semantics spec-tested.
+    "dedup_exact" ->
+      """SELECT md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(trim(text), '\s+'))), ' ')) AS fp,
+        |  min(doc_id) AS canonical_id, count(*) AS cnt
+        |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""$shingleCte
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |FROM s a JOIN s b
+         |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+         |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_minhash_lsh" ->
+      s"""$shingleCte
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_embedding_cosine" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
   )
 }

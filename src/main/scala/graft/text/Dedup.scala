@@ -1,0 +1,164 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.dist_cosine
+
+/** Deduplication operators for training-data pipelines, all expressed as
+  * declarative DataFrame plans so Catalyst handles pushdown/pruning and the
+  * shuffles are the minimum the algorithm implies.
+  *
+  * Scale posture (100 TB): every variant avoids the naive all-pairs join —
+  * exact/fingerprint dedup is one hash aggregation; MinHash-LSH shuffles on
+  * band buckets (candidates only); n-gram/embedding near-dup joins are
+  * block-scoped. Pathologically hot LSH buckets are capped (dropped) rather
+  * than allowed to go quadratic — the standard guard in web-scale dedup.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by content hash: one hash-aggregate, no join.
+    * Output: (fp, canonical_id, cnt) with canonical = min id. */
+  def exactGroups(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      fingerprint: Column => Column = TextOps.fingerprintMd5): DataFrame =
+    docs.groupBy(fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("cnt"))
+
+  /** Block-scoped n-gram (3-shingle set) Jaccard near-dup pairs: join only
+    * within `blockCols` blocks (e.g. language x source), never all-pairs. */
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      threshold: Double,
+      blockCols: Seq[String],
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val withSets = docs.select(
+      (col(idCol).as("id") +: blockCols.map(col)) :+
+        TextOps.shingleSet(col(textCol)).as("sh"): _*)
+    val a = withSets.as("a")
+    val b = withSets.as("b")
+    val blockEq = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
+      .foldLeft(col("a.id") < col("b.id"))(_ && _)
+    a.join(b, blockEq)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        jaccard(col("a.sh"), col("b.sh")).as("j"))
+      .where(col("j") >= threshold)
+      .select("id_a", "id_b")
+  }
+
+  /** Set Jaccard of two pre-distinct arrays. Integer set sizes divided in
+    * double — bit-identical across engines for oracle parity. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_distinct(concat(a, b))).cast("double")
+
+  /** MinHash + banded LSH near-dup pairs over 3-shingle sets
+    * (numHashes = bands x rowsPerBand signatures).
+    *
+    * Pipeline: shingle → xxhash64 → minhash signatures (all inside one
+    * codegen'd projection) → explode bands → shuffle ONLY on (band, hash)
+    * buckets → within-bucket pairs (hot buckets capped at `maxBucketSize`)
+    * → exact-Jaccard verification of the candidates. With rowsPerBand=4,
+    * bands=32 the miss probability at j=0.8 is (1-0.8^4)^32 ≈ 5e-8, so the
+    * verified output equals the exhaustive-pairs answer w.h.p. — that is
+    * what the DuckDB oracle checks.
+    */
+  def minhashLshPairs(
+      docs: DataFrame,
+      threshold: Double,
+      bands: Int = 32,
+      rowsPerBand: Int = 4,
+      maxBucketSize: Int = 10000,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    // Deterministic affine hash family over 31-bit slices of the shingle
+    // xxhash64 values: 31-bit coefficients x 31-bit inputs stay well inside
+    // Long range (Spark 4 runs ANSI mode — wrap-around would throw).
+    val rnd = new scala.util.Random(42)
+    val aCoef = Array.fill(numHashes)(rnd.nextInt(Int.MaxValue).toLong | 1L)
+    val bCoef = Array.fill(numHashes)(rnd.nextInt(Int.MaxValue).toLong)
+    val aLit = typedlit(aCoef.toSeq)
+    val bLit = typedlit(bCoef.toSeq)
+
+    val withSig = docs.select(col(idCol).as("id"),
+        TextOps.shingleSet(col(textCol)).as("sh"))
+      .withColumn("shh", transform(col("sh"), s => shiftrightunsigned(xxhash64(s), 33)))
+      .withColumn("minhash", transform(sequence(lit(0), lit(numHashes - 1)), i =>
+        array_min(transform(col("shh"), h =>
+          element_at(aLit, i + 1) * h + element_at(bLit, i + 1)))))
+
+    val banded = withSig.select(col("id"), col("sh"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)), bd =>
+          xxhash64(bd, slice(col("minhash"), bd * lit(rowsPerBand) + 1, lit(rowsPerBand)))))
+          .as(Seq("band", "bucket")))
+
+    // Cap pathological buckets (boilerplate shingle floods) before pairing.
+    val bucketed = banded
+      .withColumn("bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bucket"))))
+      .where(col("bucket_n") <= maxBucketSize)
+
+    // Distinct column names on each side: self-joins on same-lineage frames
+    // with shared names resolve to trivially-true predicates in Spark.
+    val l = bucketed.select(col("band").as("band_a"), col("bucket").as("bucket_a"),
+      col("id").as("id_a"), col("sh").as("sh_a"))
+    val r = bucketed.select(col("band").as("band_b"), col("bucket").as("bucket_b"),
+      col("id").as("id_b"), col("sh").as("sh_b"))
+    val candidates = l.join(r,
+        col("band_a") === col("band_b") && col("bucket_a") === col("bucket_b")
+          && col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b")
+      .dropDuplicates("id_a", "id_b")
+
+    candidates
+      .where(jaccard(col("sh_a"), col("sh_b")) >= threshold)
+      .select("id_a", "id_b")
+  }
+
+  /** 64-bit SimHash near-dup pairs: signature via [[SimHash64]], then
+    * pairs within Hamming distance `maxHamming`, blocked on the signature's
+    * 4 16-bit chunks (a pair within distance<=3 shares at least one intact
+    * chunk — classic Charikar blocking, no all-pairs join). */
+  def simhashPairs(
+      docs: DataFrame,
+      maxHamming: Int = 3,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(maxHamming <= 3, "chunk blocking covers hamming <= 3 over 4 chunks")
+    import org.apache.spark.sql.graftshim.toColumn
+    import org.apache.spark.sql.graftshim.toExpression
+    val sig = docs.select(col(idCol).as("id"),
+      toColumn(SimHash64(toExpression(TextOps.tokens(col(textCol))))).as("sig"))
+    val chunkCols = (0 until 4).map(i =>
+      shiftrightunsigned(col("sig"), i * 16).bitwiseAND(lit(0xFFFFL)))
+    val chunked = sig.select(col("id"), col("sig"),
+      posexplode(array(chunkCols: _*)).as(Seq("chunk_idx", "chunk")))
+    val l = chunked.select(col("chunk_idx").as("ci_a"), col("chunk").as("ch_a"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val r = chunked.select(col("chunk_idx").as("ci_b"), col("chunk").as("ch_b"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    l.join(r, col("ci_a") === col("ci_b") && col("ch_a") === col("ch_b")
+        && col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .where(bit_count(col("sig_a").bitwiseXOR(col("sig_b"))) <= maxHamming)
+      .select("id_a", "id_b")
+  }
+
+  /** Embedding near-dup pairs: cosine similarity >= threshold within
+    * `blockCol` blocks (a coarse IVF-style prefilter; at 100 TB the block
+    * would be an LSH/IVF partition id instead of a label). */
+  def embeddingCosinePairs(
+      emb: DataFrame,
+      threshold: Double,
+      blockCol: String = "label",
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val v = emb.select(col(idCol).as("id"), col(blockCol).as("blk"), col(vecCol).as("v"))
+    val a = v.as("a"); val b = v.as("b")
+    a.join(b, col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .where(lit(1.0f) - dist_cosine(col("a.v"), col("b.v")) >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+  }
+}

@@ -1,0 +1,114 @@
+package graft.text
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** FNV-1a 64-bit — a tiny, dependency-free, stable string hash used by the
+  * signature expressions below (stability across JVMs matters more than
+  * avalanche quality here). */
+private[text] object Fnv64 {
+  final val Offset = 0xcbf29ce484222325L
+  final val Prime = 0x100000001b3L
+  def hashBytes(bytes: Array[Byte]): Long = {
+    var h = Offset
+    var i = 0
+    while (i < bytes.length) { h ^= (bytes(i) & 0xffL); h *= Prime; i += 1 }
+    h
+  }
+}
+
+/** 64-bit SimHash (Charikar) over a token array: per-bit votes weighted by
+  * token occurrence. Near-identical token multisets land within a small
+  * Hamming distance. */
+case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash64 requires array<string>, got ${other.catalogString}")
+    }
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      if (s != null) {
+        val h = Fnv64.hashBytes(s.getBytes)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Winnowing document fingerprint (Schleimer, Wilkerson, Aiken, SIGMOD'03):
+  * rolling FNV hashes of character k-grams, then the minimum hash of each
+  * sliding window of `w` consecutive k-gram hashes, deduplicated and
+  * sorted. Robust to local edits; the standard copy-detection fingerprint. */
+case class WinnowFingerprint(child: Expression, k: Int = 5, w: Int = 4)
+    extends UnaryExpression with CodegenFallback {
+  require(k > 0 && w > 0, "winnow_fingerprint: k and w must be positive")
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"winnow_fingerprint requires string, got ${other.catalogString}")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "winnow_fingerprint"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[UTF8String].getBytes
+    if (bytes.length < k) {
+      return new GenericArrayData(Array(Fnv64.hashBytes(bytes)))
+    }
+    val nGrams = bytes.length - k + 1
+    val grams = new Array[Long](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      var h = Fnv64.Offset
+      var j = 0
+      while (j < k) { h ^= (bytes(i + j) & 0xffL); h *= Fnv64.Prime; j += 1 }
+      grams(i) = h
+      i += 1
+    }
+    val picked = scala.collection.mutable.SortedSet.empty[Long]
+    val lastWin = math.max(0, nGrams - w)
+    var s = 0
+    while (s <= lastWin) {
+      var m = grams(s)
+      var j = s + 1
+      val e = math.min(s + w, nGrams)
+      while (j < e) { if (grams(j) < m) m = grams(j); j += 1 }
+      picked += m
+      s += 1
+    }
+    new GenericArrayData(picked.toArray)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

@@ -1,0 +1,100 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines, built
+  * entirely from codegen'd `org.apache.spark.sql.functions` so they stay
+  * inside whole-stage codegen (no UDFs in the hot path).
+  *
+  * These extend the reference's object/text layer (reference:
+  * apis/python/src/tiledb/vector_search/object_readers/directory_reader.py
+  * chunks text and the embeddings package vectorizes it) with the classic
+  * corpus hygiene operators: tokenization, quality stats, language ID,
+  * fingerprinting.
+  */
+object TextOps {
+
+  /** Whitespace tokenization — `\s+` split of the trimmed text. Matches
+    * DuckDB `regexp_split_to_array(trim(x), '\s+')` for oracle parity. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def distinctTokens(text: Column): Column = array_distinct(tokens(text))
+
+  /** 3-token shingles (1-based windows); documents with < 3 tokens
+    * degenerate to a single whole-text shingle so every doc has at least
+    * one shingle. */
+  def shingles3(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) < 3, array(trim(text))).otherwise(
+      transform(sequence(lit(1), size(t) - 2), i =>
+        concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
+  }
+
+  /** Distinct shingle set — the unit of n-gram Jaccard similarity. */
+  def shingleSet(text: Column): Column = array_distinct(shingles3(text))
+
+  /** A small multilingual stopword table for language ID and quality
+    * scoring. Deliberately tiny: the point is the *operator shape*
+    * (set-membership counting at scale), not lexicography. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "eine", "zu", "mit", "von"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "de", "dans", "pour"),
+    "es" -> Seq("el", "la", "los", "las", "y", "es", "un", "una", "de", "para"),
+    "it" -> Seq("il", "la", "gli", "e", "è", "un", "una", "di", "per", "con"),
+    "pt" -> Seq("o", "a", "os", "as", "e", "é", "um", "uma", "de", "para"))
+
+  /** Count of tokens that belong to `words` (occurrences, not distinct). */
+  def wordSetCount(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => array_contains(typedlit(words), t)))
+
+  def stopwordCount(text: Column, lang: String = "en"): Column =
+    wordSetCount(text, stopwords(lang))
+
+  /** Punctuation character count over an explicit class (kept identical to
+    * the DuckDB oracle's regex). */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[.,!?;:]", ""))
+
+  /** Integer quality facets of a document; the scalar score is a weighted
+    * blend downstream — facets stay integers for exact oracle compare. */
+  def qualityFacets(text: Column): Seq[(String, Column)] = Seq(
+    "n_chars" -> length(text),
+    "n_tokens" -> tokenCount(text),
+    "n_distinct_tokens" -> size(distinctTokens(text)),
+    "n_stopwords" -> stopwordCount(text),
+    "n_punct" -> punctCount(text))
+
+  /** Scalar quality score in [0,1]: lexical diversity x stopword presence
+    * damping, a simplified C4/Gopher-style heuristic. */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val diversity = size(distinctTokens(text)).cast("double") / greatest(nTok, lit(1.0))
+    val stopRatio = stopwordCount(text).cast("double") / greatest(nTok, lit(1.0))
+    round(diversity * (lit(1.0) - stopRatio), 6)
+  }
+
+  /** Document fingerprint: md5 of the whitespace-normalized lowercased text
+    * (exact-dup key). */
+  def fingerprintMd5(text: Column): Column =
+    md5(lower(concat_ws(" ", tokens(text))))
+
+  /** Token-SET fingerprint: md5 over the sorted distinct token list —
+    * catches reorderings/repetitions of the same vocabulary. */
+  def tokenSetFingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(distinctTokens(text))))
+
+  /** Language ID by stopword-profile voting: argmax over per-language
+    * stopword hit counts (ties break toward the lexicographically larger
+    * code via struct ordering; docs with zero hits report 'und'). */
+  def langId(text: Column): Column = {
+    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(wordSetCount(text, words).as("score"), lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+}

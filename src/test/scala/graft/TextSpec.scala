@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.text.{Dedup, TextOps}
+
+class TextSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private lazy val docs = spark.read.parquet(s"$sf0001/documents.parquet").cache()
+
+  test("minhash LSH finds exactly the exact-jaccard pairs at tau=0.8") {
+    import spark.implicits._
+    val viaLsh = Dedup.minhashLshPairs(docs, 0.8)
+      .as[(Long, Long)].collect().toSet
+    val sets = docs.select(col("doc_id"), TextOps.shingleSet(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+    val exact = (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+      j = sa.intersect(sb).size.toDouble / sa.union(sb).size.toDouble if j >= 0.8
+    } yield (ia, ib)).toSet
+    assert(viaLsh === exact)
+    assert(exact.nonEmpty, "fixture should contain near-dup pairs")
+  }
+
+  test("simhash: identical token multisets collide; pairs are plausible near-dups") {
+    import spark.implicits._
+    val planted = Seq(
+      (9001L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (9002L, "alpha beta gamma delta epsilon zeta eta theta"), // identical
+      (9003L, "alpha beta gamma delta epsilon zeta eta iota"), // 1 token differs
+      (9004L, "completely different words entirely here now today ok")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(planted, maxHamming = 3)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((9001L, 9002L)))
+    assert(!pairs.exists { case (a, b) => b == 9004L || a == 9004L })
+  }
+
+  test("langId is deterministic and votes by stopword profile") {
+    import spark.implicits._
+    val planted = Seq(
+      (1L, "the cat sat of the mat and it is that for"),
+      (2L, "der hund und die katze ist ein mit von das"),
+      (3L, "xyzzy qwerty asdf")).toDF("doc_id", "text")
+    val got = planted.select(col("doc_id"), TextOps.langId(col("text")).as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) === "en")
+    assert(got(2L) === "de")
+    assert(got(3L) === "und")
+  }
+
+  test("winnow fingerprint overlaps heavily for locally-edited text, not for unrelated") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftshim.{toColumn, toExpression}
+    val base = "the quick brown fox jumps over the lazy dog and keeps running far away"
+    val edited = base.replace("lazy", "hazy")
+    val other = "entirely unrelated content with zero overlap whatsoever in any window"
+    val df = Seq((1L, base), (2L, edited), (3L, other)).toDF("doc_id", "text")
+    val fps = df.select(col("doc_id"),
+        toColumn(graft.text.WinnowFingerprint(toExpression(col("text")))).as("fp"))
+      .as[(Long, Seq[Long])].collect().map { case (i, f) => i -> f.toSet }.toMap
+    val simEdit = fps(1L).intersect(fps(2L)).size.toDouble / fps(1L).union(fps(2L)).size
+    val simOther = fps(1L).intersect(fps(3L)).size.toDouble / fps(1L).union(fps(3L)).size
+    assert(simEdit > 0.6, s"local edit should retain most fingerprints, got $simEdit")
+    assert(simOther < 0.1, s"unrelated text should share ~none, got $simOther")
+  }
+
+  test("exact dedup groups by token-set fingerprint find the planted families") {
+    val groups = Dedup.exactGroups(docs, fingerprint = TextOps.tokenSetFingerprint)
+    val multi = groups.where(col("cnt") > 1)
+    assert(multi.count() > 0, "fixture contains token-set duplicate families")
+    // canonical_id must be the min doc_id of its group
+    val total = groups.agg(sum(col("cnt"))).head().getLong(0)
+    assert(total === docs.count())
+  }
+}
