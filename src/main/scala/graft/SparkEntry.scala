@@ -149,6 +149,29 @@ object SparkEntry {
        |QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY list_distance(n.embedding, q.embedding), n.vec_id) <= $K
        |ORDER BY qid, neighbor_id""".stripMargin
 
+  /** IVF_PQ with probe-all + k_factor covering the dataset: the exact
+    * re-rank then reproduces brute force, validating codebooks, encode,
+    * asymmetric tables, and the rerank join against the L2 oracle. */
+  private def ivfPqExactRerank(spark: SparkSession, dir: String): DataFrame = {
+    val uri = cachedIndex("ivf_pq", dir) { u =>
+      Ingest.ingest(spark, u, embAsIndexInput(spark, dir), "IVF_PQ",
+        DistanceMetric.L2, timestamp = 1000L)
+    }
+    val idx = VectorIndex.open(spark, uri).asInstanceOf[graft.index.IvfPqIndex]
+    idsOnly(idx.queryBase(idxQueries(spark, dir), K, nprobe0 = 1 << 30,
+      kFactor = 1e9f / K))
+  }
+
+  /** IVF_PQ at reference defaults (nprobe=100-clamped, k_factor=2):
+    * approximate → rows-only check; the 0.75 recall gate is spec-tested. */
+  private def ivfPqDefault(spark: SparkSession, dir: String): DataFrame = {
+    val uri = cachedIndex("ivf_pq", dir) { u =>
+      Ingest.ingest(spark, u, embAsIndexInput(spark, dir), "IVF_PQ",
+        DistanceMetric.L2, timestamp = 1000L)
+    }
+    idsOnly(VectorIndex.open(spark, uri).query(idxQueries(spark, dir), K))
+  }
+
   // ----- text analysis / dedup operators (documents + embeddings tables) -----
 
   private def textTokenCount(spark: SparkSession, dir: String): DataFrame =
@@ -214,6 +237,8 @@ object SparkEntry {
     "ivf_flat_probe_all" -> (ivfProbeAll _),
     "ivf_flat_cosine_probe_all" -> (ivfCosineProbeAll _),
     "ivf_flat_nprobe" -> (ivfNprobe _),
+    "ivf_pq_exact_rerank" -> (ivfPqExactRerank _),
+    "ivf_pq_default" -> (ivfPqDefault _),
     "updates_knn" -> (updatesKnn _),
     "timetravel_knn" -> (timetravelKnn _),
     "text_token_count" -> (textTokenCount _),
@@ -239,6 +264,7 @@ object SparkEntry {
     "ivf_flat_cosine_probe_all" -> knnOracle("list_cosine_similarity(n.embedding, q.embedding) DESC"),
     // ivf_flat_nprobe: intentionally no oracle (approximate, engine-internal
     // k-means); driver records rows-only, recall asserted in IndexSpec.
+    "ivf_pq_exact_rerank" -> knnOracle("list_distance(n.embedding, q.embedding)"),
     "updates_knn" -> updatesOracle,
     "timetravel_knn" -> timetravelOracle,
     "text_token_count" ->

@@ -28,7 +28,8 @@ case class IndexMeta(
     ingestionTimestamps: List[Long],
     baseSizes: List[Long],
     partitionHistory: List[Int],
-    hasUpdates: Boolean) {
+    hasUpdates: Boolean,
+    numSubspaces: Int = 0) {
 
   def metric: DistanceMetric = DistanceMetric.fromId(distanceMetric)
 
@@ -68,7 +69,8 @@ object IndexMeta {
       "ingestion_timestamps" -> meta.ingestionTimestamps,
       "base_sizes" -> meta.baseSizes,
       "partition_history" -> meta.partitionHistory,
-      "has_updates" -> meta.hasUpdates))
+      "has_updates" -> meta.hasUpdates,
+      "num_subspaces" -> meta.numSubspaces))
     Files.write(dir.resolve("index.json"), json.getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
       StandardOpenOption.WRITE)
@@ -87,7 +89,8 @@ object IndexMeta {
       ingestionTimestamps = (j \ "ingestion_timestamps").extract[List[Long]],
       baseSizes = (j \ "base_sizes").extract[List[Long]],
       partitionHistory = (j \ "partition_history").extract[List[Int]],
-      hasUpdates = (j \ "has_updates").extract[Boolean])
+      hasUpdates = (j \ "has_updates").extract[Boolean],
+      numSubspaces = (j \ "num_subspaces").extractOrElse[Int](0))
   }
 
   def exists(rootDir: String): Boolean =

@@ -6,7 +6,7 @@ import org.apache.spark.ml.linalg.{Vector => MlVector}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{vector_normalize, NearestCentroid}
+import graft.functions.{vector_normalize, NearestCentroid, PqEncode}
 import org.apache.spark.sql.graftshim.{toColumn, toExpression}
 import graft.operators.DistanceMetric
 
@@ -51,6 +51,7 @@ object Ingest {
       timestamp: Long = System.currentTimeMillis(),
       partitions: Option[Int] = None,
       trainingSampleSize: Option[Int] = None,
+      numSubspaces: Option[Int] = None,
       appendMeta: Boolean = false,
       normalizeDone: Boolean = false): VectorIndex = {
 
@@ -79,6 +80,7 @@ object Ingest {
       case _ => partitions.getOrElse(autoPartitions(count))
     }
 
+    var mSubspaces = 0
     indexType match {
       case "FLAT" =>
         base.write.mode("overwrite").parquet(s"$uri/base/v=$timestamp")
@@ -88,6 +90,31 @@ object Ingest {
         writeCentroids(spark, uri, timestamp, centroids)
         val assigned = base.withColumn("partition_id",
           toColumn(NearestCentroid(toExpression(col("vector")), centroids)))
+        assigned.write.mode("overwrite")
+          .partitionBy("partition_id")
+          .parquet(s"$uri/base/v=$timestamp")
+      case "IVF_PQ" =>
+        // reference default num_subspaces = dims/4 in its test config
+        // (test_ingestion.py:219-274); codebooks are per-subspace k-means
+        // with 256 codes (bits=8), ivf_pq_index.h:555-608.
+        mSubspaces = numSubspaces.getOrElse(math.max(1, dims / 4))
+        require(dims % mSubspaces == 0,
+          s"num_subspaces $mSubspaces must divide dimensions $dims")
+        require(metric == DistanceMetric.SumOfSquares || metric == DistanceMetric.L2,
+          "IVF_PQ supports SUM_OF_SQUARES / L2 only (reference ivf_pq_index.py:212-218)")
+        val sampleSize = trainingSampleSize.getOrElse(autoTrainingSize(count, numParts))
+        val centroids = trainCentroids(base, numParts, sampleSize)
+        writeCentroids(spark, uri, timestamp, centroids)
+        val codebooks = trainPqCodebooks(base, mSubspaces, dims / mSubspaces, sampleSize)
+        writePqCodebooks(spark, uri, timestamp, codebooks)
+        val codesPer = codebooks(0).length
+        val flatCb = flattenCodebooks(codebooks, dims / mSubspaces)
+        val assigned = base
+          .withColumn("partition_id",
+            toColumn(NearestCentroid(toExpression(col("vector")), centroids)))
+          .withColumn("codes",
+            toColumn(PqEncode(toExpression(col("vector")), flatCb,
+              mSubspaces, codesPer, dims / mSubspaces)))
         assigned.write.mode("overwrite")
           .partitionBy("partition_id")
           .parquet(s"$uri/base/v=$timestamp")
@@ -104,7 +131,8 @@ object Ingest {
       ingestionTimestamps = prior.map(_.ingestionTimestamps).getOrElse(Nil) :+ timestamp,
       baseSizes = prior.map(_.baseSizes).getOrElse(Nil) :+ count,
       partitionHistory = prior.map(_.partitionHistory).getOrElse(Nil) :+ numParts,
-      hasUpdates = prior.exists(_.hasUpdates))
+      hasUpdates = prior.exists(_.hasUpdates),
+      numSubspaces = mSubspaces)
     IndexMeta.write(uri, meta)
     // Open at latest (not at `timestamp`) so subsequently-appended updates
     // are visible through the returned handle, matching the reference's
@@ -135,6 +163,46 @@ object Ingest {
       // can return < k centers only when n < k, which kEff already handles.
       centers
     } finally { sample.unpersist() }
+  }
+
+  /** Per-subspace PQ codebook training: `m` MLlib k-means fits over the
+    * vector slices (reference trains sub_kmeans per subspace,
+    * ivf_pq_index.h:555-608). Returns codebooks(subspace)(code) = centroid. */
+  def trainPqCodebooks(base: DataFrame, m: Int, subDim: Int, sampleSize: Int)
+      : Array[Array[Array[Float]]] = {
+    val sample = base.select(col("vector")).limit(sampleSize).cache()
+    try {
+      val n = sample.count()
+      val codes = math.min(256L, n).toInt
+      (0 until m).toArray.map { s =>
+        val sub = sample.select(
+          array_to_vector(slice(col("vector"), s * subDim + 1, subDim)).as("features"))
+        val model = new KMeans()
+          .setK(codes).setSeed(42L + s).setMaxIter(10)
+          .setFeaturesCol("features")
+          .fit(sub)
+        model.clusterCenters.map(_.toArray.map(_.toFloat))
+      }
+    } finally { sample.unpersist() }
+  }
+
+  def flattenCodebooks(cb: Array[Array[Array[Float]]], subDim: Int): Array[Float] = {
+    val m = cb.length
+    val codes = cb(0).length
+    val out = new Array[Float](m * codes * subDim)
+    for (s <- 0 until m; c <- 0 until codes)
+      System.arraycopy(cb(s)(c), 0, out, (s * codes + c) * subDim, subDim)
+    out
+  }
+
+  private def writePqCodebooks(spark: SparkSession, uri: String, ts: Long,
+      cb: Array[Array[Array[Float]]]): Unit = {
+    import spark.implicits._
+    (for (s <- cb.indices; c <- cb(s).indices) yield (s, c, cb(s)(c).toSeq))
+      .toDF("subspace", "code", "centroid")
+      .select(col("subspace"), col("code"), col("centroid").cast("array<float>").as("centroid"))
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$uri/pq_codebooks/v=$ts")
   }
 
   private def writeCentroids(

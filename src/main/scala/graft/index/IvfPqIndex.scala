@@ -1,0 +1,137 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.{toColumn, toExpression}
+
+import graft.functions.{NearestCentroid, PqAsymmetricDistance}
+import graft.operators.{DistanceMetric, Knn}
+
+/** IVF_PQ index (reference: src/include/index/ivf_pq_index.h; Python
+  * apis/python/src/tiledb/vector_search/ivf_pq_index.py).
+  *
+  * Layout = IVF_FLAT plus: `pq_codebooks/v=<ts>` parquet
+  * (subspace, code, centroid) and a `codes: array<int>` column beside each
+  * stored vector. Query (reference: ivf_pq_index.h:1294-1530):
+  *   1. per-query distance TABLES against every sub-centroid, computed on
+  *      the driver (nq x m x 256 floats — broadcast-sized by construction;
+  *      reference builds them in :1181-1254),
+  *   2. nprobe partition pruning identical to IVF_FLAT,
+  *   3. candidate scoring = m table lookups per vector (no float math),
+  *      keeping k x k_factor candidates,
+  *   4. exact re-rank of the candidates against the original vectors
+  *      (reference: :1404-1530), final top-k.
+  *
+  * Only SUM_OF_SQUARES / L2 metrics, like the reference
+  * (ivf_pq_index.py:212-218).
+  */
+class IvfPqIndex(spark: SparkSession, uri: String, meta: IndexMeta, ts: Long)
+    extends VectorIndex(spark, uri, meta, ts) {
+
+  lazy val centroids: Array[Array[Float]] =
+    if (historyIdx < 0) Array.empty
+    else spark.read.parquet(s"$uri/centroids/v=$baseTimestamp")
+      .orderBy("partition_id").collect()
+      .map(r => r.getSeq[Float](r.fieldIndex("centroid")).toArray)
+
+  /** codebooks(subspace)(code) = sub-centroid */
+  lazy val codebooks: Array[Array[Array[Float]]] =
+    if (historyIdx < 0) Array.empty
+    else {
+      val rows = spark.read.parquet(s"$uri/pq_codebooks/v=$baseTimestamp")
+        .orderBy("subspace", "code").collect()
+      rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (_, rs) =>
+        rs.sortBy(_.getInt(1)).map(r => r.getSeq[Float](2).toArray).toArray
+      }.toArray
+    }
+
+  override def baseVectors(): DataFrame =
+    if (historyIdx < 0) new FlatIndex(spark, uri, meta, ts).baseVectors()
+    else spark.read.parquet(s"$uri/base/v=$baseTimestamp")
+      .select("external_id", "vector", "codes", "partition_id")
+
+  override protected def queryBase(queries: DataFrame, k: Int, nprobe0: Int): DataFrame =
+    queryBase(queries, k, nprobe0, kFactor = IvfPqIndex.DefaultKFactor)
+
+  /** @param kFactor candidate inflation before exact re-rank
+    *                (reference: ivf_pq_index.py:40-45 `k_factor`). */
+  def queryBase(queries: DataFrame, k: Int, nprobe0: Int, kFactor: Float): DataFrame = {
+    if (historyIdx < 0) {
+      return Knn.bruteForce(
+        baseVectors().select("external_id", "vector"), queries, k, metric,
+        idCol = "external_id", vecCol = "vector")
+    }
+    val parts = centroids.length
+    val m = codebooks.length
+    val codesPer = codebooks(0).length
+    val subDim = meta.dimensions / m
+    val nprobe = if (nprobe0 <= 0) math.min(parts, IvfPqIndex.DefaultNprobe)
+      else math.min(nprobe0, parts) // reference default nprobe=100, ivf_pq_index.py:126
+
+    val qRows = queries.select(col("qid"), col("qvec")).collect()
+    val probes = qRows.toSeq.map { r =>
+      val qid = r.getLong(0)
+      val qv = r.getSeq[Float](1).toArray
+      (qid, qv, NearestCentroid.topNProbe(qv, centroids, nprobe))
+    }
+    val activeParts = probes.flatMap(_._3).distinct.sorted
+
+    // Per-query distance tables: table[s*codesPer + c] = SOS(q_sub_s, cb[s][c])
+    val tables: Map[Long, Array[Float]] = probes.map { case (qid, qv, _) =>
+      val t = new Array[Float](m * codesPer)
+      var s = 0
+      while (s < m) {
+        var c = 0
+        while (c < codesPer) {
+          val cent = codebooks(s)(c)
+          var d = 0.0f
+          var j = 0
+          while (j < subDim) {
+            val diff = qv(s * subDim + j) - cent(j)
+            d += diff * diff
+            j += 1
+          }
+          t(s * codesPer + c) = d
+          c += 1
+        }
+        s += 1
+      }
+      qid -> t
+    }.toMap
+
+    import spark.implicits._
+    val pairs = probes.flatMap { case (qid, qv, ps) =>
+      ps.map(p => (qid, p, tables(qid).toSeq, qv.toSeq))
+    }.toDF("qid", "partition_id", "dtable", "qvec")
+      .select(col("qid"), col("partition_id"),
+        col("dtable").cast("array<float>").as("dtable"),
+        col("qvec").cast("array<float>").as("qvec"))
+
+    val pruned = baseVectors().where(col("partition_id").isin(activeParts: _*))
+    val baseSize = meta.baseSizes(historyIdx)
+    val kCand = math.min(baseSize,
+      math.max(k.toLong, math.ceil(k.toDouble * kFactor).toLong)).toInt
+    val scored = pruned
+      .join(broadcast(pairs), Seq("partition_id"))
+      .select(col("qid").as("__qid"), col("external_id").as("__id"),
+        toColumn(PqAsymmetricDistance(
+          toExpression(col("codes")), toExpression(col("dtable")), codesPer)).as("__score"))
+    val candidates = Knn.topKFromScores(scored, kCand, DistanceMetric.SumOfSquares)
+      .select(col("qid"), col("id"))
+
+    // Exact re-rank: broadcast the (small) candidate set back onto the
+    // pruned base to fetch original vectors; no second full scan.
+    val qvecs = pairs.select("qid", "qvec").dropDuplicates("qid")
+    val rescored = pruned
+      .join(broadcast(candidates), pruned("external_id") === candidates("id"))
+      .join(broadcast(qvecs), Seq("qid"))
+      .select(col("qid").as("__qid"), col("external_id").as("__id"),
+        DistanceMetric.score(metric)(col("vector"), col("qvec")).as("__score"))
+    Knn.topKFromScores(rescored, k, metric)
+  }
+}
+
+object IvfPqIndex {
+  val DefaultNprobe = 100 // reference: ivf_pq_index.py:126
+  val DefaultKFactor = 2.0f
+}

@@ -25,8 +25,17 @@ import org.apache.spark.sql.types._
   */
 final class TopKHeap(val k: Int) extends Serializable {
   var size: Int = 0
-  val scores: Array[Float] = new Array[Float](k)
-  val ids: Array[Long] = new Array[Long](k)
+  // Grow lazily toward k: large k (e.g. rerank candidate sets) must not
+  // preallocate k slots per group up front.
+  var scores: Array[Float] = new Array[Float](math.min(k, 16))
+  var ids: Array[Long] = new Array[Long](math.min(k, 16))
+
+  private def ensureCapacity(): Unit =
+    if (size == scores.length && size < k) {
+      val cap = math.min(k.toLong, scores.length * 2L).toInt
+      scores = java.util.Arrays.copyOf(scores, cap)
+      ids = java.util.Arrays.copyOf(ids, cap)
+    }
 
   // (s1,id1) "worse than" (s2,id2): larger score, or equal score and larger id.
   @inline private def worse(s1: Float, id1: Long, s2: Float, id2: Long): Boolean =
@@ -34,6 +43,7 @@ final class TopKHeap(val k: Int) extends Serializable {
 
   def insert(score: Float, id: Long): Unit = {
     if (size < k) {
+      ensureCapacity()
       var i = size
       scores(i) = score; ids(i) = id; size += 1
       // sift up
@@ -146,6 +156,10 @@ case class MinTopK(
     val bb = ByteBuffer.wrap(bytes)
     val kk = bb.getInt(); val n = bb.getInt()
     val h = new TopKHeap(kk)
+    if (n > h.scores.length) {
+      h.scores = new Array[Float](n)
+      h.ids = new Array[Long](n)
+    }
     var i = 0
     while (i < n) {
       val s = bb.getFloat(); val id = bb.getLong()

@@ -105,6 +105,23 @@ class IndexSpec extends AnyFunSuite {
     assert(at500.query(queries10, 10).count() === 0)
   }
 
+  test("IVF_PQ: probe-all + full k_factor equals brute force; defaults clear 0.75 gate") {
+    val uri = tmp()
+    val idx = Ingest.ingest(spark, uri, emb, "IVF_PQ", DistanceMetric.L2,
+      timestamp = 1000L, partitions = Some(8)).asInstanceOf[graft.index.IvfPqIndex]
+    assert(idx.meta.numSubspaces === 16)
+    val exact = exactIds(emb, 10)
+    // candidates = entire dataset => rerank is exact
+    val all = gotIds(idx.queryBase(queries10, 10, nprobe0 = 8, kFactor = 50f))
+    assert(all === exact)
+    // reference gate: accuracy > 0.75 at defaults (test_ingestion.py:24)
+    val approx = gotIds(idx.query(queries10, 10, nprobe = 8))
+    val recall = exact.keys.toSeq.map { q =>
+      approx(q).toSet.intersect(exact(q).toSet).size.toDouble / 10.0
+    }.sum / exact.size
+    assert(recall >= 0.75, s"recall $recall below IVF_PQ reference gate")
+  }
+
   test("consolidateUpdates folds the log into a new base version") {
     val uri = tmp()
     val idx = Ingest.ingest(spark, uri, emb, "FLAT", DistanceMetric.L2, timestamp = 1000L)
