@@ -172,6 +172,16 @@ object SparkEntry {
     idsOnly(VectorIndex.open(spark, uri).query(idxQueries(spark, dir), K))
   }
 
+  /** VAMANA graph search at reference defaults: approximate → rows-only;
+    * the 0.85 recall gate is spec-tested (IndexSpec). */
+  private def vamanaKnn(spark: SparkSession, dir: String): DataFrame = {
+    val uri = cachedIndex("vamana", dir) { u =>
+      Ingest.ingest(spark, u, embAsIndexInput(spark, dir), "VAMANA",
+        DistanceMetric.L2, timestamp = 1000L)
+    }
+    idsOnly(VectorIndex.open(spark, uri).query(idxQueries(spark, dir), K))
+  }
+
   // ----- text analysis / dedup operators (documents + embeddings tables) -----
 
   private def textTokenCount(spark: SparkSession, dir: String): DataFrame =
@@ -238,6 +248,7 @@ object SparkEntry {
     "ivf_flat_cosine_probe_all" -> (ivfCosineProbeAll _),
     "ivf_flat_nprobe" -> (ivfNprobe _),
     "ivf_pq_exact_rerank" -> (ivfPqExactRerank _),
+    "vamana_knn" -> (vamanaKnn _),
     "ivf_pq_default" -> (ivfPqDefault _),
     "updates_knn" -> (updatesKnn _),
     "timetravel_knn" -> (timetravelKnn _),

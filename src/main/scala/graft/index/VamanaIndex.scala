@@ -1,0 +1,242 @@
+package graft.index
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{DistanceMetric, Knn}
+
+/** Vamana / DiskANN-style graph kernels (reference:
+  * src/include/index/vamana_index.h:321-410 build;
+  * detail/graph/greedy_search.h:59-330 search;
+  * robust_prune in vamana_index.h).
+  *
+  * Pure-Scala kernels operating on positional arrays; used inside a single
+  * executor partition for the build (the reference also builds single-node —
+  * `ingest_vamana` is one DAG node, ingestion.py:2572-2595) and inside
+  * mapPartitions over a broadcast graph for batch queries.
+  */
+object VamanaKernels {
+
+  @inline private def sos(a: Array[Float], b: Array[Float]): Float = {
+    var s = 0.0f; var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  def medoid(points: Array[Array[Float]]): Int = {
+    val d = points(0).length
+    val mean = new Array[Float](d)
+    points.foreach { p => var i = 0; while (i < d) { mean(i) += p(i); i += 1 } }
+    var i = 0
+    while (i < d) { mean(i) /= points.length; i += 1 }
+    var best = 0; var bestD = Float.MaxValue
+    var j = 0
+    while (j < points.length) {
+      val dd = sos(points(j), mean)
+      if (dd < bestD) { bestD = dd; best = j }
+      j += 1
+    }
+    best
+  }
+
+  /** Best-first beam search with beam width L (reference:
+    * greedy_search.h:59-330). Returns (topL sorted candidates, visited). */
+  def greedySearch(
+      points: Array[Array[Float]],
+      adj: Array[Array[Int]],
+      start: Int,
+      q: Array[Float],
+      L: Int): (Array[(Float, Int)], Array[Int]) = {
+    val seen = new java.util.HashSet[Integer]()
+    val visited = mutable.ArrayBuffer.empty[Int]
+    // candidate frontier ordered by (dist, id)
+    val frontier = new java.util.TreeSet[(Float, Int)](
+      new java.util.Comparator[(Float, Int)] {
+        override def compare(a: (Float, Int), b: (Float, Int)): Int = {
+          val c = java.lang.Float.compare(a._1, b._1)
+          if (c != 0) c else Integer.compare(a._2, b._2)
+        }
+      })
+    val expanded = new java.util.HashSet[Integer]()
+    frontier.add((sos(points(start), q), start))
+    seen.add(start)
+    var done = false
+    while (!done) {
+      // nearest unexpanded within the top-L frontier
+      var next: (Float, Int) = null
+      val it = frontier.iterator()
+      var rank = 0
+      while (next == null && it.hasNext && rank < L) {
+        val c = it.next()
+        if (!expanded.contains(c._2)) next = c
+        rank += 1
+      }
+      if (next == null) done = true
+      else {
+        expanded.add(next._2)
+        visited += next._2
+        val nbs = adj(next._2)
+        var i = 0
+        while (i < nbs.length) {
+          val nb = nbs(i)
+          if (!seen.contains(nb)) {
+            seen.add(nb)
+            frontier.add((sos(points(nb), q), nb))
+            if (frontier.size() > math.max(L, 2 * L)) frontier.pollLast()
+          }
+          i += 1
+        }
+        while (frontier.size() > math.max(L, 2 * L)) frontier.pollLast()
+      }
+    }
+    val top = frontier.iterator()
+    val out = mutable.ArrayBuffer.empty[(Float, Int)]
+    while (top.hasNext && out.size < L) out += top.next()
+    (out.toArray, visited.toArray)
+  }
+
+  /** RobustPrune (reference: vamana_index.h robust_prune): greedily keep
+    * nearest candidates, dropping any candidate occluded by a kept one
+    * (alpha-slack triangle test). */
+  def robustPrune(
+      points: Array[Array[Float]],
+      p: Int,
+      candidates: Iterable[Int],
+      alpha: Float,
+      r: Int): Array[Int] = {
+    val pool = candidates.filter(_ != p).toArray.distinct
+      .map(c => (sos(points(c), points(p)), c)).sortBy(t => (t._1, t._2))
+    val kept = mutable.ArrayBuffer.empty[Int]
+    val alive = mutable.ArrayBuffer.empty[(Float, Int)] ++ pool
+    while (alive.nonEmpty && kept.size < r) {
+      val (dC, c) = alive.remove(0)
+      kept += c
+      // drop occluded: alpha * d(c, c') <= d(p, c')
+      var i = alive.length - 1
+      while (i >= 0) {
+        val (dP, cp) = alive(i)
+        if (alpha * sos(points(c), points(cp)) <= dP) alive.remove(i)
+        i -= 1
+      }
+    }
+    kept.toArray
+  }
+
+  /** Sequential Vamana build (reference: vamana_index.h:321-410): two
+    * alpha passes of insert (greedy search from medoid → robust prune →
+    * reverse edges with degree-capped re-prune). */
+  def build(
+      points: Array[Array[Float]],
+      lBuild: Int,
+      rMaxDegree: Int,
+      alpha: Float = 1.2f): (Int, Array[Array[Int]]) = {
+    val n = points.length
+    val med = medoid(points)
+    val adj = Array.fill(n)(mutable.LinkedHashSet.empty[Int])
+    // initial ring so the graph is connected before the first pass
+    var i = 0
+    while (i < n) { if (i != med) adj(i) += med; i += 1 }
+
+    for (pass <- 0 until 2) {
+      val a = if (pass == 0) 1.0f else alpha
+      var p = 0
+      while (p < n) {
+        if (p != med) {
+          val adjView: Array[Array[Int]] = adj.map(_.toArray)
+          val (_, visited) = greedySearch(points, adjView, med, points(p), lBuild)
+          val pruned = robustPrune(points, p, visited ++ adj(p), a, rMaxDegree)
+          adj(p).clear(); adj(p) ++= pruned
+          pruned.foreach { j =>
+            adj(j) += p
+            if (adj(j).size > rMaxDegree) {
+              val rp = robustPrune(points, j, adj(j), a, rMaxDegree)
+              adj(j).clear(); adj(j) ++= rp
+            }
+          }
+        }
+        p += 1
+      }
+    }
+    (med, adj.map(_.toArray))
+  }
+}
+
+/** VAMANA index (reference:
+  * apis/python/src/tiledb/vector_search/vamana_index.py; C++
+  * src/include/index/vamana_index.h). Defaults l_build=100,
+  * r_max_degree=64, l_search=100 (vamana_index.py:30-32).
+  *
+  * Storage = FLAT layout + `graph/v=<ts>` adjacency parquet
+  * (external_id, neighbors array<long>) + `graph_meta/v=<ts>` (medoid id).
+  * Batch query: broadcast (vectors, adjacency), beam-search each query in
+  * mapPartitions. Scale path (sharded builds + merged search) is the
+  * documented follow-up; the reference itself builds single-node.
+  */
+class VamanaIndex(spark: SparkSession, uri: String, meta: IndexMeta, ts: Long)
+    extends VectorIndex(spark, uri, meta, ts) {
+
+  override def baseVectors(): DataFrame =
+    if (historyIdx < 0) new FlatIndex(spark, uri, meta, ts).baseVectors()
+    else spark.read.parquet(s"$uri/base/v=$baseTimestamp")
+      .select("external_id", "vector")
+
+  override protected def queryBase(queries: DataFrame, k: Int, lSearch0: Int): DataFrame = {
+    if (historyIdx < 0) {
+      return Knn.bruteForce(baseVectors(), queries, k, metric,
+        idCol = "external_id", vecCol = "vector")
+    }
+    val lSearch = math.max(if (lSearch0 <= 0) VamanaIndex.DefaultLSearch else lSearch0, k)
+
+    // Load graph + vectors once, positionally aligned, and broadcast.
+    val rows = spark.read.parquet(s"$uri/base/v=$baseTimestamp")
+      .join(spark.read.parquet(s"$uri/graph/v=$baseTimestamp"), Seq("external_id"))
+      .select("external_id", "vector", "neighbors")
+      .collect()
+    val ids = rows.map(_.getLong(0))
+    val pos = ids.zipWithIndex.toMap
+    val points = rows.map(_.getSeq[Float](1).toArray)
+    val adj = rows.map(_.getSeq[Long](2).map(l => pos(l)).toArray)
+    val medoidId = spark.read.parquet(s"$uri/graph_meta/v=$baseTimestamp")
+      .head().getLong(0)
+    val medPos = pos(medoidId)
+    val bc = spark.sparkContext.broadcast((ids, points, adj, medPos))
+    val normalizeQ = metric == DistanceMetric.Cosine
+
+    import spark.implicits._
+    val qds = queries.select(col("qid").cast("long"), col("qvec").cast("array<float>"))
+      .as[(Long, Array[Float])]
+    val m = metric
+    qds.mapPartitions { it =>
+      val (bIds, bPoints, bAdj, bMed) = bc.value
+      it.flatMap { case (qid, qv0) =>
+        val qv = if (normalizeQ) {
+          val nrm = math.sqrt(qv0.map(x => x.toDouble * x).sum).toFloat
+          if (nrm == 0) qv0 else qv0.map(_ / nrm)
+        } else qv0
+        val (top, _) = VamanaKernels.greedySearch(bPoints, bAdj, bMed, qv, lSearch)
+        top.take(k).zipWithIndex.map { case ((score, p), rank) =>
+          (qid, rank + 1, bIds(p), score)
+        }
+      }
+    }.toDF("qid", "rank", "id", "__sos")
+      .select(col("qid"), col("rank"), col("id"),
+        VamanaIndex.reportDistance(m, col("__sos")).as("distance"))
+  }
+}
+
+object VamanaIndex {
+  val DefaultLBuild = 100 // reference: vamana_index.py:30-32
+  val DefaultRMaxDegree = 64
+  val DefaultLSearch = 100
+
+  /** Graph search scores in SOS over (possibly normalized) vectors; map to
+    * the reported metric distance. */
+  def reportDistance(m: DistanceMetric, sos: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = m match {
+    case DistanceMetric.L2 => sqrt(sos.cast("double")).cast("float")
+    case DistanceMetric.Cosine => (sos / 2.0f).cast("float") // normalized vectors
+    case _ => sos.cast("float")
+  }
+}

@@ -170,6 +170,7 @@ object VectorIndex {
       case "FLAT" => new FlatIndex(spark, uri, meta, ts)
       case "IVF_FLAT" => new IvfFlatIndex(spark, uri, meta, ts)
       case "IVF_PQ" => new IvfPqIndex(spark, uri, meta, ts)
+      case "VAMANA" => new VamanaIndex(spark, uri, meta, ts)
       case other => throw new IllegalArgumentException(s"unsupported index_type $other")
     }
   }

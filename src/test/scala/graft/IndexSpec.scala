@@ -122,6 +122,22 @@ class IndexSpec extends AnyFunSuite {
     assert(recall >= 0.75, s"recall $recall below IVF_PQ reference gate")
   }
 
+  test("VAMANA: build + beam search clears the 0.85 reference recall gate") {
+    val uri = tmp()
+    val idx = Ingest.ingest(spark, uri, emb, "VAMANA", DistanceMetric.L2,
+      timestamp = 1000L)
+    val exact = exactIds(emb, 10)
+    val got = gotIds(idx.query(queries10, 10))
+    val recall = exact.keys.toSeq.map { q =>
+      got.getOrElse(q, Seq.empty).toSet.intersect(exact(q).toSet).size.toDouble / 10.0
+    }.sum / exact.size
+    assert(recall >= 0.85, s"recall $recall below VAMANA reference gate")
+    // graph degree bound respected
+    val maxDeg = spark.read.parquet(s"$uri/graph/v=1000")
+      .select(max(size(col("neighbors")))).head().getInt(0)
+    assert(maxDeg <= graft.index.VamanaIndex.DefaultRMaxDegree + 1)
+  }
+
   test("consolidateUpdates folds the log into a new base version") {
     val uri = tmp()
     val idx = Ingest.ingest(spark, uri, emb, "FLAT", DistanceMetric.L2, timestamp = 1000L)
