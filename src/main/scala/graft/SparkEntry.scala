@@ -182,6 +182,24 @@ object SparkEntry {
     idsOnly(VectorIndex.open(spark, uri).query(idxQueries(spark, dir), K))
   }
 
+  /** Export embeddings to .fvecs, read back through the binary-format
+    * reader, and answer the same L2 k-NN — validates the fvecs codec
+    * end-to-end against the standard oracle (row ids = vec ids because the
+    * fixture's vec_id is consecutive from 0). */
+  private def fvecsRoundtripKnn(spark: SparkSession, dir: String): DataFrame = {
+    val path = cachedIndex("fvecs", dir) { u =>
+      val rows = emb(spark, dir).orderBy("vec_id")
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).toArray)
+      graft.io.VecsIO.writeFvecs(s"$u/emb.fvecs", rows.iterator)
+    }
+    val db = graft.io.VecsIO.readFvecs(spark, s"$path/emb.fvecs")
+    val queries = db.where(col("row_id") < NQ)
+      .select(col("row_id").as("qid"), col("vector").as("qvec"))
+    idsOnly(Knn.bruteForce(db, queries, K, DistanceMetric.L2,
+      idCol = "row_id", vecCol = "vector"))
+  }
+
   // ----- text analysis / dedup operators (documents + embeddings tables) -----
 
   private def textTokenCount(spark: SparkSession, dir: String): DataFrame =
@@ -249,6 +267,7 @@ object SparkEntry {
     "ivf_flat_nprobe" -> (ivfNprobe _),
     "ivf_pq_exact_rerank" -> (ivfPqExactRerank _),
     "vamana_knn" -> (vamanaKnn _),
+    "fvecs_roundtrip_knn" -> (fvecsRoundtripKnn _),
     "ivf_pq_default" -> (ivfPqDefault _),
     "updates_knn" -> (updatesKnn _),
     "timetravel_knn" -> (timetravelKnn _),
@@ -276,6 +295,7 @@ object SparkEntry {
     // ivf_flat_nprobe: intentionally no oracle (approximate, engine-internal
     // k-means); driver records rows-only, recall asserted in IndexSpec.
     "ivf_pq_exact_rerank" -> knnOracle("list_distance(n.embedding, q.embedding)"),
+    "fvecs_roundtrip_knn" -> knnOracle("list_distance(n.embedding, q.embedding)"),
     "updates_knn" -> updatesOracle,
     "timetravel_knn" -> timetravelOracle,
     "text_token_count" ->

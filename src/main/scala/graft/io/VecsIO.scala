@@ -1,0 +1,255 @@
+package graft.io
+
+import java.io.{DataOutputStream, FileOutputStream}
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Readers/writers for the classic TexMex binary vector formats
+  * (reference: apis/python/src/tiledb/vector_search/utils.py:53-111
+  * `load_fvecs/ivecs/bvecs`, `write_fvecs/ivecs`; big-ann `.u8bin/.f32bin`
+  * headers ingestion.py:451-462; U64BIN ids ingestion.py:864-877).
+  *
+  * Layouts (little-endian):
+  *   - `.fvecs` per record: int32 d, then d float32
+  *   - `.ivecs` per record: int32 d, then d int32
+  *   - `.bvecs` per record: int32 d, then d uint8
+  *   - `.f32bin`/`.u8bin`: header uint32 n, uint32 d, then n x d row-major
+  *   - `.u64bin` ids: 8-byte header (n), then n uint64
+  *
+  * Scale posture: the driver touches only per-file METADATA (size + first
+  * header, to derive record counts and global row offsets); payload decoding
+  * runs on executors via `binaryFiles`, one task per file — the natural
+  * parallelism unit since 100 TB datasets arrive sharded into many files.
+  * Row ids are globally consecutive in lexicographic file order, matching
+  * the reference's concatenation semantics (ingestion.py:925-1075).
+  */
+object VecsIO {
+
+  /** (normalized file path, byte length) sorted lexicographically. */
+  private def listFiles(spark: SparkSession, path: String): Seq[(String, Long)] = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val p = new Path(path)
+    val fs = p.getFileSystem(hconf)
+    val statuses =
+      if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq
+      else Seq(fs.getFileStatus(p))
+    statuses.filter(_.isFile).map(s => (s.getPath.toString, s.getLen)).sortBy(_._1)
+  }
+
+  /** Read the first little-endian int32 of a file (the record dimension). */
+  private def firstInt(spark: SparkSession, file: String): Int = {
+    val p = new Path(file)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try {
+      val b = new Array[Byte](4)
+      in.readFully(b)
+      ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN).getInt
+    } finally in.close()
+  }
+
+  /** Generic record-per-record reader: derive per-file counts from sizes,
+    * then decode on executors with globally consecutive row ids. */
+  private def readRecordFormat(
+      spark: SparkSession,
+      path: String,
+      elemBytes: Int,
+      toFloats: (ByteBuffer, Int) => Seq[Float]): DataFrame = {
+    import spark.implicits._
+    val files = listFiles(spark, path)
+    require(files.nonEmpty, s"graft: no files at $path")
+    val d = firstInt(spark, files.head._1)
+    val recBytes = 4L + elemBytes.toLong * d
+    val offsets: Map[String, Long] = {
+      var acc = 0L
+      files.map { case (f, len) =>
+        require(len % recBytes == 0,
+          s"graft: $f size $len not a multiple of record size $recBytes (d=$d)")
+        val e = (f, acc); acc += len / recBytes; e
+      }.toMap
+    }
+    val bcOffsets = spark.sparkContext.broadcast(offsets)
+    spark.sparkContext.binaryFiles(path)
+      .flatMap { case (file, pds) =>
+        val base = bcOffsets.value(new Path(file).toString)
+        val bb = ByteBuffer.wrap(pds.toArray()).order(ByteOrder.LITTLE_ENDIAN)
+        Iterator.continually {
+          if (bb.remaining() >= 4) {
+            val dd = bb.getInt
+            Some(toFloats(bb, dd))
+          } else None
+        }.takeWhile(_.isDefined).map(_.get).zipWithIndex
+          .map { case (v, i) => (base + i, v) }
+      }
+      .toDF("row_id", "vector")
+      .select(col("row_id"), col("vector").cast("array<float>").as("vector"))
+  }
+
+  /** `.fvecs` → (row_id: Long, vector: Array[Float]). */
+  def readFvecs(spark: SparkSession, path: String): DataFrame =
+    readRecordFormat(spark, path, 4, (bb, d) => {
+      val a = new Array[Float](d); var i = 0
+      while (i < d) { a(i) = bb.getFloat; i += 1 }
+      a.toSeq
+    })
+
+  /** `.bvecs` (uint8) → (row_id, vector) with unsigned widening `(b & 0xFF)`. */
+  def readBvecs(spark: SparkSession, path: String): DataFrame =
+    readRecordFormat(spark, path, 1, (bb, d) => {
+      val a = new Array[Float](d); var i = 0
+      while (i < d) { a(i) = (bb.get() & 0xFF).toFloat; i += 1 }
+      a.toSeq
+    })
+
+  /** `.ivecs` → (row_id: Long, values: Array[Int]) — ground-truth id lists. */
+  def readIvecs(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val files = listFiles(spark, path)
+    require(files.nonEmpty, s"graft: no files at $path")
+    val d = firstInt(spark, files.head._1)
+    val recBytes = 4L + 4L * d
+    val offsets: Map[String, Long] = {
+      var acc = 0L
+      files.map { case (f, len) =>
+        val e = (f, acc); acc += len / recBytes; e
+      }.toMap
+    }
+    val bcOffsets = spark.sparkContext.broadcast(offsets)
+    spark.sparkContext.binaryFiles(path)
+      .flatMap { case (file, pds) =>
+        val base = bcOffsets.value(new Path(file).toString)
+        val bb = ByteBuffer.wrap(pds.toArray()).order(ByteOrder.LITTLE_ENDIAN)
+        Iterator.continually {
+          if (bb.remaining() >= 4) {
+            val dd = bb.getInt
+            val a = new Array[Int](dd); var i = 0
+            while (i < dd) { a(i) = bb.getInt; i += 1 }
+            Some(a.toSeq)
+          } else None
+        }.takeWhile(_.isDefined).map(_.get).zipWithIndex
+          .map { case (v, i) => (base + i, v) }
+      }
+      .toDF("row_id", "values")
+  }
+
+  /** Header-based formats: decode each file on an executor with row offsets
+    * derived from the uint32 headers read driver-side (8 bytes per file). */
+  private def readBinWithHeader(
+      spark: SparkSession,
+      path: String,
+      u8: Boolean): DataFrame = {
+    import spark.implicits._
+    val files = listFiles(spark, path)
+    require(files.nonEmpty, s"graft: no files at $path")
+    val counts: Seq[(String, Long)] = files.map { case (f, _) =>
+      val p = new Path(f)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val in = fs.open(p)
+      try {
+        val b = new Array[Byte](8)
+        in.readFully(b)
+        val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+        (f, bb.getInt.toLong)
+      } finally in.close()
+    }
+    val offsets: Map[String, Long] = {
+      var acc = 0L
+      counts.map { case (f, n) => val e = (f, acc); acc += n; e }.toMap
+    }
+    val bcOffsets = spark.sparkContext.broadcast(offsets)
+    spark.sparkContext.binaryFiles(path)
+      .flatMap { case (file, pds) =>
+        val base = bcOffsets.value(new Path(file).toString)
+        val bb = ByteBuffer.wrap(pds.toArray()).order(ByteOrder.LITTLE_ENDIAN)
+        val n = bb.getInt; val d = bb.getInt
+        (0 until n).iterator.map { i =>
+          val a = new Array[Float](d); var j = 0
+          if (u8) { while (j < d) { a(j) = (bb.get() & 0xFF).toFloat; j += 1 } }
+          else { while (j < d) { a(j) = bb.getFloat; j += 1 } }
+          (base + i, a.toSeq)
+        }
+      }
+      .toDF("row_id", "vector")
+      .select(col("row_id"), col("vector").cast("array<float>").as("vector"))
+  }
+
+  /** `.f32bin` (uint32 n, uint32 d header) → (row_id, vector). */
+  def readF32bin(spark: SparkSession, path: String): DataFrame =
+    readBinWithHeader(spark, path, u8 = false)
+
+  /** `.u8bin` → (row_id, vector) with unsigned widening to float. */
+  def readU8bin(spark: SparkSession, path: String): DataFrame =
+    readBinWithHeader(spark, path, u8 = true)
+
+  /** U64BIN external ids: 8-byte header then uint64s → (row_id, external_id).
+    * uint64 ids keep their bit pattern in signed Longs (SURVEY §7.3). */
+  def readU64bin(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val files = listFiles(spark, path)
+    val offsets: Map[String, Long] = {
+      var acc = 0L
+      files.map { case (f, len) => val e = (f, acc); acc += (len - 8) / 8; e }.toMap
+    }
+    val bcOffsets = spark.sparkContext.broadcast(offsets)
+    spark.sparkContext.binaryFiles(path)
+      .flatMap { case (file, pds) =>
+        val base = bcOffsets.value(new Path(file).toString)
+        val bb = ByteBuffer.wrap(pds.toArray()).order(ByteOrder.LITTLE_ENDIAN)
+        bb.getLong // header
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        var i = 0L
+        while (bb.remaining() >= 8) { out += ((base + i, bb.getLong)); i += 1 }
+        out
+      }
+      .toDF("row_id", "external_id")
+  }
+
+  // ----- writers (test fixtures / export) -----
+
+  def writeFvecs(path: String, vectors: Iterator[Array[Float]]): Unit = {
+    val out = new DataOutputStream(new FileOutputStream(path))
+    try vectors.foreach { v =>
+      val bb = ByteBuffer.allocate(4 + 4 * v.length).order(ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(v.length)
+      v.foreach(bb.putFloat)
+      out.write(bb.array())
+    } finally out.close()
+  }
+
+  def writeIvecs(path: String, records: Iterator[Array[Int]]): Unit = {
+    val out = new DataOutputStream(new FileOutputStream(path))
+    try records.foreach { v =>
+      val bb = ByteBuffer.allocate(4 + 4 * v.length).order(ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(v.length)
+      v.foreach(bb.putInt)
+      out.write(bb.array())
+    } finally out.close()
+  }
+
+  def writeBvecs(path: String, records: Iterator[Array[Int]]): Unit = {
+    val out = new DataOutputStream(new FileOutputStream(path))
+    try records.foreach { v =>
+      val bb = ByteBuffer.allocate(4 + v.length).order(ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(v.length)
+      v.foreach(x => bb.put((x & 0xFF).toByte))
+      out.write(bb.array())
+    } finally out.close()
+  }
+
+  def writeF32bin(path: String, n: Int, d: Int, vectors: Iterator[Array[Float]]): Unit = {
+    val out = new DataOutputStream(new FileOutputStream(path))
+    try {
+      val head = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      head.putInt(n); head.putInt(d)
+      out.write(head.array())
+      vectors.foreach { v =>
+        val bb = ByteBuffer.allocate(4 * v.length).order(ByteOrder.LITTLE_ENDIAN)
+        v.foreach(bb.putFloat)
+        out.write(bb.array())
+      }
+    } finally out.close()
+  }
+}

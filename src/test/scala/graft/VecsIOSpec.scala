@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.VecsIO
+
+class VecsIOSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def tmpFile(suffix: String): String =
+    Files.createTempDirectory("graft_vecs").resolve(s"data$suffix").toString
+
+  private val vecs: Array[Array[Float]] = Array(
+    Array(1.0f, 2.0f, 3.0f),
+    Array(-1.5f, 0.0f, 42.25f),
+    Array(7.0f, -8.0f, 9.5f))
+
+  test("fvecs roundtrip preserves values and order") {
+    import spark.implicits._
+    val p = tmpFile(".fvecs")
+    VecsIO.writeFvecs(p, vecs.iterator)
+    val got = VecsIO.readFvecs(spark, p).orderBy("row_id")
+      .as[(Long, Array[Float])].collect()
+    assert(got.map(_._1).toSeq === Seq(0L, 1L, 2L))
+    got.zip(vecs).foreach { case ((_, g), e) => assert(g.sameElements(e)) }
+  }
+
+  test("ivecs roundtrip (ground-truth lists)") {
+    import spark.implicits._
+    val p = tmpFile(".ivecs")
+    val recs = Array(Array(5, 4, 3), Array(10, 20, 30))
+    VecsIO.writeIvecs(p, recs.iterator)
+    val got = VecsIO.readIvecs(spark, p).orderBy("row_id")
+      .as[(Long, Seq[Int])].collect()
+    assert(got.map(_._2).toSeq === recs.map(_.toSeq).toSeq)
+  }
+
+  test("bvecs roundtrip applies unsigned widening (255 stays 255)") {
+    import spark.implicits._
+    val p = tmpFile(".bvecs")
+    VecsIO.writeBvecs(p, Iterator(Array(0, 127, 128, 255)))
+    val got = VecsIO.readBvecs(spark, p).as[(Long, Array[Float])].head()
+    assert(got._2.toSeq === Seq(0.0f, 127.0f, 128.0f, 255.0f))
+  }
+
+  test("f32bin roundtrip with header") {
+    import spark.implicits._
+    val p = tmpFile(".f32bin")
+    VecsIO.writeF32bin(p, vecs.length, 3, vecs.iterator)
+    val got = VecsIO.readF32bin(spark, p).orderBy("row_id")
+      .as[(Long, Array[Float])].collect()
+    assert(got.length === 3)
+    got.zip(vecs).foreach { case ((_, g), e) => assert(g.sameElements(e)) }
+  }
+
+  test("multi-file directory: row ids are consecutive in file order") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_vecs_multi")
+    VecsIO.writeFvecs(dir.resolve("a.fvecs").toString, Iterator(vecs(0)))
+    VecsIO.writeFvecs(dir.resolve("b.fvecs").toString, Iterator(vecs(1), vecs(2)))
+    val got = VecsIO.readFvecs(spark, dir.toString).orderBy("row_id")
+      .as[(Long, Array[Float])].collect()
+    assert(got.map(_._1).toSeq === Seq(0L, 1L, 2L))
+    assert(got(0)._2.sameElements(vecs(0)))
+    assert(got(2)._2.sameElements(vecs(2)))
+  }
+}
