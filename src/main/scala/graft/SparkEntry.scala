@@ -200,6 +200,51 @@ object SparkEntry {
       idCol = "row_id", vecCol = "vector"))
   }
 
+  // ----- object layer / multimodal (rows-only: hash-embedding internals) -----
+
+  private val objIndexCache = scala.collection.concurrent.TrieMap.empty[String, graft.objects.ObjectIndex]
+
+  private def objectIndex(spark: SparkSession, dir: String): graft.objects.ObjectIndex =
+    objIndexCache.getOrElseUpdate(dir, {
+      val uri = Files.createTempDirectory("graft_entry_obj").toString
+      graft.objects.ObjectIndex.create(spark, uri,
+        new graft.objects.DocumentsTableReader(dir),
+        new graft.objects.HashTextEmbedding(64), timestamp = 1000L)
+    })
+
+  /** Semantic object search with metadata join (reference object_index
+    * query path, rows-only — embedding is engine-internal). */
+  private def objectSearch(spark: SparkSession, dir: String): DataFrame = {
+    val queries = docs(spark, dir).where(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"), col("text"))
+    objectIndex(spark, dir).query(queries, k = 5, nprobe = 1 << 30)
+      .select(col("qid"), col("rank"), col("external_id"), col("lang"), col("source"))
+      .orderBy("qid", "rank")
+  }
+
+  /** Same with metadata predicate pushdown + fetch_k inflation (F4/F6). */
+  private def objectSearchFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val queries = docs(spark, dir).where(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"), col("text"))
+    objectIndex(spark, dir)
+      .query(queries, k = 5, metadataCond = Some("lang = 'en'"), nprobe = 1 << 30)
+      .select(col("qid"), col("rank"), col("external_id"), col("lang"))
+      .orderBy("qid", "rank")
+  }
+
+  /** Multimodal binary-column pipeline: documents' bytes as payloads →
+    * batch feature extraction (decode stubbed, plumbing real). */
+  private def multimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val media = docs(spark, dir).select(
+      col("doc_id").as("obj_id"),
+      when(col("doc_id") % 2 === 0, lit("image")).otherwise(lit("audio")).as("modality"),
+      encode(col("text"), "UTF-8").as("payload"))
+    graft.multimodal.Multimodal.extractFeatures(media, 16)
+      .select(col("obj_id"), col("modality"),
+        size(filter(col("feature"), x => x =!= 0.0f)).cast("long").as("n_nonzero"))
+      .orderBy("obj_id")
+  }
+
   // ----- text analysis / dedup operators (documents + embeddings tables) -----
 
   private def textTokenCount(spark: SparkSession, dir: String): DataFrame =
@@ -268,6 +313,9 @@ object SparkEntry {
     "ivf_pq_exact_rerank" -> (ivfPqExactRerank _),
     "vamana_knn" -> (vamanaKnn _),
     "fvecs_roundtrip_knn" -> (fvecsRoundtripKnn _),
+    "object_search" -> (objectSearch _),
+    "object_search_filtered" -> (objectSearchFiltered _),
+    "multimodal_features" -> (multimodalFeatures _),
     "ivf_pq_default" -> (ivfPqDefault _),
     "updates_knn" -> (updatesKnn _),
     "timetravel_knn" -> (timetravelKnn _),

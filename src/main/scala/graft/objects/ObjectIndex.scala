@@ -1,0 +1,136 @@
+package graft.objects
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.index.{Ingest, VectorIndex}
+import graft.operators.DistanceMetric
+
+/** Object/semantic search index (reference:
+  * apis/python/src/tiledb/vector_search/object_api/object_index.py).
+  *
+  * create: reader → chunked objects → embeddings (mapPartitions with lazy
+  * per-executor model init) → vector index + metadata table
+  * (embeddings_ingestion.py:7-604 two-stage DAG collapses into one plan).
+  *
+  * query (object_index.py:281-559):
+  *   1. embed query objects (possibly multi-embedding per query),
+  *   2. fetch_k = min(50k, size) inflation when metadata filters are
+  *      present (:451-453),
+  *   3. vector k-NN,
+  *   4. multi-embedding fusion per (query, object) (:561-635),
+  *   5. metadata predicate pushdown (F4) / post-filter repack to k (F6),
+  *   6. metadata + object materialization joins (J11/J12).
+  */
+class ObjectIndex(
+    val spark: SparkSession,
+    val uri: String,
+    val reader: ObjectReader,
+    val embedding: ObjectEmbedding) {
+
+  lazy val index: VectorIndex = VectorIndex.open(spark, uri)
+  lazy val metadata: DataFrame = spark.read.parquet(s"$uri/object_metadata")
+
+  private lazy val indexSize: Long = index.meta.baseSizes.lastOption.getOrElse(0L)
+
+  /** @param queryObjects (qid: Long, text: String)
+    * @param metadataCond optional SQL predicate over metadata attributes,
+    *        pushed into the metadata scan (reference F4 `metadata_array_cond`)
+    * @return (qid, rank, external_id, score, metadata attrs...)
+    */
+  def query(
+      queryObjects: DataFrame,
+      k: Int,
+      metadataCond: Option[String] = None,
+      nprobe: Int = 0,
+      fetchFactor: Int = 50): DataFrame = {
+    import spark.implicits._
+    val emb = embedQueries(queryObjects)
+    // fetch_k inflation before metadata filtering (object_index.py:451-453)
+    val fetchK = if (metadataCond.isDefined) {
+      math.min(fetchFactor.toLong * k, math.max(indexSize, 1L)).toInt
+    } else k
+
+    // one vector query per embedding_seq batch; queries carry composite ids
+    val q = emb.select(
+      (col("qid") * ObjectIndex.SeqStride + col("embedding_seq")).as("qid"),
+      col("qvec"))
+    val hits = index.query(q, fetchK, nprobe)
+      .select((col("qid") / ObjectIndex.SeqStride).cast("long").as("qid"),
+        pmod(col("qid"), lit(ObjectIndex.SeqStride)).cast("int").as("embedding_seq"),
+        col("id").as("external_id"), col("distance"))
+
+    // multi-embedding fusion (object_index.py:561-635): per embedding run
+    // score = 1/(1+distance) (reciprocal-distance mode), MAX over duplicate
+    // hits of one embedding, SUM across the query's embeddings.
+    val fused = hits
+      .withColumn("score", lit(1.0) / (lit(1.0) + col("distance").cast("double")))
+      .groupBy(col("qid"), col("embedding_seq"), col("external_id"))
+      .agg(max(col("score")).as("score"))
+      .groupBy(col("qid"), col("external_id"))
+      .agg(sum(col("score")).as("score"))
+
+    // metadata pushdown filter (F4): plain Catalyst predicate on the
+    // metadata table, joined (broadcast — results are small) to survivors.
+    val withMeta = fused.join(
+      metadataCond.map(c => metadata.where(expr(c))).getOrElse(metadata),
+      Seq("external_id"))
+
+    // post-filter repack: first k survivors per query (F6)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("external_id"))
+    withMeta.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  /** Materialize original objects for a result set (J12). */
+  def fetchObjects(results: DataFrame): DataFrame = {
+    val ids = results.select(col("external_id")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    reader.readObjectsByExternalIds(spark, ids)
+  }
+
+  private def embedQueries(queryObjects: DataFrame): DataFrame = {
+    import spark.implicits._
+    val e = embedding
+    queryObjects.select(col("qid").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it => e.init(); e.embed(it) }
+      .toDF("qid", "embedding_seq", "qvec")
+      .select(col("qid"), col("embedding_seq"),
+        col("qvec").cast("array<float>").as("qvec"))
+  }
+}
+
+object ObjectIndex {
+  /** Composite query-id stride for multi-embedding queries (max embeddings
+    * per query object). */
+  val SeqStride = 1000L
+
+  /** Build the object index: embed all objects and ingest
+    * (reference: object_index.py:736-881 update_index → two-stage DAG). */
+  def create(
+      spark: SparkSession,
+      uri: String,
+      reader: ObjectReader,
+      embedding: ObjectEmbedding,
+      indexType: String = "IVF_FLAT",
+      metric: DistanceMetric = DistanceMetric.Cosine,
+      timestamp: Long = System.currentTimeMillis(),
+      partitions: Option[Int] = None): ObjectIndex = {
+    import spark.implicits._
+    val objects = reader.readObjects(spark)
+    val e = embedding
+    val vectors = objects.select(col("external_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it => e.init(); e.embed(it) }
+      .toDF("external_id", "embedding_seq", "vector")
+      .select(col("external_id"), col("vector").cast("array<float>").as("vector"))
+    Ingest.ingest(spark, uri, vectors, indexType, metric, timestamp,
+      partitions = partitions)
+    reader.readMetadata(spark)
+      .write.mode("overwrite").parquet(s"$uri/object_metadata")
+    new ObjectIndex(spark, uri, reader, embedding)
+  }
+}

@@ -1,0 +1,94 @@
+package graft.objects
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Object layer: user-defined partitioned sources and embedding functions
+  * (reference: apis/python/src/tiledb/vector_search/object_readers/
+  * object_reader.py:8-100 `ObjectReader`/`ObjectPartition` ABCs;
+  * embeddings/object_embedding.py:8-60 `ObjectEmbedding` ABC).
+  *
+  * On the JVM the "ship source code to workers" machinery
+  * (object_index.py:884-911) disappears — closures serialize natively — so
+  * the traits are plain Scala interfaces.
+  */
+trait ObjectReader extends Serializable {
+  /** Object rows: must include `external_id: Long` plus payload columns. */
+  def readObjects(spark: SparkSession): DataFrame
+
+  /** Metadata rows per object: `external_id` + user attributes
+    * (reference: object_index.py:1009-1028 metadata array). */
+  def readMetadata(spark: SparkSession): DataFrame
+
+  /** Fetch the original objects for result materialization
+    * (reference: object_reader.py:93-100 `read_objects_by_external_ids`). */
+  def readObjectsByExternalIds(spark: SparkSession, ids: Seq[Long]): DataFrame =
+    readObjects(spark).where(col("external_id").isin(ids: _*))
+}
+
+/** Embedding function applied per partition with once-per-executor lazy
+  * init (reference: object_embedding.py `load()` once per worker; our
+  * `init()` is called lazily inside mapPartitions). May emit MULTIPLE
+  * embeddings per object (multi-vector models like ColPali —
+  * colpali_embedding.py:1-104); `embedding_seq` distinguishes them. */
+trait ObjectEmbedding extends Serializable {
+  def dimensions: Int
+  def init(): Unit = ()
+  /** (external_id, text) → embeddings; emit one or more per object. */
+  def embed(objects: Iterator[(Long, String)]): Iterator[(Long, Int, Array[Float])]
+}
+
+/** Deterministic hash-based text embedding — the stand-in for model-backed
+  * embeddings in this container (the reference itself ships a
+  * RandomEmbedding for tests, embeddings/random_embedding.py). Tokens are
+  * FNV-hashed into `dimensions` buckets with hash-sign weights, then
+  * L2-normalized: deterministic, order-insensitive, similarity-preserving
+  * for token overlap. */
+class HashTextEmbedding(val dimensions: Int = 64) extends ObjectEmbedding {
+  override def embed(objects: Iterator[(Long, String)]): Iterator[(Long, Int, Array[Float])] =
+    objects.map { case (id, text) =>
+      val v = new Array[Float](dimensions)
+      text.trim.split("\\s+").foreach { tok =>
+        val h = graft.text.Fnv64Public.hash(tok)
+        val bucket = ((h % dimensions) + dimensions) % dimensions
+        val sign = if (((h >>> 32) & 1L) == 0L) 1.0f else -1.0f
+        v(bucket.toInt) += sign
+      }
+      val norm = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      if (norm > 0) { var i = 0; while (i < dimensions) { v(i) /= norm; i += 1 } }
+      (id, 0, v)
+    }
+}
+
+/** Text chunker mirroring the reference's DirectoryTextReader defaults
+  * (chunk_size=1000, overlap=100 — directory_reader.py:246-643). Chunk ids
+  * are `doc_id * chunkStride + chunk_idx` so provenance survives. */
+class DocumentsTableReader(
+    dir: String,
+    chunkSize: Int = 1000,
+    overlap: Int = 100,
+    chunkStride: Long = 1000L) extends ObjectReader {
+
+  override def readObjects(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val step = chunkSize - overlap
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (docId, text) =>
+        val chunks = if (text.length <= chunkSize) Seq(text)
+          else (0 until text.length by step).takeWhile(_ < text.length)
+            .map(s => text.substring(s, math.min(s + chunkSize, text.length)))
+        chunks.zipWithIndex.map { case (c, i) =>
+          (docId * chunkStride + i, docId, c)
+        }
+      }
+      .toDF("external_id", "doc_id", "text")
+  }
+
+  override def readMetadata(spark: SparkSession): DataFrame =
+    readObjects(spark).select(col("external_id"), col("doc_id"))
+      .join(spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars")),
+        Seq("doc_id"))
+}

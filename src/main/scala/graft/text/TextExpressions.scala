@@ -112,3 +112,8 @@ case class WinnowFingerprint(child: Expression, k: Int = 5, w: Int = 4)
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
+
+/** Public face of the FNV hash for other graft modules (embeddings etc.). */
+object Fnv64Public {
+  def hash(s: String): Long = Fnv64.hashBytes(s.getBytes("UTF-8"))
+}

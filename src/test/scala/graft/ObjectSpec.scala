@@ -1,0 +1,100 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.Multimodal
+import graft.objects.{DocumentsTableReader, HashTextEmbedding, ObjectIndex}
+
+class ObjectSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def tmp(): String = Files.createTempDirectory("graft_obj").toString
+
+  private lazy val reader = new DocumentsTableReader(sf0001)
+  private lazy val objIndex = ObjectIndex.create(
+    spark, tmp(), reader, new HashTextEmbedding(64), timestamp = 1000L)
+
+  test("reader chunks every document and keeps provenance") {
+    val objs = reader.readObjects(spark)
+    assert(objs.count() >= 500)
+    // every chunk id decodes back to its doc
+    val bad = objs.where(col("external_id") !== col("doc_id") * 1000 +
+      pmod(col("external_id"), lit(1000))).count()
+    assert(bad === 0)
+  }
+
+  test("semantic search: a document's own text retrieves its chunk first") {
+    import spark.implicits._
+    val queries = spark.read.parquet(s"$sf0001/documents.parquet")
+      .where(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"), col("text"))
+    val hits = objIndex.query(queries, k = 3, nprobe = 1 << 30)
+    val top1 = hits.where(col("rank") === 1)
+      .select(col("qid"), col("external_id")).as[(Long, Long)].collect().toMap
+    (0L until 5L).foreach { q =>
+      assert(top1(q) / 1000 === q, s"query $q should retrieve its own doc first")
+    }
+  }
+
+  test("metadata pushdown filter restricts results; repack keeps k per query") {
+    import spark.implicits._
+    val queries = spark.read.parquet(s"$sf0001/documents.parquet")
+      .where(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"), col("text"))
+    val hits = objIndex.query(queries, k = 5,
+      metadataCond = Some("lang = 'en'"), nprobe = 1 << 30)
+    assert(hits.where(col("lang") =!= "en").count() === 0)
+    val perQuery = hits.groupBy("qid").count().as[(Long, Long)].collect().toMap
+    assert(perQuery.values.forall(_ <= 5))
+    assert(perQuery.values.exists(_ > 0))
+  }
+
+  test("multi-embedding fusion sums scores across a query's embeddings") {
+    import spark.implicits._
+    // embedding that emits TWO embeddings per object (ColPali-style)
+    class TwoVec extends HashTextEmbedding(64) {
+      override def embed(objects: Iterator[(Long, String)]) =
+        objects.flatMap { case (id, text) =>
+          val half = text.length / 2
+          super.embed(Iterator((id, text.take(half)))).map { case (i, _, v) => (i, 0, v) } ++
+            super.embed(Iterator((id, text.drop(half)))).map { case (i, _, v) => (i, 1, v) }
+        }
+    }
+    val uri = tmp()
+    val idx = ObjectIndex.create(spark, uri, reader, new TwoVec, timestamp = 1000L)
+    val queries = spark.read.parquet(s"$sf0001/documents.parquet")
+      .where(col("doc_id") === 7).select(col("doc_id").as("qid"), col("text"))
+    val hits = idx.query(queries, k = 5, nprobe = 1 << 30)
+    assert(hits.count() === 5)
+    assert(hits.where(col("rank") === 1).select(col("external_id"))
+      .head().getLong(0) / 1000 === 7L)
+  }
+
+  test("multimodal: stub features are deterministic, unit-norm, null-safe") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, "image", Array[Byte](1, 2, 3, 4, 5)),
+      (2L, "audio", Array[Byte](9, 9, 9)),
+      (3L, "image", null.asInstanceOf[Array[Byte]])
+    ).toDF("obj_id", "modality", "payload")
+    val f1 = Multimodal.extractFeatures(media, 16).orderBy("obj_id").collect()
+    val f2 = Multimodal.extractFeatures(media, 16).orderBy("obj_id").collect()
+    assert(f1.map(_.toString).toSeq === f2.map(_.toString).toSeq)
+    val v = f1(0).getSeq[Float](2)
+    assert(math.abs(v.map(x => x * x).sum - 1.0f) < 1e-5)
+    assert(f1(2).isNullAt(2))
+  }
+
+  test("multimodal: frame sampling emits every Nth frame") {
+    import spark.implicits._
+    val payload = Array.tabulate[Byte](1024)(i => (i % 127).toByte)
+    val media = Seq((5L, "video", payload)).toDF("obj_id", "modality", "payload")
+    val frames = Multimodal.sampleFrames(media, everyN = 2, frameBytes = 256)
+      .orderBy("frame_idx").as[(Long, Int, Array[Byte])].collect()
+    assert(frames.map(_._2).toSeq === Seq(0, 2))
+    assert(frames.head._3.length === 256)
+  }
+}
