@@ -297,6 +297,18 @@ object SparkEntry {
       |                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END sh
       |      FROM t)""".stripMargin
 
+  // ----- event-time operators (events stream table) -----
+
+  private def eventsWindowed(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventOps.windowedCounts(
+        graft.streaming.EventOps.loadEvents(spark, dir))
+      .orderBy("window_start", "event_type")
+
+  private def eventsSessionized(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventOps.sessionized(
+        graft.streaming.EventOps.loadEvents(spark, dir))
+      .orderBy("user_id", "session_idx")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     knnFlat(DistanceMetric.L2)(spark, "/root/testdata/sf0.001")
@@ -316,6 +328,8 @@ object SparkEntry {
     "object_search" -> (objectSearch _),
     "object_search_filtered" -> (objectSearchFiltered _),
     "multimodal_features" -> (multimodalFeatures _),
+    "events_windowed" -> (eventsWindowed _),
+    "events_sessionized" -> (eventsSessionized _),
     "ivf_pq_default" -> (ivfPqDefault _),
     "updates_knn" -> (updatesKnn _),
     "timetravel_knn" -> (timetravelKnn _),
@@ -380,6 +394,40 @@ object SparkEntry {
          |FROM s a JOIN s b ON a.doc_id < b.doc_id
          |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
          |ORDER BY id_a, id_b""".stripMargin,
+    "events_windowed" ->
+      """SELECT (floor(epoch(ts) / 300) * 300)::BIGINT AS window_start, event_type,
+        |  count(*) AS n, min(value) AS min_v, max(value) AS max_v
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "events_sessionized" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  FROM g)
+        |SELECT user_id, session_idx, count(*) AS n_events
+        |FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin,
+    "events_windowed" ->
+      """SELECT (floor(epoch(ts) / 300) * 300)::BIGINT AS window_start, event_type,
+        |  count(*) AS n, min(value) AS min_v, max(value) AS max_v
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "events_sessionized" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  FROM g)
+        |SELECT user_id, session_idx, count(*) AS n_events
+        |FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin,
     "dedup_embedding_cosine" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |FROM embeddings a JOIN embeddings b

@@ -1,0 +1,105 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+import graft.index.VectorIndex
+
+/** Event-time operators over the events stream table, runnable identically
+  * as batch DataFrames or Structured Streaming (same plan shape; streaming
+  * adds watermarks). The reference's incremental semantics are
+  * batch-incremental (SURVEY §2.8) — Structured Streaming is the Spark
+  * sugar on top: a streaming sink appending to the updates log + periodic
+  * consolidation reproduces U1-U5 exactly.
+  */
+object EventOps {
+
+  /** Load the events table: its parquet `ts` is TIMESTAMP(NANOS), which
+    * Spark 4 rejects by default — read nanos as long (legacy conf) and
+    * convert to a microsecond timestamp column. */
+  def loadEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val tsIsLong = raw.schema("ts").dataType ==
+      org.apache.spark.sql.types.LongType
+    if (tsIsLong) {
+      raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    } else raw
+  }
+
+  /** Tumbling-window aggregate keyed to integer epoch buckets (exact
+    * cross-engine compare: no timestamp hashing). */
+  def windowedCounts(events: DataFrame, windowSec: Int = 300): DataFrame =
+    events
+      .withColumn("window_start",
+        (floor(unix_timestamp(col("ts")) / windowSec) * windowSec).cast("long"))
+      .groupBy(col("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        min(col("value")).as("min_v"),
+        max(col("value")).as("max_v"))
+
+  /** Session windows per user with a `gapSec` inactivity gap, numbered per
+    * user by start time: (user_id, session_idx, n_events). Built on
+    * `session_window` (streaming-capable); a new session starts when the
+    * gap since the previous event is >= gapSec. */
+  def sessionized(events: DataFrame, gapSec: Int = 600): DataFrame = {
+    val sessions = events
+      .groupBy(session_window(col("ts"), s"$gapSec seconds"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("session_window.start"))
+    sessions
+      .withColumn("session_idx", row_number().over(w).cast("long"))
+      .select(col("user_id"), col("session_idx"), col("n_events"))
+  }
+
+  /** Streaming variant of [[windowedCounts]]: parquet source → watermark →
+    * event-time tumbling window. Returns the started query's output table
+    * name for memory-sink testing. */
+  def streamingWindowedCounts(
+      spark: SparkSession,
+      dir: String,
+      schema: StructType,
+      queryName: String,
+      windowSec: Int = 300): org.apache.spark.sql.streaming.StreamingQuery = {
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), s"$windowSec seconds"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+    agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Streaming updates sink (U1/U2 as a stream): each micro-batch of
+    * (external_id, vector, ts) rows appends to the index's updates log via
+    * foreachBatch — identical semantics to `updateBatch` per batch, and the
+    * read-merge path (U3) picks them up on the next query. */
+  def streamUpdatesIntoIndex(
+      updates: DataFrame,
+      indexUri: String,
+      queryName: String): org.apache.spark.sql.streaming.StreamingQuery =
+    updates.writeStream
+      .outputMode("append")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.select(
+            col("external_id").cast("long"),
+            col("vector").cast("array<float>"),
+            col("ts").cast("long"))
+          .write.mode("append").parquet(s"$indexUri/updates")
+        val meta = graft.index.IndexMeta.read(indexUri)
+        if (!meta.hasUpdates) {
+          graft.index.IndexMeta.write(indexUri, meta.copy(hasUpdates = true))
+        }
+      }
+      .start()
+}

@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.index.{Ingest, VectorIndex}
+import graft.operators.DistanceMetric
+import graft.streaming.EventOps
+
+class StreamingSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("streaming windowed counts equal the batch plan") {
+    val events = EventOps.loadEvents(spark, sf0001)
+    val batch = events
+      .groupBy(window(col("ts"), "300 seconds"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+
+    val rawDir = Files.createTempDirectory("graft_events_us").toString
+    events.write.mode("overwrite").parquet(rawDir)  // rewrite at us precision
+    val q = EventOps.streamingWindowedCounts(
+      spark, rawDir, spark.read.parquet(rawDir).schema, "win_test")
+    q.awaitTermination()
+    val streamed = spark.table("win_test")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("streaming updates sink feeds the index read-merge path") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id").as("external_id"), col("embedding").as("vector"))
+    val uri = Files.createTempDirectory("graft_stream_idx").toString
+    Ingest.ingest(spark, uri, emb, "FLAT", DistanceMetric.L2, timestamp = 1000L)
+
+    // stream a batch of updates (new ids with reversed vectors) from parquet
+    val updDir = Files.createTempDirectory("graft_upd_src").toString
+    emb.where(col("external_id") < 5)
+      .select((col("external_id") + 5000L).as("external_id"),
+        reverse(col("vector")).as("vector"), lit(1100L).as("ts"))
+      .write.mode("overwrite").parquet(updDir)
+    val src = spark.readStream
+      .schema(spark.read.parquet(updDir).schema)
+      .parquet(updDir)
+    val q = EventOps.streamUpdatesIntoIndex(src, uri, "upd_test")
+    q.awaitTermination()
+
+    val idx = VectorIndex.open(spark, uri)
+    assert(idx.meta.hasUpdates)
+    // querying with one of the streamed vectors must hit its new id first
+    val queries = emb.where(col("external_id") === 0)
+      .select(lit(0L).as("qid"), reverse(col("vector")).as("qvec"))
+    val top = idx.query(queries, 1).select("id").head().getLong(0)
+    assert(top === 5000L, "streamed update should be retrievable (exact match)")
+  }
+
+  test("sessionization matches a hand-computed gaps-and-islands answer") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "2026-01-01 00:00:00"), (1L, "2026-01-01 00:05:00"), // session 1
+      (1L, "2026-01-01 00:20:00"), // gap 15m >= 10m -> session 2
+      (2L, "2026-01-01 01:00:00") // single session
+    ).toDF("user_id", "ts_s").select(col("user_id"), col("ts_s").cast("timestamp").as("ts"))
+    val got = EventOps.sessionized(rows, gapSec = 600)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
+  }
+}
