@@ -297,6 +297,52 @@ object SparkEntry {
       |                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END sh
       |      FROM t)""".stripMargin
 
+  // ----- relational operators over the TPC-H-ish tables (engine breadth:
+  // scan+filter pushdown, hash agg, broadcast join, window top-k). Money
+  // math in DECIMAL so sums are exact across engines. -----
+
+  private def q1Agg(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .where(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_base_price"),
+        sum((col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))))
+          .as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private def qJoinRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sum((col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))))
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("o_orderpriority")
+  }
+
+  private def qTopCustomers(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+    val nation = spark.read.parquet(s"$dir/nation.parquet")
+    val counts = orders.groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+      .join(broadcast(cust), col("o_custkey") === cust("c_custkey"))
+      .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+      .select(col("n_name"), col("c_custkey"), col("n_orders"))
+    val w = Window.partitionBy(col("n_name"))
+      .orderBy(col("n_orders").desc, col("c_custkey"))
+    counts.withColumn("rn", row_number().over(w)).where(col("rn") <= 5)
+      .select(col("n_name"), col("c_custkey"), col("n_orders"))
+      .orderBy("n_name", "c_custkey")
+  }
+
   // ----- event-time operators (events stream table) -----
 
   private def eventsWindowed(spark: SparkSession, dir: String): DataFrame =
@@ -328,6 +374,9 @@ object SparkEntry {
     "object_search" -> (objectSearch _),
     "object_search_filtered" -> (objectSearchFiltered _),
     "multimodal_features" -> (multimodalFeatures _),
+    "q1_agg" -> (q1Agg _),
+    "q_join_revenue" -> (qJoinRevenue _),
+    "q_top_customers" -> (qTopCustomers _),
     "events_windowed" -> (eventsWindowed _),
     "events_sessionized" -> (eventsSessionized _),
     "ivf_pq_default" -> (ivfPqDefault _),
@@ -394,6 +443,30 @@ object SparkEntry {
          |FROM s a JOIN s b ON a.doc_id < b.doc_id
          |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
          |ORDER BY id_a, id_b""".stripMargin,
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity::DECIMAL(18,2)) AS sum_qty,
+        |  sum(l_extendedprice::DECIMAL(18,2)) AS sum_base_price,
+        |  sum(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2))) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= '1998-09-02'
+        |GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_join_revenue" ->
+      """SELECT o_orderpriority,
+        |  sum(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2))) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+    "q_top_customers" ->
+      """SELECT n_name, c_custkey, n_orders FROM (
+        |  SELECT n_name, c_custkey, n_orders,
+        |    row_number() OVER (PARTITION BY n_name ORDER BY n_orders DESC, c_custkey) AS rn
+        |  FROM (
+        |    SELECT n_name, c_custkey, count(*) AS n_orders
+        |    FROM orders JOIN customer ON o_custkey = c_custkey
+        |    JOIN nation ON c_nationkey = n_nationkey
+        |    GROUP BY 1, 2))
+        |WHERE rn <= 5 ORDER BY n_name, c_custkey""".stripMargin,
     "events_windowed" ->
       """SELECT (floor(epoch(ts) / 300) * 300)::BIGINT AS window_start, event_type,
         |  count(*) AS n, min(value) AS min_v, max(value) AS max_v
@@ -411,6 +484,30 @@ object SparkEntry {
         |  FROM g)
         |SELECT user_id, session_idx, count(*) AS n_events
         |FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin,
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity::DECIMAL(18,2)) AS sum_qty,
+        |  sum(l_extendedprice::DECIMAL(18,2)) AS sum_base_price,
+        |  sum(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2))) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= '1998-09-02'
+        |GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_join_revenue" ->
+      """SELECT o_orderpriority,
+        |  sum(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2))) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+    "q_top_customers" ->
+      """SELECT n_name, c_custkey, n_orders FROM (
+        |  SELECT n_name, c_custkey, n_orders,
+        |    row_number() OVER (PARTITION BY n_name ORDER BY n_orders DESC, c_custkey) AS rn
+        |  FROM (
+        |    SELECT n_name, c_custkey, count(*) AS n_orders
+        |    FROM orders JOIN customer ON o_custkey = c_custkey
+        |    JOIN nation ON c_nationkey = n_nationkey
+        |    GROUP BY 1, 2))
+        |WHERE rn <= 5 ORDER BY n_name, c_custkey""".stripMargin,
     "events_windowed" ->
       """SELECT (floor(epoch(ts) / 300) * 300)::BIGINT AS window_start, event_type,
         |  count(*) AS n, min(value) AS min_v, max(value) AS max_v

@@ -38,6 +38,16 @@ package object functions {
   def min_topk(score: Column, id: Column, k: Int): Column =
     toColumn(MinTopK(toExpression(score), toExpression(id), k).toAggregateExpression())
 
+  /** Symmetric int8 quantization of a float vector (reference test helper
+    * `quantize_embeddings_int8`, apis/python/test/common.py:378-388):
+    * clamp(round(x * 127 / maxAbs)) — expressed with built-in functions. */
+  def quantize_int8(v: Column): Column = {
+    import org.apache.spark.sql.functions._
+    val maxAbs = greatest(aggregate(v, lit(0.0f),
+      (acc, x) => greatest(acc, abs(x))), lit(1e-12f))
+    transform(v, x => round(x / maxAbs * 127.0f).cast("byte"))
+  }
+
   /** Register SQL names for the kernels in a session (dist_l2, dist_sos,
     * dot_product, dist_cosine, vector_norm, vector_normalize, min_topk). */
   def registerAll(spark: SparkSession): Unit = {

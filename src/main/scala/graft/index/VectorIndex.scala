@@ -143,6 +143,49 @@ abstract class VectorIndex(
     VectorIndex.open(spark, uri)
   }
 
+  /** Compact the updates log when it has accumulated many small fragment
+    * files (reference: index.py:837-858 auto-consolidates the updates array
+    * after >10 fragments): rewrite the log directory into one file per
+    * shuffle partition, preserving rows. */
+  def consolidateUpdatesLog(maxFragments: Int = 10): Boolean = {
+    updatesLog() match {
+      case Some(log) =>
+        val fragments = Files.list(Paths.get(updatesPath)).filter(p =>
+          p.getFileName.toString.endsWith(".parquet")).count()
+        if (fragments > maxFragments) {
+          val tmp = s"$uri/updates_compact"
+          log.repartition(1).write.mode("overwrite").parquet(tmp)
+          Storage.deleteRecursively(Paths.get(updatesPath))
+          Files.move(Paths.get(tmp), Paths.get(updatesPath))
+          true
+        } else false
+      case None => false
+    }
+  }
+
+  /** Remove obsolete storage: compacts the updates log and is the hook for
+    * dropping superseded fragments (reference: index.py:579-598 `vacuum`). */
+  def vacuum(): Unit = { consolidateUpdatesLog(maxFragments = 0); () }
+
+  /** Per-partition vector counts + CSR-style cumulative offsets — the
+    * partition stats the reference materializes as `partition_indexes`
+    * (reference: detail/ivf/index.h:61-88 compute_indices;
+    * ingestion.py:2119-2168). In Spark the offsets are derivable on demand:
+    * one hash aggregate + a window cumulative sum. */
+  def partitionHistogram(): DataFrame = {
+    val base = baseVectors()
+    if (!base.columns.contains("partition_id")) {
+      return base.groupBy(lit(0).as("partition_id"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("offset", lit(0L))
+    }
+    val counts = base.groupBy(col("partition_id")).agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("partition_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    counts.withColumn("offset",
+      coalesce(sum(col("cnt")).over(w), lit(0L)))
+  }
+
   /** Drop base versions strictly older than `ts` and rewrite metadata
     * (reference: index.py:626-735 `clear_history`). */
   def clearHistory(ts: Long): Unit = {
