@@ -202,15 +202,23 @@ object Ingest {
     try {
       val n = sample.count()
       val codes = math.min(256L, n).toInt
-      (0 until m).toArray.map { s =>
-        val sub = sample.select(
-          array_to_vector(slice(col("vector"), s * subDim + 1, subDim)).as("features"))
-        val model = new KMeans()
-          .setK(codes).setSeed(42L + s).setMaxIter(10)
-          .setFeaturesCol("features")
-          .fit(sub)
-        model.clusterCenters.map(_.toArray.map(_.toFloat))
+      // The m sub-fits are independent Spark jobs — run them concurrently
+      // (serial fits dominated IVF_PQ build time at bench scale).
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val futures = (0 until m).map { s =>
+        Future {
+          val sub = sample.select(
+            array_to_vector(slice(col("vector"), s * subDim + 1, subDim)).as("features"))
+          val model = new KMeans()
+            .setK(codes).setSeed(42L + s).setMaxIter(10)
+            .setFeaturesCol("features")
+            .fit(sub)
+          model.clusterCenters.map(_.toArray.map(_.toFloat))
+        }
       }
+      futures.map(f => Await.result(f, Duration.Inf)).toArray
     } finally { sample.unpersist() }
   }
 

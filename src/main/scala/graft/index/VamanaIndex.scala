@@ -48,6 +48,17 @@ object VamanaKernels {
       adj: Array[Array[Int]],
       start: Int,
       q: Array[Float],
+      L: Int): (Array[(Float, Int)], Array[Int]) =
+    greedySearchF(points, i => adj(i), start, q, L)
+
+  /** Accessor-based variant so the build can search over its mutable
+    * adjacency without copying it per insert (the copy made builds
+    * O(n^2 * R) and dominated bench time). */
+  def greedySearchF(
+      points: Array[Array[Float]],
+      adj: Int => Iterable[Int],
+      start: Int,
+      q: Array[Float],
       L: Int): (Array[(Float, Int)], Array[Int]) = {
     val seen = new java.util.HashSet[Integer]()
     val visited = mutable.ArrayBuffer.empty[Int]
@@ -77,18 +88,16 @@ object VamanaKernels {
       else {
         expanded.add(next._2)
         visited += next._2
-        val nbs = adj(next._2)
-        var i = 0
-        while (i < nbs.length) {
-          val nb = nbs(i)
+        val it2 = adj(next._2).iterator
+        while (it2.hasNext) {
+          val nb = it2.next()
           if (!seen.contains(nb)) {
             seen.add(nb)
             frontier.add((sos(points(nb), q), nb))
-            if (frontier.size() > math.max(L, 2 * L)) frontier.pollLast()
+            if (frontier.size() > 2 * L) frontier.pollLast()
           }
-          i += 1
         }
-        while (frontier.size() > math.max(L, 2 * L)) frontier.pollLast()
+        while (frontier.size() > 2 * L) frontier.pollLast()
       }
     }
     val top = frontier.iterator()
@@ -144,8 +153,7 @@ object VamanaKernels {
       var p = 0
       while (p < n) {
         if (p != med) {
-          val adjView: Array[Array[Int]] = adj.map(_.toArray)
-          val (_, visited) = greedySearch(points, adjView, med, points(p), lBuild)
+          val (_, visited) = greedySearchF(points, i => adj(i), med, points(p), lBuild)
           val pruned = robustPrune(points, p, visited ++ adj(p), a, rMaxDegree)
           adj(p).clear(); adj(p) ++= pruned
           pruned.foreach { j =>

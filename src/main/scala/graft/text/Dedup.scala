@@ -32,9 +32,14 @@ object Dedup {
       blockCols: Seq[String],
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
+    // repartition on the block keys BEFORE the self-join: the exchange
+    // materializes the shingle sets once (projection collapse would
+    // otherwise inline + re-evaluate them per joined pair) and pre-shuffles
+    // both sides on the join keys.
     val withSets = docs.select(
       (col(idCol).as("id") +: blockCols.map(col)) :+
         TextOps.shingleSet(col(textCol)).as("sh"): _*)
+      .repartition(blockCols.map(col): _*)
     val a = withSets.as("a")
     val b = withSets.as("b")
     val blockEq = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
@@ -72,21 +77,23 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     val numHashes = bands * rowsPerBand
-    // Deterministic affine hash family over 31-bit slices of the shingle
-    // xxhash64 values: 31-bit coefficients x 31-bit inputs stay well inside
-    // Long range (Spark 4 runs ANSI mode — wrap-around would throw).
+    // Deterministic affine hash family over 31-bit shingle hashes, applied
+    // in ONE pass by MinHashSignature (see its scaladoc for why the
+    // higher-order-function formulation is off the table).
     val rnd = new scala.util.Random(42)
     val aCoef = Array.fill(numHashes)(rnd.nextInt(Int.MaxValue).toLong | 1L)
     val bCoef = Array.fill(numHashes)(rnd.nextInt(Int.MaxValue).toLong)
-    val aLit = typedlit(aCoef.toSeq)
-    val bLit = typedlit(bCoef.toSeq)
 
+    import org.apache.spark.sql.graftshim.{toColumn, toExpression}
+    // repartition materializes (sh, minhash) once before band explosion.
+    // cached: the plan is referenced three times (banding + both sides of
+    // the verification join) — without the cache each reference re-runs the
+    // full shingle pipeline.
     val withSig = docs.select(col(idCol).as("id"),
         TextOps.shingleSet(col(textCol)).as("sh"))
-      .withColumn("shh", transform(col("sh"), s => shiftrightunsigned(xxhash64(s), 33)))
-      .withColumn("minhash", transform(sequence(lit(0), lit(numHashes - 1)), i =>
-        array_min(transform(col("shh"), h =>
-          element_at(aLit, i + 1) * h + element_at(bLit, i + 1)))))
+      .withColumn("minhash",
+        toColumn(MinHashSignature(toExpression(col("sh")), aCoef, bCoef)))
+      .cache()
 
     val banded = withSig.select(col("id"), col("sh"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)), bd =>
@@ -102,17 +109,22 @@ object Dedup {
 
     // Distinct column names on each side: self-joins on same-lineage frames
     // with shared names resolve to trivially-true predicates in Spark.
+    // Only IDS ride through the bucket join (shingle sets are wide); the
+    // candidate pairs re-join the sets for exact verification.
     val l = bucketed.select(col("band").as("band_a"), col("bucket").as("bucket_a"),
-      col("id").as("id_a"), col("sh").as("sh_a"))
+      col("id").as("id_a"))
     val r = bucketed.select(col("band").as("band_b"), col("bucket").as("bucket_b"),
-      col("id").as("id_b"), col("sh").as("sh_b"))
+      col("id").as("id_b"))
     val candidates = l.join(r,
         col("band_a") === col("band_b") && col("bucket_a") === col("bucket_b")
           && col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b")
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
 
+    val sets = withSig.select(col("id"), col("sh"))
     candidates
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .where(jaccard(col("sh_a"), col("sh_b")) >= threshold)
       .select("id_a", "id_b")
   }
@@ -131,6 +143,7 @@ object Dedup {
     import org.apache.spark.sql.graftshim.toExpression
     val sig = docs.select(col(idCol).as("id"),
       toColumn(SimHash64(toExpression(TextOps.tokens(col(textCol))))).as("sig"))
+      .repartition(col("id")) // materialize signatures once before the join
     val chunkCols = (0 until 4).map(i =>
       shiftrightunsigned(col("sig"), i * 16).bitwiseAND(lit(0xFFFFL)))
     val chunked = sig.select(col("id"), col("sig"),
