@@ -297,6 +297,13 @@ object SparkEntry {
       |                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END sh
       |      FROM t)""".stripMargin
 
+  /** Corpus dedup end-to-end: LSH pairs -> connected components ->
+    * canonical assignment; oracle = recursive-CTE transitive closure over
+    * the exhaustive-pairs graph. */
+  private def dedupComponents(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dedupAssignments(docs(spark, dir), 0.8)
+      .select(col("doc_id"), col("component")).orderBy("doc_id")
+
   // ----- relational operators over the TPC-H-ish tables (engine breadth:
   // scan+filter pushdown, hash agg, broadcast join, window top-k). Money
   // math in DECIMAL so sums are exact across engines. -----
@@ -392,6 +399,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
+    "dedup_components" -> (dedupComponents _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -443,6 +451,24 @@ object SparkEntry {
          |FROM s a JOIN s b ON a.doc_id < b.doc_id
          |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
          |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_components" ->
+      s"""WITH RECURSIVE
+         |t AS (SELECT doc_id, lang, source, text,
+         |        regexp_split_to_array(trim(text), '\\s+') toks FROM documents),
+         |sh_s AS (SELECT doc_id,
+         |        CASE WHEN len(toks) < 3 THEN [trim(text)]
+         |             ELSE list_distinct(list_transform(range(1, len(toks)-1),
+         |                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END sh
+         |      FROM t),
+         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |          FROM sh_s a JOIN sh_s b ON a.doc_id < b.doc_id
+         |          WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+         |reach(a, b) AS (SELECT a, b FROM edges
+         |                UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |comp AS (SELECT d.doc_id, least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS component
+         |         FROM documents d LEFT JOIN reach r ON d.doc_id = r.a GROUP BY d.doc_id)
+         |SELECT doc_id, component FROM comp ORDER BY doc_id""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity::DECIMAL(18,2)) AS sum_qty,
@@ -484,6 +510,24 @@ object SparkEntry {
         |  FROM g)
         |SELECT user_id, session_idx, count(*) AS n_events
         |FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin,
+    "dedup_components" ->
+      s"""WITH RECURSIVE
+         |t AS (SELECT doc_id, lang, source, text,
+         |        regexp_split_to_array(trim(text), '\\s+') toks FROM documents),
+         |sh_s AS (SELECT doc_id,
+         |        CASE WHEN len(toks) < 3 THEN [trim(text)]
+         |             ELSE list_distinct(list_transform(range(1, len(toks)-1),
+         |                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END sh
+         |      FROM t),
+         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |          FROM sh_s a JOIN sh_s b ON a.doc_id < b.doc_id
+         |          WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+         |reach(a, b) AS (SELECT a, b FROM edges
+         |                UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |comp AS (SELECT d.doc_id, least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS component
+         |         FROM documents d LEFT JOIN reach r ON d.doc_id = r.a GROUP BY d.doc_id)
+         |SELECT doc_id, component FROM comp ORDER BY doc_id""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity::DECIMAL(18,2)) AS sum_qty,

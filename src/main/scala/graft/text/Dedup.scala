@@ -159,6 +159,56 @@ object Dedup {
       .select("id_a", "id_b")
   }
 
+  /** Connected components over a near-dup pair graph by iterative min-label
+    * propagation (each iteration: one join + one hash agg; lineage is cut
+    * with localCheckpoint). Diameter of dup-clusters bounds the iteration
+    * count; convergence is detected by a changed-label count. This is the
+    * canonical-document assignment step of corpus dedup: component id =
+    * smallest doc id reachable through near-dup edges.
+    *
+    * @return (id, component) for every node
+    */
+  def connectedComponents(
+      nodes: DataFrame, // single column "id"
+      edges: DataFrame, // columns (id_a, id_b)
+      maxIter: Int = 15): DataFrame = {
+    val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
+    var labels = nodes.select(col("id"), col("id").as("component")).localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val nbrMin = sym.join(labels, sym("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("component")).as("nbr_min"))
+      val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select(labels("id"),
+          least(col("component"), coalesce(col("nbr_min"), col("component")))
+            .as("component"))
+        .localCheckpoint()
+      val changed = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
+        .where(col("n.component") =!= col("o.component")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /** Full corpus dedup: LSH near-dup pairs → connected components →
+    * canonical = component minimum. Returns (doc_id, component,
+    * is_canonical); filtering on is_canonical yields the dedup'd corpus. */
+  def dedupAssignments(
+      docs: DataFrame,
+      threshold: Double,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val pairs = minhashLshPairs(docs, threshold, textCol = textCol, idCol = idCol)
+    val cc = connectedComponents(docs.select(col(idCol).as("id")), pairs)
+    cc.select(col("id").as(idCol), col("component"),
+      (col("id") === col("component")).as("is_canonical"))
+  }
+
   /** Embedding near-dup pairs: cosine similarity >= threshold within
     * `blockCol` blocks (a coarse IVF-style prefilter; at 100 TB the block
     * would be an LSH/IVF partition id instead of a label). */
