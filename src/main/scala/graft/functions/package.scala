@@ -52,12 +52,12 @@ package object functions {
     * dot_product, dist_cosine, vector_norm, vector_normalize, min_topk). */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("dist_l2", es => EuclideanDistance(es(0), es(1)), "builtin")
-    reg.createOrReplaceTempFunction("dist_sos", es => SumOfSquaresDistance(es(0), es(1)), "builtin")
-    reg.createOrReplaceTempFunction("dot_product", es => DotProduct(es(0), es(1)), "builtin")
-    reg.createOrReplaceTempFunction("dist_cosine", es => CosineDistance(es(0), es(1)), "builtin")
-    reg.createOrReplaceTempFunction("vector_norm", es => L2Norm(es(0)), "builtin")
-    reg.createOrReplaceTempFunction("vector_normalize", es => NormalizeVector(es(0)), "builtin")
+    reg.createOrReplaceTempFunction("dist_l2", es => EuclideanDistance(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("dist_sos", es => SumOfSquaresDistance(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("dot_product", es => DotProduct(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("dist_cosine", es => CosineDistance(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("vector_norm", es => L2Norm(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("vector_normalize", es => NormalizeVector(es(0)), "built-in")
     reg.createOrReplaceTempFunction("min_topk", es => {
       val k = es(2) match {
         case Literal(v: Int, _) => v
@@ -65,6 +65,6 @@ package object functions {
           s"min_topk: k must be an integer literal, got $other")
       }
       MinTopK(es(0), es(1), k)
-    }, "builtin")
+    }, "built-in")
   }
 }

@@ -39,7 +39,8 @@ object DistanceMetric {
   def reportedDistance(m: DistanceMetric)(score: Column): Column = m match {
     case InnerProduct =>
       val dot = -score
-      when(dot === 0.0f, lit(Float.MaxValue)).otherwise(lit(1.0f) / dot)
+      when(dot === 0.0f, lit(Float.MaxValue))
+        .otherwise(lit(1.0f) / dot).cast("float")
     case _ => score
   }
 }

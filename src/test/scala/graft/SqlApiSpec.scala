@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.DistanceMetric
+
+class SqlApiSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("registered SQL functions evaluate the kernels") {
+    graft.functions.registerAll(spark)
+    import spark.implicits._
+    Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")
+      .createOrReplaceTempView("v")
+    val r = spark.sql(
+      """SELECT dist_sos(a, b) sos, dist_l2(a, b) l2, dot_product(a, b) dot,
+        |       dist_cosine(a, b) cos, vector_norm(vector_normalize(a)) n
+        |FROM v""".stripMargin).head()
+    assert(r.getFloat(0) === 8.0f)
+    assert(math.abs(r.getFloat(1) - math.sqrt(8.0)) < 1e-6)
+    assert(r.getFloat(2) === 11.0f)
+    assert(math.abs(r.getFloat(4) - 1.0f) < 1e-6)
+  }
+
+  test("min_topk via SQL groups and bounds per key") {
+    graft.functions.registerAll(spark)
+    import spark.implicits._
+    (1 to 100).map(i => (i % 2, i.toFloat, i.toLong)).toDF("g", "s", "id")
+      .createOrReplaceTempView("t")
+    val rows = spark.sql(
+      "SELECT g, min_topk(s, id, 3) tk FROM t GROUP BY g ORDER BY g").collect()
+    assert(rows.length === 2)
+    val tk0 = rows(0).getSeq[org.apache.spark.sql.Row](1).map(_.getLong(0))
+    assert(tk0 === Seq(2L, 4L, 6L))
+  }
+
+  test("query on an empty additions set and k > index size degrade gracefully") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id").as("external_id"), col("embedding").as("vector"))
+    val uri = java.nio.file.Files.createTempDirectory("graft_edge").toString
+    val idx = graft.index.Ingest.ingest(spark, uri, emb.limit(5), "FLAT",
+      DistanceMetric.L2, timestamp = 1000L)
+    val q = emb.limit(1).select(lit(0L).as("qid"), col("vector").as("qvec"))
+    // k larger than the index: returns all 5, no error (reference clamps)
+    assert(idx.query(q, 50).count() === 5)
+  }
+
+  test("inner-product reported distance applies the reciprocal flip (index.py:287-296)") {
+    import spark.implicits._
+    val db = Seq(
+      (1L, Array(1.0f, 0.0f)), // dot 2 -> dist 0.5
+      (2L, Array(0.0f, 1.0f)), // dot 0 -> dist MAX_FLOAT sentinel
+      (3L, Array(-1.0f, 0.0f)) // dot -2 -> dist -0.5
+    ).toDF("id", "vector")
+    val q = Seq((0L, Array(2.0f, 0.0f))).toDF("qid", "qvec")
+    val got = graft.operators.Knn.bruteForce(db, q, 3, DistanceMetric.InnerProduct)
+      .orderBy("rank").select("id", "distance")
+      .as[(Long, Float)].collect()
+    assert(got.map(_._1).toSeq === Seq(1L, 2L, 3L)) // ranked by dot desc
+    assert(got(0)._2 === 0.5f)
+    assert(got(1)._2 === Float.MaxValue)
+    assert(got(2)._2 === -0.5f)
+  }
+}
