@@ -120,32 +120,39 @@ object Ingest {
           .parquet(s"$uri/base/v=$timestamp")
       case "VAMANA" =>
         // Reference builds Vamana in ONE DAG node (ingest_vamana,
-        // ingestion.py:2572-2595) because per-point inserts mutate the shared
-        // graph; we mirror that: the build runs inside a single executor
-        // partition (not on the driver), emitting the adjacency as rows.
+        // ingestion.py:2572-2595) because per-point inserts mutate the
+        // shared graph. Scale path: k-means SHARDS, each shard's graph
+        // built independently inside one executor task (partitions=1 =
+        // exact reference behavior; >1 = distributed build + merged
+        // search). `partitions` doubles as the shard count.
         require(metric != DistanceMetric.InnerProduct,
           "VAMANA supports SOS/L2/COSINE (reference vamana_index.py:173-180)")
-        base.write.mode("overwrite").parquet(s"$uri/base/v=$timestamp")
         import spark.implicits._
-        val spark2 = spark
-        val ds = base.select(col("external_id"), col("vector"))
-          .as[(Long, Array[Float])]
-        val g = ds.repartition(1).mapPartitions { it =>
-          val arr = it.toArray
-          val ids = arr.map(_._1)
-          val pts = arr.map(_._2)
-          val (med, adj) = VamanaKernels.build(pts,
-            VamanaIndex.DefaultLBuild, VamanaIndex.DefaultRMaxDegree)
-          adj.indices.iterator.map { i =>
-            (ids(i), adj(i).map(ids(_)).toSeq, i == med)
-          }
-        }.toDF("external_id", "neighbors", "is_medoid").cache()
-        g.select("external_id", "neighbors")
-          .write.mode("overwrite").parquet(s"$uri/graph/v=$timestamp")
-        g.where(col("is_medoid")).select(col("external_id").as("medoid_id"))
-          .repartition(1)
-          .write.mode("overwrite").parquet(s"$uri/graph_meta/v=$timestamp")
-        g.unpersist()
+        val numShards = partitions.getOrElse(1)
+        val sharded = if (numShards > 1) {
+          val shardCentroids = trainCentroids(base, numShards,
+            trainingSampleSize.getOrElse(autoTrainingSize(count, numShards)))
+          writeCentroids(spark, uri, timestamp, shardCentroids) // shard map
+          base.withColumn("shard_id",
+            toColumn(NearestCentroid(toExpression(col("vector")), shardCentroids)))
+        } else base.withColumn("shard_id", lit(0))
+        sharded.write.mode("overwrite").partitionBy("shard_id")
+          .parquet(s"$uri/base/v=$timestamp")
+        val g = sharded.select(col("shard_id"), col("external_id"), col("vector"))
+          .as[(Int, Long, Array[Float])]
+          .groupByKey(_._1)
+          .flatMapGroups { (sid, it) =>
+            val arr = it.map { case (_, id, v) => (id, v) }.toArray
+            val ids = arr.map(_._1)
+            val pts = arr.map(_._2)
+            val (med, adj) = VamanaKernels.build(pts,
+              VamanaIndex.DefaultLBuild, VamanaIndex.DefaultRMaxDegree)
+            adj.indices.iterator.map { i =>
+              (sid, ids(i), adj(i).map(ids(_)).toSeq, i == med)
+            }
+          }.toDF("shard_id", "external_id", "neighbors", "is_medoid")
+        g.write.mode("overwrite").partitionBy("shard_id")
+          .parquet(s"$uri/graph/v=$timestamp")
       case other =>
         throw new IllegalArgumentException(s"unsupported index_type $other")
     }

@@ -12,10 +12,11 @@ import graft.operators.{DistanceMetric, Knn}
   * detail/graph/greedy_search.h:59-330 search;
   * robust_prune in vamana_index.h).
   *
-  * Pure-Scala kernels operating on positional arrays; used inside a single
-  * executor partition for the build (the reference also builds single-node —
-  * `ingest_vamana` is one DAG node, ingestion.py:2572-2595) and inside
-  * mapPartitions over a broadcast graph for batch queries.
+  * Pure-Scala kernels operating on positional arrays; each SHARD's build
+  * runs inside one executor task (the reference builds the whole index in
+  * one DAG node — `ingest_vamana`, ingestion.py:2572-2595 — because
+  * per-point inserts mutate the shared graph; sharding is our scale path:
+  * k-means shards → independent per-shard builds → merged search).
   */
 object VamanaKernels {
 
@@ -169,6 +170,25 @@ object VamanaKernels {
     }
     (med, adj.map(_.toArray))
   }
+
+  /** Per-shard beam search over (ids, points, adj) built from grouped rows:
+    * returns (qid, external_id, sosScore) for the shard's top candidates. */
+  def searchShard(
+      rows: Array[(Long, Array[Float], Array[Long], Boolean)],
+      queries: Array[(Long, Array[Float])],
+      lSearch: Int,
+      k: Int): Iterator[(Long, Long, Float)] = {
+    if (rows.isEmpty) return Iterator.empty
+    val ids = rows.map(_._1)
+    val pos = ids.zipWithIndex.toMap
+    val points = rows.map(_._2)
+    val adj = rows.map(_._3.flatMap(l => pos.get(l)))
+    val med = rows.indexWhere(_._4) match { case -1 => 0; case m => m }
+    queries.iterator.flatMap { case (qid, qv) =>
+      val (top, _) = greedySearchF(points, i => adj(i), med, qv, lSearch)
+      top.take(k).map { case (score, p) => (qid, ids(p), score) }
+    }
+  }
 }
 
 /** VAMANA index (reference:
@@ -176,11 +196,12 @@ object VamanaKernels {
   * src/include/index/vamana_index.h). Defaults l_build=100,
   * r_max_degree=64, l_search=100 (vamana_index.py:30-32).
   *
-  * Storage = FLAT layout + `graph/v=<ts>` adjacency parquet
-  * (external_id, neighbors array<long>) + `graph_meta/v=<ts>` (medoid id).
-  * Batch query: broadcast (vectors, adjacency), beam-search each query in
-  * mapPartitions. Scale path (sharded builds + merged search) is the
-  * documented follow-up; the reference itself builds single-node.
+  * Storage: `base/v=<ts>` partitioned by shard_id (external_id, vector),
+  * `graph/v=<ts>` adjacency rows (shard_id, external_id, neighbors,
+  * is_medoid), `shard_centroids/v=<ts>` when sharded. One shard = the
+  * reference's single-node build; multiple shards = the 100 TB scale path
+  * (independent per-shard builds, per-shard search tasks, global top-k
+  * merge — each task holds one shard's graph only; queries broadcast).
   */
 class VamanaIndex(spark: SparkSession, uri: String, meta: IndexMeta, ts: Long)
     extends VectorIndex(spark, uri, meta, ts) {
@@ -196,41 +217,43 @@ class VamanaIndex(spark: SparkSession, uri: String, meta: IndexMeta, ts: Long)
         idCol = "external_id", vecCol = "vector")
     }
     val lSearch = math.max(if (lSearch0 <= 0) VamanaIndex.DefaultLSearch else lSearch0, k)
-
-    // Load graph + vectors once, positionally aligned, and broadcast.
-    val rows = spark.read.parquet(s"$uri/base/v=$baseTimestamp")
-      .join(spark.read.parquet(s"$uri/graph/v=$baseTimestamp"), Seq("external_id"))
-      .select("external_id", "vector", "neighbors")
-      .collect()
-    val ids = rows.map(_.getLong(0))
-    val pos = ids.zipWithIndex.toMap
-    val points = rows.map(_.getSeq[Float](1).toArray)
-    val adj = rows.map(_.getSeq[Long](2).map(l => pos(l)).toArray)
-    val medoidId = spark.read.parquet(s"$uri/graph_meta/v=$baseTimestamp")
-      .head().getLong(0)
-    val medPos = pos(medoidId)
-    val bc = spark.sparkContext.broadcast((ids, points, adj, medPos))
     val normalizeQ = metric == DistanceMetric.Cosine
 
     import spark.implicits._
-    val qds = queries.select(col("qid").cast("long"), col("qvec").cast("array<float>"))
-      .as[(Long, Array[Float])]
-    val m = metric
-    qds.mapPartitions { it =>
-      val (bIds, bPoints, bAdj, bMed) = bc.value
-      it.flatMap { case (qid, qv0) =>
-        val qv = if (normalizeQ) {
+    val qArr: Array[(Long, Array[Float])] = queries
+      .select(col("qid").cast("long"), col("qvec").cast("array<float>"))
+      .as[(Long, Array[Float])].collect()
+      .map { case (qid, qv0) =>
+        if (normalizeQ) {
           val nrm = math.sqrt(qv0.map(x => x.toDouble * x).sum).toFloat
-          if (nrm == 0) qv0 else qv0.map(_ / nrm)
-        } else qv0
-        val (top, _) = VamanaKernels.greedySearch(bPoints, bAdj, bMed, qv, lSearch)
-        top.take(k).zipWithIndex.map { case ((score, p), rank) =>
-          (qid, rank + 1, bIds(p), score)
-        }
+          (qid, if (nrm == 0) qv0 else qv0.map(_ / nrm))
+        } else (qid, qv0)
       }
-    }.toDF("qid", "rank", "id", "__sos")
-      .select(col("qid"), col("rank"), col("id"),
-        VamanaIndex.reportDistance(m, col("__sos")).as("distance"))
+    val bcQ = spark.sparkContext.broadcast(qArr)
+
+    // per-shard search: one task per shard holds only that shard's graph
+    val graph = spark.read.parquet(s"$uri/base/v=$baseTimestamp")
+      .join(spark.read.parquet(s"$uri/graph/v=$baseTimestamp"),
+        Seq("shard_id", "external_id"))
+      .select(col("shard_id"), col("external_id"), col("vector"),
+        col("neighbors"), col("is_medoid"))
+      .as[(Int, Long, Array[Float], Array[Long], Boolean)]
+    val kLocal = k
+    val lLocal = lSearch
+    val perShard = graph
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val rows = it.map { case (_, id, v, nbs, med) => (id, v, nbs, med) }.toArray
+        VamanaKernels.searchShard(rows, bcQ.value, lLocal, kLocal)
+      }
+      .toDF("qid", "id", "__sos")
+
+    val m = metric
+    val scored = perShard.select(col("qid").as("__qid"), col("id").as("__id"),
+      col("__sos").as("__score"))
+    val merged = Knn.topKFromScores(scored, k, DistanceMetric.SumOfSquares)
+    merged.select(col("qid"), col("rank"), col("id"),
+      VamanaIndex.reportDistance(m, col("distance")).as("distance"))
   }
 }
 

@@ -138,6 +138,22 @@ class IndexSpec extends AnyFunSuite {
     assert(maxDeg <= graft.index.VamanaIndex.DefaultRMaxDegree + 1)
   }
 
+  test("VAMANA sharded: 4-shard build + merged search clears the recall gate") {
+    val uri = tmp()
+    val idx = Ingest.ingest(spark, uri, emb, "VAMANA", DistanceMetric.L2,
+      timestamp = 1000L, partitions = Some(4))
+    val exact = exactIds(emb, 10)
+    val got = gotIds(idx.query(queries10, 10))
+    val recall = exact.keys.toSeq.map { q =>
+      got.getOrElse(q, Seq.empty).toSet.intersect(exact(q).toSet).size.toDouble / 10.0
+    }.sum / exact.size
+    assert(recall >= 0.85, s"sharded recall $recall below gate")
+    // shards actually exist on disk
+    val shards = spark.read.parquet(s"$uri/graph/v=1000")
+      .select("shard_id").distinct().count()
+    assert(shards === 4)
+  }
+
   test("consolidateUpdates folds the log into a new base version") {
     val uri = tmp()
     val idx = Ingest.ingest(spark, uri, emb, "FLAT", DistanceMetric.L2, timestamp = 1000L)
