@@ -1,0 +1,65 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.FloatType
+
+import graft.functions._
+import graft.operators.MinTopK
+
+/** Distance-predicate optimization: radius comparisons against a true L2
+  * distance pay a `sqrt` per row that the comparison doesn't need —
+  * `dist_l2(a,b) <= r` is `dist_sos(a,b) <= r*r` for r >= 0 (and constantly
+  * false for r < 0 since distances are non-negative). Range/radius search
+  * filters hit this shape constantly; the rewrite removes the sqrt from
+  * every scanned row's hot loop.
+  */
+object OptimizeDistancePredicates extends Rule[LogicalPlan] {
+
+  private def sq(r: Float): Literal = Literal(r * r, FloatType)
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case LessThan(EuclideanDistance(a, b), Literal(r: Float, FloatType)) =>
+      if (r < 0) Literal.FalseLiteral else LessThan(SumOfSquaresDistance(a, b), sq(r))
+    case LessThanOrEqual(EuclideanDistance(a, b), Literal(r: Float, FloatType)) =>
+      if (r < 0) Literal.FalseLiteral
+      else LessThanOrEqual(SumOfSquaresDistance(a, b), sq(r))
+    case GreaterThan(EuclideanDistance(a, b), Literal(r: Float, FloatType)) =>
+      if (r < 0) Literal.TrueLiteral else GreaterThan(SumOfSquaresDistance(a, b), sq(r))
+    case GreaterThanOrEqual(EuclideanDistance(a, b), Literal(r: Float, FloatType)) =>
+      if (r < 0) Literal.TrueLiteral
+      else GreaterThanOrEqual(SumOfSquaresDistance(a, b), sq(r))
+  }
+}
+
+/** Session extensions: `--conf spark.sql.extensions=graft.plans.GraftExtensions`
+  * gives any SQL-only session the graft kernels (dist_l2, dist_sos,
+  * dot_product, dist_cosine, vector_norm, vector_normalize, min_topk) plus
+  * the distance-predicate optimizer rule. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    def info(name: String) = new ExpressionInfo("graft", name)
+    e.injectFunction((FunctionIdentifier("dist_l2"), info("dist_l2"),
+      (es: Seq[Expression]) => EuclideanDistance(es(0), es(1))))
+    e.injectFunction((FunctionIdentifier("dist_sos"), info("dist_sos"),
+      (es: Seq[Expression]) => SumOfSquaresDistance(es(0), es(1))))
+    e.injectFunction((FunctionIdentifier("dot_product"), info("dot_product"),
+      (es: Seq[Expression]) => DotProduct(es(0), es(1))))
+    e.injectFunction((FunctionIdentifier("dist_cosine"), info("dist_cosine"),
+      (es: Seq[Expression]) => CosineDistance(es(0), es(1))))
+    e.injectFunction((FunctionIdentifier("vector_norm"), info("vector_norm"),
+      (es: Seq[Expression]) => L2Norm(es(0))))
+    e.injectFunction((FunctionIdentifier("vector_normalize"), info("vector_normalize"),
+      (es: Seq[Expression]) => NormalizeVector(es(0))))
+    e.injectFunction((FunctionIdentifier("min_topk"), info("min_topk"),
+      (es: Seq[Expression]) => es(2) match {
+        case Literal(k: Int, _) => MinTopK(es(0), es(1), k)
+        case other => throw new IllegalArgumentException(
+          s"min_topk: k must be an integer literal, got $other")
+      }))
+    e.injectOptimizerRule(_ => OptimizeDistancePredicates)
+  }
+}
