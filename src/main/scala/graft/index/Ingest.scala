@@ -53,7 +53,8 @@ object Ingest {
       trainingSampleSize: Option[Int] = None,
       numSubspaces: Option[Int] = None,
       appendMeta: Boolean = false,
-      normalizeDone: Boolean = false): VectorIndex = {
+      normalizeDone: Boolean = false,
+      presetCentroids: Option[Array[Array[Float]]] = None): VectorIndex = {
 
     val prior: Option[IndexMeta] =
       if (appendMeta && IndexMeta.exists(uri)) Some(IndexMeta.read(uri)) else None
@@ -85,8 +86,10 @@ object Ingest {
       case "FLAT" =>
         base.write.mode("overwrite").parquet(s"$uri/base/v=$timestamp")
       case "IVF_FLAT" =>
-        val centroids = trainCentroids(base, numParts,
-          trainingSampleSize.getOrElse(autoTrainingSize(count, numParts)))
+        // copy-centroids reuse on consolidation (reference: index.py:503-577
+        // `copy_centroids_uri` + partitions check) skips re-training.
+        val centroids = presetCentroids.getOrElse(trainCentroids(base, numParts,
+          trainingSampleSize.getOrElse(autoTrainingSize(count, numParts))))
         writeCentroids(spark, uri, timestamp, centroids)
         val assigned = base.withColumn("partition_id",
           toColumn(NearestCentroid(toExpression(col("vector")), centroids)))

@@ -127,7 +127,10 @@ abstract class VectorIndex(
   /** Merge base + updates into a fresh base version at `newTs`
     * (reference: index.py:503-577 `consolidate_updates`). Re-trains /
     * re-partitions per index type via [[Ingest]]. */
-  def consolidateUpdates(newTs: Long, partitions: Option[Int] = None): VectorIndex = {
+  def consolidateUpdates(
+      newTs: Long,
+      partitions: Option[Int] = None,
+      reuseCentroids: Boolean = false): VectorIndex = {
     val upd = updatesInWindow()
     val merged = upd match {
       case None => baseVectors().select("external_id", "vector")
@@ -138,8 +141,15 @@ abstract class VectorIndex(
           .join(broadcast(latest.select("external_id")), Seq("external_id"), "left_anti")
           .unionByName(adds)
     }
+    // copy-centroids path (reference: index.py:503-577): reuse the active
+    // version's centroids instead of re-training k-means.
+    val preset = if (reuseCentroids) this match {
+      case ivf: IvfFlatIndex => Some(ivf.centroids)
+      case _ => None
+    } else None
     Ingest.ingest(spark, uri, merged, meta.indexType, metric, newTs,
-      partitions = partitions, normalizeDone = true, appendMeta = true)
+      partitions = partitions, normalizeDone = true, appendMeta = true,
+      presetCentroids = preset)
     VectorIndex.open(spark, uri)
   }
 

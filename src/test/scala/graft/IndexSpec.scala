@@ -154,6 +154,39 @@ class IndexSpec extends AnyFunSuite {
     assert(shards === 4)
   }
 
+  test("IVF consolidate with copy-centroids reuses the trained centroids") {
+    val uri = tmp()
+    val idx = Ingest.ingest(spark, uri, emb, "IVF_FLAT", DistanceMetric.L2,
+      timestamp = 1000L, partitions = Some(8)).asInstanceOf[graft.index.IvfFlatIndex]
+    val before = idx.centroids.map(_.toSeq)
+    idx.deleteBatch(emb.where(col("external_id") < 50), ts = 1100L)
+    val after = VectorIndex.open(spark, uri)
+      .consolidateUpdates(newTs = 2000L, reuseCentroids = true)
+      .asInstanceOf[graft.index.IvfFlatIndex]
+    assert(after.centroids.map(_.toSeq).toSeq === before.toSeq)
+    val expected = exactIds(emb.where(col("external_id") >= 50), 10)
+    assert(gotIds(after.query(queries10, 10, nprobe = 8)) === expected)
+  }
+
+  test("clearHistory drops old versions; vacuum compacts the updates log") {
+    val uri = tmp()
+    val idx = Ingest.ingest(spark, uri, emb, "FLAT", DistanceMetric.L2, timestamp = 1000L)
+    Ingest.ingest(spark, uri, emb, "FLAT", DistanceMetric.L2,
+      timestamp = 2000L, appendMeta = true)
+    VectorIndex.open(spark, uri).clearHistory(1500L)
+    val m = graft.index.IndexMeta.read(uri)
+    assert(m.ingestionTimestamps === List(2000L))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$uri/base/v=1000")))
+    // vacuum: many small update fragments -> compacted
+    val reopened = VectorIndex.open(spark, uri)
+    (0 until 5).foreach { i =>
+      reopened.deleteBatch(emb.where(col("external_id") === i), ts = 2100L + i)
+    }
+    reopened.vacuum()
+    val expected = exactIds(emb.where(col("external_id") >= 5), 10)
+    assert(gotIds(VectorIndex.open(spark, uri).query(queries10, 10)) === expected)
+  }
+
   test("consolidateUpdates folds the log into a new base version") {
     val uri = tmp()
     val idx = Ingest.ingest(spark, uri, emb, "FLAT", DistanceMetric.L2, timestamp = 1000L)
