@@ -200,6 +200,19 @@ object SparkEntry {
       idCol = "row_id", vecCol = "vector"))
   }
 
+  /** uint8 FLAT index over quantized embeddings: byte-packed storage +
+    * asymmetric float-query kernels; oracle quantizes identically in SQL. */
+  private def knnFlatU8(spark: SparkSession, dir: String): DataFrame = {
+    val uri = cachedIndex("flat_u8", dir) { u =>
+      val qdb = embAsIndexInput(spark, dir).select(col("external_id"),
+        expr("transform(vector, x -> float(least(255.0, floor((x + 1.0) * 127.5))))")
+          .as("vector"))
+      Ingest.ingest(spark, u, qdb, "FLAT", DistanceMetric.L2,
+        dtype = "uint8", timestamp = 1000L)
+    }
+    idsOnly(VectorIndex.open(spark, uri).query(idxQueries(spark, dir), K))
+  }
+
   // ----- object layer / multimodal (rows-only: hash-embedding internals) -----
 
   private val objIndexCache = scala.collection.concurrent.TrieMap.empty[String, graft.objects.ObjectIndex]
@@ -378,6 +391,7 @@ object SparkEntry {
     "ivf_pq_exact_rerank" -> (ivfPqExactRerank _),
     "vamana_knn" -> (vamanaKnn _),
     "fvecs_roundtrip_knn" -> (fvecsRoundtripKnn _),
+    "knn_flat_u8" -> (knnFlatU8 _),
     "object_search" -> (objectSearch _),
     "object_search_filtered" -> (objectSearchFiltered _),
     "multimodal_features" -> (multimodalFeatures _),
@@ -415,6 +429,15 @@ object SparkEntry {
     // k-means); driver records rows-only, recall asserted in IndexSpec.
     "ivf_pq_exact_rerank" -> knnOracle("list_distance(n.embedding, q.embedding)"),
     "fvecs_roundtrip_knn" -> knnOracle("list_distance(n.embedding, q.embedding)"),
+    "knn_flat_u8" ->
+      s"""WITH qdb AS (SELECT vec_id,
+         |  list_transform(embedding, x -> least(255.0, floor((x + 1.0) * 127.5))::FLOAT) AS v
+         |  FROM embeddings)
+         |SELECT q.vec_id AS qid, n.vec_id AS neighbor_id
+         |FROM (SELECT * FROM embeddings WHERE vec_id < $NQ) q
+         |CROSS JOIN qdb n
+         |QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY list_distance(n.v, q.embedding), n.vec_id) <= $K
+         |ORDER BY qid, neighbor_id""".stripMargin,
     "updates_knn" -> updatesOracle,
     "timetravel_knn" -> timetravelOracle,
     "text_token_count" ->

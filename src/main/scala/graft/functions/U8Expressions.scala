@@ -1,0 +1,167 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** uint8 / int8 vector kernels (reference supports uint8/int8 vector dtypes
+  * — flat_index.py:195-197; queries stay float32, index.py:309-312, so the
+  * distances are ASYMMETRIC: float query vs byte-packed stored vector).
+  *
+  * Stored vectors are BinaryType — one byte per dimension, 4x denser than
+  * array<float> on disk and in shuffle, which is the point at 100 TB.
+  * `signed=false` widens with `(b & 0xFF)` (uint8), `signed=true` keeps the
+  * JVM byte sign (int8) — SURVEY §7.3's unsigned-byte pitfall.
+  */
+abstract class ByteVectorDistance extends BinaryExpression {
+  def signed: Boolean
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), BinaryType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<float>, binary), got ${l.catalogString}, ${r.catalogString}")
+    }
+  }
+  override def dataType: DataType = FloatType
+  override def nullIntolerant: Boolean = true
+
+  @inline protected final def widen(b: Byte): Float =
+    if (signed) b.toFloat else (b & 0xFF).toFloat
+
+  protected def checkDims(q: ArrayData, v: Array[Byte]): Unit =
+    if (q.numElements() != v.length) throw new IllegalArgumentException(
+      s"graft: vector dimension mismatch: ${q.numElements()} vs ${v.length}")
+}
+
+/** Squared L2 between a float query and a byte-packed vector. */
+case class U8SumOfSquaresDistance(left: Expression, right: Expression, signed: Boolean = false)
+    extends ByteVectorDistance {
+  override def prettyName: String = "dist_sos_u8"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val q = l.asInstanceOf[ArrayData]; val v = r.asInstanceOf[Array[Byte]]
+    checkDims(q, v)
+    var s = 0.0f; var i = 0
+    while (i < v.length) { val d = q.getFloat(i) - widen(v(i)); s += d * d; i += 1 }
+    s
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (q, v) => {
+      val i = ctx.freshName("i"); val s = ctx.freshName("s"); val d = ctx.freshName("d")
+      val w = if (signed) s"(float) $v[$i]" else s"(float) ($v[$i] & 0xFF)"
+      s"""
+         |if ($q.numElements() != $v.length) {
+         |  throw new IllegalArgumentException("graft: vector dimension mismatch: "
+         |    + $q.numElements() + " vs " + $v.length);
+         |}
+         |float $s = 0.0f;
+         |for (int $i = 0; $i < $v.length; $i++) {
+         |  float $d = $q.getFloat($i) - $w;
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Dot product between a float query and a byte-packed vector. */
+case class U8DotProduct(left: Expression, right: Expression, signed: Boolean = false)
+    extends ByteVectorDistance {
+  override def prettyName: String = "dot_product_u8"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val q = l.asInstanceOf[ArrayData]; val v = r.asInstanceOf[Array[Byte]]
+    checkDims(q, v)
+    var s = 0.0f; var i = 0
+    while (i < v.length) { s += q.getFloat(i) * widen(v(i)); i += 1 }
+    s
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (q, v) => {
+      val i = ctx.freshName("i"); val s = ctx.freshName("s")
+      val w = if (signed) s"(float) $v[$i]" else s"(float) ($v[$i] & 0xFF)"
+      s"""
+         |float $s = 0.0f;
+         |for (int $i = 0; $i < $v.length; $i++) { $s += $q.getFloat($i) * $w; }
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Cosine distance between a float query and a byte-packed vector. */
+case class U8CosineDistance(left: Expression, right: Expression, signed: Boolean = false)
+    extends ByteVectorDistance {
+  override def prettyName: String = "dist_cosine_u8"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val q = l.asInstanceOf[ArrayData]; val v = r.asInstanceOf[Array[Byte]]
+    checkDims(q, v)
+    var dot = 0.0f; var nq = 0.0f; var nv = 0.0f; var i = 0
+    while (i < v.length) {
+      val x = q.getFloat(i); val y = widen(v(i))
+      dot += x * y; nq += x * x; nv += y * y; i += 1
+    }
+    val den = math.sqrt(nq.toDouble).toFloat * math.sqrt(nv.toDouble).toFloat
+    if (den == 0.0f) 1.0f else 1.0f - dot / den
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (q, v) => {
+      val i = ctx.freshName("i"); val dot = ctx.freshName("dot")
+      val nq = ctx.freshName("nq"); val nv = ctx.freshName("nv")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y"); val den = ctx.freshName("den")
+      val w = if (signed) s"(float) $v[$i]" else s"(float) ($v[$i] & 0xFF)"
+      s"""
+         |float $dot = 0.0f; float $nq = 0.0f; float $nv = 0.0f;
+         |for (int $i = 0; $i < $v.length; $i++) {
+         |  float $x = $q.getFloat($i); float $y = $w;
+         |  $dot += $x * $y; $nq += $x * $x; $nv += $y * $y;
+         |}
+         |float $den = (float) java.lang.Math.sqrt((double) $nq)
+         |           * (float) java.lang.Math.sqrt((double) $nv);
+         |${ev.value} = ($den == 0.0f) ? 1.0f : 1.0f - $dot / $den;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Pack an array<float> of byte-ranged values into binary storage
+  * (values outside the dtype range are clamped). */
+case class PackBytes(child: Expression, signed: Boolean = false)
+    extends UnaryExpression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VectorExprChecks.unaryFloatArray(prettyName, child)
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pack_bytes"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val out = new Array[Byte](n)
+    val lo = if (signed) -128.0f else 0.0f
+    val hi = if (signed) 127.0f else 255.0f
+    var i = 0
+    while (i < n) {
+      val x = math.max(lo, math.min(hi, a.getFloat(i)))
+      out(i) = if (signed) x.toByte else (x.toInt & 0xFF).toByte
+      i += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

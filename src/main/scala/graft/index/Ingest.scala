@@ -48,6 +48,7 @@ object Ingest {
       source: DataFrame,
       indexType: String,
       metric: DistanceMetric = DistanceMetric.L2,
+      dtype: String = "float32",
       timestamp: Long = System.currentTimeMillis(),
       partitions: Option[Int] = None,
       trainingSampleSize: Option[Int] = None,
@@ -81,8 +82,19 @@ object Ingest {
       case _ => partitions.getOrElse(autoPartitions(count))
     }
 
+    require(dtype == "float32" || ((dtype == "uint8" || dtype == "int8")
+      && indexType == "FLAT"),
+      s"dtype $dtype supported for FLAT in this round (uint8/int8 IVF: round 2)")
+
     var mSubspaces = 0
     indexType match {
+      case "FLAT" if dtype != "float32" =>
+        // byte-packed storage: one byte per dim (reference stores u8/i8
+        // natively; SURVEY §7.3 unsigned-byte pitfall handled in kernels)
+        base.select(col("external_id"),
+            toColumn(graft.functions.PackBytes(toExpression(col("vector")),
+              signed = dtype == "int8")).as("vector"))
+          .write.mode("overwrite").parquet(s"$uri/base/v=$timestamp")
       case "FLAT" =>
         base.write.mode("overwrite").parquet(s"$uri/base/v=$timestamp")
       case "IVF_FLAT" =>
@@ -162,7 +174,7 @@ object Ingest {
 
     val meta = IndexMeta(
       indexType = indexType,
-      dtype = "float32",
+      dtype = dtype,
       dimensions = dims,
       distanceMetric = metric.id,
       storageVersion = IndexMeta.StorageVersion,

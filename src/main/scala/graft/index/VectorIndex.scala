@@ -147,7 +147,8 @@ abstract class VectorIndex(
       case ivf: IvfFlatIndex => Some(ivf.centroids)
       case _ => None
     } else None
-    Ingest.ingest(spark, uri, merged, meta.indexType, metric, newTs,
+    Ingest.ingest(spark, uri, merged, meta.indexType, metric,
+      dtype = meta.dtype, timestamp = newTs,
       partitions = partitions, normalizeDone = true, appendMeta = true,
       presetCentroids = preset)
     VectorIndex.open(spark, uri)
@@ -257,8 +258,15 @@ class FlatIndex(spark: SparkSession, uri: String, meta: IndexMeta, ts: Long)
       .select("external_id", "vector")
 
   override protected def queryBase(queries: DataFrame, k: Int, nprobe: Int): DataFrame =
-    Knn.bruteForce(baseVectors(), queries, k, metric,
-      idCol = "external_id", vecCol = "vector", qidCol = "qid", qvecCol = "qvec")
+    meta.dtype match {
+      case "uint8" | "int8" =>
+        graft.operators.ByteKnn.bruteForce(baseVectors(), queries, k, metric,
+          signed = meta.dtype == "int8",
+          idCol = "external_id", vecCol = "vector", qidCol = "qid", qvecCol = "qvec")
+      case _ =>
+        Knn.bruteForce(baseVectors(), queries, k, metric,
+          idCol = "external_id", vecCol = "vector", qidCol = "qid", qvecCol = "qvec")
+    }
 }
 
 /** IVF_FLAT index (reference:

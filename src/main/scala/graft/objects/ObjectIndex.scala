@@ -127,8 +127,8 @@ object ObjectIndex {
       .mapPartitions { it => e.init(); e.embed(it) }
       .toDF("external_id", "embedding_seq", "vector")
       .select(col("external_id"), col("vector").cast("array<float>").as("vector"))
-    Ingest.ingest(spark, uri, vectors, indexType, metric, timestamp,
-      partitions = partitions)
+    Ingest.ingest(spark, uri, vectors, indexType, metric,
+      timestamp = timestamp, partitions = partitions)
     reader.readMetadata(spark)
       .write.mode("overwrite").parquet(s"$uri/object_metadata")
     new ObjectIndex(spark, uri, reader, embedding)

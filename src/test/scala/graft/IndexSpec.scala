@@ -187,6 +187,27 @@ class IndexSpec extends AnyFunSuite {
     assert(gotIds(VectorIndex.open(spark, uri).query(queries10, 10)) === expected)
   }
 
+  test("uint8 FLAT index: byte-packed storage, asymmetric float-query kernels") {
+    import spark.implicits._
+    val uri = tmp()
+    // quantize unit floats to u8: floor((x+1)*127.5) clamped
+    val qdb = emb.select(col("external_id"),
+      expr("transform(vector, x -> float(least(255.0, floor((x + 1.0) * 127.5))))")
+        .as("vector"))
+    val idx = Ingest.ingest(spark, uri, qdb, "FLAT", DistanceMetric.L2,
+      dtype = "uint8", timestamp = 1000L)
+    assert(idx.meta.dtype === "uint8")
+    // stored as binary (1 byte/dim)
+    val sch = spark.read.parquet(s"$uri/base/v=1000").schema("vector").dataType
+    assert(sch === org.apache.spark.sql.types.BinaryType)
+    // exact-equivalence: same answer as float brute force over quantized db
+    val exact = Knn.bruteForce(qdb, queries10, 10, DistanceMetric.L2,
+        idCol = "external_id", vecCol = "vector")
+      .orderBy("qid", "rank").collect()
+      .groupBy(_.getLong(0)).map { case (q, r) => q -> r.map(_.getLong(2)).toSeq }
+    assert(gotIds(idx.query(queries10, 10)) === exact)
+  }
+
   test("consolidateUpdates folds the log into a new base version") {
     val uri = tmp()
     val idx = Ingest.ingest(spark, uri, emb, "FLAT", DistanceMetric.L2, timestamp = 1000L)
