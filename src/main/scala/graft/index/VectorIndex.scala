@@ -52,6 +52,14 @@ abstract class VectorIndex(
     * @return (qid, rank, id, distance)
     */
   def query(queries: DataFrame, k: Int, nprobe: Int = 0): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    // shape/dims validation up front (reference: index.py:298-312)
+    queries.schema("qvec").dataType match {
+      case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, _) =>
+      case other => throw new IllegalArgumentException(
+        s"graft: queries.qvec must be array<float> (float32 queries, " +
+          s"reference index.py:309-312), got ${other.catalogString}")
+    }
     val q = queries.select(col("qid").cast("long").as("qid"), col("qvec"))
     val upd = updatesInWindow()
     if (upd.isEmpty) return queryBase(q, k, nprobe)
