@@ -213,6 +213,20 @@ object SparkEntry {
     idsOnly(VectorIndex.open(spark, uri).query(idxQueries(spark, dir), K))
   }
 
+  /** Exact k-NN graph (nprobe = partitions): every vector's top-K
+    * neighbors, oracle = full self-join QUALIFY. */
+  private def knnGraphExact(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.KnnGraph.build(emb(spark, dir), 5, DistanceMetric.L2,
+        partitions = 8, nprobe = 8, idCol = "vec_id", vecCol = "embedding")
+      .select(col("id"), col("nbr_id")).orderBy("id", "nbr_id")
+
+  /** Approximate k-NN graph (nprobe=2 of 8): the scale configuration;
+    * rows-only, recall spec-tested. */
+  private def knnGraphAnn(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.KnnGraph.build(emb(spark, dir), 5, DistanceMetric.L2,
+        partitions = 8, nprobe = 2, idCol = "vec_id", vecCol = "embedding")
+      .select(col("id"), col("nbr_id")).orderBy("id", "nbr_id")
+
   // ----- object layer / multimodal (rows-only: hash-embedding internals) -----
 
   private val objIndexCache = scala.collection.concurrent.TrieMap.empty[String, graft.objects.ObjectIndex]
@@ -392,6 +406,8 @@ object SparkEntry {
     "vamana_knn" -> (vamanaKnn _),
     "fvecs_roundtrip_knn" -> (fvecsRoundtripKnn _),
     "knn_flat_u8" -> (knnFlatU8 _),
+    "knn_graph_exact" -> (knnGraphExact _),
+    "knn_graph_ann" -> (knnGraphAnn _),
     "object_search" -> (objectSearch _),
     "object_search_filtered" -> (objectSearchFiltered _),
     "multimodal_features" -> (multimodalFeatures _),
@@ -429,6 +445,12 @@ object SparkEntry {
     // k-means); driver records rows-only, recall asserted in IndexSpec.
     "ivf_pq_exact_rerank" -> knnOracle("list_distance(n.embedding, q.embedding)"),
     "fvecs_roundtrip_knn" -> knnOracle("list_distance(n.embedding, q.embedding)"),
+    "knn_graph_exact" ->
+      """SELECT a.vec_id AS id, b.vec_id AS nbr_id
+        |FROM embeddings a CROSS JOIN embeddings b
+        |WHERE a.vec_id <> b.vec_id
+        |QUALIFY row_number() OVER (PARTITION BY a.vec_id ORDER BY list_distance(b.embedding, a.embedding), b.vec_id) <= 5
+        |ORDER BY id, nbr_id""".stripMargin,
     "knn_flat_u8" ->
       s"""WITH qdb AS (SELECT vec_id,
          |  list_transform(embedding, x -> least(255.0, floor((x + 1.0) * 127.5))::FLOAT) AS v

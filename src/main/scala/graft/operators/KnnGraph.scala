@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.{toColumn, toExpression}
+
+import graft.functions.{NearestCentroid, NearestCentroids}
+import graft.index.Ingest
+
+/** All-vectors k-NN graph — the backbone operator for embedding-based
+  * corpus dedup, graph-index bootstrap, and label propagation at training-
+  * data scale.
+  *
+  * Multi-probe IVF blocking, duplicate-free by construction:
+  *   - QUERY side: each vector assigned to its single HOME partition
+  *     (argmin centroid),
+  *   - CANDIDATE side: each vector REPLICATED to its `nprobe` nearest
+  *     partitions,
+  *   - join on partition id: pair (a, b) is scored exactly once — in a's
+  *     home partition, iff b's replicas reach it. No pair-dedup shuffle.
+  *
+  * nprobe = partitions ⇒ candidates replicated everywhere ⇒ the exact
+  * graph (this is the oracle-checked configuration); small nprobe ⇒ the
+  * scale path: shuffle volume is nprobe x |db|, partition-local scoring.
+  */
+object KnnGraph {
+
+  def build(
+      db: DataFrame,
+      k: Int,
+      metric: DistanceMetric = DistanceMetric.L2,
+      partitions: Int = 0,
+      nprobe: Int = 2,
+      idCol: String = "id",
+      vecCol: String = "vector"): DataFrame = {
+    val d = db.select(col(idCol).cast("long").as("__id"), col(vecCol).as("__vec"))
+    val n = d.count()
+    val parts = if (partitions > 0) partitions else Ingest.autoPartitions(n)
+    val probes = math.min(math.max(1, nprobe), parts)
+    val centroids = Ingest.trainCentroids(d.withColumnRenamed("__vec", "vector"),
+      parts, Ingest.autoTrainingSize(n, parts))
+
+    val home = d.withColumn("__pid",
+      toColumn(NearestCentroid(toExpression(col("__vec")), centroids)))
+    val replicas = d.select(col("__id").as("__cid"), col("__vec").as("__cvec"),
+        explode(toColumn(NearestCentroids(toExpression(col("__vec")), centroids, probes)))
+          .as("__pid"))
+
+    val scored = home.join(replicas, Seq("__pid"))
+      .where(col("__id") =!= col("__cid"))
+      .select(col("__id").as("__qid"), col("__cid").as("__id"),
+        DistanceMetric.score(metric)(col("__cvec"), col("__vec")).as("__score"))
+    Knn.topKFromScores(scored, k, metric)
+      .select(col("qid").as("id"), col("rank"), col("id").as("nbr_id"), col("distance"))
+  }
+}

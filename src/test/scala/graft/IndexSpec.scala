@@ -208,6 +208,31 @@ class IndexSpec extends AnyFunSuite {
     assert(gotIds(idx.query(queries10, 10)) === exact)
   }
 
+  test("knn-graph: probe-all is exact; multi-probe keeps useful recall") {
+    import spark.implicits._
+    val exact = graft.operators.KnnGraph.build(
+        emb.select(col("external_id").as("vec_id"), col("vector").as("embedding")),
+        3, DistanceMetric.L2, partitions = 8, nprobe = 8,
+        idCol = "vec_id", vecCol = "embedding")
+      .select("id", "nbr_id").as[(Long, Long)].collect().toSet
+    // spot-check one node against brute force
+    val data = emb.as[(Long, Array[Float])].collect().toMap
+    val q0 = data(0L)
+    val bf = data.toSeq.filter(_._1 != 0L).map { case (id, v) =>
+      var s = 0.0f; var i = 0
+      while (i < v.length) { val d = v(i) - q0(i); s += d * d; i += 1 }
+      (s, id)
+    }.sortBy(t => (t._1, t._2)).take(3).map(_._2).toSet
+    assert(exact.filter(_._1 == 0L).map(_._2) === bf)
+    val ann = graft.operators.KnnGraph.build(
+        emb.select(col("external_id").as("vec_id"), col("vector").as("embedding")),
+        3, DistanceMetric.L2, partitions = 8, nprobe = 2,
+        idCol = "vec_id", vecCol = "embedding")
+      .select("id", "nbr_id").as[(Long, Long)].collect().toSet
+    val recall = (ann & exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"multi-probe graph recall $recall too low")
+  }
+
   test("consolidateUpdates folds the log into a new base version") {
     val uri = tmp()
     val idx = Ingest.ingest(spark, uri, emb, "FLAT", DistanceMetric.L2, timestamp = 1000L)
