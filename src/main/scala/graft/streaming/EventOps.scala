@@ -78,6 +78,38 @@ object EventOps {
       .start()
   }
 
+  /** Custom keyed state via `mapGroupsWithState`: running per-user
+    * (count, sum) totals that persist across micro-batches — the
+    * KeyValueGroupedDataset stateful-processing surface for operators the
+    * built-in windows can't express. One output row per user per trigger. */
+  def statefulUserTotals(
+      spark: SparkSession,
+      dir: String,
+      schema: StructType,
+      queryName: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val ds = stream.selectExpr("cast(user_id as long) user_id", "value")
+      .as[(Long, Double)]
+    val totals = ds.groupByKey(_._1)
+      .mapGroupsWithState[(Long, Double), (Long, Long, Double)](
+        GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[(Long, Double)]) =>
+          var (c, sm) = state.getOption.getOrElse((0L, 0.0))
+          rows.foreach { case (_, v) => c += 1; sm += v }
+          state.update((c, sm))
+          (user, c, sm)
+      }
+    totals.toDF("user_id", "n", "sum_value")
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming updates sink (U1/U2 as a stream): each micro-batch of
     * (external_id, vector, ts) rows appends to the index's updates log via
     * foreachBatch — identical semantics to `updateBatch` per batch, and the

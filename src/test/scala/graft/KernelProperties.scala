@@ -1,0 +1,76 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.operators.TopKHeap
+import graft.text.{SimHash64, WinnowFingerprint}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.BoundReference
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Property-based invariants of the driver-side kernels (pure JVM — no
+  * SparkSession needed, so these run in milliseconds). */
+object KernelProperties extends Properties("graft.kernels") {
+
+  private val entryGen: Gen[(Float, Long)] = for {
+    s <- Gen.chooseNum(-1e6f, 1e6f)
+    id <- Gen.chooseNum(Long.MinValue / 2, Long.MaxValue / 2)
+  } yield (s, id)
+
+  property("TopKHeap == sorted.take(k) under (score,id) order") =
+    forAll(Gen.listOf(entryGen), Gen.chooseNum(1, 50)) { (xs, k) =>
+      val h = new TopKHeap(k)
+      xs.foreach { case (s, id) => h.insert(s, id) }
+      val expected = xs.sortBy(t => (t._1, t._2)).take(k)
+      h.sorted.toSeq == expected
+    }
+
+  property("TopKHeap merge == concatenated insert") =
+    forAll(Gen.listOf(entryGen), Gen.listOf(entryGen), Gen.chooseNum(1, 20)) {
+      (xs, ys, k) =>
+        val a = new TopKHeap(k); xs.foreach { case (s, i) => a.insert(s, i) }
+        val b = new TopKHeap(k); ys.foreach { case (s, i) => b.insert(s, i) }
+        a.merge(b)
+        val c = new TopKHeap(k); (xs ++ ys).foreach { case (s, i) => c.insert(s, i) }
+        a.sorted.toSeq == c.sorted.toSeq
+    }
+
+  private def tokensArray(tokens: List[String]): ArrayData =
+    new GenericArrayData(tokens.map(t => UTF8String.fromString(t)).toArray[Any])
+
+  private val tokenGen: Gen[String] = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+
+  property("SimHash is token-order invariant") =
+    forAll(Gen.nonEmptyListOf(tokenGen)) { tokens =>
+      val e = SimHash64(BoundReference(0, ArrayType(StringType), nullable = false))
+      val h1 = e.eval(InternalRow(tokensArray(tokens)))
+      val h2 = e.eval(InternalRow(tokensArray(scala.util.Random.shuffle(tokens))))
+      h1 == h2
+    }
+
+  property("Winnow fingerprints are deterministic and non-empty") =
+    forAll(Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)) { s =>
+      val e = WinnowFingerprint(BoundReference(0, StringType, nullable = false))
+      val f1 = e.eval(InternalRow(UTF8String.fromString(s)))
+        .asInstanceOf[GenericArrayData].array.toSeq
+      val f2 = e.eval(InternalRow(UTF8String.fromString(s)))
+        .asInstanceOf[GenericArrayData].array.toSeq
+      f1 == f2 && f1.nonEmpty
+    }
+
+  property("Winnow survives a suffix append (prefix windows unchanged)") =
+    forAll(Gen.listOfN(40, Gen.alphaLowerChar).map(_.mkString),
+      Gen.listOfN(10, Gen.alphaLowerChar).map(_.mkString)) { (base, suffix) =>
+      val e = WinnowFingerprint(BoundReference(0, StringType, nullable = false))
+      val f1 = e.eval(InternalRow(UTF8String.fromString(base)))
+        .asInstanceOf[GenericArrayData].array.map(_.asInstanceOf[Long]).toSet
+      val f2 = e.eval(InternalRow(UTF8String.fromString(base + suffix)))
+        .asInstanceOf[GenericArrayData].array.map(_.asInstanceOf[Long]).toSet
+      // appended text can only add fingerprints near the boundary; the vast
+      // majority of the original set must survive
+      f1.intersect(f2).size.toDouble >= f1.size * 0.6
+    }
+}

@@ -59,6 +59,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(top === 5000L, "streamed update should be retrievable (exact match)")
   }
 
+  test("mapGroupsWithState running totals equal the batch aggregate") {
+    val events = EventOps.loadEvents(spark, sf0001)
+    val dir = Files.createTempDirectory("graft_events_state").toString
+    events.write.mode("overwrite").parquet(dir)
+    val q = EventOps.statefulUserTotals(
+      spark, dir, spark.read.parquet(dir).schema, "state_test")
+    q.awaitTermination()
+    val streamed = spark.table("state_test")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val batch = events.groupBy(col("user_id")).count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(streamed === batch)
+  }
+
   test("sessionization matches a hand-computed gaps-and-islands answer") {
     import spark.implicits._
     val rows = Seq(
