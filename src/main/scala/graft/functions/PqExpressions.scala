@@ -128,3 +128,64 @@ case class PqAsymmetricDistance(
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
+
+/** Per-query PQ distance table: float query → flattened
+  * [subspace][code] SOS table (length numSubspaces*codesPerSubspace).
+  * Computing the table inside the plan keeps arbitrarily large query
+  * batches fully distributed (no driver-side table construction). */
+case class PqDistanceTable(
+    child: Expression,
+    codebooks: Array[Float],
+    numSubspaces: Int,
+    codesPerSubspace: Int,
+    subDim: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VectorExprChecks.unaryFloatArray(prettyName, child)
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_distance_table"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val q = v.asInstanceOf[ArrayData]
+    new GenericArrayData(
+      PqDistanceTable.table(q, codebooks, numSubspaces, codesPerSubspace, subDim))
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebooks", codebooks, "float[]")
+    nullSafeCodeGen(ctx, ev, q => {
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.PqDistanceTable.table($q, $cbRef, $numSubspaces, $codesPerSubspace, $subDim));
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object PqDistanceTable {
+  def table(q: ArrayData, cb: Array[Float], m: Int, codes: Int, subDim: Int): Array[Float] = {
+    if (q.numElements() != m * subDim) throw new IllegalArgumentException(
+      s"graft: pq table dims ${q.numElements()} != $m x $subDim")
+    val out = new Array[Float](m * codes)
+    var s = 0
+    while (s < m) {
+      var c = 0
+      while (c < codes) {
+        val off = (s * codes + c) * subDim
+        var d = 0.0f
+        var j = 0
+        while (j < subDim) {
+          val diff = q.getFloat(s * subDim + j) - cb(off + j)
+          d += diff * diff
+          j += 1
+        }
+        out(s * codes + c) = d
+        c += 1
+      }
+      s += 1
+    }
+    out
+  }
+}

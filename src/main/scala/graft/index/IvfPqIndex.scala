@@ -68,44 +68,20 @@ class IvfPqIndex(spark: SparkSession, uri: String, meta: IndexMeta, ts: Long)
     val nprobe = if (nprobe0 <= 0) math.min(parts, IvfPqIndex.DefaultNprobe)
       else math.min(nprobe0, parts) // reference default nprobe=100, ivf_pq_index.py:126
 
-    val qRows = queries.select(col("qid"), col("qvec")).collect()
-    val probes = qRows.toSeq.map { r =>
-      val qid = r.getLong(0)
-      val qv = r.getSeq[Float](1).toArray
-      (qid, qv, NearestCentroid.topNProbe(qv, centroids, nprobe))
-    }
-    val activeParts = probes.flatMap(_._3).distinct.sorted
-
-    // Per-query distance tables: table[s*codesPer + c] = SOS(q_sub_s, cb[s][c])
-    val tables: Map[Long, Array[Float]] = probes.map { case (qid, qv, _) =>
-      val t = new Array[Float](m * codesPer)
-      var s = 0
-      while (s < m) {
-        var c = 0
-        while (c < codesPer) {
-          val cent = codebooks(s)(c)
-          var d = 0.0f
-          var j = 0
-          while (j < subDim) {
-            val diff = qv(s * subDim + j) - cent(j)
-            d += diff * diff
-            j += 1
-          }
-          t(s * codesPer + c) = d
-          c += 1
-        }
-        s += 1
-      }
-      qid -> t
-    }.toMap
-
+    // Fully-distributed probe + per-query distance tables: both are
+    // expressions in the plan (reference builds tables in C++ per query,
+    // ivf_pq_index.h:1181-1254; here arbitrarily large query batches stay
+    // distributed — no driver-side table construction).
     import spark.implicits._
-    val pairs = probes.flatMap { case (qid, qv, ps) =>
-      ps.map(p => (qid, p, tables(qid).toSeq, qv.toSeq))
-    }.toDF("qid", "partition_id", "dtable", "qvec")
-      .select(col("qid"), col("partition_id"),
-        col("dtable").cast("array<float>").as("dtable"),
-        col("qvec").cast("array<float>").as("qvec"))
+    val flatCb = Ingest.flattenCodebooks(codebooks, subDim)
+    val pairs = queries.select(col("qid"), col("qvec"),
+        toColumn(graft.functions.PqDistanceTable(
+          toExpression(col("qvec")), flatCb, m, codesPer, subDim)).as("dtable"),
+        explode(toColumn(graft.functions.NearestCentroids(
+          toExpression(col("qvec")), centroids, nprobe))).as("partition_id"))
+      .select("qid", "partition_id", "dtable", "qvec")
+    val activeParts = pairs.select("partition_id").distinct()
+      .as[Int].collect().sorted.toSeq
 
     val pruned = baseVectors().where(col("partition_id").isin(activeParts: _*))
     val baseSize = meta.baseSizes(historyIdx)

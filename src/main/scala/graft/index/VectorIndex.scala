@@ -324,18 +324,19 @@ class IvfFlatIndex(spark: SparkSession, uri: String, meta: IndexMeta, ts: Long)
         vector_normalize(col("qvec")).as("qvec"))
       case _ => queries
     }
-    // Driver-side probe: queries are a small batch (reference holds them in
-    // RAM too, index.py:298-312); centroids are broadcast-sized by design.
-    val qRows = qn.select(col("qid"), col("qvec")).collect()
-    val probes: Seq[(Long, Array[Float], Array[Int])] = qRows.toSeq.map { r =>
-      val qid = r.getLong(0)
-      val qv = r.getSeq[Float](1).toArray
-      (qid, qv, graft.functions.NearestCentroid.topNProbe(qv, centroids, nprobe))
-    }
-    val activeParts = probes.flatMap(_._3).distinct.sorted
+    // Fully-distributed probe: the per-query top-nprobe centroid list is an
+    // expression in the plan (no driver collect — query batches can be
+    // arbitrarily large). Only the distinct ACTIVE partition ids (≤
+    // partitions ints) come back to the driver, to drive parquet partition
+    // pruning.
     import spark.implicits._
-    val pairs = probes.flatMap { case (qid, qv, ps) => ps.map(p => (qid, p, qv)) }
-      .toDF("qid", "partition_id", "qvec")
+    import org.apache.spark.sql.graftshim.{toColumn, toExpression}
+    val pairs = qn.select(col("qid"), col("qvec"),
+        explode(toColumn(graft.functions.NearestCentroids(
+          toExpression(col("qvec")), centroids, nprobe))).as("partition_id"))
+      .select("qid", "partition_id", "qvec")
+    val activeParts = pairs.select("partition_id").distinct()
+      .as[Int].collect().sorted.toSeq
     // partition_id IN (...) reaches the parquet scan as partition pruning.
     val pruned = baseVectors().where(col("partition_id").isin(activeParts: _*))
     val qscore = if (metric == DistanceMetric.Cosine) probeMetric else metric
