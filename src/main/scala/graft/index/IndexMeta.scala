@@ -76,10 +76,15 @@ object IndexMeta {
       StandardOpenOption.WRITE)
   }
 
+  val SupportedVersions = Set("0.1", "0.2", "0.3")
+
   def read(rootDir: String): IndexMeta = {
     val raw = new String(
       Files.readAllBytes(Paths.get(rootDir).resolve("index.json")), StandardCharsets.UTF_8)
     val j = JsonMethods.parse(raw)
+    val sv = (j \ "storage_version").extract[String]
+    require(SupportedVersions.contains(sv),
+      s"graft: unsupported storage_version $sv (supported: $SupportedVersions)")
     IndexMeta(
       indexType = (j \ "index_type").extract[String],
       dtype = (j \ "dtype").extract[String],

@@ -22,6 +22,18 @@ import graft.operators.DistanceMetric
   */
 object Ingest {
 
+  /** Attach synthesized consecutive external ids to a vector-only source
+    * (reference: read_external_ids synthesizes arange when absent,
+    * ingestion.py:809-877). Ordering follows the given sort columns. */
+  def withSyntheticIds(vectors: DataFrame, orderBy: String*): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = if (orderBy.nonEmpty)
+      Window.orderBy(orderBy.map(col): _*)
+    else Window.orderBy(monotonically_increasing_id())
+    vectors.withColumn("external_id",
+      (row_number().over(w) - 1).cast("long"))
+  }
+
   /** Auto partition count: √size, ≥100 vectors per partition for k-means
     * (reference: ingestion.py:3180-3186). */
   def autoPartitions(size: Long): Int = {
@@ -53,6 +65,7 @@ object Ingest {
       partitions: Option[Int] = None,
       trainingSampleSize: Option[Int] = None,
       numSubspaces: Option[Int] = None,
+      trainingSource: Option[DataFrame] = None,
       appendMeta: Boolean = false,
       normalizeDone: Boolean = false,
       presetCentroids: Option[Array[Array[Float]]] = None): VectorIndex = {
@@ -99,8 +112,12 @@ object Ingest {
         base.write.mode("overwrite").parquet(s"$uri/base/v=$timestamp")
       case "IVF_FLAT" =>
         // copy-centroids reuse on consolidation (reference: index.py:503-577
-        // `copy_centroids_uri` + partitions check) skips re-training.
-        val centroids = presetCentroids.getOrElse(trainCentroids(base, numParts,
+        // `copy_centroids_uri` + partitions check) skips re-training; a
+        // separate training source mirrors the reference's
+        // training_source_uri (ingestion.py:42 params).
+        val trainDf = trainingSource.map(_.select(
+          col("vector").cast("array<float>").as("vector"))).getOrElse(base)
+        val centroids = presetCentroids.getOrElse(trainCentroids(trainDf, numParts,
           trainingSampleSize.getOrElse(autoTrainingSize(count, numParts))))
         writeCentroids(spark, uri, timestamp, centroids)
         val assigned = base.withColumn("partition_id",

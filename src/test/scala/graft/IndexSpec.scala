@@ -233,6 +233,30 @@ class IndexSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"multi-probe graph recall $recall too low")
   }
 
+  test("collect-free IVF path handles a large query batch (all 500 as queries)") {
+    val uri = tmp()
+    val idx = Ingest.ingest(spark, uri, emb, "IVF_FLAT", DistanceMetric.L2,
+      timestamp = 1000L, partitions = Some(16))
+    val allQueries = emb.select(col("external_id").as("qid"), col("vector").as("qvec"))
+    val hits = idx.query(allQueries, 3, nprobe = 16)
+    assert(hits.count() === 1500)
+    // self-match must rank first for every query (exact path, probe-all)
+    val selfFirst = hits.where(col("rank") === 1 && col("qid") === col("id")).count()
+    assert(selfFirst === 500)
+  }
+
+  test("ingest with separate training source and synthetic ids") {
+    val uri = tmp()
+    val noIds = emb.select(col("vector"))
+    val withIds = Ingest.withSyntheticIds(noIds)
+    assert(withIds.agg(min(col("external_id")), max(col("external_id")))
+      .head().toSeq === Seq(0L, 499L))
+    val train = emb.where(col("external_id") < 200).select("vector")
+    val idx = Ingest.ingest(spark, uri, withIds, "IVF_FLAT", DistanceMetric.L2,
+      timestamp = 1000L, partitions = Some(8), trainingSource = Some(train))
+    assert(idx.query(queries10, 5, nprobe = 8).count() === 50)
+  }
+
   test("consolidateUpdates folds the log into a new base version") {
     val uri = tmp()
     val idx = Ingest.ingest(spark, uri, emb, "FLAT", DistanceMetric.L2, timestamp = 1000L)
