@@ -257,6 +257,24 @@ class IndexSpec extends AnyFunSuite {
     assert(idx.query(queries10, 5, nprobe = 8).count() === 50)
   }
 
+  test("VAMANA + updates log: graph base merges with additions/deletes") {
+    val uri = tmp()
+    val idx = Ingest.ingest(spark, uri, emb, "VAMANA", DistanceMetric.L2,
+      timestamp = 1000L)
+    // delete q0's nearest true neighbors (not q0 itself), add an exact
+    // duplicate of q0
+    val exact = exactIds(emb, 10)
+    val toDelete = exact(0L).slice(1, 4)
+    idx.deleteBatch(emb.where(col("external_id").isin(toDelete: _*)), ts = 1100L)
+    idx.updateBatch(
+      emb.where(col("external_id") === 0)
+        .select(lit(77777L).as("external_id"), col("vector")), ts = 1100L)
+    val got = gotIds(VectorIndex.open(spark, uri).query(queries10, 10))
+    assert(!got(0L).exists(toDelete.toSet), "deleted ids must be masked")
+    assert(got(0L).take(2).toSet === Set(0L, 77777L),
+      "the added exact duplicate must tie with the original at the top")
+  }
+
   test("consolidateUpdates folds the log into a new base version") {
     val uri = tmp()
     val idx = Ingest.ingest(spark, uri, emb, "FLAT", DistanceMetric.L2, timestamp = 1000L)
