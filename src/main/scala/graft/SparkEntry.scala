@@ -227,6 +227,17 @@ object SparkEntry {
         partitions = 8, nprobe = 2, idCol = "vec_id", vecCol = "embedding")
       .select(col("id"), col("nbr_id")).orderBy("id", "nbr_id")
 
+  /** Radius search: all vectors within L2 distance 1.25 of each query
+    * (sqrt-free SOS comparison — the OptimizeDistancePredicates shape). */
+  private def rangeSearchL2(spark: SparkSession, dir: String): DataFrame = {
+    val db = emb(spark, dir)
+    val queries = db.where(col("vec_id") < NQ)
+    Knn.rangeSearch(db, queries, 1.25, DistanceMetric.L2,
+        idCol = "vec_id", vecCol = "embedding", qidCol = "vec_id", qvecCol = "embedding")
+      .select(col("qid"), col("id").as("neighbor_id"))
+      .orderBy("qid", "neighbor_id")
+  }
+
   // ----- object layer / multimodal (rows-only: hash-embedding internals) -----
 
   private val objIndexCache = scala.collection.concurrent.TrieMap.empty[String, graft.objects.ObjectIndex]
@@ -407,6 +418,7 @@ object SparkEntry {
     "fvecs_roundtrip_knn" -> (fvecsRoundtripKnn _),
     "knn_flat_u8" -> (knnFlatU8 _),
     "knn_graph_exact" -> (knnGraphExact _),
+    "range_search_l2" -> (rangeSearchL2 _),
     "knn_graph_ann" -> (knnGraphAnn _),
     "object_search" -> (objectSearch _),
     "object_search_filtered" -> (objectSearchFiltered _),
@@ -445,6 +457,12 @@ object SparkEntry {
     // k-means); driver records rows-only, recall asserted in IndexSpec.
     "ivf_pq_exact_rerank" -> knnOracle("list_distance(n.embedding, q.embedding)"),
     "fvecs_roundtrip_knn" -> knnOracle("list_distance(n.embedding, q.embedding)"),
+    "range_search_l2" ->
+      s"""SELECT q.vec_id AS qid, n.vec_id AS neighbor_id
+         |FROM (SELECT * FROM embeddings WHERE vec_id < $NQ) q
+         |CROSS JOIN embeddings n
+         |WHERE list_distance(n.embedding, q.embedding) <= 1.25
+         |ORDER BY qid, neighbor_id""".stripMargin,
     "knn_graph_exact" ->
       """SELECT a.vec_id AS id, b.vec_id AS nbr_id
         |FROM embeddings a CROSS JOIN embeddings b

@@ -123,6 +123,37 @@ object Knn {
     topKFromScores(scored, k, metric)
   }
 
+  /** Range (radius) search: all db vectors within `radius` of each query
+    * under the metric's reported distance. The sqrt-free comparison for L2
+    * is what [[graft.plans.OptimizeDistancePredicates]] rewrites to when
+    * the predicate is written against dist_l2 in SQL; here it is built
+    * directly. */
+  def rangeSearch(
+      db: DataFrame,
+      queries: DataFrame,
+      radius: Double,
+      metric: DistanceMetric = DistanceMetric.L2,
+      idCol: String = "id",
+      vecCol: String = "vector",
+      qidCol: String = "qid",
+      qvecCol: String = "qvec"): DataFrame = {
+    val q = queries.select(col(qidCol).cast("long").as("qid"), col(qvecCol).as("__qvec"))
+    val d = db.select(col(idCol).cast("long").as("id"), col(vecCol).as("__vec"))
+    val dist = metric match {
+      // compare in SOS space: radius^2 bound, no sqrt per row
+      case DistanceMetric.L2 =>
+        graft.functions.dist_sos(col("__vec"), col("__qvec"))
+      case m => DistanceMetric.score(m)(col("__vec"), col("__qvec"))
+    }
+    val bound = metric match {
+      case DistanceMetric.L2 => lit((radius * radius).toFloat)
+      case _ => lit(radius.toFloat)
+    }
+    d.crossJoin(broadcast(q))
+      .where(dist <= bound)
+      .select(col("qid"), col("id"))
+  }
+
   /** Final top-k reduction over pre-scored (qid, id, score) candidates. */
   def topKFromScores(scored: DataFrame, k: Int, metric: DistanceMetric): DataFrame = {
     scored
