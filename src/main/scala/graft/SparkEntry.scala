@@ -351,11 +351,15 @@ object SparkEntry {
       .where(col("l_shipdate") <= lit("1998-09-02"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
-        sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_base_price"),
+        // Explicit output types: Spark's sum(decimal(18,2)) is decimal(28,2)
+        // while DuckDB's is DECIMAL(38,2); pin both sides to DECIMAL(38,x).
+        sum(col("l_quantity").cast("decimal(18,2)"))
+          .cast("decimal(38,2)").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)"))
+          .cast("decimal(38,2)").as("sum_base_price"),
         sum((col("l_extendedprice").cast("decimal(18,2)") *
           (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))))
-          .as("sum_disc_price"),
+          .cast("decimal(38,4)").as("sum_disc_price"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -534,9 +538,9 @@ object SparkEntry {
          |SELECT doc_id, component FROM comp ORDER BY doc_id""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  sum(l_quantity::DECIMAL(18,2)) AS sum_qty,
-        |  sum(l_extendedprice::DECIMAL(18,2)) AS sum_base_price,
-        |  sum(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2))) AS sum_disc_price,
+        |  sum(l_quantity::DECIMAL(18,2))::DECIMAL(38,2) AS sum_qty,
+        |  sum(l_extendedprice::DECIMAL(18,2))::DECIMAL(38,2) AS sum_base_price,
+        |  sum(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DECIMAL(38,4) AS sum_disc_price,
         |  count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= '1998-09-02'
         |GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin,
@@ -571,66 +575,7 @@ object SparkEntry {
         |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |                     ROWS UNBOUNDED PRECEDING) AS session_idx
         |  FROM g)
-        |SELECT user_id, session_idx, count(*) AS n_events
-        |FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin,
-    "dedup_components" ->
-      s"""WITH RECURSIVE
-         |t AS (SELECT doc_id, lang, source, text,
-         |        regexp_split_to_array(trim(text), '\\s+') toks FROM documents),
-         |sh_s AS (SELECT doc_id,
-         |        CASE WHEN len(toks) < 3 THEN [trim(text)]
-         |             ELSE list_distinct(list_transform(range(1, len(toks)-1),
-         |                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END sh
-         |      FROM t),
-         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-         |          FROM sh_s a JOIN sh_s b ON a.doc_id < b.doc_id
-         |          WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
-         |edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
-         |reach(a, b) AS (SELECT a, b FROM edges
-         |                UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-         |comp AS (SELECT d.doc_id, least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS component
-         |         FROM documents d LEFT JOIN reach r ON d.doc_id = r.a GROUP BY d.doc_id)
-         |SELECT doc_id, component FROM comp ORDER BY doc_id""".stripMargin,
-    "q1_agg" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  sum(l_quantity::DECIMAL(18,2)) AS sum_qty,
-        |  sum(l_extendedprice::DECIMAL(18,2)) AS sum_base_price,
-        |  sum(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2))) AS sum_disc_price,
-        |  count(*) AS count_order
-        |FROM lineitem WHERE l_shipdate <= '1998-09-02'
-        |GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin,
-    "q_join_revenue" ->
-      """SELECT o_orderpriority,
-        |  sum(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2))) AS revenue,
-        |  count(*) AS n_items
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
-    "q_top_customers" ->
-      """SELECT n_name, c_custkey, n_orders FROM (
-        |  SELECT n_name, c_custkey, n_orders,
-        |    row_number() OVER (PARTITION BY n_name ORDER BY n_orders DESC, c_custkey) AS rn
-        |  FROM (
-        |    SELECT n_name, c_custkey, count(*) AS n_orders
-        |    FROM orders JOIN customer ON o_custkey = c_custkey
-        |    JOIN nation ON c_nationkey = n_nationkey
-        |    GROUP BY 1, 2))
-        |WHERE rn <= 5 ORDER BY n_name, c_custkey""".stripMargin,
-    "events_windowed" ->
-      """SELECT (floor(epoch(ts) / 300) * 300)::BIGINT AS window_start, event_type,
-        |  count(*) AS n, min(value) AS min_v, max(value) AS max_v
-        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
-    "events_sessionized" ->
-      """WITH g AS (
-        |  SELECT user_id, ts, event_id,
-        |    CASE WHEN lag(ts) OVER w IS NULL
-        |           OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS new_s
-        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |s AS (
-        |  SELECT user_id,
-        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                     ROWS UNBOUNDED PRECEDING) AS session_idx
-        |  FROM g)
-        |SELECT user_id, session_idx, count(*) AS n_events
+        |SELECT user_id, session_idx::BIGINT AS session_idx, count(*) AS n_events
         |FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin,
     "dedup_embedding_cosine" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b

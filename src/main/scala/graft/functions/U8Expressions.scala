@@ -165,3 +165,33 @@ case class PackBytes(child: Expression, signed: Boolean = false)
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
+
+/** Inverse of [[PackBytes]]: widen binary byte-packed storage back to
+  * array<float> (consolidation re-ingests through the float path). */
+case class UnpackBytes(child: Expression, signed: Boolean = false)
+    extends UnaryExpression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires binary, got ${other.catalogString}")
+    }
+  }
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "unpack_bytes"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val b = v.asInstanceOf[Array[Byte]]
+    val out = new Array[Float](b.length)
+    var i = 0
+    while (i < b.length) {
+      out(i) = if (signed) b(i).toFloat else (b(i) & 0xFF).toFloat
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

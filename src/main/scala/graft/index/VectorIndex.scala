@@ -139,13 +139,34 @@ abstract class VectorIndex(
       newTs: Long,
       partitions: Option[Int] = None,
       reuseCentroids: Boolean = false): VectorIndex = {
+    import org.apache.spark.sql.graftshim.{toColumn, toExpression}
     val upd = updatesInWindow()
+    // Byte-dtype bases store BinaryType packed vectors; widen back to
+    // array<float> so the merge + re-ingest run through the float path
+    // (Ingest re-packs under the same dtype).
+    val base = {
+      val b = baseVectors().select("external_id", "vector")
+      if (meta.dtype == "uint8" || meta.dtype == "int8")
+        b.select(col("external_id"),
+          toColumn(graft.functions.UnpackBytes(toExpression(col("vector")),
+            signed = meta.dtype == "int8")).as("vector"))
+      else b
+    }
     val merged = upd match {
-      case None => baseVectors().select("external_id", "vector")
+      case None => base
       case Some(u) =>
         val latest = latestUpdatePerId(u)
-        val adds = latest.where(col("vector").isNotNull).select("external_id", "vector")
-        baseVectors().select("external_id", "vector")
+        // The updates log holds RAW vectors, but COSINE non-FLAT bases are
+        // stored normalized (normalizeDone=true below skips re-normalizing
+        // the base) — normalize the additions so the union is uniform.
+        val addsRaw = latest.where(col("vector").isNotNull)
+          .select("external_id", "vector")
+        val adds =
+          if (metric == DistanceMetric.Cosine && meta.indexType != "FLAT")
+            addsRaw.select(col("external_id"),
+              vector_normalize(col("vector")).as("vector"))
+          else addsRaw
+        base
           .join(broadcast(latest.select("external_id")), Seq("external_id"), "left_anti")
           .unionByName(adds)
     }
@@ -157,7 +178,9 @@ abstract class VectorIndex(
     } else None
     Ingest.ingest(spark, uri, merged, meta.indexType, metric,
       dtype = meta.dtype, timestamp = newTs,
-      partitions = partitions, normalizeDone = true, appendMeta = true,
+      partitions = partitions,
+      numSubspaces = if (meta.numSubspaces > 0) Some(meta.numSubspaces) else None,
+      normalizeDone = true, appendMeta = true,
       presetCentroids = preset)
     VectorIndex.open(spark, uri)
   }

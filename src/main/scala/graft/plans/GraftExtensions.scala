@@ -19,19 +19,22 @@ import graft.operators.MinTopK
   */
 object OptimizeDistancePredicates extends Rule[LogicalPlan] {
 
-  private def sq(r: Float): Literal = Literal(r * r, FloatType)
+  /** For r >= 0 compare against r²; for r < 0 keep the raw negative bound —
+    * dist_sos is non-negative, so the truth table is identical to the
+    * original AND null inputs still evaluate to NULL (a constant TRUE/FALSE
+    * fold would flip NULL rows in filters over nullable vectors). */
+  private def bound(r: Float): Literal =
+    if (r < 0) Literal(r, FloatType) else Literal(r * r, FloatType)
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
     case LessThan(EuclideanDistance(a, b), Literal(r: Float, FloatType)) =>
-      if (r < 0) Literal.FalseLiteral else LessThan(SumOfSquaresDistance(a, b), sq(r))
+      LessThan(SumOfSquaresDistance(a, b), bound(r))
     case LessThanOrEqual(EuclideanDistance(a, b), Literal(r: Float, FloatType)) =>
-      if (r < 0) Literal.FalseLiteral
-      else LessThanOrEqual(SumOfSquaresDistance(a, b), sq(r))
+      LessThanOrEqual(SumOfSquaresDistance(a, b), bound(r))
     case GreaterThan(EuclideanDistance(a, b), Literal(r: Float, FloatType)) =>
-      if (r < 0) Literal.TrueLiteral else GreaterThan(SumOfSquaresDistance(a, b), sq(r))
+      GreaterThan(SumOfSquaresDistance(a, b), bound(r))
     case GreaterThanOrEqual(EuclideanDistance(a, b), Literal(r: Float, FloatType)) =>
-      if (r < 0) Literal.TrueLiteral
-      else GreaterThanOrEqual(SumOfSquaresDistance(a, b), sq(r))
+      GreaterThanOrEqual(SumOfSquaresDistance(a, b), bound(r))
   }
 }
 

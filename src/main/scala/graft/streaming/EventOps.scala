@@ -26,7 +26,9 @@ object EventOps {
     val tsIsLong = raw.schema("ts").dataType ==
       org.apache.spark.sql.types.LongType
     if (tsIsLong) {
-      raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      // Integer division: nano epochs (~1.7e18) exceed double's 53-bit
+      // mantissa, so `/ 1000` (double div) corrupts ~12% of values.
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     } else raw
   }
 

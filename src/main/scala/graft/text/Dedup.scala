@@ -85,15 +85,16 @@ object Dedup {
     val bCoef = Array.fill(numHashes)(rnd.nextInt(Int.MaxValue).toLong)
 
     import org.apache.spark.sql.graftshim.{toColumn, toExpression}
-    // repartition materializes (sh, minhash) once before band explosion.
-    // cached: the plan is referenced three times (banding + both sides of
-    // the verification join) — without the cache each reference re-runs the
-    // full shingle pipeline.
+    // The (sh, minhash) frame is referenced three times (banding + both
+    // sides of the verification join) — localCheckpoint materializes it once
+    // and cuts lineage; unlike cache() the blocks are released by the
+    // ContextCleaner when the plan is unreferenced, so repeated dedup calls
+    // don't accumulate storage.
     val withSig = docs.select(col(idCol).as("id"),
         TextOps.shingleSet(col(textCol)).as("sh"))
       .withColumn("minhash",
         toColumn(MinHashSignature(toExpression(col("sh")), aCoef, bCoef)))
-      .cache()
+      .localCheckpoint()
 
     val banded = withSig.select(col("id"), col("sh"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)), bd =>

@@ -5,13 +5,23 @@ import org.scalatest.funsuite.AnyFunSuite
 
 class ExtensionsSpec extends AnyFunSuite {
 
-  private lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[2]")
-    .appName("graft-ext-test")
-    .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  private lazy val spark: SparkSession = {
+    // another spec's shared session may already own the SparkContext, and
+    // `spark.sql.extensions` is static conf read at CONTEXT creation — clear
+    // the default session and wire the extensions through withExtensions,
+    // which applies to a new session over a reused context too (same code
+    // path GraftExtensions takes when loaded via the conf on a fresh JVM)
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.plans.GraftExtensions())
+      .getOrCreate()
+  }
 
   test("extension-injected SQL functions work in a fresh session") {
     import spark.implicits._
@@ -38,5 +48,22 @@ class ExtensionsSpec extends AnyFunSuite {
     val neg = spark.sql(
       "SELECT id FROM pts WHERE dist_l2(v, array(0.0f, 0.0f)) <= -1.0f")
     assert(neg.count() === 0)
+  }
+
+  test("negative-radius rewrite preserves NULL semantics on nullable vectors") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ext_null").toString
+    Seq((1L, Some(Array(1.0f, 0.0f))), (2L, None), (3L, Some(Array(5.0f, 0.0f))))
+      .toDF("id", "v").write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir).createOrReplaceTempView("npts")
+    // dist > negative: true for every NON-NULL row, NULL (filtered) for null
+    val gt = spark.sql(
+      "SELECT id FROM npts WHERE dist_l2(v, array(0.0f, 0.0f)) > -1.0f")
+    assert(gt.collect().map(_.getLong(0)).sorted === Array(1L, 3L))
+    // projection context: null row stays NULL, not TRUE
+    val proj = spark.sql(
+      "SELECT id, dist_l2(v, array(0.0f, 0.0f)) >= -1.0f AS p FROM npts ORDER BY id")
+      .collect()
+    assert(proj(0).getBoolean(1) && proj(1).isNullAt(1) && proj(2).getBoolean(1))
   }
 }

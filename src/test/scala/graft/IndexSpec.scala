@@ -275,6 +275,56 @@ class IndexSpec extends AnyFunSuite {
       "the added exact duplicate must tie with the original at the top")
   }
 
+  test("COSINE consolidate normalizes log additions before merging the base") {
+    val uri = tmp()
+    val idx = Ingest.ingest(spark, uri, emb, "IVF_FLAT", DistanceMetric.Cosine,
+      timestamp = 1000L, partitions = Some(8))
+    // additions with large-magnitude (unnormalized) vectors: cosine ignores
+    // magnitude, so post-consolidation results must match brute force over
+    // the merged RAW set
+    val adds = emb.where(col("external_id") < 20)
+      .select((col("external_id") + 1000000L).as("external_id"),
+        expr("transform(vector, x -> x * 37.0f)").as("vector"))
+    idx.updateBatch(adds, ts = 1100L)
+    val after = VectorIndex.open(spark, uri).consolidateUpdates(newTs = 2000L)
+    val merged = emb.unionByName(adds)
+    val expected = exactIds(merged, 10, DistanceMetric.Cosine)
+    val got = gotIds(after.query(queries10, 10, nprobe = 8))
+    // scaled duplicates tie exactly with their originals under cosine; accept
+    // either member of the tie pair at each rank
+    val canon = (m: Map[Long, Seq[Long]]) =>
+      m.map { case (q, ids) => q -> ids.map(i => if (i >= 1000000L) i - 1000000L else i).toSet }
+    assert(canon(got) === canon(expected))
+  }
+
+  test("uint8 consolidate unpacks byte storage and re-packs (dtype preserved)") {
+    val uri = tmp()
+    val qdb = emb.select(col("external_id"),
+      expr("transform(vector, x -> float(least(255.0, floor((x + 1.0) * 127.5))))")
+        .as("vector"))
+    val idx = Ingest.ingest(spark, uri, qdb, "FLAT", DistanceMetric.L2,
+      dtype = "uint8", timestamp = 1000L)
+    idx.deleteBatch(qdb.where(col("external_id") < 100), ts = 1100L)
+    val after = idx.consolidateUpdates(newTs = 2000L)
+    assert(after.meta.dtype === "uint8")
+    assert(spark.read.parquet(s"$uri/base/v=2000").schema("vector").dataType
+      === org.apache.spark.sql.types.BinaryType)
+    val expected = gotIds(Knn.bruteForce(qdb.where(col("external_id") >= 100),
+      queries10, 10, DistanceMetric.L2, idCol = "external_id", vecCol = "vector"))
+    assert(gotIds(after.query(queries10, 10)) === expected)
+  }
+
+  test("IVF_PQ consolidate preserves a custom numSubspaces") {
+    val uri = tmp()
+    val idx = Ingest.ingest(spark, uri, emb, "IVF_PQ", DistanceMetric.L2,
+      timestamp = 1000L, partitions = Some(4), numSubspaces = Some(32))
+    assert(idx.meta.numSubspaces === 32)
+    idx.deleteBatch(emb.where(col("external_id") < 50), ts = 1100L)
+    val after = idx.consolidateUpdates(newTs = 2000L)
+    assert(after.meta.numSubspaces === 32)
+    assert(after.query(queries10, 5, nprobe = 4).count() === 50)
+  }
+
   test("consolidateUpdates folds the log into a new base version") {
     val uri = tmp()
     val idx = Ingest.ingest(spark, uri, emb, "FLAT", DistanceMetric.L2, timestamp = 1000L)
