@@ -142,6 +142,18 @@ object SparkEntry {
        |QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY list_distance(n.embedding, q.embedding), n.vec_id) <= $K
        |ORDER BY qid, neighbor_id""".stripMargin
 
+  /** Oracle for every byte-dtype exact query (FLAT brute force, IVF_FLAT
+    * probe-all, IVF_PQ full re-rank): L2 over the identically-quantized db. */
+  private val u8KnnOracle: String =
+    s"""WITH qdb AS (SELECT vec_id,
+       |  list_transform(embedding, x -> least(255.0, floor((x + 1.0) * 127.5))::FLOAT) AS v
+       |  FROM embeddings)
+       |SELECT q.vec_id AS qid, n.vec_id AS neighbor_id
+       |FROM (SELECT * FROM embeddings WHERE vec_id < $NQ) q
+       |CROSS JOIN qdb n
+       |QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY list_distance(n.v, q.embedding), n.vec_id) <= $K
+       |ORDER BY qid, neighbor_id""".stripMargin
+
   private val timetravelOracle: String =
     s"""SELECT q.vec_id AS qid, n.vec_id AS neighbor_id
        |FROM (SELECT * FROM embeddings WHERE vec_id < $NQ) q
@@ -204,13 +216,39 @@ object SparkEntry {
     * asymmetric float-query kernels; oracle quantizes identically in SQL. */
   private def knnFlatU8(spark: SparkSession, dir: String): DataFrame = {
     val uri = cachedIndex("flat_u8", dir) { u =>
-      val qdb = embAsIndexInput(spark, dir).select(col("external_id"),
-        expr("transform(vector, x -> float(least(255.0, floor((x + 1.0) * 127.5))))")
-          .as("vector"))
-      Ingest.ingest(spark, u, qdb, "FLAT", DistanceMetric.L2,
-        dtype = "uint8", timestamp = 1000L)
+      Ingest.ingest(spark, u, quantizedU8(spark, dir), "FLAT",
+        DistanceMetric.L2, dtype = "uint8", timestamp = 1000L)
     }
     idsOnly(VectorIndex.open(spark, uri).query(idxQueries(spark, dir), K))
+  }
+
+  /** Quantized input shared by the byte-dtype index queries. */
+  private def quantizedU8(spark: SparkSession, dir: String): DataFrame =
+    embAsIndexInput(spark, dir).select(col("external_id"),
+      expr("transform(vector, x -> float(least(255.0, floor((x + 1.0) * 127.5))))")
+        .as("vector"))
+
+  /** uint8 IVF_FLAT probe-all: byte-packed partitioned storage + asymmetric
+    * kernels through the full prune/probe pipeline; exact at probe-all, so
+    * the quantized-in-SQL oracle applies. */
+  private def ivfFlatU8(spark: SparkSession, dir: String): DataFrame = {
+    val uri = cachedIndex("ivf_u8", dir) { u =>
+      Ingest.ingest(spark, u, quantizedU8(spark, dir), "IVF_FLAT",
+        DistanceMetric.L2, dtype = "uint8", timestamp = 1000L)
+    }
+    idsOnly(VectorIndex.open(spark, uri).query(idxQueries(spark, dir), K, nprobe = 1 << 30))
+  }
+
+  /** uint8 IVF_PQ with probe-all + dataset-covering k_factor: the exact
+    * byte re-rank reproduces brute force over the quantized db. */
+  private def ivfPqU8ExactRerank(spark: SparkSession, dir: String): DataFrame = {
+    val uri = cachedIndex("ivf_pq_u8", dir) { u =>
+      Ingest.ingest(spark, u, quantizedU8(spark, dir), "IVF_PQ",
+        DistanceMetric.L2, dtype = "uint8", timestamp = 1000L)
+    }
+    val idx = VectorIndex.open(spark, uri).asInstanceOf[graft.index.IvfPqIndex]
+    idsOnly(idx.queryBase(idxQueries(spark, dir), K, nprobe0 = 1 << 30,
+      kFactor = 1e9f / K))
   }
 
   /** Exact k-NN graph (nprobe = partitions): every vector's top-K
@@ -421,6 +459,8 @@ object SparkEntry {
     "vamana_knn" -> (vamanaKnn _),
     "fvecs_roundtrip_knn" -> (fvecsRoundtripKnn _),
     "knn_flat_u8" -> (knnFlatU8 _),
+    "ivf_flat_u8" -> (ivfFlatU8 _),
+    "ivf_pq_u8_exact_rerank" -> (ivfPqU8ExactRerank _),
     "knn_graph_exact" -> (knnGraphExact _),
     "range_search_l2" -> (rangeSearchL2 _),
     "knn_graph_ann" -> (knnGraphAnn _),
@@ -473,15 +513,9 @@ object SparkEntry {
         |WHERE a.vec_id <> b.vec_id
         |QUALIFY row_number() OVER (PARTITION BY a.vec_id ORDER BY list_distance(b.embedding, a.embedding), b.vec_id) <= 5
         |ORDER BY id, nbr_id""".stripMargin,
-    "knn_flat_u8" ->
-      s"""WITH qdb AS (SELECT vec_id,
-         |  list_transform(embedding, x -> least(255.0, floor((x + 1.0) * 127.5))::FLOAT) AS v
-         |  FROM embeddings)
-         |SELECT q.vec_id AS qid, n.vec_id AS neighbor_id
-         |FROM (SELECT * FROM embeddings WHERE vec_id < $NQ) q
-         |CROSS JOIN qdb n
-         |QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY list_distance(n.v, q.embedding), n.vec_id) <= $K
-         |ORDER BY qid, neighbor_id""".stripMargin,
+    "knn_flat_u8" -> u8KnnOracle,
+    "ivf_flat_u8" -> u8KnnOracle,
+    "ivf_pq_u8_exact_rerank" -> u8KnnOracle,
     "updates_knn" -> updatesOracle,
     "timetravel_knn" -> timetravelOracle,
     "text_token_count" ->

@@ -95,21 +95,31 @@ object Ingest {
       case _ => partitions.getOrElse(autoPartitions(count))
     }
 
-    require(dtype == "float32" || ((dtype == "uint8" || dtype == "int8")
-      && indexType == "FLAT"),
-      s"dtype $dtype supported for FLAT in this round (uint8/int8 IVF: round 2)")
+    require(dtype == "float32" || dtype == "uint8" || dtype == "int8",
+      s"unsupported dtype $dtype (float32 / uint8 / int8)")
+    val byteDtype = dtype != "float32"
+    // COSINE on non-FLAT indexes stores NORMALIZED vectors (unit floats are
+    // not byte-representable); FLAT cosine works asymmetrically via
+    // U8CosineDistance with raw bytes.
+    require(!byteDtype || metric != DistanceMetric.Cosine || indexType == "FLAT",
+      s"dtype $dtype + COSINE requires FLAT (normalize-at-ingest is float-only)")
+
+    /** Byte-packed storage: one byte per dim, 4x denser on disk and in
+      * shuffle (reference stores u8/i8 natively for every index type,
+      * flat_index.py:195-197, ivf_flat_index.py:555-573). Training,
+      * partition assignment, and PQ encoding all run on the float view;
+      * only the stored `vector` column is packed. */
+    def packVector(df: DataFrame): DataFrame =
+      if (byteDtype)
+        df.withColumn("vector",
+          toColumn(graft.functions.PackBytes(toExpression(col("vector")),
+            signed = dtype == "int8")))
+      else df
 
     var mSubspaces = 0
     indexType match {
-      case "FLAT" if dtype != "float32" =>
-        // byte-packed storage: one byte per dim (reference stores u8/i8
-        // natively; SURVEY §7.3 unsigned-byte pitfall handled in kernels)
-        base.select(col("external_id"),
-            toColumn(graft.functions.PackBytes(toExpression(col("vector")),
-              signed = dtype == "int8")).as("vector"))
-          .write.mode("overwrite").parquet(s"$uri/base/v=$timestamp")
       case "FLAT" =>
-        base.write.mode("overwrite").parquet(s"$uri/base/v=$timestamp")
+        packVector(base).write.mode("overwrite").parquet(s"$uri/base/v=$timestamp")
       case "IVF_FLAT" =>
         // copy-centroids reuse on consolidation (reference: index.py:503-577
         // `copy_centroids_uri` + partitions check) skips re-training; a
@@ -122,7 +132,7 @@ object Ingest {
         writeCentroids(spark, uri, timestamp, centroids)
         val assigned = base.withColumn("partition_id",
           toColumn(NearestCentroid(toExpression(col("vector")), centroids)))
-        assigned.write.mode("overwrite")
+        packVector(assigned).write.mode("overwrite")
           .partitionBy("partition_id")
           .parquet(s"$uri/base/v=$timestamp")
       case "IVF_PQ" =>
@@ -147,7 +157,7 @@ object Ingest {
           .withColumn("codes",
             toColumn(PqEncode(toExpression(col("vector")), flatCb,
               mSubspaces, codesPer, dims / mSubspaces)))
-        assigned.write.mode("overwrite")
+        packVector(assigned).write.mode("overwrite")
           .partitionBy("partition_id")
           .parquet(s"$uri/base/v=$timestamp")
       case "VAMANA" =>
@@ -168,7 +178,8 @@ object Ingest {
           base.withColumn("shard_id",
             toColumn(NearestCentroid(toExpression(col("vector")), shardCentroids)))
         } else base.withColumn("shard_id", lit(0))
-        sharded.write.mode("overwrite").partitionBy("shard_id")
+        // graph build consumes the float view; only stored base is packed
+        packVector(sharded).write.mode("overwrite").partitionBy("shard_id")
           .parquet(s"$uri/base/v=$timestamp")
         val g = sharded.select(col("shard_id"), col("external_id"), col("vector"))
           .as[(Int, Long, Array[Float])]

@@ -96,13 +96,19 @@ class IvfPqIndex(spark: SparkSession, uri: String, meta: IndexMeta, ts: Long)
       .select(col("qid"), col("id"))
 
     // Exact re-rank: broadcast the (small) candidate set back onto the
-    // pruned base to fetch original vectors; no second full scan.
+    // pruned base to fetch original vectors; no second full scan. Byte
+    // dtypes re-rank with the asymmetric float-vs-packed kernels.
+    val rerankScore: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
+        org.apache.spark.sql.Column =
+      if (meta.dtype == "uint8" || meta.dtype == "int8")
+        graft.operators.ByteKnn.score(metric, signed = meta.dtype == "int8")
+      else DistanceMetric.score(metric)
     val qvecs = pairs.select("qid", "qvec").dropDuplicates("qid")
     val rescored = pruned
       .join(broadcast(candidates), pruned("external_id") === candidates("id"))
       .join(broadcast(qvecs), Seq("qid"))
       .select(col("qid").as("__qid"), col("external_id").as("__id"),
-        DistanceMetric.score(metric)(col("vector"), col("qvec")).as("__score"))
+        rerankScore(col("vector"), col("qvec")).as("__score"))
     Knn.topKFromScores(rescored, k, metric)
   }
 }

@@ -231,8 +231,18 @@ class VamanaIndex(spark: SparkSession, uri: String, meta: IndexMeta, ts: Long)
       }
     val bcQ = spark.sparkContext.broadcast(qArr)
 
-    // per-shard search: one task per shard holds only that shard's graph
-    val graph = spark.read.parquet(s"$uri/base/v=$baseTimestamp")
+    // per-shard search: one task per shard holds only that shard's graph.
+    // Byte dtypes widen the packed base back to float for the in-task
+    // kernels (distances on widened values = the asymmetric byte metric).
+    val baseRaw = spark.read.parquet(s"$uri/base/v=$baseTimestamp")
+    val baseFloat =
+      if (meta.dtype == "uint8" || meta.dtype == "int8") {
+        import org.apache.spark.sql.graftshim.{toColumn, toExpression}
+        baseRaw.withColumn("vector",
+          toColumn(graft.functions.UnpackBytes(toExpression(col("vector")),
+            signed = meta.dtype == "int8")))
+      } else baseRaw
+    val graph = baseFloat
       .join(spark.read.parquet(s"$uri/graph/v=$baseTimestamp"),
         Seq("shard_id", "external_id"))
       .select(col("shard_id"), col("external_id"), col("vector"),

@@ -363,10 +363,16 @@ class IvfFlatIndex(spark: SparkSession, uri: String, meta: IndexMeta, ts: Long)
     // partition_id IN (...) reaches the parquet scan as partition pruning.
     val pruned = baseVectors().where(col("partition_id").isin(activeParts: _*))
     val qscore = if (metric == DistanceMetric.Cosine) probeMetric else metric
+    // byte dtypes: asymmetric float-query vs byte-packed-vector kernels
+    val scoreFn: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
+        org.apache.spark.sql.Column =
+      if (meta.dtype == "uint8" || meta.dtype == "int8")
+        graft.operators.ByteKnn.score(qscore, signed = meta.dtype == "int8")
+      else DistanceMetric.score(qscore)
     val scored = pruned
       .join(broadcast(pairs), Seq("partition_id"))
       .select(col("qid").as("__qid"), col("external_id").as("__id"),
-        DistanceMetric.score(qscore)(col("vector"), col("qvec")).as("__score"))
+        scoreFn(col("vector"), col("qvec")).as("__score"))
     val hits = Knn.topKFromScores(scored, k, qscore)
     metric match {
       case DistanceMetric.Cosine =>

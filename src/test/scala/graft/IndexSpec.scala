@@ -275,6 +275,62 @@ class IndexSpec extends AnyFunSuite {
       "the added exact duplicate must tie with the original at the top")
   }
 
+  private lazy val quantU8 = emb.select(col("external_id"),
+    expr("transform(vector, x -> float(least(255.0, floor((x + 1.0) * 127.5))))")
+      .as("vector"))
+
+  test("uint8 IVF_FLAT: packed partitioned storage, probe-all exact, nprobe recall") {
+    val uri = tmp()
+    val idx = Ingest.ingest(spark, uri, quantU8, "IVF_FLAT", DistanceMetric.L2,
+      dtype = "uint8", timestamp = 1000L, partitions = Some(16))
+    // packed binary storage under partition dirs
+    val sch = spark.read.parquet(s"$uri/base/v=1000").schema("vector").dataType
+    assert(sch === org.apache.spark.sql.types.BinaryType)
+    val exact = gotIds(Knn.bruteForce(quantU8, queries10, 10, DistanceMetric.L2,
+      idCol = "external_id", vecCol = "vector"))
+    assert(gotIds(idx.query(queries10, 10, nprobe = 16)) === exact)
+    // quantization coarsens partition boundaries on this near-uniform
+    // fixture (float data needs 8/16 for 0.95; quantized measures 0.80
+    // there) — the reference gate holds at nprobe=10
+    val approx = gotIds(idx.query(queries10, 10, nprobe = 10))
+    val recall = exact.keys.toSeq.map { q =>
+      approx(q).toSet.intersect(exact(q).toSet).size.toDouble / 10.0
+    }.sum / exact.size
+    assert(recall >= 0.85, s"u8 IVF recall $recall below gate")
+  }
+
+  test("uint8 IVF_PQ: packed storage, probe-all + full k_factor equals brute force") {
+    val uri = tmp()
+    val idx = Ingest.ingest(spark, uri, quantU8, "IVF_PQ", DistanceMetric.L2,
+      dtype = "uint8", timestamp = 1000L, partitions = Some(8))
+      .asInstanceOf[graft.index.IvfPqIndex]
+    val sch = spark.read.parquet(s"$uri/base/v=1000").schema("vector").dataType
+    assert(sch === org.apache.spark.sql.types.BinaryType)
+    val exact = gotIds(Knn.bruteForce(quantU8, queries10, 10, DistanceMetric.L2,
+      idCol = "external_id", vecCol = "vector"))
+    val all = gotIds(idx.queryBase(queries10, 10, nprobe0 = 8, kFactor = 50f))
+    assert(all === exact)
+  }
+
+  test("int8 VAMANA: packed storage, graph search clears the recall gate") {
+    val uri = tmp()
+    // int8 range: quantize to [-128, 127]
+    val qdb = emb.select(col("external_id"),
+      expr("transform(vector, x -> float(greatest(-128.0, least(127.0, floor(x * 127.0)))))")
+        .as("vector"))
+    val idx = Ingest.ingest(spark, uri, qdb, "VAMANA", DistanceMetric.L2,
+      dtype = "int8", timestamp = 1000L)
+    val sch = spark.read.parquet(s"$uri/base/v=1000").schema("vector").dataType
+    assert(sch === org.apache.spark.sql.types.BinaryType)
+    val exact = gotIds(Knn.bruteForce(qdb, queries10, 10, DistanceMetric.L2,
+      idCol = "external_id", vecCol = "vector"))
+    val got = gotIds(idx.query(queries10, 10))
+    val recall = exact.keys.toSeq.map { q =>
+      got.getOrElse(q, Seq.empty).toSet.intersect(exact(q).toSet).size.toDouble / 10.0
+    }.sum / exact.size
+    assert(recall >= 0.85, s"int8 VAMANA recall $recall below gate")
+  }
+
   test("COSINE consolidate normalizes log additions before merging the base") {
     val uri = tmp()
     val idx = Ingest.ingest(spark, uri, emb, "IVF_FLAT", DistanceMetric.Cosine,
