@@ -65,6 +65,8 @@ object Ingest {
       partitions: Option[Int] = None,
       trainingSampleSize: Option[Int] = None,
       numSubspaces: Option[Int] = None,
+      lBuild: Option[Int] = None, // VAMANA (reference: ingestion.py:60-61)
+      rMaxDegree: Option[Int] = None, // VAMANA (reference: ingestion.py:137-141)
       trainingSource: Option[DataFrame] = None,
       appendMeta: Boolean = false,
       normalizeDone: Boolean = false,
@@ -170,7 +172,9 @@ object Ingest {
         require(metric != DistanceMetric.InnerProduct,
           "VAMANA supports SOS/L2/COSINE (reference vamana_index.py:173-180)")
         import spark.implicits._
-        val numShards = partitions.getOrElse(1)
+        // default: auto-shard by size so large builds never serialize into
+        // one executor task (partitions=Some(1) = exact reference behavior)
+        val numShards = partitions.getOrElse(VamanaIndex.autoShards(count))
         val sharded = if (numShards > 1) {
           val shardCentroids = trainCentroids(base, numShards,
             trainingSampleSize.getOrElse(autoTrainingSize(count, numShards)))
@@ -181,6 +185,8 @@ object Ingest {
         // graph build consumes the float view; only stored base is packed
         packVector(sharded).write.mode("overwrite").partitionBy("shard_id")
           .parquet(s"$uri/base/v=$timestamp")
+        val lb = lBuild.getOrElse(VamanaIndex.DefaultLBuild)
+        val rd = rMaxDegree.getOrElse(VamanaIndex.DefaultRMaxDegree)
         val g = sharded.select(col("shard_id"), col("external_id"), col("vector"))
           .as[(Int, Long, Array[Float])]
           .groupByKey(_._1)
@@ -188,8 +194,7 @@ object Ingest {
             val arr = it.map { case (_, id, v) => (id, v) }.toArray
             val ids = arr.map(_._1)
             val pts = arr.map(_._2)
-            val (med, adj) = VamanaKernels.build(pts,
-              VamanaIndex.DefaultLBuild, VamanaIndex.DefaultRMaxDegree)
+            val (med, adj) = VamanaKernels.build(pts, lb, rd)
             adj.indices.iterator.map { i =>
               (sid, ids(i), adj(i).map(ids(_)).toSeq, i == med)
             }

@@ -211,25 +211,27 @@ class VamanaIndex(spark: SparkSession, uri: String, meta: IndexMeta, ts: Long)
     else spark.read.parquet(s"$uri/base/v=$baseTimestamp")
       .select("external_id", "vector")
 
+  /** Labeled alias for the reference's `l_search` query parameter
+    * (vamana_index.py:30-32): the generic `query(..., nprobe)` third
+    * argument doubles as l_search for graph indexes. */
+  def queryLSearch(queries: DataFrame, k: Int, lSearch: Int): DataFrame =
+    query(queries, k, nprobe = lSearch)
+
   override protected def queryBase(queries: DataFrame, k: Int, lSearch0: Int): DataFrame = {
     if (historyIdx < 0) {
       return Knn.bruteForce(baseVectors(), queries, k, metric,
         idCol = "external_id", vecCol = "vector")
     }
     val lSearch = math.max(if (lSearch0 <= 0) VamanaIndex.DefaultLSearch else lSearch0, k)
-    val normalizeQ = metric == DistanceMetric.Cosine
 
     import spark.implicits._
-    val qArr: Array[(Long, Array[Float])] = queries
-      .select(col("qid").cast("long"), col("qvec").cast("array<float>"))
-      .as[(Long, Array[Float])].collect()
-      .map { case (qid, qv0) =>
-        if (normalizeQ) {
-          val nrm = math.sqrt(qv0.map(x => x.toDouble * x).sum).toFloat
-          (qid, if (nrm == 0) qv0 else qv0.map(_ / nrm))
-        } else (qid, qv0)
-      }
-    val bcQ = spark.sparkContext.broadcast(qArr)
+    val qn0 = queries.select(col("qid").cast("long").as("qid"),
+      col("qvec").cast("array<float>").as("qvec"))
+    val qn = metric match {
+      case DistanceMetric.Cosine => qn0.select(col("qid"),
+        graft.functions.vector_normalize(col("qvec")).as("qvec"))
+      case _ => qn0
+    }
 
     // per-shard search: one task per shard holds only that shard's graph.
     // Byte dtypes widen the packed base back to float for the in-task
@@ -248,13 +250,28 @@ class VamanaIndex(spark: SparkSession, uri: String, meta: IndexMeta, ts: Long)
       .select(col("shard_id"), col("external_id"), col("vector"),
         col("neighbors"), col("is_medoid"))
       .as[(Int, Long, Array[Float], Array[Long], Boolean)]
+
+    // Collect-free query path: replicate the query DataFrame once per shard
+    // (the unavoidable fan-out of searching every shard) and cogroup with
+    // the shard's graph — arbitrarily large query batches never touch the
+    // driver. Only the shard-id list (one int per shard) is collected.
+    val shardIds = spark.read.parquet(s"$uri/graph/v=$baseTimestamp")
+      .select("shard_id").distinct().as[Int].collect().sorted.toSeq
+    val qRep = qn.withColumn("shard_id", explode(typedlit(shardIds)))
+      .select(col("shard_id"), col("qid"), col("qvec"))
+      .as[(Int, Long, Array[Float])]
+
     val kLocal = k
     val lLocal = lSearch
     val perShard = graph
       .groupByKey(_._1)
-      .flatMapGroups { (_, it) =>
-        val rows = it.map { case (_, id, v, nbs, med) => (id, v, nbs, med) }.toArray
-        VamanaKernels.searchShard(rows, bcQ.value, lLocal, kLocal)
+      .cogroup(qRep.groupByKey(_._1)) { (_, git, qit) =>
+        val qs = qit.map { case (_, qid, qv) => (qid, qv) }.toArray
+        if (qs.isEmpty) Iterator.empty
+        else {
+          val rows = git.map { case (_, id, v, nbs, med) => (id, v, nbs, med) }.toArray
+          VamanaKernels.searchShard(rows, qs, lLocal, kLocal)
+        }
       }
       .toDF("qid", "id", "__sos")
 
@@ -271,6 +288,17 @@ object VamanaIndex {
   val DefaultLBuild = 100 // reference: vamana_index.py:30-32
   val DefaultRMaxDegree = 64
   val DefaultLSearch = 100
+
+  /** Target vectors per shard for the default (auto) shard count. The
+    * reference builds ONE global graph on one node (ingestion.py:2572-2595);
+    * a sequential build of a large corpus inside a single executor task is
+    * the scale-killer, so past this size the build defaults to the sharded
+    * path (independent per-shard builds, merged search — recall gate
+    * spec-tested). */
+  val DefaultShardTarget = 25000
+
+  def autoShards(n: Long): Int =
+    math.max(1, math.ceil(n.toDouble / DefaultShardTarget).toInt)
 
   /** Graph search scores in SOS over (possibly normalized) vectors; map to
     * the reported metric distance. */

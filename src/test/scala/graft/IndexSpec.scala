@@ -154,6 +154,35 @@ class IndexSpec extends AnyFunSuite {
     assert(shards === 4)
   }
 
+  test("VAMANA auto-shards by size and exposes l_build / r_max_degree") {
+    import graft.index.VamanaIndex
+    // a >=100k-vector corpus defaults to multiple shards; small stays 1
+    assert(VamanaIndex.autoShards(100000) > 1)
+    assert(VamanaIndex.autoShards(500) === 1)
+    val uri = tmp()
+    val idx = Ingest.ingest(spark, uri, emb, "VAMANA", DistanceMetric.L2,
+      timestamp = 1000L, lBuild = Some(30), rMaxDegree = Some(8))
+      .asInstanceOf[graft.index.VamanaIndex]
+    // r_max_degree reached the kernel: degree bound honored on disk
+    val maxDeg = spark.read.parquet(s"$uri/graph/v=1000")
+      .select(max(size(col("neighbors")))).head().getInt(0)
+    assert(maxDeg <= 8 + 1)
+    // labeled l_search variant; generous beam still finds the self-match
+    val hits = idx.queryLSearch(queries10, 5, lSearch = 50)
+    assert(hits.where(col("rank") === 1 && col("qid") === col("id")).count() === 10)
+  }
+
+  test("VAMANA collect-free query: full-table query batch over a sharded index") {
+    val uri = tmp()
+    val idx = Ingest.ingest(spark, uri, emb, "VAMANA", DistanceMetric.L2,
+      timestamp = 1000L, partitions = Some(4))
+    val allQueries = emb.select(col("external_id").as("qid"), col("vector").as("qvec"))
+    val hits = idx.query(allQueries, 3)
+    assert(hits.count() === 1500)
+    // exact self-match must rank first for every query (it exists in some shard)
+    assert(hits.where(col("rank") === 1 && col("qid") === col("id")).count() === 500)
+  }
+
   test("IVF consolidate with copy-centroids reuses the trained centroids") {
     val uri = tmp()
     val idx = Ingest.ingest(spark, uri, emb, "IVF_FLAT", DistanceMetric.L2,
