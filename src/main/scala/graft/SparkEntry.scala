@@ -389,15 +389,19 @@ object SparkEntry {
       .where(col("l_shipdate") <= lit("1998-09-02"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        // Explicit output types: Spark's sum(decimal(18,2)) is decimal(28,2)
-        // while DuckDB's is DECIMAL(38,2); pin both sides to DECIMAL(38,x).
-        sum(col("l_quantity").cast("decimal(18,2)"))
-          .cast("decimal(38,2)").as("sum_qty"),
-        sum(col("l_extendedprice").cast("decimal(18,2)"))
-          .cast("decimal(38,2)").as("sum_base_price"),
-        sum((col("l_extendedprice").cast("decimal(18,2)") *
-          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))))
-          .cast("decimal(38,4)").as("sum_disc_price"),
+        // Hashed surface is integer cents (×100, disc_price ×10⁴): decimal
+        // sums are exact but engines disagree on decimal canonicalization at
+        // the driver's hash layer, so scale each row to BIGINT before the sum
+        // on BOTH sides. The decimal(18,x) cast keeps the double→money
+        // rounding identical to DuckDB's.
+        sum((col("l_quantity").cast("decimal(18,2)") * lit(100)).cast("long"))
+          .as("sum_qty_c"),
+        sum((col("l_extendedprice").cast("decimal(18,2)") * lit(100)).cast("long"))
+          .as("sum_base_price_c"),
+        sum(((col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("decimal(18,4)") * lit(10000)).cast("long"))
+          .as("sum_disc_price_c4"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -572,9 +576,9 @@ object SparkEntry {
          |SELECT doc_id, component FROM comp ORDER BY doc_id""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  sum(l_quantity::DECIMAL(18,2))::DECIMAL(38,2) AS sum_qty,
-        |  sum(l_extendedprice::DECIMAL(18,2))::DECIMAL(38,2) AS sum_base_price,
-        |  sum(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DECIMAL(38,4) AS sum_disc_price,
+        |  sum((l_quantity::DECIMAL(18,2) * 100)::BIGINT)::BIGINT AS sum_qty_c,
+        |  sum((l_extendedprice::DECIMAL(18,2) * 100)::BIGINT)::BIGINT AS sum_base_price_c,
+        |  sum(((l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DECIMAL(18,4) * 10000)::BIGINT)::BIGINT AS sum_disc_price_c4,
         |  count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= '1998-09-02'
         |GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin,
