@@ -72,7 +72,6 @@ class IvfPqIndex(spark: SparkSession, uri: String, meta: IndexMeta, ts: Long)
     // expressions in the plan (reference builds tables in C++ per query,
     // ivf_pq_index.h:1181-1254; here arbitrarily large query batches stay
     // distributed — no driver-side table construction).
-    import spark.implicits._
     val flatCb = Ingest.flattenCodebooks(codebooks, subDim)
     val pairs = queries.select(col("qid"), col("qvec"),
         toColumn(graft.functions.PqDistanceTable(
@@ -80,23 +79,33 @@ class IvfPqIndex(spark: SparkSession, uri: String, meta: IndexMeta, ts: Long)
         explode(toColumn(graft.functions.NearestCentroids(
           toExpression(col("qvec")), centroids, nprobe))).as("partition_id"))
       .select("qid", "partition_id", "dtable", "qvec")
-    val activeParts = pairs.select("partition_id").distinct()
-      .as[Int].collect().sorted.toSeq
+    val partCounts = pairs.groupBy("partition_id")
+      .agg(count(lit(1)).as("cnt")).collect()
+    val activeParts = partCounts.map(_.getInt(0)).sorted.toSeq
+    val pairsRows = partCounts.map(_.getLong(1)).sum
+    // each NearestCentroids row fans out to exactly nprobe pairs
+    val nq = math.max(1L, pairsRows / nprobe)
 
     val pruned = baseVectors().where(col("partition_id").isin(activeParts: _*))
     val baseSize = meta.baseSizes(historyIdx)
     val kCand = math.min(baseSize,
       math.max(k.toLong, math.ceil(k.toDouble * kFactor).toLong)).toInt
+    // pairs carry an m×codesPer float distance table per row — by far the
+    // heaviest broadcast in the engine; switch to a shuffle join past the
+    // size threshold (the reference never materializes tables × partitions).
+    val pairsBytes = pairsRows * (24L + 4L * meta.dimensions + 4L * m * codesPer)
     val scored = pruned
-      .join(broadcast(pairs), Seq("partition_id"))
+      .join(VectorIndex.sizedJoinSide(spark, pairs, pairsBytes), Seq("partition_id"))
       .select(col("qid").as("__qid"), col("external_id").as("__id"),
         toColumn(PqAsymmetricDistance(
           toExpression(col("codes")), toExpression(col("dtable")), codesPer)).as("__score"))
     val candidates = Knn.topKFromScores(scored, kCand, DistanceMetric.SumOfSquares)
       .select(col("qid"), col("id"))
 
-    // Exact re-rank: broadcast the (small) candidate set back onto the
-    // pruned base to fetch original vectors; no second full scan. Byte
+    // Exact re-rank: fetch original vectors for the candidate set from the
+    // pruned base; no second full scan. candidates = nq·k·kFactor rows and
+    // qvecs = nq rows, so both join sides are size-gated like `pairs` (at
+    // nq=10⁶ the candidate set alone is ~10⁸ rows — not broadcastable). Byte
     // dtypes re-rank with the asymmetric float-vs-packed kernels.
     val rerankScore: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
         org.apache.spark.sql.Column =
@@ -104,9 +113,12 @@ class IvfPqIndex(spark: SparkSession, uri: String, meta: IndexMeta, ts: Long)
         graft.operators.ByteKnn.score(metric, signed = meta.dtype == "int8")
       else DistanceMetric.score(metric)
     val qvecs = pairs.select("qid", "qvec").dropDuplicates("qid")
+    val candBytes = nq * kCand * 24L
+    val qvecsBytes = nq * (24L + 4L * meta.dimensions)
     val rescored = pruned
-      .join(broadcast(candidates), pruned("external_id") === candidates("id"))
-      .join(broadcast(qvecs), Seq("qid"))
+      .join(VectorIndex.sizedJoinSide(spark, candidates, candBytes),
+        pruned("external_id") === candidates("id"))
+      .join(VectorIndex.sizedJoinSide(spark, qvecs, qvecsBytes), Seq("qid"))
       .select(col("qid").as("__qid"), col("external_id").as("__id"),
         rerankScore(col("vector"), col("qvec")).as("__score"))
     Knn.topKFromScores(rescored, k, metric)

@@ -246,6 +246,26 @@ abstract class VectorIndex(
 }
 
 object VectorIndex {
+  /** Conf key: estimated build-side bytes above which the IVF/PQ query joins
+    * switch from `broadcast()` to a shuffled hash join. Broadcast replicates
+    * the per-query probe pairs (and PQ distance tables) to every executor —
+    * fine for interactive batches, a scale-killer at nq=10⁶×nprobe=100
+    * (reference streams query blocks instead, detail/ivf/qv.h:99-153). */
+  val MaxBroadcastBytesKey = "spark.graft.maxBroadcastBytes"
+  val DefaultMaxBroadcastBytes: Long = 128L * 1024 * 1024
+
+  /** Pick the join strategy for a query-derived build side from its estimated
+    * size: under the threshold → broadcast hint; over → `shuffle_hash` hint so
+    * the planner partitions both sides on the join key instead of replicating
+    * (the explicit hint also stops Catalyst's own size estimator from
+    * re-broadcasting a side we know is large at scale). */
+  private[index] def sizedJoinSide(
+      spark: SparkSession, df: DataFrame, estBytes: Long): DataFrame = {
+    val max = spark.conf.getOption(MaxBroadcastBytesKey)
+      .map(_.toLong).getOrElse(DefaultMaxBroadcastBytes)
+    if (estBytes <= max) broadcast(df) else df.hint("shuffle_hash")
+  }
+
   /** Open an index, optionally at a historical timestamp
     * (reference: index.py:94-177). */
   def open(spark: SparkSession, uri: String, timestamp: Option[Long] = None): VectorIndex = {
@@ -350,16 +370,17 @@ class IvfFlatIndex(spark: SparkSession, uri: String, meta: IndexMeta, ts: Long)
     // Fully-distributed probe: the per-query top-nprobe centroid list is an
     // expression in the plan (no driver collect — query batches can be
     // arbitrarily large). Only the distinct ACTIVE partition ids (≤
-    // partitions ints) come back to the driver, to drive parquet partition
-    // pruning.
-    import spark.implicits._
+    // partitions ints) and their counts come back to the driver: the ids
+    // drive parquet partition pruning, the summed count sizes the join side.
     import org.apache.spark.sql.graftshim.{toColumn, toExpression}
     val pairs = qn.select(col("qid"), col("qvec"),
         explode(toColumn(graft.functions.NearestCentroids(
           toExpression(col("qvec")), centroids, nprobe))).as("partition_id"))
       .select("qid", "partition_id", "qvec")
-    val activeParts = pairs.select("partition_id").distinct()
-      .as[Int].collect().sorted.toSeq
+    val partCounts = pairs.groupBy("partition_id")
+      .agg(count(lit(1)).as("cnt")).collect()
+    val activeParts = partCounts.map(_.getInt(0)).sorted.toSeq
+    val pairsRows = partCounts.map(_.getLong(1)).sum
     // partition_id IN (...) reaches the parquet scan as partition pruning.
     val pruned = baseVectors().where(col("partition_id").isin(activeParts: _*))
     val qscore = if (metric == DistanceMetric.Cosine) probeMetric else metric
@@ -369,8 +390,9 @@ class IvfFlatIndex(spark: SparkSession, uri: String, meta: IndexMeta, ts: Long)
       if (meta.dtype == "uint8" || meta.dtype == "int8")
         graft.operators.ByteKnn.score(qscore, signed = meta.dtype == "int8")
       else DistanceMetric.score(qscore)
+    val pairsBytes = pairsRows * (24L + 4L * meta.dimensions)
     val scored = pruned
-      .join(broadcast(pairs), Seq("partition_id"))
+      .join(VectorIndex.sizedJoinSide(spark, pairs, pairsBytes), Seq("partition_id"))
       .select(col("qid").as("__qid"), col("external_id").as("__id"),
         scoreFn(col("vector"), col("qvec")).as("__score"))
     val hits = Knn.topKFromScores(scored, k, qscore)

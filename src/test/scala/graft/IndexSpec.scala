@@ -420,4 +420,39 @@ class IndexSpec extends AnyFunSuite {
     val expected = exactIds(emb.where(col("external_id") >= 100), 10)
     assert(gotIds(consolidated.query(queries10, 10)) === expected)
   }
+
+  test("IVF_FLAT query switches broadcast(pairs) to a shuffle join past the size threshold") {
+    val uri = tmp()
+    val idx = Ingest.ingest(spark, uri, emb, "IVF_FLAT", DistanceMetric.L2,
+      timestamp = 1000L, partitions = Some(16))
+    // all 500 vectors as the query batch — the large-nq shape where an
+    // unconditional broadcast of (nq × nprobe) pairs rows breaks at scale
+    val allQ = emb.select(col("external_id").as("qid"), col("vector").as("qvec"))
+    val expected = idx.query(allQ, 10, nprobe = 16).orderBy("qid", "rank").collect()
+    spark.conf.set(VectorIndex.MaxBroadcastBytesKey, "1")
+    try {
+      val df = idx.query(allQ, 10, nprobe = 16)
+      val plan = df.queryExecution.sparkPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"), s"still broadcasting:\n${plan.take(2000)}")
+      assert(plan.contains("ShuffledHashJoin"), s"no shuffle hash join:\n${plan.take(2000)}")
+      assert(df.orderBy("qid", "rank").collect() === expected)
+    } finally spark.conf.unset(VectorIndex.MaxBroadcastBytesKey)
+  }
+
+  test("IVF_PQ query gates pairs/candidates/qvecs broadcasts on the size threshold") {
+    val uri = tmp()
+    val idx = Ingest.ingest(spark, uri, emb, "IVF_PQ", DistanceMetric.L2,
+      timestamp = 1000L, partitions = Some(8)).asInstanceOf[graft.index.IvfPqIndex]
+    val allQ = emb.select(col("external_id").as("qid"), col("vector").as("qvec"))
+    val expected = idx.queryBase(allQ, 10, nprobe0 = 8, kFactor = 50f)
+      .orderBy("qid", "rank").collect()
+    spark.conf.set(VectorIndex.MaxBroadcastBytesKey, "1")
+    try {
+      val df = idx.queryBase(allQ, 10, nprobe0 = 8, kFactor = 50f)
+      val plan = df.queryExecution.sparkPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"), s"still broadcasting:\n${plan.take(2000)}")
+      assert(plan.contains("ShuffledHashJoin"), s"no shuffle hash join:\n${plan.take(2000)}")
+      assert(df.orderBy("qid", "rank").collect() === expected)
+    } finally spark.conf.unset(VectorIndex.MaxBroadcastBytesKey)
+  }
 }
