@@ -24,14 +24,21 @@ object Ingest {
 
   /** Attach synthesized consecutive external ids to a vector-only source
     * (reference: read_external_ids synthesizes arange when absent,
-    * ingestion.py:809-877). Ordering follows the given sort columns. */
+    * ingestion.py:809-877). Ordering follows the given sort columns.
+    *
+    * Implemented with `zipWithIndex` (one extra count-partitions job, then
+    * per-partition offsets) rather than a no-partition Window, which would
+    * funnel the whole table through a single task. With `orderBy`, the
+    * global order comes from a range-partitioned sort — still parallel. */
   def withSyntheticIds(vectors: DataFrame, orderBy: String*): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = if (orderBy.nonEmpty)
-      Window.orderBy(orderBy.map(col): _*)
-    else Window.orderBy(monotonically_increasing_id())
-    vectors.withColumn("external_id",
-      (row_number().over(w) - 1).cast("long"))
+    val spark = vectors.sparkSession
+    val base = if (orderBy.nonEmpty) vectors.orderBy(orderBy.map(col): _*) else vectors
+    val schema = base.schema.add("external_id",
+      org.apache.spark.sql.types.LongType, nullable = false)
+    val rdd = base.rdd.zipWithIndex.map { case (row, i) =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ i)
+    }
+    spark.createDataFrame(rdd, schema)
   }
 
   /** Auto partition count: √size, ≥100 vectors per partition for k-means
@@ -41,11 +48,23 @@ object Ingest {
     math.max(1, math.min(bySqrt, (size / 100).toInt))
   }
 
-  /** Training sample: min(size, 100·partitions) FIRST_N rows
-    * (reference: ingestion.py:3187-3193; TrainingSamplingPolicy.FIRST_N
-    * ingestion.py:34-39). */
+  /** Training sample size: min(size, 100·partitions)
+    * (reference: ingestion.py:3187-3193). */
   def autoTrainingSize(size: Long, partitions: Int): Int =
     math.min(size, 100L * partitions).toInt
+
+  /** Deterministic seeded training sample. Deviation from the reference's
+    * FIRST_N policy (ingestion.py:34-39): FIRST_N through a `limit()` is a
+    * single-task global funnel, and at distributed scale it reads only the
+    * head files — a skewed sample. A seeded Bernoulli sample is uniform,
+    * stays fully parallel (no GlobalLimit in the plan), and is reproducible
+    * for a fixed input layout. Row count is ~sampleSize in expectation; k-
+    * means does not need the exact count. */
+  def trainingSample(base: DataFrame, sampleSize: Int, totalRows: Long = -1L): DataFrame = {
+    val total = if (totalRows >= 0L) totalRows else base.count()
+    if (total <= sampleSize) base
+    else base.sample(withReplacement = false, sampleSize.toDouble / total, seed = 42L)
+  }
 
   /** Build (or append a new version of) an index from `source`
     * (columns: external_id: Long, vector: Array[Float]).
@@ -130,7 +149,8 @@ object Ingest {
         val trainDf = trainingSource.map(_.select(
           col("vector").cast("array<float>").as("vector"))).getOrElse(base)
         val centroids = presetCentroids.getOrElse(trainCentroids(trainDf, numParts,
-          trainingSampleSize.getOrElse(autoTrainingSize(count, numParts))))
+          trainingSampleSize.getOrElse(autoTrainingSize(count, numParts)),
+          totalRows = if (trainingSource.isEmpty) count else -1L))
         writeCentroids(spark, uri, timestamp, centroids)
         val assigned = base.withColumn("partition_id",
           toColumn(NearestCentroid(toExpression(col("vector")), centroids)))
@@ -147,9 +167,16 @@ object Ingest {
         require(metric == DistanceMetric.SumOfSquares || metric == DistanceMetric.L2,
           "IVF_PQ supports SUM_OF_SQUARES / L2 only (reference ivf_pq_index.py:212-218)")
         val sampleSize = trainingSampleSize.getOrElse(autoTrainingSize(count, numParts))
-        val centroids = trainCentroids(base, numParts, sampleSize)
+        // one materialized sample feeds centroid training AND all m PQ
+        // sub-fits (m+1 k-means over the same small frame)
+        val trainSample = trainingSample(base, sampleSize, count)
+          .select("vector").cache()
+        val (centroids, codebooks) =
+          try {
+            (trainCentroidsOnSample(trainSample, numParts),
+             trainPqCodebooksOnSample(trainSample, mSubspaces, dims / mSubspaces))
+          } finally trainSample.unpersist()
         writeCentroids(spark, uri, timestamp, centroids)
-        val codebooks = trainPqCodebooks(base, mSubspaces, dims / mSubspaces, sampleSize)
         writePqCodebooks(spark, uri, timestamp, codebooks)
         val codesPer = codebooks(0).length
         val flatCb = flattenCodebooks(codebooks, dims / mSubspaces)
@@ -177,7 +204,8 @@ object Ingest {
         val numShards = partitions.getOrElse(VamanaIndex.autoShards(count))
         val sharded = if (numShards > 1) {
           val shardCentroids = trainCentroids(base, numShards,
-            trainingSampleSize.getOrElse(autoTrainingSize(count, numShards)))
+            trainingSampleSize.getOrElse(autoTrainingSize(count, numShards)),
+            totalRows = count)
           writeCentroids(spark, uri, timestamp, shardCentroids) // shard map
           base.withColumn("shard_id",
             toColumn(NearestCentroid(toExpression(col("vector")), shardCentroids)))
@@ -226,10 +254,16 @@ object Ingest {
   /** K-means training via MLlib (reference trains centrally with sklearn or
     * distributes 5 Lloyd iterations by hand, ingestion.py:1343-1580; MLlib's
     * k-means|| + distributed Lloyd is the same partial/final aggregation
-    * pattern, built in). FIRST_N sampling keeps builds deterministic. */
-  def trainCentroids(base: DataFrame, k: Int, sampleSize: Int): Array[Array[Float]] = {
-    val sample = base.select(array_to_vector(col("vector")).as("features"))
-      .limit(sampleSize)
+    * pattern, built in). Seeded sampling keeps builds deterministic. */
+  def trainCentroids(base: DataFrame, k: Int, sampleSize: Int,
+      totalRows: Long = -1L): Array[Array[Float]] =
+    trainCentroidsOnSample(trainingSample(base, sampleSize, totalRows), k)
+
+  /** As [[trainCentroids]] but over an already-sampled frame (the IVF_PQ
+    * build shares one materialized sample between centroid and codebook
+    * training). */
+  def trainCentroidsOnSample(sampleDf: DataFrame, k: Int): Array[Array[Float]] = {
+    val sample = sampleDf.select(array_to_vector(col("vector")).as("features"))
       .cache()
     try {
       val n = sample.count()
@@ -241,19 +275,71 @@ object Ingest {
         .setFeaturesCol("features")
         .fit(sample)
       val centers = model.clusterCenters.map(v => v.toArray.map(_.toFloat))
-      // The reference backfills empty/underful partitions so exactly
-      // `partitions` centroids exist (index/kmeans.h:229-360 fixup); MLlib
-      // can return < k centers only when n < k, which kEff already handles.
-      centers
+      fixupCentroids(centers, k, sampleDf)
     } finally { sample.unpersist() }
+  }
+
+  /** The reference guarantees exactly `partitions` centroids, re-seeding
+    * near-empty slots from the points that score worst against their
+    * assigned centroid (index/kmeans.h:229-360 `train_no_init` reassignment).
+    * MLlib can return fewer (or duplicate) centers on degenerate data; this
+    * post-fit pass restores the invariant:
+    *   1. drop exact-duplicate fitted centers,
+    *   2. backfill missing slots from the sample points farthest from their
+    *      nearest centroid (a distributed TakeOrdered — the Spark shape of
+    *      the reference's `high_scores` heap),
+    *   3. if the data itself has fewer than k distinct points, break the
+    *      residual ties with a deterministic relative epsilon so callers
+    *      still see k distinct centroids (partition accounting invariant).
+    */
+  private def fixupCentroids(fitted: Array[Array[Float]], k: Int,
+      pts: DataFrame): Array[Array[Float]] = {
+    val out = scala.collection.mutable.ArrayBuffer[Array[Float]]()
+    val seen = scala.collection.mutable.HashSet[Seq[Float]]()
+    fitted.foreach { c => if (seen.add(c.toSeq)) out += c }
+    if (out.length >= k || out.isEmpty) return out.take(k).toArray
+    val spark = pts.sparkSession
+    import spark.implicits._
+    val cents = out.toArray
+    val need = k - out.length
+    val cdf = cents.toSeq.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toDF("__pid", "__centroid")
+      .select(col("__pid"), col("__centroid").cast("array<float>").as("__centroid"))
+    val candidates = pts.select(col("vector").cast("array<float>").as("vector"))
+      .withColumn("__pid", toColumn(NearestCentroid(toExpression(col("vector")), cents)))
+      .join(broadcast(cdf), "__pid")
+      .select(col("vector"), graft.functions.dist_sos(col("vector"), col("__centroid")).as("__d"))
+      .orderBy(col("__d").desc) // + limit = TakeOrdered, no global sort
+      .limit(need * 4 + 4)
+      .collect()
+      .map(_.getSeq[Float](0).toArray)
+    candidates.foreach { c =>
+      if (out.length < k && seen.add(c.toSeq)) out += c
+    }
+    val baseCenter = out.head
+    var j = 0
+    while (out.length < k) {
+      val c = baseCenter.clone()
+      val d = j % c.length
+      val scale = (j / c.length + 1).toFloat
+      c(d) = c(d) + math.max(1e-4f, math.abs(c(d)) * 1e-4f) * scale
+      if (seen.add(c.toSeq)) out += c
+      j += 1
+    }
+    out.toArray
   }
 
   /** Per-subspace PQ codebook training: `m` MLlib k-means fits over the
     * vector slices (reference trains sub_kmeans per subspace,
     * ivf_pq_index.h:555-608). Returns codebooks(subspace)(code) = centroid. */
-  def trainPqCodebooks(base: DataFrame, m: Int, subDim: Int, sampleSize: Int)
+  def trainPqCodebooks(base: DataFrame, m: Int, subDim: Int, sampleSize: Int,
+      totalRows: Long = -1L): Array[Array[Array[Float]]] =
+    trainPqCodebooksOnSample(trainingSample(base, sampleSize, totalRows), m, subDim)
+
+  /** As [[trainPqCodebooks]] but over an already-sampled frame. */
+  def trainPqCodebooksOnSample(sampleDf: DataFrame, m: Int, subDim: Int)
       : Array[Array[Array[Float]]] = {
-    val sample = base.select(col("vector")).limit(sampleSize).cache()
+    val sample = sampleDf.select(col("vector")).cache()
     try {
       val n = sample.count()
       val codes = math.min(256L, n).toInt

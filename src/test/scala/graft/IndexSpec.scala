@@ -280,6 +280,12 @@ class IndexSpec extends AnyFunSuite {
     val withIds = Ingest.withSyntheticIds(noIds)
     assert(withIds.agg(min(col("external_id")), max(col("external_id")))
       .head().toSeq === Seq(0L, 499L))
+    // multi-partition frame: ids stay consecutive 0..n-1 and unique — the
+    // per-partition-offset (zipWithIndex) path, not a single-task window
+    val multi = Ingest.withSyntheticIds(noIds.repartition(7))
+    assert(multi.select(countDistinct(col("external_id"))).head().getLong(0) === 500L)
+    assert(multi.agg(min(col("external_id")), max(col("external_id")))
+      .head().toSeq === Seq(0L, 499L))
     val train = emb.where(col("external_id") < 200).select("vector")
     val idx = Ingest.ingest(spark, uri, withIds, "IVF_FLAT", DistanceMetric.L2,
       timestamp = 1000L, partitions = Some(8), trainingSource = Some(train))
@@ -419,6 +425,29 @@ class IndexSpec extends AnyFunSuite {
     assert(consolidated.meta.baseSizes.last === 400L)
     val expected = exactIds(emb.where(col("external_id") >= 100), 10)
     assert(gotIds(consolidated.query(queries10, 10)) === expected)
+  }
+
+  test("k-means fixup: degenerate all-identical input still yields k distinct centroids") {
+    import spark.implicits._
+    // reference invariant: exactly `partitions` centroids even when the
+    // training data collapses to one point (index/kmeans.h:229-360)
+    val degenerate = Seq.tabulate(50)(i => (i.toLong, Array.fill(8)(1.0f)))
+      .toDF("external_id", "vector")
+    val cents = Ingest.trainCentroids(degenerate, 8, 50)
+    assert(cents.length === 8)
+    assert(cents.map(_.toSeq).distinct.length === 8)
+    // normal data: exact-k invariant with distinct centers
+    val cents2 = Ingest.trainCentroids(emb, 16, 500)
+    assert(cents2.length === 16)
+    assert(cents2.map(_.toSeq).distinct.length === 16)
+  }
+
+  test("training sample plan has no GlobalLimit funnel") {
+    val sampled = Ingest.trainingSample(emb, 100, 500)
+    val plan = sampled.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("GlobalLimit"), plan)
+    val n = sampled.count()
+    assert(n > 50 && n < 200, s"sample size $n far from expected ~100")
   }
 
   test("IVF_FLAT query switches broadcast(pairs) to a shuffle join past the size threshold") {
