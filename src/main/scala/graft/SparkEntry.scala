@@ -197,13 +197,14 @@ object SparkEntry {
   /** Export embeddings to .fvecs, read back through the binary-format
     * reader, and answer the same L2 k-NN — validates the fvecs codec
     * end-to-end against the standard oracle (row ids = vec ids because the
-    * fixture's vec_id is consecutive from 0). */
+    * fixture's vec_id is consecutive from 0; the sharded write preserves
+    * that order via the range-partitioned sort + lexicographic shard
+    * names, with no driver collect). */
   private def fvecsRoundtripKnn(spark: SparkSession, dir: String): DataFrame = {
     val path = cachedIndex("fvecs", dir) { u =>
-      val rows = emb(spark, dir).orderBy("vec_id")
-        .select(col("embedding")).collect()
-        .map(_.getSeq[Float](0).toArray)
-      graft.io.VecsIO.writeFvecs(s"$u/emb.fvecs", rows.iterator)
+      graft.io.VecsIO.writeFvecsSharded(
+        emb(spark, dir).orderBy("vec_id").select(col("embedding")),
+        s"$u/emb.fvecs", vecCol = "embedding")
     }
     val db = graft.io.VecsIO.readFvecs(spark, s"$path/emb.fvecs")
     val queries = db.where(col("row_id") < NQ)

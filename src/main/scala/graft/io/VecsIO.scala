@@ -209,6 +209,35 @@ object VecsIO {
 
   // ----- writers (test fixtures / export) -----
 
+  /** Distributed `.fvecs` export: every input partition writes one shard
+    * file into `dir` from its executor — no driver collect, so the export
+    * scales with the cluster. Shards are named `part-%05d.fvecs`; the
+    * directory readers list files lexicographically, so row ids on re-read
+    * follow the frame's (partition, row) order — sort the frame first
+    * (e.g. `orderBy(id)`, a range-partitioned sort) when the global order
+    * matters. */
+  def writeFvecsSharded(df: DataFrame, dir: String, vecCol: String = "vector"): Unit = {
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dirPath)
+    df.select(col(vecCol).cast("array<float>")).foreachPartition {
+      (it: Iterator[org.apache.spark.sql.Row]) =>
+        if (it.hasNext) {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val file = new Path(dir, f"part-$pid%05d.fvecs")
+          val efs = file.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          val out = new DataOutputStream(efs.create(file, true))
+          try it.foreach { r =>
+            val v = r.getSeq[Float](0)
+            val bb = ByteBuffer.allocate(4 + 4 * v.length).order(ByteOrder.LITTLE_ENDIAN)
+            bb.putInt(v.length)
+            v.foreach(bb.putFloat)
+            out.write(bb.array())
+          } finally out.close()
+        }
+    }
+  }
+
   def writeFvecs(path: String, vectors: Iterator[Array[Float]]): Unit = {
     val out = new DataOutputStream(new FileOutputStream(path))
     try vectors.foreach { v =>

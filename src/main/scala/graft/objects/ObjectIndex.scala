@@ -84,11 +84,13 @@ class ObjectIndex(
       .where(col("rank") <= k)
   }
 
-  /** Materialize original objects for a result set (J12). */
+  /** Materialize original objects for a result set (J12). A semi-join
+    * against the reader keeps this distributed for arbitrarily large result
+    * sets (top-k results are small and auto-broadcast; a full-corpus result
+    * set shuffles instead of funneling through a driver `isin` list). */
   def fetchObjects(results: DataFrame): DataFrame = {
     val ids = results.select(col("external_id")).distinct()
-      .collect().map(_.getLong(0)).toSeq
-    reader.readObjectsByExternalIds(spark, ids)
+    reader.readObjects(spark).join(ids, Seq("external_id"), "left_semi")
   }
 
   private def embedQueries(queryObjects: DataFrame): DataFrame = {

@@ -39,6 +39,21 @@ class ObjectSpec extends AnyFunSuite {
     }
   }
 
+  test("fetchObjects materializes result objects via a distributed semi-join") {
+    import spark.implicits._
+    val queries = spark.read.parquet(s"$sf0001/documents.parquet")
+      .where(col("doc_id") < 3)
+      .select(col("doc_id").as("qid"), col("text"))
+    val hits = objIndex.query(queries, k = 3, nprobe = 1 << 30)
+    val objs = objIndex.fetchObjects(hits)
+    val wantIds = hits.select("external_id").distinct().as[Long].collect().toSet
+    val gotIds = objs.select("external_id").as[Long].collect().toSet
+    assert(gotIds === wantIds)
+    assert(objs.columns.contains("text"))
+    // stays a plan (join), not a driver isin list
+    assert(objs.queryExecution.optimizedPlan.toString.toLowerCase.contains("join"))
+  }
+
   test("metadata pushdown filter restricts results; repack keeps k per query") {
     import spark.implicits._
     val queries = spark.read.parquet(s"$sf0001/documents.parquet")

@@ -55,6 +55,23 @@ class VecsIOSpec extends AnyFunSuite {
     got.zip(vecs).foreach { case ((_, g), e) => assert(g.sameElements(e)) }
   }
 
+  test("sharded distributed fvecs write roundtrips with global order preserved") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_vecs_shard").resolve("out.fvecs")
+    import org.apache.spark.sql.functions.{array, col}
+    val n = 100
+    val df = spark.range(0, n, 1, 5).select(col("id"),
+      array(col("id").cast("float"), (col("id") * 2).cast("float")).as("vector"))
+    // orderBy = range-partitioned sort; shard file names then reproduce it
+    VecsIO.writeFvecsSharded(df.orderBy("id"), dir.toString)
+    val got = VecsIO.readFvecs(spark, dir.toString).orderBy("row_id")
+      .as[(Long, Array[Float])].collect()
+    assert(got.length === n)
+    got.foreach { case (rid, v) =>
+      assert(v.toSeq === Seq(rid.toFloat, rid * 2.0f), s"row $rid")
+    }
+  }
+
   test("multi-file directory: row ids are consecutive in file order") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_vecs_multi")
