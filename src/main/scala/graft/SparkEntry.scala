@@ -146,7 +146,7 @@ object SparkEntry {
     * probe-all, IVF_PQ full re-rank): L2 over the identically-quantized db. */
   private val u8KnnOracle: String =
     s"""WITH qdb AS (SELECT vec_id,
-       |  list_transform(embedding, x -> least(255.0, floor((x + 1.0) * 127.5))::FLOAT) AS v
+       |  list_transform(embedding, x -> greatest(0.0, least(255.0, floor((x + 1.0) * 127.5)))::FLOAT) AS v
        |  FROM embeddings)
        |SELECT q.vec_id AS qid, n.vec_id AS neighbor_id
        |FROM (SELECT * FROM embeddings WHERE vec_id < $NQ) q
@@ -223,10 +223,12 @@ object SparkEntry {
     idsOnly(VectorIndex.open(spark, uri).query(idxQueries(spark, dir), K))
   }
 
-  /** Quantized input shared by the byte-dtype index queries. */
+  /** Quantized input shared by the byte-dtype index queries. The lower
+    * clamp matches PackBytes' storage clamp-to-0, so harness and index
+    * quantize identically even for embedding components < -1.0. */
   private def quantizedU8(spark: SparkSession, dir: String): DataFrame =
     embAsIndexInput(spark, dir).select(col("external_id"),
-      expr("transform(vector, x -> float(least(255.0, floor((x + 1.0) * 127.5))))")
+      expr("transform(vector, x -> float(greatest(0.0, least(255.0, floor((x + 1.0) * 127.5)))))")
         .as("vector"))
 
   /** uint8 IVF_FLAT probe-all: byte-packed partitioned storage + asymmetric

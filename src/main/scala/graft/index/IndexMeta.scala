@@ -29,7 +29,11 @@ case class IndexMeta(
     baseSizes: List[Long],
     partitionHistory: List[Int],
     hasUpdates: Boolean,
-    numSubspaces: Int = 0) {
+    numSubspaces: Int = 0,
+    // VAMANA build parameters, persisted so consolidation re-ingests with
+    // the same graph shape (0 = not a VAMANA index / defaults)
+    lBuild: Int = 0,
+    rMaxDegree: Int = 0) {
 
   def metric: DistanceMetric = DistanceMetric.fromId(distanceMetric)
 
@@ -70,7 +74,9 @@ object IndexMeta {
       "base_sizes" -> meta.baseSizes,
       "partition_history" -> meta.partitionHistory,
       "has_updates" -> meta.hasUpdates,
-      "num_subspaces" -> meta.numSubspaces))
+      "num_subspaces" -> meta.numSubspaces,
+      "l_build" -> meta.lBuild,
+      "r_max_degree" -> meta.rMaxDegree))
     Files.write(dir.resolve("index.json"), json.getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
       StandardOpenOption.WRITE)
@@ -95,7 +101,9 @@ object IndexMeta {
       baseSizes = (j \ "base_sizes").extract[List[Long]],
       partitionHistory = (j \ "partition_history").extract[List[Int]],
       hasUpdates = (j \ "has_updates").extract[Boolean],
-      numSubspaces = (j \ "num_subspaces").extractOrElse[Int](0))
+      numSubspaces = (j \ "num_subspaces").extractOrElse[Int](0),
+      lBuild = (j \ "l_build").extractOrElse[Int](0),
+      rMaxDegree = (j \ "r_max_degree").extractOrElse[Int](0))
   }
 
   def exists(rootDir: String): Boolean =

@@ -138,6 +138,11 @@ object Ingest {
       else df
 
     var mSubspaces = 0
+    var vamanaLBuild = 0
+    var vamanaRMaxDegree = 0
+    // partitionHistory records the EFFECTIVE layout unit: IVF partition
+    // count, or VAMANA shard count (which has its own auto rule)
+    var recordedParts = numParts
     indexType match {
       case "FLAT" =>
         packVector(base).write.mode("overwrite").parquet(s"$uri/base/v=$timestamp")
@@ -202,6 +207,7 @@ object Ingest {
         // default: auto-shard by size so large builds never serialize into
         // one executor task (partitions=Some(1) = exact reference behavior)
         val numShards = partitions.getOrElse(VamanaIndex.autoShards(count))
+        recordedParts = numShards
         val sharded = if (numShards > 1) {
           val shardCentroids = trainCentroids(base, numShards,
             trainingSampleSize.getOrElse(autoTrainingSize(count, numShards)),
@@ -215,6 +221,8 @@ object Ingest {
           .parquet(s"$uri/base/v=$timestamp")
         val lb = lBuild.getOrElse(VamanaIndex.DefaultLBuild)
         val rd = rMaxDegree.getOrElse(VamanaIndex.DefaultRMaxDegree)
+        vamanaLBuild = lb
+        vamanaRMaxDegree = rd
         val g = sharded.select(col("shard_id"), col("external_id"), col("vector"))
           .as[(Int, Long, Array[Float])]
           .groupByKey(_._1)
@@ -241,9 +249,11 @@ object Ingest {
       storageVersion = IndexMeta.StorageVersion,
       ingestionTimestamps = prior.map(_.ingestionTimestamps).getOrElse(Nil) :+ timestamp,
       baseSizes = prior.map(_.baseSizes).getOrElse(Nil) :+ count,
-      partitionHistory = prior.map(_.partitionHistory).getOrElse(Nil) :+ numParts,
+      partitionHistory = prior.map(_.partitionHistory).getOrElse(Nil) :+ recordedParts,
       hasUpdates = prior.exists(_.hasUpdates),
-      numSubspaces = mSubspaces)
+      numSubspaces = mSubspaces,
+      lBuild = vamanaLBuild,
+      rMaxDegree = vamanaRMaxDegree)
     IndexMeta.write(uri, meta)
     // Open at latest (not at `timestamp`) so subsequently-appended updates
     // are visible through the returned handle, matching the reference's

@@ -176,10 +176,21 @@ abstract class VectorIndex(
       case ivf: IvfFlatIndex => Some(ivf.centroids)
       case _ => None
     } else None
+    // VAMANA re-ingests with the SAME build shape as the active version
+    // (lBuild / rMaxDegree / shard count persisted in IndexMeta) — a graph
+    // built with custom parameters must not silently revert to defaults or
+    // auto-sharding on consolidation (reference re-ingests with stored
+    // config, index.py:503-577).
+    val effParts =
+      if (meta.indexType == "VAMANA")
+        partitions.orElse(meta.partitionHistory.lastOption.filter(_ > 0))
+      else partitions
     Ingest.ingest(spark, uri, merged, meta.indexType, metric,
       dtype = meta.dtype, timestamp = newTs,
-      partitions = partitions,
+      partitions = effParts,
       numSubspaces = if (meta.numSubspaces > 0) Some(meta.numSubspaces) else None,
+      lBuild = if (meta.lBuild > 0) Some(meta.lBuild) else None,
+      rMaxDegree = if (meta.rMaxDegree > 0) Some(meta.rMaxDegree) else None,
       normalizeDone = true, appendMeta = true,
       presetCentroids = preset)
     VectorIndex.open(spark, uri)

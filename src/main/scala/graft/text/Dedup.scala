@@ -17,6 +17,19 @@ import graft.functions.dist_cosine
   */
 object Dedup {
 
+  /** Materialize a frame that is re-read several times (or whose lineage
+    * must be cut inside an iterative loop). When the session has a
+    * reliable checkpoint directory configured (`sc.setCheckpointDir`),
+    * use `checkpoint()` — recoverable if an executor is lost mid-job, which
+    * matters for spot/decommission fleets at the 100 TB design point.
+    * Otherwise fall back to `localCheckpoint()` (executor-local blocks,
+    * released by the ContextCleaner when the plan is unreferenced — unlike
+    * cache(), repeated dedup calls don't accumulate storage, but a lost
+    * executor fails the job). */
+  private def materialize(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint()
+
   /** Exact duplicate groups by content hash: one hash-aggregate, no join.
     * Output: (fp, canonical_id, cnt) with canonical = min id. */
   def exactGroups(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
@@ -86,15 +99,14 @@ object Dedup {
 
     import org.apache.spark.sql.graftshim.{toColumn, toExpression}
     // The (sh, minhash) frame is referenced three times (banding + both
-    // sides of the verification join) — localCheckpoint materializes it once
-    // and cuts lineage; unlike cache() the blocks are released by the
-    // ContextCleaner when the plan is unreferenced, so repeated dedup calls
-    // don't accumulate storage.
+    // sides of the verification join) — materialize() computes it once and
+    // cuts lineage (see its scaladoc for the checkpoint/localCheckpoint
+    // fault-tolerance trade).
     val withSig = docs.select(col(idCol).as("id"),
         TextOps.shingleSet(col(textCol)).as("sh"))
       .withColumn("minhash",
         toColumn(MinHashSignature(toExpression(col("sh")), aCoef, bCoef)))
-      .localCheckpoint()
+      .transform(materialize)
 
     val banded = withSig.select(col("id"), col("sh"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)), bd =>
@@ -162,7 +174,7 @@ object Dedup {
 
   /** Connected components over a near-dup pair graph by iterative min-label
     * propagation (each iteration: one join + one hash agg; lineage is cut
-    * with localCheckpoint). Diameter of dup-clusters bounds the iteration
+    * with [[materialize]]). Diameter of dup-clusters bounds the iteration
     * count; convergence is detected by a changed-label count. This is the
     * canonical-document assignment step of corpus dedup: component id =
     * smallest doc id reachable through near-dup edges.
@@ -175,8 +187,8 @@ object Dedup {
       maxIter: Int = 15): DataFrame = {
     val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint()
-    var labels = nodes.select(col("id"), col("id").as("component")).localCheckpoint()
+      .transform(materialize)
+    var labels = materialize(nodes.select(col("id"), col("id").as("component")))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -186,7 +198,7 @@ object Dedup {
         .select(labels("id"),
           least(col("component"), coalesce(col("nbr_min"), col("component")))
             .as("component"))
-        .localCheckpoint()
+        .transform(materialize)
       val changed = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
         .where(col("n.component") =!= col("o.component")).count()
       labels = next

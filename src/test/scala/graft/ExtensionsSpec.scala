@@ -6,21 +6,27 @@ import org.scalatest.funsuite.AnyFunSuite
 class ExtensionsSpec extends AnyFunSuite {
 
   private lazy val spark: SparkSession = {
-    // another spec's shared session may already own the SparkContext, and
-    // `spark.sql.extensions` is static conf read at CONTEXT creation — clear
-    // the default session and wire the extensions through withExtensions,
-    // which applies to a new session over a reused context too (same code
-    // path GraftExtensions takes when loaded via the conf on a fresh JVM)
+    // another spec's shared session may already own the SparkContext;
+    // `withExtensions` applies to a new session over a reused context too
+    // (the same code path GraftExtensions takes when loaded via the
+    // `spark.sql.extensions` conf on a fresh JVM). Inject ONLY through
+    // withExtensions — not also the static conf — so the extensions never
+    // inject twice when this suite creates the first context. The default-
+    // session clear is required for getOrCreate to build a NEW session;
+    // restore the prior default afterwards so JVM-sharing suites are
+    // unaffected by suite ordering.
+    val prior = SparkSession.getDefaultSession
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
-    SparkSession.builder()
+    val s = SparkSession.builder()
       .master("local[2]")
       .appName("graft-ext-test")
       .config("spark.sql.shuffle.partitions", "2")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.plans.GraftExtensions())
       .getOrCreate()
+    prior.foreach(SparkSession.setDefaultSession)
+    s
   }
 
   test("extension-injected SQL functions work in a fresh session") {

@@ -427,6 +427,24 @@ class IndexSpec extends AnyFunSuite {
     assert(gotIds(consolidated.query(queries10, 10)) === expected)
   }
 
+  test("VAMANA consolidate preserves lBuild/rMaxDegree and shard count") {
+    val uri = tmp()
+    val idx = Ingest.ingest(spark, uri, emb, "VAMANA", DistanceMetric.L2,
+      timestamp = 1000L, partitions = Some(4),
+      lBuild = Some(40), rMaxDegree = Some(24))
+    assert(idx.meta.lBuild === 40)
+    assert(idx.meta.rMaxDegree === 24)
+    assert(idx.meta.partitionHistory === List(4))
+    idx.deleteBatch(emb.where(col("external_id") < 50), ts = 1100L)
+    val after = idx.consolidateUpdates(newTs = 2000L)
+    // custom graph shape survives consolidation (no silent revert to
+    // defaults / auto-sharding)
+    assert(after.meta.lBuild === 40)
+    assert(after.meta.rMaxDegree === 24)
+    assert(after.meta.partitionHistory === List(4, 4))
+    assert(after.query(queries10, 5).count() === 50)
+  }
+
   test("k-means fixup: degenerate all-identical input still yields k distinct centroids") {
     import spark.implicits._
     // reference invariant: exactly `partitions` centroids even when the

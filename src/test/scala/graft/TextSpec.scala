@@ -24,6 +24,19 @@ class TextSpec extends AnyFunSuite {
     assert(exact.nonEmpty, "fixture should contain near-dup pairs")
   }
 
+  test("dedup switches to reliable checkpoints when a checkpoint dir is set") {
+    import spark.implicits._
+    val base = Dedup.minhashLshPairs(docs, 0.8).as[(Long, Long)].collect().toSet
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    spark.sparkContext.setCheckpointDir(ckptDir)
+    val viaCkpt = Dedup.minhashLshPairs(docs, 0.8).as[(Long, Long)].collect().toSet
+    assert(viaCkpt === base)
+    // the reliable-checkpoint path actually wrote RDD checkpoint data
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckptDir))
+      .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+    assert(wrote > 0, "expected reliable checkpoint files under the configured dir")
+  }
+
   test("simhash: identical token multisets collide; pairs are plausible near-dups") {
     import spark.implicits._
     val planted = Seq(
