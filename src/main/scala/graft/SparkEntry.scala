@@ -200,17 +200,34 @@ object SparkEntry {
     * fixture's vec_id is consecutive from 0; the sharded write preserves
     * that order via the range-partitioned sort + lexicographic shard
     * names, with no driver collect). */
-  private def fvecsRoundtripKnn(spark: SparkSession, dir: String): DataFrame = {
-    val path = cachedIndex("fvecs", dir) { u =>
+  private def fvecsFixture(spark: SparkSession, dir: String): String =
+    cachedIndex("fvecs", dir) { u =>
       graft.io.VecsIO.writeFvecsSharded(
         emb(spark, dir).orderBy("vec_id").select(col("embedding")),
         s"$u/emb.fvecs", vecCol = "embedding")
     }
+
+  private def fvecsRoundtripKnn(spark: SparkSession, dir: String): DataFrame = {
+    val path = fvecsFixture(spark, dir)
     val db = graft.io.VecsIO.readFvecs(spark, s"$path/emb.fvecs")
     val queries = db.where(col("row_id") < NQ)
       .select(col("row_id").as("qid"), col("vector").as("qvec"))
     idsOnly(Knn.bruteForce(db, queries, K, DistanceMetric.L2,
       idCol = "row_id", vecCol = "vector"))
+  }
+
+  /** Autodetected-source ingest (reference S1 dispatch ingestion.py:400-421
+    * + F7 `size` prefix ingestion.py:3168-3171): the index is built straight
+    * from the .fvecs fixture URI with a size=400 prefix (a parallel
+    * `row_id < 400` filter, not a limit); absent external ids synthesize to
+    * row ids, so the exact L2 oracle is brute force over vec_id < 400. */
+  private def sourceIngestAutodetect(spark: SparkSession, dir: String): DataFrame = {
+    val fv = fvecsFixture(spark, dir)
+    val uri = cachedIndex("src_ingest", dir) { u =>
+      Ingest.ingestFromSource(spark, u, s"$fv/emb.fvecs", "FLAT",
+        DistanceMetric.L2, timestamp = 1000L, size = Some(400L))
+    }
+    idsOnly(VectorIndex.open(spark, uri).query(idxQueries(spark, dir), K))
   }
 
   /** uint8 FLAT index over quantized embeddings: byte-packed storage +
@@ -290,6 +307,35 @@ object SparkEntry {
         new graft.objects.DocumentsTableReader(dir),
         new graft.objects.HashTextEmbedding(64), timestamp = 1000L)
     })
+
+  /** Image-directory object search (reference DirectoryImageReader,
+    * object_readers/directory_reader.py:507): a deterministic binary-file
+    * fixture stands in for real images (no codecs in this container — the
+    * decode slot is Multimodal.stubDecode), read through the binaryFile
+    * source, FLAT-indexed, self-retrieval queried. Rows-only check. */
+  private def objectSearchImage(spark: SparkSession, dir: String): DataFrame = {
+    val imgRoot = cachedIndex("imgdir", dir) { u =>
+      val d = new java.io.File(s"$u/images"); d.mkdirs()
+      val rnd = new java.util.Random(7)
+      for (i <- 0 until 60) {
+        val bytes = new Array[Byte](512 + 8 * i)
+        rnd.nextBytes(bytes)
+        Files.write(d.toPath.resolve(f"img_$i%04d.png"), bytes)
+      }
+    }
+    val reader = new graft.objects.DirectoryImageReader(s"$imgRoot/images", "*.png")
+    val embedding = new graft.objects.StubImageEmbedding(64)
+    val uri = cachedIndex("img_idx", dir) { u =>
+      graft.objects.ObjectIndex.create(spark, u, reader, embedding,
+        indexType = "FLAT", metric = DistanceMetric.L2, timestamp = 1000L)
+    }
+    val idx = new graft.objects.ObjectIndex(spark, uri, reader, embedding)
+    val queries = reader.readObjects(spark).where(col("external_id") < 5)
+      .select(col("external_id").as("qid"), col("payload"))
+    idx.query(queries, k = 3)
+      .select(col("qid"), col("rank"), col("external_id"))
+      .orderBy("qid", "rank")
+  }
 
   /** Semantic object search with metadata join (reference object_index
     * query path, rows-only — embedding is engine-internal). */
@@ -465,6 +511,7 @@ object SparkEntry {
     "ivf_pq_exact_rerank" -> (ivfPqExactRerank _),
     "vamana_knn" -> (vamanaKnn _),
     "fvecs_roundtrip_knn" -> (fvecsRoundtripKnn _),
+    "source_ingest_autodetect" -> (sourceIngestAutodetect _),
     "knn_flat_u8" -> (knnFlatU8 _),
     "ivf_flat_u8" -> (ivfFlatU8 _),
     "ivf_pq_u8_exact_rerank" -> (ivfPqU8ExactRerank _),
@@ -473,6 +520,7 @@ object SparkEntry {
     "knn_graph_ann" -> (knnGraphAnn _),
     "object_search" -> (objectSearch _),
     "object_search_filtered" -> (objectSearchFiltered _),
+    "object_search_image" -> (objectSearchImage _),
     "multimodal_features" -> (multimodalFeatures _),
     "q1_agg" -> (q1Agg _),
     "q_join_revenue" -> (qJoinRevenue _),
@@ -508,6 +556,12 @@ object SparkEntry {
     // k-means); driver records rows-only, recall asserted in IndexSpec.
     "ivf_pq_exact_rerank" -> knnOracle("list_distance(n.embedding, q.embedding)"),
     "fvecs_roundtrip_knn" -> knnOracle("list_distance(n.embedding, q.embedding)"),
+    "source_ingest_autodetect" ->
+      s"""SELECT q.vec_id AS qid, n.vec_id AS neighbor_id
+         |FROM (SELECT * FROM embeddings WHERE vec_id < $NQ) q
+         |CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 400) n
+         |QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY list_distance(n.embedding, q.embedding), n.vec_id) <= $K
+         |ORDER BY qid, neighbor_id""".stripMargin,
     "range_search_l2" ->
       s"""SELECT q.vec_id AS qid, n.vec_id AS neighbor_id
          |FROM (SELECT * FROM embeddings WHERE vec_id < $NQ) q

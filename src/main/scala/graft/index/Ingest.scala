@@ -66,6 +66,52 @@ object Ingest {
     else base.sample(withReplacement = false, sampleSize.toDouble / total, seed = 42L)
   }
 
+  /** Build an index directly from a source URI, autodetecting the format
+    * from the extension (reference: ingestion.py:400-421 dispatch;
+    * `size` prefix ingestion.py:3168-3171; external-ids source
+    * ingestion.py:809-877).
+    *
+    * @param size             optional prefix: only the first `size` rows (in
+    *                         global row order) are ingested. Expressed as a
+    *                         `row_id < size` filter — fully parallel, exact
+    *                         FIRST_N semantics, no GlobalLimit funnel.
+    * @param externalIdsUri   optional ids source (`.u64bin` or parquet with
+    *                         (row_id, external_id)); joined positionally on
+    *                         row_id. Absent → row ids become external ids
+    *                         (the reference's synthesized arange).
+    */
+  def ingestFromSource(
+      spark: SparkSession,
+      uri: String,
+      sourceUri: String,
+      indexType: String,
+      metric: DistanceMetric = DistanceMetric.L2,
+      dtype: String = "float32",
+      timestamp: Long = System.currentTimeMillis(),
+      partitions: Option[Int] = None,
+      size: Option[Long] = None,
+      externalIdsUri: Option[String] = None): VectorIndex = {
+    val raw = graft.io.VecsIO.readSource(spark, sourceUri)
+    val sized = size.map(n => raw.where(col("row_id") < n)).getOrElse(raw)
+    val withIds = externalIdsUri match {
+      case Some(idsUri) =>
+        val ids = graft.io.VecsIO.detectSourceType(idsUri) match {
+          case "U64BIN" => graft.io.VecsIO.readU64bin(spark, idsUri)
+          case "PARQUET" => spark.read.parquet(idsUri)
+            .select(col("row_id").cast("long").as("row_id"),
+              col("external_id").cast("long").as("external_id"))
+          case other => throw new IllegalArgumentException(
+            s"graft: unsupported external-ids format $other")
+        }
+        sized.join(ids, Seq("row_id"))
+          .select(col("external_id"), col("vector"))
+      case None =>
+        sized.select(col("row_id").as("external_id"), col("vector"))
+    }
+    ingest(spark, uri, withIds, indexType, metric,
+      dtype = dtype, timestamp = timestamp, partitions = partitions)
+  }
+
   /** Build (or append a new version of) an index from `source`
     * (columns: external_id: Long, vector: Array[Float]).
     *

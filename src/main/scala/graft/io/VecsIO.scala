@@ -88,6 +88,101 @@ object VecsIO {
       .select(col("row_id"), col("vector").cast("array<float>").as("vector"))
   }
 
+  /** Autodetect a source format from its URI extension (works for a single
+    * file or a directory of same-format shards, e.g. `out.fvecs/part-*`)
+    * — reference: ingestion.py:400-421 source-type dispatch. Anything
+    * without a recognized binary extension is treated as parquet. */
+  def detectSourceType(uri: String): String = {
+    val l = uri.stripSuffix("/").toLowerCase
+    if (l.endsWith(".fvecs")) "FVECS"
+    else if (l.endsWith(".bvecs")) "BVECS"
+    else if (l.endsWith(".ivecs")) "IVECS"
+    else if (l.endsWith(".f32bin")) "F32BIN"
+    else if (l.endsWith(".u8bin")) "U8BIN"
+    else if (l.endsWith(".u64bin")) "U64BIN"
+    else "PARQUET"
+  }
+
+  /** (size, dimensions) of a vector source from per-file METADATA only
+    * (file lengths + first header — no payload scan), the Spark analogue of
+    * the reference's `read_source_metadata` (ingestion.py:423-493). Parquet
+    * falls back to a count + one-row peek (footer-driven, still cheap). */
+  def sourceMetadata(spark: SparkSession, uri: String): (Long, Int) =
+    detectSourceType(uri) match {
+      case "FVECS" => recordFormatMeta(spark, uri, 4)
+      case "BVECS" => recordFormatMeta(spark, uri, 1)
+      case "IVECS" => recordFormatMeta(spark, uri, 4)
+      case "F32BIN" | "U8BIN" =>
+        val files = listFiles(spark, uri)
+        val counts = files.map { case (f, _) => headerCount(spark, f) }
+        val d = headerDim(spark, files.head._1)
+        (counts.sum, d)
+      case "U64BIN" =>
+        val files = listFiles(spark, uri)
+        (files.map { case (_, len) => (len - 8) / 8 }.sum, 1)
+      case "PARQUET" =>
+        val df = readParquetSource(spark, uri)
+        val d = df.select(size(col("vector"))).head().getInt(0)
+        (df.count(), d)
+    }
+
+  private def recordFormatMeta(spark: SparkSession, path: String, elemBytes: Int): (Long, Int) = {
+    val files = listFiles(spark, path)
+    require(files.nonEmpty, s"graft: no files at $path")
+    val d = firstInt(spark, files.head._1)
+    val recBytes = 4L + elemBytes.toLong * d
+    (files.map(_._2 / recBytes).sum, d)
+  }
+
+  private def headerCount(spark: SparkSession, file: String): Long = {
+    val p = new Path(file)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try {
+      val b = new Array[Byte](4); in.readFully(b)
+      ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN).getInt.toLong
+    } finally in.close()
+  }
+
+  private def headerDim(spark: SparkSession, file: String): Int = {
+    val p = new Path(file)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try {
+      val b = new Array[Byte](8); in.readFully(b)
+      val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+      bb.getInt; bb.getInt
+    } finally in.close()
+  }
+
+  /** Parquet vector source normalized to (row_id, vector): accepts any of
+    * row_id/external_id/vec_id for the id and vector/embedding for the
+    * payload (covers both graft-written bases and raw embedding tables). */
+  private def readParquetSource(spark: SparkSession, uri: String): DataFrame = {
+    val df = spark.read.parquet(uri)
+    val idCol = Seq("row_id", "external_id", "vec_id").find(df.columns.contains)
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft: parquet source $uri has no row_id/external_id/vec_id column"))
+    val vecCol = Seq("vector", "embedding").find(df.columns.contains)
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft: parquet source $uri has no vector/embedding column"))
+    df.select(col(idCol).cast("long").as("row_id"),
+      col(vecCol).cast("array<float>").as("vector"))
+  }
+
+  /** Read any supported vector source by URI → (row_id, vector)
+    * (reference: ingestion.py:400-421 + the per-format readers). */
+  def readSource(spark: SparkSession, uri: String): DataFrame =
+    detectSourceType(uri) match {
+      case "FVECS" => readFvecs(spark, uri)
+      case "BVECS" => readBvecs(spark, uri)
+      case "F32BIN" => readF32bin(spark, uri)
+      case "U8BIN" => readU8bin(spark, uri)
+      case "PARQUET" => readParquetSource(spark, uri)
+      case other => throw new IllegalArgumentException(
+        s"graft: $other is not a vector source (ids/ground-truth format)")
+    }
+
   /** `.fvecs` → (row_id: Long, vector: Array[Float]). */
   def readFvecs(spark: SparkSession, path: String): DataFrame =
     readRecordFormat(spark, path, 4, (bb, d) => {
@@ -264,6 +359,16 @@ object VecsIO {
       val bb = ByteBuffer.allocate(4 + v.length).order(ByteOrder.LITTLE_ENDIAN)
       bb.putInt(v.length)
       v.foreach(x => bb.put((x & 0xFF).toByte))
+      out.write(bb.array())
+    } finally out.close()
+  }
+
+  def writeU64bin(path: String, ids: Seq[Long]): Unit = {
+    val out = new DataOutputStream(new FileOutputStream(path))
+    try {
+      val bb = ByteBuffer.allocate(8 + 8 * ids.length).order(ByteOrder.LITTLE_ENDIAN)
+      bb.putLong(ids.length.toLong)
+      ids.foreach(bb.putLong)
       out.write(bb.array())
     } finally out.close()
   }

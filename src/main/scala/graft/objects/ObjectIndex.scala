@@ -93,16 +93,11 @@ class ObjectIndex(
     reader.readObjects(spark).join(ids, Seq("external_id"), "left_semi")
   }
 
-  private def embedQueries(queryObjects: DataFrame): DataFrame = {
-    import spark.implicits._
-    val e = embedding
-    queryObjects.select(col("qid").cast("long"), col("text"))
-      .as[(Long, String)]
-      .mapPartitions { it => e.init(); e.embed(it) }
+  private def embedQueries(queryObjects: DataFrame): DataFrame =
+    ObjectIndex.embedContent(queryObjects, "qid", embedding)
       .toDF("qid", "embedding_seq", "qvec")
       .select(col("qid"), col("embedding_seq"),
         col("qvec").cast("array<float>").as("qvec"))
-  }
 }
 
 object ObjectIndex {
@@ -121,12 +116,8 @@ object ObjectIndex {
       metric: DistanceMetric = DistanceMetric.Cosine,
       timestamp: Long = System.currentTimeMillis(),
       partitions: Option[Int] = None): ObjectIndex = {
-    import spark.implicits._
     val objects = reader.readObjects(spark)
-    val e = embedding
-    val vectors = objects.select(col("external_id"), col("text"))
-      .as[(Long, String)]
-      .mapPartitions { it => e.init(); e.embed(it) }
+    val vectors = embedContent(objects, "external_id", embedding)
       .toDF("external_id", "embedding_seq", "vector")
       .select(col("external_id"), col("vector").cast("array<float>").as("vector"))
     Ingest.ingest(spark, uri, vectors, indexType, metric,
@@ -134,5 +125,28 @@ object ObjectIndex {
     reader.readMetadata(spark)
       .write.mode("overwrite").parquet(s"$uri/object_metadata")
     new ObjectIndex(spark, uri, reader, embedding)
+  }
+
+  /** Run the embedding over `df`'s content column, dispatching on its Spark
+    * type: StringType → text models, BinaryType → image/audio models. Both
+    * paths are mapPartitions with lazy per-executor `init()`. */
+  private[objects] def embedContent(
+      df: DataFrame,
+      idCol: String,
+      embedding: ObjectEmbedding): org.apache.spark.sql.Dataset[(Long, Int, Array[Float])] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val e = embedding
+    val contentCol = e.contentColumn
+    df.schema(contentCol).dataType match {
+      case org.apache.spark.sql.types.BinaryType =>
+        df.select(col(idCol).cast("long"), col(contentCol))
+          .as[(Long, Array[Byte])]
+          .mapPartitions { it => e.init(); e.embedBinary(it) }
+      case _ =>
+        df.select(col(idCol).cast("long"), col(contentCol).cast("string"))
+          .as[(Long, String)]
+          .mapPartitions { it => e.init(); e.embed(it) }
+    }
   }
 }

@@ -30,12 +30,27 @@ trait ObjectReader extends Serializable {
   * init (reference: object_embedding.py `load()` once per worker; our
   * `init()` is called lazily inside mapPartitions). May emit MULTIPLE
   * embeddings per object (multi-vector models like ColPali —
-  * colpali_embedding.py:1-104); `embedding_seq` distinguishes them. */
+  * colpali_embedding.py:1-104); `embedding_seq` distinguishes them.
+  *
+  * Content comes from `contentColumn` of the reader's objects frame; the
+  * object index dispatches on its Spark type — StringType → [[embed]]
+  * (text models), BinaryType → [[embedBinary]] (image/audio models like the
+  * reference's resnet/ColPali/soma embeddings under its embeddings/
+  * package). An implementation overrides whichever variant matches its
+  * modality. */
 trait ObjectEmbedding extends Serializable {
   def dimensions: Int
   def init(): Unit = ()
+  /** Column of `readObjects()` holding the embeddable content. */
+  def contentColumn: String = "text"
   /** (external_id, text) → embeddings; emit one or more per object. */
-  def embed(objects: Iterator[(Long, String)]): Iterator[(Long, Int, Array[Float])]
+  def embed(objects: Iterator[(Long, String)]): Iterator[(Long, Int, Array[Float])] =
+    throw new UnsupportedOperationException(
+      s"$getClass does not embed text content")
+  /** (external_id, payload) → embeddings for binary content. */
+  def embedBinary(objects: Iterator[(Long, Array[Byte])]): Iterator[(Long, Int, Array[Float])] =
+    throw new UnsupportedOperationException(
+      s"$getClass does not embed binary content")
 }
 
 /** Deterministic hash-based text embedding — the stand-in for model-backed
@@ -58,6 +73,44 @@ class HashTextEmbedding(val dimensions: Int = 64) extends ObjectEmbedding {
       if (norm > 0) { var i = 0; while (i < dimensions) { v(i) /= norm; i += 1 } }
       (id, 0, v)
     }
+}
+
+/** Image embedding whose decode slot is [[graft.multimodal.Multimodal.stubDecode]]
+  * — the container ships no codecs, so features are deterministic byte-level
+  * statistics; a model-backed deployment (reference resnet/ColPali,
+  * embeddings/image_resnetv2_embedding.py) replaces `decode` without
+  * touching the pipeline. */
+class StubImageEmbedding(
+    val dimensions: Int = 64,
+    decode: (Array[Byte], Int) => Array[Float] =
+      graft.multimodal.Multimodal.stubDecode) extends ObjectEmbedding {
+  override def contentColumn: String = "payload"
+  override def embedBinary(objects: Iterator[(Long, Array[Byte])])
+      : Iterator[(Long, Int, Array[Float])] =
+    objects.map { case (id, payload) => (id, 0, decode(payload, dimensions)) }
+}
+
+/** Image-directory reader (reference: object_readers/directory_reader.py:507
+  * `DirectoryImageReader`): one object per file under `dir`, read through
+  * Spark's built-in `binaryFile` source — the scan carries (path, length,
+  * modificationTime, content) and prunes on the glob before reading
+  * payloads, one task per file group. External ids are synthesized densely
+  * in lexicographic path order (read_external_ids arange semantics). */
+class DirectoryImageReader(
+    dir: String,
+    glob: String = "*") extends ObjectReader {
+
+  override def readObjects(spark: SparkSession): DataFrame =
+    graft.index.Ingest.withSyntheticIds(
+      spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(dir)
+        .select(col("path"), col("length"), col("content").as("payload")),
+      "path")
+      .select(col("external_id"), col("path"), col("length"), col("payload"))
+
+  override def readMetadata(spark: SparkSession): DataFrame =
+    readObjects(spark).select(col("external_id"), col("path"), col("length"))
 }
 
 /** Text chunker mirroring the reference's DirectoryTextReader defaults

@@ -427,6 +427,30 @@ class IndexSpec extends AnyFunSuite {
     assert(gotIds(consolidated.query(queries10, 10)) === expected)
   }
 
+  test("ingestFromSource: autodetect + size prefix + external-ids source") {
+    import spark.implicits._
+    val srcDir = Files.createTempDirectory("graft_src")
+    graft.io.VecsIO.writeFvecsSharded(
+      emb.orderBy("external_id").select(col("vector")), s"$srcDir/v.fvecs")
+    graft.io.VecsIO.writeU64bin(s"$srcDir/ids.u64bin",
+      (0L until 500L).map(_ + 1000L))
+    val idx = graft.index.Ingest.ingestFromSource(spark, tmp(),
+      s"$srcDir/v.fvecs", "FLAT", DistanceMetric.L2, timestamp = 1000L,
+      size = Some(200L), externalIdsUri = Some(s"$srcDir/ids.u64bin"))
+    assert(idx.meta.baseSizes === List(200L))
+    // neighbors carry the external ids (+1000) and only the 200-row prefix
+    val hits = idx.query(queries10, 5)
+    val ids = hits.select("id").as[Long].collect()
+    assert(ids.forall(id => id >= 1000L && id < 1200L))
+    // the size prefix keeps FIRST_N semantics: same answer as brute force
+    // over the first 200 source rows
+    val expected = gotIds(Knn.bruteForce(
+      emb.where(col("external_id") < 200)
+        .select((col("external_id") + 1000L).as("external_id"), col("vector")),
+      queries10, 5, DistanceMetric.L2, idCol = "external_id", vecCol = "vector"))
+    assert(gotIds(hits) === expected)
+  }
+
   test("VAMANA consolidate preserves lBuild/rMaxDegree and shard count") {
     val uri = tmp()
     val idx = Ingest.ingest(spark, uri, emb, "VAMANA", DistanceMetric.L2,

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.multimodal.Multimodal
-import graft.objects.{DocumentsTableReader, HashTextEmbedding, ObjectIndex}
+import graft.objects.{DirectoryImageReader, DocumentsTableReader, HashTextEmbedding, ObjectIndex, StubImageEmbedding}
 
 class ObjectSpec extends AnyFunSuite {
   import SparkTestSession._
@@ -86,6 +86,35 @@ class ObjectSpec extends AnyFunSuite {
     assert(hits.count() === 5)
     assert(hits.where(col("rank") === 1).select(col("external_id"))
       .head().getLong(0) / 1000 === 7L)
+  }
+
+  test("image directory reader: binaryFile objects, metadata, self-retrieval") {
+    import spark.implicits._
+    val imgDir = Files.createTempDirectory("graft_imgs")
+    val rnd = new java.util.Random(3)
+    for (i <- 0 until 20) {
+      val b = new Array[Byte](256 + 16 * i); rnd.nextBytes(b)
+      Files.write(imgDir.resolve(f"img_$i%03d.png"), b)
+    }
+    // a non-matching file the glob must prune
+    Files.write(imgDir.resolve("notes.txt"), "not an image".getBytes)
+    val reader = new DirectoryImageReader(imgDir.toString, "*.png")
+    val objs = reader.readObjects(spark)
+    assert(objs.count() === 20)
+    assert(objs.schema("payload").dataType ===
+      org.apache.spark.sql.types.BinaryType)
+    // dense ids in path order
+    assert(objs.agg(min(col("external_id")), max(col("external_id")))
+      .head().toSeq === Seq(0L, 19L))
+    val idx = ObjectIndex.create(spark, tmp(), reader, new StubImageEmbedding(32),
+      indexType = "FLAT",
+      metric = graft.operators.DistanceMetric.L2, timestamp = 1000L)
+    assert(idx.metadata.columns.toSet === Set("external_id", "path", "length"))
+    val queries = objs.where(col("external_id") < 3)
+      .select(col("external_id").as("qid"), col("payload"))
+    val top1 = idx.query(queries, k = 2).where(col("rank") === 1)
+      .select(col("qid"), col("external_id")).as[(Long, Long)].collect().toMap
+    (0L until 3L).foreach(q => assert(top1(q) === q, s"query $q should retrieve itself"))
   }
 
   test("multimodal: stub features are deterministic, unit-norm, null-safe") {

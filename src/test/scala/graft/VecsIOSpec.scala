@@ -55,6 +55,32 @@ class VecsIOSpec extends AnyFunSuite {
     got.zip(vecs).foreach { case ((_, g), e) => assert(g.sameElements(e)) }
   }
 
+  test("source autodetect dispatches on extension; metadata needs no payload scan") {
+    assert(VecsIO.detectSourceType("/a/b/x.fvecs") === "FVECS")
+    assert(VecsIO.detectSourceType("/a/b/x.bvecs") === "BVECS")
+    assert(VecsIO.detectSourceType("s3://bkt/x.u8bin") === "U8BIN")
+    assert(VecsIO.detectSourceType("/a/dir.fvecs/") === "FVECS")
+    assert(VecsIO.detectSourceType("/a/b/table.parquet") === "PARQUET")
+    assert(VecsIO.detectSourceType("/a/b/plaindir") === "PARQUET")
+    val p = tmpFile(".fvecs")
+    VecsIO.writeFvecs(p, vecs.iterator)
+    assert(VecsIO.sourceMetadata(spark, p) === ((vecs.length.toLong, 3)))
+    assert(VecsIO.readSource(spark, p).count() === vecs.length.toLong)
+    val pb = tmpFile(".f32bin")
+    VecsIO.writeF32bin(pb, vecs.length, 3, vecs.iterator)
+    assert(VecsIO.sourceMetadata(spark, pb) === ((vecs.length.toLong, 3)))
+    assert(VecsIO.readSource(spark, pb).count() === vecs.length.toLong)
+  }
+
+  test("u64bin ids roundtrip") {
+    import spark.implicits._
+    val p = tmpFile(".u64bin")
+    VecsIO.writeU64bin(p, Seq(7L, 11L, 13L))
+    val got = VecsIO.readU64bin(spark, p).orderBy("row_id")
+      .as[(Long, Long)].collect()
+    assert(got.toSeq === Seq((0L, 7L), (1L, 11L), (2L, 13L)))
+  }
+
   test("sharded distributed fvecs write roundtrips with global order preserved") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_vecs_shard").resolve("out.fvecs")
