@@ -78,6 +78,33 @@ object SparkEntry {
     idsOnly(VectorIndex.open(spark, uri).query(idxQueries(spark, dir), K, nprobe = 1 << 30))
   }
 
+  /** SQL surface: `ORDER BY dist_l2(vector, <const>) LIMIT k` against a
+    * registered IVF base table, rewritten by
+    * [[graft.plans.IndexProbeRewrite]] into a partition probe (installed
+    * into the plain session via experimental extraOptimizations — no
+    * session-creation extensions needed). Probe-all registration keeps it
+    * exact, so the oracle is the L2 brute force for query vector 0. */
+  private def sqlIndexTopk(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.registerAll(spark)
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.IndexProbeRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.IndexProbeRewrite
+    val uri = cachedIndex("ivf_l2", dir) { u =>
+      Ingest.ingest(spark, u, embAsIndexInput(spark, dir), "IVF_FLAT",
+        DistanceMetric.L2, timestamp = 1000L)
+    }
+    graft.plans.GraftSql.registerIndexTable(spark, "graft_vecs", uri, nprobe = 1 << 30)
+    val qv = emb(spark, dir).where(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0)
+    // 9 significant digits round-trip float32 exactly through double literals
+    val qlit = "cast(array(" + qv.map(x => f"$x%.9e").mkString(",") + ") as array<float>)"
+    spark.sql(
+      s"""SELECT CAST(0 AS BIGINT) AS qid, external_id AS neighbor_id
+         |FROM graft_vecs
+         |ORDER BY dist_l2(vector, $qlit), external_id LIMIT $K""".stripMargin)
+      .orderBy("neighbor_id")
+  }
+
   /** IVF_FLAT cosine (normalize-at-ingest + L2 probe, reference
     * ivf_flat_index.py:254-255), probe-all → matches cosine brute force. */
   private def ivfCosineProbeAll(spark: SparkSession, dir: String): DataFrame = {
@@ -506,6 +533,7 @@ object SparkEntry {
     "knn_flat_cosine" -> (knnFlat(DistanceMetric.Cosine) _),
     "knn_flat_ip" -> (knnFlat(DistanceMetric.InnerProduct) _),
     "ivf_flat_probe_all" -> (ivfProbeAll _),
+    "sql_index_topk" -> (sqlIndexTopk _),
     "ivf_flat_cosine_probe_all" -> (ivfCosineProbeAll _),
     "ivf_flat_nprobe" -> (ivfNprobe _),
     "ivf_pq_exact_rerank" -> (ivfPqExactRerank _),
@@ -551,6 +579,12 @@ object SparkEntry {
     "knn_flat_cosine" -> knnOracle("list_cosine_similarity(n.embedding, q.embedding) DESC"),
     "knn_flat_ip" -> knnOracle("list_inner_product(n.embedding, q.embedding) DESC"),
     "ivf_flat_probe_all" -> knnOracle("list_distance(n.embedding, q.embedding)"),
+    "sql_index_topk" ->
+      s"""SELECT 0::BIGINT AS qid, n.vec_id AS neighbor_id
+         |FROM (SELECT * FROM embeddings WHERE vec_id = 0) q
+         |CROSS JOIN embeddings n
+         |QUALIFY row_number() OVER (ORDER BY list_distance(n.embedding, q.embedding), n.vec_id) <= $K
+         |ORDER BY neighbor_id""".stripMargin,
     "ivf_flat_cosine_probe_all" -> knnOracle("list_cosine_similarity(n.embedding, q.embedding) DESC"),
     // ivf_flat_nprobe: intentionally no oracle (approximate, engine-internal
     // k-means); driver records rows-only, recall asserted in IndexSpec.

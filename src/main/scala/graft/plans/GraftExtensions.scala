@@ -64,5 +64,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"min_topk: k must be an integer literal, got $other")
       }))
     e.injectOptimizerRule(_ => OptimizeDistancePredicates)
+    e.injectOptimizerRule(_ => IndexProbeRewrite)
   }
 }

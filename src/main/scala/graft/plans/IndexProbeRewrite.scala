@@ -1,0 +1,159 @@
+package graft.plans
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.{ArrayType, FloatType}
+
+import graft.functions.{EuclideanDistance, SumOfSquaresDistance}
+import graft.index.{IvfFlatIndex, VectorIndex}
+
+/** Registry connecting parquet base paths of IVF indexes to their centroids,
+  * so the optimizer can recognize "a scan of table X" as "a scan of IVF
+  * index X" (the reference needs no such link — its queries go through the
+  * index object; in SQL the table is all the user names). */
+object IndexCatalog {
+  final case class Entry(centroids: Array[Array[Float]], nprobe: Int)
+
+  private val reg = TrieMap.empty[String, Entry]
+
+  def register(basePath: String, entry: Entry): Unit =
+    reg.put(normalize(basePath), entry)
+
+  def lookup(basePath: String): Option[Entry] = reg.get(normalize(basePath))
+
+  def clear(): Unit = reg.clear()
+
+  private def normalize(p: String): String =
+    new org.apache.hadoop.fs.Path(p).toUri.getPath
+}
+
+/** SQL-side index access: register an index's base table as a temp view and
+  * (for IVF indexes) record its centroids so [[IndexProbeRewrite]] can turn
+  * `ORDER BY dist_l2(vector, <const>) LIMIT k` into an index probe. */
+object GraftSql {
+  def registerIndexTable(
+      spark: SparkSession,
+      name: String,
+      uri: String,
+      nprobe: Int = 0): VectorIndex = {
+    val idx = VectorIndex.open(spark, uri)
+    idx.baseVectors().createOrReplaceTempView(name)
+    idx match {
+      case ivf: IvfFlatIndex if ivf.centroids.nonEmpty =>
+        val np = if (nprobe > 0) math.min(nprobe, ivf.centroids.length)
+          else math.max(1, math.sqrt(ivf.centroids.length.toDouble).toInt)
+        val ts = idx.meta.ingestionTimestamps(idx.meta.historyIndex(Long.MaxValue))
+        IndexCatalog.register(s"$uri/base/v=$ts", IndexCatalog.Entry(ivf.centroids, np))
+      case _ => ()
+    }
+    idx
+  }
+}
+
+/** `ORDER BY dist_l2(vector, <const-vector>) LIMIT k` over a registered IVF
+  * base table → probe plan: the top-nprobe centroid partitions for the
+  * (plan-time constant) query vector become a `partition_id IN (...)`
+  * filter directly above the scan, which Catalyst's partition pruning turns
+  * into "read only the probed partitions" — the same pruning
+  * [[graft.index.IvfFlatIndex]] performs programmatically
+  * (reference: detail/ivf/qv.h:99-153 probe; SURVEY §4 optional Strategy).
+  * The Sort+Limit stay and run as TakeOrdered over the pruned scan, so
+  * results are exactly the index's nprobe answer.
+  */
+object IndexProbeRewrite extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case gl @ GlobalLimit(IntegerLiteral(_),
+        LocalLimit(_, inner)) =>
+      stripProjects(inner) match {
+        // the DISTANCE must be the primary sort key; trailing tie-break
+        // keys (e.g. the id) don't affect which partitions can win
+        case Sort(SortOrder(dist, Ascending, _, _) +: _, true, _, _) =>
+          distanceArgs(dist) match {
+            case Some((attr, qexpr)) =>
+              evalQueryVector(qexpr)
+                .flatMap(qv => injectProbeFilter(gl, attr, qv))
+                .getOrElse(gl)
+            case None => gl
+          }
+        case _ => gl
+      }
+  }
+
+  private def stripProjects(p: LogicalPlan): LogicalPlan = p match {
+    case Project(_, child) => stripProjects(child)
+    case other => other
+  }
+
+  /** (vector attribute, constant query expression) from a distance call in
+    * either argument order. SOS shares L2's centroid ordering, so both
+    * prune identically. */
+  private def distanceArgs(e: Expression): Option[(AttributeReference, Expression)] =
+    e match {
+      case EuclideanDistance(a: AttributeReference, q) if q.foldable => Some((a, q))
+      case EuclideanDistance(q, a: AttributeReference) if q.foldable => Some((a, q))
+      case SumOfSquaresDistance(a: AttributeReference, q) if q.foldable => Some((a, q))
+      case SumOfSquaresDistance(q, a: AttributeReference) if q.foldable => Some((a, q))
+      case _ => None
+    }
+
+  private def evalQueryVector(q: Expression): Option[Array[Float]] = q.dataType match {
+    case ArrayType(FloatType, _) =>
+      Option(q.eval(null)).flatMap { v =>
+        val ad = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        try Some(ad.toFloatArray()) catch { case _: Throwable => None }
+      }
+    case _ => None
+  }
+
+  /** Wrap the (first) registered scan that produces `attr` in a
+    * partition_id ∈ nearest-centroids filter. No-op if the scan is already
+    * pruned (fixpoint idempotency) or the table isn't a registered IVF
+    * base. */
+  private def injectProbeFilter(
+      gl: LogicalPlan,
+      attr: AttributeReference,
+      qv: Array[Float]): Option[LogicalPlan] = {
+    val alreadyPruned: Set[LogicalPlan] = gl.collect {
+      case Filter(cond, lr: LogicalRelation)
+          if cond.references.exists(_.name == "partition_id") => lr: LogicalPlan
+    }.toSet
+    var injected = false
+    val out = gl.transformUp {
+      case lr: LogicalRelation
+          if !injected && !alreadyPruned(lr) && lr.outputSet.contains(attr) =>
+        (entryFor(lr), lr.output.find(_.name == "partition_id")) match {
+          case (Some(entry), Some(pid)) if entry.centroids.head.length == qv.length =>
+            injected = true
+            val parts = nearestPartitions(qv, entry.centroids, entry.nprobe)
+            Filter(In(pid, parts.map(i => Literal(i))), lr)
+          case _ => lr
+        }
+    }
+    if (injected) Some(out) else None
+  }
+
+  private def entryFor(lr: LogicalRelation): Option[IndexCatalog.Entry] =
+    lr.relation match {
+      case fs: HadoopFsRelation =>
+        fs.location.rootPaths.headOption
+          .flatMap(p => IndexCatalog.lookup(p.toString))
+      case _ => None
+    }
+
+  private def nearestPartitions(
+      q: Array[Float], centroids: Array[Array[Float]], nprobe: Int): Seq[Int] = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      var s = 0.0; var j = 0
+      while (j < q.length) { val d = q(j) - c(j); s += d * d; j += 1 }
+      (s, i)
+    }
+    scored.sortBy(t => (t._1, t._2)).take(math.min(nprobe, centroids.length))
+      .map(_._2).toSeq
+  }
+}

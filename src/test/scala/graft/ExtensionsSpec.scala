@@ -56,6 +56,38 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(neg.count() === 0)
   }
 
+  test("ORDER BY dist_l2 LIMIT k over a registered IVF table probes partitions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("external_id"), col("embedding").as("vector"))
+    val uri = java.nio.file.Files.createTempDirectory("graft_sql_ivf").toString
+    val idx = graft.index.Ingest.ingest(spark, uri, emb, "IVF_FLAT",
+      graft.operators.DistanceMetric.L2, timestamp = 1000L, partitions = Some(16))
+    graft.plans.GraftSql.registerIndexTable(spark, "vecs_idx", uri, nprobe = 4)
+
+    val qv = emb.where(col("external_id") === 0).select("vector")
+      .head().getSeq[Float](0).toArray
+    // 9 significant digits round-trip float32 exactly through the double literal
+    val qlit = "cast(array(" + qv.map(x => f"$x%.9e").mkString(",") + ") as array<float>)"
+    val df = spark.sql(
+      s"SELECT external_id FROM vecs_idx ORDER BY dist_l2(vector, $qlit) LIMIT 10")
+
+    // plan probes: the scan carries a non-empty partition_id PartitionFilter
+    val physical = df.queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[[^\\]]*partition_id[^\\]]*\\]".r
+    assert(pf.findFirstIn(physical).isDefined,
+      s"expected partition_id PartitionFilters in scan:\n${physical.take(3000)}")
+
+    // results equal the programmatic index probe at the same nprobe
+    val viaSql = df.collect().map(_.getLong(0)).toSeq
+    val viaApi = idx
+      .query(Seq((0L, qv)).toDF("qid", "qvec"), 10, nprobe = 4)
+      .orderBy("rank").select("id").as[Long].collect().toSeq
+    assert(viaSql.toSet === viaApi.toSet,
+      s"sql=$viaSql api=$viaApi")
+  }
+
   test("negative-radius rewrite preserves NULL semantics on nullable vectors") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_ext_null").toString
