@@ -219,13 +219,20 @@ object Ingest {
           "IVF_PQ supports SUM_OF_SQUARES / L2 only (reference ivf_pq_index.py:212-218)")
         val sampleSize = trainingSampleSize.getOrElse(autoTrainingSize(count, numParts))
         // one materialized sample feeds centroid training AND all m PQ
-        // sub-fits (m+1 k-means over the same small frame)
+        // sub-fits (m+1 independent k-means over the same small frame) —
+        // run the centroid fit concurrently with the codebook sub-fits,
+        // they contend only for executor slots
         val trainSample = trainingSample(base, sampleSize, count)
           .select("vector").cache()
         val (centroids, codebooks) =
           try {
-            (trainCentroidsOnSample(trainSample, numParts),
-             trainPqCodebooksOnSample(trainSample, mSubspaces, dims / mSubspaces))
+            import scala.concurrent.{Await, Future}
+            import scala.concurrent.ExecutionContext.Implicits.global
+            import scala.concurrent.duration.Duration
+            val centF = Future(trainCentroidsOnSample(trainSample, numParts))
+            val cbF = Future(
+              trainPqCodebooksOnSample(trainSample, mSubspaces, dims / mSubspaces))
+            (Await.result(centF, Duration.Inf), Await.result(cbF, Duration.Inf))
           } finally trainSample.unpersist()
         writeCentroids(spark, uri, timestamp, centroids)
         writePqCodebooks(spark, uri, timestamp, codebooks)

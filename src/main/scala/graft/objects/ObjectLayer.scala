@@ -113,6 +113,35 @@ class DirectoryImageReader(
     readObjects(spark).select(col("external_id"), col("path"), col("length"))
 }
 
+/** Generic 1-D table reader (reference: object_readers/
+  * tiledb_1d_array_reader.py `TileDB1DArrayReader` — "first dimension is
+  * the external_ids", attributes are the payload): any parquet table whose
+  * `idCol` identifies objects becomes an object source; `contentCol` (text
+  * or binary — the embedding dispatches on its type) is the embeddable
+  * payload; a separate `metadataUri` table can override metadata, mirroring
+  * the reference's `metadata_uri`. Partitioning rides on the parquet
+  * layout — the reference's `partition_tile_size` maps to Spark's file
+  * split sizing, not a reader knob. */
+class ParquetTableReader(
+    uri: String,
+    idCol: String = "external_id",
+    contentCol: String = "text",
+    metadataUri: Option[String] = None) extends ObjectReader {
+
+  override def readObjects(spark: SparkSession): DataFrame = {
+    val df = spark.read.parquet(uri)
+    df.select(col(idCol).cast("long").as("external_id") +:
+      df.columns.filterNot(_ == idCol).map(col).toIndexedSeq: _*)
+  }
+
+  override def readMetadata(spark: SparkSession): DataFrame =
+    metadataUri match {
+      case Some(m) => spark.read.parquet(m)
+        .withColumn("external_id", col("external_id").cast("long"))
+      case None => readObjects(spark).drop(contentCol)
+    }
+}
+
 /** Text chunker mirroring the reference's DirectoryTextReader defaults
   * (chunk_size=1000, overlap=100 — directory_reader.py:246-643). Chunk ids
   * are `doc_id * chunkStride + chunk_idx` so provenance survives. */

@@ -88,6 +88,26 @@ class ObjectSpec extends AnyFunSuite {
       .head().getLong(0) / 1000 === 7L)
   }
 
+  test("parquet 1-D table reader: documents table as a direct object source") {
+    import spark.implicits._
+    val reader = new graft.objects.ParquetTableReader(
+      s"$sf0001/documents.parquet", idCol = "doc_id", contentCol = "text")
+    val objs = reader.readObjects(spark)
+    assert(objs.columns.contains("external_id") && objs.columns.contains("text"))
+    assert(objs.count() === 500)
+    // metadata = non-content columns
+    val md = reader.readMetadata(spark)
+    assert(!md.columns.contains("text") && md.columns.contains("lang"))
+    // end-to-end: index + self-retrieval over whole (unchunked) documents
+    val idx = ObjectIndex.create(spark, tmp(), reader, new HashTextEmbedding(64),
+      indexType = "FLAT", timestamp = 1000L)
+    val queries = spark.read.parquet(s"$sf0001/documents.parquet")
+      .where(col("doc_id") < 3).select(col("doc_id").as("qid"), col("text"))
+    val top1 = idx.query(queries, k = 2).where(col("rank") === 1)
+      .select(col("qid"), col("external_id")).as[(Long, Long)].collect().toMap
+    (0L until 3L).foreach(q => assert(top1(q) === q))
+  }
+
   test("image directory reader: binaryFile objects, metadata, self-retrieval") {
     import spark.implicits._
     val imgDir = Files.createTempDirectory("graft_imgs")
