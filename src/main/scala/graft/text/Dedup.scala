@@ -191,6 +191,11 @@ object Dedup {
     var labels = materialize(nodes.select(col("id"), col("id").as("component")))
     var converged = false
     var iter = 0
+    // Labels only ever DECREASE (min-propagation), so the label sum is a
+    // strictly-monotone convergence witness: unchanged sum ⇔ no label moved.
+    // One decimal aggregate per iteration replaces a join + count (decimal
+    // so 10^11 rows × 10^18 ids cannot overflow).
+    var lastSum: java.math.BigDecimal = null
     while (!converged && iter < maxIter) {
       val nbrMin = sym.join(labels, sym("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("component")).as("nbr_min"))
@@ -199,10 +204,10 @@ object Dedup {
           least(col("component"), coalesce(col("nbr_min"), col("component")))
             .as("component"))
         .transform(materialize)
-      val changed = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
-        .where(col("n.component") =!= col("o.component")).count()
+      val s = next.agg(sum(col("component").cast("decimal(38,0)"))).head().getDecimal(0)
+      converged = lastSum != null && s.compareTo(lastSum) == 0
+      lastSum = s
       labels = next
-      converged = changed == 0
       iter += 1
     }
     labels
