@@ -198,16 +198,21 @@ abstract class VectorIndex(
 
   /** Compact the updates log when it has accumulated many small fragment
     * files (reference: index.py:837-858 auto-consolidates the updates array
-    * after >10 fragments): rewrite the log directory into one file per
-    * shuffle partition, preserving rows. */
+    * after >10 fragments): rewrite the log directory into ~128 MB output
+    * files — one file only while the log is small, parallel writers once it
+    * grows, so compaction never funnels a large log through a single task. */
   def consolidateUpdatesLog(maxFragments: Int = 10): Boolean = {
     updatesLog() match {
       case Some(log) =>
-        val fragments = Files.list(Paths.get(updatesPath)).filter(p =>
-          p.getFileName.toString.endsWith(".parquet")).count()
+        val paths = Files.list(Paths.get(updatesPath)).filter(p =>
+          p.getFileName.toString.endsWith(".parquet"))
+          .toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
+        val fragments = paths.length
         if (fragments > maxFragments) {
+          val totalBytes = paths.map(Files.size).sum
+          val nOut = math.max(1, (totalBytes / (128L << 20)).toInt)
           val tmp = s"$uri/updates_compact"
-          log.repartition(1).write.mode("overwrite").parquet(tmp)
+          log.repartition(nOut).write.mode("overwrite").parquet(tmp)
           Storage.deleteRecursively(Paths.get(updatesPath))
           Files.move(Paths.get(tmp), Paths.get(updatesPath))
           true
