@@ -48,20 +48,34 @@ object Dedup {
     // repartition on the block keys BEFORE the self-join: the exchange
     // materializes the shingle sets once (projection collapse would
     // otherwise inline + re-evaluate them per joined pair) and pre-shuffles
-    // both sides on the join keys.
-    val withSets = docs.select(
+    // both sides on the join keys. Shingles ride as 64-bit hashes: integer
+    // set intersection + ~3x less shuffle than the raw 3-gram strings; the
+    // pair set only changes if two distinct shingles of the SAME doc pair
+    // collide in 64 bits AND that flips a borderline Jaccard — negligible
+    // at any corpus size.
+    // materialize BEFORE the self-join: constraint inference would otherwise
+    // push an isnotnull over the full shingle expression into the scan and
+    // recompute the pipeline once per predicate (observed 2x at bench scale)
+    val withSets = materialize(docs.select(
       (col(idCol).as("id") +: blockCols.map(col)) :+
-        TextOps.shingleSet(col(textCol)).as("sh"): _*)
-      .repartition(blockCols.map(col): _*)
+        transform(TextOps.shingleSet(col(textCol)), s => xxhash64(s)).as("sh"): _*)
+      .withColumn("nsh", size(col("sh")))
+      .repartition(blockCols.map(col): _*))
     val a = withSets.as("a")
     val b = withSets.as("b")
+    // size-ratio prefilter: J(a,b) ≤ min(|a|,|b|)/max(|a|,|b|), so pairs
+    // whose set sizes differ by more than the threshold ratio can't qualify
+    // — two int comparisons prune them before any intersection is computed
+    val sizeCompatible =
+      col("a.nsh").cast("double") >= col("b.nsh") * threshold &&
+        col("b.nsh").cast("double") >= col("a.nsh") * threshold
     val blockEq = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
-      .foldLeft(col("a.id") < col("b.id"))(_ && _)
-    a.join(b, blockEq)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        jaccard(col("a.sh"), col("b.sh")).as("j"))
-      .where(col("j") >= threshold)
-      .select("id_a", "id_b")
+      .foldLeft(col("a.id") < col("b.id") && sizeCompatible)(_ && _)
+    // the jaccard predicate goes into the join condition LAST so the cheap
+    // conjuncts (id order, size ratio) screen each hash-bucket pair before
+    // any array intersection is evaluated
+    a.join(b, blockEq && jaccard(col("a.sh"), col("b.sh")) >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
   }
 
   /** Set Jaccard of two pre-distinct arrays. Integer set sizes divided in
@@ -101,11 +115,15 @@ object Dedup {
     // The (sh, minhash) frame is referenced three times (banding + both
     // sides of the verification join) — materialize() computes it once and
     // cuts lineage (see its scaladoc for the checkpoint/localCheckpoint
-    // fault-tolerance trade).
+    // fault-tolerance trade). The signature consumes the raw shingle
+    // strings, but the verification join only needs SET IDENTITY, so the
+    // materialized `sh` is 64-bit hashes: less storage and shuffle, integer
+    // intersections (same borderline-collision caveat as ngramJaccardPairs).
     val withSig = docs.select(col(idCol).as("id"),
         TextOps.shingleSet(col(textCol)).as("sh"))
       .withColumn("minhash",
         toColumn(MinHashSignature(toExpression(col("sh")), aCoef, bCoef)))
+      .withColumn("sh", transform(col("sh"), s => xxhash64(s)))
       .transform(materialize)
 
     val banded = withSig.select(col("id"), col("sh"),
