@@ -66,10 +66,12 @@ abstract class VectorIndex(
 
     val latest = latestUpdatePerId(upd.get)
     val updatedIds = latest.select(col("external_id"))
-    // retrieval_k = 2k when updates are present (reference: index.py:352-364)
+    // retrieval_k = 2k when updates are present (reference: index.py:352-364).
+    // No broadcast hint: the updates-id set is usually tiny (stats/AQE pick
+    // a broadcast anti join) but can grow arbitrarily between
+    // consolidations, where a forced broadcast would break at scale.
     val baseHits = queryBase(q, 2 * k, nprobe)
-      .join(broadcast(updatedIds),
-        col("id") === updatedIds("external_id"), "left_anti")
+      .join(updatedIds, col("id") === updatedIds("external_id"), "left_anti")
     val additions = latest.where(col("vector").isNotNull)
       .select(col("external_id").as("id"), col("vector"))
     val addHits = Knn.bruteForce(additions, q, k, metric,
@@ -167,7 +169,7 @@ abstract class VectorIndex(
               vector_normalize(col("vector")).as("vector"))
           else addsRaw
         base
-          .join(broadcast(latest.select("external_id")), Seq("external_id"), "left_anti")
+          .join(latest.select("external_id"), Seq("external_id"), "left_anti")
           .unionByName(adds)
     }
     // copy-centroids path (reference: index.py:503-577): reuse the active
