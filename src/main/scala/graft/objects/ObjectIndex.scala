@@ -143,6 +143,11 @@ object ObjectIndex {
         df.select(col(idCol).cast("long"), col(contentCol))
           .as[(Long, Array[Byte])]
           .mapPartitions { it => e.init(); e.embedBinary(it) }
+      case org.apache.spark.sql.types.ArrayType(_, _) =>
+        df.select(col(idCol).cast("long"),
+            col(contentCol).cast("array<float>"))
+          .as[(Long, Array[Float])]
+          .mapPartitions { it => e.init(); e.embedVector(it) }
       case _ =>
         df.select(col(idCol).cast("long"), col(contentCol).cast("string"))
           .as[(Long, String)]

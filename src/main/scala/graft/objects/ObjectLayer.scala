@@ -51,6 +51,23 @@ trait ObjectEmbedding extends Serializable {
   def embedBinary(objects: Iterator[(Long, Array[Byte])]): Iterator[(Long, Int, Array[Float])] =
     throw new UnsupportedOperationException(
       s"$getClass does not embed binary content")
+  /** (external_id, vector) → embeddings for numeric-vector content (e.g.
+    * expression profiles from [[SparseMatrixTableReader]]). */
+  def embedVector(objects: Iterator[(Long, Array[Float])]): Iterator[(Long, Int, Array[Float])] =
+    throw new UnsupportedOperationException(
+      s"$getClass does not embed vector content")
+}
+
+/** Pass-through embedding for sources whose content already IS a numeric
+  * vector (the reference's SOMA embeddings run a model over expression
+  * profiles, embeddings/soma_*.py; with no model in the container the
+  * honest equivalent is identity — the plumbing, batching, and dispatch
+  * are the real pipeline). */
+class IdentityVectorEmbedding(val dimensions: Int) extends ObjectEmbedding {
+  override def contentColumn: String = "payload"
+  override def embedVector(objects: Iterator[(Long, Array[Float])])
+      : Iterator[(Long, Int, Array[Float])] =
+    objects.map { case (id, v) => (id, 0, v) }
 }
 
 /** Deterministic hash-based text embedding — the stand-in for model-backed
@@ -140,6 +157,43 @@ class ParquetTableReader(
         .withColumn("external_id", col("external_id").cast("long"))
       case None => readObjects(spark).drop(contentCol)
     }
+}
+
+/** Sparse per-object matrix reader — the Spark-shaped analogue of the
+  * reference's SomaReader (object_readers/soma_reader.py: a cells × genes
+  * X matrix read obs-slice at a time, `cells_per_partition` partitions).
+  * Input is a long-format parquet table (obsCol, varCol, valueCol) of
+  * non-zero entries; one hash aggregate pivots each object's entries into
+  * a dense `array<float>` payload (absent entries 0). Partition-at-a-time
+  * execution replaces `cells_per_partition`; an optional `obsFilter`
+  * mirrors `obs_value_filter` as a pushed-down predicate. */
+class SparseMatrixTableReader(
+    uri: String,
+    dims: Int,
+    obsCol: String = "obs_id",
+    varCol: String = "var_idx",
+    valueCol: String = "value",
+    obsFilter: Option[String] = None) extends ObjectReader {
+
+  override def readObjects(spark: SparkSession): DataFrame = {
+    val raw = spark.read.parquet(uri)
+    val filtered = obsFilter.map(raw.where).getOrElse(raw)
+    filtered
+      .groupBy(col(obsCol).cast("long").as("external_id"))
+      .agg(map_from_arrays(
+        collect_list(col(varCol).cast("int")),
+        collect_list(col(valueCol).cast("float"))).as("__m"))
+      .select(col("external_id"),
+        transform(sequence(lit(0), lit(dims - 1)),
+          i => coalesce(element_at(col("__m"), i), lit(0.0f))).as("payload"))
+  }
+
+  override def readMetadata(spark: SparkSession): DataFrame = {
+    val raw = spark.read.parquet(uri)
+    val filtered = obsFilter.map(raw.where).getOrElse(raw)
+    filtered.groupBy(col(obsCol).cast("long").as("external_id"))
+      .agg(count(lit(1)).as("nnz"))
+  }
 }
 
 /** Text chunker mirroring the reference's DirectoryTextReader defaults

@@ -137,6 +137,36 @@ class ObjectSpec extends AnyFunSuite {
     (0L until 3L).foreach(q => assert(top1(q) === q, s"query $q should retrieve itself"))
   }
 
+  test("sparse matrix reader: long-format pivots to dense vectors, index round-trips") {
+    import spark.implicits._
+    // long-format sparse table from the embeddings fixture: non-zero
+    // (vec_id, idx, value) entries; the reader must pivot them back
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("idx", "value")))
+      .where(col("value") =!= 0.0f)
+    val dir = tmp()
+    emb.select(col("vec_id").as("obs_id"), col("idx").as("var_idx"), col("value"))
+      .write.mode("overwrite").parquet(s"$dir/sparse")
+    val reader = new graft.objects.SparseMatrixTableReader(s"$dir/sparse", dims = 64)
+    val objs = reader.readObjects(spark)
+    assert(objs.count() === 500)
+    // pivoted vector equals the original dense embedding
+    val orig = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .where(col("vec_id") === 7).select("embedding").head().getSeq[Float](0)
+    val piv = objs.where(col("external_id") === 7).select("payload").head().getSeq[Float](0)
+    assert(piv === orig)
+    // end-to-end: identity-vector embedding + FLAT index = exact self-retrieval
+    val idx = ObjectIndex.create(spark, tmp(), reader,
+      new graft.objects.IdentityVectorEmbedding(64),
+      indexType = "FLAT", metric = graft.operators.DistanceMetric.L2,
+      timestamp = 1000L)
+    val queries = objs.where(col("external_id") < 3)
+      .select(col("external_id").as("qid"), col("payload"))
+    val top1 = idx.query(queries, k = 2).where(col("rank") === 1)
+      .select(col("qid"), col("external_id")).as[(Long, Long)].collect().toMap
+    (0L until 3L).foreach(q => assert(top1(q) === q))
+  }
+
   test("multimodal: stub features are deterministic, unit-norm, null-safe") {
     import spark.implicits._
     val media = Seq(
