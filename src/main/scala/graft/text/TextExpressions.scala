@@ -117,3 +117,50 @@ case class WinnowFingerprint(child: Expression, k: Int = 5, w: Int = 4)
 object Fnv64Public {
   def hash(s: String): Long = Fnv64.hashBytes(s.getBytes("UTF-8"))
 }
+
+/** Distinct 3-shingle set of whitespace-tokenized text in ONE pass.
+  *
+  * Replaces the higher-order-function formulation
+  * (`transform(sequence(...), i -> concat_ws(element_at(split(text), i±k)))`):
+  * Spark evaluates HOF lambdas interpreted with no common-subexpression
+  * elimination, so the `split` re-tokenized the WHOLE document once per
+  * shingle — O(tokens²) per document, measured as ~75% of the MinHash-LSH
+  * wall clock at bench scale. Semantics are pinned by the dedup DuckDB
+  * oracles: trim, split on `\s+`, space-joined trigrams in first-occurrence
+  * order, documents under 3 tokens collapse to `[trim(text)]`. */
+case class ShingleSet3(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"shingle_set3 requires string, got ${other.catalogString}")
+    }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "shingle_set3"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val t = v.asInstanceOf[UTF8String].toString.trim
+    val toks = t.split("\\s+")
+    if (toks.length < 3) {
+      new GenericArrayData(Array[Any](UTF8String.fromString(t)))
+    } else {
+      val seen = new java.util.LinkedHashSet[String]()
+      var j = 0
+      while (j <= toks.length - 3) {
+        seen.add(toks(j) + " " + toks(j + 1) + " " + toks(j + 2))
+        j += 1
+      }
+      val out = new Array[Any](seen.size)
+      val it = seen.iterator()
+      var i = 0
+      while (it.hasNext) { out(i) = UTF8String.fromString(it.next()); i += 1 }
+      new GenericArrayData(out)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleSet3 =
+    copy(child = newChild)
+}

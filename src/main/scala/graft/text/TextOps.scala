@@ -33,8 +33,14 @@ object TextOps {
         concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
   }
 
-  /** Distinct shingle set — the unit of n-gram Jaccard similarity. */
-  def shingleSet(text: Column): Column = array_distinct(shingles3(text))
+  /** Distinct shingle set — the unit of n-gram Jaccard similarity. A
+    * dedicated one-pass expression: the HOF form ([[shingles3]]) re-splits
+    * the text per shingle (no CSE inside interpreted lambdas — O(tokens²)
+    * per document; see [[ShingleSet3]]). */
+  def shingleSet(text: Column): Column = {
+    import org.apache.spark.sql.graftshim.{toColumn, toExpression}
+    toColumn(ShingleSet3(toExpression(text)))
+  }
 
   /** A small multilingual stopword table for language ID and quality
     * scoring. Deliberately tiny: the point is the *operator shape*
