@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -253,4 +253,49 @@ private[graft] object VectorExprChecks {
     case other => TypeCheckResult.TypeCheckFailure(
       s"$name requires an array<float> argument, got ${other.catalogString}")
   }
+}
+
+/** Scatter sparse (indices, values) pairs into a dense float vector of
+  * length `dims` (absent positions 0, out-of-range indices ignored, last
+  * write wins on duplicates). One pass over the non-zeros — the
+  * map-lookup formulation (`element_at(map, i)` per position) scans the
+  * whole map per element, O(dims·nnz) per row, which bites at
+  * gene-expression widths (reference SOMA X matrices are ~20k-dim). */
+case class ScatterDense(indices: Expression, values: Expression, dims: Int)
+    extends BinaryExpression with CodegenFallback {
+  require(dims > 0, s"scatter_dense: dims must be positive, got $dims")
+  override def left: Expression = indices
+  override def right: Expression = values
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    (indices.dataType, values.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"scatter_dense requires (array<int>, array<float>), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+  }
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "scatter_dense"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val idx = l.asInstanceOf[ArrayData]
+    val vals = r.asInstanceOf[ArrayData]
+    val n = math.min(idx.numElements(), vals.numElements())
+    val out = new Array[Float](dims)
+    var i = 0
+    while (i < n) {
+      val d = idx.getInt(i)
+      if (d >= 0 && d < dims) out(d) = vals.getFloat(i)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.map(x => x: Any))
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ScatterDense =
+    copy(indices = newLeft, values = newRight)
 }

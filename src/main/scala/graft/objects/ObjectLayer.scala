@@ -176,16 +176,16 @@ class SparseMatrixTableReader(
     obsFilter: Option[String] = None) extends ObjectReader {
 
   override def readObjects(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.graftshim.{toColumn, toExpression}
     val raw = spark.read.parquet(uri)
     val filtered = obsFilter.map(raw.where).getOrElse(raw)
     filtered
       .groupBy(col(obsCol).cast("long").as("external_id"))
-      .agg(map_from_arrays(
-        collect_list(col(varCol).cast("int")),
-        collect_list(col(valueCol).cast("float"))).as("__m"))
+      .agg(collect_list(col(varCol).cast("int")).as("__i"),
+        collect_list(col(valueCol).cast("float")).as("__v"))
       .select(col("external_id"),
-        transform(sequence(lit(0), lit(dims - 1)),
-          i => coalesce(element_at(col("__m"), i), lit(0.0f))).as("payload"))
+        toColumn(graft.functions.ScatterDense(
+          toExpression(col("__i")), toExpression(col("__v")), dims)).as("payload"))
   }
 
   override def readMetadata(spark: SparkSession): DataFrame = {

@@ -23,20 +23,11 @@ object TextOps {
 
   def distinctTokens(text: Column): Column = array_distinct(tokens(text))
 
-  /** 3-token shingles (1-based windows); documents with < 3 tokens
-    * degenerate to a single whole-text shingle so every doc has at least
-    * one shingle. */
-  def shingles3(text: Column): Column = {
-    val t = tokens(text)
-    when(size(t) < 3, array(trim(text))).otherwise(
-      transform(sequence(lit(1), size(t) - 2), i =>
-        concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
-  }
-
-  /** Distinct shingle set — the unit of n-gram Jaccard similarity. A
-    * dedicated one-pass expression: the HOF form ([[shingles3]]) re-splits
-    * the text per shingle (no CSE inside interpreted lambdas — O(tokens²)
-    * per document; see [[ShingleSet3]]). */
+  /** Distinct 3-token shingle set — the unit of n-gram Jaccard similarity
+    * (documents with < 3 tokens degenerate to a single whole-text shingle
+    * so every doc has at least one). A dedicated one-pass expression: the
+    * previous HOF formulation re-split the text per shingle (no CSE inside
+    * interpreted lambdas — O(tokens²) per document; see [[ShingleSet3]]). */
   def shingleSet(text: Column): Column = {
     import org.apache.spark.sql.graftshim.{toColumn, toExpression}
     toColumn(ShingleSet3(toExpression(text)))
