@@ -73,4 +73,37 @@ object KernelProperties extends Properties("graft.kernels") {
       // majority of the original set must survive
       f1.intersect(f2).size.toDouble >= f1.size * 0.6
     }
+
+  property("ShingleSet3 equals the straightforward sliding-window reference") =
+    forAll(Gen.chooseNum(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("aa", "bb", "cc", "dd")))) { toks =>
+      val text = "  " + toks.mkString("  ") + " " // messy whitespace
+      val e = graft.text.ShingleSet3(BoundReference(0, StringType, nullable = false))
+      val got = e.eval(InternalRow(UTF8String.fromString(text)))
+        .asInstanceOf[GenericArrayData].array.map(_.toString).toSeq
+      val trimmed = text.trim
+      val ref =
+        if (trimmed.split("\\s+").length < 3) Seq(trimmed)
+        else trimmed.split("\\s+").toSeq.sliding(3).map(_.mkString(" ")).toSeq.distinct
+      got == ref
+    }
+
+  property("ScatterDense places non-zeros and zero-fills the rest") =
+    forAll(Gen.chooseNum(1, 16), Gen.listOf(Gen.zip(
+      Gen.chooseNum(-2, 20), Gen.chooseNum(-5.0f, 5.0f)))) { (dims, entries) =>
+      val e = graft.functions.ScatterDense(
+        BoundReference(0, ArrayType(org.apache.spark.sql.types.IntegerType), nullable = false),
+        BoundReference(1, ArrayType(org.apache.spark.sql.types.FloatType), nullable = false),
+        dims)
+      val got = e.eval(InternalRow(
+          new GenericArrayData(entries.map(_._1.asInstanceOf[Any]).toArray),
+          new GenericArrayData(entries.map(_._2.asInstanceOf[Any]).toArray)))
+        .asInstanceOf[GenericArrayData].array.map(_.asInstanceOf[Float]).toSeq
+      val ref = {
+        val a = Array.fill(dims)(0.0f)
+        entries.foreach { case (i, v) => if (i >= 0 && i < dims) a(i) = v }
+        a.toSeq
+      }
+      got == ref
+    }
 }
