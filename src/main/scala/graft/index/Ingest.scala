@@ -334,7 +334,9 @@ object Ingest {
       val model = new KMeans()
         .setK(kEff)
         .setSeed(42L)
-        .setMaxIter(10)
+        // the reference's distributed training runs 5 Lloyd iterations
+        // (ingestion.py:1447-1580); k-means|| init makes more unnecessary
+        .setMaxIter(5)
         .setFeaturesCol("features")
         .fit(sample)
       val centers = model.clusterCenters.map(v => v.toArray.map(_.toFloat))
@@ -416,7 +418,7 @@ object Ingest {
           val sub = sample.select(
             array_to_vector(slice(col("vector"), s * subDim + 1, subDim)).as("features"))
           val model = new KMeans()
-            .setK(codes).setSeed(42L + s).setMaxIter(10)
+            .setK(codes).setSeed(42L + s).setMaxIter(5)
             .setFeaturesCol("features")
             .fit(sub)
           model.clusterCenters.map(_.toArray.map(_.toFloat))
