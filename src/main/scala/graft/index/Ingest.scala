@@ -26,19 +26,31 @@ object Ingest {
     * (reference: read_external_ids synthesizes arange when absent,
     * ingestion.py:809-877). Ordering follows the given sort columns.
     *
-    * Implemented with `zipWithIndex` (one extra count-partitions job, then
-    * per-partition offsets) rather than a no-partition Window, which would
-    * funnel the whole table through a single task. With `orderBy`, the
-    * global order comes from a range-partitioned sort — still parallel. */
+    * Lazy per-partition-offset formulation: a no-partition Window would
+    * funnel the whole table through one task, and RDD `zipWithIndex` runs
+    * an eager job at PLAN time (every `readObjects()` call would scan the
+    * source). Instead: per-partition row numbers + a broadcast join of the
+    * tiny (partition → cumulative offset) table, all inside one lazy plan.
+    * With `orderBy`, the global order comes from a range-partitioned sort —
+    * still parallel. */
   def withSyntheticIds(vectors: DataFrame, orderBy: String*): DataFrame = {
-    val spark = vectors.sparkSession
+    import org.apache.spark.sql.expressions.Window
     val base = if (orderBy.nonEmpty) vectors.orderBy(orderBy.map(col): _*) else vectors
-    val schema = base.schema.add("external_id",
-      org.apache.spark.sql.types.LongType, nullable = false)
-    val rdd = base.rdd.zipWithIndex.map { case (row, i) =>
-      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ i)
-    }
-    spark.createDataFrame(rdd, schema)
+    // __mono/__pid are bound in the pre-shuffle projection so the window's
+    // within-partition order is the ORIGINAL row order, not shuffle arrival
+    val local = base
+      .withColumn("__mono", monotonically_increasing_id())
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__pid")).orderBy(col("__mono"))))
+    val offsets = local.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
+      .withColumn("__offset", coalesce(sum(col("__cnt")).over(
+        Window.orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__offset"))
+    local.join(broadcast(offsets), Seq("__pid"))
+      .withColumn("external_id", col("__offset") + col("__rn") - 1)
+      .drop("__pid", "__rn", "__mono", "__offset")
   }
 
   /** Auto partition count: √size, ≥100 vectors per partition for k-means
@@ -92,7 +104,20 @@ object Ingest {
       size: Option[Long] = None,
       externalIdsUri: Option[String] = None): VectorIndex = {
     val raw = graft.io.VecsIO.readSource(spark, sourceUri)
-    val sized = size.map(n => raw.where(col("row_id") < n)).getOrElse(raw)
+    // Positional prefix: for the binary formats row_id IS the storage
+    // position, so a parallel filter is exact FIRST_N. For parquet, row_id
+    // carries the source's ID VALUES (external_id/vec_id) — filter by
+    // zipWithIndex position in storage order instead, which stays parallel
+    // (per-partition offsets) and keeps the documented semantics for
+    // non-0-based or sparse ids.
+    val sized = size match {
+      case Some(n) if graft.io.VecsIO.detectSourceType(sourceUri) == "PARQUET" =>
+        val schema = raw.schema
+        spark.createDataFrame(
+          raw.rdd.zipWithIndex.filter(_._2 < n).map(_._1), schema)
+      case Some(n) => raw.where(col("row_id") < n)
+      case None => raw
+    }
     val withIds = externalIdsUri match {
       case Some(idsUri) =>
         val ids = graft.io.VecsIO.detectSourceType(idsUri) match {
@@ -383,7 +408,10 @@ object Ingest {
     }
     val baseCenter = out.head
     var j = 0
-    while (out.length < k) {
+    // bounded: NaN/infinite coordinates would make every jittered candidate
+    // compare equal (boxed NaN == NaN) and spin forever — fail loudly instead
+    val maxAttempts = math.max(16, 8 * k.toLong * baseCenter.length)
+    while (out.length < k && j < maxAttempts) {
       val c = baseCenter.clone()
       val d = j % c.length
       val scale = (j / c.length + 1).toFloat
@@ -391,6 +419,9 @@ object Ingest {
       if (seen.add(c.toSeq)) out += c
       j += 1
     }
+    require(out.length == k,
+      s"graft: centroid fixup could not synthesize $k distinct centroids " +
+        s"(got ${out.length}) — training data likely contains NaN/Inf vectors")
     out.toArray
   }
 

@@ -183,8 +183,11 @@ abstract class VectorIndex(
     // built with custom parameters must not silently revert to defaults or
     // auto-sharding on consolidation (reference re-ingests with stored
     // config, index.py:503-577).
+    // Guard on lBuild > 0: metas written before the params were persisted
+    // recorded the IVF-style autoPartitions value in partitionHistory, not
+    // the shard count — pinning to it would rebuild with the wrong shape.
     val effParts =
-      if (meta.indexType == "VAMANA")
+      if (meta.indexType == "VAMANA" && meta.lBuild > 0)
         partitions.orElse(meta.partitionHistory.lastOption.filter(_ > 0))
       else partitions
     Ingest.ingest(spark, uri, merged, meta.indexType, metric,

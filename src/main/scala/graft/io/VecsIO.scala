@@ -114,7 +114,7 @@ object VecsIO {
       case "IVECS" => recordFormatMeta(spark, uri, 4)
       case "F32BIN" | "U8BIN" =>
         val files = listFiles(spark, uri)
-        val counts = files.map { case (f, _) => headerCount(spark, f) }
+        val counts = files.map { case (f, _) => firstInt(spark, f).toLong }
         val d = headerDim(spark, files.head._1)
         (counts.sum, d)
       case "U64BIN" =>
@@ -132,16 +132,6 @@ object VecsIO {
     val d = firstInt(spark, files.head._1)
     val recBytes = 4L + elemBytes.toLong * d
     (files.map(_._2 / recBytes).sum, d)
-  }
-
-  private def headerCount(spark: SparkSession, file: String): Long = {
-    val p = new Path(file)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(p)
-    try {
-      val b = new Array[Byte](4); in.readFully(b)
-      ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN).getInt.toLong
-    } finally in.close()
   }
 
   private def headerDim(spark: SparkSession, file: String): Int = {
@@ -312,15 +302,27 @@ object VecsIO {
     * (e.g. `orderBy(id)`, a range-partitioned sort) when the global order
     * matters. */
   def writeFvecsSharded(df: DataFrame, dir: String, vecCol: String = "vector"): Unit = {
+    val hconf = df.sparkSession.sparkContext.hadoopConfiguration
     val dirPath = new Path(dir)
-    val fs = dirPath.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val fs = dirPath.getFileSystem(hconf)
     fs.mkdirs(dirPath)
+    // Hadoop Configuration isn't serializable; ship the session's settings
+    // as entries so executors see spark.hadoop.* (fs credentials, defaultFS)
+    // instead of bare classpath defaults.
+    val confEntries: Array[(String, String)] = {
+      val it = hconf.iterator()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      while (it.hasNext) { val e = it.next(); buf += ((e.getKey, e.getValue)) }
+      buf.toArray
+    }
     df.select(col(vecCol).cast("array<float>")).foreachPartition {
       (it: Iterator[org.apache.spark.sql.Row]) =>
         if (it.hasNext) {
           val pid = org.apache.spark.TaskContext.getPartitionId()
           val file = new Path(dir, f"part-$pid%05d.fvecs")
-          val efs = file.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          val econf = new org.apache.hadoop.conf.Configuration(false)
+          confEntries.foreach { case (k, v) => econf.set(k, v) }
+          val efs = file.getFileSystem(econf)
           val out = new DataOutputStream(efs.create(file, true))
           try it.foreach { r =>
             val v = r.getSeq[Float](0)

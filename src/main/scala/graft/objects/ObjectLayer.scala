@@ -147,8 +147,12 @@ class ParquetTableReader(
 
   override def readObjects(spark: SparkSession): DataFrame = {
     val df = spark.read.parquet(uri)
+    // drop a pre-existing external_id column when aliasing a different id
+    // column onto that name — two same-named columns would make every
+    // downstream col("external_id") ambiguous
     df.select(col(idCol).cast("long").as("external_id") +:
-      df.columns.filterNot(_ == idCol).map(col).toIndexedSeq: _*)
+      df.columns.filterNot(c => c == idCol || c == "external_id")
+        .map(col).toIndexedSeq: _*)
   }
 
   override def readMetadata(spark: SparkSession): DataFrame =

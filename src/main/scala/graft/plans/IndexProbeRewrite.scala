@@ -28,8 +28,15 @@ object IndexCatalog {
 
   def clear(): Unit = reg.clear()
 
-  private def normalize(p: String): String =
-    new org.apache.hadoop.fs.Path(p).toUri.getPath
+  /** Scheme + authority + path, with a bare local path defaulting to
+    * `file:` — stripping the scheme would collide equal paths on different
+    * filesystems/buckets and rewrite queries with the wrong centroids. */
+  private def normalize(p: String): String = {
+    val u = new org.apache.hadoop.fs.Path(p).toUri
+    val scheme = Option(u.getScheme).getOrElse("file")
+    val auth = Option(u.getAuthority).getOrElse("")
+    s"$scheme://$auth${u.getPath}"
+  }
 }
 
 /** SQL-side index access: register an index's base table as a temp view and

@@ -21,7 +21,11 @@ object Dedup {
     * must be cut inside an iterative loop). When the session has a
     * reliable checkpoint directory configured (`sc.setCheckpointDir`),
     * use `checkpoint()` — recoverable if an executor is lost mid-job, which
-    * matters for spot/decommission fleets at the 100 TB design point.
+    * matters for spot/decommission fleets at the 100 TB design point. Pair
+    * the checkpoint dir with
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (off by
+    * default) so released plans' checkpoint files are deleted; otherwise
+    * they accumulate until application exit.
     * Otherwise fall back to `localCheckpoint()` (executor-local blocks,
     * released by the ContextCleaner when the plan is unreferenced — unlike
     * cache(), repeated dedup calls don't accumulate storage, but a lost
@@ -223,7 +227,9 @@ object Dedup {
             .as("component"))
         .transform(materialize)
       val s = next.agg(sum(col("component").cast("decimal(38,0)"))).head().getDecimal(0)
-      converged = lastSum != null && s.compareTo(lastSum) == 0
+      // null sum ⇔ zero rows: converged trivially (otherwise an empty frame
+      // would spin through every iteration)
+      converged = s == null || (lastSum != null && s.compareTo(lastSum) == 0)
       lastSum = s
       labels = next
       iter += 1
