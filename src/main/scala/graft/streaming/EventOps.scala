@@ -136,4 +136,33 @@ object EventOps {
         }
       }
       .start()
+
+  /** Streaming exact dedup for document ingest: keep the FIRST document
+    * per content fingerprint, with dedup state bounded by the event-time
+    * watermark (`dropDuplicatesWithinWatermark` — plain dropDuplicates
+    * would hold every fingerprint forever, a state leak at corpus scale).
+    * The contract is the standard streaming one: a duplicate arriving
+    * later than the watermark delay can re-emit. Batch analogue:
+    * [[graft.text.Dedup.exactGroups]]. */
+  def streamingExactDedup(
+      spark: SparkSession,
+      dir: String,
+      schema: StructType,
+      queryName: String,
+      textCol: String = "text",
+      watermarkDelay: String = "1 hour",
+      fingerprint: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        graft.text.TextOps.tokenSetFingerprint): org.apache.spark.sql.streaming.StreamingQuery = {
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    stream
+      .withColumn("fp", fingerprint(col(textCol)))
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("fp")
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
 }

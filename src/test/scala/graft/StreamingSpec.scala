@@ -31,6 +31,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("streaming exact dedup keeps one doc per fingerprint with bounded state") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .withColumn("ts", timestamp_micros(lit(1700000000000000L) + col("doc_id") * 1000000L))
+      .select("doc_id", "text", "ts")
+    val dir = Files.createTempDirectory("graft_sdedup").toString
+    docs.write.mode("overwrite").parquet(dir)
+    val q = EventOps.streamingExactDedup(
+      spark, dir, spark.read.parquet(dir).schema, "sdedup_test")
+    q.awaitTermination()
+    val out = spark.table("sdedup_test")
+    // one survivor per distinct content fingerprint, same as batch dedup
+    val batchDistinct = docs
+      .select(graft.text.TextOps.tokenSetFingerprint(col("text")).as("fp"))
+      .distinct().count()
+    assert(out.count() === batchDistinct)
+    assert(out.select("fp").distinct().count() === batchDistinct)
+    assert(batchDistinct < docs.count(), "fixture should contain exact dups")
+  }
+
   test("streaming updates sink feeds the index read-merge path") {
     import spark.implicits._
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
