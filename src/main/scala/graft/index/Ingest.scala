@@ -26,31 +26,45 @@ object Ingest {
     * (reference: read_external_ids synthesizes arange when absent,
     * ingestion.py:809-877). Ordering follows the given sort columns.
     *
-    * Lazy per-partition-offset formulation: a no-partition Window would
-    * funnel the whole table through one task, and RDD `zipWithIndex` runs
-    * an eager job at PLAN time (every `readObjects()` call would scan the
-    * source). Instead: per-partition row numbers + a broadcast join of the
-    * tiny (partition → cumulative offset) table, all inside one lazy plan.
-    * With `orderBy`, the global order comes from a range-partitioned sort —
-    * still parallel. */
+    * Two regimes, both parallel (no single-task window):
+    *   - no `orderBy`: a fully LAZY plan — per-source-partition row numbers
+    *     plus a broadcast join of the tiny (partition → offset) table. The
+    *     plan references the source twice, which is safe here because the
+    *     source partitioning is deterministic (no sampling involved).
+    *   - with `orderBy`: a range-partitioned sort's partition boundaries
+    *     come from SAMPLING, so two independent evaluations of the sorted
+    *     plan may partition differently and a two-branch plan could
+    *     mis-assign ids. Instead zipWithIndex the ONE sorted RDD instance
+    *     (its partitioner is fixed once), at the cost of an eager
+    *     partition-count job at call time. */
   def withSyntheticIds(vectors: DataFrame, orderBy: String*): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = if (orderBy.nonEmpty) vectors.orderBy(orderBy.map(col): _*) else vectors
-    // __mono/__pid are bound in the pre-shuffle projection so the window's
-    // within-partition order is the ORIGINAL row order, not shuffle arrival
-    val local = base
-      .withColumn("__mono", monotonically_increasing_id())
-      .withColumn("__pid", spark_partition_id())
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("__pid")).orderBy(col("__mono"))))
-    val offsets = local.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
-      .withColumn("__offset", coalesce(sum(col("__cnt")).over(
-        Window.orderBy(col("__pid"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("__pid"), col("__offset"))
-    local.join(broadcast(offsets), Seq("__pid"))
-      .withColumn("external_id", col("__offset") + col("__rn") - 1)
-      .drop("__pid", "__rn", "__mono", "__offset")
+    val spark = vectors.sparkSession
+    if (orderBy.nonEmpty) {
+      val sorted = vectors.orderBy(orderBy.map(col): _*)
+      val schema = sorted.schema.add("external_id",
+        org.apache.spark.sql.types.LongType, nullable = false)
+      val rdd = sorted.rdd.zipWithIndex.map { case (row, i) =>
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ i)
+      }
+      spark.createDataFrame(rdd, schema)
+    } else {
+      // __mono/__pid bound in the pre-shuffle projection so the window's
+      // within-partition order is the ORIGINAL row order
+      val local = vectors
+        .withColumn("__mono", monotonically_increasing_id())
+        .withColumn("__pid", spark_partition_id())
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("__pid")).orderBy(col("__mono"))))
+      val offsets = local.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
+        .withColumn("__offset", coalesce(sum(col("__cnt")).over(
+          Window.orderBy(col("__pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("__pid"), col("__offset"))
+      local.join(broadcast(offsets), Seq("__pid"))
+        .withColumn("external_id", col("__offset") + col("__rn") - 1)
+        .drop("__pid", "__rn", "__mono", "__offset")
+    }
   }
 
   /** Auto partition count: √size, ≥100 vectors per partition for k-means
@@ -104,17 +118,26 @@ object Ingest {
       size: Option[Long] = None,
       externalIdsUri: Option[String] = None): VectorIndex = {
     val raw = graft.io.VecsIO.readSource(spark, sourceUri)
-    // Positional prefix: for the binary formats row_id IS the storage
-    // position, so a parallel filter is exact FIRST_N. For parquet, row_id
-    // carries the source's ID VALUES (external_id/vec_id) — filter by
-    // zipWithIndex position in storage order instead, which stays parallel
-    // (per-partition offsets) and keeps the documented semantics for
-    // non-0-based or sparse ids.
+    val isParquet = graft.io.VecsIO.detectSourceType(sourceUri) == "PARQUET"
+    // The positional external-ids contract (row_id = storage position on
+    // both sides) only holds for the binary formats; parquet sources carry
+    // their own id values in row_id, where a positional ids file would
+    // silently mis-assign.
+    require(!(isParquet && externalIdsUri.isDefined),
+      "graft: externalIdsUri applies to positional binary sources " +
+        "(fvecs/bvecs/*bin); parquet sources carry their own id column")
+    // Prefix semantics: binary formats — row_id IS the storage position, a
+    // parallel filter is exact FIRST_N. Parquet — scan order is NOT file
+    // order (Spark bin-packs splits by size), and row_id holds id VALUES;
+    // the deterministic "first n" is the n smallest ids: range-sort by id
+    // (parallel), then position-filter the ONE sorted RDD instance
+    // (zipWithIndex; its partitioner is fixed once, so this is stable).
     val sized = size match {
-      case Some(n) if graft.io.VecsIO.detectSourceType(sourceUri) == "PARQUET" =>
-        val schema = raw.schema
+      case Some(n) if isParquet =>
+        val sortedRaw = raw.orderBy("row_id")
+        val schema = sortedRaw.schema
         spark.createDataFrame(
-          raw.rdd.zipWithIndex.filter(_._2 < n).map(_._1), schema)
+          sortedRaw.rdd.zipWithIndex.filter(_._2 < n).map(_._1), schema)
       case Some(n) => raw.where(col("row_id") < n)
       case None => raw
     }

@@ -21,22 +21,24 @@ object IndexCatalog {
 
   private val reg = TrieMap.empty[String, Entry]
 
-  def register(basePath: String, entry: Entry): Unit =
-    reg.put(normalize(basePath), entry)
+  /** Keys are FULLY-QUALIFIED path strings (scheme + authority + path):
+    * a bare path is qualified against the session's `fs.defaultFS`, the
+    * same qualification Spark applies to scan rootPaths, so registration
+    * and lookup agree on any filesystem. Stripping or guessing the scheme
+    * would either collide equal paths on different buckets or miss the
+    * rewrite entirely on non-local default filesystems. */
+  def qualify(spark: SparkSession, p: String): String = {
+    val path = new org.apache.hadoop.fs.Path(p)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.makeQualified(path).toString
+  }
 
-  def lookup(basePath: String): Option[Entry] = reg.get(normalize(basePath))
+  def register(qualifiedPath: String, entry: Entry): Unit =
+    reg.put(qualifiedPath, entry)
+
+  def lookup(qualifiedPath: String): Option[Entry] = reg.get(qualifiedPath)
 
   def clear(): Unit = reg.clear()
-
-  /** Scheme + authority + path, with a bare local path defaulting to
-    * `file:` — stripping the scheme would collide equal paths on different
-    * filesystems/buckets and rewrite queries with the wrong centroids. */
-  private def normalize(p: String): String = {
-    val u = new org.apache.hadoop.fs.Path(p).toUri
-    val scheme = Option(u.getScheme).getOrElse("file")
-    val auth = Option(u.getAuthority).getOrElse("")
-    s"$scheme://$auth${u.getPath}"
-  }
 }
 
 /** SQL-side index access: register an index's base table as a temp view and
@@ -55,7 +57,8 @@ object GraftSql {
         val np = if (nprobe > 0) math.min(nprobe, ivf.centroids.length)
           else math.max(1, math.sqrt(ivf.centroids.length.toDouble).toInt)
         val ts = idx.meta.ingestionTimestamps(idx.meta.historyIndex(Long.MaxValue))
-        IndexCatalog.register(s"$uri/base/v=$ts", IndexCatalog.Entry(ivf.centroids, np))
+        IndexCatalog.register(IndexCatalog.qualify(spark, s"$uri/base/v=$ts"),
+          IndexCatalog.Entry(ivf.centroids, np))
       case _ => ()
     }
     idx

@@ -150,13 +150,17 @@ object EventOps {
       schema: StructType,
       queryName: String,
       textCol: String = "text",
+      tsCol: String = "ts",
       watermarkDelay: String = "1 hour",
       fingerprint: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
         graft.text.TextOps.tokenSetFingerprint): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(!schema.fieldNames.contains("fp"),
+      "graft: streamingExactDedup emits its fingerprint as `fp` — the " +
+        "input schema already has that column")
     val stream = spark.readStream.schema(schema).parquet(dir)
     stream
       .withColumn("fp", fingerprint(col(textCol)))
-      .withWatermark("ts", watermarkDelay)
+      .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("fp")
       .writeStream
       .outputMode("append")
