@@ -451,6 +451,46 @@ class IndexSpec extends AnyFunSuite {
     assert(gotIds(hits) === expected)
   }
 
+  test("ingestFromSource parquet size prefix selects the n smallest ids") {
+    val srcDir = Files.createTempDirectory("graft_psrc")
+    // non-0-based, shuffled ids: prefix must be id-order, not scan-order
+    emb.select((col("external_id") + 5000L).as("external_id"), col("vector"))
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$srcDir/vecs_table")
+    val idx = graft.index.Ingest.ingestFromSource(spark, tmp(),
+      s"$srcDir/vecs_table", "FLAT", DistanceMetric.L2,
+      timestamp = 1000L, size = Some(100L))
+    assert(idx.meta.baseSizes === List(100L))
+    val ids = idx.baseVectors().select("external_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq === (5000L until 5100L))
+  }
+
+  test("withSyntheticIds with orderBy assigns ids in sort order") {
+    import spark.implicits._
+    val df = Seq(("c", 30), ("a", 10), ("d", 40), ("b", 20))
+      .toDF("name", "payload").repartition(3)
+    val withIds = Ingest.withSyntheticIds(df, "name")
+    val got = withIds.select("name", "external_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got === Map("a" -> 0L, "b" -> 1L, "c" -> 2L, "d" -> 3L))
+  }
+
+  test("updates-log compaction sizes output by bytes (small log -> one file)") {
+    val uri = tmp()
+    val idx = Ingest.ingest(spark, uri, emb, "FLAT", DistanceMetric.L2, timestamp = 1000L)
+    (1 to 12).foreach { i =>
+      idx.updateBatch(emb.where(col("external_id") === i)
+        .select(col("external_id"), col("vector")), ts = 1000L + i)
+    }
+    assert(idx.consolidateUpdatesLog(maxFragments = 10))
+    val files = Files.list(java.nio.file.Paths.get(s"$uri/updates"))
+      .filter(p => p.getFileName.toString.endsWith(".parquet")).count()
+    assert(files === 1, s"small log should compact to one file, got $files")
+    // rows survive compaction and the read-merge path still sees them
+    assert(spark.read.parquet(s"$uri/updates").count() === 12)
+  }
+
   test("VAMANA consolidate preserves lBuild/rMaxDegree and shard count") {
     val uri = tmp()
     val idx = Ingest.ingest(spark, uri, emb, "VAMANA", DistanceMetric.L2,
