@@ -266,22 +266,29 @@ object Ingest {
         require(metric == DistanceMetric.SumOfSquares || metric == DistanceMetric.L2,
           "IVF_PQ supports SUM_OF_SQUARES / L2 only (reference ivf_pq_index.py:212-218)")
         val sampleSize = trainingSampleSize.getOrElse(autoTrainingSize(count, numParts))
-        // one materialized sample feeds centroid training AND all m PQ
-        // sub-fits (m+1 independent k-means over the same small frame) —
-        // run the centroid fit concurrently with the codebook sub-fits,
-        // they contend only for executor slots
-        val trainSample = trainingSample(base, sampleSize, count)
-          .select("vector").cache()
-        val (centroids, codebooks) =
-          try {
-            import scala.concurrent.{Await, Future}
-            import scala.concurrent.ExecutionContext.Implicits.global
-            import scala.concurrent.duration.Duration
-            val centF = Future(trainCentroidsOnSample(trainSample, numParts))
-            val cbF = Future(
-              trainPqCodebooksOnSample(trainSample, mSubspaces, dims / mSubspaces))
+        // one sample feeds centroid training AND all m PQ sub-fits (m+1
+        // independent k-means over the same small frame). Under the local-
+        // training gate the sample is collected ONCE and all fits run on the
+        // driver (see LocalKMeans — the reference's centralised-training
+        // mode); past the gate, one cached frame feeds concurrent MLlib fits.
+        val trainSample = trainingSample(base, sampleSize, count).select("vector")
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        val (centroids, codebooks) = collectIfSmall(trainSample) match {
+          case Some(pts) =>
+            val centF = Future(trainCentroidsLocal(pts, numParts))
+            val cbF = Future(trainPqCodebooksLocal(pts, mSubspaces, dims / mSubspaces))
             (Await.result(centF, Duration.Inf), Await.result(cbF, Duration.Inf))
-          } finally trainSample.unpersist()
+          case None =>
+            val cached = trainSample.cache()
+            try {
+              val centF = Future(trainCentroidsDistributed(cached, numParts))
+              val cbF = Future(
+                trainPqCodebooksDistributed(cached, mSubspaces, dims / mSubspaces))
+              (Await.result(centF, Duration.Inf), Await.result(cbF, Duration.Inf))
+            } finally cached.unpersist()
+        }
         writeCentroids(spark, uri, timestamp, centroids)
         writePqCodebooks(spark, uri, timestamp, codebooks)
         val codesPer = codebooks(0).length
@@ -372,8 +379,27 @@ object Ingest {
 
   /** As [[trainCentroids]] but over an already-sampled frame (the IVF_PQ
     * build shares one materialized sample between centroid and codebook
-    * training). */
-  def trainCentroidsOnSample(sampleDf: DataFrame, k: Int): Array[Array[Float]] = {
+    * training). Dispatches central vs distributed training on sample bytes,
+    * mirroring the reference's training-mode dispatch (ingestion.py:1343-1365
+    * centralised sklearn fit when the sample fits in memory, hand-distributed
+    * Lloyd iterations otherwise). */
+  def trainCentroidsOnSample(sampleDf: DataFrame, k: Int): Array[Array[Float]] =
+    collectIfSmall(sampleDf) match {
+      case Some(pts) => trainCentroidsLocal(pts, k)
+      case None => trainCentroidsDistributed(sampleDf, k)
+    }
+
+  /** Driver-local fit over the collected sample (the under-gate path): one
+    * multithreaded LocalKMeans run instead of dozens of MLlib scheduler
+    * rounds — the fits do the same arithmetic, but per-job overhead dominated
+    * index builds when samples are thousands of rows. */
+  def trainCentroidsLocal(pts: Array[Array[Float]], k: Int): Array[Array[Float]] =
+    fixupCentroidsLocal(LocalKMeans.fit(pts, k, seed = 42L), k, pts)
+
+  /** MLlib distributed fit — the over-gate path for samples too large to
+    * collect (its treeAggregate IS the reference's partial+final distributed
+    * k-means, ingestion.py:1447-1580). */
+  def trainCentroidsDistributed(sampleDf: DataFrame, k: Int): Array[Array[Float]] = {
     val sample = sampleDf.select(array_to_vector(col("vector")).as("features"))
       .cache()
     try {
@@ -390,6 +416,21 @@ object Ingest {
       val centers = model.clusterCenters.map(v => v.toArray.map(_.toFloat))
       fixupCentroids(centers, k, sampleDf)
     } finally { sample.unpersist() }
+  }
+
+  /** Collect the training sample to the driver when it is under
+    * `spark.graft.maxLocalTrainBytes` (default 256 MB). Returns None past the
+    * gate — callers fall back to distributed training, so driver memory stays
+    * bounded no matter the corpus size. */
+  private[index] def collectIfSmall(sampleDf: DataFrame): Option[Array[Array[Float]]] = {
+    val cap = sampleDf.sparkSession.conf
+      .get("spark.graft.maxLocalTrainBytes", (256L << 20).toString).toLong
+    val df = sampleDf.select(col("vector").cast("array<float>").as("vector"))
+    val stat = df.agg(count(lit(1)).as("n"), min(size(col("vector"))).as("d")).head()
+    val n = stat.getLong(0)
+    val dims = if (stat.isNullAt(1)) 0 else stat.getInt(1)
+    if (n * dims.toLong * 4L > cap) None
+    else Some(df.collect().map(_.getSeq[Float](0).toArray))
   }
 
   /** The reference guarantees exactly `partitions` centroids, re-seeding
@@ -429,6 +470,43 @@ object Ingest {
     candidates.foreach { c =>
       if (out.length < k && seen.add(c.toSeq)) out += c
     }
+    jitterFill(out, seen, k)
+  }
+
+  /** Local-sample twin of [[fixupCentroids]]: same dedupe → farthest-point
+    * backfill → deterministic-epsilon tie-break, computed on the collected
+    * sample with no Spark jobs (the local-training path). Backfill order is
+    * deterministic: distance descending, ties by sample index. */
+  private def fixupCentroidsLocal(fitted: Array[Array[Float]], k: Int,
+      pts: Array[Array[Float]]): Array[Array[Float]] = {
+    val out = scala.collection.mutable.ArrayBuffer[Array[Float]]()
+    val seen = scala.collection.mutable.HashSet[Seq[Float]]()
+    fitted.foreach { c => if (seen.add(c.toSeq)) out += c }
+    if (out.length >= k || out.isEmpty) return out.take(k).toArray
+    val cents = out.toArray
+    val need = k - out.length
+    val scored = pts.zipWithIndex.map { case (p, i) =>
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cents.length) {
+        var s = 0.0; var d = 0
+        while (d < p.length) { val x = p(d) - cents(c)(d); s += x * x; d += 1 }
+        if (s < bestD) bestD = s
+        c += 1
+      }
+      (bestD, i)
+    }
+    scored.sortBy { case (d, i) => (-d, i) }.take(need * 4 + 4).foreach { case (_, i) =>
+      if (out.length < k && seen.add(pts(i).toSeq)) out += pts(i).clone()
+    }
+    jitterFill(out, seen, k)
+  }
+
+  /** If the data itself has fewer than k distinct points, break residual
+    * ties with a deterministic relative epsilon so callers still see k
+    * distinct centroids (partition accounting invariant). */
+  private def jitterFill(out: scala.collection.mutable.ArrayBuffer[Array[Float]],
+      seen: scala.collection.mutable.HashSet[Seq[Float]], k: Int): Array[Array[Float]] = {
     val baseCenter = out.head
     var j = 0
     // bounded: NaN/infinite coordinates would make every jittered candidate
@@ -455,8 +533,36 @@ object Ingest {
       totalRows: Long = -1L): Array[Array[Array[Float]]] =
     trainPqCodebooksOnSample(trainingSample(base, sampleSize, totalRows), m, subDim)
 
-  /** As [[trainPqCodebooks]] but over an already-sampled frame. */
+  /** As [[trainPqCodebooks]] but over an already-sampled frame. Same
+    * central-vs-distributed dispatch as [[trainCentroidsOnSample]]. */
   def trainPqCodebooksOnSample(sampleDf: DataFrame, m: Int, subDim: Int)
+      : Array[Array[Array[Float]]] =
+    collectIfSmall(sampleDf) match {
+      case Some(pts) => trainPqCodebooksLocal(pts, m, subDim)
+      case None => trainPqCodebooksDistributed(sampleDf, m, subDim)
+    }
+
+  /** Driver-local PQ codebook training: m seeded sub-fits over in-memory
+    * slices of the one collected sample (reference trains sub_kmeans per
+    * subspace, ivf_pq_index.h:555-608). The m fits run concurrently; each is
+    * itself chunk-parallel inside LocalKMeans. */
+  def trainPqCodebooksLocal(pts: Array[Array[Float]], m: Int, subDim: Int)
+      : Array[Array[Array[Float]]] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val codes = math.min(256, pts.length)
+    val futures = (0 until m).map { s =>
+      Future {
+        val sub = pts.map(p => java.util.Arrays.copyOfRange(p, s * subDim, (s + 1) * subDim))
+        LocalKMeans.fit(sub, codes, seed = 42L + s)
+      }
+    }
+    futures.map(f => Await.result(f, Duration.Inf)).toArray
+  }
+
+  /** MLlib distributed codebook training — the over-gate path. */
+  def trainPqCodebooksDistributed(sampleDf: DataFrame, m: Int, subDim: Int)
       : Array[Array[Array[Float]]] = {
     val sample = sampleDf.select(col("vector")).cache()
     try {
