@@ -314,7 +314,8 @@ object Ingest {
         import spark.implicits._
         // default: auto-shard by size so large builds never serialize into
         // one executor task (partitions=Some(1) = exact reference behavior)
-        val numShards = partitions.getOrElse(VamanaIndex.autoShards(count))
+        val numShards = partitions.getOrElse(
+          VamanaIndex.autoShards(count, spark.sparkContext.defaultParallelism))
         recordedParts = numShards
         val sharded = if (numShards > 1) {
           val shardCentroids = trainCentroids(base, numShards,

@@ -297,8 +297,27 @@ object VamanaIndex {
     * spec-tested). */
   val DefaultShardTarget = 25000
 
-  def autoShards(n: Long): Int =
-    math.max(1, math.ceil(n.toDouble / DefaultShardTarget).toInt)
+  /** Below this size a shard buys no build-time win but still costs query
+    * fan-out (merged search visits every shard), so auto-sharding never
+    * shrinks shards past it; sub-[[MinShardSize]] corpora build single-shard
+    * (= exact reference behavior). */
+  val MinShardSize = 500
+
+  def autoShards(n: Long): Int = autoShards(n, 1)
+
+  /** Shard count for an `n`-vector build on a cluster offering `parallelism`
+    * task slots: enough shards to cap each at [[DefaultShardTarget]] (the
+    * build is sequential WITHIN a shard — the scale constraint), and, when
+    * slots are idle, enough to use them (the per-shard graph build is the
+    * only single-threaded stage in an index build; leaving 31 of 32 slots
+    * idle dominated bench build time). The recall audit in PERF.md shows
+    * merged all-shard search holds recall 1.0 across every swept shard
+    * count, so extra shards trade only query fan-out. */
+  def autoShards(n: Long, parallelism: Int): Int = {
+    val byTarget = math.ceil(n.toDouble / DefaultShardTarget).toInt
+    val byParallel = math.min(parallelism.toLong, n / MinShardSize).toInt
+    math.max(1, math.max(byTarget, byParallel))
+  }
 
   /** Graph search scores in SOS over (possibly normalized) vectors; map to
     * the reported metric distance. */

@@ -207,10 +207,36 @@ object Dedup {
       nodes: DataFrame, // single column "id"
       edges: DataFrame, // columns (id_a, id_b)
       maxIter: Int = 15): DataFrame = {
-    val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // Central-vs-distributed dispatch (the same size gate as index
+    // training): a deduplicated corpus has FAR fewer near-dup edges than
+    // documents, so the edge list usually fits on the driver — union-find
+    // there costs zero Spark jobs per round instead of ~5. The limit+collect
+    // doubles as the gate: if it returns <= cap rows, that IS the whole edge
+    // set; past the cap the iterative distributed path below takes over
+    // (driver memory stays bounded no matter the corpus).
+    val cap = edges.sparkSession.conf
+      .get("spark.graft.maxLocalCCEdges", "4000000").toInt
+    val matEdges = materialize(
+      edges.select(col("id_a").cast("long"), col("id_b").cast("long")))
+    val head = matEdges.limit(cap + 1).collect()
+    if (head.length <= cap) {
+      val comp = localComponents(head.map(r => (r.getLong(0), r.getLong(1))))
+      val labelDf = edges.sparkSession
+        .createDataFrame(comp.toSeq).toDF("l_id", "l_comp")
+      return nodes.join(labelDf, nodes("id") === col("l_id"), "left")
+        .select(nodes("id"), coalesce(col("l_comp"), nodes("id")).as("component"))
+    }
+
+    val sym = matEdges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(matEdges.select(col("id_b").as("src"), col("id_a").as("dst")))
       .transform(materialize)
-    var labels = materialize(nodes.select(col("id"), col("id").as("component")))
+    // Iterate ONLY over edge-incident vertices: near-dup cluster members are
+    // a vanishing fraction of the corpus, so the loop's joins never touch
+    // the full node set — that is the 100 TB posture (the corpus is read
+    // once to build `nodes` and once in the final left join; every
+    // iteration's frames are |dup vertices|, not |corpus|).
+    var labels = materialize(sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("component")))
     var converged = false
     var iter = 0
     // Labels only ever DECREASE (min-propagation), so the label sum is a
@@ -221,9 +247,23 @@ object Dedup {
     while (!converged && iter < maxIter) {
       val nbrMin = sym.join(labels, sym("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("component")).as("nbr_min"))
-      val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+      val stepped = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
         .select(labels("id"),
           least(col("component"), coalesce(col("nbr_min"), col("component")))
+            .as("component"))
+      // Pointer jump (shortcutting): component := label(component). Labels
+      // always hold ids of edge-incident vertices, so the mapping is total;
+      // composing it each round turns the O(diameter) propagation into
+      // O(log diameter) — long chains were the bench-visible worst case.
+      // The map is the PREVIOUS round's materialized labels (one round
+      // stale, still monotone): mapping through `stepped` itself would put
+      // the neighbor-min join in both branches of the join and evaluate it
+      // twice. Distinct names on the mapping side: a same-lineage self-join
+      // with shared names resolves to a trivially-true predicate in Spark.
+      val lmap = labels.select(col("id").as("m_id"), col("component").as("m_comp"))
+      val next = stepped.join(lmap, stepped("component") === lmap("m_id"), "left")
+        .select(stepped("id"),
+          least(col("component"), coalesce(col("m_comp"), col("component")))
             .as("component"))
         .transform(materialize)
       val s = next.agg(sum(col("component").cast("decimal(38,0)"))).head().getDecimal(0)
@@ -234,7 +274,45 @@ object Dedup {
       labels = next
       iter += 1
     }
-    labels
+    // Non-edge vertices are their own singleton components. The dup-vertex
+    // label table is small after LSH, so the planner broadcasts it.
+    nodes.join(labels.select(col("id").as("l_id"), col("component").as("l_comp")),
+        nodes("id") === col("l_id"), "left")
+      .select(nodes("id"), coalesce(col("l_comp"), nodes("id")).as("component"))
+  }
+
+  /** Driver-local union-find (path-halving + union by rank) over a collected
+    * edge list; components are then re-labeled to their minimum member id
+    * (the canonical-document convention). */
+  private def localComponents(edges: Array[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    val rank = scala.collection.mutable.HashMap.empty[Long, Int]
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent.getOrElse(x, x) != x) {
+        val p = parent(x)
+        parent(x) = parent.getOrElse(p, p) // path halving
+        x = parent(x)
+      }
+      x
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        val (hi, lo) =
+          if (rank.getOrElse(ra, 0) >= rank.getOrElse(rb, 0)) (ra, rb) else (rb, ra)
+        parent(lo) = hi
+        if (rank.getOrElse(ra, 0) == rank.getOrElse(rb, 0))
+          rank(hi) = rank.getOrElse(hi, 0) + 1
+      }
+    }
+    val minOfRoot = scala.collection.mutable.HashMap.empty[Long, Long]
+    parent.keys.foreach { v =>
+      val r = find(v)
+      minOfRoot(r) = math.min(minOfRoot.getOrElse(r, Long.MaxValue), v)
+    }
+    parent.keys.map(v => v -> minOfRoot(find(v))).toMap
   }
 
   /** Full corpus dedup: LSH near-dup pairs → connected components →

@@ -159,6 +159,10 @@ class IndexSpec extends AnyFunSuite {
     // a >=100k-vector corpus defaults to multiple shards; small stays 1
     assert(VamanaIndex.autoShards(100000) > 1)
     assert(VamanaIndex.autoShards(500) === 1)
+    // parallelism-aware: idle slots add shards, but never below MinShardSize
+    assert(VamanaIndex.autoShards(2000, 32) === 4)
+    assert(VamanaIndex.autoShards(400, 32) === 1)
+    assert(VamanaIndex.autoShards(100000, 2) === 4) // size cap still applies
     val uri = tmp()
     val idx = Ingest.ingest(spark, uri, emb, "VAMANA", DistanceMetric.L2,
       timestamp = 1000L, lBuild = Some(30), rMaxDegree = Some(8))

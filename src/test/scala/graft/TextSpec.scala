@@ -80,6 +80,46 @@ class TextSpec extends AnyFunSuite {
     assert(simOther < 0.1, s"unrelated text should share ~none, got $simOther")
   }
 
+  test("connected components: chains collapse to the min id, singletons stay themselves") {
+    import spark.implicits._
+    // a 6-node chain (worst case for plain propagation — pointer jumping
+    // must close it within maxIter), a 2-cycle, and isolated vertices
+    val nodes = (1L to 12L).toDF("id")
+    val edges = Seq(
+      (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L), // chain 2..7
+      (9L, 10L), (10L, 9L) // cycle (duplicate reversed edge)
+    ).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(nodes, edges, maxIter = 6)
+      .as[(Long, Long)].collect().toMap
+    (2L to 7L).foreach(v => assert(got(v) === 2L, s"chain vertex $v"))
+    assert(got(9L) === 9L && got(10L) === 9L)
+    Seq(1L, 8L, 11L, 12L).foreach(v => assert(got(v) === v, s"singleton $v"))
+  }
+
+  test("connected components: distributed path (past the local-edge gate) agrees") {
+    import spark.implicits._
+    val nodes = (1L to 12L).toDF("id")
+    val edges = Seq(
+      (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L),
+      (9L, 10L), (10L, 9L)).toDF("id_a", "id_b")
+    spark.conf.set("spark.graft.maxLocalCCEdges", "1")
+    try {
+      val got = Dedup.connectedComponents(nodes, edges, maxIter = 6)
+        .as[(Long, Long)].collect().toMap
+      (2L to 7L).foreach(v => assert(got(v) === 2L, s"chain vertex $v"))
+      assert(got(9L) === 9L && got(10L) === 9L)
+      Seq(1L, 8L, 11L, 12L).foreach(v => assert(got(v) === v, s"singleton $v"))
+    } finally spark.conf.unset("spark.graft.maxLocalCCEdges")
+  }
+
+  test("connected components converge on an empty edge set") {
+    import spark.implicits._
+    val nodes = (1L to 4L).toDF("id")
+    val edges = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(nodes, edges).as[(Long, Long)].collect().toMap
+    (1L to 4L).foreach(v => assert(got(v) === v))
+  }
+
   test("exact dedup groups by token-set fingerprint find the planted families") {
     val groups = Dedup.exactGroups(docs, fingerprint = TextOps.tokenSetFingerprint)
     val multi = groups.where(col("cnt") > 1)
