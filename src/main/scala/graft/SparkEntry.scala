@@ -439,6 +439,12 @@ object SparkEntry {
   private def dedupEmbeddingCosine(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingCosinePairs(emb(spark, dir), 0.4).orderBy("id_a", "id_b")
 
+  /** Centroid-blocked multi-probe variant (the scale path: blocks come from
+    * the data, not a label column). Approximate recall → rows-only check;
+    * the recall-vs-exact gate is spec-tested (TextSpec). */
+  private def dedupEmbeddingCosineAnn(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingCosinePairsAnn(emb(spark, dir), 0.4).orderBy("id_a", "id_b")
+
   /** DuckDB-side 3-shingle set CTE shared by the jaccard oracles. */
   private val shingleCte: String =
     """WITH t AS (SELECT doc_id, lang, source, text,
@@ -568,6 +574,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
+    "dedup_embedding_cosine_ann" -> (dedupEmbeddingCosineAnn _),
     "dedup_components" -> (dedupComponents _),
   )
 

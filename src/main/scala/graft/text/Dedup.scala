@@ -329,6 +329,53 @@ object Dedup {
       (col("id") === col("component")).as("is_canonical"))
   }
 
+  /** Embedding near-dup pairs at scale (SemDeDup-style): k-means centroids
+    * over the normalized embeddings define the blocks, and each vector is
+    * assigned to its `probes` nearest centroids (multi-probe), so a pair is
+    * examined iff the two probe sets intersect — near-centroid-boundary
+    * pairs survive that a single-assignment blocking would miss. Candidate
+    * pairs are then verified with the exact cosine predicate, so output
+    * precision is exact; only recall is approximate (missed pairs are those
+    * whose members share no probed block). This is the production form of
+    * [[embeddingCosinePairs]], whose `blockCol` prefilter assumes a label
+    * column exists; here the blocks come from the data itself, the same
+    * partitioning an IVF index would use.
+    *
+    * Shuffle volume: probes × |corpus| rows into the block join — bucketed,
+    * never all-pairs. Training is the shared central/distributed k-means
+    * dispatch ([[graft.index.Ingest.trainCentroids]]).
+    */
+  def embeddingCosinePairsAnn(
+      emb: DataFrame,
+      threshold: Double,
+      partitions: Int = 0, // 0 = auto (sqrt of corpus size)
+      probes: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.graftshim.{toColumn, toExpression}
+    import graft.functions.vector_normalize
+    // normalized up front: cosine neighbors cluster on the unit sphere, and
+    // the verification dot product reuses the normalized form
+    val v = emb.select(col(idCol).cast("long").as("id"),
+      vector_normalize(col(vecCol).cast("array<float>")).as("v"))
+    val n = v.count()
+    val k = if (partitions > 0) partitions else graft.index.Ingest.autoPartitions(n)
+    val centroids = graft.index.Ingest.trainCentroids(
+      v.select(col("v").as("vector")), k,
+      graft.index.Ingest.autoTrainingSize(n, k), totalRows = n)
+    // materialized before the self-join: projection collapse would re-run
+    // the normalize + top-probes assignment once per joined pair
+    val blocked = materialize(v.select(col("id"), col("v"),
+      explode(toColumn(graft.functions.NearestCentroids(
+        toExpression(col("v")), centroids, probes))).as("blk")))
+    val a = blocked.select(col("blk").as("blk_a"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = blocked.select(col("blk").as("blk_b"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, col("blk_a") === col("blk_b") && col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b") // pairs sharing several probed blocks
+      .where(lit(1.0f) - dist_cosine(col("v_a"), col("v_b")) >= threshold)
+      .select("id_a", "id_b")
+  }
+
   /** Embedding near-dup pairs: cosine similarity >= threshold within
     * `blockCol` blocks (a coarse IVF-style prefilter; at 100 TB the block
     * would be an LSH/IVF partition id instead of a label). */

@@ -120,6 +120,35 @@ class TextSpec extends AnyFunSuite {
     (1L to 4L).foreach(v => assert(got(v) === v))
   }
 
+  test("ANN embedding cosine pairs: exact precision, high recall vs all-pairs") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val ann = Dedup.embeddingCosinePairsAnn(emb, 0.4)
+      .as[(Long, Long)].collect().toSet
+    // exact all-pairs reference, computed locally over the 500-vector fixture
+    val vecs = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      dot / math.sqrt(na * nb)
+    }
+    // epsilon margins on both sides: the ANN path evaluates float cosine
+    // over normalized floats, this loop double cosine over raw — a pair at
+    // the exact threshold may flip between the two arithmetics
+    val exactLoose = (for {
+      (ia, va) <- vecs; (ib, vb) <- vecs if ia < ib && cos(va, vb) >= 0.4 - 1e-3
+    } yield (ia, ib)).toSet
+    val exactStrict = (for {
+      (ia, va) <- vecs; (ib, vb) <- vecs if ia < ib && cos(va, vb) >= 0.4 + 1e-3
+    } yield (ia, ib)).toSet
+    assert(exactStrict.nonEmpty, "fixture should contain cosine near-dup pairs")
+    // precision is exact by construction (candidates are verified)
+    assert(ann.subsetOf(exactLoose), s"false positives: ${ann.diff(exactLoose)}")
+    val recall = exactStrict.intersect(ann).size.toDouble / exactStrict.size
+    assert(recall >= 0.8, s"multi-probe blocking recall $recall below gate")
+  }
+
   test("exact dedup groups by token-set fingerprint find the planted families") {
     val groups = Dedup.exactGroups(docs, fingerprint = TextOps.tokenSetFingerprint)
     val multi = groups.where(col("cnt") > 1)
