@@ -201,6 +201,91 @@ abstract class VectorIndex(
     VectorIndex.open(spark, uri)
   }
 
+  /** Snapshot this index (base + updates at the read timestamp) into an
+    * in-memory [[LocalSearcher]] for zero-job serving. Size-gated by
+    * `spark.graft.maxLocalServeBytes` (default 1 GiB): serving a corpus past
+    * the gate is a batch problem — use [[query]]. IVF_FLAT keeps its
+    * partition blocking + centroids (sub-linear probes); other index types
+    * serve exact brute force over the snapshot.
+    *
+    * Equivalence to [[query]]: deleted/overwritten ids are masked from the
+    * base and the additions live in an always-scanned extra block — the same
+    * two-branch merge the distributed path runs, so results match at any
+    * nprobe. */
+  def localSearcher(): LocalSearcher = {
+    import org.apache.spark.sql.graftshim.{toColumn, toExpression}
+    val gate = spark.conf.getOption(LocalSearcher.MaxLocalServeBytesKey)
+      .map(_.toLong).getOrElse(LocalSearcher.DefaultMaxLocalServeBytes)
+    val baseCount = if (historyIdx >= 0) meta.baseSizes(historyIdx) else 0L
+    val estBytes = baseCount * meta.dimensions * 4L
+    require(estBytes <= gate,
+      s"graft: serving snapshot would hold $baseCount vectors (~$estBytes bytes) " +
+        s"> ${LocalSearcher.MaxLocalServeBytesKey}=$gate; query through Spark instead")
+    val byteDtype = meta.dtype == "uint8" || meta.dtype == "int8"
+    def floatView(df: DataFrame): DataFrame =
+      if (byteDtype)
+        df.withColumn("vector",
+          toColumn(graft.functions.UnpackBytes(toExpression(col("vector")),
+            signed = meta.dtype == "int8")))
+      else df
+
+    val (centroids, blocked) = this match {
+      case ivf: IvfFlatIndex if historyIdx >= 0 => (ivf.centroids, true)
+      case _ => (Array.empty[Array[Float]], false)
+    }
+    val baseCols =
+      if (blocked) Seq("external_id", "vector", "partition_id")
+      else Seq("external_id", "vector")
+    val upd = updatesInWindow().map(latestUpdatePerId)
+    val maskedBase = upd match {
+      case Some(u) => floatView(baseVectors().select(baseCols.head, baseCols.tail: _*))
+        .join(u.select("external_id"), Seq("external_id"), "left_anti")
+      case None => floatView(baseVectors().select(baseCols.head, baseCols.tail: _*))
+    }
+    val baseRows = maskedBase.collect()
+    val additions = upd.map { u =>
+      val addsRaw = u.where(col("vector").isNotNull)
+      // cosine non-FLAT stores normalized vectors; match for the extras
+      val adds =
+        if (metric == DistanceMetric.Cosine && meta.indexType != "FLAT")
+          addsRaw.select(col("external_id"), vector_normalize(col("vector")).as("vector"))
+        else addsRaw.select("external_id", "vector")
+      adds.collect()
+    }.getOrElse(Array.empty[org.apache.spark.sql.Row])
+
+    val dims = meta.dimensions
+    def toBlock(rows: Seq[org.apache.spark.sql.Row]): (Array[Long], Array[Float]) = {
+      val ids = new Array[Long](rows.length)
+      val flat = new Array[Float](rows.length * dims)
+      var i = 0
+      rows.foreach { r =>
+        ids(i) = r.getLong(0)
+        val v = r.getSeq[Float](1)
+        var d = 0
+        while (d < dims) { flat(i * dims + d) = v(d); d += 1 }
+        i += 1
+      }
+      (ids, flat)
+    }
+    val blocks: Seq[(Array[Long], Array[Float])] =
+      if (blocked) {
+        val byPart = baseRows.groupBy(_.getInt(2))
+        // block index i aligned with centroid i; missing partitions -> empty
+        centroids.indices.map(p => toBlock(byPart.getOrElse(p, Array.empty).toSeq))
+      } else Seq(toBlock(baseRows.toSeq))
+    val extras = toBlock(additions.toSeq)
+    val all = blocks :+ extras
+    // extras always scanned; in the unblocked case every block is anyway
+    val alwaysScan =
+      if (blocked) Array(all.length - 1)
+      else all.indices.toArray
+    new LocalSearcher(metric, dims,
+      all.map(_._1).toArray, all.map(_._2).toArray,
+      if (blocked) centroids else Array.empty,
+      alwaysScan,
+      normalizedStore = metric == DistanceMetric.Cosine && meta.indexType != "FLAT")
+  }
+
   /** Compact the updates log when it has accumulated many small fragment
     * files (reference: index.py:837-858 auto-consolidates the updates array
     * after >10 fragments): rewrite the log directory into ~128 MB output
