@@ -156,8 +156,11 @@ object Ingest {
       case None =>
         sized.select(col("row_id").as("external_id"), col("vector"))
     }
+    // binary sources decode per pass — stage them so the decode runs once
+    // (parquet sources re-scan cheaply and skip the staging copy)
     ingest(spark, uri, withIds, indexType, metric,
-      dtype = dtype, timestamp = timestamp, partitions = partitions)
+      dtype = dtype, timestamp = timestamp, partitions = partitions,
+      stageInputs = !isParquet)
   }
 
   /** Build (or append a new version of) an index from `source`
@@ -183,7 +186,8 @@ object Ingest {
       trainingSource: Option[DataFrame] = None,
       appendMeta: Boolean = false,
       normalizeDone: Boolean = false,
-      presetCentroids: Option[Array[Array[Float]]] = None): VectorIndex = {
+      presetCentroids: Option[Array[Array[Float]]] = None,
+      stageInputs: Boolean = false): VectorIndex = {
 
     val prior: Option[IndexMeta] =
       if (appendMeta && IndexMeta.exists(uri)) Some(IndexMeta.read(uri)) else None
@@ -198,9 +202,20 @@ object Ingest {
     // COSINE rides on normalized vectors + L2 kernels for IVF
     // (reference: ivf_flat_index.py:254-255, ingestion.py:2616-2663).
     val normalize = metric == DistanceMetric.Cosine && indexType != "FLAT" && !normalizeDone
-    val base = if (normalize) {
+    val base1 = if (normalize) {
       base0.select(col("external_id"), vector_normalize(col("vector")).as("vector"))
     } else base0
+
+    // Ingestion makes several passes over the source (count, dims, training
+    // sample, assignment + write). A plain scan re-reads cheaply, but a
+    // derived source (chunk + embed, binary decode) would re-COMPUTE per
+    // pass — stageInputs writes the normalized input once and every later
+    // pass reads the staged parquet (the reference stages the same way:
+    // write_input_vectors, ingestion.py:1035-1140).
+    val base = if (stageInputs) {
+      base1.write.mode("overwrite").parquet(s"$uri/input_vectors/v=$timestamp")
+      spark.read.parquet(s"$uri/input_vectors/v=$timestamp")
+    } else base1
 
     val dims = base.select(size(col("vector"))).head().getInt(0)
     val count = base.count()
@@ -364,6 +379,9 @@ object Ingest {
       lBuild = vamanaLBuild,
       rMaxDegree = vamanaRMaxDegree)
     IndexMeta.write(uri, meta)
+    // staging copy served its purpose once the partitioned base is written
+    if (stageInputs)
+      Storage.deleteRecursively(java.nio.file.Paths.get(s"$uri/input_vectors/v=$timestamp"))
     // Open at latest (not at `timestamp`) so subsequently-appended updates
     // are visible through the returned handle, matching the reference's
     // `return index.open(...)` at current time (ingestion.py:3418).

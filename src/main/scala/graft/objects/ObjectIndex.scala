@@ -120,8 +120,10 @@ object ObjectIndex {
     val vectors = embedContent(objects, "external_id", embedding)
       .toDF("external_id", "embedding_seq", "vector")
       .select(col("external_id"), col("vector").cast("array<float>").as("vector"))
+    // chunk + embed is the expensive part of the plan — stage it so the
+    // embedding runs ONCE instead of once per ingestion pass
     Ingest.ingest(spark, uri, vectors, indexType, metric,
-      timestamp = timestamp, partitions = partitions)
+      timestamp = timestamp, partitions = partitions, stageInputs = true)
     reader.readMetadata(spark)
       .write.mode("overwrite").parquet(s"$uri/object_metadata")
     new ObjectIndex(spark, uri, reader, embedding)

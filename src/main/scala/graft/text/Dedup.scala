@@ -136,11 +136,17 @@ object Dedup {
           .as(Seq("band", "bucket")))
 
     // Cap pathological buckets (boilerplate shingle floods) before pairing.
-    val bucketed = banded
-      .withColumn("bucket_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band"), col("bucket"))))
-      .where(col("bucket_n") <= maxBucketSize)
+    // A windowed count would shuffle + sort EVERY banded row (bands × corpus
+    // rows at scale); the hash aggregate map-side-combines to the distinct
+    // bucket keys, and the over-cap key set — tiny by construction — comes
+    // back as a broadcast anti join. Distinct names on the hot side: a
+    // same-lineage join with shared names resolves trivially-true in Spark.
+    val hot = banded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bucket_n")).where(col("bucket_n") > maxBucketSize)
+      .select(col("band").as("hot_band"), col("bucket").as("hot_bucket"))
+    val bucketed = banded.join(broadcast(hot),
+      col("band") === col("hot_band") && col("bucket") === col("hot_bucket"),
+      "left_anti")
 
     // Distinct column names on each side: self-joins on same-lineage frames
     // with shared names resolve to trivially-true predicates in Spark.

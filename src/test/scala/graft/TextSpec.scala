@@ -24,6 +24,14 @@ class TextSpec extends AnyFunSuite {
     assert(exact.nonEmpty, "fixture should contain near-dup pairs")
   }
 
+  test("LSH hot-bucket cap drops over-cap buckets (anti-join path)") {
+    import spark.implicits._
+    // cap=1: every bucket holding a candidate pair is over cap -> no pairs
+    val capped = Dedup.minhashLshPairs(docs, 0.8, maxBucketSize = 1)
+      .as[(Long, Long)].collect()
+    assert(capped.isEmpty)
+  }
+
   test("dedup switches to reliable checkpoints when a checkpoint dir is set") {
     import spark.implicits._
     val base = Dedup.minhashLshPairs(docs, 0.8).as[(Long, Long)].collect().toSet
