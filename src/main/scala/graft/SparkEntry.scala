@@ -416,6 +416,23 @@ object SparkEntry {
     docs(spark, dir).select(col("doc_id"),
       TextOps.langId(col("text")).as("lang_pred")).orderBy("doc_id")
 
+  /** Gopher/Dolma-style repetitiveness signal, emitted as exact integers
+    * (distinct vs total 3-gram counts) so the oracle hash-compares cleanly;
+    * the ratio 1 - distinct/total is derived downstream. */
+  private def textRepetition(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("doc_id"),
+      size(TextOps.shingleSet(col("text"))).cast("long").as("n_shingles_distinct"),
+      greatest(TextOps.tokenCount(col("text")) - lit(2), lit(1)).cast("long")
+        .as("n_shingles_total")).orderBy("doc_id")
+
+  /** PII scrubbing pass (emails/IPv4/phones → type tokens); the hashed
+    * redacted text is the compared surface. */
+  private def textRedactPii(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("doc_id"),
+      md5(TextOps.redactPii(col("text"))).as("redacted_fp"),
+      length(TextOps.redactPii(col("text"))).cast("long").as("n_chars_redacted"))
+      .orderBy("doc_id")
+
   private def textWinnow(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(col("doc_id"),
         toColumn(WinnowFingerprint(toExpression(col("text")))).as("fps"))
@@ -569,6 +586,8 @@ object SparkEntry {
     "text_fingerprint" -> (textFingerprint _),
     "text_langid" -> (textLangId _),
     "text_winnow" -> (textWinnow _),
+    "text_repetition" -> (textRepetition _),
+    "text_redact_pii" -> (textRedactPii _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
@@ -637,6 +656,21 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     // text_langid / text_winnow / dedup_simhash: engine-internal hash
     // heuristics, no SQL equivalent — rows-only checks; semantics spec-tested.
+    "text_repetition" ->
+      s"""$shingleCte
+         |SELECT s.doc_id, len(s.sh)::BIGINT AS n_shingles_distinct,
+         |  greatest(len(t.toks) - 2, 1)::BIGINT AS n_shingles_total
+         |FROM s JOIN t ON s.doc_id = t.doc_id
+         |ORDER BY s.doc_id""".stripMargin,
+    "text_redact_pii" ->
+      """SELECT doc_id, md5(r) AS redacted_fp, length(r)::BIGINT AS n_chars_redacted
+        |FROM (SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g'),
+        |    '\+?[0-9][0-9()\-. ]{5,}[0-9]\b', '[PHONE]', 'g') AS r
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(trim(text), '\s+'))), ' ')) AS fp,
         |  min(doc_id) AS canonical_id, count(*) AS cnt

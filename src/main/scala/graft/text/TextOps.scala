@@ -84,6 +84,34 @@ object TextOps {
   def tokenSetFingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(distinctTokens(text))))
 
+  /** Within-document 3-gram repetition ratio — the Gopher/Dolma-style
+    * repetitiveness quality signal: 1 − distinct/total 3-token shingles
+    * (0 = no repeated 3-grams, → 1 for boilerplate loops). Documents with
+    * < 3 tokens have one degenerate shingle and report 0. Rides on the same
+    * one-pass [[ShingleSet3]] expression as dedup. */
+  def repetitionRatio(text: Column): Column = {
+    val total = greatest(tokenCount(text) - lit(2), lit(1)).cast("double")
+    round(lit(1.0) - size(shingleSet(text)).cast("double") / greatest(total, lit(1.0)), 6)
+  }
+
+  /** PII redaction: emails, international-ish phone numbers, and IPv4
+    * addresses replaced with type tokens — the standard scrubbing pass of a
+    * training-data pipeline. Plain `regexp_replace` (codegen'd, no UDF);
+    * patterns are deliberately RE2-compatible so the DuckDB oracle applies
+    * the identical regexes. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    // local@domain.tld — no backtracking constructs
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "[EMAIL]",
+    // IPv4 before phone: a dotted quad must not be half-eaten as digits
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b" -> "[IP]",
+    // +country / (area) / separator-grouped digit runs, 7+ digits total
+    "\\+?[0-9][0-9()\\-. ]{5,}[0-9]\\b" -> "[PHONE]")
+
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (re, token)) =>
+      regexp_replace(c, re, token)
+    }
+
   /** Language ID by stopword-profile voting: argmax over per-language
     * stopword hit counts (ties break toward the lexicographically larger
     * code via struct ordering; docs with zero hits report 'und'). */

@@ -157,6 +157,34 @@ class TextSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"multi-probe blocking recall $recall below gate")
   }
 
+  test("PII redaction replaces emails, IPs, and phone runs with type tokens") {
+    import spark.implicits._
+    val planted = Seq(
+      (1L, "contact me at alice.smith+spam@example.co.uk for details"),
+      (2L, "server at 192.168.001.255 timed out"),
+      (3L, "call +1 (555) 123-4567 now"),
+      (4L, "no pii here at all")).toDF("doc_id", "text")
+    val got = planted.select(col("doc_id"), TextOps.redactPii(col("text")).as("r"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) === "contact me at [EMAIL] for details")
+    assert(got(2L) === "server at [IP] timed out")
+    assert(got(3L) === "call [PHONE] now")
+    assert(got(4L) === "no pii here at all")
+  }
+
+  test("repetition ratio: boilerplate loops high, diverse text zero") {
+    import spark.implicits._
+    val planted = Seq(
+      (1L, "buy now buy now buy now buy now buy now"),
+      (2L, "every token in this sentence differs from the others"),
+      (3L, "ab cd")).toDF("doc_id", "text") // < 3 tokens -> 0
+    val got = planted.select(col("doc_id"), TextOps.repetitionRatio(col("text")).as("r"))
+      .as[(Long, Double)].collect().toMap
+    assert(got(1L) > 0.5, s"boilerplate should score high, got ${got(1L)}")
+    assert(got(2L) === 0.0)
+    assert(got(3L) === 0.0)
+  }
+
   test("exact dedup groups by token-set fingerprint find the planted families") {
     val groups = Dedup.exactGroups(docs, fingerprint = TextOps.tokenSetFingerprint)
     val multi = groups.where(col("cnt") > 1)
