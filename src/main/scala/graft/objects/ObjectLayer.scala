@@ -130,6 +130,74 @@ class DirectoryImageReader(
     readObjects(spark).select(col("external_id"), col("path"), col("length"))
 }
 
+/** Bioimage pyramid reader — the Spark-shaped analogue of the reference's
+  * BioImageDirectoryReader (object_readers/bioimage_reader.py: OME-TIFF/
+  * zarr pyramids read at a chosen resolution `level`, sliced into per-
+  * partition tile batches). One object row per TILE of each image at the
+  * requested level; external ids encode (image, tile) so provenance
+  * survives; the metadata table carries the pyramid geometry.
+  *
+  * The container ships no bioimage codecs, so the decode slot is an honest
+  * stub: base dimensions derive deterministically from the payload length
+  * (a square image of ⌈√len⌉ pixels) and a tile's payload is the
+  * corresponding byte slice of the file. Everything AROUND the stub — the
+  * binaryFile scan, level-halving geometry, tile-grid fan-out, id scheme,
+  * and metadata — is the real pipeline; a codec-backed deployment replaces
+  * `decodeDims`/`tileBytes` without touching the plan. */
+class BioimageDirectoryReader(
+    dir: String,
+    glob: String = "*",
+    level: Int = 0,
+    tileSize: Int = 256,
+    tileStride: Long = 100000L) extends ObjectReader {
+  require(level >= 0 && tileSize > 0)
+
+  /** Stub decode: deterministic square geometry from byte length. */
+  private[objects] def decodeDims(payloadLen: Long): (Int, Int) = {
+    val side = math.max(1, math.ceil(math.sqrt(payloadLen.toDouble)).toInt)
+    (side, side)
+  }
+
+  /** Pyramid level l halves each axis l times (OME pyramid convention). */
+  private[objects] def levelDims(w: Int, h: Int, l: Int): (Int, Int) =
+    (math.max(1, w >> l), math.max(1, h >> l))
+
+  private def tileBytes(content: Array[Byte], tileIdx: Int, nTiles: Int): Array[Byte] = {
+    // stub tile payload: the tile's proportional byte slice (never empty)
+    val step = math.max(1, content.length / math.max(1, nTiles))
+    val from = math.min(content.length - 1, tileIdx * step)
+    java.util.Arrays.copyOfRange(content, from, math.min(content.length, from + step))
+  }
+
+  override def readObjects(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val l = level; val ts = tileSize; val stride = tileStride
+    val files = graft.index.Ingest.withSyntheticIds(
+      spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(dir)
+        .select(col("path"), col("content")),
+      "path")
+      .select(col("external_id").as("image_id"), col("path"), col("content"))
+    files.as[(Long, String, Array[Byte])].flatMap { case (imageId, path, content) =>
+      val (w0, h0) = decodeDims(content.length.toLong)
+      val (w, h) = levelDims(w0, h0, l)
+      val tilesX = (w + ts - 1) / ts
+      val tilesY = (h + ts - 1) / ts
+      val n = tilesX * tilesY
+      (0 until n).iterator.map { t =>
+        val tx = t % tilesX; val ty = t / tilesX
+        (imageId * stride + t, imageId, path, l, tx, ty, w, h,
+          tileBytes(content, t, n))
+      }
+    }.toDF("external_id", "image_id", "path", "level", "tile_x", "tile_y",
+      "level_width", "level_height", "payload")
+  }
+
+  override def readMetadata(spark: SparkSession): DataFrame =
+    readObjects(spark).drop("payload")
+}
+
 /** Generic 1-D table reader (reference: object_readers/
   * tiledb_1d_array_reader.py `TileDB1DArrayReader` — "first dimension is
   * the external_ids", attributes are the payload): any parquet table whose

@@ -137,6 +137,42 @@ class ObjectSpec extends AnyFunSuite {
     (0L until 3L).foreach(q => assert(top1(q) === q, s"query $q should retrieve itself"))
   }
 
+  test("bioimage pyramid reader: level halving quarters tiles, ids keep provenance") {
+    import spark.implicits._
+    val imgDir = Files.createTempDirectory("graft_bioimgs")
+    val rnd = new java.util.Random(5)
+    for (i <- 0 until 4) {
+      // ~1024x1024 stub geometry (side = ceil(sqrt(len)))
+      val b = new Array[Byte](1024 * 1024); rnd.nextBytes(b)
+      Files.write(imgDir.resolve(f"slide_$i%02d.ome.tiff"), b)
+    }
+    def reader(l: Int) = new graft.objects.BioimageDirectoryReader(
+      imgDir.toString, "*.ome.tiff", level = l, tileSize = 256)
+    val l0 = reader(0).readObjects(spark)
+    val l1 = reader(1).readObjects(spark)
+    val l2 = reader(2).readObjects(spark)
+    // 1024/256 = 4x4 tiles at level 0, 2x2 at level 1, 1 at level 2 (per image)
+    assert(l0.count() === 4 * 16)
+    assert(l1.count() === 4 * 4)
+    assert(l2.count() === 4 * 1)
+    // ids unique; provenance recoverable
+    assert(l0.select("external_id").distinct().count() === 64)
+    assert(l0.where(col("image_id") === 2L && col("tile_x") === 3 && col("tile_y") === 3)
+      .count() === 1)
+    assert(l0.schema("payload").dataType === org.apache.spark.sql.types.BinaryType)
+    // tiles of one image at one level all report the level geometry
+    assert(l1.select("level_width").distinct().as[Int].collect().toSeq === Seq(512))
+    // index + self-retrieval over level-1 tiles
+    val idx = ObjectIndex.create(spark, tmp(), reader(1), new StubImageEmbedding(32),
+      indexType = "FLAT", metric = graft.operators.DistanceMetric.L2, timestamp = 1000L)
+    assert(idx.metadata.columns.contains("tile_x"))
+    val queries = l1.where(col("external_id") < 3)
+      .select(col("external_id").as("qid"), col("payload"))
+    val top1 = idx.query(queries, k = 2).where(col("rank") === 1)
+      .select(col("qid"), col("external_id")).as[(Long, Long)].collect().toMap
+    top1.foreach { case (q, hit) => assert(hit === q, s"tile $q should retrieve itself") }
+  }
+
   test("sparse matrix reader: long-format pivots to dense vectors, index round-trips") {
     import spark.implicits._
     // long-format sparse table from the embeddings fixture: non-zero
