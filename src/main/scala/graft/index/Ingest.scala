@@ -44,7 +44,7 @@ object Ingest {
       val sorted = vectors.orderBy(orderBy.map(col): _*)
       val schema = sorted.schema.add("external_id",
         org.apache.spark.sql.types.LongType, nullable = false)
-      val rdd = sorted.rdd.zipWithIndex.map { case (row, i) =>
+      val rdd = sorted.rdd.zipWithIndex().map { case (row, i) =>
         org.apache.spark.sql.Row.fromSeq(row.toSeq :+ i)
       }
       spark.createDataFrame(rdd, schema)
@@ -137,7 +137,7 @@ object Ingest {
         val sortedRaw = raw.orderBy("row_id")
         val schema = sortedRaw.schema
         spark.createDataFrame(
-          sortedRaw.rdd.zipWithIndex.filter(_._2 < n).map(_._1), schema)
+          sortedRaw.rdd.zipWithIndex().filter(_._2 < n).map(_._1), schema)
       case Some(n) => raw.where(col("row_id") < n)
       case None => raw
     }

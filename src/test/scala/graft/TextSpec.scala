@@ -185,6 +185,14 @@ class TextSpec extends AnyFunSuite {
     assert(got(3L) === 0.0)
   }
 
+  test("ANN embedding dedup plans an equi-join on blocks, never a cross product") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val plan = graft.text.Dedup.embeddingCosinePairsAnn(emb, 0.4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "all-pairs join would not scale")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "NLJ = undeclared all-pairs")
+  }
+
   test("exact dedup groups by token-set fingerprint find the planted families") {
     val groups = Dedup.exactGroups(docs, fingerprint = TextOps.tokenSetFingerprint)
     val multi = groups.where(col("cnt") > 1)
