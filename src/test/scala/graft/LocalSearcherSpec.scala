@@ -95,6 +95,16 @@ class LocalSearcherSpec extends AnyFunSuite {
     local.values.foreach(_.foreach { case (id, _) => assert(id % 20 != 0 || id >= 1000000L) })
   }
 
+  test("uint8 FLAT: packed store unpacks to the same results as distributed") {
+    val uri = tmp()
+    val quantized = emb.select(col("external_id"),
+      expr("transform(vector, x -> float(greatest(0.0, least(255.0, floor((x + 1.0) * 127.5)))))")
+        .as("vector"))
+    val idx = Ingest.ingest(spark, uri, quantized, "FLAT", DistanceMetric.L2,
+      dtype = "uint8", timestamp = 1000L)
+    assertMatches(serveAll(idx, 10), distributed(idx, 10))
+  }
+
   test("serving gate refuses an over-budget corpus with a clear error") {
     val uri = tmp()
     val idx = Ingest.ingest(spark, uri, emb, "FLAT", DistanceMetric.L2, timestamp = 1000L)
