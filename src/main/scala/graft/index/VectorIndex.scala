@@ -217,10 +217,15 @@ abstract class VectorIndex(
     val gate = spark.conf.getOption(LocalSearcher.MaxLocalServeBytesKey)
       .map(_.toLong).getOrElse(LocalSearcher.DefaultMaxLocalServeBytes)
     val baseCount = if (historyIdx >= 0) meta.baseSizes(historyIdx) else 0L
-    val estBytes = baseCount * meta.dimensions * 4L
+    // the updates log counts too: between consolidations it can grow
+    // arbitrarily, and a gate that ignores it would not actually bound the
+    // snapshot (the count is one cheap job over the log window)
+    val updCount = updatesInWindow().map(_.count()).getOrElse(0L)
+    val estBytes = (baseCount + updCount) * meta.dimensions * 4L
     require(estBytes <= gate,
-      s"graft: serving snapshot would hold $baseCount vectors (~$estBytes bytes) " +
-        s"> ${LocalSearcher.MaxLocalServeBytesKey}=$gate; query through Spark instead")
+      s"graft: serving snapshot would hold $baseCount base + $updCount logged " +
+        s"vectors (~$estBytes bytes) > ${LocalSearcher.MaxLocalServeBytesKey}=$gate; " +
+        "consolidate updates or query through Spark instead")
     val byteDtype = meta.dtype == "uint8" || meta.dtype == "int8"
     def floatView(df: DataFrame): DataFrame =
       if (byteDtype)
