@@ -163,7 +163,8 @@ class BioimageDirectoryReader(
     (math.max(1, w >> l), math.max(1, h >> l))
 
   private def tileBytes(content: Array[Byte], tileIdx: Int, nTiles: Int): Array[Byte] = {
-    // stub tile payload: the tile's proportional byte slice (never empty)
+    if (content.isEmpty) return Array.emptyByteArray // zero-byte file: 1 empty tile
+    // stub tile payload: the tile's proportional byte slice
     val step = math.max(1, content.length / math.max(1, nTiles))
     val from = math.min(content.length - 1, tileIdx * step)
     java.util.Arrays.copyOfRange(content, from, math.min(content.length, from + step))

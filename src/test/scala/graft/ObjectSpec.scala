@@ -162,6 +162,11 @@ class ObjectSpec extends AnyFunSuite {
     assert(l0.schema("payload").dataType === org.apache.spark.sql.types.BinaryType)
     // tiles of one image at one level all report the level geometry
     assert(l1.select("level_width").distinct().as[Int].collect().toSeq === Seq(512))
+    // a zero-byte file is skipped by the binaryFile source (no splits) —
+    // the scan neither crashes nor emits phantom tiles
+    Files.write(imgDir.resolve("empty.ome.tiff"), Array.emptyByteArray)
+    assert(reader(0).readObjects(spark).count() === 4 * 16)
+    Files.delete(imgDir.resolve("empty.ome.tiff"))
     // index + self-retrieval over level-1 tiles
     val idx = ObjectIndex.create(spark, tmp(), reader(1), new StubImageEmbedding(32),
       indexType = "FLAT", metric = graft.operators.DistanceMetric.L2, timestamp = 1000L)
