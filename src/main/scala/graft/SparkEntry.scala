@@ -668,7 +668,7 @@ object SparkEntry {
         |  regexp_replace(regexp_replace(regexp_replace(text,
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
         |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g'),
-        |    '\+?[0-9][0-9()\-. ]{5,}[0-9]\b', '[PHONE]', 'g') AS r
+        |    '\+?[0-9]{0,3} ?\(?[0-9]{2,4}\)?([-. ][0-9]{2,4}){1,4}\b|\+?[0-9]{7,15}\b', '[PHONE]', 'g') AS r
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->

@@ -213,6 +213,10 @@ object Ingest {
     // pass reads the staged parquet (the reference stages the same way:
     // write_input_vectors, ingestion.py:1035-1140).
     val base = if (stageInputs) {
+      // pre-clean leftovers from previously FAILED staged ingests at this
+      // uri (an abandoned attempt cannot delete its own copy mid-exception;
+      // the next attempt reclaims the space before writing its own)
+      Storage.deleteRecursively(java.nio.file.Paths.get(s"$uri/input_vectors"))
       base1.write.mode("overwrite").parquet(s"$uri/input_vectors/v=$timestamp")
       spark.read.parquet(s"$uri/input_vectors/v=$timestamp")
     } else base1

@@ -24,10 +24,12 @@ import scala.concurrent.duration.Duration
   * input order, matching the build-reproducibility the seeded distributed
   * sample already provides.
   *
-  * Empty clusters are re-seeded from the point farthest from its assigned
-  * centroid (deterministic argmax, ties by index) — the reference's
-  * `train_no_init` reassignment loop (index/kmeans.h:229-360) guarantees the
-  * same "exactly k non-empty partitions" invariant.
+  * Empty clusters are re-seeded from the points farthest from their assigned
+  * centroids — one DISTINCT point per empty slot, distance-descending with
+  * index tie-break — the reference's `train_no_init` reassignment
+  * (index/kmeans.h:229-360). Inputs with fewer than k distinct points can
+  * still yield duplicate centers; callers needing a hard exactly-k-distinct
+  * invariant run [[Ingest]]'s fixup pass on the result.
   */
 object LocalKMeans {
 
@@ -55,7 +57,11 @@ object LocalKMeans {
     var r = 0
     while (r < restarts) {
       val (centers, inertia) = fitOnce(points, kEff, maxIter, seed + 1000L * r)
-      if (inertia < bestInertia) { bestInertia = inertia; best = centers }
+      // `best == null` guard: NaN/Inf input coordinates make every restart's
+      // inertia NaN and every comparison false — the first restart must
+      // still be kept so callers get centroids (whose NaN coordinates the
+      // fixup pass then rejects loudly) instead of a null
+      if (best == null || inertia < bestInertia) { bestInertia = inertia; best = centers }
       r += 1
     }
     best
@@ -118,17 +124,26 @@ object LocalKMeans {
           c += 1
         }
       }
+      val empties = scala.collection.mutable.ArrayBuffer[Int]()
       var c = 0
       while (c < kEff && !converged) {
         if (cnts(c) > 0) {
           var d = 0
           while (d < dims) { centers(c)(d) = (sums(c)(d) / cnts(c)).toFloat; d += 1 }
-        } else {
-          // empty cluster: reseed at the globally-farthest point from its
-          // assigned center (reference kmeans.h:229-360 reassignment)
-          centers(c) = points(farthestPoint(points, centers, assign)).clone()
-        }
+        } else empties += c
         c += 1
+      }
+      // empty clusters: reseed from the globally-farthest points, each empty
+      // slot taking a DISTINCT point (reference kmeans.h:229-360 reassigns
+      // from its high_scores heap the same way) — reseeding them all at one
+      // argmax would leave duplicate centers when several empty at once
+      if (empties.nonEmpty && !converged) {
+        val far = farthestPoints(points, centers, assign, empties.length)
+        var e = 0
+        while (e < empties.length && e < far.length) {
+          centers(empties(e)) = points(far(e)).clone()
+          e += 1
+        }
       }
       iter += 1
     }
@@ -176,16 +191,17 @@ object LocalKMeans {
     centers
   }
 
-  private def farthestPoint(points: Array[Array[Float]],
-      centers: Array[Array[Float]], assign: Array[Int]): Int = {
-    var best = 0; var bestD = -1.0
+  /** Indices of the `m` points farthest from their assigned centers,
+    * distance descending with index tie-break (deterministic). */
+  private def farthestPoints(points: Array[Array[Float]],
+      centers: Array[Array[Float]], assign: Array[Int], m: Int): Array[Int] = {
+    val scored = new Array[Double](points.length)
     var i = 0
     while (i < points.length) {
-      val d = sqDist(points(i), centers(assign(i)))
-      if (d > bestD) { bestD = d; best = i }
+      scored(i) = sqDist(points(i), centers(assign(i)))
       i += 1
     }
-    best
+    points.indices.sortBy(i => (-scored(i), i)).take(m).toArray
   }
 
   private def nearest(p: Array[Float], centers: Array[Array[Float]]): Int = {

@@ -93,8 +93,14 @@ final class LocalSearcher private[index] (
         if (nprobe0 <= 0) math.max(1, math.sqrt(parts.toDouble).toInt)
         else math.min(nprobe0, parts)
       // argmin top-nprobe over the same centroid set the distributed probe
-      // uses (NearestCentroids expression) — identical partition choice
-      val dist = centroids.map(c => sqDist(q, c, 0))
+      // uses — FLOAT accumulation to mirror NearestCentroids.topN exactly,
+      // so near-tied centroids order identically and the probed partition
+      // sets match the distributed query's at any nprobe
+      val dist = centroids.map { c =>
+        var s = 0.0f; var i = 0
+        while (i < dims) { val d = q(i) - c(i); s += d * d; i += 1 }
+        s
+      }
       val order = centroids.indices.sortBy(i => (dist(i), i)).take(nprobe)
       (order ++ alwaysScan).toArray
     }

@@ -170,9 +170,16 @@ class BioimageDirectoryReader(
     java.util.Arrays.copyOfRange(content, from, math.min(content.length, from + step))
   }
 
+  /** Tile grid of one image at `level`: (tilesX, tilesY, w, h). */
+  private def grid(payloadLen: Long): (Int, Int, Int, Int) = {
+    val (w0, h0) = decodeDims(payloadLen)
+    val (w, h) = levelDims(w0, h0, level)
+    ((w + tileSize - 1) / tileSize, (h + tileSize - 1) / tileSize, w, h)
+  }
+
   override def readObjects(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    val l = level; val ts = tileSize; val stride = tileStride
+    val self = this; val l = level; val stride = tileStride
     val files = graft.index.Ingest.withSyntheticIds(
       spark.read.format("binaryFile")
         .option("pathGlobFilter", glob)
@@ -181,11 +188,13 @@ class BioimageDirectoryReader(
       "path")
       .select(col("external_id").as("image_id"), col("path"), col("content"))
     files.as[(Long, String, Array[Byte])].flatMap { case (imageId, path, content) =>
-      val (w0, h0) = decodeDims(content.length.toLong)
-      val (w, h) = levelDims(w0, h0, l)
-      val tilesX = (w + ts - 1) / ts
-      val tilesY = (h + ts - 1) / ts
+      val (tilesX, tilesY, w, h) = self.grid(content.length.toLong)
       val n = tilesX * tilesY
+      // id scheme is (image, tile)-positional; a collision would silently
+      // corrupt provenance, so an over-stride grid fails loudly instead
+      require(n < stride,
+        s"graft: $path yields $n tiles at level $l >= tileStride $stride — " +
+          "raise tileStride or read a higher pyramid level")
       (0 until n).iterator.map { t =>
         val tx = t % tilesX; val ty = t / tilesX
         (imageId * stride + t, imageId, path, l, tx, ty, w, h,
@@ -195,8 +204,31 @@ class BioimageDirectoryReader(
       "level_width", "level_height", "payload")
   }
 
-  override def readMetadata(spark: SparkSession): DataFrame =
-    readObjects(spark).drop("payload")
+  /** Geometry-only pass: derives the tile grid from the file LENGTH column,
+    * so the binaryFile scan prunes `content` and no image bytes are read or
+    * sliced just to build the metadata table. */
+  override def readMetadata(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val self = this; val l = level; val stride = tileStride
+    val files = graft.index.Ingest.withSyntheticIds(
+      spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(dir)
+        .select(col("path"), col("length")),
+      "path")
+      .select(col("external_id").as("image_id"), col("path"), col("length"))
+    files.as[(Long, String, Long)].flatMap { case (imageId, path, len) =>
+      val (tilesX, tilesY, w, h) = self.grid(len)
+      val n = tilesX * tilesY
+      require(n < stride,
+        s"graft: $path yields $n tiles at level $l >= tileStride $stride — " +
+          "raise tileStride or read a higher pyramid level")
+      (0 until n).iterator.map { t =>
+        (imageId * stride + t, imageId, path, l, t % tilesX, t / tilesX, w, h)
+      }
+    }.toDF("external_id", "image_id", "path", "level", "tile_x", "tile_y",
+      "level_width", "level_height")
+  }
 }
 
 /** Generic 1-D table reader (reference: object_readers/

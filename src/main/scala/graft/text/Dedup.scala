@@ -138,13 +138,16 @@ object Dedup {
     // Cap pathological buckets (boilerplate shingle floods) before pairing.
     // A windowed count would shuffle + sort EVERY banded row (bands × corpus
     // rows at scale); the hash aggregate map-side-combines to the distinct
-    // bucket keys, and the over-cap key set — tiny by construction — comes
-    // back as a broadcast anti join. Distinct names on the hot side: a
-    // same-lineage join with shared names resolves trivially-true in Spark.
+    // bucket keys and only the over-cap keys survive. No forced broadcast:
+    // the hot set is usually tiny (planner broadcasts it on its own), but a
+    // boilerplate-flooded corpus can have millions of hot keys — the
+    // un-hinted join lets AQE fall back to a shuffle join instead of dying
+    // on the broadcast limit. Distinct names on the hot side: a same-lineage
+    // join with shared names resolves trivially-true in Spark.
     val hot = banded.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("bucket_n")).where(col("bucket_n") > maxBucketSize)
       .select(col("band").as("hot_band"), col("bucket").as("hot_bucket"))
-    val bucketed = banded.join(broadcast(hot),
+    val bucketed = banded.join(hot,
       col("band") === col("hot_band") && col("bucket") === col("hot_bucket"),
       "left_anti")
 
@@ -365,6 +368,9 @@ object Dedup {
     val v = emb.select(col(idCol).cast("long").as("id"),
       vector_normalize(col(vecCol).cast("array<float>")).as("v"))
     val n = v.count()
+    if (n == 0) // no vectors -> no pairs (training would yield zero centroids)
+      return v.sparkSession.emptyDataFrame
+        .select(lit(0L).as("id_a"), lit(0L).as("id_b"))
     val k = if (partitions > 0) partitions else graft.index.Ingest.autoPartitions(n)
     val centroids = graft.index.Ingest.trainCentroids(
       v.select(col("v").as("vector")), k,

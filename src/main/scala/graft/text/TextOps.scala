@@ -104,8 +104,12 @@ object TextOps {
     "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "[EMAIL]",
     // IPv4 before phone: a dotted quad must not be half-eaten as digits
     "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b" -> "[IP]",
-    // +country / (area) / separator-grouped digit runs, 7+ digits total
-    "\\+?[0-9][0-9()\\-. ]{5,}[0-9]\\b" -> "[PHONE]")
+    // grouped numbers (+cc, (area), single-char separators between 2-4-digit
+    // groups) OR bare 7-15 digit runs. Single-char separators mean a
+    // sentence boundary (". ") or spaced range ("100 - 200") cannot join two
+    // ordinary numbers into a "phone"; dotted dates (12.03.2026) still
+    // match — the deliberate privacy-leaning trade.
+    "\\+?[0-9]{0,3} ?\\(?[0-9]{2,4}\\)?([-. ][0-9]{2,4}){1,4}\\b|\\+?[0-9]{7,15}\\b" -> "[PHONE]")
 
   def redactPii(text: Column): Column =
     piiPatterns.foldLeft(text) { case (c, (re, token)) =>

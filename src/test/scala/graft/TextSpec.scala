@@ -163,13 +163,20 @@ class TextSpec extends AnyFunSuite {
       (1L, "contact me at alice.smith+spam@example.co.uk for details"),
       (2L, "server at 192.168.001.255 timed out"),
       (3L, "call +1 (555) 123-4567 now"),
-      (4L, "no pii here at all")).toDF("doc_id", "text")
+      (4L, "no pii here at all"),
+      (5L, "id 5551234567 on file"),
+      (6L, "In 2026. 50 people attended"), // sentence boundary is not a phone
+      (7L, "pages 100 - 200 cover it")). // spaced range is not a phone
+      toDF("doc_id", "text")
     val got = planted.select(col("doc_id"), TextOps.redactPii(col("text")).as("r"))
       .as[(Long, String)].collect().toMap
     assert(got(1L) === "contact me at [EMAIL] for details")
     assert(got(2L) === "server at [IP] timed out")
     assert(got(3L) === "call [PHONE] now")
     assert(got(4L) === "no pii here at all")
+    assert(got(5L) === "id [PHONE] on file")
+    assert(got(6L) === "In 2026. 50 people attended")
+    assert(got(7L) === "pages 100 - 200 cover it")
   }
 
   test("repetition ratio: boilerplate loops high, diverse text zero") {
