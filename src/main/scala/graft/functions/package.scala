@@ -49,7 +49,8 @@ package object functions {
   }
 
   /** Register SQL names for the kernels in a session (dist_l2, dist_sos,
-    * dot_product, dist_cosine, vector_norm, vector_normalize, min_topk). */
+    * dot_product, dist_cosine, vector_norm, vector_normalize, shingle_set,
+    * simhash64, winnow_fingerprint, min_topk). */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("dist_l2", es => EuclideanDistance(es(0), es(1)), "built-in")
@@ -58,6 +59,12 @@ package object functions {
     reg.createOrReplaceTempFunction("dist_cosine", es => CosineDistance(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("vector_norm", es => L2Norm(es(0)), "built-in")
     reg.createOrReplaceTempFunction("vector_normalize", es => NormalizeVector(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("shingle_set",
+      es => graft.text.ShingleSet3(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("simhash64",
+      es => graft.text.SimHash64(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("winnow_fingerprint",
+      es => graft.text.WinnowFingerprint(es(0)), "built-in")
     reg.createOrReplaceTempFunction("min_topk", es => {
       val k = es(2) match {
         case Literal(v: Int, _) => v

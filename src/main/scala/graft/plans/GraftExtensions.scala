@@ -40,8 +40,9 @@ object OptimizeDistancePredicates extends Rule[LogicalPlan] {
 
 /** Session extensions: `--conf spark.sql.extensions=graft.plans.GraftExtensions`
   * gives any SQL-only session the graft kernels (dist_l2, dist_sos,
-  * dot_product, dist_cosine, vector_norm, vector_normalize, min_topk) plus
-  * the distance-predicate optimizer rule. */
+  * dot_product, dist_cosine, vector_norm, vector_normalize, shingle_set,
+  * simhash64, winnow_fingerprint, min_topk) plus the distance-predicate
+  * optimizer rule. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     def info(name: String) = new ExpressionInfo("graft", name)
@@ -57,6 +58,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => L2Norm(es(0))))
     e.injectFunction((FunctionIdentifier("vector_normalize"), info("vector_normalize"),
       (es: Seq[Expression]) => NormalizeVector(es(0))))
+    // text-pipeline kernels: the dedup/fingerprint primitives belong on the
+    // SQL surface too (a SQL-only session can shingle, simhash, and winnow
+    // without touching the Scala API)
+    e.injectFunction((FunctionIdentifier("shingle_set"), info("shingle_set"),
+      (es: Seq[Expression]) => graft.text.ShingleSet3(es(0))))
+    e.injectFunction((FunctionIdentifier("simhash64"), info("simhash64"),
+      (es: Seq[Expression]) => graft.text.SimHash64(es(0))))
+    e.injectFunction((FunctionIdentifier("winnow_fingerprint"), info("winnow_fingerprint"),
+      (es: Seq[Expression]) => graft.text.WinnowFingerprint(es(0))))
     e.injectFunction((FunctionIdentifier("min_topk"), info("min_topk"),
       (es: Seq[Expression]) => es(2) match {
         case Literal(k: Int, _) => MinTopK(es(0), es(1), k)

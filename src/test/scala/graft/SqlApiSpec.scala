@@ -23,6 +23,26 @@ class SqlApiSpec extends AnyFunSuite {
     assert(math.abs(r.getFloat(4) - 1.0f) < 1e-6)
   }
 
+  test("text kernels on the SQL surface: shingle_set, simhash64, winnow_fingerprint") {
+    graft.functions.registerAll(spark)
+    import spark.implicits._
+    Seq(("the quick brown fox jumps over the lazy dog",
+         Seq("the", "quick", "brown"))).toDF("t", "toks")
+      .createOrReplaceTempView("docs_sql")
+    val r = spark.sql(
+      """SELECT size(shingle_set(t)) n_sh, simhash64(toks) sig,
+        |       size(winnow_fingerprint(t)) n_fp
+        |FROM docs_sql""".stripMargin).head()
+    assert(r.getInt(0) === 7) // 9 tokens -> 7 distinct 3-shingles
+    assert(r.getInt(2) > 0)
+    // SQL path evaluates the same expression as the Scala path
+    val scalaSig = Seq(Seq("the", "quick", "brown")).toDF("toks")
+      .select(org.apache.spark.sql.graftshim.toColumn(
+        graft.text.SimHash64(org.apache.spark.sql.graftshim.toExpression(col("toks")))))
+      .head().getLong(0)
+    assert(r.getLong(1) === scalaSig)
+  }
+
   test("min_topk via SQL groups and bounds per key") {
     graft.functions.registerAll(spark)
     import spark.implicits._
