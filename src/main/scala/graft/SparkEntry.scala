@@ -479,6 +479,13 @@ object SparkEntry {
     Dedup.dedupAssignments(docs(spark, dir), 0.8)
       .select(col("doc_id"), col("component")).orderBy("doc_id")
 
+  /** Semantic corpus dedup (SemDeDup shape): centroid-blocked cosine pairs
+    * -> components -> canonical. Approximate recall in the pair stage ->
+    * rows-only; pair recall + CC are separately spec/oracle-covered. */
+  private def dedupSemantic(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dedupAssignmentsEmbedding(emb(spark, dir), 0.4)
+      .select(col("vec_id"), col("component")).orderBy("vec_id")
+
   // ----- relational operators over the TPC-H-ish tables (engine breadth:
   // scan+filter pushdown, hash agg, broadcast join, window top-k). Money
   // math in DECIMAL so sums are exact across engines. -----
@@ -595,6 +602,7 @@ object SparkEntry {
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
     "dedup_embedding_cosine_ann" -> (dedupEmbeddingCosineAnn _),
     "dedup_components" -> (dedupComponents _),
+    "dedup_semantic" -> (dedupSemantic _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -388,6 +388,26 @@ object Dedup {
       .select("id_a", "id_b")
   }
 
+  /** Full SEMANTIC corpus dedup (the SemDeDup pipeline shape): centroid-
+    * blocked cosine near-dup pairs → connected components → canonical =
+    * component minimum. The embedding-space twin of [[dedupAssignments]];
+    * filtering on is_canonical yields the semantically-deduplicated corpus.
+    *
+    * @return (idCol, component, is_canonical) for every vector
+    */
+  def dedupAssignmentsEmbedding(
+      emb: DataFrame,
+      threshold: Double,
+      partitions: Int = 0,
+      probes: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val pairs = embeddingCosinePairsAnn(emb, threshold, partitions, probes, idCol, vecCol)
+    val cc = connectedComponents(emb.select(col(idCol).cast("long").as("id")), pairs)
+    cc.select(col("id").as(idCol), col("component"),
+      (col("id") === col("component")).as("is_canonical"))
+  }
+
   /** Embedding near-dup pairs: cosine similarity >= threshold within
     * `blockCol` blocks (a coarse IVF-style prefilter; at 100 TB the block
     * would be an LSH/IVF partition id instead of a label). */

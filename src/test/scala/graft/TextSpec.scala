@@ -192,6 +192,21 @@ class TextSpec extends AnyFunSuite {
     assert(got(3L) === 0.0)
   }
 
+  test("semantic dedup: canonical is the component min; partitions cover the corpus") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val got = Dedup.dedupAssignmentsEmbedding(emb, 0.4)
+      .as[(Long, Long, Boolean)].collect()
+    assert(got.length === emb.count())
+    val byComp = got.groupBy(_._2)
+    byComp.foreach { case (comp, members) =>
+      assert(members.map(_._1).min === comp, s"component $comp min-id invariant")
+      assert(members.count(_._3) === 1, s"component $comp has exactly one canonical")
+    }
+    // the pair stage found something (matches the ANN pair spec's fixture)
+    assert(byComp.size < got.length, "at least one multi-member component")
+  }
+
   test("ANN embedding dedup plans an equi-join on blocks, never a cross product") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val plan = graft.text.Dedup.embeddingCosinePairsAnn(emb, 0.4)
