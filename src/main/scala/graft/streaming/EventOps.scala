@@ -137,6 +137,35 @@ object EventOps {
       }
       .start()
 
+  /** Continuous k-NN over a query STREAM: each micro-batch of (qid, qvec)
+    * rows runs the full read-merge query path (U3 semantics — base plus any
+    * updates that arrived between batches, e.g. via
+    * [[streamUpdatesIntoIndex]]) and appends (qid, rank, id, distance,
+    * batch_id) to `outDir`. The index is re-opened per batch so metadata
+    * changes (consolidations, new versions) are picked up mid-stream; the
+    * open is one small JSON read. Together with the updates sink this
+    * closes the loop of a continuously-updated, continuously-queried index.
+    * Millisecond point lookups are [[graft.index.LocalSearcher]]'s job —
+    * this is the high-throughput micro-batch form. */
+  def streamingKnn(
+      queries: DataFrame, // streaming frame with (qid, qvec)
+      indexUri: String,
+      outDir: String,
+      k: Int,
+      queryName: String,
+      nprobe: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .outputMode("append")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val idx = VectorIndex.open(batch.sparkSession, indexUri)
+        idx.query(batch, k, nprobe)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+
   /** Streaming exact dedup for document ingest: keep the FIRST document
     * per content fingerprint, with dedup state bounded by the event-time
     * watermark (`dropDuplicatesWithinWatermark` — plain dropDuplicates

@@ -79,6 +79,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(top === 5000L, "streamed update should be retrievable (exact match)")
   }
 
+  test("streaming k-NN answers each micro-batch identically to the batch query") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id").as("external_id"), col("embedding").as("vector"))
+    val uri = Files.createTempDirectory("graft_sknn_idx").toString
+    val idx = Ingest.ingest(spark, uri, emb, "FLAT", DistanceMetric.L2, timestamp = 1000L)
+
+    val batchQueries = emb.where(col("external_id") < 10)
+      .select(col("external_id").as("qid"), col("vector").as("qvec"))
+    val qDir = Files.createTempDirectory("graft_sknn_q").toString
+    batchQueries.write.mode("overwrite").parquet(qDir)
+    val outDir = Files.createTempDirectory("graft_sknn_out").toString + "/hits"
+
+    val src = spark.readStream
+      .schema(spark.read.parquet(qDir).schema)
+      .parquet(qDir)
+    val q = EventOps.streamingKnn(src, uri, outDir, k = 5, queryName = "sknn_test")
+    q.awaitTermination()
+
+    val streamed = spark.read.parquet(outDir)
+      .select("qid", "rank", "id").as[(Long, Int, Long)].collect().toSet
+    val batch = idx.query(batchQueries, 5)
+      .select("qid", "rank", "id").as[(Long, Int, Long)].collect().toSet
+    assert(streamed === batch)
+  }
+
   test("mapGroupsWithState running totals equal the batch aggregate") {
     val events = EventOps.loadEvents(spark, sf0001)
     val dir = Files.createTempDirectory("graft_events_state").toString
