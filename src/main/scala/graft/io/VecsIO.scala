@@ -20,13 +20,88 @@ import org.apache.spark.sql.functions._
   *   - `.u64bin` ids: 8-byte header (n), then n uint64
   *
   * Scale posture: the driver touches only per-file METADATA (size + first
-  * header, to derive record counts and global row offsets); payload decoding
-  * runs on executors via `binaryFiles`, one task per file — the natural
-  * parallelism unit since 100 TB datasets arrive sharded into many files.
+  * header, to derive record counts and global row offsets); payloads are
+  * decoded on executors from RANGE splits — every format here is
+  * fixed-record-size once the dimension is known, so each file is chopped
+  * into `spark.graft.vecs.maxSplitBytes` (128 MB default) record-aligned
+  * ranges and each task seeks + reads only its range, exactly the recipe
+  * Parquet scans use (`maxPartitionBytes`). A single 1 TB fvecs file thus
+  * becomes ~8000 parallel tasks instead of one 2 GB-capped `binaryFiles`
+  * task, and peak per-task memory is the split size, not the file size.
+  * (Splits carry no HDFS locality hints — the object-store posture, where
+  * reads are remote either way.)
   * Row ids are globally consecutive in lexicographic file order, matching
   * the reference's concatenation semantics (ingestion.py:925-1075).
   */
 object VecsIO {
+
+  /** Record-aligned byte-range split of one source file. */
+  private case class VecSplit(file: String, startByte: Long, numRecs: Long, baseRowId: Long)
+
+  /** Hadoop Configuration isn't serializable; ship the session's settings
+    * as entries so executor-side FileSystem lookups see spark.hadoop.*
+    * (fs credentials, defaultFS) instead of bare classpath defaults. */
+  private def hadoopConfEntries(spark: SparkSession): Array[(String, String)] = {
+    val it = spark.sparkContext.hadoopConfiguration.iterator()
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    while (it.hasNext) { val e = it.next(); buf += ((e.getKey, e.getValue)) }
+    buf.toArray
+  }
+
+  private def maxSplitBytes(spark: SparkSession): Long =
+    math.min(
+      spark.conf.get("spark.graft.vecs.maxSplitBytes", (128L << 20).toString).toLong,
+      Int.MaxValue.toLong - 8)
+
+  /** Chop `(file, numRecs)` sources into record-aligned ranges of at most
+    * `maxSplit` bytes, assigning globally consecutive base row ids. */
+  private def planSplits(
+      files: Seq[(String, Long)],
+      headerBytes: Long,
+      recBytes: Long,
+      maxSplit: Long): Seq[VecSplit] = {
+    val recsPerSplit = math.max(1L, maxSplit / recBytes)
+    val out = Seq.newBuilder[VecSplit]
+    var rowBase = 0L
+    files.foreach { case (f, n) =>
+      var start = 0L
+      while (start < n) {
+        val cnt = math.min(recsPerSplit, n - start)
+        out += VecSplit(f, headerBytes + start * recBytes, cnt, rowBase + start)
+        start += cnt
+      }
+      rowBase += n
+    }
+    out.result()
+  }
+
+  /** Run the split plan: one task per range; seek, read the range, decode
+    * records with ids `baseRowId + i`. `decodeRec` sees a ByteBuffer
+    * positioned at a record boundary and must consume exactly one record. */
+  private def readSplits[T: scala.reflect.ClassTag](
+      spark: SparkSession,
+      splits: Seq[VecSplit],
+      recBytes: Long,
+      decodeRec: ByteBuffer => T): org.apache.spark.rdd.RDD[(Long, T)] = {
+    val entries = hadoopConfEntries(spark)
+    spark.sparkContext.parallelize(splits, math.max(1, splits.size)).flatMap { s =>
+      val p = new Path(s.file)
+      val econf = new org.apache.hadoop.conf.Configuration(false)
+      entries.foreach { case (k, v) => econf.set(k, v) }
+      val fs = p.getFileSystem(econf)
+      val in = fs.open(p)
+      try {
+        in.seek(s.startByte)
+        val buf = new Array[Byte]((s.numRecs * recBytes).toInt)
+        in.readFully(buf)
+        val bb = ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN)
+        val out = new scala.collection.mutable.ArrayBuffer[(Long, T)](s.numRecs.toInt)
+        var i = 0L
+        while (i < s.numRecs) { out += ((s.baseRowId + i, decodeRec(bb))); i += 1 }
+        out
+      } finally in.close()
+    }
+  }
 
   /** (normalized file path, byte length) sorted lexicographically. */
   private def listFiles(spark: SparkSession, path: String): Seq[(String, Long)] = {
@@ -51,8 +126,9 @@ object VecsIO {
     } finally in.close()
   }
 
-  /** Generic record-per-record reader: derive per-file counts from sizes,
-    * then decode on executors with globally consecutive row ids. */
+  /** Generic dim-prefixed-record reader (fvecs/bvecs): derive per-file
+    * counts from sizes (uniform d enforced by the modulus check), then
+    * range-split decode on executors with globally consecutive row ids. */
   private def readRecordFormat(
       spark: SparkSession,
       path: String,
@@ -63,27 +139,17 @@ object VecsIO {
     require(files.nonEmpty, s"graft: no files at $path")
     val d = firstInt(spark, files.head._1)
     val recBytes = 4L + elemBytes.toLong * d
-    val offsets: Map[String, Long] = {
-      var acc = 0L
-      files.map { case (f, len) =>
-        require(len % recBytes == 0,
-          s"graft: $f size $len not a multiple of record size $recBytes (d=$d)")
-        val e = (f, acc); acc += len / recBytes; e
-      }.toMap
+    val counted = files.map { case (f, len) =>
+      require(len % recBytes == 0,
+        s"graft: $f size $len not a multiple of record size $recBytes (d=$d)")
+      (f, len / recBytes)
     }
-    val bcOffsets = spark.sparkContext.broadcast(offsets)
-    spark.sparkContext.binaryFiles(path)
-      .flatMap { case (file, pds) =>
-        val base = bcOffsets.value(new Path(file).toString)
-        val bb = ByteBuffer.wrap(pds.toArray()).order(ByteOrder.LITTLE_ENDIAN)
-        Iterator.continually {
-          if (bb.remaining() >= 4) {
-            val dd = bb.getInt
-            Some(toFloats(bb, dd))
-          } else None
-        }.takeWhile(_.isDefined).map(_.get).zipWithIndex
-          .map { case (v, i) => (base + i, v) }
-      }
+    val splits = planSplits(counted, 0L, recBytes, maxSplitBytes(spark))
+    readSplits(spark, splits, recBytes, bb => {
+      val dd = bb.getInt
+      require(dd == d, s"graft: record dim $dd != expected $d (mixed-dim file?)")
+      toFloats(bb, dd)
+    })
       .toDF("row_id", "vector")
       .select(col("row_id"), col("vector").cast("array<float>").as("vector"))
   }
@@ -196,32 +262,19 @@ object VecsIO {
     require(files.nonEmpty, s"graft: no files at $path")
     val d = firstInt(spark, files.head._1)
     val recBytes = 4L + 4L * d
-    val offsets: Map[String, Long] = {
-      var acc = 0L
-      files.map { case (f, len) =>
-        val e = (f, acc); acc += len / recBytes; e
-      }.toMap
-    }
-    val bcOffsets = spark.sparkContext.broadcast(offsets)
-    spark.sparkContext.binaryFiles(path)
-      .flatMap { case (file, pds) =>
-        val base = bcOffsets.value(new Path(file).toString)
-        val bb = ByteBuffer.wrap(pds.toArray()).order(ByteOrder.LITTLE_ENDIAN)
-        Iterator.continually {
-          if (bb.remaining() >= 4) {
-            val dd = bb.getInt
-            val a = new Array[Int](dd); var i = 0
-            while (i < dd) { a(i) = bb.getInt; i += 1 }
-            Some(a.toSeq)
-          } else None
-        }.takeWhile(_.isDefined).map(_.get).zipWithIndex
-          .map { case (v, i) => (base + i, v) }
-      }
-      .toDF("row_id", "values")
+    val counted = files.map { case (f, len) => (f, len / recBytes) }
+    val splits = planSplits(counted, 0L, recBytes, maxSplitBytes(spark))
+    readSplits(spark, splits, recBytes, bb => {
+      val dd = bb.getInt
+      require(dd == d, s"graft: record dim $dd != expected $d (mixed-dim file?)")
+      val a = new Array[Int](dd); var i = 0
+      while (i < dd) { a(i) = bb.getInt; i += 1 }
+      a.toSeq
+    }).toDF("row_id", "values")
   }
 
-  /** Header-based formats: decode each file on an executor with row offsets
-    * derived from the uint32 headers read driver-side (8 bytes per file). */
+  /** Header-based formats: per-file (n, d) from the uint32 headers read
+    * driver-side (8 bytes per file), then range-split decode. */
   private def readBinWithHeader(
       spark: SparkSession,
       path: String,
@@ -229,7 +282,7 @@ object VecsIO {
     import spark.implicits._
     val files = listFiles(spark, path)
     require(files.nonEmpty, s"graft: no files at $path")
-    val counts: Seq[(String, Long)] = files.map { case (f, _) =>
+    val headers: Seq[(String, Long, Int)] = files.map { case (f, _) =>
       val p = new Path(f)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val in = fs.open(p)
@@ -237,26 +290,23 @@ object VecsIO {
         val b = new Array[Byte](8)
         in.readFully(b)
         val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
-        (f, bb.getInt.toLong)
+        (f, bb.getInt.toLong, bb.getInt)
       } finally in.close()
     }
-    val offsets: Map[String, Long] = {
-      var acc = 0L
-      counts.map { case (f, n) => val e = (f, acc); acc += n; e }.toMap
+    val d = headers.head._3
+    headers.foreach { case (f, _, dd) =>
+      require(dd == d, s"graft: $f has dim $dd but ${headers.head._1} has dim $d")
     }
-    val bcOffsets = spark.sparkContext.broadcast(offsets)
-    spark.sparkContext.binaryFiles(path)
-      .flatMap { case (file, pds) =>
-        val base = bcOffsets.value(new Path(file).toString)
-        val bb = ByteBuffer.wrap(pds.toArray()).order(ByteOrder.LITTLE_ENDIAN)
-        val n = bb.getInt; val d = bb.getInt
-        (0 until n).iterator.map { i =>
-          val a = new Array[Float](d); var j = 0
-          if (u8) { while (j < d) { a(j) = (bb.get() & 0xFF).toFloat; j += 1 } }
-          else { while (j < d) { a(j) = bb.getFloat; j += 1 } }
-          (base + i, a.toSeq)
-        }
-      }
+    val elemBytes = if (u8) 1L else 4L
+    val recBytes = elemBytes * d
+    val splits =
+      planSplits(headers.map { case (f, n, _) => (f, n) }, 8L, recBytes, maxSplitBytes(spark))
+    readSplits(spark, splits, recBytes, bb => {
+      val a = new Array[Float](d); var j = 0
+      if (u8) { while (j < d) { a(j) = (bb.get() & 0xFF).toFloat; j += 1 } }
+      else { while (j < d) { a(j) = bb.getFloat; j += 1 } }
+      a.toSeq
+    })
       .toDF("row_id", "vector")
       .select(col("row_id"), col("vector").cast("array<float>").as("vector"))
   }
@@ -274,22 +324,10 @@ object VecsIO {
   def readU64bin(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     val files = listFiles(spark, path)
-    val offsets: Map[String, Long] = {
-      var acc = 0L
-      files.map { case (f, len) => val e = (f, acc); acc += (len - 8) / 8; e }.toMap
-    }
-    val bcOffsets = spark.sparkContext.broadcast(offsets)
-    spark.sparkContext.binaryFiles(path)
-      .flatMap { case (file, pds) =>
-        val base = bcOffsets.value(new Path(file).toString)
-        val bb = ByteBuffer.wrap(pds.toArray()).order(ByteOrder.LITTLE_ENDIAN)
-        bb.getLong // header
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-        var i = 0L
-        while (bb.remaining() >= 8) { out += ((base + i, bb.getLong)); i += 1 }
-        out
-      }
-      .toDF("row_id", "external_id")
+    require(files.nonEmpty, s"graft: no files at $path")
+    val counted = files.map { case (f, len) => (f, (len - 8) / 8) }
+    val splits = planSplits(counted, 8L, 8L, maxSplitBytes(spark))
+    readSplits(spark, splits, 8L, _.getLong).toDF("row_id", "external_id")
   }
 
   // ----- writers (test fixtures / export) -----
@@ -306,15 +344,7 @@ object VecsIO {
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(hconf)
     fs.mkdirs(dirPath)
-    // Hadoop Configuration isn't serializable; ship the session's settings
-    // as entries so executors see spark.hadoop.* (fs credentials, defaultFS)
-    // instead of bare classpath defaults.
-    val confEntries: Array[(String, String)] = {
-      val it = hconf.iterator()
-      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-      while (it.hasNext) { val e = it.next(); buf += ((e.getKey, e.getValue)) }
-      buf.toArray
-    }
+    val confEntries = hadoopConfEntries(df.sparkSession)
     df.select(col(vecCol).cast("array<float>")).foreachPartition {
       (it: Iterator[org.apache.spark.sql.Row]) =>
         if (it.hasNext) {

@@ -98,6 +98,35 @@ class VecsIOSpec extends AnyFunSuite {
     }
   }
 
+  test("range splitting: tiny maxSplitBytes yields many tasks, identical rows") {
+    import spark.implicits._
+    val n = 50
+    val data = Array.tabulate(n)(i => Array(i.toFloat, i * 3.0f))
+    val pf = tmpFile(".fvecs")
+    VecsIO.writeFvecs(pf, data.iterator)
+    val pb = tmpFile(".f32bin")
+    VecsIO.writeF32bin(pb, n, 2, data.iterator)
+    val pu = tmpFile(".u64bin")
+    VecsIO.writeU64bin(pu, (0 until n).map(i => i * 7L))
+    val whole = VecsIO.readFvecs(spark, pf).orderBy("row_id")
+      .as[(Long, Array[Float])].collect().map { case (i, v) => (i, v.toSeq) }
+    spark.conf.set("spark.graft.vecs.maxSplitBytes", "24") // 2 records/split
+    try {
+      val split = VecsIO.readFvecs(spark, pf)
+      assert(split.rdd.getNumPartitions === n / 2, "fvecs split plan")
+      assert(split.orderBy("row_id").as[(Long, Array[Float])].collect()
+        .map { case (i, v) => (i, v.toSeq) }.toSeq === whole.toSeq)
+      val splitBin = VecsIO.readF32bin(spark, pb)
+      assert(splitBin.rdd.getNumPartitions > 1, "f32bin split plan")
+      assert(splitBin.orderBy("row_id").as[(Long, Array[Float])].collect()
+        .map { case (i, v) => (i, v.toSeq) }.toSeq === whole.toSeq)
+      val splitIds = VecsIO.readU64bin(spark, pu)
+      assert(splitIds.rdd.getNumPartitions > 1, "u64bin split plan")
+      assert(splitIds.orderBy("row_id").as[(Long, Long)].collect().toSeq ===
+        (0 until n).map(i => (i.toLong, i * 7L)))
+    } finally spark.conf.unset("spark.graft.vecs.maxSplitBytes")
+  }
+
   test("multi-file directory: row ids are consecutive in file order") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_vecs_multi")
