@@ -243,6 +243,22 @@ object SparkEntry {
       idCol = "row_id", vecCol = "vector"))
   }
 
+  /** DataSource V2 surface (`format("vecs")`) over the fvecs fixture with a
+    * row_id range predicate: the filter pushes into the scan as plan-time
+    * split pruning + record-exact trimming — the reference's range read
+    * (`read_input_vectors(start_pos, end_pos)`, ingestion.py:451-493) as an
+    * ordinary Catalyst pushed filter — then exact L2 k-NN over the rows
+    * that survive. */
+  private def vecsDsv2RangeKnn(spark: SparkSession, dir: String): DataFrame = {
+    val path = fvecsFixture(spark, dir)
+    def scan = spark.read.format("vecs").load(s"$path/emb.fvecs")
+    val db = scan.where(col("row_id") >= 100 && col("row_id") < 400)
+    val queries = scan.where(col("row_id") < NQ)
+      .select(col("row_id").as("qid"), col("vector").as("qvec"))
+    idsOnly(Knn.bruteForce(db, queries, K, DistanceMetric.L2,
+      idCol = "row_id", vecCol = "vector"))
+  }
+
   /** Autodetected-source ingest (reference S1 dispatch ingestion.py:400-421
     * + F7 `size` prefix ingestion.py:3168-3171): the index is built straight
     * from the .fvecs fixture URI with a size=400 prefix (a parallel
@@ -569,6 +585,7 @@ object SparkEntry {
     "ivf_pq_exact_rerank" -> (ivfPqExactRerank _),
     "vamana_knn" -> (vamanaKnn _),
     "fvecs_roundtrip_knn" -> (fvecsRoundtripKnn _),
+    "vecs_dsv2_range_knn" -> (vecsDsv2RangeKnn _),
     "source_ingest_autodetect" -> (sourceIngestAutodetect _),
     "knn_flat_u8" -> (knnFlatU8 _),
     "ivf_flat_u8" -> (ivfFlatU8 _),
@@ -624,6 +641,12 @@ object SparkEntry {
     // k-means); driver records rows-only, recall asserted in IndexSpec.
     "ivf_pq_exact_rerank" -> knnOracle("list_distance(n.embedding, q.embedding)"),
     "fvecs_roundtrip_knn" -> knnOracle("list_distance(n.embedding, q.embedding)"),
+    "vecs_dsv2_range_knn" ->
+      s"""SELECT q.vec_id AS qid, n.vec_id AS neighbor_id
+         |FROM (SELECT * FROM embeddings WHERE vec_id < $NQ) q
+         |CROSS JOIN (SELECT * FROM embeddings WHERE vec_id >= 100 AND vec_id < 400) n
+         |QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY list_distance(n.embedding, q.embedding), n.vec_id) <= $K
+         |ORDER BY qid, neighbor_id""".stripMargin,
     "source_ingest_autodetect" ->
       s"""SELECT q.vec_id AS qid, n.vec_id AS neighbor_id
          |FROM (SELECT * FROM embeddings WHERE vec_id < $NQ) q

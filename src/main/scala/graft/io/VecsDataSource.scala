@@ -1,0 +1,249 @@
+package graft.io
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.util.{Map => JMap}
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 for the TexMex/big-ann binary vector formats:
+  * `spark.read.format("vecs").load(path)` (format autodetected from the
+  * extension, or forced with `.option("format", "FVECS")`), and the SQL
+  * surface `CREATE TEMPORARY VIEW v USING vecs OPTIONS (path '...')` —
+  * the Spark-native face of the reference's `read_input_vectors` /
+  * `read_external_ids` (ingestion.py:400-493).
+  *
+  * Scale behavior (all planning shared with [[VecsIO]] via `planFor`):
+  *   - input partitions = record-aligned byte ranges
+  *     (`spark.graft.vecs.maxSplitBytes`, 128 MB default), so one huge
+  *     file parallelizes and per-task memory is bounded by split size;
+  *   - `row_id` range predicates (=, <, <=, >, >=) prune whole splits at
+  *     plan time and trim the surviving splits to exact record ranges —
+  *     the reference's range read (`read_input_vectors(start_pos, end_pos)`)
+  *     becomes an ordinary pushed filter;
+  *   - column pruning is honored: a `row_id`-only projection (e.g.
+  *     `count(*)`, id scans) synthesizes ids from split metadata and reads
+  *     ZERO payload bytes.
+  */
+class VecsDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "vecs"
+
+  private def pathOf(options: CaseInsensitiveStringMap): String = {
+    val p = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("vecs source requires a path"))
+    p
+  }
+
+  private def formatOf(options: CaseInsensitiveStringMap): String =
+    Option(options.get("format")).map(_.toUpperCase)
+      .getOrElse(VecsIO.detectSourceType(pathOf(options)))
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    VecsDataSource.schemaFor(formatOf(options))
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: JMap[String, String]): Table = {
+    val options = new CaseInsensitiveStringMap(properties)
+    new VecsTable(pathOf(options), formatOf(options))
+  }
+}
+
+object VecsDataSource {
+  private[io] def schemaFor(format: String): StructType = format match {
+    case "IVECS" =>
+      StructType(Seq(
+        StructField("row_id", LongType, nullable = false),
+        StructField("values", ArrayType(IntegerType, containsNull = false), nullable = false)))
+    case "U64BIN" =>
+      StructType(Seq(
+        StructField("row_id", LongType, nullable = false),
+        StructField("external_id", LongType, nullable = false)))
+    case "FVECS" | "BVECS" | "F32BIN" | "U8BIN" =>
+      StructType(Seq(
+        StructField("row_id", LongType, nullable = false),
+        StructField("vector", ArrayType(FloatType, containsNull = false), nullable = false)))
+    case other =>
+      throw new IllegalArgumentException(s"graft: unsupported vecs format $other")
+  }
+}
+
+private[io] class VecsTable(path: String, format: String) extends Table with SupportsRead {
+  override def name(): String = s"vecs:$path"
+  override def schema(): StructType = VecsDataSource.schemaFor(format)
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new VecsScanBuilder(path, format)
+}
+
+private[io] class VecsScanBuilder(path: String, format: String)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var lo: Long = Long.MinValue // inclusive row_id lower bound
+  private var hi: Long = Long.MaxValue // inclusive row_id upper bound
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = VecsDataSource.schemaFor(format)
+
+  /** Absorb row_id range predicates into [lo, hi]. All filters are ALSO
+    * returned as residual: split pruning/trimming makes the pushed ones
+    * exact, but re-evaluation is free and keeps unsupported shapes safe. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val taken = filters.filter {
+      case EqualTo("row_id", v: Number) =>
+        lo = math.max(lo, v.longValue); hi = math.min(hi, v.longValue); true
+      case GreaterThan("row_id", v: Number) => lo = math.max(lo, v.longValue + 1); true
+      case GreaterThanOrEqual("row_id", v: Number) => lo = math.max(lo, v.longValue); true
+      case LessThan("row_id", v: Number) => hi = math.min(hi, v.longValue - 1); true
+      case LessThanOrEqual("row_id", v: Number) => hi = math.min(hi, v.longValue); true
+      case _ => false
+    }
+    pushed = taken
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+
+  override def build(): Scan = new VecsScan(path, format, lo, hi, required)
+}
+
+private[io] class VecsScan(
+    path: String,
+    format: String,
+    lo: Long,
+    hi: Long,
+    required: StructType) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"vecs $format $path" +
+      (if (lo != Long.MinValue || hi != Long.MaxValue) s" row_id in [$lo,$hi]" else "")
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = SparkSession.active
+    val plan = VecsIO.planFor(spark, path, format)
+    val entries = VecsIO.hadoopConfEntries(spark)
+    plan.splits.iterator.flatMap { s =>
+      // Trim each split to the pushed row_id range (record-exact).
+      val from = math.max(s.baseRowId, lo)
+      val until = math.min(s.baseRowId + s.numRecs, if (hi == Long.MaxValue) hi else hi + 1)
+      if (until <= from) None
+      else Some(VecsInputPartition(
+        s.file,
+        s.startByte + (from - s.baseRowId) * plan.recBytes,
+        until - from,
+        from,
+        plan.recBytes,
+        plan.d,
+        format,
+        entries): InputPartition)
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new VecsReaderFactory(required.fieldNames)
+}
+
+private[io] case class VecsInputPartition(
+    file: String,
+    startByte: Long,
+    numRecs: Long,
+    baseRowId: Long,
+    recBytes: Long,
+    d: Int,
+    format: String,
+    confEntries: Array[(String, String)]) extends InputPartition
+
+private[io] class VecsReaderFactory(fieldNames: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new VecsPartitionReader(partition.asInstanceOf[VecsInputPartition], fieldNames)
+}
+
+/** Decodes one record-aligned range. The payload bytes are read only if a
+  * payload column is in the projection; a `row_id`-only scan is pure
+  * metadata arithmetic. */
+private[io] class VecsPartitionReader(
+    p: VecsInputPartition,
+    fieldNames: Array[String]) extends PartitionReader[InternalRow] {
+
+  private val needsPayload = fieldNames.exists(f => f == "vector" || f == "values" || f == "external_id")
+  private var i: Long = 0L
+  private var bb: ByteBuffer = _
+  private val row = new GenericInternalRow(fieldNames.length)
+
+  private def buffer(): ByteBuffer = {
+    if (bb == null) {
+      val path = new Path(p.file)
+      val econf = new org.apache.hadoop.conf.Configuration(false)
+      p.confEntries.foreach { case (k, v) => econf.set(k, v) }
+      val fs = path.getFileSystem(econf)
+      val in = fs.open(path)
+      try {
+        in.seek(p.startByte)
+        val buf = new Array[Byte]((p.numRecs * p.recBytes).toInt)
+        in.readFully(buf)
+        bb = ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN)
+      } finally in.close()
+    }
+    bb
+  }
+
+  override def next(): Boolean = i < p.numRecs
+
+  override def get(): InternalRow = {
+    val rowId = p.baseRowId + i
+    var payload: Any = null
+    if (needsPayload) {
+      val b = buffer()
+      payload = p.format match {
+        case "FVECS" =>
+          val dd = b.getInt
+          val a = new Array[Float](dd); var j = 0
+          while (j < dd) { a(j) = b.getFloat; j += 1 }
+          UnsafeArrayData.fromPrimitiveArray(a)
+        case "BVECS" =>
+          val dd = b.getInt
+          val a = new Array[Float](dd); var j = 0
+          while (j < dd) { a(j) = (b.get() & 0xFF).toFloat; j += 1 }
+          UnsafeArrayData.fromPrimitiveArray(a)
+        case "IVECS" =>
+          val dd = b.getInt
+          val a = new Array[Int](dd); var j = 0
+          while (j < dd) { a(j) = b.getInt; j += 1 }
+          UnsafeArrayData.fromPrimitiveArray(a)
+        case "F32BIN" =>
+          val a = new Array[Float](p.d); var j = 0
+          while (j < p.d) { a(j) = b.getFloat; j += 1 }
+          UnsafeArrayData.fromPrimitiveArray(a)
+        case "U8BIN" =>
+          val a = new Array[Float](p.d); var j = 0
+          while (j < p.d) { a(j) = (b.get() & 0xFF).toFloat; j += 1 }
+          UnsafeArrayData.fromPrimitiveArray(a)
+        case "U64BIN" =>
+          java.lang.Long.valueOf(b.getLong)
+      }
+    }
+    var f = 0
+    while (f < fieldNames.length) {
+      row.update(f, if (fieldNames(f) == "row_id") rowId else payload)
+      f += 1
+    }
+    i += 1
+    row
+  }
+
+  override def close(): Unit = { bb = null }
+}

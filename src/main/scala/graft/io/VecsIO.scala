@@ -36,19 +36,19 @@ import org.apache.spark.sql.functions._
 object VecsIO {
 
   /** Record-aligned byte-range split of one source file. */
-  private case class VecSplit(file: String, startByte: Long, numRecs: Long, baseRowId: Long)
+  private[io] case class VecSplit(file: String, startByte: Long, numRecs: Long, baseRowId: Long)
 
   /** Hadoop Configuration isn't serializable; ship the session's settings
     * as entries so executor-side FileSystem lookups see spark.hadoop.*
     * (fs credentials, defaultFS) instead of bare classpath defaults. */
-  private def hadoopConfEntries(spark: SparkSession): Array[(String, String)] = {
+  private[io] def hadoopConfEntries(spark: SparkSession): Array[(String, String)] = {
     val it = spark.sparkContext.hadoopConfiguration.iterator()
     val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     while (it.hasNext) { val e = it.next(); buf += ((e.getKey, e.getValue)) }
     buf.toArray
   }
 
-  private def maxSplitBytes(spark: SparkSession): Long =
+  private[io] def maxSplitBytes(spark: SparkSession): Long =
     math.min(
       spark.conf.get("spark.graft.vecs.maxSplitBytes", (128L << 20).toString).toLong,
       Int.MaxValue.toLong - 8)
@@ -103,6 +103,53 @@ object VecsIO {
     }
   }
 
+  /** Full split plan for one source: dimension, record size, range splits.
+    * Shared by the function readers below and the "vecs" DataSource V2. */
+  private[io] case class VecsPlan(d: Int, recBytes: Long, splits: Seq[VecSplit])
+
+  /** Plan record-aligned splits for a source path in the given format
+    * (driver-side metadata only: file listing + first header per file). */
+  private[io] def planFor(spark: SparkSession, path: String, format: String): VecsPlan = {
+    val files = listFiles(spark, path)
+    require(files.nonEmpty, s"graft: no files at $path")
+    format match {
+      case "FVECS" | "BVECS" | "IVECS" =>
+        val elemBytes = if (format == "BVECS") 1L else 4L
+        val d = firstInt(spark, files.head._1)
+        val recBytes = 4L + elemBytes * d
+        val counted = files.map { case (f, len) =>
+          require(len % recBytes == 0,
+            s"graft: $f size $len not a multiple of record size $recBytes (d=$d)")
+          (f, len / recBytes)
+        }
+        VecsPlan(d, recBytes, planSplits(counted, 0L, recBytes, maxSplitBytes(spark)))
+      case "F32BIN" | "U8BIN" =>
+        val headers: Seq[(String, Long, Int)] = files.map { case (f, _) =>
+          val p = new Path(f)
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val in = fs.open(p)
+          try {
+            val b = new Array[Byte](8)
+            in.readFully(b)
+            val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+            (f, bb.getInt.toLong, bb.getInt)
+          } finally in.close()
+        }
+        val d = headers.head._3
+        headers.foreach { case (f, _, dd) =>
+          require(dd == d, s"graft: $f has dim $dd but ${headers.head._1} has dim $d")
+        }
+        val recBytes = (if (format == "U8BIN") 1L else 4L) * d
+        VecsPlan(d, recBytes,
+          planSplits(headers.map { case (f, n, _) => (f, n) }, 8L, recBytes, maxSplitBytes(spark)))
+      case "U64BIN" =>
+        val counted = files.map { case (f, len) => (f, (len - 8) / 8) }
+        VecsPlan(1, 8L, planSplits(counted, 8L, 8L, maxSplitBytes(spark)))
+      case other =>
+        throw new IllegalArgumentException(s"graft: $other is not a splittable vecs format")
+    }
+  }
+
   /** (normalized file path, byte length) sorted lexicographically. */
   private def listFiles(spark: SparkSession, path: String): Seq[(String, Long)] = {
     val hconf = spark.sparkContext.hadoopConfiguration
@@ -135,19 +182,11 @@ object VecsIO {
       elemBytes: Int,
       toFloats: (ByteBuffer, Int) => Seq[Float]): DataFrame = {
     import spark.implicits._
-    val files = listFiles(spark, path)
-    require(files.nonEmpty, s"graft: no files at $path")
-    val d = firstInt(spark, files.head._1)
-    val recBytes = 4L + elemBytes.toLong * d
-    val counted = files.map { case (f, len) =>
-      require(len % recBytes == 0,
-        s"graft: $f size $len not a multiple of record size $recBytes (d=$d)")
-      (f, len / recBytes)
-    }
-    val splits = planSplits(counted, 0L, recBytes, maxSplitBytes(spark))
-    readSplits(spark, splits, recBytes, bb => {
+    val fmt = if (elemBytes == 1) "BVECS" else "FVECS"
+    val plan = planFor(spark, path, fmt)
+    readSplits(spark, plan.splits, plan.recBytes, bb => {
       val dd = bb.getInt
-      require(dd == d, s"graft: record dim $dd != expected $d (mixed-dim file?)")
+      require(dd == plan.d, s"graft: record dim $dd != expected ${plan.d} (mixed-dim file?)")
       toFloats(bb, dd)
     })
       .toDF("row_id", "vector")
@@ -258,15 +297,10 @@ object VecsIO {
   /** `.ivecs` → (row_id: Long, values: Array[Int]) — ground-truth id lists. */
   def readIvecs(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    val files = listFiles(spark, path)
-    require(files.nonEmpty, s"graft: no files at $path")
-    val d = firstInt(spark, files.head._1)
-    val recBytes = 4L + 4L * d
-    val counted = files.map { case (f, len) => (f, len / recBytes) }
-    val splits = planSplits(counted, 0L, recBytes, maxSplitBytes(spark))
-    readSplits(spark, splits, recBytes, bb => {
+    val plan = planFor(spark, path, "IVECS")
+    readSplits(spark, plan.splits, plan.recBytes, bb => {
       val dd = bb.getInt
-      require(dd == d, s"graft: record dim $dd != expected $d (mixed-dim file?)")
+      require(dd == plan.d, s"graft: record dim $dd != expected ${plan.d} (mixed-dim file?)")
       val a = new Array[Int](dd); var i = 0
       while (i < dd) { a(i) = bb.getInt; i += 1 }
       a.toSeq
@@ -280,28 +314,9 @@ object VecsIO {
       path: String,
       u8: Boolean): DataFrame = {
     import spark.implicits._
-    val files = listFiles(spark, path)
-    require(files.nonEmpty, s"graft: no files at $path")
-    val headers: Seq[(String, Long, Int)] = files.map { case (f, _) =>
-      val p = new Path(f)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val in = fs.open(p)
-      try {
-        val b = new Array[Byte](8)
-        in.readFully(b)
-        val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
-        (f, bb.getInt.toLong, bb.getInt)
-      } finally in.close()
-    }
-    val d = headers.head._3
-    headers.foreach { case (f, _, dd) =>
-      require(dd == d, s"graft: $f has dim $dd but ${headers.head._1} has dim $d")
-    }
-    val elemBytes = if (u8) 1L else 4L
-    val recBytes = elemBytes * d
-    val splits =
-      planSplits(headers.map { case (f, n, _) => (f, n) }, 8L, recBytes, maxSplitBytes(spark))
-    readSplits(spark, splits, recBytes, bb => {
+    val plan = planFor(spark, path, if (u8) "U8BIN" else "F32BIN")
+    val d = plan.d
+    readSplits(spark, plan.splits, plan.recBytes, bb => {
       val a = new Array[Float](d); var j = 0
       if (u8) { while (j < d) { a(j) = (bb.get() & 0xFF).toFloat; j += 1 } }
       else { while (j < d) { a(j) = bb.getFloat; j += 1 } }
@@ -323,11 +338,8 @@ object VecsIO {
     * uint64 ids keep their bit pattern in signed Longs (SURVEY §7.3). */
   def readU64bin(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    val files = listFiles(spark, path)
-    require(files.nonEmpty, s"graft: no files at $path")
-    val counted = files.map { case (f, len) => (f, (len - 8) / 8) }
-    val splits = planSplits(counted, 8L, 8L, maxSplitBytes(spark))
-    readSplits(spark, splits, 8L, _.getLong).toDF("row_id", "external_id")
+    val plan = planFor(spark, path, "U64BIN")
+    readSplits(spark, plan.splits, plan.recBytes, _.getLong).toDF("row_id", "external_id")
   }
 
   // ----- writers (test fixtures / export) -----

@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.VecsIO
+
+class VecsDataSourceSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def tmpFile(suffix: String): String =
+    Files.createTempDirectory("graft_dsv2").resolve(s"data$suffix").toString
+
+  private val n = 40
+  private val data = Array.tabulate(n)(i => Array(i.toFloat, i * 2.0f, i * 3.0f))
+
+  private lazy val fvecsPath: String = {
+    val p = tmpFile(".fvecs")
+    VecsIO.writeFvecs(p, data.iterator)
+    p
+  }
+
+  test("format(\"vecs\") reads fvecs identically to VecsIO.readFvecs") {
+    import spark.implicits._
+    val viaDsv2 = spark.read.format("vecs").load(fvecsPath)
+      .orderBy("row_id").as[(Long, Array[Float])].collect()
+    val viaFn = VecsIO.readFvecs(spark, fvecsPath)
+      .orderBy("row_id").as[(Long, Array[Float])].collect()
+    assert(viaDsv2.length === n)
+    viaDsv2.zip(viaFn).foreach { case ((i1, v1), (i2, v2)) =>
+      assert(i1 === i2); assert(v1.sameElements(v2))
+    }
+  }
+
+  test("SQL surface: CREATE TEMPORARY VIEW ... USING vecs") {
+    spark.sql(
+      s"CREATE OR REPLACE TEMPORARY VIEW vecs_view USING vecs OPTIONS (path '$fvecsPath')")
+    assert(spark.sql("SELECT count(*) FROM vecs_view").head().getLong(0) === n.toLong)
+    assert(spark.sql("SELECT vector[1] FROM vecs_view WHERE row_id = 7")
+      .head().getFloat(0) === 14.0f)
+  }
+
+  test("row_id range pushdown prunes and trims input partitions") {
+    spark.conf.set("spark.graft.vecs.maxSplitBytes", "64") // 4 recs/split -> 10 splits
+    try {
+      val df = spark.read.format("vecs").load(fvecsPath)
+      assert(df.rdd.getNumPartitions === 10)
+      val ranged = df.where("row_id >= 12 AND row_id < 18")
+      // splits [12..16) and [16..20) survive; the rest are pruned at plan time
+      assert(ranged.rdd.getNumPartitions === 2)
+      import spark.implicits._
+      assert(ranged.orderBy("row_id").as[(Long, Array[Float])].collect()
+        .map(_._1).toSeq === (12L until 18L))
+      val point = df.where("row_id = 33")
+      assert(point.rdd.getNumPartitions === 1)
+      assert(point.head().getLong(0) === 33L)
+    } finally spark.conf.unset("spark.graft.vecs.maxSplitBytes")
+  }
+
+  test("column pruning: row_id-only projection scans without payload decode") {
+    val ids = spark.read.format("vecs").load(fvecsPath).select("row_id")
+    val scan = ids.queryExecution.executedPlan.collectLeaves().head
+    assert(scan.schema.fieldNames.toSeq === Seq("row_id"), scan.schema.treeString)
+    import spark.implicits._
+    assert(ids.as[Long].collect().sorted.toSeq === (0L until n.toLong))
+  }
+
+  test("u64bin and ivecs schemas through the DSv2") {
+    import spark.implicits._
+    val pu = tmpFile(".u64bin")
+    VecsIO.writeU64bin(pu, (0 until 9).map(i => 1000L + i))
+    val u = spark.read.format("vecs").load(pu)
+    assert(u.columns.toSeq === Seq("row_id", "external_id"))
+    assert(u.orderBy("row_id").as[(Long, Long)].collect().toSeq ===
+      (0 until 9).map(i => (i.toLong, 1000L + i)))
+
+    val pi = tmpFile(".ivecs")
+    VecsIO.writeIvecs(pi, Iterator(Array(3, 1, 4), Array(1, 5, 9)))
+    val iv = spark.read.format("vecs").load(pi)
+    assert(iv.columns.toSeq === Seq("row_id", "values"))
+    assert(iv.orderBy("row_id").as[(Long, Seq[Int])].collect().toSeq ===
+      Seq((0L, Seq(3, 1, 4)), (1L, Seq(1, 5, 9))))
+  }
+}
