@@ -227,11 +227,13 @@ object SparkEntry {
     * fixture's vec_id is consecutive from 0; the sharded write preserves
     * that order via the range-partitioned sort + lexicographic shard
     * names, with no driver collect). */
+  /** Shared fvecs fixture, exported through the DSv2 write path (executor
+    * shard writes + driver commit): shard order = partition order of the
+    * vec_id range sort, so re-read row ids equal vec_ids. */
   private def fvecsFixture(spark: SparkSession, dir: String): String =
     cachedIndex("fvecs", dir) { u =>
-      graft.io.VecsIO.writeFvecsSharded(
-        emb(spark, dir).orderBy("vec_id").select(col("embedding")),
-        s"$u/emb.fvecs", vecCol = "embedding")
+      emb(spark, dir).orderBy("vec_id").select(col("embedding").as("vector"))
+        .write.format("vecs").mode("overwrite").save(s"$u/emb.fvecs")
     }
 
   private def fvecsRoundtripKnn(spark: SparkSession, dir: String): DataFrame = {

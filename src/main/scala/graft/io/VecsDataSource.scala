@@ -9,8 +9,10 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.SupportsWrite
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -50,12 +52,19 @@ class VecsDataSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     VecsDataSource.schemaFor(formatOf(options))
 
+  /** Writes carry the frame's own schema (e.g. a bare `vector` column
+    * without row_id — ids are positional in the format); reads without a
+    * user schema still resolve through `inferSchema`. */
+  override def supportsExternalMetadata(): Boolean = true
+
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
       properties: JMap[String, String]): Table = {
     val options = new CaseInsensitiveStringMap(properties)
-    new VecsTable(pathOf(options), formatOf(options))
+    val fmt = formatOf(options)
+    val s = if (schema == null || schema.isEmpty) VecsDataSource.schemaFor(fmt) else schema
+    new VecsTable(pathOf(options), fmt, s)
   }
 }
 
@@ -78,13 +87,17 @@ object VecsDataSource {
   }
 }
 
-private[io] class VecsTable(path: String, format: String) extends Table with SupportsRead {
+private[io] class VecsTable(path: String, format: String, tableSchema: StructType)
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"vecs:$path"
-  override def schema(): StructType = VecsDataSource.schemaFor(format)
+  override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(
+      TableCapability.BATCH_READ, TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new VecsScanBuilder(path, format)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new VecsWriteBuilder(path, format, info)
 }
 
 private[io] class VecsScanBuilder(path: String, format: String)
@@ -246,4 +259,138 @@ private[io] class VecsPartitionReader(
   }
 
   override def close(): Unit = { bb = null }
+}
+
+/** Batch write: `df.write.format("vecs").mode("append"|"overwrite").save(dir)`.
+  * FVECS only (the reference's export format, utils.py:90-111). Each task
+  * streams its partition into a temp file under `dir/_tmp-<queryId>/`; the
+  * driver commit renames the files to `part-<partitionId>.fvecs` (so shard
+  * order = partition order and re-read row ids follow the frame's
+  * (partition, row) order, same contract as `VecsIO.writeFvecsSharded`) and
+  * truncate/abort clean up — task-commit semantics the plain function writer
+  * doesn't have. Spark's commit coordinator ensures one committed attempt
+  * per partition, so speculative retries can't double-write a shard. */
+private[io] class VecsWriteBuilder(path: String, format: String, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = {
+    require(format == "FVECS",
+      s"graft: vecs write supports FVECS, not $format (write parquet for tables)")
+    new VecsWrite(path, info.schema(), info.queryId(), doTruncate)
+  }
+}
+
+private[io] class VecsWrite(path: String, schema: StructType, queryId: String, truncate: Boolean)
+    extends Write with BatchWrite {
+
+  private val vecIdx: Int = {
+    val i = schema.fieldIndex(
+      schema.fields.find(f => f.name == "vector" && f.dataType.isInstanceOf[ArrayType])
+        .orElse(schema.fields.find(_.dataType.isInstanceOf[ArrayType]))
+        .getOrElse(throw new IllegalArgumentException(
+          s"graft: vecs write needs an array<float> column, got ${schema.simpleString}"))
+        .name)
+    require(schema.fields(i).dataType.asInstanceOf[ArrayType].elementType == FloatType,
+      s"graft: vecs write needs array<float>, got ${schema.fields(i).dataType.simpleString}")
+    i
+  }
+
+  private def tmpDir = new Path(path, s"_tmp-$queryId")
+
+  override def toBatch: BatchWrite = this
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val spark = SparkSession.active
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(tmpDir)
+    new VecsWriterFactory(tmpDir.toString, vecIdx, VecsIO.hadoopConfEntries(spark))
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
+    if (truncate) {
+      Option(fs.globStatus(new Path(dir, "part-*.fvecs")))
+        .foreach(_.foreach(s => fs.delete(s.getPath, false)))
+    }
+    // Append mode offsets shard numbers past the highest existing one, so
+    // the lexicographic read order is old-batch-then-new (concatenation
+    // semantics) and nothing collides even when empty partitions left gaps.
+    val offset =
+      Option(fs.globStatus(new Path(dir, "part-*.fvecs"))).getOrElse(Array.empty)
+        .flatMap(s => "part-(\\d+)\\.fvecs".r
+          .findFirstMatchIn(s.getPath.getName).map(_.group(1).toInt))
+        .foldLeft(0)((acc, n) => math.max(acc, n + 1))
+    messages.foreach {
+      case VecsCommitMessage(pid, Some(tmpName)) =>
+        val dest = new Path(dir, f"part-${offset + pid}%05d.fvecs")
+        require(fs.rename(new Path(tmpDir, tmpName), dest),
+          s"graft: vecs commit failed to rename $tmpName to $dest")
+      case _ => // empty partition: no file
+    }
+    fs.delete(tmpDir, true)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
+    fs.delete(tmpDir, true)
+  }
+}
+
+private[io] case class VecsCommitMessage(partitionId: Int, tmpName: Option[String])
+    extends WriterCommitMessage
+
+private[io] class VecsWriterFactory(
+    tmpDir: String,
+    vecIdx: Int,
+    confEntries: Array[(String, String)]) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new VecsDataWriter(tmpDir, vecIdx, partitionId, taskId, confEntries)
+}
+
+private[io] class VecsDataWriter(
+    tmpDir: String,
+    vecIdx: Int,
+    partitionId: Int,
+    taskId: Long,
+    confEntries: Array[(String, String)]) extends DataWriter[InternalRow] {
+
+  private val tmpName = f"part-$partitionId%05d-t$taskId"
+  private var out: java.io.DataOutputStream = _
+
+  private def stream(): java.io.DataOutputStream = {
+    if (out == null) {
+      val p = new Path(tmpDir, tmpName)
+      val econf = new org.apache.hadoop.conf.Configuration(false)
+      confEntries.foreach { case (k, v) => econf.set(k, v) }
+      out = new java.io.DataOutputStream(p.getFileSystem(econf).create(p, true))
+    }
+    out
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val v = row.getArray(vecIdx).toFloatArray()
+    val bb = ByteBuffer.allocate(4 + 4 * v.length).order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(v.length)
+    v.foreach(bb.putFloat)
+    stream().write(bb.array())
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (out != null) out.close()
+    VecsCommitMessage(partitionId, Option.when(out != null)(tmpName))
+  }
+
+  override def abort(): Unit = {
+    if (out != null) {
+      out.close()
+      val p = new Path(tmpDir, tmpName)
+      val econf = new org.apache.hadoop.conf.Configuration(false)
+      confEntries.foreach { case (k, v) => econf.set(k, v) }
+      p.getFileSystem(econf).delete(p, false)
+    }
+  }
+
+  override def close(): Unit = if (out != null) out.close()
 }

@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.io.VecsIO
@@ -64,6 +66,34 @@ class VecsDataSourceSpec extends AnyFunSuite {
     assert(scan.schema.fieldNames.toSeq === Seq("row_id"), scan.schema.treeString)
     import spark.implicits._
     assert(ids.as[Long].collect().sorted.toSeq === (0L until n.toLong))
+  }
+
+  test("DSv2 write: overwrite replaces, append concatenates after old shards") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{array, col}
+    val dir = Files.createTempDirectory("graft_dsv2_w").resolve("out.fvecs").toString
+    def frame(from: Int, until: Int, parts: Int) =
+      spark.range(from, until, 1, parts).select(
+        array(col("id").cast("float"), (col("id") * 10).cast("float")).as("vector"))
+
+    frame(0, 20, 4).orderBy("vector").write.format("vecs").mode("overwrite").save(dir)
+    val first = spark.read.format("vecs").load(dir).orderBy("row_id")
+      .as[(Long, Array[Float])].collect()
+    assert(first.map(_._1).toSeq === (0L until 20L))
+    assert(first.map(_._2(0).toLong).toSeq === (0L until 20L), "partition-order ids")
+
+    frame(100, 110, 3).orderBy("vector").write.format("vecs").mode("append").save(dir)
+    val appended = spark.read.format("vecs").load(dir).orderBy("row_id")
+      .as[(Long, Array[Float])].collect()
+    assert(appended.length === 30)
+    assert(appended.map(_._2(0).toLong).toSeq === ((0L until 20L) ++ (100L until 110L)),
+      "append keeps old shards first")
+
+    frame(0, 6, 8).write.format("vecs").mode("overwrite").save(dir) // 8 parts, some empty
+    val third = spark.read.format("vecs").load(dir)
+    assert(third.count() === 6, "overwrite replaced everything; empty partitions skipped")
+    assert(!Files.list(java.nio.file.Paths.get(dir)).iterator().asScala
+      .exists(_.getFileName.toString.startsWith("_tmp")), "temp dirs cleaned up")
   }
 
   test("u64bin and ivecs schemas through the DSv2") {
