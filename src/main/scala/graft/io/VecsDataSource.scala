@@ -12,6 +12,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.catalog.SupportsWrite
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.{streaming => rstream}
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -93,7 +94,8 @@ private[io] class VecsTable(path: String, format: String, tableSchema: StructTyp
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(
-      TableCapability.BATCH_READ, TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new VecsScanBuilder(path, format)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -167,6 +169,65 @@ private[io] class VecsScan(
 
   override def createReaderFactory(): PartitionReaderFactory =
     new VecsReaderFactory(required.fieldNames)
+
+  override def toMicroBatchStream(checkpointLocation: String): rstream.MicroBatchStream =
+    new VecsMicroBatchStream(path, format, required)
+}
+
+/** Streaming micro-batch source over a vecs shard directory:
+  * `spark.readStream.format("vecs").load(dir)`. Each micro-batch picks up
+  * files beyond the last committed offset; the offset is the count of the
+  * lexicographically-sorted listing, so producers must append shards that
+  * sort AFTER existing ones — exactly what the DSv2 batch writer's append
+  * mode produces (and what part-NNNNN naming gives any producer). Files
+  * must appear atomically (write-temp-then-rename, as our writer does).
+  * Row ids stay globally consecutive across batches because splits are
+  * planned over the full listing and filtered to the batch's file window.
+  * Feeds `VectorIndex.streamUpdatesIntoIndex` for continuous ingestion of
+  * arriving embedding shards. */
+private[io] class VecsMicroBatchStream(path: String, format: String, required: StructType)
+    extends rstream.MicroBatchStream {
+
+  private def spark = SparkSession.active
+  private def sortedFiles: Seq[String] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else if (fs.getFileStatus(p).isDirectory)
+      fs.listStatus(p).filter(_.isFile).map(_.getPath.toString).sorted.toSeq
+    else Seq(p.toString)
+  }
+
+  override def initialOffset(): rstream.Offset = VecsStreamOffset(0)
+  override def latestOffset(): rstream.Offset = VecsStreamOffset(sortedFiles.size)
+  override def deserializeOffset(json: String): rstream.Offset =
+    VecsStreamOffset(json.trim.stripPrefix("{\"files\":").stripSuffix("}").trim.toInt)
+  override def commit(end: rstream.Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(
+      start: rstream.Offset,
+      end: rstream.Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[VecsStreamOffset].files
+    val until = end.asInstanceOf[VecsStreamOffset].files
+    if (until <= from) return Array.empty
+    val batchFiles = sortedFiles.slice(from, until).toSet
+    val plan = VecsIO.planFor(spark, path, format)
+    val entries = VecsIO.hadoopConfEntries(spark)
+    plan.splits.iterator
+      .filter(s => batchFiles.contains(s.file))
+      .map(s => VecsInputPartition(s.file, s.startByte, s.numRecs, s.baseRowId,
+        plan.recBytes, plan.d, format, entries): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new VecsReaderFactory(required.fieldNames)
+}
+
+private[io] case class VecsStreamOffset(files: Int)
+    extends rstream.Offset {
+  override def json(): String = s"""{"files":$files}"""
 }
 
 private[io] case class VecsInputPartition(

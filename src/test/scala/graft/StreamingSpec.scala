@@ -51,6 +51,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchDistinct < docs.count(), "fixture should contain exact dups")
   }
 
+  test("arriving fvecs shards stream into a live index (vecs source -> updates sink)") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id").as("external_id"), col("embedding").as("vector"))
+    val uri = Files.createTempDirectory("graft_vstream_idx").toString
+    Ingest.ingest(spark, uri, emb, "FLAT", DistanceMetric.L2, timestamp = 1000L)
+
+    // an "embedding job" drops an fvecs shard directory via the DSv2 writer
+    val shardDir = Files.createTempDirectory("graft_vstream_src").resolve("upd.fvecs").toString
+    emb.where(col("external_id") < 5).orderBy("external_id")
+      .select(reverse(col("vector")).as("vector"))
+      .write.format("vecs").mode("overwrite").save(shardDir)
+
+    val src = spark.readStream.format("vecs").load(shardDir)
+      .select((col("row_id") + 5000L).as("external_id"),
+        col("vector"), lit(1100L).as("ts"))
+    val q = EventOps.streamUpdatesIntoIndex(src, uri, "vecs_upd_test")
+    q.awaitTermination()
+
+    val idx = VectorIndex.open(spark, uri)
+    assert(idx.meta.hasUpdates)
+    val queries = emb.where(col("external_id") === 0)
+      .select(lit(0L).as("qid"), reverse(col("vector")).as("qvec"))
+    val top = idx.query(queries, 1).select("id").head().getLong(0)
+    assert(top === 5000L, "vector from the streamed fvecs shard should be retrievable")
+  }
+
   test("streaming updates sink feeds the index read-merge path") {
     import spark.implicits._
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")

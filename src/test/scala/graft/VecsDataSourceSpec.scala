@@ -96,6 +96,31 @@ class VecsDataSourceSpec extends AnyFunSuite {
       .exists(_.getFileName.toString.startsWith("_tmp")), "temp dirs cleaned up")
   }
 
+  test("streaming micro-batch read picks up appended shards with consecutive ids") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{array, col}
+    val dir = Files.createTempDirectory("graft_dsv2_s").resolve("stream.fvecs").toString
+    val ckpt = Files.createTempDirectory("graft_dsv2_ckpt").toString
+    def frame(from: Int, until: Int) =
+      spark.range(from, until, 1, 2).select(
+        array(col("id").cast("float"), (col("id") * 5).cast("float")).as("vector"))
+
+    frame(0, 10).orderBy("vector").write.format("vecs").mode("overwrite").save(dir)
+    val q = spark.readStream.format("vecs").load(dir)
+      .writeStream.format("memory").queryName("vecs_stream")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("vecs_stream").count() === 10)
+      frame(10, 16).orderBy("vector").write.format("vecs").mode("append").save(dir)
+      q.processAllAvailable()
+      val got = spark.table("vecs_stream").orderBy("row_id")
+        .as[(Long, Array[Float])].collect()
+      assert(got.map(_._1).toSeq === (0L until 16L), "ids consecutive across batches")
+      assert(got.map(_._2(1).toLong).toSeq === (0L until 16L).map(_ * 5))
+    } finally q.stop()
+  }
+
   test("u64bin and ivecs schemas through the DSv2") {
     import spark.implicits._
     val pu = tmpFile(".u64bin")
