@@ -163,7 +163,8 @@ private[io] class VecsScan(
         plan.recBytes,
         plan.d,
         format,
-        entries): InputPartition)
+        entries,
+        s.hosts.toArray): InputPartition)
     }.toArray
   }
 
@@ -217,7 +218,7 @@ private[io] class VecsMicroBatchStream(path: String, format: String, required: S
     plan.splits.iterator
       .filter(s => batchFiles.contains(s.file))
       .map(s => VecsInputPartition(s.file, s.startByte, s.numRecs, s.baseRowId,
-        plan.recBytes, plan.d, format, entries): InputPartition)
+        plan.recBytes, plan.d, format, entries, s.hosts.toArray): InputPartition)
       .toArray
   }
 
@@ -238,7 +239,10 @@ private[io] case class VecsInputPartition(
     recBytes: Long,
     d: Int,
     format: String,
-    confEntries: Array[(String, String)]) extends InputPartition
+    confEntries: Array[(String, String)],
+    hosts: Array[String]) extends InputPartition {
+  override def preferredLocations(): Array[String] = hosts
+}
 
 private[io] class VecsReaderFactory(fieldNames: Array[String])
     extends PartitionReaderFactory {

@@ -28,15 +28,22 @@ import org.apache.spark.sql.functions._
   * Parquet scans use (`maxPartitionBytes`). A single 1 TB fvecs file thus
   * becomes ~8000 parallel tasks instead of one 2 GB-capped `binaryFiles`
   * task, and peak per-task memory is the split size, not the file size.
-  * (Splits carry no HDFS locality hints — the object-store posture, where
-  * reads are remote either way.)
+  * Splits carry the file's HDFS block locations as preferred hosts (empty
+  * on object stores, where reads are remote either way).
   * Row ids are globally consecutive in lexicographic file order, matching
   * the reference's concatenation semantics (ingestion.py:925-1075).
   */
 object VecsIO {
 
-  /** Record-aligned byte-range split of one source file. */
-  private[io] case class VecSplit(file: String, startByte: Long, numRecs: Long, baseRowId: Long)
+  /** Record-aligned byte-range split of one source file. `hosts` carries
+    * the HDFS block locations overlapping the range (empty on object
+    * stores, where reads are remote either way). */
+  private[io] case class VecSplit(
+      file: String,
+      startByte: Long,
+      numRecs: Long,
+      baseRowId: Long,
+      hosts: Seq[String] = Nil)
 
   /** Hadoop Configuration isn't serializable; ship the session's settings
     * as entries so executor-side FileSystem lookups see spark.hadoop.*
@@ -75,16 +82,41 @@ object VecsIO {
     out.result()
   }
 
-  /** Run the split plan: one task per range; seek, read the range, decode
-    * records with ids `baseRowId + i`. `decodeRec` sees a ByteBuffer
-    * positioned at a record boundary and must consume exactly one record. */
+  /** Attach preferred hosts to each split from the file's block locations
+    * (one `getFileBlockLocations` per file, driver-side; best-effort — an
+    * object store typically reports nothing useful and we keep Nil). */
+  private def withHosts(spark: SparkSession, splits: Seq[VecSplit], recBytes: Long): Seq[VecSplit] =
+    try {
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val blocksByFile = splits.map(_.file).distinct.map { f =>
+        val p = new Path(f)
+        val fs = p.getFileSystem(hconf)
+        val st = fs.getFileStatus(p)
+        f -> fs.getFileBlockLocations(st, 0, st.getLen)
+      }.toMap
+      splits.map { s =>
+        val end = s.startByte + s.numRecs * recBytes
+        val hosts = blocksByFile(s.file).iterator
+          .filter(b => b.getOffset < end && b.getOffset + b.getLength > s.startByte)
+          .flatMap(_.getHosts)
+          .toSeq.distinct
+        s.copy(hosts = hosts)
+      }
+    } catch { case _: Exception => splits }
+
+  /** Run the split plan: one task per range scheduled at the range's block
+    * hosts when known; seek, read the range, decode records with ids
+    * `baseRowId + i`. `decodeRec` sees a ByteBuffer positioned at a record
+    * boundary and must consume exactly one record. */
   private def readSplits[T: scala.reflect.ClassTag](
       spark: SparkSession,
       splits: Seq[VecSplit],
       recBytes: Long,
       decodeRec: ByteBuffer => T): org.apache.spark.rdd.RDD[(Long, T)] = {
     val entries = hadoopConfEntries(spark)
-    spark.sparkContext.parallelize(splits, math.max(1, splits.size)).flatMap { s =>
+    spark.sparkContext
+      .makeRDD(splits.map(s => (s, s.hosts)))
+      .flatMap { s =>
       val p = new Path(s.file)
       val econf = new org.apache.hadoop.conf.Configuration(false)
       entries.foreach { case (k, v) => econf.set(k, v) }
@@ -112,7 +144,7 @@ object VecsIO {
   private[io] def planFor(spark: SparkSession, path: String, format: String): VecsPlan = {
     val files = listFiles(spark, path)
     require(files.nonEmpty, s"graft: no files at $path")
-    format match {
+    val plan = format match {
       case "FVECS" | "BVECS" | "IVECS" =>
         val elemBytes = if (format == "BVECS") 1L else 4L
         val d = firstInt(spark, files.head._1)
@@ -148,6 +180,7 @@ object VecsIO {
       case other =>
         throw new IllegalArgumentException(s"graft: $other is not a splittable vecs format")
     }
+    plan.copy(splits = withHosts(spark, plan.splits, plan.recBytes))
   }
 
   /** (normalized file path, byte length) sorted lexicographically. */

@@ -127,6 +127,16 @@ class VecsIOSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.vecs.maxSplitBytes")
   }
 
+  test("splits carry block-location scheduling hints when the FS reports them") {
+    val p = tmpFile(".fvecs")
+    VecsIO.writeFvecs(p, vecs.iterator)
+    def root(r: org.apache.spark.rdd.RDD[_]): org.apache.spark.rdd.RDD[_] =
+      if (r.dependencies.isEmpty) r else root(r.dependencies.head.rdd)
+    val src = root(VecsIO.readFvecs(spark, p).rdd)
+    val locs = src.preferredLocations(src.partitions(0))
+    assert(locs.contains("localhost"), s"expected localhost hint, got $locs")
+  }
+
   test("multi-file directory: row ids are consecutive in file order") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_vecs_multi")
