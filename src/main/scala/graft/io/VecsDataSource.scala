@@ -64,7 +64,18 @@ class VecsDataSource extends TableProvider with DataSourceRegister {
       properties: JMap[String, String]): Table = {
     val options = new CaseInsensitiveStringMap(properties)
     val fmt = formatOf(options)
-    val s = if (schema == null || schema.isEmpty) VecsDataSource.schemaFor(fmt) else schema
+    val s =
+      if (schema == null || schema.isEmpty) VecsDataSource.schemaFor(fmt)
+      else {
+        // The formats have fixed column meanings; a renamed user schema
+        // would silently read as nulls, so reject it at plan time.
+        val canonical = VecsDataSource.schemaFor(fmt).fieldNames.toSet
+        val unknown = schema.fieldNames.filterNot(canonical)
+        require(unknown.isEmpty,
+          s"graft: vecs $fmt columns must be among ${canonical.mkString("/")}, " +
+            s"got ${unknown.mkString(",")}")
+        schema
+      }
     new VecsTable(pathOf(options), fmt, s)
   }
 }
@@ -149,7 +160,6 @@ private[io] class VecsScan(
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
     val plan = VecsIO.planFor(spark, path, format)
-    val entries = VecsIO.hadoopConfEntries(spark)
     plan.splits.iterator.flatMap { s =>
       // Trim each split to the pushed row_id range (record-exact).
       val from = math.max(s.baseRowId, lo)
@@ -163,13 +173,13 @@ private[io] class VecsScan(
         plan.recBytes,
         plan.d,
         format,
-        entries,
         s.hosts.toArray): InputPartition)
     }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new VecsReaderFactory(required.fieldNames)
+    new VecsReaderFactory(required.fieldNames,
+      VecsIO.hadoopConfEntries(SparkSession.active))
 
   override def toMicroBatchStream(checkpointLocation: String): rstream.MicroBatchStream =
     new VecsMicroBatchStream(path, format, required)
@@ -195,7 +205,10 @@ private[io] class VecsMicroBatchStream(path: String, format: String, required: S
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Seq.empty
     else if (fs.getFileStatus(p).isDirectory)
-      fs.listStatus(p).filter(_.isFile).map(_.getPath.toString).sorted.toSeq
+      // same data-file filter as planFor's listing, or the offset's file
+      // window and the split plan would disagree
+      fs.listStatus(p).filter(s => s.isFile && VecsIO.isDataFile(s.getPath.getName))
+        .map(_.getPath.toString).sorted.toSeq
     else Seq(p.toString)
   }
 
@@ -213,17 +226,17 @@ private[io] class VecsMicroBatchStream(path: String, format: String, required: S
     val until = end.asInstanceOf[VecsStreamOffset].files
     if (until <= from) return Array.empty
     val batchFiles = sortedFiles.slice(from, until).toSet
-    val plan = VecsIO.planFor(spark, path, format)
-    val entries = VecsIO.hadoopConfEntries(spark)
+    val plan = VecsIO.planFor(spark, path, format, locality = false)
     plan.splits.iterator
       .filter(s => batchFiles.contains(s.file))
       .map(s => VecsInputPartition(s.file, s.startByte, s.numRecs, s.baseRowId,
-        plan.recBytes, plan.d, format, entries, s.hosts.toArray): InputPartition)
+        plan.recBytes, plan.d, format, s.hosts.toArray): InputPartition)
       .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new VecsReaderFactory(required.fieldNames)
+    new VecsReaderFactory(required.fieldNames,
+      VecsIO.hadoopConfEntries(SparkSession.active))
 }
 
 private[io] case class VecsStreamOffset(files: Int)
@@ -239,25 +252,32 @@ private[io] case class VecsInputPartition(
     recBytes: Long,
     d: Int,
     format: String,
-    confEntries: Array[(String, String)],
     hosts: Array[String]) extends InputPartition {
   override def preferredLocations(): Array[String] = hosts
 }
 
-private[io] class VecsReaderFactory(fieldNames: Array[String])
-    extends PartitionReaderFactory {
+/** Carries the field projection and the Hadoop conf entries — serialized
+  * ONCE per scan with the task binary, not once per split (a 1 TB file is
+  * ~8000 splits; per-partition conf copies would dominate task size). */
+private[io] class VecsReaderFactory(
+    fieldNames: Array[String],
+    confEntries: Array[(String, String)]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new VecsPartitionReader(partition.asInstanceOf[VecsInputPartition], fieldNames)
+    new VecsPartitionReader(partition.asInstanceOf[VecsInputPartition], fieldNames, confEntries)
 }
 
 /** Decodes one record-aligned range. The payload bytes are read only if a
   * payload column is in the projection; a `row_id`-only scan is pure
-  * metadata arithmetic. */
+  * metadata arithmetic. `next()` decodes the upcoming record; `get()` is a
+  * stable read of the current one (per the PartitionReader contract it may
+  * be called any number of times between `next()` calls). */
 private[io] class VecsPartitionReader(
     p: VecsInputPartition,
-    fieldNames: Array[String]) extends PartitionReader[InternalRow] {
+    fieldNames: Array[String],
+    confEntries: Array[(String, String)]) extends PartitionReader[InternalRow] {
 
-  private val needsPayload = fieldNames.exists(f => f == "vector" || f == "values" || f == "external_id")
+  private val needsPayload =
+    fieldNames.exists(f => f == "vector" || f == "values" || f == "external_id")
   private var i: Long = 0L
   private var bb: ByteBuffer = _
   private val row = new GenericInternalRow(fieldNames.length)
@@ -266,7 +286,7 @@ private[io] class VecsPartitionReader(
     if (bb == null) {
       val path = new Path(p.file)
       val econf = new org.apache.hadoop.conf.Configuration(false)
-      p.confEntries.foreach { case (k, v) => econf.set(k, v) }
+      confEntries.foreach { case (k, v) => econf.set(k, v) }
       val fs = path.getFileSystem(econf)
       val in = fs.open(path)
       try {
@@ -279,9 +299,12 @@ private[io] class VecsPartitionReader(
     bb
   }
 
-  override def next(): Boolean = i < p.numRecs
+  private def checkDim(dd: Int): Unit =
+    if (dd != p.d) throw new IllegalStateException(
+      s"graft: record dim $dd != expected ${p.d} in ${p.file} (mixed-dim or corrupt file)")
 
-  override def get(): InternalRow = {
+  override def next(): Boolean = {
+    if (i >= p.numRecs) return false
     val rowId = p.baseRowId + i
     var payload: Any = null
     if (needsPayload) {
@@ -289,16 +312,19 @@ private[io] class VecsPartitionReader(
       payload = p.format match {
         case "FVECS" =>
           val dd = b.getInt
+          checkDim(dd)
           val a = new Array[Float](dd); var j = 0
           while (j < dd) { a(j) = b.getFloat; j += 1 }
           UnsafeArrayData.fromPrimitiveArray(a)
         case "BVECS" =>
           val dd = b.getInt
+          checkDim(dd)
           val a = new Array[Float](dd); var j = 0
           while (j < dd) { a(j) = (b.get() & 0xFF).toFloat; j += 1 }
           UnsafeArrayData.fromPrimitiveArray(a)
         case "IVECS" =>
           val dd = b.getInt
+          checkDim(dd)
           val a = new Array[Int](dd); var j = 0
           while (j < dd) { a(j) = b.getInt; j += 1 }
           UnsafeArrayData.fromPrimitiveArray(a)
@@ -320,8 +346,10 @@ private[io] class VecsPartitionReader(
       f += 1
     }
     i += 1
-    row
+    true
   }
+
+  override def get(): InternalRow = row
 
   override def close(): Unit = { bb = null }
 }
@@ -375,24 +403,34 @@ private[io] class VecsWrite(path: String, schema: StructType, queryId: String, t
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
-    if (truncate) {
-      Option(fs.globStatus(new Path(dir, "part-*.fvecs")))
-        .foreach(_.foreach(s => fs.delete(s.getPath, false)))
+    // Phase 1 — stage every shard into the destination dir under hidden
+    // names (readers skip dot-files). A failure here aborts with the old
+    // data fully intact.
+    val staged = messages.collect {
+      case VecsCommitMessage(pid, Some(tmpName)) =>
+        val hidden = new Path(dir, f".staging-$queryId-$pid%05d")
+        require(fs.rename(new Path(tmpDir, tmpName), hidden),
+          s"graft: vecs commit failed to stage $tmpName")
+        (pid, hidden)
     }
-    // Append mode offsets shard numbers past the highest existing one, so
-    // the lexicographic read order is old-batch-then-new (concatenation
+    // Phase 2 — the visible switch: drop old data (truncate) and unhide.
+    // Append offsets shard numbers past the highest existing one, so the
+    // lexicographic read order is old-batch-then-new (concatenation
     // semantics) and nothing collides even when empty partitions left gaps.
+    if (truncate) {
+      Option(fs.listStatus(dir)).getOrElse(Array.empty)
+        .filter(s => s.isFile && VecsIO.isDataFile(s.getPath.getName))
+        .foreach(s => fs.delete(s.getPath, false))
+    }
     val offset =
       Option(fs.globStatus(new Path(dir, "part-*.fvecs"))).getOrElse(Array.empty)
         .flatMap(s => "part-(\\d+)\\.fvecs".r
           .findFirstMatchIn(s.getPath.getName).map(_.group(1).toInt))
         .foldLeft(0)((acc, n) => math.max(acc, n + 1))
-    messages.foreach {
-      case VecsCommitMessage(pid, Some(tmpName)) =>
-        val dest = new Path(dir, f"part-${offset + pid}%05d.fvecs")
-        require(fs.rename(new Path(tmpDir, tmpName), dest),
-          s"graft: vecs commit failed to rename $tmpName to $dest")
-      case _ => // empty partition: no file
+    staged.foreach { case (pid, hidden) =>
+      val dest = new Path(dir, f"part-${offset + pid}%05d.fvecs")
+      require(fs.rename(hidden, dest),
+        s"graft: vecs commit failed to publish $dest")
     }
     fs.delete(tmpDir, true)
   }

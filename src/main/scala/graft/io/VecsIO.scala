@@ -140,8 +140,15 @@ object VecsIO {
   private[io] case class VecsPlan(d: Int, recBytes: Long, splits: Seq[VecSplit])
 
   /** Plan record-aligned splits for a source path in the given format
-    * (driver-side metadata only: file listing + first header per file). */
-  private[io] def planFor(spark: SparkSession, path: String, format: String): VecsPlan = {
+    * (driver-side metadata only: file listing + first header per file).
+    * `locality = false` skips the per-file block-location lookups — the
+    * streaming source plans over a growing listing every trigger, where
+    * O(files) locality RPCs per trigger would dominate. */
+  private[io] def planFor(
+      spark: SparkSession,
+      path: String,
+      format: String,
+      locality: Boolean = true): VecsPlan = {
     val files = listFiles(spark, path)
     require(files.nonEmpty, s"graft: no files at $path")
     val plan = format match {
@@ -175,15 +182,21 @@ object VecsIO {
         VecsPlan(d, recBytes,
           planSplits(headers.map { case (f, n, _) => (f, n) }, 8L, recBytes, maxSplitBytes(spark)))
       case "U64BIN" =>
-        val counted = files.map { case (f, len) => (f, (len - 8) / 8) }
+        val counted = files.map { case (f, len) => (f, math.max(0L, (len - 8) / 8)) }
         VecsPlan(1, 8L, planSplits(counted, 8L, 8L, maxSplitBytes(spark)))
       case other =>
         throw new IllegalArgumentException(s"graft: $other is not a splittable vecs format")
     }
-    plan.copy(splits = withHosts(spark, plan.splits, plan.recBytes))
+    if (locality) plan.copy(splits = withHosts(spark, plan.splits, plan.recBytes)) else plan
   }
 
-  /** (normalized file path, byte length) sorted lexicographically. */
+  /** (normalized file path, byte length) sorted lexicographically. Hidden
+    * and marker files (`_SUCCESS`, `.staging-*`, …) are ignored, same as
+    * Spark's file sources — a 0-byte marker would otherwise shift every
+    * subsequent file's base row id. */
+  private[io] def isDataFile(name: String): Boolean =
+    !name.startsWith("_") && !name.startsWith(".")
+
   private def listFiles(spark: SparkSession, path: String): Seq[(String, Long)] = {
     val hconf = spark.sparkContext.hadoopConfiguration
     val p = new Path(path)
@@ -191,7 +204,8 @@ object VecsIO {
     val statuses =
       if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq
       else Seq(fs.getFileStatus(p))
-    statuses.filter(_.isFile).map(s => (s.getPath.toString, s.getLen)).sortBy(_._1)
+    statuses.filter(s => s.isFile && isDataFile(s.getPath.getName))
+      .map(s => (s.getPath.toString, s.getLen)).sortBy(_._1)
   }
 
   /** Read the first little-endian int32 of a file (the record dimension). */
@@ -257,7 +271,7 @@ object VecsIO {
         (counts.sum, d)
       case "U64BIN" =>
         val files = listFiles(spark, uri)
-        (files.map { case (_, len) => (len - 8) / 8 }.sum, 1)
+        (files.map { case (_, len) => math.max(0L, (len - 8) / 8) }.sum, 1)
       case "PARQUET" =>
         val df = readParquetSource(spark, uri)
         val d = df.select(size(col("vector"))).head().getInt(0)

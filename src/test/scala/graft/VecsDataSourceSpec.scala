@@ -121,6 +121,29 @@ class VecsDataSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("mixed-dim corruption fails loudly instead of decoding garbage") {
+    // two records whose total length is still a multiple of the record
+    // size, but the second record's dim prefix is wrong
+    val p = tmpFile(".fvecs")
+    val out = new java.io.DataOutputStream(new java.io.FileOutputStream(p))
+    val bb = java.nio.ByteBuffer.allocate(32).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(3).putFloat(1f).putFloat(2f).putFloat(3f)
+    bb.putInt(2).putFloat(4f).putFloat(5f).putFloat(6f)
+    out.write(bb.array()); out.close()
+    val e = intercept[org.apache.spark.SparkException] {
+      spark.read.format("vecs").load(p).collect()
+    }
+    assert(e.getMessage.contains("record dim") ||
+      Option(e.getCause).exists(_.getMessage.contains("record dim")), e.getMessage)
+  }
+
+  test("renamed user schemas are rejected at plan time") {
+    val e = intercept[IllegalArgumentException] {
+      spark.read.schema("id LONG, vec ARRAY<FLOAT>").format("vecs").load(fvecsPath).collect()
+    }
+    assert(e.getMessage.contains("columns must be among"), e.getMessage)
+  }
+
   test("u64bin and ivecs schemas through the DSv2") {
     import spark.implicits._
     val pu = tmpFile(".u64bin")

@@ -137,6 +137,23 @@ class VecsIOSpec extends AnyFunSuite {
     assert(locs.contains("localhost"), s"expected localhost hint, got $locs")
   }
 
+  test("marker files (_SUCCESS, hidden) are ignored and do not shift row ids") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_vecs_marker")
+    Files.createFile(dir.resolve("_SUCCESS")) // 0-byte marker sorts first
+    Files.createFile(dir.resolve(".hidden"))
+    VecsIO.writeFvecs(dir.resolve("a.fvecs").toString, vecs.iterator)
+    val got = VecsIO.readFvecs(spark, dir.toString).orderBy("row_id")
+      .as[(Long, Array[Float])].collect()
+    assert(got.map(_._1).toSeq === Seq(0L, 1L, 2L))
+
+    val udir = Files.createTempDirectory("graft_u64_marker")
+    Files.createFile(udir.resolve("_SUCCESS"))
+    VecsIO.writeU64bin(udir.resolve("ids.u64bin").toString, Seq(7L, 11L))
+    assert(VecsIO.readU64bin(spark, udir.toString).orderBy("row_id")
+      .as[(Long, Long)].collect().toSeq === Seq((0L, 7L), (1L, 11L)))
+  }
+
   test("multi-file directory: row ids are consecutive in file order") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_vecs_multi")
