@@ -448,12 +448,17 @@ object Ingest {
   private[index] def collectIfSmall(sampleDf: DataFrame): Option[Array[Array[Float]]] = {
     val cap = sampleDf.sparkSession.conf
       .get("spark.graft.maxLocalTrainBytes", (256L << 20).toString).toLong
-    val df = sampleDf.select(col("vector").cast("array<float>").as("vector"))
-    val stat = df.agg(count(lit(1)).as("n"), min(size(col("vector"))).as("d")).head()
-    val n = stat.getLong(0)
-    val dims = if (stat.isNullAt(1)) 0 else stat.getInt(1)
-    if (n * dims.toLong * 4L > cap) None
-    else Some(df.collect().map(_.getSeq[Float](0).toArray))
+    // cache before the size probe: the probe + collect are two actions, and
+    // an uncached derived sample (binary decode, chunk+embed) would run its
+    // whole lineage twice
+    val df = sampleDf.select(col("vector").cast("array<float>").as("vector")).cache()
+    try {
+      val stat = df.agg(count(lit(1)).as("n"), min(size(col("vector"))).as("d")).head()
+      val n = stat.getLong(0)
+      val dims = if (stat.isNullAt(1)) 0 else stat.getInt(1)
+      if (n * dims.toLong * 4L > cap) None
+      else Some(df.collect().map(_.getSeq[Float](0).toArray))
+    } finally df.unpersist()
   }
 
   /** The reference guarantees exactly `partitions` centroids, re-seeding

@@ -147,6 +147,17 @@ object LocalKMeans {
       }
       iter += 1
     }
+    // The loop can exit at maxIter right after an update step, leaving
+    // `inertia` measured against the PRE-update centers; re-measure against
+    // the final ones so best-of-n restart selection compares like-for-like.
+    if (!converged) {
+      inertia = awaitAll(chunks.map { case (lo, hi) => Future {
+        var s = 0.0
+        var i = lo
+        while (i < hi) { s += sqDist(points(i), centers(nearest(points(i), centers))); i += 1 }
+        s
+      }}).sum
+    }
     (centers, inertia)
   }
 

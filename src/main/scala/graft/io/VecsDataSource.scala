@@ -200,20 +200,22 @@ private[io] class VecsMicroBatchStream(path: String, format: String, required: S
     extends rstream.MicroBatchStream {
 
   private def spark = SparkSession.active
-  private def sortedFiles: Seq[String] = {
+
+  /** One listing per call — same data-file filter and sort as planFor's
+    * listing, or the offset's file window and the split plan would
+    * disagree. */
+  private def sortedListing: Seq[(String, Long)] = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Seq.empty
     else if (fs.getFileStatus(p).isDirectory)
-      // same data-file filter as planFor's listing, or the offset's file
-      // window and the split plan would disagree
       fs.listStatus(p).filter(s => s.isFile && VecsIO.isDataFile(s.getPath.getName))
-        .map(_.getPath.toString).sorted.toSeq
-    else Seq(p.toString)
+        .map(s => (s.getPath.toString, s.getLen)).sortBy(_._1).toSeq
+    else Seq((p.toString, fs.getFileStatus(p).getLen))
   }
 
   override def initialOffset(): rstream.Offset = VecsStreamOffset(0)
-  override def latestOffset(): rstream.Offset = VecsStreamOffset(sortedFiles.size)
+  override def latestOffset(): rstream.Offset = VecsStreamOffset(sortedListing.size)
   override def deserializeOffset(json: String): rstream.Offset =
     VecsStreamOffset(json.trim.stripPrefix("{\"files\":").stripSuffix("}").trim.toInt)
   override def commit(end: rstream.Offset): Unit = ()
@@ -225,8 +227,13 @@ private[io] class VecsMicroBatchStream(path: String, format: String, required: S
     val from = start.asInstanceOf[VecsStreamOffset].files
     val until = end.asInstanceOf[VecsStreamOffset].files
     if (until <= from) return Array.empty
-    val batchFiles = sortedFiles.slice(from, until).toSet
-    val plan = VecsIO.planFor(spark, path, format, locality = false)
+    // One listing serves both the file window and the split plan (no
+    // per-file locality RPCs here; micro-batches are small and fresh).
+    // planForListed plans over the FULL listing so base row ids stay
+    // globally consecutive, then only the batch window's splits ship.
+    val listing = sortedListing
+    val batchFiles = listing.slice(from, until).map(_._1).toSet
+    val plan = VecsIO.planForListed(spark, listing, format)
     plan.splits.iterator
       .filter(s => batchFiles.contains(s.file))
       .map(s => VecsInputPartition(s.file, s.startByte, s.numRecs, s.baseRowId,
@@ -408,7 +415,7 @@ private[io] class VecsWrite(path: String, schema: StructType, queryId: String, t
     // data fully intact.
     val staged = messages.collect {
       case VecsCommitMessage(pid, Some(tmpName)) =>
-        val hidden = new Path(dir, f".staging-$queryId-$pid%05d")
+        val hidden = new Path(dir, f".staging-$queryId-$pid%09d")
         require(fs.rename(new Path(tmpDir, tmpName), hidden),
           s"graft: vecs commit failed to stage $tmpName")
         (pid, hidden)
@@ -422,13 +429,19 @@ private[io] class VecsWrite(path: String, schema: StructType, queryId: String, t
         .filter(s => s.isFile && VecsIO.isDataFile(s.getPath.getName))
         .foreach(s => fs.delete(s.getPath, false))
     }
-    val offset =
+    val existingNums =
       Option(fs.globStatus(new Path(dir, "part-*.fvecs"))).getOrElse(Array.empty)
         .flatMap(s => "part-(\\d+)\\.fvecs".r
-          .findFirstMatchIn(s.getPath.getName).map(_.group(1).toInt))
-        .foldLeft(0)((acc, n) => math.max(acc, n + 1))
+          .findFirstMatchIn(s.getPath.getName).map(_.group(1)))
+    // Shard numbers are zero-padded to 9 digits so lexicographic file order
+    // equals numeric order up to 10^9 shards (the 100 TB posture is ~10^6);
+    // mixed widths would silently permute row ids, so refuse them.
+    require(existingNums.forall(_.length == 9),
+      s"graft: $dir holds shards with non-9-digit numbering " +
+        "(older layout?); rewrite with mode(\"overwrite\") before appending")
+    val offset = existingNums.foldLeft(0)((acc, n) => math.max(acc, n.toInt + 1))
     staged.foreach { case (pid, hidden) =>
-      val dest = new Path(dir, f"part-${offset + pid}%05d.fvecs")
+      val dest = new Path(dir, f"part-${offset + pid}%09d.fvecs")
       require(fs.rename(hidden, dest),
         s"graft: vecs commit failed to publish $dest")
     }
@@ -436,7 +449,12 @@ private[io] class VecsWrite(path: String, schema: StructType, queryId: String, t
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val fs = new Path(path).getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
+    // reclaim both the temp dir and any phase-1 staged (hidden) shards a
+    // mid-commit failure left in the destination
+    Option(fs.globStatus(new Path(dir, s".staging-$queryId-*"))).getOrElse(Array.empty)
+      .foreach(s => fs.delete(s.getPath, false))
     fs.delete(tmpDir, true)
   }
 }
@@ -459,7 +477,7 @@ private[io] class VecsDataWriter(
     taskId: Long,
     confEntries: Array[(String, String)]) extends DataWriter[InternalRow] {
 
-  private val tmpName = f"part-$partitionId%05d-t$taskId"
+  private val tmpName = f"part-$partitionId%09d-t$taskId"
   private var out: java.io.DataOutputStream = _
 
   private def stream(): java.io.DataOutputStream = {

@@ -151,7 +151,18 @@ object VecsIO {
       locality: Boolean = true): VecsPlan = {
     val files = listFiles(spark, path)
     require(files.nonEmpty, s"graft: no files at $path")
-    val plan = format match {
+    val plan = planForListed(spark, files, format)
+    if (locality) plan.copy(splits = withHosts(spark, plan.splits, plan.recBytes)) else plan
+  }
+
+  /** As [[planFor]] but over an already-obtained `(path, length)` listing —
+    * the streaming source lists once per trigger and plans from that. */
+  private[io] def planForListed(
+      spark: SparkSession,
+      files: Seq[(String, Long)],
+      format: String): VecsPlan = {
+    require(files.nonEmpty, "graft: empty file listing")
+    format match {
       case "FVECS" | "BVECS" | "IVECS" =>
         val elemBytes = if (format == "BVECS") 1L else 4L
         val d = firstInt(spark, files.head._1)
@@ -187,7 +198,6 @@ object VecsIO {
       case other =>
         throw new IllegalArgumentException(s"graft: $other is not a splittable vecs format")
     }
-    if (locality) plan.copy(splits = withHosts(spark, plan.splits, plan.recBytes)) else plan
   }
 
   /** (normalized file path, byte length) sorted lexicographically. Hidden
@@ -393,7 +403,7 @@ object VecsIO {
 
   /** Distributed `.fvecs` export: every input partition writes one shard
     * file into `dir` from its executor — no driver collect, so the export
-    * scales with the cluster. Shards are named `part-%05d.fvecs`; the
+    * scales with the cluster. Shards are named `part-%09d.fvecs`; the
     * directory readers list files lexicographically, so row ids on re-read
     * follow the frame's (partition, row) order — sort the frame first
     * (e.g. `orderBy(id)`, a range-partitioned sort) when the global order
@@ -408,7 +418,7 @@ object VecsIO {
       (it: Iterator[org.apache.spark.sql.Row]) =>
         if (it.hasNext) {
           val pid = org.apache.spark.TaskContext.getPartitionId()
-          val file = new Path(dir, f"part-$pid%05d.fvecs")
+          val file = new Path(dir, f"part-$pid%09d.fvecs")
           val econf = new org.apache.hadoop.conf.Configuration(false)
           confEntries.foreach { case (k, v) => econf.set(k, v) }
           val efs = file.getFileSystem(econf)
