@@ -306,45 +306,17 @@ private[io] class VecsPartitionReader(
     bb
   }
 
-  private def checkDim(dd: Int): Unit =
-    if (dd != p.d) throw new IllegalStateException(
-      s"graft: record dim $dd != expected ${p.d} in ${p.file} (mixed-dim or corrupt file)")
-
   override def next(): Boolean = {
     if (i >= p.numRecs) return false
     val rowId = p.baseRowId + i
     var payload: Any = null
     if (needsPayload) {
-      val b = buffer()
-      payload = p.format match {
-        case "FVECS" =>
-          val dd = b.getInt
-          checkDim(dd)
-          val a = new Array[Float](dd); var j = 0
-          while (j < dd) { a(j) = b.getFloat; j += 1 }
-          UnsafeArrayData.fromPrimitiveArray(a)
-        case "BVECS" =>
-          val dd = b.getInt
-          checkDim(dd)
-          val a = new Array[Float](dd); var j = 0
-          while (j < dd) { a(j) = (b.get() & 0xFF).toFloat; j += 1 }
-          UnsafeArrayData.fromPrimitiveArray(a)
-        case "IVECS" =>
-          val dd = b.getInt
-          checkDim(dd)
-          val a = new Array[Int](dd); var j = 0
-          while (j < dd) { a(j) = b.getInt; j += 1 }
-          UnsafeArrayData.fromPrimitiveArray(a)
-        case "F32BIN" =>
-          val a = new Array[Float](p.d); var j = 0
-          while (j < p.d) { a(j) = b.getFloat; j += 1 }
-          UnsafeArrayData.fromPrimitiveArray(a)
-        case "U8BIN" =>
-          val a = new Array[Float](p.d); var j = 0
-          while (j < p.d) { a(j) = (b.get() & 0xFF).toFloat; j += 1 }
-          UnsafeArrayData.fromPrimitiveArray(a)
-        case "U64BIN" =>
-          java.lang.Long.valueOf(b.getLong)
+      // shared per-format codec (VecsIO.decodeRecord) — the function
+      // readers and this path must never drift
+      payload = VecsIO.decodeRecord(p.format, p.d, buffer()) match {
+        case a: Array[Float] => UnsafeArrayData.fromPrimitiveArray(a)
+        case a: Array[Int] => UnsafeArrayData.fromPrimitiveArray(a)
+        case other => other
       }
     }
     var f = 0

@@ -139,6 +139,51 @@ object VecsIO {
     * Shared by the function readers below and the "vecs" DataSource V2. */
   private[io] case class VecsPlan(d: Int, recBytes: Long, splits: Seq[VecSplit])
 
+  /** Decode exactly ONE record's payload from a buffer positioned at a
+    * record boundary — the single source of truth for both the function
+    * readers and the DSv2 PartitionReader (two independent decoders would
+    * inevitably drift). Returns Array[Float] for the float formats,
+    * Array[Int] for IVECS, java.lang.Long for U64BIN; the dim-prefixed
+    * formats validate their prefix against the planned dimension so a
+    * mixed-dim or corrupt file fails loudly instead of desyncing the
+    * buffer and decoding garbage. */
+  private[io] def decodeRecord(format: String, d: Int, bb: ByteBuffer): AnyRef = {
+    def checkDim(dd: Int): Unit =
+      require(dd == d, s"graft: record dim $dd != expected $d (mixed-dim or corrupt file)")
+    format match {
+      case "FVECS" =>
+        val dd = bb.getInt
+        checkDim(dd)
+        val a = new Array[Float](dd); var j = 0
+        while (j < dd) { a(j) = bb.getFloat; j += 1 }
+        a
+      case "BVECS" =>
+        val dd = bb.getInt
+        checkDim(dd)
+        val a = new Array[Float](dd); var j = 0
+        while (j < dd) { a(j) = (bb.get() & 0xFF).toFloat; j += 1 }
+        a
+      case "IVECS" =>
+        val dd = bb.getInt
+        checkDim(dd)
+        val a = new Array[Int](dd); var j = 0
+        while (j < dd) { a(j) = bb.getInt; j += 1 }
+        a
+      case "F32BIN" =>
+        val a = new Array[Float](d); var j = 0
+        while (j < d) { a(j) = bb.getFloat; j += 1 }
+        a
+      case "U8BIN" =>
+        val a = new Array[Float](d); var j = 0
+        while (j < d) { a(j) = (bb.get() & 0xFF).toFloat; j += 1 }
+        a
+      case "U64BIN" =>
+        java.lang.Long.valueOf(bb.getLong)
+      case other =>
+        throw new IllegalArgumentException(s"graft: no record decoder for $other")
+    }
+  }
+
   /** Plan record-aligned splits for a source path in the given format
     * (driver-side metadata only: file listing + first header per file).
     * `locality = false` skips the per-file block-location lookups — the
@@ -230,22 +275,12 @@ object VecsIO {
     } finally in.close()
   }
 
-  /** Generic dim-prefixed-record reader (fvecs/bvecs): derive per-file
-    * counts from sizes (uniform d enforced by the modulus check), then
-    * range-split decode on executors with globally consecutive row ids. */
-  private def readRecordFormat(
-      spark: SparkSession,
-      path: String,
-      elemBytes: Int,
-      toFloats: (ByteBuffer, Int) => Seq[Float]): DataFrame = {
+  /** Generic float-vector reader over the shared plan + record codec. */
+  private def readFloatFormat(spark: SparkSession, path: String, fmt: String): DataFrame = {
     import spark.implicits._
-    val fmt = if (elemBytes == 1) "BVECS" else "FVECS"
     val plan = planFor(spark, path, fmt)
-    readSplits(spark, plan.splits, plan.recBytes, bb => {
-      val dd = bb.getInt
-      require(dd == plan.d, s"graft: record dim $dd != expected ${plan.d} (mixed-dim file?)")
-      toFloats(bb, dd)
-    })
+    readSplits(spark, plan.splits, plan.recBytes,
+      bb => decodeRecord(fmt, plan.d, bb).asInstanceOf[Array[Float]].toSeq)
       .toDF("row_id", "vector")
       .select(col("row_id"), col("vector").cast("array<float>").as("vector"))
   }
@@ -337,66 +372,37 @@ object VecsIO {
 
   /** `.fvecs` → (row_id: Long, vector: Array[Float]). */
   def readFvecs(spark: SparkSession, path: String): DataFrame =
-    readRecordFormat(spark, path, 4, (bb, d) => {
-      val a = new Array[Float](d); var i = 0
-      while (i < d) { a(i) = bb.getFloat; i += 1 }
-      a.toSeq
-    })
+    readFloatFormat(spark, path, "FVECS")
 
   /** `.bvecs` (uint8) → (row_id, vector) with unsigned widening `(b & 0xFF)`. */
   def readBvecs(spark: SparkSession, path: String): DataFrame =
-    readRecordFormat(spark, path, 1, (bb, d) => {
-      val a = new Array[Float](d); var i = 0
-      while (i < d) { a(i) = (bb.get() & 0xFF).toFloat; i += 1 }
-      a.toSeq
-    })
+    readFloatFormat(spark, path, "BVECS")
 
   /** `.ivecs` → (row_id: Long, values: Array[Int]) — ground-truth id lists. */
   def readIvecs(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     val plan = planFor(spark, path, "IVECS")
-    readSplits(spark, plan.splits, plan.recBytes, bb => {
-      val dd = bb.getInt
-      require(dd == plan.d, s"graft: record dim $dd != expected ${plan.d} (mixed-dim file?)")
-      val a = new Array[Int](dd); var i = 0
-      while (i < dd) { a(i) = bb.getInt; i += 1 }
-      a.toSeq
-    }).toDF("row_id", "values")
-  }
-
-  /** Header-based formats: per-file (n, d) from the uint32 headers read
-    * driver-side (8 bytes per file), then range-split decode. */
-  private def readBinWithHeader(
-      spark: SparkSession,
-      path: String,
-      u8: Boolean): DataFrame = {
-    import spark.implicits._
-    val plan = planFor(spark, path, if (u8) "U8BIN" else "F32BIN")
-    val d = plan.d
-    readSplits(spark, plan.splits, plan.recBytes, bb => {
-      val a = new Array[Float](d); var j = 0
-      if (u8) { while (j < d) { a(j) = (bb.get() & 0xFF).toFloat; j += 1 } }
-      else { while (j < d) { a(j) = bb.getFloat; j += 1 } }
-      a.toSeq
-    })
-      .toDF("row_id", "vector")
-      .select(col("row_id"), col("vector").cast("array<float>").as("vector"))
+    readSplits(spark, plan.splits, plan.recBytes,
+      bb => decodeRecord("IVECS", plan.d, bb).asInstanceOf[Array[Int]].toSeq)
+      .toDF("row_id", "values")
   }
 
   /** `.f32bin` (uint32 n, uint32 d header) → (row_id, vector). */
   def readF32bin(spark: SparkSession, path: String): DataFrame =
-    readBinWithHeader(spark, path, u8 = false)
+    readFloatFormat(spark, path, "F32BIN")
 
   /** `.u8bin` → (row_id, vector) with unsigned widening to float. */
   def readU8bin(spark: SparkSession, path: String): DataFrame =
-    readBinWithHeader(spark, path, u8 = true)
+    readFloatFormat(spark, path, "U8BIN")
 
   /** U64BIN external ids: 8-byte header then uint64s → (row_id, external_id).
     * uint64 ids keep their bit pattern in signed Longs (SURVEY §7.3). */
   def readU64bin(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     val plan = planFor(spark, path, "U64BIN")
-    readSplits(spark, plan.splits, plan.recBytes, _.getLong).toDF("row_id", "external_id")
+    readSplits(spark, plan.splits, plan.recBytes,
+      bb => decodeRecord("U64BIN", plan.d, bb).asInstanceOf[java.lang.Long].longValue)
+      .toDF("row_id", "external_id")
   }
 
   // ----- writers (test fixtures / export) -----
