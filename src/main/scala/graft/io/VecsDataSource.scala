@@ -108,12 +108,15 @@ private[io] class VecsTable(path: String, format: String, tableSchema: StructTyp
       TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new VecsScanBuilder(path, format)
+    new VecsScanBuilder(path, format,
+      Option(options.get("maxSplitBytes")).map(_.toLong))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new VecsWriteBuilder(path, format, info)
 }
 
-private[io] class VecsScanBuilder(path: String, format: String)
+/** `maxSplit`: per-read `.option("maxSplitBytes", ...)` override of the
+  * session-level `spark.graft.vecs.maxSplitBytes`. */
+private[io] class VecsScanBuilder(path: String, format: String, maxSplit: Option[Long])
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var lo: Long = Long.MinValue // inclusive row_id lower bound
@@ -141,7 +144,7 @@ private[io] class VecsScanBuilder(path: String, format: String)
 
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
-  override def build(): Scan = new VecsScan(path, format, lo, hi, required)
+  override def build(): Scan = new VecsScan(path, format, lo, hi, required, maxSplit)
 }
 
 private[io] class VecsScan(
@@ -149,7 +152,8 @@ private[io] class VecsScan(
     format: String,
     lo: Long,
     hi: Long,
-    required: StructType) extends Scan with Batch {
+    required: StructType,
+    maxSplit: Option[Long] = None) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -159,7 +163,7 @@ private[io] class VecsScan(
 
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
-    val plan = VecsIO.planFor(spark, path, format)
+    val plan = VecsIO.planFor(spark, path, format, maxSplit = maxSplit)
     plan.splits.iterator.flatMap { s =>
       // Trim each split to the pushed row_id range (record-exact).
       val from = math.max(s.baseRowId, lo)

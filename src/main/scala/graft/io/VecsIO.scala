@@ -55,9 +55,10 @@ object VecsIO {
     buf.toArray
   }
 
-  private[io] def maxSplitBytes(spark: SparkSession): Long =
+  private[io] def maxSplitBytes(spark: SparkSession, override0: Option[Long] = None): Long =
     math.min(
-      spark.conf.get("spark.graft.vecs.maxSplitBytes", (128L << 20).toString).toLong,
+      override0.getOrElse(
+        spark.conf.get("spark.graft.vecs.maxSplitBytes", (128L << 20).toString).toLong),
       Int.MaxValue.toLong - 8)
 
   /** Chop `(file, numRecs)` sources into record-aligned ranges of at most
@@ -193,10 +194,11 @@ object VecsIO {
       spark: SparkSession,
       path: String,
       format: String,
-      locality: Boolean = true): VecsPlan = {
+      locality: Boolean = true,
+      maxSplit: Option[Long] = None): VecsPlan = {
     val files = listFiles(spark, path)
     require(files.nonEmpty, s"graft: no files at $path")
-    val plan = planForListed(spark, files, format)
+    val plan = planForListed(spark, files, format, maxSplit)
     if (locality) plan.copy(splits = withHosts(spark, plan.splits, plan.recBytes)) else plan
   }
 
@@ -205,7 +207,8 @@ object VecsIO {
   private[io] def planForListed(
       spark: SparkSession,
       files: Seq[(String, Long)],
-      format: String): VecsPlan = {
+      format: String,
+      maxSplit: Option[Long] = None): VecsPlan = {
     require(files.nonEmpty, "graft: empty file listing")
     format match {
       case "FVECS" | "BVECS" | "IVECS" =>
@@ -217,7 +220,7 @@ object VecsIO {
             s"graft: $f size $len not a multiple of record size $recBytes (d=$d)")
           (f, len / recBytes)
         }
-        VecsPlan(d, recBytes, planSplits(counted, 0L, recBytes, maxSplitBytes(spark)))
+        VecsPlan(d, recBytes, planSplits(counted, 0L, recBytes, maxSplitBytes(spark, maxSplit)))
       case "F32BIN" | "U8BIN" =>
         val headers: Seq[(String, Long, Int)] = files.map { case (f, _) =>
           val p = new Path(f)
@@ -236,10 +239,10 @@ object VecsIO {
         }
         val recBytes = (if (format == "U8BIN") 1L else 4L) * d
         VecsPlan(d, recBytes,
-          planSplits(headers.map { case (f, n, _) => (f, n) }, 8L, recBytes, maxSplitBytes(spark)))
+          planSplits(headers.map { case (f, n, _) => (f, n) }, 8L, recBytes, maxSplitBytes(spark, maxSplit)))
       case "U64BIN" =>
         val counted = files.map { case (f, len) => (f, math.max(0L, (len - 8) / 8)) }
-        VecsPlan(1, 8L, planSplits(counted, 8L, 8L, maxSplitBytes(spark)))
+        VecsPlan(1, 8L, planSplits(counted, 8L, 8L, maxSplitBytes(spark, maxSplit)))
       case other =>
         throw new IllegalArgumentException(s"graft: $other is not a splittable vecs format")
     }

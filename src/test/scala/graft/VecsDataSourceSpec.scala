@@ -43,6 +43,12 @@ class VecsDataSourceSpec extends AnyFunSuite {
       .head().getFloat(0) === 14.0f)
   }
 
+  test("per-read maxSplitBytes option overrides the session conf") {
+    val df = spark.read.format("vecs").option("maxSplitBytes", "64").load(fvecsPath)
+    assert(df.rdd.getNumPartitions === 10, "4 recs per 64-byte split over 40 rows")
+    assert(df.count() === n.toLong)
+  }
+
   test("row_id range pushdown prunes and trims input partitions") {
     spark.conf.set("spark.graft.vecs.maxSplitBytes", "64") // 4 recs/split -> 10 splits
     try {
