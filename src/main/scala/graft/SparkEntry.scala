@@ -221,6 +221,22 @@ object SparkEntry {
     idsOnly(VectorIndex.open(spark, uri).query(idxQueries(spark, dir), K))
   }
 
+  /** Shard-ROUTED VAMANA search: boundary-replicated 8-shard build, each
+    * query beam-searches only its top-3 shards by shard-centroid distance
+    * (the 100 TB scale path — fan-out S per query instead of O(shards);
+    * recall surface in PERF.md, gate spec-tested in IndexSpec). Approximate
+    * → rows-only. */
+  private def vamanaKnnRouted(spark: SparkSession, dir: String): DataFrame = {
+    val uri = cachedIndex("vamana_routed", dir) { u =>
+      Ingest.ingest(spark, u, embAsIndexInput(spark, dir), "VAMANA",
+        DistanceMetric.L2, timestamp = 1000L,
+        partitions = Some(8), shardReplicas = Some(2))
+    }
+    idsOnly(VectorIndex.open(spark, uri).asInstanceOf[graft.index.VamanaIndex]
+      .queryLSearch(idxQueries(spark, dir), K,
+        lSearch = graft.index.VamanaIndex.DefaultLSearch, nprobeShards = 3))
+  }
+
   /** Export embeddings to .fvecs, read back through the binary-format
     * reader, and answer the same L2 k-NN — validates the fvecs codec
     * end-to-end against the standard oracle (row ids = vec ids because the
@@ -586,6 +602,7 @@ object SparkEntry {
     "ivf_flat_nprobe" -> (ivfNprobe _),
     "ivf_pq_exact_rerank" -> (ivfPqExactRerank _),
     "vamana_knn" -> (vamanaKnn _),
+    "vamana_knn_routed" -> (vamanaKnnRouted _),
     "fvecs_roundtrip_knn" -> (fvecsRoundtripKnn _),
     "vecs_dsv2_range_knn" -> (vecsDsv2RangeKnn _),
     "source_ingest_autodetect" -> (sourceIngestAutodetect _),

@@ -33,7 +33,12 @@ case class IndexMeta(
     // VAMANA build parameters, persisted so consolidation re-ingests with
     // the same graph shape (0 = not a VAMANA index / defaults)
     lBuild: Int = 0,
-    rMaxDegree: Int = 0) {
+    rMaxDegree: Int = 0,
+    // VAMANA boundary replication: each vector is built into its
+    // `shardReplicas` nearest shards (SPANN-style closure assignment), so
+    // shard-routed queries keep recall across shard boundaries. 1 = disjoint
+    // shards (also the value for non-VAMANA indexes).
+    shardReplicas: Int = 1) {
 
   def metric: DistanceMetric = DistanceMetric.fromId(distanceMetric)
 
@@ -76,7 +81,8 @@ object IndexMeta {
       "has_updates" -> meta.hasUpdates,
       "num_subspaces" -> meta.numSubspaces,
       "l_build" -> meta.lBuild,
-      "r_max_degree" -> meta.rMaxDegree))
+      "r_max_degree" -> meta.rMaxDegree,
+      "shard_replicas" -> meta.shardReplicas))
     Files.write(dir.resolve("index.json"), json.getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
       StandardOpenOption.WRITE)
@@ -103,7 +109,8 @@ object IndexMeta {
       hasUpdates = (j \ "has_updates").extract[Boolean],
       numSubspaces = (j \ "num_subspaces").extractOrElse[Int](0),
       lBuild = (j \ "l_build").extractOrElse[Int](0),
-      rMaxDegree = (j \ "r_max_degree").extractOrElse[Int](0))
+      rMaxDegree = (j \ "r_max_degree").extractOrElse[Int](0),
+      shardReplicas = (j \ "shard_replicas").extractOrElse[Int](1))
   }
 
   def exists(rootDir: String): Boolean =

@@ -183,6 +183,7 @@ object Ingest {
       numSubspaces: Option[Int] = None,
       lBuild: Option[Int] = None, // VAMANA (reference: ingestion.py:60-61)
       rMaxDegree: Option[Int] = None, // VAMANA (reference: ingestion.py:137-141)
+      shardReplicas: Option[Int] = None, // VAMANA boundary replication
       trainingSource: Option[DataFrame] = None,
       appendMeta: Boolean = false,
       normalizeDone: Boolean = false,
@@ -253,6 +254,7 @@ object Ingest {
     var mSubspaces = 0
     var vamanaLBuild = 0
     var vamanaRMaxDegree = 0
+    var vamanaShardReplicas = 1
     // partitionHistory records the EFFECTIVE layout unit: IVF partition
     // count, or VAMANA shard count (which has its own auto rule)
     var recordedParts = numParts
@@ -336,12 +338,25 @@ object Ingest {
         val numShards = partitions.getOrElse(
           VamanaIndex.autoShards(count, spark.sparkContext.defaultParallelism))
         recordedParts = numShards
+        // Boundary replication (SPANN-style closure assignment,
+        // "SPANN: Highly-efficient Billion-scale ANN" NeurIPS'21 §3.2): each
+        // vector is built into its `reps` nearest shards, so shard-ROUTED
+        // queries (VamanaIndex.nprobeShards) find boundary neighbors in
+        // whichever adjacent shard the query probes. reps=1 keeps disjoint
+        // shards (exact all-shard merge unchanged); storage and build cost
+        // scale linearly with reps.
+        val reps = math.max(1, math.min(shardReplicas.getOrElse(1), numShards))
+        vamanaShardReplicas = if (numShards > 1) reps else 1
         val sharded = if (numShards > 1) {
           val shardCentroids = trainCentroids(base, numShards,
             trainingSampleSize.getOrElse(autoTrainingSize(count, numShards)),
             totalRows = count)
           writeCentroids(spark, uri, timestamp, shardCentroids) // shard map
-          base.withColumn("shard_id",
+          if (reps > 1)
+            base.withColumn("shard_id",
+              explode(toColumn(graft.functions.NearestCentroids(
+                toExpression(col("vector")), shardCentroids, reps))))
+          else base.withColumn("shard_id",
             toColumn(NearestCentroid(toExpression(col("vector")), shardCentroids)))
         } else base.withColumn("shard_id", lit(0))
         // graph build consumes the float view; only stored base is packed
@@ -381,7 +396,8 @@ object Ingest {
       hasUpdates = prior.exists(_.hasUpdates),
       numSubspaces = mSubspaces,
       lBuild = vamanaLBuild,
-      rMaxDegree = vamanaRMaxDegree)
+      rMaxDegree = vamanaRMaxDegree,
+      shardReplicas = vamanaShardReplicas)
     IndexMeta.write(uri, meta)
     // staging copy served its purpose once the partitioned base is written
     if (stageInputs)

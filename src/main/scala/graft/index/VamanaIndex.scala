@@ -203,19 +203,172 @@ object VamanaKernels {
   * (independent per-shard builds, per-shard search tasks, global top-k
   * merge — each task holds one shard's graph only; queries broadcast).
   */
-class VamanaIndex(spark: SparkSession, uri: String, meta: IndexMeta, ts: Long)
+class VamanaIndex(spark: SparkSession, uri: String, meta: IndexMeta, ts: Long,
+    val nprobeShards: Int = 0)
     extends VectorIndex(spark, uri, meta, ts) {
 
-  override def baseVectors(): DataFrame =
-    if (historyIdx < 0) new FlatIndex(spark, uri, meta, ts).baseVectors()
-    else spark.read.parquet(s"$uri/base/v=$baseTimestamp")
+  override def baseVectors(): DataFrame = {
+    if (historyIdx < 0) return new FlatIndex(spark, uri, meta, ts).baseVectors()
+    val b = spark.read.parquet(s"$uri/base/v=$baseTimestamp")
       .select("external_id", "vector")
+    // boundary-replicated builds store each vector in several shards; the
+    // logical base is one row per id (copies are bit-identical)
+    if (meta.shardReplicas > 1) b.dropDuplicates("external_id") else b
+  }
 
   /** Labeled alias for the reference's `l_search` query parameter
     * (vamana_index.py:30-32): the generic `query(..., nprobe)` third
     * argument doubles as l_search for graph indexes. */
   def queryLSearch(queries: DataFrame, k: Int, lSearch: Int): DataFrame =
     query(queries, k, nprobe = lSearch)
+
+  /** Shard-routed variant: per query, rank shards by distance to their
+    * k-means shard centroid and beam-search only the nearest `nprobeShards`
+    * (the IVF nprobe trick applied to the graph shards; reference analogue:
+    * detail/ivf/partition.h:57-65 — the reference has no counterpart for the
+    * all-shard fan-out because it builds ONE graph, ingestion.py:2572-2595).
+    * `nprobeShards <= 0` searches every shard (the exactness-preserving
+    * default). Routed searches keep full updates-merge semantics. */
+  def queryLSearch(queries: DataFrame, k: Int, lSearch: Int, nprobeShards: Int): DataFrame =
+    withNprobeShards(nprobeShards).query(queries, k, nprobe = lSearch)
+
+  /** Same index, queries routed to the top-`s` shards per query. */
+  def withNprobeShards(s: Int): VamanaIndex =
+    new VamanaIndex(spark, uri, meta, readTimestamp, s)
+
+  /** Shard k-means centroids, in shard_id order; empty for single-shard
+    * builds (which write no centroids). */
+  lazy val shardCentroids: Array[Array[Float]] =
+    if (historyIdx < 0 ||
+        !java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$uri/centroids/v=$baseTimestamp"))) Array.empty
+    else spark.read.parquet(s"$uri/centroids/v=$baseTimestamp")
+      .orderBy("partition_id")
+      .collect()
+      .map(r => r.getSeq[Float](r.fieldIndex("centroid")).toArray)
+
+  /** Incremental consolidation: a sharded VAMANA rebuild only needs to
+    * re-run the (sequential, expensive) graph kernel for shards whose vector
+    * MEMBERSHIP changed — deleted/updated ids' home shards plus the shards
+    * additions land in. Untouched shards' base and graph partitions are
+    * copied into the new version byte-identical (spec-gated). At the 100 TB
+    * design point this turns a full-corpus graph rebuild into work
+    * proportional to the touched shards — the dominant consolidation cost
+    * for a trickle of updates. Falls back to the full re-ingest
+    * ([[VectorIndex.consolidateUpdates]]) when the shard count changes, the
+    * build is single-shard, or there is nothing to fold in. */
+  override def consolidateUpdates(
+      newTs: Long,
+      partitions: Option[Int] = None,
+      reuseCentroids: Boolean = false): VectorIndex = {
+    val currentShards = if (historyIdx >= 0) meta.partitionHistory(historyIdx) else 0
+    val upd = updatesInWindow()
+    val incrementalOk = historyIdx >= 0 && currentShards > 1 && meta.lBuild > 0 &&
+      upd.nonEmpty && partitions.forall(_ == currentShards) &&
+      shardCentroids.length == currentShards
+    if (!incrementalOk) return super.consolidateUpdates(newTs, partitions, reuseCentroids)
+    require(meta.ingestionTimestamps.forall(_ < newTs),
+      s"consolidation timestamp $newTs must exceed prior ${meta.ingestionTimestamps}")
+
+    import spark.implicits._
+    import org.apache.spark.sql.graftshim.{toColumn, toExpression}
+    val byteDtype = meta.dtype == "uint8" || meta.dtype == "int8"
+    val latest = latestUpdatePerId(upd.get)
+    val touchedIds = latest.select("external_id").cache()
+    val oldBase = spark.read.parquet(s"$uri/base/v=$baseTimestamp")
+      .select("shard_id", "external_id", "vector")
+
+    // additions: raw update vectors, normalized for COSINE (the stored base
+    // is normalized), assigned to their shardReplicas nearest shards
+    val addsRaw = latest.where(col("vector").isNotNull)
+      .select(col("external_id"), col("vector").cast("array<float>").as("vector"))
+    val addsFloat =
+      if (metric == DistanceMetric.Cosine)
+        addsRaw.select(col("external_id"),
+          graft.functions.vector_normalize(col("vector")).as("vector"))
+      else addsRaw
+    val reps = math.max(1, meta.shardReplicas)
+    val addsAssigned = (if (reps > 1)
+      addsFloat.withColumn("shard_id",
+        explode(toColumn(graft.functions.NearestCentroids(
+          toExpression(col("vector")), shardCentroids, reps))))
+    else
+      addsFloat.withColumn("shard_id",
+        toColumn(graft.functions.NearestCentroid(
+          toExpression(col("vector")), shardCentroids)))).cache()
+
+    val removalShards = oldBase.join(touchedIds, Seq("external_id"), "left_semi")
+      .select("shard_id").distinct().as[Int].collect()
+    val addShards = addsAssigned.select("shard_id").distinct().as[Int].collect()
+    val affected = (removalShards ++ addShards).distinct.sorted.toSeq
+    val untouched = (0 until currentShards).filterNot(affected.contains)
+
+    // 1. untouched shards: byte-identical copies of base + graph partitions
+    val fs = java.nio.file.Paths.get(uri)
+    untouched.foreach { sid =>
+      Seq("base", "graph").foreach { layer =>
+        val src = fs.resolve(s"$layer/v=$baseTimestamp/shard_id=$sid")
+        if (java.nio.file.Files.exists(src))
+          Storage.copyRecursively(src, fs.resolve(s"$layer/v=$newTs/shard_id=$sid"))
+      }
+    }
+    Storage.copyRecursively(fs.resolve(s"centroids/v=$baseTimestamp"),
+      fs.resolve(s"centroids/v=$newTs"))
+
+    // 2. affected shards: new membership = kept old rows + packed additions
+    if (affected.nonEmpty) {
+      val keptOld = oldBase.where(col("shard_id").isin(affected: _*))
+        .join(touchedIds, Seq("external_id"), "left_anti")
+      val addsStored =
+        if (byteDtype)
+          addsAssigned.withColumn("vector",
+            toColumn(graft.functions.PackBytes(toExpression(col("vector")),
+              signed = meta.dtype == "int8")))
+        else addsAssigned
+      val newAffected = keptOld.select("shard_id", "external_id", "vector")
+        .unionByName(addsStored.select("shard_id", "external_id", "vector"))
+      newAffected.write.mode("append").partitionBy("shard_id")
+        .parquet(s"$uri/base/v=$newTs")
+
+      // 3. rebuild graphs for affected shards only (same kernel + params)
+      val floatView =
+        if (byteDtype)
+          newAffected.withColumn("vector",
+            toColumn(graft.functions.UnpackBytes(toExpression(col("vector")),
+              signed = meta.dtype == "int8")))
+        else newAffected
+      val lb = meta.lBuild
+      val rd = meta.rMaxDegree
+      val g = floatView.select(col("shard_id"), col("external_id"), col("vector"))
+        .as[(Int, Long, Array[Float])]
+        .groupByKey(_._1)
+        .flatMapGroups { (sid, it) =>
+          val arr = it.map { case (_, id, v) => (id, v) }.toArray
+          val ids = arr.map(_._1)
+          val pts = arr.map(_._2)
+          val (med, adj) = VamanaKernels.build(pts, lb, rd)
+          adj.indices.iterator.map { i =>
+            (sid, ids(i), adj(i).map(ids(_)).toSeq, i == med)
+          }
+        }.toDF("shard_id", "external_id", "neighbors", "is_medoid")
+      g.write.mode("append").partitionBy("shard_id")
+        .parquet(s"$uri/graph/v=$newTs")
+    }
+
+    // 4. metadata: logical size = old − removed (distinct ids present in the
+    // old base) + additions
+    val removedCnt = oldBase.join(touchedIds, Seq("external_id"), "left_semi")
+      .select("external_id").distinct().count()
+    val addCnt = addsFloat.count()
+    touchedIds.unpersist()
+    addsAssigned.unpersist()
+    val newMeta = meta.copy(
+      ingestionTimestamps = meta.ingestionTimestamps :+ newTs,
+      baseSizes = meta.baseSizes :+ (meta.baseSizes(historyIdx) - removedCnt + addCnt),
+      partitionHistory = meta.partitionHistory :+ currentShards)
+    IndexMeta.write(uri, newMeta)
+    VectorIndex.open(spark, uri)
+  }
 
   override protected def queryBase(queries: DataFrame, k: Int, lSearch0: Int): DataFrame = {
     if (historyIdx < 0) {
@@ -251,15 +404,29 @@ class VamanaIndex(spark: SparkSession, uri: String, meta: IndexMeta, ts: Long)
         col("neighbors"), col("is_medoid"))
       .as[(Int, Long, Array[Float], Array[Long], Boolean)]
 
-    // Collect-free query path: replicate the query DataFrame once per shard
-    // (the unavoidable fan-out of searching every shard) and cogroup with
-    // the shard's graph — arbitrarily large query batches never touch the
-    // driver. Only the shard-id list (one int per shard) is collected.
+    // Collect-free query path: replicate each query to its target shards and
+    // cogroup with the shard's graph — arbitrarily large query batches never
+    // touch the driver. Only the shard-id list (one int per shard) is
+    // collected. With shard routing (nprobeShards > 0) the targets are the
+    // query's top-S shards by shard-centroid distance — the per-query
+    // top-nprobe centroid list is a codegen'd expression in the plan, so
+    // fan-out is S per query instead of O(total shards); without routing
+    // every shard is searched (exact merge of all shard beams).
     val shardIds = spark.read.parquet(s"$uri/graph/v=$baseTimestamp")
       .select("shard_id").distinct().as[Int].collect().sorted.toSeq
-    val qRep = qn.withColumn("shard_id", explode(typedlit(shardIds)))
-      .select(col("shard_id"), col("qid"), col("qvec"))
-      .as[(Int, Long, Array[Float])]
+    val effProbe = if (nprobeShards != 0) nprobeShards
+      else spark.conf.getOption(VamanaIndex.NprobeShardsKey).map(_.toInt).getOrElse(0)
+    val routed = effProbe > 0 && shardCentroids.length > 1 && effProbe < shardIds.length
+    val qRep = (if (routed) {
+      import org.apache.spark.sql.graftshim.{toColumn, toExpression}
+      qn.select(col("qid"), col("qvec"),
+          explode(toColumn(graft.functions.NearestCentroids(
+            toExpression(col("qvec")), shardCentroids, effProbe))).as("shard_id"))
+        .select(col("shard_id"), col("qid"), col("qvec"))
+    } else {
+      qn.withColumn("shard_id", explode(typedlit(shardIds)))
+        .select(col("shard_id"), col("qid"), col("qvec"))
+    }).as[(Int, Long, Array[Float])]
 
     val kLocal = k
     val lLocal = lSearch
@@ -276,8 +443,14 @@ class VamanaIndex(spark: SparkSession, uri: String, meta: IndexMeta, ts: Long)
       .toDF("qid", "id", "__sos")
 
     val m = metric
-    val scored = perShard.select(col("qid").as("__qid"), col("id").as("__id"),
+    val scored0 = perShard.select(col("qid").as("__qid"), col("id").as("__id"),
       col("__sos").as("__score"))
+    // boundary-replicated builds can surface the same id from several probed
+    // shards (identical scores); keep one so duplicates never occupy top-k
+    // slots. Keyed map-side-combinable aggregate, only paid when replicated.
+    val scored = if (meta.shardReplicas > 1)
+      scored0.groupBy("__qid", "__id").agg(min("__score").as("__score"))
+    else scored0
     val merged = Knn.topKFromScores(scored, k, DistanceMetric.SumOfSquares)
     merged.select(col("qid"), col("rank"), col("id"),
       VamanaIndex.reportDistance(m, col("distance")).as("distance"))
@@ -288,6 +461,12 @@ object VamanaIndex {
   val DefaultLBuild = 100 // reference: vamana_index.py:30-32
   val DefaultRMaxDegree = 64
   val DefaultLSearch = 100
+
+  /** Session-conf default for [[VamanaIndex.nprobeShards]] (0 = search every
+    * shard). The PERF.md sweep picks a safe S for a given shard count; the
+    * conf lets serving sessions set it once without threading the parameter
+    * through callers. */
+  val NprobeShardsKey = "spark.graft.vamana.nprobeShards"
 
   /** Target vectors per shard for the default (auto) shard count. The
     * reference builds ONE global graph on one node (ingestion.py:2572-2595);

@@ -196,6 +196,7 @@ abstract class VectorIndex(
       numSubspaces = if (meta.numSubspaces > 0) Some(meta.numSubspaces) else None,
       lBuild = if (meta.lBuild > 0) Some(meta.lBuild) else None,
       rMaxDegree = if (meta.rMaxDegree > 0) Some(meta.rMaxDegree) else None,
+      shardReplicas = if (meta.shardReplicas > 1) Some(meta.shardReplicas) else None,
       normalizeDone = true, appendMeta = true,
       presetCentroids = preset)
     VectorIndex.open(spark, uri)
@@ -398,6 +399,21 @@ private[index] object Storage {
       Files.walk(p).sorted(java.util.Comparator.reverseOrder())
         .forEach(f => Files.delete(f))
     }
+
+  /** Byte-preserving directory copy (incremental VAMANA consolidation copies
+    * untouched shard partitions into the new version verbatim). */
+  def copyRecursively(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+    Files.walk(src).forEach { f =>
+      val target = dst.resolve(src.relativize(f))
+      if (Files.isDirectory(f)) Files.createDirectories(target)
+      else {
+        Files.createDirectories(target.getParent)
+        Files.copy(f, target,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.COPY_ATTRIBUTES)
+      }
+    }
+  }
 }
 
 /** FLAT index: exact brute-force scan (reference:

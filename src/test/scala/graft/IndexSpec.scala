@@ -154,6 +154,62 @@ class IndexSpec extends AnyFunSuite {
     assert(shards === 4)
   }
 
+  test("VAMANA shard routing: top-S shard probe clears the recall gate") {
+    // The raw 500-vector fixture makes 4 shards of ~125 rows, so a query's
+    // true top-10 genuinely spans >2 shards and routed recall is
+    // structurally capped (~0.70 measured) — a fixture-size artifact, not a
+    // routing defect. Augment with perturbed replicas (the VamanaRecallAudit
+    // fixture) so shards are ~625 rows and neighborhoods are shard-local.
+    // amplitude scales with the replica index so replica 0 IS the original
+    // vector — queries10 then has an exact distance-0 self-match in corpus
+    val corpus = emb
+      .crossJoin(spark.range(5).select(col("id").as("replica")))
+      .select(
+        (col("replica") * 1000000L + col("external_id")).as("external_id"),
+        expr("""transform(vector, (x, i) ->
+                 float(x + 0.04 * replica * sin(replica * 13.7 + i * 0.31 + external_id * 0.017)))""")
+          .as("vector"))
+      .cache()
+    val uri = tmp()
+    // shardReplicas=2: SPANN-style boundary replication — without it,
+    // routed recall on this near-uniform fixture is structurally ~0.70
+    // (neighbors straddle shard boundaries); the PERF.md sweep records the
+    // full (shards × replicas × S) recall surface.
+    val idx = Ingest.ingest(spark, uri, corpus, "VAMANA", DistanceMetric.L2,
+      timestamp = 1000L, partitions = Some(4), shardReplicas = Some(2))
+      .asInstanceOf[graft.index.VamanaIndex]
+    assert(idx.shardCentroids.length === 4) // centroids persisted for routing
+    assert(idx.meta.shardReplicas === 2)
+    val exact = exactIds(corpus, 10)
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = gotIds(df)
+      exact.keys.toSeq.map { q =>
+        got.getOrElse(q, Seq.empty).toSet.intersect(exact(q).toSet).size.toDouble / 10.0
+      }.sum / exact.size
+    }
+    // Routed to half the shards: recall must still clear the reference gate,
+    // and every query must keep exactly k results (routing narrows the
+    // candidate pool, never the result arity).
+    val routed = idx.queryLSearch(queries10, 10, lSearch = 100, nprobeShards = 2)
+    assert(routed.groupBy("qid").count().where(col("count") =!= 10).count() === 0)
+    assert(recallOf(routed) >= 0.85, "routed recall below gate at S=2 of 4")
+    // S=1: the self-match lives in the query vector's own nearest shard, so
+    // rank-1 self-hits survive maximal routing.
+    val s1 = idx.queryLSearch(queries10, 10, lSearch = 100, nprobeShards = 1)
+    assert(s1.where(col("rank") === 1 && col("qid") === col("id")).count() === 10)
+    // session-conf default applies when the parameter is not set
+    spark.conf.set(graft.index.VamanaIndex.NprobeShardsKey, "2")
+    try {
+      val viaConf = idx.query(queries10, 10)
+      assert(recallOf(viaConf) >= 0.85)
+    } finally spark.conf.unset(graft.index.VamanaIndex.NprobeShardsKey)
+    // updates-merge semantics compose with routing: a deleted id disappears
+    idx.deleteBatch(corpus.where(col("external_id") === 0L), ts = 1100L)
+    val afterDel = VectorIndex.open(spark, uri).asInstanceOf[graft.index.VamanaIndex]
+      .queryLSearch(queries10, 10, lSearch = 100, nprobeShards = 2)
+    assert(afterDel.where(col("id") === 0L).count() === 0)
+  }
+
   test("VAMANA auto-shards by size and exposes l_build / r_max_degree") {
     import graft.index.VamanaIndex
     // a >=100k-vector corpus defaults to multiple shards; small stays 1
@@ -185,6 +241,55 @@ class IndexSpec extends AnyFunSuite {
     assert(hits.count() === 1500)
     // exact self-match must rank first for every query (it exists in some shard)
     assert(hits.where(col("rank") === 1 && col("qid") === col("id")).count() === 500)
+  }
+
+  test("VAMANA incremental consolidation rebuilds only touched shards") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val uri = tmp()
+    Ingest.ingest(spark, uri, emb, "VAMANA", DistanceMetric.L2,
+      timestamp = 1000L, partitions = Some(4))
+    // update one vector: its old shard and the shard the new value lands in
+    // are the only ones allowed to change
+    val newVec = emb.where(col("external_id") === 7L)
+      .select(col("external_id"), reverse(col("vector")).as("vector"))
+    VectorIndex.open(spark, uri).updateBatch(newVec, ts = 1100L)
+    val after = VectorIndex.open(spark, uri).consolidateUpdates(newTs = 2000L)
+      .asInstanceOf[graft.index.VamanaIndex]
+    val oldShard = spark.read.parquet(s"$uri/base/v=1000")
+      .where(col("external_id") === 7L).select("shard_id").as[Int].collect().toSet
+    val newShard = spark.read.parquet(s"$uri/base/v=2000")
+      .where(col("external_id") === 7L).select("shard_id").as[Int].collect().toSet
+    val touched = oldShard ++ newShard
+    def dirFiles(p: String): Map[String, Seq[Byte]] = {
+      val d = java.nio.file.Paths.get(p)
+      java.nio.file.Files.list(d).iterator().asScala
+        .filter(f => f.getFileName.toString.endsWith(".parquet"))
+        .map(f => f.getFileName.toString -> java.nio.file.Files.readAllBytes(f).toSeq)
+        .toMap
+    }
+    for (sid <- 0 until 4 if !touched(sid)) {
+      assert(dirFiles(s"$uri/graph/v=1000/shard_id=$sid") ===
+        dirFiles(s"$uri/graph/v=2000/shard_id=$sid"),
+        s"untouched shard $sid graph changed")
+      assert(dirFiles(s"$uri/base/v=1000/shard_id=$sid") ===
+        dirFiles(s"$uri/base/v=2000/shard_id=$sid"),
+        s"untouched shard $sid base changed")
+    }
+    assert(touched.size < 4, "fixture degenerate: every shard touched")
+    // logical size unchanged (update, not add/delete); params preserved
+    assert(after.meta.baseSizes.last === 500L)
+    assert(after.meta.partitionHistory.last === 4)
+    assert(after.meta.lBuild === graft.index.VamanaIndex.DefaultLBuild)
+    // semantics: the updated vector is served with its NEW value — querying
+    // the reversed vector finds id 7 at distance 0
+    val q = newVec.select(col("external_id").as("qid"), col("vector").as("qvec"))
+    val top = after.query(q, 1).collect().head
+    assert(top.getLong(2) === 7L && top.getFloat(3) === 0.0f)
+    // and a full-corpus query equals the FLAT exact answer over the merged set
+    val merged = emb.where(col("external_id") =!= 7L).unionByName(newVec)
+    val exact = exactIds(merged, 10)
+    assert(gotIds(after.query(queries10, 10)) === exact)
   }
 
   test("IVF consolidate with copy-centroids reuses the trained centroids") {

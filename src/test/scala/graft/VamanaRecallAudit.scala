@@ -53,20 +53,30 @@ object VamanaRecallAudit {
     val exact = idsOf(Knn.bruteForce(emb, queries, k, DistanceMetric.L2,
       idCol = "external_id", vecCol = "vector"))
 
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = idsOf(df)
+      exact.keys.toSeq
+        .map(q => got.getOrElse(q, Set.empty[Long]).intersect(exact(q)).size.toDouble / k)
+        .sum / exact.size
+    }
+
     println(s"# VAMANA shard-boundary recall audit  (n=$n, k=$k, 100 queries, $dir)")
-    println("| shards | lSearch | recall@10 |")
-    println("|---|---|---|")
-    for (shards <- shardList) {
-      val uri = Files.createTempDirectory(s"graft_vam_audit_$shards").toString
+    println("| shards | shardReplicas | nprobeShards | lSearch | recall@10 |")
+    println("|---|---|---|---|---|")
+    val repsList = args.drop(3).headOption
+      .map(_.split(",").map(_.toInt).toSeq).getOrElse(Seq(1, 2))
+    for (shards <- shardList; reps <- (if (shards > 1) repsList else Seq(1))) {
+      val uri = Files.createTempDirectory(s"graft_vam_audit_${shards}_$reps").toString
       val idx = Ingest.ingest(spark, uri, emb, "VAMANA", DistanceMetric.L2,
-        timestamp = 1000L, partitions = Some(shards))
+        timestamp = 1000L, partitions = Some(shards), shardReplicas = Some(reps))
         .asInstanceOf[VamanaIndex]
-      for (ls <- Seq(50, 100, 200)) {
-        val got = idsOf(idx.queryLSearch(queries, k, ls))
-        val recall = exact.keys.toSeq
-          .map(q => got.getOrElse(q, Set.empty[Long]).intersect(exact(q)).size.toDouble / k)
-          .sum / exact.size
-        println(f"| $shards | $ls | $recall%.4f |")
+      // S = 0 is the all-shard exact merge; S < shards is the routed path
+      // (per-query top-S shards by shard-centroid distance).
+      val probeList = Seq(0, 1, 2, 4).filter(s => s == 0 || s < shards)
+      for (s <- probeList; ls <- Seq(50, 100, 200)) {
+        val r = recallOf(idx.queryLSearch(queries, k, ls, nprobeShards = s))
+        val sLabel = if (s == 0) "all" else s.toString
+        println(f"| $shards | $reps | $sLabel | $ls | $r%.4f |")
       }
     }
     spark.stop()
