@@ -67,13 +67,25 @@ class VecsDataSource extends TableProvider with DataSourceRegister {
     val s =
       if (schema == null || schema.isEmpty) VecsDataSource.schemaFor(fmt)
       else {
-        // The formats have fixed column meanings; a renamed user schema
-        // would silently read as nulls, so reject it at plan time.
-        val canonical = VecsDataSource.schemaFor(fmt).fieldNames.toSet
-        val unknown = schema.fieldNames.filterNot(canonical)
-        require(unknown.isEmpty,
-          s"graft: vecs $fmt columns must be among ${canonical.mkString("/")}, " +
-            s"got ${unknown.mkString(",")}")
+        // The formats have fixed column meanings AND fixed physical types; a
+        // renamed user schema would silently read as nulls, and a re-typed
+        // one (e.g. `vector ARRAY<DOUBLE>`) would make Catalyst reinterpret
+        // the reader's float-backed arrays as garbage — reject both at plan
+        // time.
+        val canonical = VecsDataSource.schemaFor(fmt)
+        val canonicalByName = canonical.fields.map(f => f.name -> f.dataType).toMap
+        schema.fields.foreach { f =>
+          val expected = canonicalByName.getOrElse(f.name,
+            throw new IllegalArgumentException(
+              s"graft: vecs $fmt columns must be among " +
+                s"${canonical.fieldNames.mkString("/")}, got ${f.name}"))
+          // catalogString comparison: nullability differences are fine (the
+          // write path passes the frame's own schema), element/field TYPE
+          // differences are not
+          require(f.dataType.catalogString == expected.catalogString,
+            s"graft: vecs $fmt column ${f.name} is ${expected.catalogString}; " +
+              s"user schema declares ${f.dataType.catalogString}")
+        }
         schema
       }
     new VecsTable(pathOf(options), fmt, s)
@@ -186,7 +198,7 @@ private[io] class VecsScan(
       VecsIO.hadoopConfEntries(SparkSession.active))
 
   override def toMicroBatchStream(checkpointLocation: String): rstream.MicroBatchStream =
-    new VecsMicroBatchStream(path, format, required)
+    new VecsMicroBatchStream(path, format, required, maxSplit)
 }
 
 /** Streaming micro-batch source over a vecs shard directory:
@@ -200,7 +212,11 @@ private[io] class VecsScan(
   * planned over the full listing and filtered to the batch's file window.
   * Feeds `VectorIndex.streamUpdatesIntoIndex` for continuous ingestion of
   * arriving embedding shards. */
-private[io] class VecsMicroBatchStream(path: String, format: String, required: StructType)
+private[io] class VecsMicroBatchStream(
+    path: String,
+    format: String,
+    required: StructType,
+    maxSplit: Option[Long] = None)
     extends rstream.MicroBatchStream {
 
   private def spark = SparkSession.active
@@ -219,25 +235,61 @@ private[io] class VecsMicroBatchStream(path: String, format: String, required: S
   }
 
   override def initialOffset(): rstream.Offset = VecsStreamOffset(0)
-  override def latestOffset(): rstream.Offset = VecsStreamOffset(sortedListing.size)
-  override def deserializeOffset(json: String): rstream.Offset =
-    VecsStreamOffset(json.trim.stripPrefix("{\"files\":").stripSuffix("}").trim.toInt)
+  override def latestOffset(): rstream.Offset = {
+    val l = sortedListing
+    VecsStreamOffset(l.size, l.lastOption.map(_._1).getOrElse(""))
+  }
+  override def deserializeOffset(json: String): rstream.Offset = {
+    val files = "\"files\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(json)
+      .map(_.group(1).toInt)
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft: malformed vecs stream offset $json"))
+    // "last" absent in offsets written before the listing-digest guard:
+    // empty string disables the check for that boundary (upgrade path).
+    val last = "\"last\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r.findFirstMatchIn(json)
+      .map(m => m.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+      .getOrElse("")
+    VecsStreamOffset(files, last)
+  }
   override def commit(end: rstream.Offset): Unit = ()
   override def stop(): Unit = ()
+
+  /** The offset contract (append-only, lexicographically increasing names)
+    * is the producer's to keep — but verify it anyway: the offset records
+    * the LAST FILE NAME at its boundary, and planning fails loudly if the
+    * current listing disagrees (a producer that overwrote the directory or
+    * inserted an earlier-sorting file would otherwise silently reprocess or
+    * permute row ids). */
+  private def verifyBoundary(off: VecsStreamOffset, listing: Seq[(String, Long)]): Unit =
+    if (off.files > 0 && off.last.nonEmpty) {
+      require(listing.size >= off.files,
+        s"graft: vecs stream at $path lost files: committed offset covers " +
+          s"${off.files} files but the directory now lists ${listing.size}")
+      val now = listing(off.files - 1)._1
+      require(now == off.last,
+        s"graft: vecs stream at $path listing changed under the committed " +
+          s"offset: file #${off.files} was ${off.last}, is now $now " +
+          "(directory overwritten, or a file was added that sorts before " +
+          "existing ones)")
+    }
 
   override def planInputPartitions(
       start: rstream.Offset,
       end: rstream.Offset): Array[InputPartition] = {
-    val from = start.asInstanceOf[VecsStreamOffset].files
-    val until = end.asInstanceOf[VecsStreamOffset].files
+    val startOff = start.asInstanceOf[VecsStreamOffset]
+    val endOff = end.asInstanceOf[VecsStreamOffset]
+    val from = startOff.files
+    val until = endOff.files
     if (until <= from) return Array.empty
     // One listing serves both the file window and the split plan (no
     // per-file locality RPCs here; micro-batches are small and fresh).
     // planForListed plans over the FULL listing so base row ids stay
     // globally consecutive, then only the batch window's splits ship.
     val listing = sortedListing
+    verifyBoundary(startOff, listing)
+    verifyBoundary(endOff, listing)
     val batchFiles = listing.slice(from, until).map(_._1).toSet
-    val plan = VecsIO.planForListed(spark, listing, format)
+    val plan = VecsIO.planForListed(spark, listing, format, maxSplit)
     plan.splits.iterator
       .filter(s => batchFiles.contains(s.file))
       .map(s => VecsInputPartition(s.file, s.startByte, s.numRecs, s.baseRowId,
@@ -250,9 +302,12 @@ private[io] class VecsMicroBatchStream(path: String, format: String, required: S
       VecsIO.hadoopConfEntries(SparkSession.active))
 }
 
-private[io] case class VecsStreamOffset(files: Int)
+private[io] case class VecsStreamOffset(files: Int, last: String = "")
     extends rstream.Offset {
-  override def json(): String = s"""{"files":$files}"""
+  override def json(): String = {
+    val l = last.replace("\\", "\\\\").replace("\"", "\\\"")
+    s"""{"files":$files,"last":"$l"}"""
+  }
 }
 
 private[io] case class VecsInputPartition(
@@ -396,31 +451,39 @@ private[io] class VecsWrite(path: String, schema: StructType, queryId: String, t
           s"graft: vecs commit failed to stage $tmpName")
         (pid, hidden)
     }
-    // Phase 2 — the visible switch: drop old data (truncate) and unhide.
-    // Append offsets shard numbers past the highest existing one, so the
-    // lexicographic read order is old-batch-then-new (concatenation
-    // semantics) and nothing collides even when empty partitions left gaps.
-    if (truncate) {
+    // Phase 2 — the visible switch. PUBLISH-FIRST ordering: new shards are
+    // unhidden before any old shard is deleted, so a driver failure at any
+    // point leaves the directory with at least one complete copy of the
+    // data (worst case for truncate: a brief mixed old+new view that the
+    // retried overwrite cleans up) — never empty. Shard numbers offset past
+    // the highest existing one, so the lexicographic read order is
+    // old-batch-then-new (concatenation semantics for append; for truncate
+    // the numbering gap is harmless — row ids derive from the listing
+    // order of the surviving files) and nothing collides even when empty
+    // partitions left gaps.
+    val preExisting =
       Option(fs.listStatus(dir)).getOrElse(Array.empty)
         .filter(s => s.isFile && VecsIO.isDataFile(s.getPath.getName))
-        .foreach(s => fs.delete(s.getPath, false))
-    }
-    val existingNums =
-      Option(fs.globStatus(new Path(dir, "part-*.fvecs"))).getOrElse(Array.empty)
-        .flatMap(s => "part-(\\d+)\\.fvecs".r
-          .findFirstMatchIn(s.getPath.getName).map(_.group(1)))
+        .map(_.getPath)
+    val existingNums = preExisting
+      .flatMap(p => "part-(\\d+)\\.fvecs".r.findFirstMatchIn(p.getName).map(_.group(1)))
     // Shard numbers are zero-padded to 9 digits so lexicographic file order
     // equals numeric order up to 10^9 shards (the 100 TB posture is ~10^6);
-    // mixed widths would silently permute row ids, so refuse them.
-    require(existingNums.forall(_.length == 9),
+    // mixed widths would silently permute row ids, so refuse them — except
+    // under truncate, where the old layout is being superseded anyway.
+    require(truncate || existingNums.forall(_.length == 9),
       s"graft: $dir holds shards with non-9-digit numbering " +
         "(older layout?); rewrite with mode(\"overwrite\") before appending")
-    val offset = existingNums.foldLeft(0)((acc, n) => math.max(acc, n.toInt + 1))
+    val offset = existingNums
+      .filter(_.length <= 9)
+      .foldLeft(0)((acc, n) => math.max(acc, n.toInt + 1))
     staged.foreach { case (pid, hidden) =>
       val dest = new Path(dir, f"part-${offset + pid}%09d.fvecs")
       require(fs.rename(hidden, dest),
         s"graft: vecs commit failed to publish $dest")
     }
+    // superseded old shards go LAST, only after every new shard is visible
+    if (truncate) preExisting.foreach(p => fs.delete(p, false))
     fs.delete(tmpDir, true)
   }
 

@@ -17,12 +17,27 @@ import graft.index.VectorIndex
   */
 object EventOps {
 
+  private val NanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+
   /** Load the events table: its parquet `ts` is TIMESTAMP(NANOS), which
     * Spark 4 rejects by default — read nanos as long (legacy conf) and
-    * convert to a microsecond timestamp column. */
+    * convert to a microsecond timestamp column.
+    *
+    * The legacy conf is needed during SCHEMA INFERENCE (footer → Catalyst
+    * conversion happens eagerly inside `spark.read.parquet`); the returned
+    * plan carries the resolved LongType schema, so the session value can be
+    * restored immediately — no permanent session-conf side effect from this
+    * read path (the execution-time file readers convert against the plan's
+    * relation schema, not the live conf; spec-asserted in StreamingSpec). */
   def loadEvents(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val prior = spark.conf.getOption(NanosKey)
+    spark.conf.set(NanosKey, "true")
+    val raw =
+      try spark.read.parquet(s"$dir/events.parquet")
+      finally prior match {
+        case Some(v) => spark.conf.set(NanosKey, v)
+        case None => spark.conf.unset(NanosKey)
+      }
     val tsIsLong = raw.schema("ts").dataType ==
       org.apache.spark.sql.types.LongType
     if (tsIsLong) {

@@ -12,6 +12,21 @@ import graft.streaming.EventOps
 class StreamingSpec extends AnyFunSuite {
   import SparkTestSession._
 
+  test("loadEvents leaves no session-conf side effect and still executes") {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    spark.conf.unset(key)
+    val before = spark.conf.get(key) // registered default ("false")
+    val events = EventOps.loadEvents(spark, sf0001)
+    assert(spark.conf.get(key) === before, "legacy conf leaked from loadEvents")
+    // execution after restore still decodes the nano column correctly
+    assert(events.where(col("ts").isNotNull).count() > 0)
+    // a pre-existing explicit value is restored, not clobbered
+    spark.conf.set(key, "false")
+    EventOps.loadEvents(spark, sf0001).count()
+    assert(spark.conf.get(key) === "false")
+    spark.conf.unset(key)
+  }
+
   test("streaming windowed counts equal the batch plan") {
     val events = EventOps.loadEvents(spark, sf0001)
     val batch = events

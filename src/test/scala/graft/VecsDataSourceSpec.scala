@@ -150,6 +150,72 @@ class VecsDataSourceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("columns must be among"), e.getMessage)
   }
 
+  test("re-typed user schemas are rejected at plan time") {
+    // canonical names, wrong types: would silently reinterpret float-backed
+    // arrays as doubles without the type check
+    val e = intercept[IllegalArgumentException] {
+      spark.read.schema("row_id LONG, vector ARRAY<DOUBLE>")
+        .format("vecs").load(fvecsPath).collect()
+    }
+    assert(e.getMessage.contains("user schema declares"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      spark.read.schema("row_id INT, vector ARRAY<FLOAT>")
+        .format("vecs").load(fvecsPath).collect()
+    }
+    assert(e2.getMessage.contains("user schema declares"), e2.getMessage)
+    // correctly-typed subsets still plan fine
+    assert(spark.read.schema("row_id BIGINT").format("vecs").load(fvecsPath)
+      .count() === n.toLong)
+  }
+
+  test("streaming fails loudly when the listing changes under the offset") {
+    import org.apache.spark.sql.functions.{array, col}
+    val dir = Files.createTempDirectory("graft_dsv2_g").resolve("guard.fvecs").toString
+    val ckpt = Files.createTempDirectory("graft_dsv2_gckpt").toString
+    def frame(from: Int, until: Int) =
+      spark.range(from, until, 1, 1).select(
+        array(col("id").cast("float"), col("id").cast("float")).as("vector"))
+    frame(0, 4).write.format("vecs").mode("overwrite").save(dir)
+    val q = spark.readStream.format("vecs").load(dir)
+      .writeStream.format("memory").queryName("vecs_guard")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("vecs_guard").count() === 4)
+      // a producer violating the contract: a new shard that sorts BEFORE
+      // the committed ones shifts every file index
+      VecsIO.writeFvecs(s"$dir/a-before.fvecs", Iterator(Array(9f, 9f)))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+        q.awaitTermination(10000)
+      }
+      assert(e.getMessage.contains("listing changed") ||
+        Option(e.getCause).exists(_.getMessage.contains("listing changed")),
+        e.getMessage)
+    } finally q.stop()
+  }
+
+  test("streaming honors the per-read maxSplitBytes option") {
+    import org.apache.spark.sql.functions.{array, col}
+    val dir = Files.createTempDirectory("graft_dsv2_ms").resolve("ms.fvecs").toString
+    val ckpt = Files.createTempDirectory("graft_dsv2_msckpt").toString
+    // 40 rows, 12-byte records; 64-byte splits -> 5 recs/split -> 8 splits
+    // (the session default of 128 MB would plan ONE split)
+    spark.range(0, 40, 1, 1).select(
+        array(col("id").cast("float"), col("id").cast("float")).as("vector"))
+      .write.format("vecs").mode("overwrite").save(dir)
+    @volatile var parts = -1
+    val q = spark.readStream.format("vecs").option("maxSplitBytes", "64").load(dir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        parts = df.rdd.getNumPartitions
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(parts === 8, s"expected 8 record-aligned splits, got $parts")
+    } finally q.stop()
+  }
+
   test("u64bin and ivecs schemas through the DSv2") {
     import spark.implicits._
     val pu = tmpFile(".u64bin")
