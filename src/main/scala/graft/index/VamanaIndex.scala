@@ -367,6 +367,7 @@ class VamanaIndex(spark: SparkSession, uri: String, meta: IndexMeta, ts: Long,
       baseSizes = meta.baseSizes :+ (meta.baseSizes(historyIdx) - removedCnt + addCnt),
       partitionHistory = meta.partitionHistory :+ currentShards)
     IndexMeta.write(uri, newMeta)
+    graft.plans.GraftSql.onIndexMutated(spark, uri)
     VectorIndex.open(spark, uri)
   }
 

@@ -199,6 +199,9 @@ abstract class VectorIndex(
       shardReplicas = if (meta.shardReplicas > 1) Some(meta.shardReplicas) else None,
       normalizeDone = true, appendMeta = true,
       presetCentroids = preset)
+    // SQL surface: views registered over this uri re-point to the new
+    // version (fresh base path + centroids in the probe catalog)
+    graft.plans.GraftSql.onIndexMutated(spark, uri)
     VectorIndex.open(spark, uri)
   }
 

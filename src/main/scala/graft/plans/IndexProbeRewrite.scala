@@ -9,15 +9,19 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types.{ArrayType, FloatType}
 
-import graft.functions.{EuclideanDistance, SumOfSquaresDistance}
+import graft.functions.{CosineDistance, DotProduct, EuclideanDistance, SumOfSquaresDistance}
 import graft.index.{IvfFlatIndex, VectorIndex}
+import graft.operators.DistanceMetric
 
 /** Registry connecting parquet base paths of IVF indexes to their centroids,
   * so the optimizer can recognize "a scan of table X" as "a scan of IVF
   * index X" (the reference needs no such link — its queries go through the
   * index object; in SQL the table is all the user names). */
 object IndexCatalog {
-  final case class Entry(centroids: Array[Array[Float]], nprobe: Int)
+  final case class Entry(
+      centroids: Array[Array[Float]],
+      nprobe: Int,
+      metric: DistanceMetric = DistanceMetric.L2)
 
   private val reg = TrieMap.empty[String, Entry]
 
@@ -43,8 +47,14 @@ object IndexCatalog {
 
 /** SQL-side index access: register an index's base table as a temp view and
   * (for IVF indexes) record its centroids so [[IndexProbeRewrite]] can turn
-  * `ORDER BY dist_l2(vector, <const>) LIMIT k` into an index probe. */
+  * `ORDER BY dist_l2(vector, <const>) LIMIT k` (or `dist_cosine` ASC /
+  * `dot_product` DESC, matching the index's metric) into an index probe. */
 object GraftSql {
+  /** view name → (uri, nprobe): lets consolidation re-point the view and
+    * re-register the new version's centroids without the caller having to
+    * repeat the registration. */
+  private val registered = TrieMap.empty[String, (String, Int)]
+
   def registerIndexTable(
       spark: SparkSession,
       name: String,
@@ -52,17 +62,27 @@ object GraftSql {
       nprobe: Int = 0): VectorIndex = {
     val idx = VectorIndex.open(spark, uri)
     idx.baseVectors().createOrReplaceTempView(name)
+    registered.put(name, (uri, nprobe))
     idx match {
       case ivf: IvfFlatIndex if ivf.centroids.nonEmpty =>
         val np = if (nprobe > 0) math.min(nprobe, ivf.centroids.length)
           else math.max(1, math.sqrt(ivf.centroids.length.toDouble).toInt)
         val ts = idx.meta.ingestionTimestamps(idx.meta.historyIndex(Long.MaxValue))
         IndexCatalog.register(IndexCatalog.qualify(spark, s"$uri/base/v=$ts"),
-          IndexCatalog.Entry(ivf.centroids, np))
+          IndexCatalog.Entry(ivf.centroids, np, idx.metric))
       case _ => ()
     }
     idx
   }
+
+  /** Called by [[graft.index.VectorIndex.consolidateUpdates]]: any views
+    * registered over `uri` are re-created against the new active version
+    * (fresh base path + centroids in the catalog; the old version's catalog
+    * entry is left behind — its path is no longer scanned). */
+  def onIndexMutated(spark: SparkSession, uri: String): Unit =
+    registered.foreach { case (name, (u, np)) =>
+      if (u == uri) registerIndexTable(spark, name, u, np)
+    }
 }
 
 /** `ORDER BY dist_l2(vector, <const-vector>) LIMIT k` over a registered IVF
@@ -77,17 +97,24 @@ object GraftSql {
   */
 object IndexProbeRewrite extends Rule[LogicalPlan] {
 
+  /** Which family of order key matched — decides which index metrics the
+    * probe is valid for and how the query vector is prepared. */
+  private sealed trait OrderKey
+  private case object L2Key extends OrderKey // dist_l2 / dist_sos ASC
+  private case object CosineKey extends OrderKey // dist_cosine ASC
+  private case object IpKey extends OrderKey // dot_product DESC
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case gl @ GlobalLimit(IntegerLiteral(_),
         LocalLimit(_, inner)) =>
       stripProjects(inner) match {
         // the DISTANCE must be the primary sort key; trailing tie-break
         // keys (e.g. the id) don't affect which partitions can win
-        case Sort(SortOrder(dist, Ascending, _, _) +: _, true, _, _) =>
-          distanceArgs(dist) match {
-            case Some((attr, qexpr)) =>
+        case Sort(SortOrder(dist, direction, _, _) +: _, true, _, _) =>
+          distanceArgs(dist, direction) match {
+            case Some((attr, qexpr, key)) =>
               evalQueryVector(qexpr)
-                .flatMap(qv => injectProbeFilter(gl, attr, qv))
+                .flatMap(qv => injectProbeFilter(gl, attr, qv, key))
                 .getOrElse(gl)
             case None => gl
           }
@@ -100,15 +127,30 @@ object IndexProbeRewrite extends Rule[LogicalPlan] {
     case other => other
   }
 
-  /** (vector attribute, constant query expression) from a distance call in
-    * either argument order. SOS shares L2's centroid ordering, so both
-    * prune identically. */
-  private def distanceArgs(e: Expression): Option[(AttributeReference, Expression)] =
-    e match {
-      case EuclideanDistance(a: AttributeReference, q) if q.foldable => Some((a, q))
-      case EuclideanDistance(q, a: AttributeReference) if q.foldable => Some((a, q))
-      case SumOfSquaresDistance(a: AttributeReference, q) if q.foldable => Some((a, q))
-      case SumOfSquaresDistance(q, a: AttributeReference) if q.foldable => Some((a, q))
+  /** (vector attribute, constant query expression, key family) from a
+    * distance call in either argument order. SOS shares L2's centroid
+    * ordering, so both prune identically; `dist_cosine` orders ascending
+    * like a distance, `dot_product` is a SIMILARITY so only a descending
+    * sort is a top-k nearest query. */
+  private def distanceArgs(e: Expression, dir: SortDirection)
+      : Option[(AttributeReference, Expression, OrderKey)] =
+    (e, dir) match {
+      case (EuclideanDistance(a: AttributeReference, q), Ascending) if q.foldable =>
+        Some((a, q, L2Key))
+      case (EuclideanDistance(q, a: AttributeReference), Ascending) if q.foldable =>
+        Some((a, q, L2Key))
+      case (SumOfSquaresDistance(a: AttributeReference, q), Ascending) if q.foldable =>
+        Some((a, q, L2Key))
+      case (SumOfSquaresDistance(q, a: AttributeReference), Ascending) if q.foldable =>
+        Some((a, q, L2Key))
+      case (CosineDistance(a: AttributeReference, q), Ascending) if q.foldable =>
+        Some((a, q, CosineKey))
+      case (CosineDistance(q, a: AttributeReference), Ascending) if q.foldable =>
+        Some((a, q, CosineKey))
+      case (DotProduct(a: AttributeReference, q), Descending) if q.foldable =>
+        Some((a, q, IpKey))
+      case (DotProduct(q, a: AttributeReference), Descending) if q.foldable =>
+        Some((a, q, IpKey))
       case _ => None
     }
 
@@ -121,14 +163,40 @@ object IndexProbeRewrite extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** Valid (index metric, order key) pairings. A cosine order key over an
+    * L2 index (or vice versa) must NOT probe: the centroid ranking would be
+    * for the wrong geometry and the result would silently differ from the
+    * unpruned answer. */
+  private def keyMatchesMetric(key: OrderKey, m: DistanceMetric): Boolean = (key, m) match {
+    case (L2Key, DistanceMetric.L2 | DistanceMetric.SumOfSquares) => true
+    case (CosineKey, DistanceMetric.Cosine) => true
+    case (IpKey, DistanceMetric.InnerProduct) => true
+    case _ => false
+  }
+
+  /** The vector the centroid ranking runs on, mirroring the programmatic
+    * path ([[graft.index.IvfFlatIndex.queryBase]]): COSINE indexes store
+    * normalized vectors and centroids, so the query normalizes too
+    * (reference: ivf_flat_index.py:254-255); L2/SOS/IP rank raw (the same
+    * L2 centroid ranking the index uses for every metric). */
+  private def probeVector(key: OrderKey, qv: Array[Float]): Array[Float] = key match {
+    case CosineKey =>
+      var s = 0.0; var i = 0
+      while (i < qv.length) { s += qv(i).toDouble * qv(i); i += 1 }
+      val n = math.sqrt(s)
+      if (n == 0.0) qv else qv.map(x => (x / n).toFloat)
+    case _ => qv
+  }
+
   /** Wrap the (first) registered scan that produces `attr` in a
     * partition_id ∈ nearest-centroids filter. No-op if the scan is already
-    * pruned (fixpoint idempotency) or the table isn't a registered IVF
-    * base. */
+    * pruned (fixpoint idempotency), the table isn't a registered IVF base,
+    * or the order key doesn't match the index's metric. */
   private def injectProbeFilter(
       gl: LogicalPlan,
       attr: AttributeReference,
-      qv: Array[Float]): Option[LogicalPlan] = {
+      qv: Array[Float],
+      key: OrderKey): Option[LogicalPlan] = {
     val alreadyPruned: Set[LogicalPlan] = gl.collect {
       case Filter(cond, lr: LogicalRelation)
           if cond.references.exists(_.name == "partition_id") => lr: LogicalPlan
@@ -138,9 +206,12 @@ object IndexProbeRewrite extends Rule[LogicalPlan] {
       case lr: LogicalRelation
           if !injected && !alreadyPruned(lr) && lr.outputSet.contains(attr) =>
         (entryFor(lr), lr.output.find(_.name == "partition_id")) match {
-          case (Some(entry), Some(pid)) if entry.centroids.head.length == qv.length =>
+          case (Some(entry), Some(pid))
+              if entry.centroids.head.length == qv.length &&
+                keyMatchesMetric(key, entry.metric) =>
             injected = true
-            val parts = nearestPartitions(qv, entry.centroids, entry.nprobe)
+            val parts = nearestPartitions(
+              probeVector(key, qv), entry.centroids, entry.nprobe)
             Filter(In(pid, parts.map(i => Literal(i))), lr)
           case _ => lr
         }

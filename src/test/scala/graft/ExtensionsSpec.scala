@@ -88,6 +88,101 @@ class ExtensionsSpec extends AnyFunSuite {
       s"sql=$viaSql api=$viaApi")
   }
 
+  private def embFrame = {
+    import org.apache.spark.sql.functions.col
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("external_id"), col("embedding").as("vector"))
+  }
+
+  private def qvLit(qv: Array[Float]): String =
+    "cast(array(" + qv.map(x => f"$x%.9e").mkString(",") + ") as array<float>)"
+
+  private def partitionFiltered(df: org.apache.spark.sql.DataFrame): Boolean =
+    "PartitionFilters: \\[[^\\]]*partition_id[^\\]]*\\]".r
+      .findFirstIn(df.queryExecution.executedPlan.toString).isDefined
+
+  test("ORDER BY dist_cosine LIMIT k probes a COSINE index; guard refuses L2") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val emb = embFrame
+    val uri = java.nio.file.Files.createTempDirectory("graft_sql_cos").toString
+    val idx = graft.index.Ingest.ingest(spark, uri, emb, "IVF_FLAT",
+      graft.operators.DistanceMetric.Cosine, timestamp = 1000L, partitions = Some(8))
+    graft.plans.GraftSql.registerIndexTable(spark, "vecs_cos_idx", uri, nprobe = 4)
+    val qv = emb.where(col("external_id") === 0).select("vector")
+      .head().getSeq[Float](0).toArray
+    val df = spark.sql(
+      s"SELECT external_id FROM vecs_cos_idx " +
+        s"ORDER BY dist_cosine(vector, ${qvLit(qv)}) LIMIT 10")
+    assert(partitionFiltered(df), "cosine order key over a COSINE index must probe")
+    val viaApi = idx.query(Seq((0L, qv)).toDF("qid", "qvec"), 10, nprobe = 4)
+      .select("id").as[Long].collect().toSet
+    assert(df.collect().map(_.getLong(0)).toSet === viaApi)
+    // guard: a cosine order key over an L2-metric index must NOT probe (the
+    // centroid ranking would be for the wrong geometry)
+    val uriL2 = java.nio.file.Files.createTempDirectory("graft_sql_l2m").toString
+    graft.index.Ingest.ingest(spark, uriL2, emb, "IVF_FLAT",
+      graft.operators.DistanceMetric.L2, timestamp = 1000L, partitions = Some(8))
+    graft.plans.GraftSql.registerIndexTable(spark, "vecs_l2m_idx", uriL2, nprobe = 4)
+    val mismatch = spark.sql(
+      s"SELECT external_id FROM vecs_l2m_idx " +
+        s"ORDER BY dist_cosine(vector, ${qvLit(qv)}) LIMIT 10")
+    assert(!partitionFiltered(mismatch),
+      "cosine key over an L2 index silently probed")
+  }
+
+  test("ORDER BY dot_product DESC LIMIT k probes an IP index; ASC does not") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val emb = embFrame
+    val uri = java.nio.file.Files.createTempDirectory("graft_sql_ip").toString
+    val idx = graft.index.Ingest.ingest(spark, uri, emb, "IVF_FLAT",
+      graft.operators.DistanceMetric.InnerProduct, timestamp = 1000L,
+      partitions = Some(8))
+    graft.plans.GraftSql.registerIndexTable(spark, "vecs_ip_idx", uri, nprobe = 4)
+    val qv = emb.where(col("external_id") === 0).select("vector")
+      .head().getSeq[Float](0).toArray
+    val df = spark.sql(
+      s"SELECT external_id FROM vecs_ip_idx " +
+        s"ORDER BY dot_product(vector, ${qvLit(qv)}) DESC LIMIT 10")
+    assert(partitionFiltered(df), "dot_product DESC over an IP index must probe")
+    val viaApi = idx.query(Seq((0L, qv)).toDF("qid", "qvec"), 10, nprobe = 4)
+      .select("id").as[Long].collect().toSet
+    assert(df.collect().map(_.getLong(0)).toSet === viaApi)
+    // ASC dot_product is a FARTHEST query — probing top-nprobe nearest
+    // partitions would be wrong; the rewrite must leave it alone
+    val asc = spark.sql(
+      s"SELECT external_id FROM vecs_ip_idx " +
+        s"ORDER BY dot_product(vector, ${qvLit(qv)}) ASC LIMIT 10")
+    assert(!partitionFiltered(asc), "ascending dot_product silently probed")
+  }
+
+  test("consolidation re-registers the SQL view against the new version") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val emb = embFrame
+    val uri = java.nio.file.Files.createTempDirectory("graft_sql_refresh").toString
+    graft.index.Ingest.ingest(spark, uri, emb, "IVF_FLAT",
+      graft.operators.DistanceMetric.L2, timestamp = 1000L, partitions = Some(8))
+    graft.plans.GraftSql.registerIndexTable(spark, "vecs_refresh_idx", uri, nprobe = 8)
+    val idx0 = graft.index.VectorIndex.open(spark, uri)
+    idx0.deleteBatch(emb.where(col("external_id") < 20), ts = 1100L)
+    idx0.consolidateUpdates(newTs = 2000L)
+    // WITHOUT re-registering: the view must already serve the new version
+    val qv = emb.where(col("external_id") === 0).select("vector")
+      .head().getSeq[Float](0).toArray
+    val df = spark.sql(
+      s"SELECT external_id FROM vecs_refresh_idx " +
+        s"ORDER BY dist_l2(vector, ${qvLit(qv)}) LIMIT 10")
+    assert(partitionFiltered(df), "refreshed view lost its probe registration")
+    val got = df.collect().map(_.getLong(0)).toSeq
+    assert(got.forall(_ >= 20), s"consolidated-away ids still served: $got")
+    val viaApi = graft.index.VectorIndex.open(spark, uri)
+      .query(Seq((0L, qv)).toDF("qid", "qvec"), 10, nprobe = 8)
+      .select("id").as[Long].collect().toSet
+    assert(got.toSet === viaApi)
+  }
+
   test("negative-radius rewrite preserves NULL semantics on nullable vectors") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_ext_null").toString
