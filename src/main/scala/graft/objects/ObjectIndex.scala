@@ -37,6 +37,13 @@ class ObjectIndex(
   /** @param queryObjects (qid: Long, text: String)
     * @param metadataCond optional SQL predicate over metadata attributes,
     *        pushed into the metadata scan (reference F4 `metadata_array_cond`)
+    * @param fusionMode multi-embedding score fusion
+    *        (object_index.py:561-635): "reciprocal" = 1/(1+distance)
+    *        (distance-aware, the default), "rank" = position scoring
+    *        1 − rank/fetch_k per embedding run (distance-scale-free — the
+    *        reference's mode for mixing embeddings whose distance ranges
+    *        differ). Both MAX over duplicate hits within one embedding and
+    *        SUM across the query's embeddings.
     * @return (qid, rank, external_id, score, metadata attrs...)
     */
   def query(
@@ -44,8 +51,13 @@ class ObjectIndex(
       k: Int,
       metadataCond: Option[String] = None,
       nprobe: Int = 0,
-      fetchFactor: Int = 50): DataFrame = {
+      fetchFactor: Int = 50,
+      fusionMode: String = ObjectIndex.FusionReciprocal): DataFrame = {
     import spark.implicits._
+    require(fusionMode == ObjectIndex.FusionReciprocal ||
+        fusionMode == ObjectIndex.FusionRank,
+      s"graft: fusionMode must be ${ObjectIndex.FusionReciprocal} or " +
+        s"${ObjectIndex.FusionRank}, got $fusionMode")
     val emb = embedQueries(queryObjects)
     // fetch_k inflation before metadata filtering (object_index.py:451-453)
     val fetchK = if (metadataCond.isDefined) {
@@ -61,11 +73,22 @@ class ObjectIndex(
         pmod(col("qid"), lit(ObjectIndex.SeqStride)).cast("int").as("embedding_seq"),
         col("id").as("external_id"), col("distance"))
 
-    // multi-embedding fusion (object_index.py:561-635): per embedding run
-    // score = 1/(1+distance) (reciprocal-distance mode), MAX over duplicate
-    // hits of one embedding, SUM across the query's embeddings.
-    val fused = hits
-      .withColumn("score", lit(1.0) / (lit(1.0) + col("distance").cast("double")))
+    // multi-embedding fusion (object_index.py:561-635): per-embedding score,
+    // MAX over duplicate hits of one embedding, SUM across the query's
+    // embeddings.
+    val scored = fusionMode match {
+      case ObjectIndex.FusionRank =>
+        // position scoring over each embedding's ranked result list; the
+        // window sorts tiny per-(query, embedding) hit lists, not the corpus
+        val we = Window.partitionBy(col("qid"), col("embedding_seq"))
+          .orderBy(col("distance").asc, col("external_id"))
+        hits.withColumn("score",
+          lit(1.0) - (row_number().over(we) - lit(1)).cast("double") / lit(fetchK.toDouble))
+      case _ =>
+        hits.withColumn("score",
+          lit(1.0) / (lit(1.0) + col("distance").cast("double")))
+    }
+    val fused = scored
       .groupBy(col("qid"), col("embedding_seq"), col("external_id"))
       .agg(max(col("score")).as("score"))
       .groupBy(col("qid"), col("external_id"))
@@ -104,6 +127,10 @@ object ObjectIndex {
   /** Composite query-id stride for multi-embedding queries (max embeddings
     * per query object). */
   val SeqStride = 1000L
+
+  /** Fusion modes (reference: object_index.py:561-635). */
+  val FusionReciprocal = "reciprocal"
+  val FusionRank = "rank"
 
   /** Build the object index: embed all objects and ingest
     * (reference: object_index.py:736-881 update_index → two-stage DAG). */

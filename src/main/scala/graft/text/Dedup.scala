@@ -17,6 +17,11 @@ import graft.functions.dist_cosine
   */
 object Dedup {
 
+  /** Row cap per (blockCols) block in [[ngramJaccardPairs]]; a block past
+    * the cap fails the job with a pointer to the LSH path. */
+  val MaxNgramBlockRowsKey = "spark.graft.ngramJaccard.maxBlockRows"
+  val DefaultMaxNgramBlockRows = 100000L
+
   /** Materialize a frame that is re-read several times (or whose lineage
     * must be cut inside an iterative loop). When the session has a
     * reliable checkpoint directory configured (`sc.setCheckpointDir`),
@@ -65,6 +70,25 @@ object Dedup {
         transform(TextOps.shingleSet(col(textCol)), s => xxhash64(s)).as("sh"): _*)
       .withColumn("nsh", size(col("sh")))
       .repartition(blockCols.map(col): _*))
+    // Block-size guard: the within-block join is QUADRATIC by design
+    // (acceptable only for small curated blocks; MinHash-LSH is the corpus-
+    // scale path). A block past the cap means this operator was pointed at
+    // the wrong data — refuse loudly instead of launching an accidental
+    // O(n²) shuffle at corpus scale.
+    val maxBlock = docs.sparkSession.conf
+      .getOption(Dedup.MaxNgramBlockRowsKey).map(_.toLong)
+      .getOrElse(Dedup.DefaultMaxNgramBlockRows)
+    val oversized = withSets.groupBy(blockCols.map(col): _*)
+      .agg(count(lit(1)).as("__n")).where(col("__n") > maxBlock)
+      .limit(1).collect()
+    require(oversized.isEmpty, {
+      val r = oversized.head
+      val desc = blockCols.zipWithIndex.map { case (c, i) => s"$c=${r.get(i)}" }
+        .mkString(", ")
+      s"graft: ngramJaccardPairs block ($desc) holds ${r.getLong(blockCols.length)} " +
+        s"rows (cap ${Dedup.MaxNgramBlockRowsKey}=$maxBlock); the within-block " +
+        "join is quadratic — use minhashLshPairs for blocks this size"
+    })
     val a = withSets.as("a")
     val b = withSets.as("b")
     // size-ratio prefilter: J(a,b) ≤ min(|a|,|b|)/max(|a|,|b|), so pairs

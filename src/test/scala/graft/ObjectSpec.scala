@@ -88,6 +88,49 @@ class ObjectSpec extends AnyFunSuite {
       .head().getLong(0) / 1000 === 7L)
   }
 
+  test("rank fusion mode: position scoring, distance-scale-free") {
+    import spark.implicits._
+    // same 2-embedding shape as the fusion test above
+    class TwoVec extends HashTextEmbedding(64) {
+      override def embed(objects: Iterator[(Long, String)]) =
+        objects.flatMap { case (id, text) =>
+          val half = text.length / 2
+          super.embed(Iterator((id, text.take(half)))).map { case (i, _, v) => (i, 0, v) } ++
+            super.embed(Iterator((id, text.drop(half)))).map { case (i, _, v) => (i, 1, v) }
+        }
+    }
+    val idx = ObjectIndex.create(spark, tmp(), reader, new TwoVec, timestamp = 1000L)
+    val queries = spark.read.parquet(s"$sf0001/documents.parquet")
+      .where(col("doc_id") === 7).select(col("doc_id").as("qid"), col("text"))
+    val k = 5
+    val viaRank = idx.query(queries, k, nprobe = 1 << 30,
+      fusionMode = ObjectIndex.FusionRank)
+    val viaRecip = idx.query(queries, k, nprobe = 1 << 30,
+      fusionMode = ObjectIndex.FusionReciprocal)
+    // both modes: k results, the query's own doc first (its chunks win in
+    // both of its embeddings)
+    assert(viaRank.count() === k)
+    assert(viaRank.where(col("rank") === 1).select(col("external_id"))
+      .head().getLong(0) / 1000 === 7L)
+    assert(viaRecip.where(col("rank") === 1).select(col("external_id"))
+      .head().getLong(0) / 1000 === 7L)
+    // rank-mode scores are drawn from the position lattice: each
+    // per-embedding score is 1 - (pos-1)/fetchK with fetchK=k, so every
+    // fused score is a sum of at most 2 lattice values — verify each score
+    // decomposes, which a reciprocal-distance score would not
+    val lattice = (1 to k).map(p => 1.0 - (p - 1).toDouble / k)
+    val eps = 1e-9
+    viaRank.select("score").as[Double].collect().foreach { s =>
+      val ok = lattice.exists(a => math.abs(s - a) < eps) ||
+        lattice.exists(a => lattice.exists(b => math.abs(s - (a + b)) < eps))
+      assert(ok, s"rank-fusion score $s not on the position lattice")
+    }
+    // an invalid mode is rejected
+    intercept[IllegalArgumentException] {
+      idx.query(queries, k, fusionMode = "borda")
+    }
+  }
+
   test("parquet 1-D table reader: documents table as a direct object source") {
     import spark.implicits._
     val reader = new graft.objects.ParquetTableReader(

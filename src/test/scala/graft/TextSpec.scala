@@ -32,6 +32,22 @@ class TextSpec extends AnyFunSuite {
     assert(capped.isEmpty)
   }
 
+  test("ngram-jaccard refuses oversized blocks (quadratic guard)") {
+    import spark.implicits._
+    val labeled = docs.withColumn("lang", lit("en"))
+    spark.conf.set(Dedup.MaxNgramBlockRowsKey, "100") // fixture block is 500
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Dedup.ngramJaccardPairs(labeled, 0.8, blockCols = Seq("lang")).collect()
+      }
+      assert(e.getMessage.contains("quadratic") &&
+        e.getMessage.contains("minhashLshPairs"), e.getMessage)
+    } finally spark.conf.unset(Dedup.MaxNgramBlockRowsKey)
+    // under the cap the operator runs as before
+    assert(Dedup.ngramJaccardPairs(labeled, 0.8, blockCols = Seq("lang"))
+      .as[(Long, Long)].collect().nonEmpty)
+  }
+
   test("dedup switches to reliable checkpoints when a checkpoint dir is set") {
     import spark.implicits._
     val base = Dedup.minhashLshPairs(docs, 0.8).as[(Long, Long)].collect().toSet
