@@ -251,6 +251,51 @@ class ObjectSpec extends AnyFunSuite {
     (0L until 3L).foreach(q => assert(top1(q) === q))
   }
 
+  test("subprocess embedding: external encoder process drives the pipeline") {
+    import spark.implicits._
+    // stdlib-only deterministic "model": md5 over the text, digest bytes
+    // cycled into 16 floats — stands in for any line-protocol encoder
+    // (ONNX runner, python model server)
+    val script =
+      """import sys, base64, hashlib
+        |for line in sys.stdin:
+        |    t = base64.b64decode(line.strip())
+        |    d = hashlib.md5(t).digest()
+        |    print(' '.join(str((d[i % 16] - 128) / 128.0) for i in range(16)))
+        |    sys.stdout.flush()
+        |""".stripMargin
+    val cmd = Seq("python3", "-u", "-c", script)
+    val emb = new graft.objects.SubprocessEmbedding(cmd, dimensions = 16)
+    val idx = ObjectIndex.create(spark, tmp(), reader, emb,
+      indexType = "FLAT", metric = graft.operators.DistanceMetric.Cosine,
+      timestamp = 1000L)
+    // self-retrieval end-to-end through the external process
+    val queries = spark.read.parquet(s"$sf0001/documents.parquet")
+      .where(col("doc_id") < 3).select(col("doc_id").as("qid"), col("text"))
+    val top1 = idx.query(queries, k = 2).where(col("rank") === 1)
+      .select(col("qid"), col("external_id")).as[(Long, Long)].collect().toMap
+    (0L until 3L).foreach(q => assert(top1(q) / 1000 === q))
+    // the stored vector equals the protocol's deterministic output,
+    // computed independently here
+    val text0 = reader.readObjects(spark).where(col("external_id") === 0)
+      .select("text").head().getString(0)
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(text0.getBytes("UTF-8"))
+    val expected = Array.tabulate(16)(i => ((md(i % 16) & 0xff) - 128) / 128.0f)
+    val stored = idx.index.baseVectors().where(col("external_id") === 0)
+      .select("vector").head().getSeq[Float](0).toArray
+    // FLAT cosine stores raw vectors; protocol floats round-trip via strings
+    expected.zip(stored).foreach { case (e, s) => assert(math.abs(e - s) < 1e-6) }
+    // a dead encoder fails loudly, not silently
+    val bad = new graft.objects.SubprocessEmbedding(
+      Seq("python3", "-c", "import sys; sys.exit(1)"), 16)
+    val e = intercept[Exception] {
+      ObjectIndex.create(spark, tmp(), reader, bad, indexType = "FLAT",
+        timestamp = 1000L)
+    }
+    assert(e.getMessage != null)
+  }
+
   test("multimodal: stub features are deterministic, unit-norm, null-safe") {
     import spark.implicits._
     val media = Seq(
