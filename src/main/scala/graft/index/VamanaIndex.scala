@@ -387,24 +387,6 @@ class VamanaIndex(spark: SparkSession, uri: String, meta: IndexMeta, ts: Long,
       case _ => qn0
     }
 
-    // per-shard search: one task per shard holds only that shard's graph.
-    // Byte dtypes widen the packed base back to float for the in-task
-    // kernels (distances on widened values = the asymmetric byte metric).
-    val baseRaw = spark.read.parquet(s"$uri/base/v=$baseTimestamp")
-    val baseFloat =
-      if (meta.dtype == "uint8" || meta.dtype == "int8") {
-        import org.apache.spark.sql.graftshim.{toColumn, toExpression}
-        baseRaw.withColumn("vector",
-          toColumn(graft.functions.UnpackBytes(toExpression(col("vector")),
-            signed = meta.dtype == "int8")))
-      } else baseRaw
-    val graph = baseFloat
-      .join(spark.read.parquet(s"$uri/graph/v=$baseTimestamp"),
-        Seq("shard_id", "external_id"))
-      .select(col("shard_id"), col("external_id"), col("vector"),
-        col("neighbors"), col("is_medoid"))
-      .as[(Int, Long, Array[Float], Array[Long], Boolean)]
-
     // Collect-free query path: replicate each query to its target shards and
     // cogroup with the shard's graph — arbitrarily large query batches never
     // touch the driver. Only the shard-id list (one int per shard) is
@@ -428,6 +410,36 @@ class VamanaIndex(spark: SparkSession, uri: String, meta: IndexMeta, ts: Long,
       qn.withColumn("shard_id", explode(typedlit(shardIds)))
         .select(col("shard_id"), col("qid"), col("qvec"))
     }).as[(Int, Long, Array[Float])]
+
+    // Routed queries only touch their probed shards' FILES: base and graph
+    // are disk-partitioned by shard_id, so a `shard_id IN (...)` over the
+    // batch's distinct probe targets becomes physical partition pruning —
+    // a small query batch against a 40k-shard corpus reads S×|batch| shards,
+    // not the whole index (the same pruning the IVF path gets from
+    // partition_id). Only the distinct probed-shard ids come to the driver.
+    val activeShards: Option[Seq[Int]] =
+      if (routed) Some(qRep.map(_._1).distinct().collect().sorted.toSeq)
+      else None
+    def pruneShards(df: DataFrame): DataFrame =
+      activeShards.map(s => df.where(col("shard_id").isin(s: _*))).getOrElse(df)
+
+    // per-shard search: one task per shard holds only that shard's graph.
+    // Byte dtypes widen the packed base back to float for the in-task
+    // kernels (distances on widened values = the asymmetric byte metric).
+    val baseRaw = pruneShards(spark.read.parquet(s"$uri/base/v=$baseTimestamp"))
+    val baseFloat =
+      if (meta.dtype == "uint8" || meta.dtype == "int8") {
+        import org.apache.spark.sql.graftshim.{toColumn, toExpression}
+        baseRaw.withColumn("vector",
+          toColumn(graft.functions.UnpackBytes(toExpression(col("vector")),
+            signed = meta.dtype == "int8")))
+      } else baseRaw
+    val graph = baseFloat
+      .join(pruneShards(spark.read.parquet(s"$uri/graph/v=$baseTimestamp")),
+        Seq("shard_id", "external_id"))
+      .select(col("shard_id"), col("external_id"), col("vector"),
+        col("neighbors"), col("is_medoid"))
+      .as[(Int, Long, Array[Float], Array[Long], Boolean)]
 
     val kLocal = k
     val lLocal = lSearch

@@ -193,6 +193,11 @@ class IndexSpec extends AnyFunSuite {
     val routed = idx.queryLSearch(queries10, 10, lSearch = 100, nprobeShards = 2)
     assert(routed.groupBy("qid").count().where(col("count") =!= 10).count() === 0)
     assert(recallOf(routed) >= 0.85, "routed recall below gate at S=2 of 4")
+    // probed shards reach the scan as physical partition pruning: only the
+    // batch's target shards' files are read
+    val physical = routed.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*shard_id[^\\]]*\\]".r.findFirstIn(physical).isDefined,
+      s"expected shard_id PartitionFilters in routed scan:\n${physical.take(2500)}")
     // S=1: the self-match lives in the query vector's own nearest shard, so
     // rank-1 self-hits survive maximal routing.
     val s1 = idx.queryLSearch(queries10, 10, lSearch = 100, nprobeShards = 1)
