@@ -105,6 +105,36 @@ object SparkEntry {
       .orderBy("neighbor_id")
   }
 
+  /** SQL surface, multi-query JOIN form: per-query top-k via
+    * `row_number() OVER (PARTITION BY q.qid ORDER BY dist_l2(...)) <= k`
+    * over queries × registered base. [[graft.plans.IndexProbeRewrite]]
+    * turns the cross join into an explode-probes equi-join on partition_id
+    * (the programmatic IVF plan); probe-all registration keeps it exact for
+    * the brute-force window oracle. */
+  private def sqlIndexTopkBatch(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.registerAll(spark)
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.IndexProbeRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.IndexProbeRewrite
+    val uri = cachedIndex("ivf_l2", dir) { u =>
+      Ingest.ingest(spark, u, embAsIndexInput(spark, dir), "IVF_FLAT",
+        DistanceMetric.L2, timestamp = 1000L)
+    }
+    graft.plans.GraftSql.registerIndexTable(spark, "graft_vecs_b", uri, nprobe = 1 << 30)
+    emb(spark, dir).where(col("vec_id") < NQ)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      .createOrReplaceTempView("graft_batch_queries")
+    spark.sql(
+      s"""SELECT qid, neighbor_id FROM (
+         |  SELECT q.qid, b.external_id AS neighbor_id,
+         |         row_number() OVER (PARTITION BY q.qid
+         |                            ORDER BY dist_l2(b.vector, q.qvec),
+         |                                     b.external_id) AS rn
+         |  FROM graft_batch_queries q CROSS JOIN graft_vecs_b b
+         |) WHERE rn <= $K""".stripMargin)
+      .orderBy("qid", "neighbor_id")
+  }
+
   /** IVF_FLAT cosine (normalize-at-ingest + L2 probe, reference
     * ivf_flat_index.py:254-255), probe-all → matches cosine brute force. */
   private def ivfCosineProbeAll(spark: SparkSession, dir: String): DataFrame = {
@@ -598,6 +628,7 @@ object SparkEntry {
     "knn_flat_ip" -> (knnFlat(DistanceMetric.InnerProduct) _),
     "ivf_flat_probe_all" -> (ivfProbeAll _),
     "sql_index_topk" -> (sqlIndexTopk _),
+    "sql_index_topk_batch" -> (sqlIndexTopkBatch _),
     "ivf_flat_cosine_probe_all" -> (ivfCosineProbeAll _),
     "ivf_flat_nprobe" -> (ivfNprobe _),
     "ivf_pq_exact_rerank" -> (ivfPqExactRerank _),
@@ -655,6 +686,12 @@ object SparkEntry {
          |CROSS JOIN embeddings n
          |QUALIFY row_number() OVER (ORDER BY list_distance(n.embedding, q.embedding), n.vec_id) <= $K
          |ORDER BY neighbor_id""".stripMargin,
+    "sql_index_topk_batch" ->
+      s"""SELECT q.vec_id AS qid, n.vec_id AS neighbor_id
+         |FROM (SELECT * FROM embeddings WHERE vec_id < $NQ) q
+         |CROSS JOIN embeddings n
+         |QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY list_distance(n.embedding, q.embedding), n.vec_id) <= $K
+         |ORDER BY qid, neighbor_id""".stripMargin,
     "ivf_flat_cosine_probe_all" -> knnOracle("list_cosine_similarity(n.embedding, q.embedding) DESC"),
     // ivf_flat_nprobe: intentionally no oracle (approximate, engine-internal
     // k-means); driver records rows-only, recall asserted in IndexSpec.

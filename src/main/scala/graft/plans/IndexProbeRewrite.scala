@@ -4,10 +4,11 @@ import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.types.{ArrayType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType}
 
 import graft.functions.{CosineDistance, DotProduct, EuclideanDistance, SumOfSquaresDistance}
 import graft.index.{IvfFlatIndex, VectorIndex}
@@ -120,6 +121,174 @@ object IndexProbeRewrite extends Rule[LogicalPlan] {
           }
         case _ => gl
       }
+    // multi-query batch (join form): per-query top-k via
+    //   row_number() OVER (PARTITION BY q.<keys> ORDER BY dist(b.vector,
+    //   q.qvec)) <= k
+    // over queries × registered-base — the rank filter bounds each query's
+    // result, so restricting each query row to its own top-nprobe centroid
+    // partitions is exactly the programmatic IVF nprobe answer
+    // ([[graft.index.IvfFlatIndex.queryBase]] builds the identical
+    // explode-probes equi-join). The cross join becomes an equi-join on
+    // partition_id: shuffle nprobe×|batch| instead of |batch|×|corpus|.
+    case f @ Filter(cond, child) => rewriteWindowTopK(f, cond, child).getOrElse(f)
+  }
+
+  /** Match `rnAttr <= k` / `rnAttr < k` conjuncts (the rank-limit shapes). */
+  private def rankLimitAttr(cond: Expression): Option[AttributeReference] = {
+    val conjuncts = {
+      def split(e: Expression): Seq[Expression] = e match {
+        case And(l, r) => split(l) ++ split(r)
+        case o => Seq(o)
+      }
+      split(cond)
+    }
+    conjuncts.collectFirst {
+      case LessThanOrEqual(a: AttributeReference, IntegerLiteral(_)) => a
+      case LessThan(a: AttributeReference, IntegerLiteral(_)) => a
+      case EqualTo(a: AttributeReference, IntegerLiteral(1)) => a
+    }
+  }
+
+  /** The analyzer extracts window order keys into a `_w0` project below the
+    * Window — resolve an attribute back to its defining expression through
+    * intervening projects. */
+  private def resolveThroughProjects(e: Expression, p: LogicalPlan): Expression = e match {
+    case a: AttributeReference => p match {
+      case Project(list, inner) =>
+        list.collectFirst {
+          case al: Alias if al.exprId == a.exprId => resolveThroughProjects(al.child, inner)
+        }.getOrElse {
+          if (list.exists(ne => ne.exprId == a.exprId)) resolveThroughProjects(a, inner) else a
+        }
+      case _ => a
+    }
+    case other => other
+  }
+
+  private def rewriteWindowTopK(
+      f: Filter,
+      cond: Expression,
+      child: LogicalPlan): Option[LogicalPlan] = {
+    val rnAttr = rankLimitAttr(cond).getOrElse(return None)
+    val w = (stripProjects(child) match {
+      case w: Window => w
+      case _ => return None
+    })
+    // the rank attr must be this window's row_number (rank also works: both
+    // bound each group's survivors to the leading rows)
+    val isRankExpr = w.windowExpressions.exists {
+      case a: Alias if a.exprId == rnAttr.exprId => a.child match {
+        case WindowExpression(_: RowNumber, _) => true
+        case WindowExpression(_: Rank, _) => true
+        case _ => false
+      }
+      case _ => false
+    }
+    if (!isRankExpr || w.orderSpec.isEmpty || w.partitionSpec.isEmpty) return None
+    val distExpr = resolveThroughProjects(w.orderSpec.head.child, w.child)
+    val direction = w.orderSpec.head.direction
+
+    // locate the join below the window (through projects)
+    val join = (stripProjects(w.child) match {
+      case j: Join if j.joinType == Inner || j.joinType == Cross => j
+      case _ => return None
+    })
+    // idempotency: an already-probed join references partition_id
+    if (join.condition.exists(_.references.exists(_.name == "partition_id")) ||
+        join.left.output.exists(_.name == ProbeCol) ||
+        join.right.output.exists(_.name == ProbeCol)) return None
+
+    // distance args: base-side vector ATTRIBUTE vs query-side expression
+    val (vecAttr, qvecExpr, key) = joinDistanceArgs(distExpr, direction, join)
+      .getOrElse(return None)
+    // the window must partition by query-side attributes only (per-query
+    // rank); a base-side partition key would change semantics under probing
+    val qSide = if (join.left.outputSet.contains(vecAttr)) join.right else join.left
+    val bSide = if (join.left.outputSet.contains(vecAttr)) join.left else join.right
+    if (!w.partitionSpec.forall(_.references.subsetOf(qSide.outputSet))) return None
+
+    // registered base + matching metric. partition_id lives on the
+    // LogicalRelation; column pruning has usually already dropped it from
+    // the projects above (nothing referenced it before this rewrite), so
+    // re-thread it up to the join.
+    val lr = bSide.collectFirst {
+      case l: LogicalRelation if l.outputSet.contains(vecAttr) => l
+    }.getOrElse(return None)
+    val entry = entryFor(lr).getOrElse(return None)
+    if (!keyMatchesMetric(key, entry.metric)) return None
+    val pidAttr = lr.output.find(_.name == "partition_id")
+      .getOrElse(return None).asInstanceOf[AttributeReference]
+    qvecExpr.dataType match {
+      case ArrayType(FloatType, _) => ()
+      case _ => return None
+    }
+    def addPid(plan: LogicalPlan): Option[LogicalPlan] = plan match {
+      case l: LogicalRelation => Some(l)
+      case p @ Project(list, c) =>
+        addPid(c).map { c2 =>
+          if (list.exists(_.exprId == pidAttr.exprId)) p.copy(child = c2)
+          else Project(list :+ pidAttr, c2)
+        }
+      case fl @ Filter(_, c) => addPid(c).map(c2 => fl.copy(child = c2))
+      case _ => None // unknown shape between join and scan: don't rewrite
+    }
+    val bSidePid = if (bSide.outputSet.exists(_.exprId == pidAttr.exprId)) bSide
+      else addPid(bSide).getOrElse(return None)
+
+    // per-row probe list: explode(nearest_centroids(prep(qvec))) on the
+    // query side, then equi-join on partition_id
+    val prepped = key match {
+      case CosineKey => graft.functions.NormalizeVector(qvecExpr)
+      case _ => qvecExpr
+    }
+    val probeAttr = AttributeReference(ProbeCol, IntegerType, nullable = false)()
+    val gen = Generate(
+      Explode(graft.functions.NearestCentroids(prepped, entry.centroids, entry.nprobe)),
+      unrequiredChildIndex = Nil, outer = false, qualifier = None,
+      generatorOutput = Seq(probeAttr), child = qSide)
+    val probeCond = EqualTo(probeAttr, pidAttr)
+    val newCond = join.condition.map(And(_, probeCond)).getOrElse(probeCond)
+    val newJoin =
+      if (join.left.outputSet.contains(vecAttr))
+        join.copy(left = bSidePid, right = gen,
+          joinType = Inner, condition = Some(newCond))
+      else join.copy(left = gen, right = bSidePid,
+        joinType = Inner, condition = Some(newCond))
+    val rewritten = f.transformUp {
+      case j: Join if j.eq(join) => newJoin
+    }
+    // the Generate adds the probe column to every operator's output below
+    // the filter; restore the original shape on top
+    Some(Project(f.output, rewritten.asInstanceOf[Filter]))
+  }
+
+  private val ProbeCol = "__graft_probe"
+
+  /** Distance call over (base-side vector attribute, query-side vector
+    * expression) in either argument order, validated against the sort
+    * direction like the single-query form. */
+  private def joinDistanceArgs(e: Expression, dir: SortDirection, join: Join)
+      : Option[(AttributeReference, Expression, OrderKey)] = {
+    def sides(l: Expression, r: Expression): Option[(AttributeReference, Expression)] =
+      (l, r) match {
+        case (a: AttributeReference, q)
+            if q.references.nonEmpty &&
+              (join.left.outputSet.contains(a) && q.references.subsetOf(join.right.outputSet) ||
+               join.right.outputSet.contains(a) && q.references.subsetOf(join.left.outputSet)) =>
+          Some((a, q))
+        case _ => None
+      }
+    (e, dir) match {
+      case (EuclideanDistance(l, r), Ascending) =>
+        sides(l, r).orElse(sides(r, l)).map { case (a, q) => (a, q, L2Key) }
+      case (SumOfSquaresDistance(l, r), Ascending) =>
+        sides(l, r).orElse(sides(r, l)).map { case (a, q) => (a, q, L2Key) }
+      case (CosineDistance(l, r), Ascending) =>
+        sides(l, r).orElse(sides(r, l)).map { case (a, q) => (a, q, CosineKey) }
+      case (DotProduct(l, r), Descending) =>
+        sides(l, r).orElse(sides(r, l)).map { case (a, q) => (a, q, IpKey) }
+      case _ => None
+    }
   }
 
   private def stripProjects(p: LogicalPlan): LogicalPlan = p match {

@@ -183,6 +183,45 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(got.toSet === viaApi)
   }
 
+  test("multi-query join form: per-query rank filter becomes a probe equi-join") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val emb = embFrame
+    val uri = java.nio.file.Files.createTempDirectory("graft_sql_batch").toString
+    val idx = graft.index.Ingest.ingest(spark, uri, emb, "IVF_FLAT",
+      graft.operators.DistanceMetric.L2, timestamp = 1000L, partitions = Some(16))
+    graft.plans.GraftSql.registerIndexTable(spark, "vecs_batch_idx", uri, nprobe = 4)
+    emb.where(col("external_id") < 8)
+      .select(col("external_id").as("qid"), col("vector").as("qvec"))
+      .createOrReplaceTempView("batch_queries")
+    val df = spark.sql(
+      """SELECT qid, external_id, rn FROM (
+        |  SELECT q.qid, b.external_id,
+        |         row_number() OVER (PARTITION BY q.qid
+        |                            ORDER BY dist_l2(b.vector, q.qvec)) AS rn
+        |  FROM batch_queries q CROSS JOIN vecs_batch_idx b
+        |) WHERE rn <= 10""".stripMargin)
+    // plan: the cross join became an equi-join keyed on partition_id (the
+    // explode-probes shape of the programmatic path) — no BNLJ/cartesian
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("partition_id"),
+      s"expected partition_id probe join:\n${physical.take(3000)}")
+    assert(!physical.contains("Cartesian") && !physical.contains("BroadcastNestedLoop"),
+      s"cross join survived the rewrite:\n${physical.take(3000)}")
+    // results equal the programmatic nprobe answer per query
+    val viaSql = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val viaApi = idx.query(
+        emb.where(col("external_id") < 8)
+          .select(col("external_id").as("qid"), col("vector").as("qvec")),
+        10, nprobe = 4)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    assert(viaSql === viaApi)
+    // output schema unchanged by the rewrite (no leaked probe column)
+    assert(df.columns.toSeq === Seq("qid", "external_id", "rn"))
+  }
+
   test("negative-radius rewrite preserves NULL semantics on nullable vectors") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_ext_null").toString
