@@ -511,6 +511,17 @@ object SparkEntry {
     Dedup.ngramJaccardPairs(docs(spark, dir), 0.8, Seq("lang", "source"))
       .orderBy("id_a", "id_b")
 
+  /** Test-set decontamination: every 10th document plays the held-out
+    * benchmark; the rest of the corpus is scored for shingle overlap
+    * against it. */
+  private def textDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    Dedup.contaminationHits(
+        d.where(col("doc_id") % 10 =!= 0),
+        d.where(col("doc_id") % 10 === 0))
+      .orderBy("doc_id")
+  }
+
   private def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshPairs(docs(spark, dir), 0.8).orderBy("id_a", "id_b")
 
@@ -664,6 +675,7 @@ object SparkEntry {
     "text_redact_pii" -> (textRedactPii _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "text_decontaminate" -> (textDecontaminate _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
@@ -769,6 +781,14 @@ object SparkEntry {
          |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
          |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
          |ORDER BY id_a, id_b""".stripMargin,
+    "text_decontaminate" ->
+      s"""$shingleCte,
+         |b AS (SELECT DISTINCT unnest(sh) AS sh FROM s WHERE doc_id % 10 = 0),
+         |c AS (SELECT doc_id, unnest(sh) AS sh FROM s WHERE doc_id % 10 <> 0)
+         |SELECT c.doc_id, count(*)::BIGINT AS n_overlap
+         |FROM c JOIN b USING (sh)
+         |GROUP BY c.doc_id
+         |ORDER BY c.doc_id""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""$shingleCte
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b

@@ -112,6 +112,34 @@ object Dedup {
     size(array_intersect(a, b)).cast("double") /
       size(array_distinct(concat(a, b))).cast("double")
 
+  /** Test-set decontamination (training-data hygiene): per corpus document,
+    * how many of its distinct 3-shingles also appear in `benchmark` (a
+    * held-out eval set whose n-grams must not leak into training data).
+    * Output: (doc_id, n_overlap) for documents sharing >= `minOverlap`
+    * shingles — the rows to drop or audit before training.
+    *
+    * Scale shape: the corpus side explodes its shingle SET (already
+    * distinct per doc) and joins on the shingle string; the benchmark side
+    * is distinct-collapsed and small by nature (eval sets are thousands of
+    * documents, not billions), so the planner broadcasts it and the corpus
+    * never shuffles — one scan + map-side semi work + a keyed count. */
+  def contaminationHits(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      minOverlap: Int = 1,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val corpusSh = docs.select(col(idCol).as("doc_id"),
+      explode(TextOps.shingleSet(col(textCol))).as("sh"))
+    val benchSh = benchmark
+      .select(explode(TextOps.shingleSet(col(textCol))).as("sh"))
+      .distinct()
+    corpusSh.join(benchSh, Seq("sh"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_overlap"))
+      .where(col("n_overlap") >= minOverlap)
+  }
+
   /** MinHash + banded LSH near-dup pairs over 3-shingle sets
     * (numHashes = bands x rowsPerBand signatures).
     *

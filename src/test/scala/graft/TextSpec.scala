@@ -48,6 +48,34 @@ class TextSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().nonEmpty)
   }
 
+  test("decontamination flags benchmark-overlapping documents only") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely unrelated words describing nothing shared at all here"),
+      (3L, "partially shared the quick brown fox appears again")
+    ).toDF("doc_id", "text")
+    val benchmark = Seq(
+      (100L, "the quick brown fox jumps over something else")
+    ).toDF("doc_id", "text")
+    val hits = Dedup.contaminationHits(corpus, benchmark)
+      .as[(Long, Long)].collect().toMap
+    // doc 1 shares "the quick brown" / "quick brown fox" / "brown fox jumps"
+    // / "fox jumps over"; doc 3 shares the first two; doc 2 shares none
+    assert(hits(1L) === 4)
+    assert(hits(3L) === 2)
+    assert(!hits.contains(2L))
+    // minOverlap raises the bar
+    val strict = Dedup.contaminationHits(corpus, benchmark, minOverlap = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(strict.keySet === Set(1L))
+    // scale shape: the benchmark side broadcasts, the corpus side never
+    // shuffles before the final keyed count
+    val plan = Dedup.contaminationHits(corpus, benchmark)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
   test("dedup switches to reliable checkpoints when a checkpoint dir is set") {
     import spark.implicits._
     val base = Dedup.minhashLshPairs(docs, 0.8).as[(Long, Long)].collect().toSet
