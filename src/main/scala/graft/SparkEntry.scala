@@ -251,20 +251,22 @@ object SparkEntry {
     idsOnly(VectorIndex.open(spark, uri).query(idxQueries(spark, dir), K))
   }
 
-  /** Shard-ROUTED VAMANA search: boundary-replicated 8-shard build, each
-    * query beam-searches only its top-3 shards by shard-centroid distance
-    * (the 100 TB scale path — fan-out S per query instead of O(shards);
-    * recall surface in PERF.md, gate spec-tested in IndexSpec). Approximate
-    * → rows-only. */
+  /** Shard-ROUTED VAMANA search at the PERF.md sweep-validated config
+    * (16 shards × 3 boundary replicas, S=4 probes → recall 0.927 on the
+    * adversarial fixture): each query beam-searches only its top-4 shards
+    * by shard-centroid distance, and the probed-shard set prunes the
+    * base/graph scans physically (the 100 TB scale path — fan-out AND
+    * reads are O(S) per query instead of O(shards)). Approximate →
+    * rows-only. */
   private def vamanaKnnRouted(spark: SparkSession, dir: String): DataFrame = {
     val uri = cachedIndex("vamana_routed", dir) { u =>
       Ingest.ingest(spark, u, embAsIndexInput(spark, dir), "VAMANA",
         DistanceMetric.L2, timestamp = 1000L,
-        partitions = Some(8), shardReplicas = Some(2))
+        partitions = Some(16), shardReplicas = Some(3))
     }
     idsOnly(VectorIndex.open(spark, uri).asInstanceOf[graft.index.VamanaIndex]
       .queryLSearch(idxQueries(spark, dir), K,
-        lSearch = graft.index.VamanaIndex.DefaultLSearch, nprobeShards = 3))
+        lSearch = graft.index.VamanaIndex.DefaultLSearch, nprobeShards = 4))
   }
 
   /** Export embeddings to .fvecs, read back through the binary-format

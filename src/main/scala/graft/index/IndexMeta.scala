@@ -1,7 +1,6 @@
 package graft.index
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardOpenOption}
 
 import org.json4s._
 import org.json4s.jackson.JsonMethods
@@ -65,9 +64,21 @@ object IndexMeta {
   val StorageVersion = "0.3" // mirrors the reference's current version
   // (reference: src/include/index/index_defs.h:75, storage_formats.py:48)
 
+  /** index.json IO runs through the Hadoop FileSystem API so index roots on
+    * any Spark-readable scheme (hdfs://, s3a://, ...) work, not just local
+    * paths. */
+  private def hconf(): org.apache.hadoop.conf.Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
+  private def metaPath(rootDir: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(rootDir, "index.json")
+
   def write(rootDir: String, meta: IndexMeta): Unit = {
-    val dir = Paths.get(rootDir)
-    Files.createDirectories(dir)
+    val p = metaPath(rootDir)
+    val fs = p.getFileSystem(hconf())
+    fs.mkdirs(p.getParent)
     val json = Serialization.writePretty(Map(
       "dataset_type" -> "vector_search",
       "index_type" -> meta.indexType,
@@ -83,16 +94,20 @@ object IndexMeta {
       "l_build" -> meta.lBuild,
       "r_max_degree" -> meta.rMaxDegree,
       "shard_replicas" -> meta.shardReplicas))
-    Files.write(dir.resolve("index.json"), json.getBytes(StandardCharsets.UTF_8),
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
-      StandardOpenOption.WRITE)
+    val out = fs.create(p, true)
+    try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
   }
 
   val SupportedVersions = Set("0.1", "0.2", "0.3")
 
   def read(rootDir: String): IndexMeta = {
-    val raw = new String(
-      Files.readAllBytes(Paths.get(rootDir).resolve("index.json")), StandardCharsets.UTF_8)
+    val p = metaPath(rootDir)
+    val fs = p.getFileSystem(hconf())
+    val in = fs.open(p)
+    val raw =
+      try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), StandardCharsets.UTF_8)
+      finally in.close()
     val j = JsonMethods.parse(raw)
     val sv = (j \ "storage_version").extract[String]
     require(SupportedVersions.contains(sv),
@@ -113,6 +128,8 @@ object IndexMeta {
       shardReplicas = (j \ "shard_replicas").extractOrElse[Int](1))
   }
 
-  def exists(rootDir: String): Boolean =
-    Files.exists(Paths.get(rootDir).resolve("index.json"))
+  def exists(rootDir: String): Boolean = {
+    val p = metaPath(rootDir)
+    p.getFileSystem(hconf()).exists(p)
+  }
 }

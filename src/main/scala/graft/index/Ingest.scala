@@ -217,7 +217,7 @@ object Ingest {
       // pre-clean leftovers from previously FAILED staged ingests at this
       // uri (an abandoned attempt cannot delete its own copy mid-exception;
       // the next attempt reclaims the space before writing its own)
-      Storage.deleteRecursively(java.nio.file.Paths.get(s"$uri/input_vectors"))
+      Storage.deleteRecursively(s"$uri/input_vectors")
       base1.write.mode("overwrite").parquet(s"$uri/input_vectors/v=$timestamp")
       spark.read.parquet(s"$uri/input_vectors/v=$timestamp")
     } else base1
@@ -401,7 +401,7 @@ object Ingest {
     IndexMeta.write(uri, meta)
     // staging copy served its purpose once the partitioned base is written
     if (stageInputs)
-      Storage.deleteRecursively(java.nio.file.Paths.get(s"$uri/input_vectors/v=$timestamp"))
+      Storage.deleteRecursively(s"$uri/input_vectors/v=$timestamp")
     // Open at latest (not at `timestamp`) so subsequently-appended updates
     // are visible through the returned handle, matching the reference's
     // `return index.open(...)` at current time (ingestion.py:3418).

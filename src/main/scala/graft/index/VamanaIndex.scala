@@ -227,8 +227,10 @@ class VamanaIndex(spark: SparkSession, uri: String, meta: IndexMeta, ts: Long,
     * (the IVF nprobe trick applied to the graph shards; reference analogue:
     * detail/ivf/partition.h:57-65 — the reference has no counterpart for the
     * all-shard fan-out because it builds ONE graph, ingestion.py:2572-2595).
-    * `nprobeShards <= 0` searches every shard (the exactness-preserving
-    * default). Routed searches keep full updates-merge semantics. */
+    * `nprobeShards` > 0 routes; < 0 FORCES the exactness-preserving
+    * all-shard search regardless of the session conf; 0 inherits
+    * `spark.graft.vamana.nprobeShards` (default: all shards). Routed
+    * searches keep full updates-merge semantics. */
   def queryLSearch(queries: DataFrame, k: Int, lSearch: Int, nprobeShards: Int): DataFrame =
     withNprobeShards(nprobeShards).query(queries, k, nprobe = lSearch)
 
@@ -237,11 +239,12 @@ class VamanaIndex(spark: SparkSession, uri: String, meta: IndexMeta, ts: Long,
     new VamanaIndex(spark, uri, meta, readTimestamp, s)
 
   /** Shard k-means centroids, in shard_id order; empty for single-shard
-    * builds (which write no centroids). */
+    * builds (which write no centroids). Existence checked through the
+    * Hadoop FS API — a java.nio check would silently disable routing and
+    * incremental consolidation for non-local index URIs. */
   lazy val shardCentroids: Array[Array[Float]] =
-    if (historyIdx < 0 ||
-        !java.nio.file.Files.exists(
-          java.nio.file.Paths.get(s"$uri/centroids/v=$baseTimestamp"))) Array.empty
+    if (historyIdx < 0 || !Storage.exists(s"$uri/centroids/v=$baseTimestamp"))
+      Array.empty
     else spark.read.parquet(s"$uri/centroids/v=$baseTimestamp")
       .orderBy("partition_id")
       .collect()
@@ -303,17 +306,25 @@ class VamanaIndex(spark: SparkSession, uri: String, meta: IndexMeta, ts: Long,
     val affected = (removalShards ++ addShards).distinct.sorted.toSeq
     val untouched = (0 until currentShards).filterNot(affected.contains)
 
+    // A FAILED prior attempt at this timestamp (crash after some writes,
+    // before the meta commit) must not poison the retry: the appends below
+    // would otherwise duplicate every affected shard's rows. The version
+    // becomes visible only at the meta write, so reclaiming the partial
+    // output is safe.
+    Seq("base", "graph", "centroids").foreach { layer =>
+      Storage.deleteRecursively(s"$uri/$layer/v=$newTs")
+    }
+
     // 1. untouched shards: byte-identical copies of base + graph partitions
-    val fs = java.nio.file.Paths.get(uri)
     untouched.foreach { sid =>
       Seq("base", "graph").foreach { layer =>
-        val src = fs.resolve(s"$layer/v=$baseTimestamp/shard_id=$sid")
-        if (java.nio.file.Files.exists(src))
-          Storage.copyRecursively(src, fs.resolve(s"$layer/v=$newTs/shard_id=$sid"))
+        val src = s"$uri/$layer/v=$baseTimestamp/shard_id=$sid"
+        if (Storage.exists(src))
+          Storage.copyRecursively(src, s"$uri/$layer/v=$newTs/shard_id=$sid")
       }
     }
-    Storage.copyRecursively(fs.resolve(s"centroids/v=$baseTimestamp"),
-      fs.resolve(s"centroids/v=$newTs"))
+    Storage.copyRecursively(s"$uri/centroids/v=$baseTimestamp",
+      s"$uri/centroids/v=$newTs")
 
     // 2. affected shards: new membership = kept old rows + packed additions
     if (affected.nonEmpty) {
@@ -397,10 +408,15 @@ class VamanaIndex(spark: SparkSession, uri: String, meta: IndexMeta, ts: Long,
     // every shard is searched (exact merge of all shard beams).
     val shardIds = spark.read.parquet(s"$uri/graph/v=$baseTimestamp")
       .select("shard_id").distinct().as[Int].collect().sorted.toSeq
-    val effProbe = if (nprobeShards != 0) nprobeShards
-      else spark.conf.getOption(VamanaIndex.NprobeShardsKey).map(_.toInt).getOrElse(0)
+    // > 0 routes; < 0 forces all-shard (overriding the conf); 0 inherits
+    // the session conf (default all-shard)
+    val effProbe =
+      if (nprobeShards > 0) nprobeShards
+      else if (nprobeShards < 0) 0
+      else spark.conf.getOption(VamanaIndex.NprobeShardsKey).map(_.toInt)
+        .getOrElse(0)
     val routed = effProbe > 0 && shardCentroids.length > 1 && effProbe < shardIds.length
-    val qRep = (if (routed) {
+    val qRep0 = (if (routed) {
       import org.apache.spark.sql.graftshim.{toColumn, toExpression}
       qn.select(col("qid"), col("qvec"),
           explode(toColumn(graft.functions.NearestCentroids(
@@ -410,6 +426,11 @@ class VamanaIndex(spark: SparkSession, uri: String, meta: IndexMeta, ts: Long,
       qn.withColumn("shard_id", explode(typedlit(shardIds)))
         .select(col("shard_id"), col("qid"), col("qvec"))
     }).as[(Int, Long, Array[Float])]
+    // Routed path evaluates qRep TWICE (active-shard collect + cogroup);
+    // localCheckpoint materializes the (batch-sized) probe frame once so a
+    // derived/expensive query source isn't recomputed, and the ContextCleaner
+    // releases the blocks when the plan is unreferenced.
+    val qRep = if (routed) qRep0.localCheckpoint() else qRep0
 
     // Routed queries only touch their probed shards' FILES: base and graph
     // are disk-partitioned by shard_id, so a `shard_id IN (...)` over the

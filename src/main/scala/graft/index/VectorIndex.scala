@@ -95,10 +95,8 @@ abstract class VectorIndex(
   protected def updatesPath: String = s"$uri/updates"
 
   protected def updatesLog(): Option[DataFrame] =
-    if (Files.exists(Paths.get(updatesPath)) &&
-        Files.list(Paths.get(updatesPath)).findFirst().isPresent) {
-      Some(spark.read.parquet(updatesPath))
-    } else None
+    if (Storage.nonEmptyDir(updatesPath)) Some(spark.read.parquet(updatesPath))
+    else None
 
   /** Updates visible at this read: ts in (base_ts, read_ts]. */
   protected def updatesInWindow(): Option[DataFrame] = updatesLog().map { log =>
@@ -303,17 +301,15 @@ abstract class VectorIndex(
   def consolidateUpdatesLog(maxFragments: Int = 10): Boolean = {
     updatesLog() match {
       case Some(log) =>
-        val paths = Files.list(Paths.get(updatesPath)).filter(p =>
-          p.getFileName.toString.endsWith(".parquet"))
-          .toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
-        val fragments = paths.length
-        if (fragments > maxFragments) {
-          val totalBytes = paths.map(Files.size).sum
+        val frags = Storage.listFiles(updatesPath)
+          .filter(_._1.endsWith(".parquet"))
+        if (frags.length > maxFragments) {
+          val totalBytes = frags.map(_._2).sum
           val nOut = math.max(1, (totalBytes / (128L << 20)).toInt)
           val tmp = s"$uri/updates_compact"
           log.repartition(nOut).write.mode("overwrite").parquet(tmp)
-          Storage.deleteRecursively(Paths.get(updatesPath))
-          Files.move(Paths.get(tmp), Paths.get(updatesPath))
+          Storage.deleteRecursively(updatesPath)
+          Storage.move(tmp, updatesPath)
           true
         } else false
       case None => false
@@ -349,8 +345,10 @@ abstract class VectorIndex(
     val keep = meta.ingestionTimestamps.zipWithIndex.filter { case (t, _) => t >= ts }
     val dropTs = meta.ingestionTimestamps.filter(_ < ts)
     dropTs.foreach { t =>
-      Storage.deleteRecursively(Paths.get(s"$uri/base/v=$t"))
-      Storage.deleteRecursively(Paths.get(s"$uri/centroids/v=$t"))
+      Storage.deleteRecursively(s"$uri/base/v=$t")
+      Storage.deleteRecursively(s"$uri/centroids/v=$t")
+      Storage.deleteRecursively(s"$uri/graph/v=$t") // VAMANA adjacency
+      Storage.deleteRecursively(s"$uri/pq_codebooks/v=$t") // IVF_PQ codebooks
     }
     val keepIdx = keep.map(_._2).toSet
     IndexMeta.write(uri, meta.copy(
@@ -396,26 +394,63 @@ object VectorIndex {
   }
 }
 
+/** Index-storage file operations through the Hadoop FileSystem API, so
+  * every index URI scheme Spark can read (file://, hdfs://, s3a://, ...)
+  * also supports the maintenance paths (updates-log compaction, history
+  * clearing, incremental consolidation copies). nio.Files would silently
+  * restrict these to the local filesystem — the 100 TB design point keeps
+  * indexes on shared storage. */
 private[index] object Storage {
-  def deleteRecursively(p: java.nio.file.Path): Unit =
-    if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.delete(f))
-    }
+  private def conf(): org.apache.hadoop.conf.Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
+  private def fsOf(p: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.FileSystem =
+    p.getFileSystem(conf())
+
+  def exists(p: String): Boolean = {
+    val h = new org.apache.hadoop.fs.Path(p)
+    fsOf(h).exists(h)
+  }
+
+  /** Directory exists and holds at least one entry. */
+  def nonEmptyDir(p: String): Boolean = {
+    val h = new org.apache.hadoop.fs.Path(p)
+    val fs = fsOf(h)
+    fs.exists(h) && fs.listStatus(h).nonEmpty
+  }
+
+  /** (name, length) of the plain files directly under `p`. */
+  def listFiles(p: String): Seq[(String, Long)] = {
+    val h = new org.apache.hadoop.fs.Path(p)
+    val fs = fsOf(h)
+    if (!fs.exists(h)) Seq.empty
+    else fs.listStatus(h).filter(_.isFile)
+      .map(s => (s.getPath.getName, s.getLen)).toSeq
+  }
+
+  def deleteRecursively(p: String): Unit = {
+    val h = new org.apache.hadoop.fs.Path(p)
+    val fs = fsOf(h)
+    if (fs.exists(h)) { fs.delete(h, true); () }
+  }
+
+  def move(src: String, dst: String): Unit = {
+    val s = new org.apache.hadoop.fs.Path(src)
+    val d = new org.apache.hadoop.fs.Path(dst)
+    require(fsOf(s).rename(s, d), s"graft: rename $src -> $dst failed")
+  }
 
   /** Byte-preserving directory copy (incremental VAMANA consolidation copies
     * untouched shard partitions into the new version verbatim). */
-  def copyRecursively(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
-    Files.walk(src).forEach { f =>
-      val target = dst.resolve(src.relativize(f))
-      if (Files.isDirectory(f)) Files.createDirectories(target)
-      else {
-        Files.createDirectories(target.getParent)
-        Files.copy(f, target,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-          java.nio.file.StandardCopyOption.COPY_ATTRIBUTES)
-      }
-    }
+  def copyRecursively(src: String, dst: String): Unit = {
+    val s = new org.apache.hadoop.fs.Path(src)
+    val d = new org.apache.hadoop.fs.Path(dst)
+    val fs = fsOf(s)
+    require(org.apache.hadoop.fs.FileUtil.copy(fs, s, fsOf(d), d,
+      false /* deleteSource */, true /* overwrite */, conf()),
+      s"graft: copy $src -> $dst failed")
   }
 }
 

@@ -54,20 +54,26 @@ object SubprocessEmbedding {
   private val procs = TrieMap.empty[Seq[String], Encoder]
 
   /** Dead encoders are evicted so a Spark task RETRY restarts the process
-    * instead of re-failing against the corpse. */
-  private[objects] def ensure(command: Seq[String]): Encoder = {
-    val e = procs.getOrElseUpdate(command, new Encoder(command))
-    if (e.alive) e
-    else {
-      procs.remove(command, e)
-      procs.getOrElseUpdate(command, new Encoder(command))
+    * instead of re-failing against the corpse. Creation is under a lock:
+    * `TrieMap.getOrElseUpdate` may evaluate the thunk concurrently, and a
+    * losing thread would have already spawned a full model process that
+    * nothing ever uses or stops. */
+  private[objects] def ensure(command: Seq[String]): Encoder = synchronized {
+    procs.get(command).filter(_.alive).getOrElse {
+      val e = new Encoder(command)
+      procs.put(command, e)
+      e
     }
   }
 
   private[objects] final class Encoder(command: Seq[String]) {
     private val p = {
       val pb = new ProcessBuilder(command: _*)
-      pb.redirectErrorStream(false)
+      // stderr flows to the executor's own stderr (visible in task logs).
+      // Leaving it an un-drained pipe would deadlock a chatty encoder: the
+      // ~64 KB pipe buffer fills, the child blocks on its next stderr
+      // write, and encode()'s readLine() below waits forever.
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
       pb.start()
     }
     private val in = new BufferedWriter(

@@ -43,6 +43,13 @@ object IndexCatalog {
 
   def lookup(qualifiedPath: String): Option[Entry] = reg.get(qualifiedPath)
 
+  /** Drop every registration under a path prefix. Consolidation registers
+    * the new version's base path and calls this for the index root — without
+    * it, each consolidated version would leak a full centroid array
+    * (~100 MB at the 100 TB posture) into a long-serving driver. */
+  def unregisterPrefix(qualifiedPrefix: String): Unit =
+    reg.keys.filter(_.startsWith(qualifiedPrefix)).foreach(reg.remove)
+
   def clear(): Unit = reg.clear()
 }
 
@@ -69,6 +76,9 @@ object GraftSql {
         val np = if (nprobe > 0) math.min(nprobe, ivf.centroids.length)
           else math.max(1, math.sqrt(ivf.centroids.length.toDouble).toInt)
         val ts = idx.meta.ingestionTimestamps(idx.meta.historyIndex(Long.MaxValue))
+        // superseded versions' centroid arrays would otherwise accumulate
+        // in the driver across consolidations
+        IndexCatalog.unregisterPrefix(IndexCatalog.qualify(spark, s"$uri/base"))
         IndexCatalog.register(IndexCatalog.qualify(spark, s"$uri/base/v=$ts"),
           IndexCatalog.Entry(ivf.centroids, np, idx.metric))
       case _ => ()
@@ -76,13 +86,28 @@ object GraftSql {
     idx
   }
 
+  /** Forget a registered view: drops the temp view, its probe-catalog
+    * entries, and the consolidation-refresh tracking. */
+  def unregisterIndexTable(spark: SparkSession, name: String): Unit =
+    registered.remove(name).foreach { case (uri, _) =>
+      IndexCatalog.unregisterPrefix(IndexCatalog.qualify(spark, s"$uri/base"))
+      spark.catalog.dropTempView(name)
+      ()
+    }
+
   /** Called by [[graft.index.VectorIndex.consolidateUpdates]]: any views
     * registered over `uri` are re-created against the new active version
-    * (fresh base path + centroids in the catalog; the old version's catalog
-    * entry is left behind — its path is no longer scanned). */
+    * (fresh base path + centroids in the catalog). A name whose temp view
+    * the user has since DROPPED is forgotten instead of resurrected — but a
+    * name the user dropped and re-bound to their own view cannot be
+    * distinguished from ours and will be re-pointed; call
+    * [[unregisterIndexTable]] when retiring a registered name. */
   def onIndexMutated(spark: SparkSession, uri: String): Unit =
     registered.foreach { case (name, (u, np)) =>
-      if (u == uri) registerIndexTable(spark, name, u, np)
+      if (u == uri) {
+        if (spark.catalog.tableExists(name)) registerIndexTable(spark, name, u, np)
+        else registered.remove(name)
+      }
     }
 }
 

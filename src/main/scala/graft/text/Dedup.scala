@@ -134,7 +134,11 @@ object Dedup {
     val benchSh = benchmark
       .select(explode(TextOps.shingleSet(col(textCol))).as("sh"))
       .distinct()
-    corpusSh.join(benchSh, Seq("sh"))
+    // the hint is load-bearing: a benchmark derived by FILTERING a big
+    // table carries the parent's size estimate, and without the hint the
+    // planner would sort-merge — shuffling the exploded corpus shingles,
+    // orders of magnitude more data than the corpus itself
+    corpusSh.join(broadcast(benchSh), Seq("sh"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_overlap"))
       .where(col("n_overlap") >= minOverlap)

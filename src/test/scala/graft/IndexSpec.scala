@@ -202,11 +202,14 @@ class IndexSpec extends AnyFunSuite {
     // rank-1 self-hits survive maximal routing.
     val s1 = idx.queryLSearch(queries10, 10, lSearch = 100, nprobeShards = 1)
     assert(s1.where(col("rank") === 1 && col("qid") === col("id")).count() === 10)
-    // session-conf default applies when the parameter is not set
+    // session-conf default applies when the parameter is not set;
+    // nprobeShards = -1 FORCES the exact all-shard merge past the conf
     spark.conf.set(graft.index.VamanaIndex.NprobeShardsKey, "2")
     try {
       val viaConf = idx.query(queries10, 10)
       assert(recallOf(viaConf) >= 0.85)
+      val forced = idx.queryLSearch(queries10, 10, lSearch = 100, nprobeShards = -1)
+      assert(recallOf(forced) >= 0.95, "forced all-shard should be (near-)exact")
     } finally spark.conf.unset(graft.index.VamanaIndex.NprobeShardsKey)
     // updates-merge semantics compose with routing: a deleted id disappears
     idx.deleteBatch(corpus.where(col("external_id") === 0L), ts = 1100L)
@@ -295,6 +298,31 @@ class IndexSpec extends AnyFunSuite {
     val merged = emb.where(col("external_id") =!= 7L).unionByName(newVec)
     val exact = exactIds(merged, 10)
     assert(gotIds(after.query(queries10, 10)) === exact)
+  }
+
+  test("VAMANA incremental consolidation reclaims a failed prior attempt") {
+    import spark.implicits._
+    val uri = tmp()
+    Ingest.ingest(spark, uri, emb, "VAMANA", DistanceMetric.L2,
+      timestamp = 1000L, partitions = Some(4))
+    VectorIndex.open(spark, uri).updateBatch(
+      emb.where(col("external_id") === 7L)
+        .select(col("external_id"), reverse(col("vector")).as("vector")), ts = 1100L)
+    // simulate a crashed earlier consolidation at ts=2000: a full stale
+    // copy of the old base/graph already sits at v=2000 (never committed
+    // to index.json) — the retry must reclaim it, not append next to it
+    for (layer <- Seq("base", "graph"))
+      graft.index.TestHooks.copyDir(s"$uri/$layer/v=1000", s"$uri/$layer/v=2000")
+    val after = VectorIndex.open(spark, uri).consolidateUpdates(newTs = 2000L)
+    // no duplicated rows: one base row per (shard, id), 500 logical ids
+    assert(after.baseVectors().count() === 500)
+    val dupGraph = spark.read.parquet(s"$uri/graph/v=2000")
+      .groupBy("shard_id", "external_id").count().where(col("count") > 1).count()
+    assert(dupGraph === 0, "retried consolidation duplicated graph rows")
+    val merged = emb.where(col("external_id") =!= 7L).unionByName(
+      emb.where(col("external_id") === 7L)
+        .select(col("external_id"), reverse(col("vector")).as("vector")))
+    assert(gotIds(after.query(queries10, 10)) === exactIds(merged, 10))
   }
 
   test("IVF consolidate with copy-centroids reuses the trained centroids") {
