@@ -513,6 +513,14 @@ object SparkEntry {
     Dedup.ngramJaccardPairs(docs(spark, dir), 0.8, Seq("lang", "source"))
       .orderBy("id_a", "id_b")
 
+  /** Token-budgeted training-mix composition: 200 tokens per (lang,
+    * source) bucket, documents prioritized by id (deterministic). */
+  private def textMixBudget(spark: SparkSession, dir: String): DataFrame =
+    TextOps.sampleByTokenBudget(docs(spark, dir), tokenBudget = 200,
+        bucketCols = Seq("lang", "source"), orderCol = col("doc_id"))
+      .select(col("doc_id"), col("n_tokens"), col("cum_tokens"))
+      .orderBy("doc_id")
+
   /** Test-set decontamination: every 10th document plays the held-out
     * benchmark; the rest of the corpus is scored for shingle overlap
     * against it. */
@@ -678,6 +686,7 @@ object SparkEntry {
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "text_decontaminate" -> (textDecontaminate _),
+    "text_mix_budget" -> (textMixBudget _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
@@ -783,6 +792,16 @@ object SparkEntry {
          |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
          |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
          |ORDER BY id_a, id_b""".stripMargin,
+    "text_mix_budget" ->
+      """SELECT doc_id, n_tokens, cum_tokens FROM (
+        |  SELECT doc_id,
+        |         len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_tokens,
+        |         sum(len(regexp_split_to_array(trim(text), '\s+'))::BIGINT)
+        |           OVER (PARTITION BY lang, source ORDER BY doc_id
+        |                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        |  FROM documents)
+        |WHERE cum_tokens - n_tokens < 200
+        |ORDER BY doc_id""".stripMargin,
     "text_decontaminate" ->
       s"""$shingleCte,
          |b AS (SELECT DISTINCT unnest(sh) AS sh FROM s WHERE doc_id % 10 = 0),

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis primitives for large-scale training-data pipelines, built
@@ -22,6 +22,40 @@ object TextOps {
   def tokenCount(text: Column): Column = size(tokens(text))
 
   def distinctTokens(text: Column): Column = array_distinct(tokens(text))
+
+  /** Token-budgeted mixture composition: within each `bucketCols` group
+    * (source, language, quality band, ...), keep documents in `orderCol`
+    * priority order while the RUNNING token total before the document is
+    * under that bucket's `tokenBudget` — the standard way a training mix is
+    * assembled ("N tokens of source A, M of source B"). Deterministic: a
+    * priority order plus a budget IS the sample, re-runs agree, and the
+    * DuckDB window-cumsum oracle checks it exactly.
+    *
+    * Output: the surviving rows plus (n_tokens, cum_tokens).
+    *
+    * Scale note: the window sorts each bucket — fine for realistic mixes
+    * (buckets = sources/languages, orderCol = a quality score or hash). A
+    * single colossal bucket inherits the usual window-skew remedy: split it
+    * with a salted sub-bucket first, or pre-filter with an approximate
+    * quantile cutoff on the priority before the exact pass. */
+  def sampleByTokenBudget(
+      docs: DataFrame,
+      tokenBudget: Long,
+      bucketCols: Seq[String],
+      orderCol: Column,
+      textCol: String = "text"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(bucketCols.map(col): _*)
+      .orderBy(orderCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    docs
+      .withColumn("n_tokens", tokenCount(col(textCol)).cast("long"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      // a document is in while the budget was not already spent BEFORE it:
+      // the boundary document that crosses the budget is kept (its prefix
+      // was funded), everything after is out
+      .where(col("cum_tokens") - col("n_tokens") < tokenBudget)
+  }
 
   /** Distinct 3-token shingle set — the unit of n-gram Jaccard similarity
     * (documents with < 3 tokens degenerate to a single whole-text shingle

@@ -48,6 +48,26 @@ class TextSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().nonEmpty)
   }
 
+  test("token-budget mixture keeps the funded prefix per bucket") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a", "one two three"),            // 3 tokens, cum 3
+      (2L, "a", "four five six seven"),      // 4 tokens, cum 7 (crosses 6)
+      (3L, "a", "eight nine"),               // prefix spent: out
+      (10L, "b", "x y z w v u t s")          // 8 tokens, crosses alone: in
+    ).toDF("doc_id", "src", "text")
+    val kept = TextOps.sampleByTokenBudget(corpus, tokenBudget = 6,
+        bucketCols = Seq("src"), orderCol = col("doc_id"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // doc 2 crosses the budget but its prefix was funded -> kept; doc 3's
+    // budget was spent before it -> out; bucket b's first doc always in
+    assert(kept === Seq(1L, 2L, 10L))
+    // determinism: same priority order -> same sample
+    val again = TextOps.sampleByTokenBudget(corpus, 6, Seq("src"), col("doc_id"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(again === kept)
+  }
+
   test("decontamination flags benchmark-overlapping documents only") {
     import spark.implicits._
     val corpus = Seq(
