@@ -68,10 +68,12 @@ object Ingest {
   }
 
   /** Auto partition count: √size, ≥100 vectors per partition for k-means
-    * (reference: ingestion.py:3180-3186). */
+    * (reference: ingestion.py:3180-3186). The min runs in the Long domain:
+    * `(size / 100).toInt` would wrap negative past ~2×10¹¹ rows and
+    * collapse a design-point-scale build to one partition. */
   def autoPartitions(size: Long): Int = {
-    val bySqrt = math.max(1, math.sqrt(size.toDouble).toInt)
-    math.max(1, math.min(bySqrt, (size / 100).toInt))
+    val bySqrt = math.max(1L, math.sqrt(size.toDouble).toLong)
+    math.max(1L, math.min(bySqrt, size / 100L)).min(Int.MaxValue.toLong).toInt
   }
 
   /** Training sample size: min(size, 100·partitions)
@@ -225,9 +227,19 @@ object Ingest {
     val dims = base.select(size(col("vector"))).head().getInt(0)
     val count = base.count()
 
+    // Preset centroids PIN the partition count: the assignment uses them
+    // verbatim, so the recorded layout must match their length — the
+    // reference makes the same partitions-match check on copy_centroids_uri
+    // (index.py:503-577). A contradictory explicit `partitions` is an error,
+    // not something to silently record.
+    presetCentroids.foreach { c =>
+      require(partitions.forall(_ == c.length),
+        s"graft: partitions=${partitions.get} contradicts ${c.length} preset centroids")
+    }
     val numParts: Int = indexType match {
       case "FLAT" => 0
-      case _ => partitions.getOrElse(autoPartitions(count))
+      case _ => presetCentroids.map(_.length)
+        .getOrElse(partitions.getOrElse(autoPartitions(count)))
     }
 
     require(dtype == "float32" || dtype == "uint8" || dtype == "int8",

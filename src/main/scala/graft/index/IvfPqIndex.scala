@@ -73,12 +73,18 @@ class IvfPqIndex(spark: SparkSession, uri: String, meta: IndexMeta, ts: Long)
     // ivf_pq_index.h:1181-1254; here arbitrarily large query batches stay
     // distributed — no driver-side table construction).
     val flatCb = Ingest.flattenCodebooks(codebooks, subDim)
+    // localCheckpoint: the pairs plan feeds the partition-count collect AND
+    // the scoring join — materializing once pins a nondeterministic query
+    // source (sample()/rand()-derived batches would otherwise probe one set
+    // of partitions and score another, silently losing candidates) and
+    // avoids re-computing a derived query frame per consumer.
     val pairs = queries.select(col("qid"), col("qvec"),
         toColumn(graft.functions.PqDistanceTable(
           toExpression(col("qvec")), flatCb, m, codesPer, subDim)).as("dtable"),
         explode(toColumn(graft.functions.NearestCentroids(
           toExpression(col("qvec")), centroids, nprobe))).as("partition_id"))
       .select("qid", "partition_id", "dtable", "qvec")
+      .localCheckpoint()
     val partCounts = pairs.groupBy("partition_id")
       .agg(count(lit(1)).as("cnt")).collect()
     val activeParts = partCounts.map(_.getInt(0)).sorted.toSeq
@@ -112,6 +118,9 @@ class IvfPqIndex(spark: SparkSession, uri: String, meta: IndexMeta, ts: Long)
       if (meta.dtype == "uint8" || meta.dtype == "int8")
         graft.operators.ByteKnn.score(metric, signed = meta.dtype == "int8")
       else DistanceMetric.score(metric)
+    // from the CHECKPOINTED pairs (not `queries`): reads the materialized
+    // snapshot instead of re-evaluating the query source a third time, and
+    // stays consistent with the probed partitions by construction
     val qvecs = pairs.select("qid", "qvec").dropDuplicates("qid")
     val candBytes = nq * kCand * 24L
     val qvecsBytes = nq * (24L + 4L * meta.dimensions)

@@ -232,13 +232,17 @@ object LocalKMeans {
     s
   }
 
-  private def chunkRanges(n: Int): Seq[(Int, Int)] = {
-    val nChunks = math.max(1, math.min(Runtime.getRuntime.availableProcessors(),
-      n / 1024 + 1))
-    val step = (n + nChunks - 1) / nChunks
-    (0 until nChunks).map(i => (i * step, math.min(n, (i + 1) * step)))
-      .filter { case (lo, hi) => lo < hi }
-  }
+  /** FIXED chunk size, not core-count-derived: the chunk boundaries decide
+    * the float-accumulation groupings, so tying them to
+    * availableProcessors would make "identical centroids for identical
+    * input" hold only between machines with the same core count (a
+    * consolidation run on a different driver would rebuild with subtly
+    * different centroids). 2048-row chunks keep every realistic sample
+    * wide enough to saturate the thread pool. */
+  private val ChunkRows = 2048
+
+  private def chunkRanges(n: Int): Seq[(Int, Int)] =
+    (0 until n by ChunkRows).map(lo => (lo, math.min(n, lo + ChunkRows)))
 
   private def awaitAll[T](fs: Seq[Future[T]]): Seq[T] =
     fs.map(f => Await.result(f, Duration.Inf))

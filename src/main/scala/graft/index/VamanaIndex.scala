@@ -198,7 +198,7 @@ object VamanaKernels {
   *
   * Storage: `base/v=<ts>` partitioned by shard_id (external_id, vector),
   * `graph/v=<ts>` adjacency rows (shard_id, external_id, neighbors,
-  * is_medoid), `shard_centroids/v=<ts>` when sharded. One shard = the
+  * is_medoid), `centroids/v=<ts>` (the shard map) when sharded. One shard = the
   * reference's single-node build; multiple shards = the 100 TB scale path
   * (independent per-shard builds, per-shard search tasks, global top-k
   * merge — each task holds one shard's graph only; queries broadcast).
@@ -373,10 +373,15 @@ class VamanaIndex(spark: SparkSession, uri: String, meta: IndexMeta, ts: Long,
     val addCnt = addsFloat.count()
     touchedIds.unpersist()
     addsAssigned.unpersist()
-    val newMeta = meta.copy(
-      ingestionTimestamps = meta.ingestionTimestamps :+ newTs,
-      baseSizes = meta.baseSizes :+ (meta.baseSizes(historyIdx) - removedCnt + addCnt),
-      partitionHistory = meta.partitionHistory :+ currentShards)
+    // extend the CURRENT on-disk metadata, not this handle's copy — other
+    // handles may have appended versions since it was opened
+    val cur = IndexMeta.read(uri)
+    require(cur.ingestionTimestamps.forall(_ < newTs),
+      s"consolidation timestamp $newTs must exceed on-disk ${cur.ingestionTimestamps}")
+    val newMeta = cur.copy(
+      ingestionTimestamps = cur.ingestionTimestamps :+ newTs,
+      baseSizes = cur.baseSizes :+ (meta.baseSizes(historyIdx) - removedCnt + addCnt),
+      partitionHistory = cur.partitionHistory :+ currentShards)
     IndexMeta.write(uri, newMeta)
     graft.plans.GraftSql.onIndexMutated(spark, uri)
     VectorIndex.open(spark, uri)

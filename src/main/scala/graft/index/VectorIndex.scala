@@ -111,25 +111,31 @@ abstract class VectorIndex(
   }
 
   /** Upsert a batch of (external_id, vector) at `ts`
-    * (reference: index.py:418-462 `update_batch`). */
+    * (reference: index.py:418-462 `update_batch`).
+    *
+    * The metadata flip re-reads index.json rather than rewriting this
+    * handle's in-memory copy: a consolidation through ANOTHER handle may
+    * have appended versions since this one was opened, and a stale-meta
+    * write would silently orphan them. */
   def updateBatch(vectors: DataFrame, ts: Long): Unit = {
     vectors.select(
         col("external_id").cast("long"),
         col("vector").cast("array<float>"),
         lit(ts).as("ts"))
       .write.mode("append").parquet(updatesPath)
-    IndexMeta.write(uri, meta.copy(hasUpdates = true))
+    IndexMeta.write(uri, IndexMeta.read(uri).copy(hasUpdates = true))
   }
 
   /** Tombstone a batch of ids at `ts`: vector = null
-    * (reference: index.py:464-501 — empty vector ⇒ delete). */
+    * (reference: index.py:464-501 — empty vector ⇒ delete). Metadata
+    * handling as in [[updateBatch]]. */
   def deleteBatch(ids: DataFrame, ts: Long): Unit = {
     ids.select(
         col("external_id").cast("long"),
         lit(null).cast("array<float>").as("vector"),
         lit(ts).as("ts"))
       .write.mode("append").parquet(updatesPath)
-    IndexMeta.write(uri, meta.copy(hasUpdates = true))
+    IndexMeta.write(uri, IndexMeta.read(uri).copy(hasUpdates = true))
   }
 
   /** Merge base + updates into a fresh base version at `newTs`
@@ -537,11 +543,16 @@ class IvfFlatIndex(spark: SparkSession, uri: String, meta: IndexMeta, ts: Long)
     // arbitrarily large). Only the distinct ACTIVE partition ids (≤
     // partitions ints) and their counts come back to the driver: the ids
     // drive parquet partition pruning, the summed count sizes the join side.
+    // localCheckpoint: the pairs plan feeds both the count collect and the
+    // scoring join — one materialization pins nondeterministic query
+    // sources (else the probed and scored partition sets could disagree)
+    // and avoids re-computing a derived query frame per consumer.
     import org.apache.spark.sql.graftshim.{toColumn, toExpression}
     val pairs = qn.select(col("qid"), col("qvec"),
         explode(toColumn(graft.functions.NearestCentroids(
           toExpression(col("qvec")), centroids, nprobe))).as("partition_id"))
       .select("qid", "partition_id", "qvec")
+      .localCheckpoint()
     val partCounts = pairs.groupBy("partition_id")
       .agg(count(lit(1)).as("cnt")).collect()
     val activeParts = partCounts.map(_.getInt(0)).sorted.toSeq

@@ -143,7 +143,12 @@ object Knn {
       // compare in SOS space: radius^2 bound, no sqrt per row
       case DistanceMetric.L2 =>
         graft.functions.dist_sos(col("__vec"), col("__qvec"))
-      case m => DistanceMetric.score(m)(col("__vec"), col("__qvec"))
+      // the radius contract is on the REPORTED distance; for IP that is
+      // 1/dot (0/negative dot → MAX, i.e. always outside any finite
+      // radius) — filtering on the raw heap score (-dot) would admit
+      // nearly everything
+      case m => DistanceMetric.reportedDistance(m)(
+        DistanceMetric.score(m)(col("__vec"), col("__qvec")))
     }
     val bound = metric match {
       case DistanceMetric.L2 => lit((radius * radius).toFloat)

@@ -38,7 +38,7 @@ object KnnGraph {
     val parts = if (partitions > 0) partitions else Ingest.autoPartitions(n)
     val probes = math.min(math.max(1, nprobe), parts)
     val centroids = Ingest.trainCentroids(d.withColumnRenamed("__vec", "vector"),
-      parts, Ingest.autoTrainingSize(n, parts))
+      parts, Ingest.autoTrainingSize(n, parts), totalRows = n) // no re-count scan
 
     val home = d.withColumn("__pid",
       toColumn(NearestCentroid(toExpression(col("__vec")), centroids)))

@@ -218,6 +218,14 @@ class IndexSpec extends AnyFunSuite {
     assert(afterDel.where(col("id") === 0L).count() === 0)
   }
 
+  test("autoPartitions stays sane at design-point scale (no Int wrap)") {
+    import graft.index.Ingest
+    // 3e11 rows: (size/100).toInt used to wrap negative and collapse to 1
+    assert(Ingest.autoPartitions(300L * 1000 * 1000 * 1000) === 547722)
+    assert(Ingest.autoPartitions(100) === 1)
+    assert(Ingest.autoPartitions(10000) === 100)
+  }
+
   test("VAMANA auto-shards by size and exposes l_build / r_max_degree") {
     import graft.index.VamanaIndex
     // a >=100k-vector corpus defaults to multiple shards; small stays 1
