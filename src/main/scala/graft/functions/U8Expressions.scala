@@ -88,7 +88,14 @@ case class U8DotProduct(left: Expression, right: Expression, signed: Boolean = f
     nullSafeCodeGen(ctx, ev, (q, v) => {
       val i = ctx.freshName("i"); val s = ctx.freshName("s")
       val w = if (signed) s"(float) $v[$i]" else s"(float) ($v[$i] & 0xFF)"
+      // same dim check as the interpreted path: without it a short query
+      // reads past the array on UnsafeArrayData — silent garbage, and
+      // codegen/fallback would disagree
       s"""
+         |if ($q.numElements() != $v.length) {
+         |  throw new IllegalArgumentException("graft: vector dimension mismatch: "
+         |    + $q.numElements() + " vs " + $v.length);
+         |}
          |float $s = 0.0f;
          |for (int $i = 0; $i < $v.length; $i++) { $s += $q.getFloat($i) * $w; }
          |${ev.value} = $s;
@@ -123,6 +130,10 @@ case class U8CosineDistance(left: Expression, right: Expression, signed: Boolean
       val x = ctx.freshName("x"); val y = ctx.freshName("y"); val den = ctx.freshName("den")
       val w = if (signed) s"(float) $v[$i]" else s"(float) ($v[$i] & 0xFF)"
       s"""
+         |if ($q.numElements() != $v.length) {
+         |  throw new IllegalArgumentException("graft: vector dimension mismatch: "
+         |    + $q.numElements() + " vs " + $v.length);
+         |}
          |float $dot = 0.0f; float $nq = 0.0f; float $nv = 0.0f;
          |for (int $i = 0; $i < $v.length; $i++) {
          |  float $x = $q.getFloat($i); float $y = $w;

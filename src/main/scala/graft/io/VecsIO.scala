@@ -55,6 +55,10 @@ object VecsIO {
     buf.toArray
   }
 
+  /** Upper bound on a plausible vector dimension — headers past it are
+    * treated as corruption rather than planned into nonsense record sizes. */
+  private[io] val MaxDims: Int = 1 << 20
+
   private[io] def maxSplitBytes(spark: SparkSession, override0: Option[Long] = None): Long =
     math.min(
       override0.getOrElse(
@@ -210,10 +214,19 @@ object VecsIO {
       format: String,
       maxSplit: Option[Long] = None): VecsPlan = {
     require(files.nonEmpty, "graft: empty file listing")
+    // A corrupt / non-vecs file can present any bytes as the dimension; a
+    // huge d makes every file "0 records" and the read SILENTLY empty, a
+    // negative one produces nonsense record sizes — fail with the cause.
+    def checkDim(d: Int, f: String): Int = {
+      require(d > 0 && d <= VecsIO.MaxDims,
+        s"graft: $f declares dimension $d (valid: 1..${VecsIO.MaxDims}) — " +
+          "corrupt header or not a vecs file?")
+      d
+    }
     format match {
       case "FVECS" | "BVECS" | "IVECS" =>
         val elemBytes = if (format == "BVECS") 1L else 4L
-        val d = firstInt(spark, files.head._1)
+        val d = checkDim(firstInt(spark, files.head._1), files.head._1)
         val recBytes = 4L + elemBytes * d
         val counted = files.map { case (f, len) =>
           require(len % recBytes == 0,
@@ -230,7 +243,9 @@ object VecsIO {
             val b = new Array[Byte](8)
             in.readFully(b)
             val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
-            (f, bb.getInt.toLong, bb.getInt)
+            // the count is uint32 (big-ann-benchmarks headers): a signed
+            // read would go negative past 2^31 records and plan zero splits
+            (f, bb.getInt.toLong & 0xFFFFFFFFL, checkDim(bb.getInt, f))
           } finally in.close()
         }
         val d = headers.head._3
@@ -417,31 +432,16 @@ object VecsIO {
     * follow the frame's (partition, row) order — sort the frame first
     * (e.g. `orderBy(id)`, a range-partitioned sort) when the global order
     * matters. */
-  def writeFvecsSharded(df: DataFrame, dir: String, vecCol: String = "vector"): Unit = {
-    val hconf = df.sparkSession.sparkContext.hadoopConfiguration
-    val dirPath = new Path(dir)
-    val fs = dirPath.getFileSystem(hconf)
-    fs.mkdirs(dirPath)
-    val confEntries = hadoopConfEntries(df.sparkSession)
-    df.select(col(vecCol).cast("array<float>")).foreachPartition {
-      (it: Iterator[org.apache.spark.sql.Row]) =>
-        if (it.hasNext) {
-          val pid = org.apache.spark.TaskContext.getPartitionId()
-          val file = new Path(dir, f"part-$pid%09d.fvecs")
-          val econf = new org.apache.hadoop.conf.Configuration(false)
-          confEntries.foreach { case (k, v) => econf.set(k, v) }
-          val efs = file.getFileSystem(econf)
-          val out = new DataOutputStream(efs.create(file, true))
-          try it.foreach { r =>
-            val v = r.getSeq[Float](0)
-            val bb = ByteBuffer.allocate(4 + 4 * v.length).order(ByteOrder.LITTLE_ENDIAN)
-            bb.putInt(v.length)
-            v.foreach(bb.putFloat)
-            out.write(bb.array())
-          } finally out.close()
-        }
-    }
-  }
+  def writeFvecsSharded(df: DataFrame, dir: String, vecCol: String = "vector"): Unit =
+    // Delegates to the DSv2 writer for its task-commit protocol: the old
+    // foreachPartition implementation created final shard files directly
+    // from tasks, so a retried or speculative attempt could interleave or
+    // truncate a shard mid-write with no detection. The connector stages
+    // per-task temp files and the driver commit publishes exactly one
+    // attempt per partition (Spark's commit coordinator), with the same
+    // part-NNNNNNNNN.fvecs naming and (partition, row) order contract.
+    df.select(col(vecCol).cast("array<float>").as("vector"))
+      .write.format("vecs").mode("overwrite").save(dir)
 
   def writeFvecs(path: String, vectors: Iterator[Array[Float]]): Unit = {
     val out = new DataOutputStream(new FileOutputStream(path))

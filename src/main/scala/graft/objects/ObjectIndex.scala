@@ -64,12 +64,16 @@ class ObjectIndex(
       math.min(fetchFactor.toLong * k, math.max(indexSize, 1L)).toInt
     } else k
 
-    // one vector query per embedding_seq batch; queries carry composite ids
+    // one vector query per embedding_seq batch; queries carry composite ids.
+    // Integer `div` for the decode — `/` is double division and would
+    // corrupt qids past double's 53-bit mantissa (the same pitfall
+    // EventOps.loadEvents documents for nano timestamps); the encode side
+    // validates qid >= 0 and seq < SeqStride in embedQueries.
     val q = emb.select(
       (col("qid") * ObjectIndex.SeqStride + col("embedding_seq")).as("qid"),
       col("qvec"))
     val hits = index.query(q, fetchK, nprobe)
-      .select((col("qid") / ObjectIndex.SeqStride).cast("long").as("qid"),
+      .select(expr(s"qid div ${ObjectIndex.SeqStride}L").as("qid"),
         pmod(col("qid"), lit(ObjectIndex.SeqStride)).cast("int").as("embedding_seq"),
         col("id").as("external_id"), col("distance"))
 
@@ -116,11 +120,25 @@ class ObjectIndex(
     reader.readObjects(spark).join(ids, Seq("external_id"), "left_semi")
   }
 
-  private def embedQueries(queryObjects: DataFrame): DataFrame =
+  private def embedQueries(queryObjects: DataFrame): DataFrame = {
+    import spark.implicits._
+    // composite-id encoding preconditions, checked where the rows stream
+    // by anyway: a negative qid or a multi-vector model emitting >=
+    // SeqStride embeddings per query (ColPali-scale) would silently bleed
+    // into a neighboring query's id space
     ObjectIndex.embedContent(queryObjects, "qid", embedding)
+      .map { case (qid, seq, vec) =>
+        require(qid >= 0,
+          s"graft: query ids must be non-negative for composite encoding, got $qid")
+        require(seq >= 0 && seq < ObjectIndex.SeqStride,
+          s"graft: embedding_seq $seq outside [0, ${ObjectIndex.SeqStride}) — " +
+            "raise SeqStride for models emitting more embeddings per object")
+        (qid, seq, vec)
+      }
       .toDF("qid", "embedding_seq", "qvec")
       .select(col("qid"), col("embedding_seq"),
         col("qvec").cast("array<float>").as("qvec"))
+  }
 }
 
 object ObjectIndex {

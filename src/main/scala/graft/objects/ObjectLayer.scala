@@ -310,9 +310,16 @@ class DocumentsTableReader(
     overlap: Int = 100,
     chunkStride: Long = 1000L) extends ObjectReader {
 
+  // overlap >= chunkSize would make the chunk step non-positive (long
+  // documents silently dropped or a runtime step-0 crash) — fail at
+  // construction with the real cause
+  require(overlap >= 0 && overlap < chunkSize,
+    s"graft: overlap $overlap must be in [0, chunkSize=$chunkSize)")
+
   override def readObjects(spark: SparkSession): DataFrame = {
     import spark.implicits._
     val step = chunkSize - overlap
+    val stride = chunkStride
     spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
@@ -320,8 +327,13 @@ class DocumentsTableReader(
         val chunks = if (text.length <= chunkSize) Seq(text)
           else (0 until text.length by step).takeWhile(_ < text.length)
             .map(s => text.substring(s, math.min(s + chunkSize, text.length)))
+        // chunk index bleeding past the stride would collide with the NEXT
+        // document's id space (BioimageDirectoryReader guards the same way)
+        require(chunks.length <= stride,
+          s"graft: document $docId yields ${chunks.length} chunks >= " +
+            s"chunkStride=$stride — raise chunkStride or chunkSize")
         chunks.zipWithIndex.map { case (c, i) =>
-          (docId * chunkStride + i, docId, c)
+          (docId * stride + i, docId, c)
         }
       }
       .toDF("external_id", "doc_id", "text")

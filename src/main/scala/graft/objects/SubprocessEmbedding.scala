@@ -66,6 +66,11 @@ object SubprocessEmbedding {
     }
   }
 
+  // ONE shutdown hook for every encoder the JVM ever starts — a hook per
+  // Encoder would accumulate (and retain dead encoders) across restarts of
+  // a flaky command on a long-lived executor
+  sys.addShutdownHook { procs.values.foreach(_.destroy()) }
+
   private[objects] final class Encoder(command: Seq[String]) {
     private val p = {
       val pb = new ProcessBuilder(command: _*)
@@ -80,10 +85,9 @@ object SubprocessEmbedding {
       new OutputStreamWriter(p.getOutputStream, StandardCharsets.UTF_8))
     private val out = new BufferedReader(
       new InputStreamReader(p.getInputStream, StandardCharsets.UTF_8))
-    // executor death must not leave orphan encoders behind
-    sys.addShutdownHook { p.destroy() }
-
     def alive: Boolean = p.isAlive
+
+    private[SubprocessEmbedding] def destroy(): Unit = p.destroy()
 
     def encode(text: String): Array[Float] = synchronized {
       require(p.isAlive, s"graft: encoder process died: ${command.mkString(" ")}")

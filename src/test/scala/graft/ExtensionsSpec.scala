@@ -54,6 +54,18 @@ class ExtensionsSpec extends AnyFunSuite {
     val neg = spark.sql(
       "SELECT id FROM pts WHERE dist_l2(v, array(0.0f, 0.0f)) <= -1.0f")
     assert(neg.count() === 0)
+    // float-exact boundary: radius copied from an OBSERVED distance keeps
+    // the boundary row (a naive r*r bound drops it: sos=2.0f vs
+    // 1.4142135f^2 = 1.9999999f)
+    Seq((99L, Array(1.0f, 1.0f))).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$dir/../boundary")
+    spark.read.parquet(s"$dir/../boundary").createOrReplaceTempView("bpts")
+    val observed = spark.sql(
+      "SELECT dist_l2(v, array(0.0f, 0.0f)) FROM bpts").head().getFloat(0)
+    val boundary = spark.sql(
+      s"SELECT id FROM bpts WHERE dist_l2(v, array(0.0f, 0.0f)) <= ${observed}f")
+    assert(boundary.queryExecution.optimizedPlan.toString.contains("dist_sos"))
+    assert(boundary.count() === 1, "exact-boundary row lost by the sos rewrite")
   }
 
   test("ORDER BY dist_l2 LIMIT k over a registered IVF table probes partitions") {
