@@ -35,8 +35,8 @@ object OptimizeDistancePredicates extends Rule[LogicalPlan] {
     * NaN greatest on both the l2 and sos sides.
     */
   /** Largest float s with sqrtF(s) <= r: `l2 <= r` ⇔ `sos <= upper(r)`,
-    * `l2 > r` ⇔ `sos > upper(r)`. */
-  private def upperBound(r: Float): Float = {
+    * `l2 > r` ⇔ `sos > upper(r)`. (private[graft] for the property suite) */
+  private[graft] def upperBound(r: Float): Float = {
     if (r.isNaN || r < 0 || r.isInfinite) return r
     var s = (r.toDouble * r.toDouble).toFloat
     while (sqrtF(Math.nextUp(s)) <= r) s = Math.nextUp(s)
@@ -46,7 +46,7 @@ object OptimizeDistancePredicates extends Rule[LogicalPlan] {
 
   /** Smallest float s with sqrtF(s) >= r: `l2 < r` ⇔ `sos < lower(r)`,
     * `l2 >= r` ⇔ `sos >= lower(r)`. */
-  private def lowerBound(r: Float): Float = {
+  private[graft] def lowerBound(r: Float): Float = {
     if (r.isNaN || r < 0 || r.isInfinite) return r
     if (r == 0f) return 0f
     var s = (r.toDouble * r.toDouble).toFloat

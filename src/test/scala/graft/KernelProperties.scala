@@ -88,6 +88,51 @@ object KernelProperties extends Properties("graft.kernels") {
       got == ref
     }
 
+  property("sos radius bounds are float-exact for every comparison shape") =
+    forAll(Gen.chooseNum(0.0f, 2000.0f), Gen.chooseNum(0.0f, 4.0e6f)) { (r, sos) =>
+      import graft.plans.OptimizeDistancePredicates.{lowerBound, upperBound}
+      val l2 = math.sqrt(sos.toDouble).toFloat // = EuclideanDistance's rounding
+      ((l2 <= r) == (sos <= upperBound(r))) &&
+        ((l2 > r) == (sos > upperBound(r))) &&
+        ((l2 < r) == (sos < lowerBound(r))) &&
+        ((l2 >= r) == (sos >= lowerBound(r)))
+    }
+
+  property("NearestCentroids.topN equals the naive (dist, idx) sort") =
+    forAll(
+      Gen.chooseNum(1, 4),
+      Gen.chooseNum(1, 12),
+      Gen.chooseNum(1, 14)) { (dims, nCentroids, n) =>
+      val rnd = new scala.util.Random(dims * 1000 + nCentroids * 37 + n)
+      val centroids = Array.fill(nCentroids)(Array.fill(dims)(rnd.nextFloat() * 4 - 2))
+      val v = Array.fill(dims)(rnd.nextFloat() * 4 - 2)
+      val flat = centroids.flatten
+      val got = graft.functions.NearestCentroids
+        .topN(new GenericArrayData(v.map(_.asInstanceOf[Any])),
+          flat, nCentroids, dims, n).toSeq
+      val naive = centroids.zipWithIndex.map { case (c, i) =>
+        (c.zip(v).map { case (a, b) => val d = a - b; d * d }.sum, i)
+      }.sortBy { case (d, i) => (d, i) }.take(math.min(n, nCentroids)).map(_._2).toSeq
+      got == naive
+    }
+
+  property("PackBytes/UnpackBytes round-trip in-range values (both dtypes)") =
+    forAll(Gen.oneOf(true, false),
+      Gen.nonEmptyListOf(Gen.chooseNum(0, 255))) { (signed, raw) =>
+      val vals = raw.map(x => (if (signed) x - 128 else x).toFloat)
+      val pack = graft.functions.PackBytes(
+        BoundReference(0, ArrayType(org.apache.spark.sql.types.FloatType),
+          nullable = false), signed)
+      val packed = pack.eval(InternalRow(
+        new GenericArrayData(vals.map(_.asInstanceOf[Any]).toArray)))
+      val unpack = graft.functions.UnpackBytes(
+        BoundReference(0, org.apache.spark.sql.types.BinaryType,
+          nullable = false), signed)
+      val back = unpack.eval(InternalRow(packed))
+        .asInstanceOf[GenericArrayData].array.map(_.asInstanceOf[Float]).toSeq
+      back == vals
+    }
+
   property("ScatterDense places non-zeros and zero-fills the rest") =
     forAll(Gen.chooseNum(1, 16), Gen.listOf(Gen.zip(
       Gen.chooseNum(-2, 20), Gen.chooseNum(-5.0f, 5.0f)))) { (dims, entries) =>
