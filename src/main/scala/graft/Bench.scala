@@ -13,15 +13,29 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // absorb session/codegen warm-up outside any query's timing
     spark.range(1000000L).selectExpr("sum(id)").collect()
+    var failures = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      // toRdd.count() executes the query's OWN plan (all output columns,
+      // final sort included) — a plain df.count() re-optimizes with the
+      // count aggregate, pruning exactly the projections being benchmarked
+      val ok =
+        try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          false
+        }
+      // failures are sentinel-valued and excluded from the total — silently
+      // folding a time-to-exception into the numbers would let a broken
+      // query pass as a fast one
+      if (!ok) failures ::= name
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val failJson = failures.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -78,13 +78,12 @@ object SparkEntry {
     idsOnly(VectorIndex.open(spark, uri).query(idxQueries(spark, dir), K, nprobe = 1 << 30))
   }
 
-  /** SQL surface: `ORDER BY dist_l2(vector, <const>) LIMIT k` against a
-    * registered IVF base table, rewritten by
-    * [[graft.plans.IndexProbeRewrite]] into a partition probe (installed
-    * into the plain session via experimental extraOptimizations — no
-    * session-creation extensions needed). Probe-all registration keeps it
-    * exact, so the oracle is the L2 brute force for query vector 0. */
-  private def sqlIndexTopk(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared SQL-surface setup: graft functions + the probe rewrite
+    * installed into the plain session (experimental extraOptimizations — no
+    * session-creation extensions needed), the ivf_l2 index built once, and
+    * its base registered as `viewName` at probe-all (exact results for the
+    * brute-force oracles). */
+  private def sqlIvfSetup(spark: SparkSession, dir: String, viewName: String): Unit = {
     graft.functions.registerAll(spark)
     if (!spark.experimental.extraOptimizations.contains(graft.plans.IndexProbeRewrite))
       spark.experimental.extraOptimizations =
@@ -93,11 +92,25 @@ object SparkEntry {
       Ingest.ingest(spark, u, embAsIndexInput(spark, dir), "IVF_FLAT",
         DistanceMetric.L2, timestamp = 1000L)
     }
-    graft.plans.GraftSql.registerIndexTable(spark, "graft_vecs", uri, nprobe = 1 << 30)
+    graft.plans.GraftSql.registerIndexTable(spark, viewName, uri, nprobe = 1 << 30)
+  }
+
+  /** 9 significant digits round-trip float32 exactly through double
+    * literals; Locale.ROOT so a comma-decimal default locale can't corrupt
+    * the SQL array literal. */
+  private def floatArrayLit(qv: Seq[Float]): String =
+    "cast(array(" + qv.map(x =>
+      String.format(java.util.Locale.ROOT, "%.9e", Float.box(x))).mkString(",") +
+      ") as array<float>)"
+
+  /** SQL surface: `ORDER BY dist_l2(vector, <const>) LIMIT k` against a
+    * registered IVF base table, rewritten by
+    * [[graft.plans.IndexProbeRewrite]] into a partition probe. */
+  private def sqlIndexTopk(spark: SparkSession, dir: String): DataFrame = {
+    sqlIvfSetup(spark, dir, "graft_vecs")
     val qv = emb(spark, dir).where(col("vec_id") === 0)
       .select("embedding").head().getSeq[Float](0)
-    // 9 significant digits round-trip float32 exactly through double literals
-    val qlit = "cast(array(" + qv.map(x => f"$x%.9e").mkString(",") + ") as array<float>)"
+    val qlit = floatArrayLit(qv)
     spark.sql(
       s"""SELECT CAST(0 AS BIGINT) AS qid, external_id AS neighbor_id
          |FROM graft_vecs
@@ -112,15 +125,7 @@ object SparkEntry {
     * (the programmatic IVF plan); probe-all registration keeps it exact for
     * the brute-force window oracle. */
   private def sqlIndexTopkBatch(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.registerAll(spark)
-    if (!spark.experimental.extraOptimizations.contains(graft.plans.IndexProbeRewrite))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ graft.plans.IndexProbeRewrite
-    val uri = cachedIndex("ivf_l2", dir) { u =>
-      Ingest.ingest(spark, u, embAsIndexInput(spark, dir), "IVF_FLAT",
-        DistanceMetric.L2, timestamp = 1000L)
-    }
-    graft.plans.GraftSql.registerIndexTable(spark, "graft_vecs_b", uri, nprobe = 1 << 30)
+    sqlIvfSetup(spark, dir, "graft_vecs_b")
     emb(spark, dir).where(col("vec_id") < NQ)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       .createOrReplaceTempView("graft_batch_queries")
@@ -269,12 +274,6 @@ object SparkEntry {
         lSearch = graft.index.VamanaIndex.DefaultLSearch, nprobeShards = 4))
   }
 
-  /** Export embeddings to .fvecs, read back through the binary-format
-    * reader, and answer the same L2 k-NN — validates the fvecs codec
-    * end-to-end against the standard oracle (row ids = vec ids because the
-    * fixture's vec_id is consecutive from 0; the sharded write preserves
-    * that order via the range-partitioned sort + lexicographic shard
-    * names, with no driver collect). */
   /** Shared fvecs fixture, exported through the DSv2 write path (executor
     * shard writes + driver commit): shard order = partition order of the
     * vec_id range sort, so re-read row ids equal vec_ids. */
@@ -391,15 +390,19 @@ object SparkEntry {
 
   // ----- object layer / multimodal (rows-only: hash-embedding internals) -----
 
-  private val objIndexCache = scala.collection.concurrent.TrieMap.empty[String, graft.objects.ObjectIndex]
-
-  private def objectIndex(spark: SparkSession, dir: String): graft.objects.ObjectIndex =
-    objIndexCache.getOrElseUpdate(dir, {
-      val uri = Files.createTempDirectory("graft_entry_obj").toString
-      graft.objects.ObjectIndex.create(spark, uri,
+  /** Cache the URI only (like [[cachedIndex]]) and re-wrap per call: an
+    * ObjectIndex holds its SparkSession, and a cached instance from a
+    * stopped session would poison every later invocation. */
+  private def objectIndex(spark: SparkSession, dir: String): graft.objects.ObjectIndex = {
+    val uri = cachedIndex("obj_idx", dir) { u =>
+      graft.objects.ObjectIndex.create(spark, u,
         new graft.objects.DocumentsTableReader(dir),
         new graft.objects.HashTextEmbedding(64), timestamp = 1000L)
-    })
+    }
+    new graft.objects.ObjectIndex(spark, uri,
+      new graft.objects.DocumentsTableReader(dir),
+      new graft.objects.HashTextEmbedding(64))
+  }
 
   /** Image-directory object search (reference DirectoryImageReader,
     * object_readers/directory_reader.py:507): a deterministic binary-file

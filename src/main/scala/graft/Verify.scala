@@ -19,15 +19,25 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    var failed = 0
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+      // drop any PREVIOUS run's output first: a failed query must leave its
+      // slot empty (flagged by the driver), not mask the regression with a
+      // stale-but-passing result from an earlier run into the same outDir
+      val dest = java.nio.file.Paths.get(s"$outDir/$name")
+      if (Files.exists(dest))
+        Files.walk(dest).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed += 1
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    if (failed > 0) System.err.println(s"[verify] $failed quer(ies) FAILED")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

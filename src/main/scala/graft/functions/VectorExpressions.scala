@@ -86,6 +86,44 @@ case class SumOfSquaresDistance(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** FLOAT-EXACT sos bounds for L2-radius comparisons — not a naive r*r:
+  * `dist_l2` is `(float) sqrt((double) sos)`, and `r * r` in float math can
+  * land one ulp off the true boundary, silently losing rows whose radius
+  * was copied from an observed distance (the standard radius-search
+  * pattern). Bounds are resolved once per literal radius by ulp-walking
+  * from r² (a handful of steps); used by the SQL predicate rewrite
+  * ([[graft.plans.OptimizeDistancePredicates]]) and the programmatic
+  * [[graft.operators.Knn.rangeSearch]].
+  *
+  * For r < 0 the raw negative bound is kept — dist_sos is non-negative, so
+  * the truth table is identical to the original AND null inputs still
+  * evaluate to NULL. NaN bounds pass through: Spark orders NaN greatest on
+  * both the l2 and sos sides. */
+object SosBounds {
+  private def sqrtF(s: Float): Float = math.sqrt(s.toDouble).toFloat
+
+  /** Largest float s with sqrtF(s) <= r: `l2 <= r` ⇔ `sos <= upper(r)`,
+    * `l2 > r` ⇔ `sos > upper(r)`. */
+  def upperBound(r: Float): Float = {
+    if (r.isNaN || r < 0 || r.isInfinite) return r
+    var s = (r.toDouble * r.toDouble).toFloat
+    while (sqrtF(Math.nextUp(s)) <= r) s = Math.nextUp(s)
+    while (s > 0 && sqrtF(s) > r) s = Math.nextDown(s)
+    s
+  }
+
+  /** Smallest float s with sqrtF(s) >= r: `l2 < r` ⇔ `sos < lower(r)`,
+    * `l2 >= r` ⇔ `sos >= lower(r)`. */
+  def lowerBound(r: Float): Float = {
+    if (r.isNaN || r < 0 || r.isInfinite) return r
+    if (r == 0f) return 0f
+    var s = (r.toDouble * r.toDouble).toFloat
+    while (s > 0 && sqrtF(Math.nextDown(s)) >= r) s = Math.nextDown(s)
+    while (sqrtF(s) < r) s = Math.nextUp(s)
+    s
+  }
+}
+
 /** True L2 distance (reference: scoring.h:126-165, L2 metric). */
 case class EuclideanDistance(left: Expression, right: Expression)
     extends BinaryVectorExpression {

@@ -140,7 +140,7 @@ object Knn {
     val q = queries.select(col(qidCol).cast("long").as("qid"), col(qvecCol).as("__qvec"))
     val d = db.select(col(idCol).cast("long").as("id"), col(vecCol).as("__vec"))
     val dist = metric match {
-      // compare in SOS space: radius^2 bound, no sqrt per row
+      // compare in SOS space: no sqrt per row
       case DistanceMetric.L2 =>
         graft.functions.dist_sos(col("__vec"), col("__qvec"))
       // the radius contract is on the REPORTED distance; for IP that is
@@ -151,7 +151,10 @@ object Knn {
         DistanceMetric.score(m)(col("__vec"), col("__qvec")))
     }
     val bound = metric match {
-      case DistanceMetric.L2 => lit((radius * radius).toFloat)
+      // float-exact bound (see SosBounds): a naive radius² can sit one ulp
+      // off dist_l2's rounding and flip exact-boundary rows
+      case DistanceMetric.L2 =>
+        lit(graft.functions.SosBounds.upperBound(radius.toFloat))
       case _ => lit(radius.toFloat)
     }
     d.crossJoin(broadcast(q))

@@ -18,42 +18,7 @@ import graft.operators.MinTopK
   * every scanned row's hot loop.
   */
 object OptimizeDistancePredicates extends Rule[LogicalPlan] {
-
-  private def sqrtF(s: Float): Float = math.sqrt(s.toDouble).toFloat
-
-  /** FLOAT-EXACT bounds, not a naive r*r: `dist_l2` is
-    * `(float) sqrt((double) sos)`, and `r * r` in float math can land one
-    * ulp off the true boundary — a user filtering with a radius copied from
-    * an observed distance (the standard radius-search pattern) would
-    * silently lose exact-boundary rows. The bounds are resolved at rewrite
-    * time (literal radius) by ulp-walking from r², a handful of steps.
-    *
-    * For r < 0 keep the raw negative bound — dist_sos is non-negative, so
-    * the truth table is identical to the original AND null inputs still
-    * evaluate to NULL (a constant TRUE/FALSE fold would flip NULL rows in
-    * filters over nullable vectors). NaN bounds pass through: Spark orders
-    * NaN greatest on both the l2 and sos sides.
-    */
-  /** Largest float s with sqrtF(s) <= r: `l2 <= r` ⇔ `sos <= upper(r)`,
-    * `l2 > r` ⇔ `sos > upper(r)`. (private[graft] for the property suite) */
-  private[graft] def upperBound(r: Float): Float = {
-    if (r.isNaN || r < 0 || r.isInfinite) return r
-    var s = (r.toDouble * r.toDouble).toFloat
-    while (sqrtF(Math.nextUp(s)) <= r) s = Math.nextUp(s)
-    while (s > 0 && sqrtF(s) > r) s = Math.nextDown(s)
-    s
-  }
-
-  /** Smallest float s with sqrtF(s) >= r: `l2 < r` ⇔ `sos < lower(r)`,
-    * `l2 >= r` ⇔ `sos >= lower(r)`. */
-  private[graft] def lowerBound(r: Float): Float = {
-    if (r.isNaN || r < 0 || r.isInfinite) return r
-    if (r == 0f) return 0f
-    var s = (r.toDouble * r.toDouble).toFloat
-    while (s > 0 && sqrtF(Math.nextDown(s)) >= r) s = Math.nextDown(s)
-    while (sqrtF(s) < r) s = Math.nextUp(s)
-    s
-  }
+  import graft.functions.SosBounds.{lowerBound, upperBound}
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
     case LessThan(EuclideanDistance(a, b), Literal(r: Float, FloatType)) =>

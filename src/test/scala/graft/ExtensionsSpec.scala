@@ -81,7 +81,7 @@ class ExtensionsSpec extends AnyFunSuite {
     val qv = emb.where(col("external_id") === 0).select("vector")
       .head().getSeq[Float](0).toArray
     // 9 significant digits round-trip float32 exactly through the double literal
-    val qlit = "cast(array(" + qv.map(x => f"$x%.9e").mkString(",") + ") as array<float>)"
+    val qlit = "cast(array(" + qv.map(x => String.format(java.util.Locale.ROOT, "%.9e", Float.box(x))).mkString(",") + ") as array<float>)"
     val df = spark.sql(
       s"SELECT external_id FROM vecs_idx ORDER BY dist_l2(vector, $qlit) LIMIT 10")
 
@@ -107,7 +107,7 @@ class ExtensionsSpec extends AnyFunSuite {
   }
 
   private def qvLit(qv: Array[Float]): String =
-    "cast(array(" + qv.map(x => f"$x%.9e").mkString(",") + ") as array<float>)"
+    "cast(array(" + qv.map(x => String.format(java.util.Locale.ROOT, "%.9e", Float.box(x))).mkString(",") + ") as array<float>)"
 
   private def partitionFiltered(df: org.apache.spark.sql.DataFrame): Boolean =
     "PartitionFilters: \\[[^\\]]*partition_id[^\\]]*\\]".r

@@ -90,7 +90,7 @@ object KernelProperties extends Properties("graft.kernels") {
 
   property("sos radius bounds are float-exact for every comparison shape") =
     forAll(Gen.chooseNum(0.0f, 2000.0f), Gen.chooseNum(0.0f, 4.0e6f)) { (r, sos) =>
-      import graft.plans.OptimizeDistancePredicates.{lowerBound, upperBound}
+      import graft.functions.SosBounds.{lowerBound, upperBound}
       val l2 = math.sqrt(sos.toDouble).toFloat // = EuclideanDistance's rounding
       ((l2 <= r) == (sos <= upperBound(r))) &&
         ((l2 > r) == (sos > upperBound(r))) &&

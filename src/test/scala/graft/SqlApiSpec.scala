@@ -68,7 +68,7 @@ class SqlApiSpec extends AnyFunSuite {
     graft.plans.GraftSql.registerIndexTable(spark, "plain_vecs", uri, nprobe = 4)
     val qv = emb.where(col("external_id") === 1).select("vector")
       .head().getSeq[Float](0)
-    val qlit = "cast(array(" + qv.map(x => f"$x%.9e").mkString(",") + ") as array<float>)"
+    val qlit = "cast(array(" + qv.map(x => String.format(java.util.Locale.ROOT, "%.9e", Float.box(x))).mkString(",") + ") as array<float>)"
     val df = spark.sql(
       s"SELECT external_id FROM plain_vecs ORDER BY dist_l2(vector, $qlit) LIMIT 5")
     // the nprobe=4 partition filter must reach the physical scan even when
