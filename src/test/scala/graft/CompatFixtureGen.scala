@@ -26,12 +26,15 @@ import graft.operators.DistanceMetric
 object CompatFixtureGen {
 
   /** 60 deterministic dim-8 vectors: enough for 4 IVF partitions / 2 Vamana
-    * shards while keeping the committed fixture tiny. */
+    * shards while keeping the committed fixture tiny. StrictMath, not Math:
+    * Math.sin/cos may differ by an ulp across JVM architectures, and the
+    * CompatSpec expectations are recomputed from this corpus at verify time
+    * against bit-frozen fixtures — the inputs must be bit-stable too. */
   def corpus(spark: SparkSession) = {
     import spark.implicits._
     (0 until 60).map { i =>
       (i.toLong, Array.tabulate(8)(d =>
-        (math.sin(i * 0.7 + d * 1.3) + math.cos(i * 0.13 * (d + 1))).toFloat))
+        (StrictMath.sin(i * 0.7 + d * 1.3) + StrictMath.cos(i * 0.13 * (d + 1))).toFloat))
     }.toDF("external_id", "vector")
   }
 

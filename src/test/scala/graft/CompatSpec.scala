@@ -36,12 +36,14 @@ class CompatSpec extends AnyFunSuite {
       .orderBy("qid", "rank").collect()
       .groupBy(_.getLong(0)).map { case (q, r) => q -> r.map(_.getLong(2)).toSeq }
 
+  // the corpus doesn't depend on the fixture version — one cached copy
+  private lazy val frozen = CompatFixtureGen.corpus(spark).cache()
+  private lazy val frozenU8 = CompatFixtureGen.corpusU8(spark).cache()
+
   for ((version, dir) <- roots) {
-    val frozen = CompatFixtureGen.corpus(spark).cache()
-    val frozenU8 = CompatFixtureGen.corpusU8(spark).cache()
-    val queries = frozen.where(col("external_id") < 5)
+    lazy val queries = frozen.where(col("external_id") < 5)
       .select(col("external_id").as("qid"), col("vector").as("qvec"))
-    val queriesU8 = frozenU8.where(col("external_id") < 5)
+    lazy val queriesU8 = frozenU8.where(col("external_id") < 5)
       .select(col("external_id").as("qid"), col("vector").as("qvec"))
 
     test(s"v$version: every frozen index opens with correct metadata") {

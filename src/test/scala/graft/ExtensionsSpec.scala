@@ -25,7 +25,16 @@ class ExtensionsSpec extends AnyFunSuite {
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.plans.GraftExtensions())
       .getOrCreate()
-    prior.foreach(SparkSession.setDefaultSession)
+    prior match {
+      case Some(p) => SparkSession.setDefaultSession(p)
+      case None =>
+        // this suite initialized FIRST: if the extensions session stayed
+        // default/active, every later suite's getOrCreate would silently
+        // adopt it (local[2], extensions injected) — clear both so
+        // SparkTestSession builds its own
+        SparkSession.clearDefaultSession()
+        SparkSession.clearActiveSession()
+    }
     s
   }
 
@@ -56,10 +65,12 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(neg.count() === 0)
     // float-exact boundary: radius copied from an OBSERVED distance keeps
     // the boundary row (a naive r*r bound drops it: sos=2.0f vs
-    // 1.4142135f^2 = 1.9999999f)
+    // 1.4142135f^2 = 1.9999999f). Own temp dir — a fixed shared path would
+    // race concurrent test runs on one host.
+    val bdir = java.nio.file.Files.createTempDirectory("graft_ext_bnd").toString
     Seq((99L, Array(1.0f, 1.0f))).toDF("id", "v")
-      .write.mode("overwrite").parquet(s"$dir/../boundary")
-    spark.read.parquet(s"$dir/../boundary").createOrReplaceTempView("bpts")
+      .write.mode("overwrite").parquet(bdir)
+    spark.read.parquet(bdir).createOrReplaceTempView("bpts")
     val observed = spark.sql(
       "SELECT dist_l2(v, array(0.0f, 0.0f)) FROM bpts").head().getFloat(0)
     val boundary = spark.sql(
@@ -68,11 +79,25 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(boundary.count() === 1, "exact-boundary row lost by the sos rewrite")
   }
 
+  private def embFrame = {
+    import org.apache.spark.sql.functions.col
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("external_id"), col("embedding").as("vector"))
+  }
+
+  /** 9 significant digits round-trip float32 exactly through the double
+    * literal (Locale.ROOT: comma-decimal locales must not corrupt it). */
+  private def qvLit(qv: Array[Float]): String =
+    "cast(array(" + qv.map(x => String.format(java.util.Locale.ROOT, "%.9e", Float.box(x))).mkString(",") + ") as array<float>)"
+
+  private def partitionFiltered(df: org.apache.spark.sql.DataFrame): Boolean =
+    "PartitionFilters: \\[[^\\]]*partition_id[^\\]]*\\]".r
+      .findFirstIn(df.queryExecution.executedPlan.toString).isDefined
+
   test("ORDER BY dist_l2 LIMIT k over a registered IVF table probes partitions") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
-    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-      .select(col("vec_id").as("external_id"), col("embedding").as("vector"))
+    val emb = embFrame
     val uri = java.nio.file.Files.createTempDirectory("graft_sql_ivf").toString
     val idx = graft.index.Ingest.ingest(spark, uri, emb, "IVF_FLAT",
       graft.operators.DistanceMetric.L2, timestamp = 1000L, partitions = Some(16))
@@ -80,16 +105,13 @@ class ExtensionsSpec extends AnyFunSuite {
 
     val qv = emb.where(col("external_id") === 0).select("vector")
       .head().getSeq[Float](0).toArray
-    // 9 significant digits round-trip float32 exactly through the double literal
-    val qlit = "cast(array(" + qv.map(x => String.format(java.util.Locale.ROOT, "%.9e", Float.box(x))).mkString(",") + ") as array<float>)"
     val df = spark.sql(
-      s"SELECT external_id FROM vecs_idx ORDER BY dist_l2(vector, $qlit) LIMIT 10")
+      s"SELECT external_id FROM vecs_idx ORDER BY dist_l2(vector, ${qvLit(qv)}) LIMIT 10")
 
     // plan probes: the scan carries a non-empty partition_id PartitionFilter
-    val physical = df.queryExecution.executedPlan.toString
-    val pf = "PartitionFilters: \\[[^\\]]*partition_id[^\\]]*\\]".r
-    assert(pf.findFirstIn(physical).isDefined,
-      s"expected partition_id PartitionFilters in scan:\n${physical.take(3000)}")
+    assert(partitionFiltered(df),
+      s"expected partition_id PartitionFilters in scan:\n" +
+        df.queryExecution.executedPlan.toString.take(3000))
 
     // results equal the programmatic index probe at the same nprobe
     val viaSql = df.collect().map(_.getLong(0)).toSeq
@@ -99,19 +121,6 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(viaSql.toSet === viaApi.toSet,
       s"sql=$viaSql api=$viaApi")
   }
-
-  private def embFrame = {
-    import org.apache.spark.sql.functions.col
-    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-      .select(col("vec_id").as("external_id"), col("embedding").as("vector"))
-  }
-
-  private def qvLit(qv: Array[Float]): String =
-    "cast(array(" + qv.map(x => String.format(java.util.Locale.ROOT, "%.9e", Float.box(x))).mkString(",") + ") as array<float>)"
-
-  private def partitionFiltered(df: org.apache.spark.sql.DataFrame): Boolean =
-    "PartitionFilters: \\[[^\\]]*partition_id[^\\]]*\\]".r
-      .findFirstIn(df.queryExecution.executedPlan.toString).isDefined
 
   test("ORDER BY dist_cosine LIMIT k probes a COSINE index; guard refuses L2") {
     import spark.implicits._

@@ -44,10 +44,14 @@ object KernelProperties extends Properties("graft.kernels") {
   private val tokenGen: Gen[String] = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
 
   property("SimHash is token-order invariant") =
-    forAll(Gen.nonEmptyListOf(tokenGen)) { tokens =>
+    forAll(Gen.nonEmptyListOf(tokenGen), Gen.long) { (tokens, seed) =>
+      // permutation derives from a GENERATED seed so a failing case
+      // replays exactly under ScalaCheck's reported seed (the global
+      // Random would shuffle differently on every re-run)
       val e = SimHash64(BoundReference(0, ArrayType(StringType), nullable = false))
       val h1 = e.eval(InternalRow(tokensArray(tokens)))
-      val h2 = e.eval(InternalRow(tokensArray(scala.util.Random.shuffle(tokens))))
+      val h2 = e.eval(InternalRow(tokensArray(
+        new scala.util.Random(seed).shuffle(tokens))))
       h1 == h2
     }
 
@@ -92,10 +96,10 @@ object KernelProperties extends Properties("graft.kernels") {
     forAll(Gen.chooseNum(0.0f, 2000.0f), Gen.chooseNum(0.0f, 4.0e6f)) { (r, sos) =>
       import graft.functions.SosBounds.{lowerBound, upperBound}
       val l2 = math.sqrt(sos.toDouble).toFloat // = EuclideanDistance's rounding
+      // two INDEPENDENT claims (the > / >= forms are contrapositives of
+      // these and can never fail separately)
       ((l2 <= r) == (sos <= upperBound(r))) &&
-        ((l2 > r) == (sos > upperBound(r))) &&
-        ((l2 < r) == (sos < lowerBound(r))) &&
-        ((l2 >= r) == (sos >= lowerBound(r)))
+        ((l2 < r) == (sos < lowerBound(r)))
     }
 
   property("NearestCentroids.topN equals the naive (dist, idx) sort") =

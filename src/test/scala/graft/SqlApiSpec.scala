@@ -20,6 +20,8 @@ class SqlApiSpec extends AnyFunSuite {
     assert(r.getFloat(0) === 8.0f)
     assert(math.abs(r.getFloat(1) - math.sqrt(8.0)) < 1e-6)
     assert(r.getFloat(2) === 11.0f)
+    // cos_sim = 11 / (sqrt(5) * 5) -> distance 1 - 0.98386991
+    assert(math.abs(r.getFloat(3) - 0.01613009f) < 1e-6)
     assert(math.abs(r.getFloat(4) - 1.0f) < 1e-6)
   }
 
@@ -57,28 +59,36 @@ class SqlApiSpec extends AnyFunSuite {
 
   test("index probe rewrite installs via extraOptimizations in a plain session") {
     graft.functions.registerAll(spark)
-    if (!spark.experimental.extraOptimizations.contains(graft.plans.IndexProbeRewrite))
+    val hadRule = spark.experimental.extraOptimizations.contains(graft.plans.IndexProbeRewrite)
+    if (!hadRule)
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.IndexProbeRewrite
-    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
-      .select(col("vec_id").as("external_id"), col("embedding").as("vector"))
-    val uri = java.nio.file.Files.createTempDirectory("graft_sqlapi_ivf").toString
-    graft.index.Ingest.ingest(spark, uri, emb, "IVF_FLAT",
-      DistanceMetric.L2, timestamp = 1000L, partitions = Some(16))
-    graft.plans.GraftSql.registerIndexTable(spark, "plain_vecs", uri, nprobe = 4)
-    val qv = emb.where(col("external_id") === 1).select("vector")
-      .head().getSeq[Float](0)
-    val qlit = "cast(array(" + qv.map(x => String.format(java.util.Locale.ROOT, "%.9e", Float.box(x))).mkString(",") + ") as array<float>)"
-    val df = spark.sql(
-      s"SELECT external_id FROM plain_vecs ORDER BY dist_l2(vector, $qlit) LIMIT 5")
-    // the nprobe=4 partition filter must reach the physical scan even when
-    // the rule runs in the last (User Provided Optimizers) batch
-    val physical = df.queryExecution.executedPlan.toString
-    val pf = "PartitionFilters: \\[[^\\]]*partition_id[^\\]]*\\]".r
-    assert(pf.findFirstIn(physical).isDefined,
-      s"expected partition_id PartitionFilters:\n${physical.take(3000)}")
-    // self-retrieval survives the probe
-    assert(df.collect().map(_.getLong(0)).contains(1L))
+    try {
+      val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+        .select(col("vec_id").as("external_id"), col("embedding").as("vector"))
+      val uri = java.nio.file.Files.createTempDirectory("graft_sqlapi_ivf").toString
+      graft.index.Ingest.ingest(spark, uri, emb, "IVF_FLAT",
+        DistanceMetric.L2, timestamp = 1000L, partitions = Some(16))
+      graft.plans.GraftSql.registerIndexTable(spark, "plain_vecs", uri, nprobe = 4)
+      val qv = emb.where(col("external_id") === 1).select("vector")
+        .head().getSeq[Float](0)
+      val qlit = "cast(array(" + qv.map(x => String.format(java.util.Locale.ROOT, "%.9e", Float.box(x))).mkString(",") + ") as array<float>)"
+      val df = spark.sql(
+        s"SELECT external_id FROM plain_vecs ORDER BY dist_l2(vector, $qlit) LIMIT 5")
+      // the nprobe=4 partition filter must reach the physical scan even when
+      // the rule runs in the last (User Provided Optimizers) batch
+      val physical = df.queryExecution.executedPlan.toString
+      val pf = "PartitionFilters: \\[[^\\]]*partition_id[^\\]]*\\]".r
+      assert(pf.findFirstIn(physical).isDefined,
+        s"expected partition_id PartitionFilters:\n${physical.take(3000)}")
+      // self-retrieval survives the probe
+      assert(df.collect().map(_.getLong(0)).contains(1L))
+    } finally if (!hadRule) {
+      // the SHARED session must not leak the rule into later suites'
+      // plan-shape assertions
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == graft.plans.IndexProbeRewrite)
+    }
   }
 
   test("query on an empty additions set and k > index size degrade gracefully") {

@@ -101,12 +101,18 @@ class TextSpec extends AnyFunSuite {
     val base = Dedup.minhashLshPairs(docs, 0.8).as[(Long, Long)].collect().toSet
     val ckptDir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
     spark.sparkContext.setCheckpointDir(ckptDir)
-    val viaCkpt = Dedup.minhashLshPairs(docs, 0.8).as[(Long, Long)].collect().toSet
-    assert(viaCkpt === base)
-    // the reliable-checkpoint path actually wrote RDD checkpoint data
-    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckptDir))
-      .filter(p => java.nio.file.Files.isRegularFile(p)).count()
-    assert(wrote > 0, "expected reliable checkpoint files under the configured dir")
+    try {
+      val viaCkpt = Dedup.minhashLshPairs(docs, 0.8).as[(Long, Long)].collect().toSet
+      assert(viaCkpt === base)
+      // the reliable-checkpoint path actually wrote RDD checkpoint data
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckptDir))
+        .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      assert(wrote > 0, "expected reliable checkpoint files under the configured dir")
+    } finally {
+      // the SHARED context must revert to localCheckpoint behavior — other
+      // suites' plan-shape assertions depend on it
+      org.apache.spark.GraftTestShims.clearCheckpointDir(spark.sparkContext)
+    }
   }
 
   test("simhash: identical token multisets collide; pairs are plausible near-dups") {
