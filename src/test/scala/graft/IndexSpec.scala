@@ -333,6 +333,47 @@ class IndexSpec extends AnyFunSuite {
     assert(gotIds(after.query(queries10, 10)) === exactIds(merged, 10))
   }
 
+  test("incremental consolidation composes with boundary replication") {
+    import spark.implicits._
+    val uri = tmp()
+    Ingest.ingest(spark, uri, emb, "VAMANA", DistanceMetric.L2,
+      timestamp = 1000L, partitions = Some(4), shardReplicas = Some(2))
+    val newVec = emb.where(col("external_id") === 7L)
+      .select(col("external_id"), reverse(col("vector")).as("vector"))
+    VectorIndex.open(spark, uri).updateBatch(newVec, ts = 1100L)
+    val after = VectorIndex.open(spark, uri).consolidateUpdates(newTs = 2000L)
+      .asInstanceOf[graft.index.VamanaIndex]
+    assert(after.meta.shardReplicas === 2)
+    // logical base stays 500 unique ids; physical rows = ~2 per id
+    assert(after.baseVectors().count() === 500)
+    val physRows = spark.read.parquet(s"$uri/base/v=2000").count()
+    assert(physRows > 900, s"replication lost on consolidation: $physRows rows")
+    // id 7 exists in exactly its 2 target shards, with the NEW vector
+    val copies = spark.read.parquet(s"$uri/base/v=2000")
+      .where(col("external_id") === 7L)
+    assert(copies.select("shard_id").distinct().count() === 2)
+    // every untouched shard's graph is byte-identical (id 7's OLD and NEW
+    // shards are the only rebuilds)
+    val touched = (spark.read.parquet(s"$uri/base/v=1000")
+        .where(col("external_id") === 7L).select("shard_id").as[Int].collect() ++
+      copies.select("shard_id").as[Int].collect()).toSet
+    import scala.jdk.CollectionConverters._
+    def names(p: String): Set[String] = {
+      val d = java.nio.file.Paths.get(p)
+      if (!java.nio.file.Files.exists(d)) Set.empty
+      else java.nio.file.Files.list(d).iterator().asScala
+        .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSet
+    }
+    for (sid <- 0 until 4 if !touched(sid))
+      assert(names(s"$uri/graph/v=1000/shard_id=$sid") ===
+        names(s"$uri/graph/v=2000/shard_id=$sid"), s"shard $sid rebuilt")
+    // routed query through the consolidated replicated index stays correct
+    val q = newVec.select(col("external_id").as("qid"), col("vector").as("qvec"))
+    val top = after.queryLSearch(q, 1, lSearch = 100, nprobeShards = 1)
+      .collect().head
+    assert(top.getLong(2) === 7L && top.getFloat(3) === 0.0f)
+  }
+
   test("IVF consolidate with copy-centroids reuses the trained centroids") {
     val uri = tmp()
     val idx = Ingest.ingest(spark, uri, emb, "IVF_FLAT", DistanceMetric.L2,
