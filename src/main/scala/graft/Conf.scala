@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session-conf parsing that names the offending key: a malformed
+  * `spark.graft.*` value must surface as "which conf, what value" at the
+  * call site, not as an anonymous NumberFormatException deep inside a
+  * query plan (where nothing points back at the conf the user set). */
+object Conf {
+
+  def long(spark: SparkSession, key: String, default: Long): Long =
+    spark.conf.getOption(key).map(parseLong(key, _)).getOrElse(default)
+
+  def int(spark: SparkSession, key: String, default: Int): Int =
+    spark.conf.getOption(key).map(parseInt(key, _)).getOrElse(default)
+
+  def longOption(spark: SparkSession, key: String): Option[Long] =
+    spark.conf.getOption(key).map(parseLong(key, _))
+
+  def intOption(spark: SparkSession, key: String): Option[Int] =
+    spark.conf.getOption(key).map(parseInt(key, _))
+
+  def parseLong(key: String, v: String): Long =
+    try v.trim.toLong
+    catch {
+      case e: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"graft: malformed value '$v' for $key (expected an integer)", e)
+    }
+
+  def parseInt(key: String, v: String): Int =
+    try v.trim.toInt
+    catch {
+      case e: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"graft: malformed value '$v' for $key (expected an integer)", e)
+    }
+}

@@ -796,7 +796,10 @@ object SparkEntry {
          |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
          |ORDER BY id_a, id_b""".stripMargin,
     "text_mix_budget" ->
-      """SELECT doc_id, n_tokens, cum_tokens FROM (
+      // DuckDB's window SUM over BIGINT yields HUGEINT; re-cast in the outer
+      // select so the driver's hash layer sees int64 on both engines (same
+      // canonicalization q1_agg needs for its decimal sums).
+      """SELECT doc_id, n_tokens::BIGINT AS n_tokens, cum_tokens::BIGINT AS cum_tokens FROM (
         |  SELECT doc_id,
         |         len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_tokens,
         |         sum(len(regexp_split_to_array(trim(text), '\s+'))::BIGINT)

@@ -474,8 +474,8 @@ object Ingest {
     * gate — callers fall back to distributed training, so driver memory stays
     * bounded no matter the corpus size. */
   private[index] def collectIfSmall(sampleDf: DataFrame): Option[Array[Array[Float]]] = {
-    val cap = sampleDf.sparkSession.conf
-      .get("spark.graft.maxLocalTrainBytes", (256L << 20).toString).toLong
+    val cap = graft.Conf.long(sampleDf.sparkSession,
+      "spark.graft.maxLocalTrainBytes", 256L << 20)
     // cache before the size probe: the probe + collect are two actions, and
     // an uncached derived sample (binary decode, chunk+embed) would run its
     // whole lineage twice

@@ -265,6 +265,11 @@ class VamanaIndex(spark: SparkSession, uri: String, meta: IndexMeta, ts: Long,
       partitions: Option[Int] = None,
       reuseCentroids: Boolean = false): VectorIndex = {
     val currentShards = if (historyIdx >= 0) meta.partitionHistory(historyIdx) else 0
+    // upd.nonEmpty (the Option) IS a rows check: updatesInWindow() returns
+    // None for a window with zero rows (its `.filter(!_.isEmpty)`), so an
+    // updates log holding only already-consolidated entries cannot reach the
+    // copy path and duplicate every shard into a new version —
+    // latestUpdatePerId of a non-empty window is non-empty by construction.
     val upd = updatesInWindow()
     val incrementalOk = historyIdx >= 0 && currentShards > 1 && meta.lBuild > 0 &&
       upd.nonEmpty && partitions.forall(_ == currentShards) &&
@@ -418,8 +423,7 @@ class VamanaIndex(spark: SparkSession, uri: String, meta: IndexMeta, ts: Long,
     val effProbe =
       if (nprobeShards > 0) nprobeShards
       else if (nprobeShards < 0) 0
-      else spark.conf.getOption(VamanaIndex.NprobeShardsKey).map(_.toInt)
-        .getOrElse(0)
+      else graft.Conf.int(spark, VamanaIndex.NprobeShardsKey, 0)
     val routed = effProbe > 0 && shardCentroids.length > 1 && effProbe < shardIds.length
     val qRep0 = (if (routed) {
       import org.apache.spark.sql.graftshim.{toColumn, toExpression}

@@ -222,8 +222,8 @@ abstract class VectorIndex(
     * nprobe. */
   def localSearcher(): LocalSearcher = {
     import org.apache.spark.sql.graftshim.{toColumn, toExpression}
-    val gate = spark.conf.getOption(LocalSearcher.MaxLocalServeBytesKey)
-      .map(_.toLong).getOrElse(LocalSearcher.DefaultMaxLocalServeBytes)
+    val gate = graft.Conf.long(spark, LocalSearcher.MaxLocalServeBytesKey,
+      LocalSearcher.DefaultMaxLocalServeBytes)
     val baseCount = if (historyIdx >= 0) meta.baseSizes(historyIdx) else 0L
     // the updates log counts too: between consolidations it can grow
     // arbitrarily, and a gate that ignores it would not actually bound the
@@ -380,8 +380,7 @@ object VectorIndex {
     * re-broadcasting a side we know is large at scale). */
   private[index] def sizedJoinSide(
       spark: SparkSession, df: DataFrame, estBytes: Long): DataFrame = {
-    val max = spark.conf.getOption(MaxBroadcastBytesKey)
-      .map(_.toLong).getOrElse(DefaultMaxBroadcastBytes)
+    val max = graft.Conf.long(spark, MaxBroadcastBytesKey, DefaultMaxBroadcastBytes)
     if (estBytes <= max) broadcast(df) else df.hint("shuffle_hash")
   }
 

@@ -121,7 +121,8 @@ private[io] class VecsTable(path: String, format: String, tableSchema: StructTyp
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new VecsScanBuilder(path, format,
-      Option(options.get("maxSplitBytes")).map(_.toLong))
+      Option(options.get("maxSplitBytes"))
+        .map(graft.Conf.parseLong("option maxSplitBytes", _)))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new VecsWriteBuilder(path, format, info)
 }

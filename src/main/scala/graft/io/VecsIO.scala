@@ -62,7 +62,7 @@ object VecsIO {
   private[io] def maxSplitBytes(spark: SparkSession, override0: Option[Long] = None): Long =
     math.min(
       override0.getOrElse(
-        spark.conf.get("spark.graft.vecs.maxSplitBytes", (128L << 20).toString).toLong),
+        graft.Conf.long(spark, "spark.graft.vecs.maxSplitBytes", 128L << 20)),
       Int.MaxValue.toLong - 8)
 
   /** Chop `(file, numRecs)` sources into record-aligned ranges of at most

@@ -46,9 +46,15 @@ object IndexCatalog {
   /** Drop every registration under a path prefix. Consolidation registers
     * the new version's base path and calls this for the index root — without
     * it, each consolidated version would leak a full centroid array
-    * (~100 MB at the 100 TB posture) into a long-serving driver. */
-  def unregisterPrefix(qualifiedPrefix: String): Unit =
-    reg.keys.filter(_.startsWith(qualifiedPrefix)).foreach(reg.remove)
+    * (~100 MB at the 100 TB posture) into a long-serving driver.
+    *
+    * Matches on a path-SEGMENT boundary: prefix `<uri>/base` must not drop
+    * entries of a sibling index rooted at `<uri>/base-other`, whose probe
+    * rewrite would otherwise silently fall back to unpruned scans. */
+  def unregisterPrefix(qualifiedPrefix: String): Unit = {
+    val dir = qualifiedPrefix.stripSuffix("/") + "/"
+    reg.keys.filter(k => k == qualifiedPrefix || k.startsWith(dir)).foreach(reg.remove)
+  }
 
   def clear(): Unit = reg.clear()
 }
@@ -58,10 +64,15 @@ object IndexCatalog {
   * `ORDER BY dist_l2(vector, <const>) LIMIT k` (or `dist_cosine` ASC /
   * `dot_product` DESC, matching the index's metric) into an index probe. */
 object GraftSql {
-  /** view name → (uri, nprobe): lets consolidation re-point the view and
-    * re-register the new version's centroids without the caller having to
-    * repeat the registration. */
-  private val registered = TrieMap.empty[String, (String, Int)]
+  /** (owning session, view name) → (uri, nprobe): lets consolidation
+    * re-point the view and re-register the new version's centroids without
+    * the caller having to repeat the registration. Keyed by SESSION as well
+    * as name because temp views are session-scoped while this registry is
+    * JVM-global: a mutation observed from another session must neither see
+    * "view gone" for a view that still exists in its owner, nor re-create
+    * the view in the wrong session. Stopped sessions' entries are reaped on
+    * the next mutation pass. */
+  private val registered = TrieMap.empty[(SparkSession, String), (String, Int)]
 
   def registerIndexTable(
       spark: SparkSession,
@@ -70,7 +81,7 @@ object GraftSql {
       nprobe: Int = 0): VectorIndex = {
     val idx = VectorIndex.open(spark, uri)
     idx.baseVectors().createOrReplaceTempView(name)
-    registered.put(name, (uri, nprobe))
+    registered.put((spark, name), (uri, nprobe))
     idx match {
       case ivf: IvfFlatIndex if ivf.centroids.nonEmpty =>
         val np = if (nprobe > 0) math.min(nprobe, ivf.centroids.length)
@@ -89,7 +100,7 @@ object GraftSql {
   /** Forget a registered view: drops the temp view, its probe-catalog
     * entries, and the consolidation-refresh tracking. */
   def unregisterIndexTable(spark: SparkSession, name: String): Unit =
-    registered.remove(name).foreach { case (uri, _) =>
+    registered.remove((spark, name)).foreach { case (uri, _) =>
       IndexCatalog.unregisterPrefix(IndexCatalog.qualify(spark, s"$uri/base"))
       spark.catalog.dropTempView(name)
       ()
@@ -97,16 +108,19 @@ object GraftSql {
 
   /** Called by [[graft.index.VectorIndex.consolidateUpdates]]: any views
     * registered over `uri` are re-created against the new active version
-    * (fresh base path + centroids in the catalog). A name whose temp view
-    * the user has since DROPPED is forgotten instead of resurrected — but a
-    * name the user dropped and re-bound to their own view cannot be
-    * distinguished from ours and will be re-pointed; call
-    * [[unregisterIndexTable]] when retiring a registered name. */
+    * (fresh base path + centroids in the catalog), each within its OWNING
+    * session — the mutating session's catalog says nothing about a view
+    * registered elsewhere. A name whose temp view the owner has since
+    * DROPPED is forgotten instead of resurrected — but a name the owner
+    * dropped and re-bound to their own view cannot be distinguished from
+    * ours and will be re-pointed; call [[unregisterIndexTable]] when
+    * retiring a registered name. */
   def onIndexMutated(spark: SparkSession, uri: String): Unit =
-    registered.foreach { case (name, (u, np)) =>
+    registered.foreach { case ((owner, name), (u, np)) =>
       if (u == uri) {
-        if (spark.catalog.tableExists(name)) registerIndexTable(spark, name, u, np)
-        else registered.remove(name)
+        if (owner.sparkContext.isStopped) registered.remove((owner, name))
+        else if (owner.catalog.tableExists(name)) registerIndexTable(owner, name, u, np)
+        else registered.remove((owner, name))
       }
     }
 }
@@ -155,6 +169,11 @@ object IndexProbeRewrite extends Rule[LogicalPlan] {
     // ([[graft.index.IvfFlatIndex.queryBase]] builds the identical
     // explode-probes equi-join). The cross join becomes an equi-join on
     // partition_id: shuffle nprobe×|batch| instead of |batch|×|corpus|.
+    // Behavior note: a query row with a NULL query vector produces zero
+    // result rows under the probe (its probe list is null, so the explode
+    // drops it) where the unrewritten plan would rank its null distances —
+    // the same "no neighbors for a null query" answer the programmatic
+    // index path gives.
     case f @ Filter(cond, child) => rewriteWindowTopK(f, cond, child).getOrElse(f)
   }
 
@@ -200,9 +219,12 @@ object IndexProbeRewrite extends Rule[LogicalPlan] {
       case _ => return None
     })
     // the rank attr must be this window's row_number (rank also works: both
-    // bound each group's survivors to the leading rows)
-    val isRankExpr = w.windowExpressions.exists {
-      case a: Alias if a.exprId == rnAttr.exprId => a.child match {
+    // bound each group's survivors to the leading rows) — and it must be the
+    // ONLY window expression: any sibling (count(*) OVER the query partition,
+    // a lagging dist, …) aggregates over the candidate set, so probing would
+    // silently change its value beyond the documented top-k approximation.
+    val isRankExpr = w.windowExpressions match {
+      case Seq(a: Alias) if a.exprId == rnAttr.exprId => a.child match {
         case WindowExpression(_: RowNumber, _) => true
         case WindowExpression(_: Rank, _) => true
         case _ => false

@@ -75,9 +75,8 @@ object Dedup {
     // scale path). A block past the cap means this operator was pointed at
     // the wrong data — refuse loudly instead of launching an accidental
     // O(n²) shuffle at corpus scale.
-    val maxBlock = docs.sparkSession.conf
-      .getOption(Dedup.MaxNgramBlockRowsKey).map(_.toLong)
-      .getOrElse(Dedup.DefaultMaxNgramBlockRows)
+    val maxBlock = graft.Conf.long(docs.sparkSession,
+      Dedup.MaxNgramBlockRowsKey, Dedup.DefaultMaxNgramBlockRows)
     val oversized = withSets.groupBy(blockCols.map(col): _*)
       .agg(count(lit(1)).as("__n")).where(col("__n") > maxBlock)
       .limit(1).collect()
@@ -279,8 +278,8 @@ object Dedup {
     // doubles as the gate: if it returns <= cap rows, that IS the whole edge
     // set; past the cap the iterative distributed path below takes over
     // (driver memory stays bounded no matter the corpus).
-    val cap = edges.sparkSession.conf
-      .get("spark.graft.maxLocalCCEdges", "4000000").toInt
+    val cap = graft.Conf.int(edges.sparkSession,
+      "spark.graft.maxLocalCCEdges", 4000000)
     val matEdges = materialize(
       edges.select(col("id_a").cast("long"), col("id_b").cast("long")))
     val head = matEdges.limit(cap + 1).collect()
