@@ -8,6 +8,12 @@ import org.apache.spark.sql.SparkSession
   * query plan (where nothing points back at the conf the user set). */
 object Conf {
 
+  /** One engine-wide gate for "is this side small enough to broadcast":
+    * shared by the index join paths ([[graft.index.VectorIndex]]) and the
+    * FLAT brute-force query batch ([[graft.operators.Knn]]). */
+  val MaxBroadcastBytesKey = "spark.graft.maxBroadcastBytes"
+  val DefaultMaxBroadcastBytes: Long = 128L * 1024 * 1024
+
   def long(spark: SparkSession, key: String, default: Long): Long =
     spark.conf.getOption(key).map(parseLong(key, _)).getOrElse(default)
 

@@ -369,9 +369,11 @@ object VectorIndex {
     * switch from `broadcast()` to a shuffled hash join. Broadcast replicates
     * the per-query probe pairs (and PQ distance tables) to every executor —
     * fine for interactive batches, a scale-killer at nq=10⁶×nprobe=100
-    * (reference streams query blocks instead, detail/ivf/qv.h:99-153). */
-  val MaxBroadcastBytesKey = "spark.graft.maxBroadcastBytes"
-  val DefaultMaxBroadcastBytes: Long = 128L * 1024 * 1024
+    * (reference streams query blocks instead, detail/ivf/qv.h:99-153).
+    * Canonical constants live in [[graft.Conf]] (shared with the FLAT
+    * brute-force gate); these aliases keep the established call sites. */
+  val MaxBroadcastBytesKey: String = graft.Conf.MaxBroadcastBytesKey
+  val DefaultMaxBroadcastBytes: Long = graft.Conf.DefaultMaxBroadcastBytes
 
   /** Pick the join strategy for a query-derived build side from its estimated
     * size: under the threshold → broadcast hint; over → `shuffle_hash` hint so

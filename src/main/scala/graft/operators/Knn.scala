@@ -78,7 +78,7 @@ object ByteKnn {
     val q = queries.select(col(qidCol).cast("long").as("__qid"), col(qvecCol).as("__qvec"))
     val d = db.select(col(idCol).cast("long").as("__id"), col(vecCol).as("__vec"))
     val scored = d
-      .crossJoin(broadcast(q))
+      .crossJoin(Knn.sizedQuerySide(q, "__qvec"))
       .select(col("__qid"), col("__id"),
         score(metric, signed)(col("__vec"), col("__qvec")).as("__score"))
     Knn.topKFromScores(scored, k, metric)
@@ -97,10 +97,39 @@ object ByteKnn {
   */
 object Knn {
 
+  /** Query-side join operand for the brute-force cross joins, gated by
+    * `spark.graft.maxBroadcastBytes` like every other engine join: a
+    * broadcast-sized batch gets the broadcast hint (one codegen'd
+    * BroadcastNestedLoopJoin stage, the fast path for the reference's
+    * interactive batches); a batch past the gate is left unhinted so the
+    * cross join plans as a partitioned CartesianProduct — slower, but a
+    * 10⁶-row query batch completes instead of failing the driver on an
+    * un-broadcastable relation.
+    *
+    * Sizing is two-tier to stay job-free on the common path: Catalyst's
+    * own plan estimate under the gate → broadcast immediately (the same
+    * trust Spark's autoBroadcast threshold extends); only an over-gate or
+    * unknown estimate pays one small aggregate that measures the batch
+    * exactly (row count + total vector elements — nq×(24+4d) for float
+    * vectors). */
+  private[operators] def sizedQuerySide(q: DataFrame, vecCol: String): DataFrame = {
+    val spark = q.sparkSession
+    val max = graft.Conf.long(spark,
+      graft.Conf.MaxBroadcastBytesKey, graft.Conf.DefaultMaxBroadcastBytes)
+    val planEst = q.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (planEst <= BigInt(max)) return broadcast(q)
+    val row = q.agg(count(lit(1)).as("n"), sum(size(col(vecCol))).as("elems")).head()
+    val nq = row.getLong(0)
+    val elems = if (row.isNullAt(1)) 0L else row.getLong(1)
+    val est = nq * 24L + elems * 4L
+    if (est <= max) broadcast(q) else q
+  }
+
   /** @param db      DataFrame with columns (idCol: Long, vecCol: Array[Float])
     * @param queries DataFrame with columns (qidCol: Long, qvecCol: Array[Float]);
-    *                must be broadcast-sized (queries are per the reference a
-    *                small batch, index.py:298-312)
+    *                broadcast when under the `spark.graft.maxBroadcastBytes`
+    *                gate (queries are per the reference a small batch,
+    *                index.py:298-312), partitioned cross join past it
     * @return (qid, rank, id, distance) — rank is 1-based by ascending distance
     */
   def bruteForce(
@@ -115,7 +144,7 @@ object Knn {
     val q = queries.select(col(qidCol).cast("long").as("__qid"), col(qvecCol).as("__qvec"))
     val d = db.select(col(idCol).cast("long").as("__id"), col(vecCol).as("__vec"))
     val scored = d
-      .crossJoin(broadcast(q))
+      .crossJoin(sizedQuerySide(q, "__qvec"))
       .select(
         col("__qid"),
         col("__id"),
@@ -157,7 +186,7 @@ object Knn {
         lit(graft.functions.SosBounds.upperBound(radius.toFloat))
       case _ => lit(radius.toFloat)
     }
-    d.crossJoin(broadcast(q))
+    d.crossJoin(sizedQuerySide(q, "__qvec"))
       .where(dist <= bound)
       .select(col("qid"), col("id"))
   }

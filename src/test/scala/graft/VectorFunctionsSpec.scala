@@ -106,4 +106,35 @@ class VectorFunctionsSpec extends AnyFunSuite {
       .groupBy(_._1).map { case (q, hits) => q -> hits.map(_._2).toSeq }
     assert(got === expected)
   }
+
+  test("brute-force query-batch broadcast is size-gated (degrades to partitioned cross join)") {
+    import spark.implicits._
+    val db = (0L until 200L).map(i => (i, Array(i.toFloat, (i % 7).toFloat))).toDF("id", "vector")
+    val q = Seq((0L, Array(1.0f, 2.0f)), (1L, Array(50.0f, 3.0f))).toDF("qid", "qvec")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("qid", "rank").select("qid", "rank", "id")
+        .as[(Long, Int, Long)].collect().toSeq
+
+    // under the gate (default 128 MB): the hinted broadcast NLJ stage
+    val fast = Knn.bruteForce(db, q, 3)
+    assert(fast.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+    val expected = run(fast)
+
+    // past the gate the hint is withheld; with Spark's own auto-broadcast
+    // also off (a 10⁶-row batch would exceed it anyway) the plan must be a
+    // partitioned CartesianProduct — a completable shape for a query batch
+    // no driver could broadcast — with identical results
+    spark.conf.set(graft.Conf.MaxBroadcastBytesKey, "1")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val gated = Knn.bruteForce(db, q, 3)
+      val plan = gated.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+      assert(plan.contains("CartesianProduct"), plan)
+      assert(run(gated) === expected)
+    } finally {
+      spark.conf.unset(graft.Conf.MaxBroadcastBytesKey)
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
 }
