@@ -160,11 +160,11 @@ object SparkEntry {
     idsOnly(VectorIndex.open(spark, uri).query(idxQueries(spark, dir), K))
   }
 
-  /** FLAT index + updates log: delete ids %20==0, re-vector ids %20==1
-    * (reversed), add ids+1000000 for vec_id<50 — then query through the
-    * two-branch merge (reference: index.py:338-416). */
-  private def updatesKnn(spark: SparkSession, dir: String): DataFrame = {
-    val uri = cachedIndex("flat_upd", dir) { u =>
+  /** Shared fixture: FLAT base at ts=1000 + updates log at ts=1100
+    * (delete ids %20==0, re-vector ids %20==1 reversed, add ids+1000000
+    * reversed for vec_id<50). */
+  private def flatUpdIndex(spark: SparkSession, dir: String): String =
+    cachedIndex("flat_upd", dir) { u =>
       val base = embAsIndexInput(spark, dir)
       val idx = Ingest.ingest(spark, u, base, "FLAT", DistanceMetric.L2, timestamp = 1000L)
       idx.deleteBatch(base.where(col("external_id") % 20 === 0), ts = 1100L)
@@ -174,8 +174,23 @@ object SparkEntry {
         .select((col("external_id") + 1000000L).as("external_id"),
           reverse(col("vector")).as("vector")), ts = 1100L)
     }
-    idsOnly(VectorIndex.open(spark, uri).query(idxQueries(spark, dir), K))
-  }
+
+  /** FLAT index + updates log, queried through the two-branch merge
+    * (reference: index.py:338-416). */
+  private def updatesKnn(spark: SparkSession, dir: String): DataFrame =
+    idsOnly(VectorIndex.open(spark, flatUpdIndex(spark, dir))
+      .query(idxQueries(spark, dir), K))
+
+  /** Time-RANGE open (reference index.py:115-177, `timestamp=(start, end)`
+    * tuple form): start=1100 is past the first ingestion (ts=1000), so no
+    * base version is attributable to the window and only updates-log
+    * writes in [1100, ∞) are searched — the re-vectored %20==1 rows plus
+    * the +1000000 additions; tombstones drop (index.py:123-128 sets
+    * query_base_array=False; semantics mirrored from
+    * test_ingestion.py:1009 `timestamp=(2, None)`). */
+  private def timetravelRangeKnn(spark: SparkSession, dir: String): DataFrame =
+    idsOnly(VectorIndex.openRange(spark, flatUpdIndex(spark, dir), Some(1100L), None)
+      .query(idxQueries(spark, dir), K))
 
   /** Two base versions (evens at ts=1000, all at ts=2000); read at ts=1500
     * must see only the first (reference: index.py:94-177). */
@@ -221,6 +236,21 @@ object SparkEntry {
        |FROM (SELECT * FROM embeddings WHERE vec_id < $NQ) q
        |CROSS JOIN (SELECT * FROM embeddings WHERE vec_id % 2 = 0) n
        |QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY list_distance(n.embedding, q.embedding), n.vec_id) <= $K
+       |ORDER BY qid, neighbor_id""".stripMargin
+
+  /** The [1100, ∞) window of the flat_upd fixture: updates-log writes only
+    * (re-vectored %20==1 + the +1000000 additions; tombstoned %20==0 ids
+    * never enter the window's additions). */
+  private val timetravelRangeOracle: String =
+    s"""WITH win AS (
+       |  SELECT vec_id, list_reverse(embedding) AS v FROM embeddings WHERE vec_id % 20 = 1
+       |  UNION ALL
+       |  SELECT vec_id + 1000000, list_reverse(embedding) FROM embeddings WHERE vec_id < 50
+       |)
+       |SELECT q.vec_id AS qid, n.vec_id AS neighbor_id
+       |FROM (SELECT * FROM embeddings WHERE vec_id < $NQ) q
+       |CROSS JOIN win n
+       |QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY list_distance(n.v, q.embedding), n.vec_id) <= $K
        |ORDER BY qid, neighbor_id""".stripMargin
 
   /** IVF_PQ with probe-all + k_factor covering the dataset: the exact
@@ -679,6 +709,7 @@ object SparkEntry {
     "ivf_pq_default" -> (ivfPqDefault _),
     "updates_knn" -> (updatesKnn _),
     "timetravel_knn" -> (timetravelKnn _),
+    "timetravel_range_knn" -> (timetravelRangeKnn _),
     "text_token_count" -> (textTokenCount _),
     "text_quality" -> (textQuality _),
     "text_fingerprint" -> (textFingerprint _),
@@ -752,6 +783,7 @@ object SparkEntry {
     "ivf_pq_u8_exact_rerank" -> u8KnnOracle,
     "updates_knn" -> updatesOracle,
     "timetravel_knn" -> timetravelOracle,
+    "timetravel_range_knn" -> timetravelRangeOracle,
     "text_token_count" ->
       """SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,

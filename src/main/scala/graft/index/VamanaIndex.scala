@@ -264,6 +264,7 @@ class VamanaIndex(spark: SparkSession, uri: String, meta: IndexMeta, ts: Long,
       newTs: Long,
       partitions: Option[Int] = None,
       reuseCentroids: Boolean = false): VectorIndex = {
+    requirePointInTime("consolidateUpdates")
     val currentShards = if (historyIdx >= 0) meta.partitionHistory(historyIdx) else 0
     // upd.nonEmpty (the Option) IS a rows check: updatesInWindow() returns
     // None for a window with zero rows (its `.filter(!_.isEmpty)`), so an

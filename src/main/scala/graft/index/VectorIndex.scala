@@ -33,6 +33,30 @@ abstract class VectorIndex(
   protected val baseTimestamp: Long =
     if (historyIdx >= 0) meta.ingestionTimestamps(historyIdx) else -1L
 
+  /** Inclusive updates-log window for this handle. A point-in-time open
+    * reads (base_ts, read_ts]; a RANGE open ([[VectorIndex.openRange]],
+    * reference index.py:115-177 tuple form) re-pins it to the requested
+    * window. Set only by the companion's open methods, before the handle
+    * escapes the constructor thread. */
+  @volatile private[index] var updateWindow: (Long, Long) =
+    (baseTimestamp + 1, readTimestamp)
+
+  /** False when a range open's start bound excludes every base version:
+    * only updates-log entries in the window contribute (reference
+    * index.py:123-128 sets query_base_array = False). */
+  @volatile private[index] var queryBaseArray: Boolean = true
+
+  private def isPointInTime: Boolean =
+    queryBaseArray && updateWindow == (baseTimestamp + 1, readTimestamp)
+
+  /** Maintenance entry points fold "everything visible now" back into
+    * storage — on a windowed view that would silently drop out-of-window
+    * history, so they refuse range handles. */
+  protected def requirePointInTime(op: String): Unit =
+    require(isPointInTime,
+      s"graft: $op on a range-opened handle would fold only the windowed " +
+        "updates; re-open point-in-time (VectorIndex.open) first")
+
   def metric: DistanceMetric = meta.metric
 
   /** The active base version's vectors: (external_id, vector[, partition_id]).
@@ -62,6 +86,18 @@ abstract class VectorIndex(
     }
     val q = queries.select(col("qid").cast("long").as("qid"), col("qvec"))
     val upd = updatesInWindow()
+    if (!queryBaseArray) {
+      // range open with start past every ingestion: only the writes in the
+      // window count (reference index.py:123-128) — a consolidated base
+      // cannot attribute its rows to a write time, so it is excluded
+      // entirely and the windowed additions are brute-forced.
+      val additions = upd.map(latestUpdatePerId(_)
+          .where(col("vector").isNotNull)
+          .select(col("external_id").as("id"), col("vector")))
+        .getOrElse(emptyAdditions())
+      return Knn.bruteForce(additions, q, k, metric,
+        idCol = "id", vecCol = "vector", qidCol = "qid", qvecCol = "qvec")
+    }
     if (upd.isEmpty) return queryBase(q, k, nprobe)
 
     val latest = latestUpdatePerId(upd.get)
@@ -90,6 +126,17 @@ abstract class VectorIndex(
     case _ => distance.cast("float")
   }
 
+  /** Empty (id: Long, vector: array<float>) frame — the additions side of a
+    * windowed read whose updates log has no in-window rows. */
+  private def emptyAdditions(): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("id", LongType),
+        StructField("vector", ArrayType(FloatType)))))
+  }
+
   // ----- updates log (reference: index.py:418-501, 764-814) -----
 
   protected def updatesPath: String = s"$uri/updates"
@@ -98,9 +145,11 @@ abstract class VectorIndex(
     if (Storage.nonEmptyDir(updatesPath)) Some(spark.read.parquet(updatesPath))
     else None
 
-  /** Updates visible at this read: ts in (base_ts, read_ts]. */
+  /** Updates visible at this read: ts within [[updateWindow]] (both bounds
+    * inclusive; the point-in-time default (base_ts+1, read_ts) is exactly
+    * the historical "ts in (base_ts, read_ts]"). */
   protected def updatesInWindow(): Option[DataFrame] = updatesLog().map { log =>
-    log.where(col("ts") > baseTimestamp && col("ts") <= readTimestamp)
+    log.where(col("ts") >= updateWindow._1 && col("ts") <= updateWindow._2)
   }.filter(df => !df.isEmpty)
 
   /** Last-write-wins per external id (the reference's sparse-array
@@ -146,6 +195,7 @@ abstract class VectorIndex(
       partitions: Option[Int] = None,
       reuseCentroids: Boolean = false): VectorIndex = {
     import org.apache.spark.sql.graftshim.{toColumn, toExpression}
+    requirePointInTime("consolidateUpdates")
     val upd = updatesInWindow()
     // Byte-dtype bases store BinaryType packed vectors; widen back to
     // array<float> so the merge + re-ingest run through the float path
@@ -224,7 +274,8 @@ abstract class VectorIndex(
     import org.apache.spark.sql.graftshim.{toColumn, toExpression}
     val gate = graft.Conf.long(spark, LocalSearcher.MaxLocalServeBytesKey,
       LocalSearcher.DefaultMaxLocalServeBytes)
-    val baseCount = if (historyIdx >= 0) meta.baseSizes(historyIdx) else 0L
+    val baseCount =
+      if (historyIdx >= 0 && queryBaseArray) meta.baseSizes(historyIdx) else 0L
     // the updates log counts too: between consolidations it can grow
     // arbitrarily, and a gate that ignores it would not actually bound the
     // snapshot (the count is one cheap job over the log window)
@@ -243,7 +294,7 @@ abstract class VectorIndex(
       else df
 
     val (centroids, blocked) = this match {
-      case ivf: IvfFlatIndex if historyIdx >= 0 => (ivf.centroids, true)
+      case ivf: IvfFlatIndex if historyIdx >= 0 && queryBaseArray => (ivf.centroids, true)
       case _ => (Array.empty[Array[Float]], false)
     }
     val baseCols =
@@ -255,7 +306,9 @@ abstract class VectorIndex(
         .join(u.select("external_id"), Seq("external_id"), "left_anti")
       case None => floatView(baseVectors().select(baseCols.head, baseCols.tail: _*))
     }
-    val baseRows = maskedBase.collect()
+    val baseRows =
+      if (queryBaseArray) maskedBase.collect()
+      else Array.empty[org.apache.spark.sql.Row]
     val additions = upd.map { u =>
       val addsRaw = u.where(col("vector").isNotNull)
       // cosine non-FLAT stores normalized vectors; match for the extras
@@ -397,6 +450,58 @@ object VectorIndex {
       case "IVF_PQ" => new IvfPqIndex(spark, uri, meta, ts)
       case "VAMANA" => new VamanaIndex(spark, uri, meta, ts)
       case other => throw new IllegalArgumentException(s"unsupported index_type $other")
+    }
+  }
+
+  /** Open an index over a TIME RANGE — the reference's
+    * `timestamp=(start, end)` tuple form (index.py:115-177): the view of
+    * the writes that landed in [start, end] (bounds inclusive; None =
+    * unbounded).
+    *
+    *  - start ≤ first ingestion (or None): the FIRST base version plus
+    *    updates in (first_ingestion, end]. The reference pins the base to
+    *    the first ingestion rather than the latest ≤ end (index.py:130-138)
+    *    because later, consolidated bases cannot attribute their rows to
+    *    write times; the int form's latest-≤-ts base is explicitly a
+    *    perf shortcut unavailable to ranges (its NOTE, index.py:152-156).
+    *  - start > first ingestion: updates-log entries in [start, end] ONLY —
+    *    no base version is attributable entirely to the window, so
+    *    query_base_array is false (index.py:123-128).
+    *  - end < first ingestion: an empty view (index.py:139-144).
+    *
+    * Range handles are read-only views: consolidation refuses them
+    * ([[VectorIndex.requirePointInTime]]). */
+  def openRange(
+      spark: SparkSession,
+      uri: String,
+      start: Option[Long] = None,
+      end: Option[Long] = None): VectorIndex = {
+    require(start.forall(s => end.forall(s <= _)),
+      s"graft: openRange start $start must be <= end $end")
+    val meta = IndexMeta.read(uri)
+    val endTs = end.getOrElse(Long.MaxValue)
+    meta.ingestionTimestamps.headOption match {
+      case Some(first) if start.exists(_ > first) =>
+        // updates-only window (reference index.py:123-128)
+        val idx = open(spark, uri, Some(endTs))
+        idx.queryBaseArray = false
+        idx.updateWindow = (start.get, endTs)
+        idx
+      case Some(first) if endTs < first =>
+        // window closes before anything existed (reference index.py:139-144)
+        val idx = open(spark, uri, Some(endTs)) // historyIdx < 0: empty base
+        idx.updateWindow = (endTs + 1, endTs) // empty
+        idx
+      case Some(first) =>
+        // first base + updates through end (reference index.py:130-138)
+        val idx = open(spark, uri, Some(first))
+        idx.updateWindow = (first + 1, endTs)
+        idx
+      case None =>
+        // nothing ingested yet: the log alone, within the window
+        val idx = open(spark, uri, Some(endTs))
+        idx.updateWindow = (start.getOrElse(0L), endTs)
+        idx
     }
   }
 }

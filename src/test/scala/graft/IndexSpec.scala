@@ -105,6 +105,49 @@ class IndexSpec extends AnyFunSuite {
     assert(at500.query(queries10, 10).count() === 0)
   }
 
+  test("time-range open: (start,end) tuple semantics (index.py:115-177, test_ingestion.py:1009)") {
+    val uri = tmp()
+    val offset = 1000000L
+    val idx = Ingest.ingest(spark, uri, emb, "FLAT", DistanceMetric.L2, timestamp = 1000L)
+    // two update batches, mirroring the reference's per-ts delete+move loop:
+    // ts=1100 moves ids 0..9 to +offset, ts=1200 moves ids 10..19
+    def move(lo: Long, hi: Long, ts: Long): Unit = {
+      idx.deleteBatch(emb.where(col("external_id") >= lo && col("external_id") < hi), ts)
+      idx.updateBatch(emb.where(col("external_id") >= lo && col("external_id") < hi)
+        .select((col("external_id") + offset).as("external_id"), col("vector")), ts)
+    }
+    move(0, 10, 1100L); move(10, 20, 1200L)
+    def movedDb(hi: Long): DataFrame =
+      emb.where(col("external_id") >= hi)
+        .unionByName(emb.where(col("external_id") < hi)
+          .select((col("external_id") + offset).as("external_id"), col("vector")))
+
+    // (0, 1150): start <= first ingestion => equals the point-in-time read
+    val r1 = VectorIndex.openRange(spark, uri, Some(0L), Some(1150L))
+    assert(gotIds(r1.query(queries10, 10)) === exactIds(movedDb(10), 10))
+    assert(gotIds(r1.query(queries10, 10)) ===
+      gotIds(VectorIndex.open(spark, uri, Some(1150L)).query(queries10, 10)))
+    // (None, None): everything
+    val rAll = VectorIndex.openRange(spark, uri)
+    assert(gotIds(rAll.query(queries10, 10)) === exactIds(movedDb(20), 10))
+    // (1100, None): start past the first ingestion => updates-log only —
+    // just the 20 moved vectors (reference's timestamp=(2, None) branch)
+    val rUpd = VectorIndex.openRange(spark, uri, Some(1100L), None)
+    val movedOnly = emb.where(col("external_id") < 20)
+      .select((col("external_id") + offset).as("external_id"), col("vector"))
+    assert(gotIds(rUpd.query(queries10, 10)) === exactIds(movedOnly, 10))
+    // (1200, None): only the second batch's moves
+    val rUpd2 = VectorIndex.openRange(spark, uri, Some(1200L), None)
+    val moved2 = emb.where(col("external_id") >= 10 && col("external_id") < 20)
+      .select((col("external_id") + offset).as("external_id"), col("vector"))
+    assert(gotIds(rUpd2.query(queries10, 10)) === exactIds(moved2, 10))
+    // (None, 500): window closes before the first ingestion => empty view
+    assert(VectorIndex.openRange(spark, uri, None, Some(500L))
+      .query(queries10, 10).count() === 0)
+    // consolidation refuses a windowed view
+    intercept[IllegalArgumentException] { rUpd.consolidateUpdates(9999L) }
+  }
+
   test("IVF_PQ: probe-all + full k_factor equals brute force; defaults clear 0.75 gate") {
     val uri = tmp()
     val idx = Ingest.ingest(spark, uri, emb, "IVF_PQ", DistanceMetric.L2,
