@@ -24,7 +24,14 @@ val jdk17AddOpens = Seq(
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
+  // Panama Vector API for the distance kernels (graft.functions.VecSimd);
+  // VecKernels feature-detects and falls back to scalar loops when a JVM
+  // lacks the module (on a cluster: spark.executor.extraJavaOptions)
+  "--add-modules", "jdk.incubator.vector",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// VecSimd.java compiles against the incubator module; everything else is
+// module-free (loads VecSimd reflectively)
+javacOptions ++= Seq("--add-modules", "jdk.incubator.vector")

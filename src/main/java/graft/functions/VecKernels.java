@@ -1,0 +1,106 @@
+package graft.functions;
+
+import org.apache.spark.sql.catalyst.util.ArrayData;
+
+/**
+ * Module-free dispatcher for the float-vector distance kernels: uses the
+ * Panama Vector API ({@link VecSimd}) when the JVM was started with
+ * {@code --add-modules jdk.incubator.vector} (build.sbt adds it to every
+ * forked run; on a cluster put it in spark.executor.extraJavaOptions), and
+ * the plain scalar loops otherwise. {@code -Dgraft.simd=false} forces the
+ * scalar path. Both the interpreted eval and the generated code of the
+ * distance Expressions call these entry points, so the two execution modes
+ * of one plan always agree bit-for-bit.
+ *
+ * SIMD engages above a dimension floor: below it the float[] copy out of
+ * ArrayData costs more than the lanes save.
+ */
+public final class VecKernels {
+  private VecKernels() {}
+
+  /** Minimum vector length for the SIMD path. */
+  static final int SIMD_MIN_DIMS = 16;
+
+  public static final boolean SIMD_AVAILABLE;
+
+  static {
+    boolean ok = false;
+    try {
+      if (!"false".equalsIgnoreCase(System.getProperty("graft.simd", "true"))) {
+        // force-link VecSimd (and through it the incubator module); throws
+        // NoClassDefFoundError when the module is absent
+        float probe = VecSimd.sos(new float[] {1f, 2f}, new float[] {0f, 0f});
+        ok = probe == 5f;
+      }
+    } catch (Throwable t) {
+      ok = false;
+    }
+    SIMD_AVAILABLE = ok;
+  }
+
+  private static void checkDims(int an, int bn) {
+    if (an != bn) {
+      throw new IllegalArgumentException(
+          "graft: vector dimension mismatch: " + an + " vs " + bn);
+    }
+  }
+
+  public static float sos(ArrayData a, ArrayData b) {
+    int n = a.numElements();
+    checkDims(n, b.numElements());
+    if (SIMD_AVAILABLE && n >= SIMD_MIN_DIMS) {
+      return VecSimd.sos(a.toFloatArray(), b.toFloatArray());
+    }
+    float s = 0.0f;
+    for (int i = 0; i < n; i++) {
+      float d = a.getFloat(i) - b.getFloat(i);
+      s += d * d;
+    }
+    return s;
+  }
+
+  public static float l2(ArrayData a, ArrayData b) {
+    return (float) Math.sqrt((double) sos(a, b));
+  }
+
+  public static float dot(ArrayData a, ArrayData b) {
+    int n = a.numElements();
+    checkDims(n, b.numElements());
+    if (SIMD_AVAILABLE && n >= SIMD_MIN_DIMS) {
+      return VecSimd.dot(a.toFloatArray(), b.toFloatArray());
+    }
+    float s = 0.0f;
+    for (int i = 0; i < n; i++) {
+      s += a.getFloat(i) * b.getFloat(i);
+    }
+    return s;
+  }
+
+  public static float cosineDistance(ArrayData a, ArrayData b) {
+    int n = a.numElements();
+    checkDims(n, b.numElements());
+    float dot;
+    float na;
+    float nb;
+    if (SIMD_AVAILABLE && n >= SIMD_MIN_DIMS) {
+      float[] parts = new float[3];
+      VecSimd.cosineParts(a.toFloatArray(), b.toFloatArray(), parts);
+      dot = parts[0];
+      na = parts[1];
+      nb = parts[2];
+    } else {
+      dot = 0.0f;
+      na = 0.0f;
+      nb = 0.0f;
+      for (int i = 0; i < n; i++) {
+        float x = a.getFloat(i);
+        float y = b.getFloat(i);
+        dot += x * y;
+        na += x * x;
+        nb += y * y;
+      }
+    }
+    float den = (float) Math.sqrt((double) na) * (float) Math.sqrt((double) nb);
+    return den == 0.0f ? 1.0f : 1.0f - dot / den;
+  }
+}

@@ -819,8 +819,43 @@ object SparkEntry {
     "text_fingerprint" ->
       """SELECT doc_id, md5(lower(array_to_string(regexp_split_to_array(trim(text), '\s+'), ' '))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
-    // text_langid / text_winnow / dedup_simhash: engine-internal hash
-    // heuristics, no SQL equivalent — rows-only checks; semantics spec-tested.
+    // text_langid / dedup_simhash: engine-internal hash heuristics with no
+    // practical SQL equivalent — rows-only checks; semantics spec-tested.
+    // text_winnow's FNV-1a IS ported below (the corpus is ASCII, so DuckDB
+    // can replay the byte-level hash in HUGEINT mod-2^64 arithmetic).
+    //
+    // Winnowing (SIGMOD'03) replayed exactly: FNV-1a over 5-byte grams
+    // (the xor only touches the low byte, so h - h%256 + xor(h%256, b)
+    // is the 64-bit xor), each gram converted to SIGNED i64 BEFORE the
+    // window minima — Spark compares Longs, and an unsigned min picks
+    // different grams. Windows of 4, distinct picks, count + min.
+    "text_winnow" ->
+      """WITH b AS (
+        |  SELECT doc_id, list_transform(split(text, ''), c -> unicode(c)::HUGEINT) AS bl
+        |  FROM documents
+        |),
+        |g AS (
+        |  SELECT doc_id,
+        |    list_transform(
+        |      CASE WHEN len(bl) < 5 THEN [list_reduce(list_concat([14695981039346656037::HUGEINT], bl),
+        |             (h, x) -> ((h - (h % 256) + xor((h % 256)::BIGINT, x::BIGINT)::HUGEINT)
+        |                        * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT)]
+        |           ELSE list_transform(range(1, len(bl) - 5 + 2),
+        |             i -> list_reduce(list_concat([14695981039346656037::HUGEINT], bl[i:i+4]),
+        |               (h, x) -> ((h - (h % 256) + xor((h % 256)::BIGINT, x::BIGINT)::HUGEINT)
+        |                          * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT))
+        |      END,
+        |      h -> (CASE WHEN h >= 9223372036854775808::HUGEINT
+        |                 THEN h - 18446744073709551616::HUGEINT ELSE h END)::BIGINT) AS grams
+        |  FROM b
+        |),
+        |p AS (
+        |  SELECT doc_id, list_transform(range(1, greatest(1, len(grams) - 3) + 1),
+        |    s -> list_min(grams[s:least(s+3, len(grams))])) AS picked
+        |  FROM g
+        |)
+        |SELECT doc_id, len(list_distinct(picked))::BIGINT AS n_fp, list_min(picked) AS fp_min
+        |FROM p ORDER BY doc_id""".stripMargin,
     "text_repetition" ->
       s"""$shingleCte
          |SELECT s.doc_id, len(s.sh)::BIGINT AS n_shingles_distinct,

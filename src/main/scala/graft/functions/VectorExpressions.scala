@@ -7,8 +7,12 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
 /** Distance kernels over `ArrayType(FloatType)` vectors, as native Catalyst
-  * expressions with whole-stage codegen (tight primitive float loops — the
-  * JVM analogue of the reference's AVX kernels).
+  * expressions with whole-stage codegen. Both the interpreted eval and the
+  * generated code dispatch into [[graft.functions.VecKernels]], which picks
+  * the Panama Vector API lanes when the JVM has `jdk.incubator.vector`
+  * (the analogue of the reference's AVX scoring paths,
+  * detail/scoring/l2_distance_avx.h) and the plain scalar float loop
+  * otherwise — so the two execution modes of a plan always agree.
   *
   * Semantics mirror the reference scoring functions
   * (reference: src/include/scoring.h:90-428):
@@ -36,51 +40,22 @@ abstract class BinaryVectorExpression extends BinaryExpression {
         s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
   }
 
-  /** Java source for the accumulation loop; `a`, `b` are ArrayData vars,
-    * result must be assigned to `ev.value` (a float). */
-  protected def loopCode(ctx: CodegenContext, a: String, b: String, result: String): String
-
-  protected def checkDims(an: Int, bn: Int): Unit =
-    if (an != bn) throw new IllegalArgumentException(
-      s"graft: vector dimension mismatch: $an vs $bn")
+  /** Static [[VecKernels]] method this expression maps to (dims check
+    * included there). */
+  protected def kernelName: String
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => {
-      s"""
-         |if ($a.numElements() != $b.numElements()) {
-         |  throw new IllegalArgumentException("graft: vector dimension mismatch: "
-         |    + $a.numElements() + " vs " + $b.numElements());
-         |}
-         |${loopCode(ctx, a, b, ev.value)}
-       """.stripMargin
-    })
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecKernels.$kernelName($a, $b)")
 }
 
 /** Squared L2 distance (reference: scoring.h:90-124, SUM_OF_SQUARES metric). */
 case class SumOfSquaresDistance(left: Expression, right: Expression)
     extends BinaryVectorExpression {
   override def prettyName: String = "dist_sos"
+  override protected def kernelName: String = "sos"
 
-  override protected def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
-    val n = a.numElements(); checkDims(n, b.numElements())
-    var s = 0.0f; var i = 0
-    while (i < n) { val d = a.getFloat(i) - b.getFloat(i); s += d * d; i += 1 }
-    s
-  }
-
-  override protected def loopCode(ctx: CodegenContext, a: String, b: String, result: String): String = {
-    val i = ctx.freshName("i"); val s = ctx.freshName("s"); val d = ctx.freshName("d")
-    s"""
-       |float $s = 0.0f;
-       |int $i = 0; final int n$i = $a.numElements();
-       |while ($i < n$i) {
-       |  float $d = $a.getFloat($i) - $b.getFloat($i);
-       |  $s += $d * $d; $i++;
-       |}
-       |$result = $s;
-     """.stripMargin
-  }
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    VecKernels.sos(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
@@ -128,27 +103,10 @@ object SosBounds {
 case class EuclideanDistance(left: Expression, right: Expression)
     extends BinaryVectorExpression {
   override def prettyName: String = "dist_l2"
+  override protected def kernelName: String = "l2"
 
-  override protected def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
-    val n = a.numElements(); checkDims(n, b.numElements())
-    var s = 0.0f; var i = 0
-    while (i < n) { val d = a.getFloat(i) - b.getFloat(i); s += d * d; i += 1 }
-    math.sqrt(s.toDouble).toFloat
-  }
-
-  override protected def loopCode(ctx: CodegenContext, a: String, b: String, result: String): String = {
-    val i = ctx.freshName("i"); val s = ctx.freshName("s"); val d = ctx.freshName("d")
-    s"""
-       |float $s = 0.0f;
-       |int $i = 0; final int n$i = $a.numElements();
-       |while ($i < n$i) {
-       |  float $d = $a.getFloat($i) - $b.getFloat($i);
-       |  $s += $d * $d; $i++;
-       |}
-       |$result = (float) java.lang.Math.sqrt((double) $s);
-     """.stripMargin
-  }
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    VecKernels.l2(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
@@ -162,24 +120,10 @@ case class EuclideanDistance(left: Expression, right: Expression)
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryVectorExpression {
   override def prettyName: String = "dot_product"
+  override protected def kernelName: String = "dot"
 
-  override protected def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
-    val n = a.numElements(); checkDims(n, b.numElements())
-    var s = 0.0f; var i = 0
-    while (i < n) { s += a.getFloat(i) * b.getFloat(i); i += 1 }
-    s
-  }
-
-  override protected def loopCode(ctx: CodegenContext, a: String, b: String, result: String): String = {
-    val i = ctx.freshName("i"); val s = ctx.freshName("s")
-    s"""
-       |float $s = 0.0f;
-       |int $i = 0; final int n$i = $a.numElements();
-       |while ($i < n$i) { $s += $a.getFloat($i) * $b.getFloat($i); $i++; }
-       |$result = $s;
-     """.stripMargin
-  }
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    VecKernels.dot(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
@@ -190,35 +134,10 @@ case class DotProduct(left: Expression, right: Expression)
 case class CosineDistance(left: Expression, right: Expression)
     extends BinaryVectorExpression {
   override def prettyName: String = "dist_cosine"
+  override protected def kernelName: String = "cosineDistance"
 
-  override protected def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
-    val n = a.numElements(); checkDims(n, b.numElements())
-    var dot = 0.0f; var na = 0.0f; var nb = 0.0f; var i = 0
-    while (i < n) {
-      val x = a.getFloat(i); val y = b.getFloat(i)
-      dot += x * y; na += x * x; nb += y * y; i += 1
-    }
-    val denom = math.sqrt(na.toDouble).toFloat * math.sqrt(nb.toDouble).toFloat
-    if (denom == 0.0f) 1.0f else 1.0f - dot / denom
-  }
-
-  override protected def loopCode(ctx: CodegenContext, a: String, b: String, result: String): String = {
-    val i = ctx.freshName("i"); val dot = ctx.freshName("dot")
-    val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
-    val x = ctx.freshName("x"); val y = ctx.freshName("y"); val den = ctx.freshName("den")
-    s"""
-       |float $dot = 0.0f; float $na = 0.0f; float $nb = 0.0f;
-       |int $i = 0; final int n$i = $a.numElements();
-       |while ($i < n$i) {
-       |  float $x = $a.getFloat($i); float $y = $b.getFloat($i);
-       |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y; $i++;
-       |}
-       |float $den = (float) java.lang.Math.sqrt((double) $na)
-       |           * (float) java.lang.Math.sqrt((double) $nb);
-       |$result = ($den == 0.0f) ? 1.0f : 1.0f - $dot / $den;
-     """.stripMargin
-  }
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    VecKernels.cosineDistance(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)

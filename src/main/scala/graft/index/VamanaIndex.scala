@@ -235,8 +235,33 @@ class VamanaIndex(spark: SparkSession, uri: String, meta: IndexMeta, ts: Long,
     withNprobeShards(nprobeShards).query(queries, k, nprobe = lSearch)
 
   /** Same index, queries routed to the top-`s` shards per query. */
-  def withNprobeShards(s: Int): VamanaIndex =
-    new VamanaIndex(spark, uri, meta, readTimestamp, s)
+  def withNprobeShards(s: Int): VamanaIndex = {
+    val idx = new VamanaIndex(spark, uri, meta, readTimestamp, s)
+    // carry the read window: a range-opened handle must stay windowed
+    idx.updateWindow = updateWindow
+    idx.queryBaseArray = queryBaseArray
+    idx
+  }
+
+  /** The PERF.md-sweep default probe width for THIS build's persisted
+    * geometry: see [[VamanaIndex.autoNprobeShards]]. 0 = all-shard. */
+  def autoNprobeShards: Int =
+    VamanaIndex.autoNprobeShards(shardCentroids.length, math.max(1, meta.shardReplicas))
+
+  /** Routed search at the auto-picked probe width — callers get the
+    * sweep-validated configuration without knowing the sweep: with
+    * boundary replication ≥ 3 the query probes ~shards/4 (recall 0.927 on
+    * the adversarial near-uniform fixture, ≥ 0.996 on clustered corpora —
+    * PERF.md round-5 audit); with fewer replicas routing cannot clear the
+    * 0.85 reference gate at any measured S, so the search FORCES the
+    * exactness-preserving all-shard merge instead. */
+  def queryRouted(
+      queries: DataFrame,
+      k: Int,
+      lSearch: Int = VamanaIndex.DefaultLSearch): DataFrame = {
+    val s = autoNprobeShards
+    queryLSearch(queries, k, lSearch, if (s == 0) -1 else s)
+  }
 
   /** Shard k-means centroids, in shard_id order; empty for single-shard
     * builds (which write no centroids). Existence checked through the
@@ -511,6 +536,18 @@ object VamanaIndex {
     * conf lets serving sessions set it once without threading the parameter
     * through callers. */
   val NprobeShardsKey = "spark.graft.vamana.nprobeShards"
+
+  /** Probe width the PERF.md round-5 routing sweep validates for a build's
+    * persisted geometry (shard count × boundary-replication factor), so
+    * callers don't have to know the sweep: replicas ≥ 3 make S ≈ shards/4
+    * clear the 0.85 reference recall gate even on the adversarial
+    * near-uniform fixture (0.927 at S=4 of 16×3; 0.973 at ×4); with fewer
+    * replicas no measured S below all-shard clears it (×1: 0.734, ×2:
+    * 0.835 at S=shards/4), so the pick is 0 = the exact all-shard merge.
+    * Floor of 2: S=1 forfeits the boundary-replica safety net entirely. */
+  def autoNprobeShards(shards: Int, replicas: Int): Int =
+    if (shards <= 1 || replicas < 3) 0
+    else math.min(shards, math.max(2, (shards + 3) / 4))
 
   /** Target vectors per shard for the default (auto) shard count. The
     * reference builds ONE global graph on one node (ingestion.py:2572-2595);

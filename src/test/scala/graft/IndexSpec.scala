@@ -259,6 +259,21 @@ class IndexSpec extends AnyFunSuite {
     val afterDel = VectorIndex.open(spark, uri).asInstanceOf[graft.index.VamanaIndex]
       .queryLSearch(queries10, 10, lSearch = 100, nprobeShards = 2)
     assert(afterDel.where(col("id") === 0L).count() === 0)
+
+    // Auto-picked S (queryRouted): replicas < 3 must refuse to route (the
+    // sweep says no measured S clears the gate) ...
+    assert(idx.autoNprobeShards === 0)
+    // ... and a replicas>=3 build routes at ~shards/4 (floor 2) and clears
+    // the gate without the caller knowing the sweep.
+    val uri3 = tmp()
+    val idx3 = Ingest.ingest(spark, uri3, corpus, "VAMANA", DistanceMetric.L2,
+      timestamp = 1000L, partitions = Some(4), shardReplicas = Some(3))
+      .asInstanceOf[graft.index.VamanaIndex]
+    assert(idx3.autoNprobeShards === 2)
+    assert(graft.index.VamanaIndex.autoNprobeShards(16, 3) === 4) // the sweep point
+    val auto = idx3.queryRouted(queries10, 10)
+    assert(auto.groupBy("qid").count().where(col("count") =!= 10).count() === 0)
+    assert(recallOf(auto) >= 0.85, "auto-picked routed recall below gate")
   }
 
   test("autoPartitions stays sane at design-point scale (no Int wrap)") {
