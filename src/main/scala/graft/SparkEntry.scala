@@ -819,10 +819,46 @@ object SparkEntry {
     "text_fingerprint" ->
       """SELECT doc_id, md5(lower(array_to_string(regexp_split_to_array(trim(text), '\s+'), ' '))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
-    // text_langid / dedup_simhash: engine-internal hash heuristics with no
-    // practical SQL equivalent — rows-only checks; semantics spec-tested.
-    // text_winnow's FNV-1a IS ported below (the corpus is ASCII, so DuckDB
-    // can replay the byte-level hash in HUGEINT mod-2^64 arithmetic).
+    // text_langid: engine-internal stopword-profile voting, no practical
+    // SQL equivalent — rows-only check; semantics spec-tested.
+    // text_winnow and dedup_simhash ARE ported below (the corpus is ASCII,
+    // so DuckDB can replay the byte-level FNV-1a in HUGEINT mod-2^64
+    // arithmetic).
+    //
+    // SimHash (Charikar) replayed exactly: FNV-1a per whitespace token,
+    // per-bit majority vote (strictly-greater, matching votes > 0), signed
+    // i64 signature. The engine's 16-bit chunk blocking is EXACT for
+    // hamming <= 3 by pigeonhole (3 flips cannot touch all 4 chunks), so
+    // the oracle is the plain all-pairs hamming predicate.
+    "dedup_simhash" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    list_transform(regexp_split_to_array(trim(text), '\s+'),
+        |      t -> list_reduce(list_concat([14695981039346656037::HUGEINT],
+        |             list_transform(split(t, ''), c -> unicode(c)::HUGEINT)),
+        |        (h, x) -> ((h - (h % 256) + xor((h % 256)::BIGINT, x::BIGINT)::HUGEINT)
+        |                   * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT)) AS hs
+        |  FROM documents
+        |),
+        |s AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_transform(range(0, 64), b ->
+        |        CASE WHEN len(list_filter(hs, x -> (x // (1::HUGEINT << b)) % 2 = 1)) * 2 > len(hs)
+        |             THEN (1::HUGEINT << b) ELSE 0::HUGEINT END),
+        |      (a, x) -> a + x) AS sigu
+        |  FROM h
+        |),
+        |sig AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN sigu >= 9223372036854775808::HUGEINT
+        |          THEN sigu - 18446744073709551616::HUGEINT ELSE sigu END)::BIGINT AS sig
+        |  FROM s
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
     //
     // Winnowing (SIGMOD'03) replayed exactly: FNV-1a over 5-byte grams
     // (the xor only touches the low byte, so h - h%256 + xor(h%256, b)
