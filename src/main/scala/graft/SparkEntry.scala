@@ -138,6 +138,53 @@ object SparkEntry {
       .orderBy("neighbor_id")
   }
 
+  /** SQL surface over an IVF_PQ-backed table: same ORDER BY + LIMIT form;
+    * the rewrite prunes partition_id on the PQ index's coarse centroids and
+    * the pruned scan re-ranks the ORIGINAL vectors stored beside the codes
+    * — at probe-all registration this is exact (brute-force oracle). */
+  private def sqlIndexTopkPq(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.registerAll(spark)
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.IndexProbeRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.IndexProbeRewrite
+    val uri = cachedIndex("ivf_pq", dir) { u =>
+      Ingest.ingest(spark, u, embAsIndexInput(spark, dir), "IVF_PQ",
+        DistanceMetric.L2, timestamp = 1000L)
+    }
+    graft.plans.GraftSql.registerIndexTable(spark, "graft_vecs_pq", uri, nprobe = 1 << 30)
+    val qv = emb(spark, dir).where(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0)
+    spark.sql(
+      s"""SELECT CAST(0 AS BIGINT) AS qid, external_id AS neighbor_id
+         |FROM graft_vecs_pq
+         |ORDER BY dist_l2(vector, ${floatArrayLit(qv)}), external_id LIMIT $K""".stripMargin)
+      .orderBy("neighbor_id")
+  }
+
+  /** SQL surface over a sharded VAMANA-backed table: the rewrite prunes
+    * shard_id on the shard centroids (the routed search's candidate
+    * narrowing, exact scan inside the probed shards) — at probe-all
+    * registration this is exact (brute-force oracle). */
+  private def sqlIndexTopkVamana(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.registerAll(spark)
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.IndexProbeRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.IndexProbeRewrite
+    val uri = cachedIndex("vamana_routed", dir) { u =>
+      Ingest.ingest(spark, u, embAsIndexInput(spark, dir), "VAMANA",
+        DistanceMetric.L2, timestamp = 1000L,
+        partitions = Some(16), shardReplicas = Some(3))
+    }
+    graft.plans.GraftSql.registerIndexTable(spark, "graft_vecs_vam", uri, nprobe = 1 << 30)
+    val qv = emb(spark, dir).where(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0)
+    spark.sql(
+      s"""SELECT CAST(0 AS BIGINT) AS qid, external_id AS neighbor_id
+         |FROM graft_vecs_vam
+         |ORDER BY dist_l2(vector, ${floatArrayLit(qv)}), external_id LIMIT $K""".stripMargin)
+      .orderBy("neighbor_id")
+  }
+
   /** SQL surface, multi-query JOIN form: per-query top-k via
     * `row_number() OVER (PARTITION BY q.qid ORDER BY dist_l2(...)) <= k`
     * over queries × registered base. [[graft.plans.IndexProbeRewrite]]
@@ -702,6 +749,8 @@ object SparkEntry {
     "knn_flat_ip" -> (knnFlat(DistanceMetric.InnerProduct) _),
     "ivf_flat_probe_all" -> (ivfProbeAll _),
     "sql_index_topk" -> (sqlIndexTopk _),
+    "sql_index_topk_pq" -> (sqlIndexTopkPq _),
+    "sql_index_topk_vamana" -> (sqlIndexTopkVamana _),
     "sql_index_topk_batch" -> (sqlIndexTopkBatch _),
     "ivf_flat_cosine_probe_all" -> (ivfCosineProbeAll _),
     "ivf_flat_nprobe" -> (ivfNprobe _),
@@ -769,6 +818,19 @@ object SparkEntry {
          |CROSS JOIN embeddings n
          |QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY list_distance(n.embedding, q.embedding), n.vec_id) <= $K
          |ORDER BY qid, neighbor_id""".stripMargin,
+    // PQ/VAMANA-backed SQL tables at probe-all registration: exact top-k
+    "sql_index_topk_pq" ->
+      s"""SELECT 0::BIGINT AS qid, n.vec_id AS neighbor_id
+         |FROM (SELECT * FROM embeddings WHERE vec_id = 0) q
+         |CROSS JOIN embeddings n
+         |QUALIFY row_number() OVER (ORDER BY list_distance(n.embedding, q.embedding), n.vec_id) <= $K
+         |ORDER BY neighbor_id""".stripMargin,
+    "sql_index_topk_vamana" ->
+      s"""SELECT 0::BIGINT AS qid, n.vec_id AS neighbor_id
+         |FROM (SELECT * FROM embeddings WHERE vec_id = 0) q
+         |CROSS JOIN embeddings n
+         |QUALIFY row_number() OVER (ORDER BY list_distance(n.embedding, q.embedding), n.vec_id) <= $K
+         |ORDER BY neighbor_id""".stripMargin,
     "ivf_flat_cosine_probe_all" -> knnOracle("list_cosine_similarity(n.embedding, q.embedding) DESC"),
     // ivf_flat_nprobe: intentionally no oracle (approximate, engine-internal
     // k-means); driver records rows-only, recall asserted in IndexSpec.

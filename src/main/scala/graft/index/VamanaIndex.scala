@@ -216,6 +216,25 @@ class VamanaIndex(spark: SparkSession, uri: String, meta: IndexMeta, ts: Long,
     if (meta.shardReplicas > 1) b.dropDuplicates("external_id") else b
   }
 
+  /** Replica-deduped base whose vector column IS the scan's own attribute,
+    * for SQL view registration: [[baseVectors]]'s dropDuplicates compiles
+    * to an Aggregate that re-aliases vector as first(vector), which hides
+    * the scan from [[graft.plans.IndexProbeRewrite]]'s attribute-to-scan
+    * matching. The window row_number dedup keeps scan attributes, so an
+    * injected `shard_id IN (...)` filter lands directly above the scan and
+    * prunes physically; the surviving copy per id is then the lowest
+    * probed shard's (copies are bit-identical). */
+  private[graft] def baseVectorsStableAttrs(): DataFrame = {
+    if (historyIdx < 0 || meta.shardReplicas <= 1) return baseVectors()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("external_id")).orderBy(col("shard_id"))
+    spark.read.parquet(s"$uri/base/v=$baseTimestamp")
+      .select("external_id", "vector", "shard_id")
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select("external_id", "vector")
+  }
+
   /** Labeled alias for the reference's `l_search` query parameter
     * (vamana_index.py:30-32): the generic `query(..., nprobe)` third
     * argument doubles as l_search for graph indexes. */

@@ -11,7 +11,7 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
 import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType}
 
 import graft.functions.{CosineDistance, DotProduct, EuclideanDistance, SumOfSquaresDistance}
-import graft.index.{IvfFlatIndex, VectorIndex}
+import graft.index.{IvfFlatIndex, IvfPqIndex, VamanaIndex, VectorIndex}
 import graft.operators.DistanceMetric
 
 /** Registry connecting parquet base paths of IVF indexes to their centroids,
@@ -19,10 +19,14 @@ import graft.operators.DistanceMetric
   * index X" (the reference needs no such link — its queries go through the
   * index object; in SQL the table is all the user names). */
 object IndexCatalog {
+  /** @param pidCol the scan's physical partition column the probe filter
+    *               prunes on: `partition_id` for IVF_FLAT / IVF_PQ bases,
+    *               `shard_id` for sharded VAMANA bases. */
   final case class Entry(
       centroids: Array[Array[Float]],
       nprobe: Int,
-      metric: DistanceMetric = DistanceMetric.L2)
+      metric: DistanceMetric = DistanceMetric.L2,
+      pidCol: String = "partition_id")
 
   private val reg = TrieMap.empty[String, Entry]
 
@@ -80,19 +84,39 @@ object GraftSql {
       uri: String,
       nprobe: Int = 0): VectorIndex = {
     val idx = VectorIndex.open(spark, uri)
-    idx.baseVectors().createOrReplaceTempView(name)
+    // VAMANA replicated builds register the scan-stable dedup formulation —
+    // see [[graft.index.VamanaIndex.baseVectorsStableAttrs]]
+    val viewDf = idx match {
+      case vam: VamanaIndex => vam.baseVectorsStableAttrs()
+      case other => other.baseVectors()
+    }
+    viewDf.createOrReplaceTempView(name)
     registered.put((spark, name), (uri, nprobe))
-    idx match {
+    // (centroids for the probe rewrite, physical partition column): IVF_FLAT
+    // and IVF_PQ bases prune partition_id on the k-means centroids (the PQ
+    // base stores the ORIGINAL vectors beside the codes, so the pruned SQL
+    // scan computes exact distances — the index's nprobe answer at
+    // k_factor=∞); sharded VAMANA bases prune shard_id on the shard
+    // centroids (the routed-search candidate narrowing). Unsharded VAMANA /
+    // FLAT have nothing to prune — the view still works as an exact scan.
+    val probeSide: Option[(Array[Array[Float]], String)] = idx match {
       case ivf: IvfFlatIndex if ivf.centroids.nonEmpty =>
-        val np = if (nprobe > 0) math.min(nprobe, ivf.centroids.length)
-          else math.max(1, math.sqrt(ivf.centroids.length.toDouble).toInt)
-        val ts = idx.meta.ingestionTimestamps(idx.meta.historyIndex(Long.MaxValue))
-        // superseded versions' centroid arrays would otherwise accumulate
-        // in the driver across consolidations
-        IndexCatalog.unregisterPrefix(IndexCatalog.qualify(spark, s"$uri/base"))
-        IndexCatalog.register(IndexCatalog.qualify(spark, s"$uri/base/v=$ts"),
-          IndexCatalog.Entry(ivf.centroids, np, idx.metric))
-      case _ => ()
+        Some((ivf.centroids, "partition_id"))
+      case pq: IvfPqIndex if pq.centroids.nonEmpty =>
+        Some((pq.centroids, "partition_id"))
+      case vam: VamanaIndex if vam.shardCentroids.nonEmpty =>
+        Some((vam.shardCentroids, "shard_id"))
+      case _ => None
+    }
+    probeSide.foreach { case (centroids, pidCol) =>
+      val np = if (nprobe > 0) math.min(nprobe, centroids.length)
+        else math.max(1, math.sqrt(centroids.length.toDouble).toInt)
+      val ts = idx.meta.ingestionTimestamps(idx.meta.historyIndex(Long.MaxValue))
+      // superseded versions' centroid arrays would otherwise accumulate
+      // in the driver across consolidations
+      IndexCatalog.unregisterPrefix(IndexCatalog.qualify(spark, s"$uri/base"))
+      IndexCatalog.register(IndexCatalog.qualify(spark, s"$uri/base/v=$ts"),
+        IndexCatalog.Entry(centroids, np, idx.metric, pidCol))
     }
     idx
   }
@@ -125,15 +149,23 @@ object GraftSql {
     }
 }
 
-/** `ORDER BY dist_l2(vector, <const-vector>) LIMIT k` over a registered IVF
-  * base table → probe plan: the top-nprobe centroid partitions for the
-  * (plan-time constant) query vector become a `partition_id IN (...)`
+/** `ORDER BY dist_l2(vector, <const-vector>) LIMIT k` over a registered
+  * index base table → probe plan: the top-nprobe centroid partitions for
+  * the (plan-time constant) query vector become a `<pidCol> IN (...)`
   * filter directly above the scan, which Catalyst's partition pruning turns
   * into "read only the probed partitions" — the same pruning
   * [[graft.index.IvfFlatIndex]] performs programmatically
   * (reference: detail/ivf/qv.h:99-153 probe; SURVEY §4 optional Strategy).
   * The Sort+Limit stay and run as TakeOrdered over the pruned scan, so
   * results are exactly the index's nprobe answer.
+  *
+  * Covers every partitioned base the engine stores: IVF_FLAT and IVF_PQ
+  * prune `partition_id` on the k-means centroids (the PQ base keeps the
+  * original vectors beside the codes, so the pruned SQL scan re-ranks
+  * exactly — the index's nprobe answer at k_factor=∞); sharded VAMANA
+  * prunes `shard_id` on the shard centroids (the routed search's candidate
+  * narrowing, with an exact scan inside the probed shards in place of the
+  * per-shard beam).
   */
 object IndexProbeRewrite extends Rule[LogicalPlan] {
 
@@ -240,8 +272,8 @@ object IndexProbeRewrite extends Rule[LogicalPlan] {
       case j: Join if j.joinType == Inner || j.joinType == Cross => j
       case _ => return None
     })
-    // idempotency: an already-probed join references partition_id
-    if (join.condition.exists(_.references.exists(_.name == "partition_id")) ||
+    // idempotency: an already-probed join references the partition column
+    if (join.condition.exists(_.references.exists(a => PidCols(a.name))) ||
         join.left.output.exists(_.name == ProbeCol) ||
         join.right.output.exists(_.name == ProbeCol)) return None
 
@@ -263,7 +295,7 @@ object IndexProbeRewrite extends Rule[LogicalPlan] {
     }.getOrElse(return None)
     val entry = entryFor(lr).getOrElse(return None)
     if (!keyMatchesMetric(key, entry.metric)) return None
-    val pidAttr = lr.output.find(_.name == "partition_id")
+    val pidAttr = lr.output.find(_.name == entry.pidCol)
       .getOrElse(return None).asInstanceOf[AttributeReference]
     qvecExpr.dataType match {
       case ArrayType(FloatType, _) => ()
@@ -310,6 +342,9 @@ object IndexProbeRewrite extends Rule[LogicalPlan] {
   }
 
   private val ProbeCol = "__graft_probe"
+
+  /** Physical partition columns a probe filter can prune on. */
+  private val PidCols = Set("partition_id", "shard_id")
 
   /** Distance call over (base-side vector attribute, query-side vector
     * expression) in either argument order, validated against the sort
@@ -415,14 +450,14 @@ object IndexProbeRewrite extends Rule[LogicalPlan] {
       key: OrderKey): Option[LogicalPlan] = {
     val alreadyPruned: Set[LogicalPlan] = gl.collect {
       case Filter(cond, lr: LogicalRelation)
-          if cond.references.exists(_.name == "partition_id") => lr: LogicalPlan
+          if cond.references.exists(a => PidCols(a.name)) => lr: LogicalPlan
     }.toSet
     var injected = false
     val out = gl.transformUp {
       case lr: LogicalRelation
           if !injected && !alreadyPruned(lr) && lr.outputSet.contains(attr) =>
-        (entryFor(lr), lr.output.find(_.name == "partition_id")) match {
-          case (Some(entry), Some(pid))
+        entryFor(lr).flatMap(e => lr.output.find(_.name == e.pidCol).map((e, _))) match {
+          case Some((entry, pid))
               if entry.centroids.head.length == qv.length &&
                 keyMatchesMetric(key, entry.metric) =>
             injected = true

@@ -122,6 +122,64 @@ class ExtensionsSpec extends AnyFunSuite {
       s"sql=$viaSql api=$viaApi")
   }
 
+  test("ORDER BY dist_l2 LIMIT k over a registered IVF_PQ table probes partitions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val emb = embFrame
+    val uri = java.nio.file.Files.createTempDirectory("graft_sql_pq").toString
+    graft.index.Ingest.ingest(spark, uri, emb, "IVF_PQ",
+      graft.operators.DistanceMetric.L2, timestamp = 1000L, partitions = Some(16))
+    // probe-all: the pruned scan re-ranks the ORIGINAL vectors stored
+    // beside the codes, so the SQL answer is exact brute force
+    graft.plans.GraftSql.registerIndexTable(spark, "vecs_pq_idx", uri, nprobe = 1 << 30)
+    val qv = emb.where(col("external_id") === 0).select("vector")
+      .head().getSeq[Float](0).toArray
+    val df = spark.sql(
+      s"SELECT external_id FROM vecs_pq_idx ORDER BY dist_l2(vector, ${qvLit(qv)}), external_id LIMIT 10")
+    assert(partitionFiltered(df),
+      "PQ-backed table must probe partition_id:\n" +
+        df.queryExecution.executedPlan.toString.take(2500))
+    val exact = graft.operators.Knn.bruteForce(
+        emb, Seq((0L, qv)).toDF("qid", "qvec"), 10,
+        idCol = "external_id", vecCol = "vector")
+      .select("id").as[Long].collect().toSet
+    assert(df.collect().map(_.getLong(0)).toSet === exact)
+  }
+
+  test("ORDER BY dist_l2 LIMIT k over a sharded VAMANA table probes shards") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val emb = embFrame
+    val uri = java.nio.file.Files.createTempDirectory("graft_sql_vam").toString
+    graft.index.Ingest.ingest(spark, uri, emb, "VAMANA",
+      graft.operators.DistanceMetric.L2, timestamp = 1000L,
+      partitions = Some(4), shardReplicas = Some(2))
+    graft.plans.GraftSql.registerIndexTable(spark, "vecs_vam_idx", uri, nprobe = 1 << 30)
+    val qv = emb.where(col("external_id") === 0).select("vector")
+      .head().getSeq[Float](0).toArray
+    val df = spark.sql(
+      s"SELECT external_id FROM vecs_vam_idx ORDER BY dist_l2(vector, ${qvLit(qv)}), external_id LIMIT 10")
+    val physical = df.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*shard_id[^\\]]*\\]".r.findFirstIn(physical).isDefined,
+      s"VAMANA-backed table must probe shard_id:\n${physical.take(2500)}")
+    // probe-all + the view's replica dedup => exact; replicated copies must
+    // not produce duplicate ids through the SQL surface
+    val got = df.collect().map(_.getLong(0)).toSeq
+    assert(got.distinct.size === got.size, s"replica duplicates leaked: $got")
+    val exact = graft.operators.Knn.bruteForce(
+        emb, Seq((0L, qv)).toDF("qid", "qvec"), 10,
+        idCol = "external_id", vecCol = "vector")
+      .select("id").as[Long].collect().toSet
+    assert(got.toSet === exact)
+    // narrowed probing (nprobe=1) still returns k rows from the nearest shard
+    graft.plans.GraftSql.registerIndexTable(spark, "vecs_vam_n1", uri, nprobe = 1)
+    val narrowed = spark.sql(
+      s"SELECT external_id FROM vecs_vam_n1 ORDER BY dist_l2(vector, ${qvLit(qv)}), external_id LIMIT 10")
+    assert(narrowed.count() === 10)
+    assert(narrowed.collect().map(_.getLong(0)).contains(0L),
+      "the query vector's own id lives in its nearest shard")
+  }
+
   test("ORDER BY dist_cosine LIMIT k probes a COSINE index; guard refuses L2") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
