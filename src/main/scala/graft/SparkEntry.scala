@@ -881,11 +881,29 @@ object SparkEntry {
     "text_fingerprint" ->
       """SELECT doc_id, md5(lower(array_to_string(regexp_split_to_array(trim(text), '\s+'), ' '))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
-    // text_langid: engine-internal stopword-profile voting, no practical
-    // SQL equivalent — rows-only check; semantics spec-tested.
-    // text_winnow and dedup_simhash ARE ported below (the corpus is ASCII,
+    // text_winnow and dedup_simhash are ported below (the corpus is ASCII,
     // so DuckDB can replay the byte-level FNV-1a in HUGEINT mod-2^64
-    // arithmetic).
+    // arithmetic); text_langid's stopword-profile vote replays directly.
+    //
+    // Stopword-profile voting replayed exactly: per-language occurrence
+    // counts, argmax via struct max (score first, then lang code — the
+    // same tie-break Spark's greatest(struct(score, lang)) applies),
+    // zero hits => 'und'. Profiles mirror TextOps.stopwords verbatim.
+    "text_langid" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN best['score'] > 0 THEN best['lang'] ELSE 'und' END AS lang_pred
+        |FROM (
+        |  SELECT doc_id, list_max([
+        |    {'score': len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','ein','eine','zu','mit','von'], x))), 'lang': 'de'},
+        |    {'score': len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it','that','for'], x))), 'lang': 'en'},
+        |    {'score': len(list_filter(toks, x -> list_contains(['el','la','los','las','y','es','un','una','de','para'], x))), 'lang': 'es'},
+        |    {'score': len(list_filter(toks, x -> list_contains(['le','la','les','et','est','un','une','de','dans','pour'], x))), 'lang': 'fr'},
+        |    {'score': len(list_filter(toks, x -> list_contains(['il','la','gli','e','è','un','una','di','per','con'], x))), 'lang': 'it'},
+        |    {'score': len(list_filter(toks, x -> list_contains(['o','a','os','as','e','é','um','uma','de','para'], x))), 'lang': 'pt'}
+        |  ]) AS best FROM t
+        |)
+        |ORDER BY doc_id""".stripMargin,
     //
     // SimHash (Charikar) replayed exactly: FNV-1a per whitespace token,
     // per-bit majority vote (strictly-greater, matching votes > 0), signed
