@@ -76,6 +76,81 @@ public final class VecKernels {
     return s;
   }
 
+  // ----- asymmetric float-query × byte-packed kernels (uint8/int8 dtypes;
+  // reference detail/scoring has the same u8 AVX family). The byte side is
+  // widened once into a float[] (one memory-bound pass) and the multiply-
+  // add runs in the float lanes — the widen is not worth lane gymnastics
+  // across byte/float species shapes. -----
+
+  private static float[] widen(byte[] v, boolean signed) {
+    float[] out = new float[v.length];
+    if (signed) {
+      for (int i = 0; i < v.length; i++) {
+        out[i] = v[i];
+      }
+    } else {
+      for (int i = 0; i < v.length; i++) {
+        out[i] = v[i] & 0xFF;
+      }
+    }
+    return out;
+  }
+
+  public static float sosU8(ArrayData q, byte[] v, boolean signed) {
+    int n = q.numElements();
+    checkDims(n, v.length);
+    if (SIMD_AVAILABLE && n >= SIMD_MIN_DIMS) {
+      return VecSimd.sos(q.toFloatArray(), widen(v, signed));
+    }
+    float s = 0.0f;
+    for (int i = 0; i < n; i++) {
+      float d = q.getFloat(i) - (signed ? v[i] : (v[i] & 0xFF));
+      s += d * d;
+    }
+    return s;
+  }
+
+  public static float dotU8(ArrayData q, byte[] v, boolean signed) {
+    int n = q.numElements();
+    checkDims(n, v.length);
+    if (SIMD_AVAILABLE && n >= SIMD_MIN_DIMS) {
+      return VecSimd.dot(q.toFloatArray(), widen(v, signed));
+    }
+    float s = 0.0f;
+    for (int i = 0; i < n; i++) {
+      s += q.getFloat(i) * (signed ? v[i] : (v[i] & 0xFF));
+    }
+    return s;
+  }
+
+  public static float cosineDistanceU8(ArrayData q, byte[] v, boolean signed) {
+    int n = q.numElements();
+    checkDims(n, v.length);
+    float dot;
+    float nq;
+    float nv;
+    if (SIMD_AVAILABLE && n >= SIMD_MIN_DIMS) {
+      float[] parts = new float[3];
+      VecSimd.cosineParts(q.toFloatArray(), widen(v, signed), parts);
+      dot = parts[0];
+      nq = parts[1];
+      nv = parts[2];
+    } else {
+      dot = 0.0f;
+      nq = 0.0f;
+      nv = 0.0f;
+      for (int i = 0; i < n; i++) {
+        float x = q.getFloat(i);
+        float y = signed ? v[i] : (v[i] & 0xFF);
+        dot += x * y;
+        nq += x * x;
+        nv += y * y;
+      }
+    }
+    float den = (float) Math.sqrt((double) nq) * (float) Math.sqrt((double) nv);
+    return den == 0.0f ? 1.0f : 1.0f - dot / den;
+  }
+
   public static float cosineDistance(ArrayData a, ArrayData b) {
     int n = a.numElements();
     checkDims(n, b.numElements());

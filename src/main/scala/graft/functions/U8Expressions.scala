@@ -13,7 +13,11 @@ import org.apache.spark.sql.types._
   * array<float> on disk and in shuffle, which is the point at 100 TB.
   * `signed=false` widens with `(b & 0xFF)` (uint8), `signed=true` keeps the
   * JVM byte sign (int8) — SURVEY §7.3's unsigned-byte pitfall.
-  */
+  *
+  * Like the float family, both eval and codegen dispatch through
+  * [[graft.functions.VecKernels]] (Panama lanes after a one-pass widen
+  * when the module is present — the reference's u8 AVX scoring analogue;
+  * scalar otherwise), so the two execution modes of a plan agree. */
 abstract class ByteVectorDistance extends BinaryExpression {
   def signed: Boolean
 
@@ -28,44 +32,23 @@ abstract class ByteVectorDistance extends BinaryExpression {
   override def dataType: DataType = FloatType
   override def nullIntolerant: Boolean = true
 
-  @inline protected final def widen(b: Byte): Float =
-    if (signed) b.toFloat else (b & 0xFF).toFloat
+  /** Static [[VecKernels]] method this expression maps to (dims check
+    * included there). */
+  protected def kernelName: String
 
-  protected def checkDims(q: ArrayData, v: Array[Byte]): Unit =
-    if (q.numElements() != v.length) throw new IllegalArgumentException(
-      s"graft: vector dimension mismatch: ${q.numElements()} vs ${v.length}")
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (q, v) => s"graft.functions.VecKernels.$kernelName($q, $v, $signed)")
 }
 
 /** Squared L2 between a float query and a byte-packed vector. */
 case class U8SumOfSquaresDistance(left: Expression, right: Expression, signed: Boolean = false)
     extends ByteVectorDistance {
   override def prettyName: String = "dist_sos_u8"
+  override protected def kernelName: String = "sosU8"
 
-  override protected def nullSafeEval(l: Any, r: Any): Any = {
-    val q = l.asInstanceOf[ArrayData]; val v = r.asInstanceOf[Array[Byte]]
-    checkDims(q, v)
-    var s = 0.0f; var i = 0
-    while (i < v.length) { val d = q.getFloat(i) - widen(v(i)); s += d * d; i += 1 }
-    s
-  }
-
-  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (q, v) => {
-      val i = ctx.freshName("i"); val s = ctx.freshName("s"); val d = ctx.freshName("d")
-      val w = if (signed) s"(float) $v[$i]" else s"(float) ($v[$i] & 0xFF)"
-      s"""
-         |if ($q.numElements() != $v.length) {
-         |  throw new IllegalArgumentException("graft: vector dimension mismatch: "
-         |    + $q.numElements() + " vs " + $v.length);
-         |}
-         |float $s = 0.0f;
-         |for (int $i = 0; $i < $v.length; $i++) {
-         |  float $d = $q.getFloat($i) - $w;
-         |  $s += $d * $d;
-         |}
-         |${ev.value} = $s;
-       """.stripMargin
-    })
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    VecKernels.sosU8(l.asInstanceOf[ArrayData], r.asInstanceOf[Array[Byte]], signed)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
@@ -75,32 +58,10 @@ case class U8SumOfSquaresDistance(left: Expression, right: Expression, signed: B
 case class U8DotProduct(left: Expression, right: Expression, signed: Boolean = false)
     extends ByteVectorDistance {
   override def prettyName: String = "dot_product_u8"
+  override protected def kernelName: String = "dotU8"
 
-  override protected def nullSafeEval(l: Any, r: Any): Any = {
-    val q = l.asInstanceOf[ArrayData]; val v = r.asInstanceOf[Array[Byte]]
-    checkDims(q, v)
-    var s = 0.0f; var i = 0
-    while (i < v.length) { s += q.getFloat(i) * widen(v(i)); i += 1 }
-    s
-  }
-
-  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (q, v) => {
-      val i = ctx.freshName("i"); val s = ctx.freshName("s")
-      val w = if (signed) s"(float) $v[$i]" else s"(float) ($v[$i] & 0xFF)"
-      // same dim check as the interpreted path: without it a short query
-      // reads past the array on UnsafeArrayData — silent garbage, and
-      // codegen/fallback would disagree
-      s"""
-         |if ($q.numElements() != $v.length) {
-         |  throw new IllegalArgumentException("graft: vector dimension mismatch: "
-         |    + $q.numElements() + " vs " + $v.length);
-         |}
-         |float $s = 0.0f;
-         |for (int $i = 0; $i < $v.length; $i++) { $s += $q.getFloat($i) * $w; }
-         |${ev.value} = $s;
-       """.stripMargin
-    })
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    VecKernels.dotU8(l.asInstanceOf[ArrayData], r.asInstanceOf[Array[Byte]], signed)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
@@ -110,40 +71,10 @@ case class U8DotProduct(left: Expression, right: Expression, signed: Boolean = f
 case class U8CosineDistance(left: Expression, right: Expression, signed: Boolean = false)
     extends ByteVectorDistance {
   override def prettyName: String = "dist_cosine_u8"
+  override protected def kernelName: String = "cosineDistanceU8"
 
-  override protected def nullSafeEval(l: Any, r: Any): Any = {
-    val q = l.asInstanceOf[ArrayData]; val v = r.asInstanceOf[Array[Byte]]
-    checkDims(q, v)
-    var dot = 0.0f; var nq = 0.0f; var nv = 0.0f; var i = 0
-    while (i < v.length) {
-      val x = q.getFloat(i); val y = widen(v(i))
-      dot += x * y; nq += x * x; nv += y * y; i += 1
-    }
-    val den = math.sqrt(nq.toDouble).toFloat * math.sqrt(nv.toDouble).toFloat
-    if (den == 0.0f) 1.0f else 1.0f - dot / den
-  }
-
-  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (q, v) => {
-      val i = ctx.freshName("i"); val dot = ctx.freshName("dot")
-      val nq = ctx.freshName("nq"); val nv = ctx.freshName("nv")
-      val x = ctx.freshName("x"); val y = ctx.freshName("y"); val den = ctx.freshName("den")
-      val w = if (signed) s"(float) $v[$i]" else s"(float) ($v[$i] & 0xFF)"
-      s"""
-         |if ($q.numElements() != $v.length) {
-         |  throw new IllegalArgumentException("graft: vector dimension mismatch: "
-         |    + $q.numElements() + " vs " + $v.length);
-         |}
-         |float $dot = 0.0f; float $nq = 0.0f; float $nv = 0.0f;
-         |for (int $i = 0; $i < $v.length; $i++) {
-         |  float $x = $q.getFloat($i); float $y = $w;
-         |  $dot += $x * $y; $nq += $x * $x; $nv += $y * $y;
-         |}
-         |float $den = (float) java.lang.Math.sqrt((double) $nq)
-         |           * (float) java.lang.Math.sqrt((double) $nv);
-         |${ev.value} = ($den == 0.0f) ? 1.0f : 1.0f - $dot / $den;
-       """.stripMargin
-    })
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    VecKernels.cosineDistanceU8(l.asInstanceOf[ArrayData], r.asInstanceOf[Array[Byte]], signed)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
