@@ -28,6 +28,9 @@ object SparkEntry {
   private val NQ = 10
   private val K = 10
 
+  /** k of the object-search queries (5 query docs × top-5 chunks). */
+  private val K2obj = 5
+
   private def knnFlat(metric: DistanceMetric)(spark: SparkSession, dir: String): DataFrame = {
     val db = emb(spark, dir)
     val queries = db.where(col("vec_id") < NQ)
@@ -271,6 +274,58 @@ object SparkEntry {
     }
     idsOnly(VectorIndex.open(spark, uri, Some(1500L)).query(idxQueries(spark, dir), K))
   }
+
+  /** FNV-1a of a string expression `v`, replayed byte-exactly in DuckDB
+    * HUGEINT mod-2^64 arithmetic (valid because the corpus is ASCII so
+    * `unicode(char)` = byte; the xor only touches the low byte). Shared by
+    * the winnow / simhash / object-search oracles. */
+  private def fnvSql(v: String): String =
+    s"""list_reduce(list_concat([14695981039346656037::HUGEINT],
+       |      list_transform(split($v, ''), c -> unicode(c)::HUGEINT)),
+       |  (h, x) -> ((h - (h % 256) + xor((h % 256)::BIGINT, x::BIGINT)::HUGEINT)
+       |             * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT)""".stripMargin
+
+  /** HashTextEmbedding replayed in SQL, UN-normalized: FNV per token,
+    * bucket = low 6 bits (== Scala's ((h % 64) + 64) % 64 on the signed
+    * long), sign from bit 32, per-bucket sums. Normalization cancels
+    * inside cosine similarity, so the raw integer vector ranks
+    * identically. `hs` must be the token-hash list column. */
+  private val hashEmbeddingSql: String =
+    """list_transform(range(0, 64), b ->
+      |    list_sum(list_transform(hs,
+      |      h -> CASE WHEN h % 64 = b
+      |                THEN (CASE WHEN (h // 4294967296::HUGEINT) % 2 = 0 THEN 1 ELSE -1 END)
+      |                ELSE 0 END))::DOUBLE)""".stripMargin
+
+  /** Chunking (1000/100, ids doc_id*1000+i) + hash embeddings + cosine
+    * scoring of the doc_id<5 query batch — the shared head of the two
+    * object-search oracles. */
+  private val objectSearchScoredCte: String =
+    s"""WITH chunks AS (
+       |  SELECT doc_id * 1000 + i AS external_id, doc_id, ch AS text
+       |  FROM (
+       |    SELECT doc_id, unnest(chs) AS ch, generate_subscripts(chs, 1) - 1 AS i
+       |    FROM (
+       |      SELECT doc_id,
+       |        CASE WHEN length(text) <= 1000 THEN [text]
+       |             ELSE list_transform(range(0, length(text), 900), s -> substr(text, s+1, 1000))
+       |        END AS chs
+       |      FROM documents)
+       |  )
+       |),
+       |ch AS (SELECT external_id, doc_id,
+       |  list_transform(regexp_split_to_array(trim(text), '\\s+'), t -> ${fnvSql("t")}) AS hs
+       |  FROM chunks),
+       |cv AS (SELECT external_id, doc_id, $hashEmbeddingSql AS v FROM ch),
+       |qh AS (SELECT doc_id AS qid,
+       |  list_transform(regexp_split_to_array(trim(text), '\\s+'), t -> ${fnvSql("t")}) AS hs
+       |  FROM documents WHERE doc_id < 5),
+       |qv AS (SELECT qid, $hashEmbeddingSql AS v FROM qh),
+       |scored AS (
+       |  SELECT q.qid, c.external_id, c.doc_id,
+       |    list_cosine_similarity(q.v, c.v) AS sim
+       |  FROM qv q CROSS JOIN cv c
+       |)""".stripMargin
 
   private val updatesOracle: String =
     s"""WITH merged AS (
@@ -540,14 +595,19 @@ object SparkEntry {
       .orderBy("qid", "rank")
   }
 
-  /** Same with metadata predicate pushdown + fetch_k inflation (F4/F6). */
+  /** Same with metadata predicate pushdown + fetch_k inflation (F4/F6).
+    * Emits the result SET (no rank column): two chunks whose embeddings are
+    * scalar multiples tie in exact cosine but can order either way in
+    * float32 after normalization, and the deep fetch_k=250 ranking
+    * surfaces such ties — membership is the stable, oracle-checkable
+    * contract here (exact ranks stay covered by object_search). */
   private def objectSearchFiltered(spark: SparkSession, dir: String): DataFrame = {
     val queries = docs(spark, dir).where(col("doc_id") < 5)
       .select(col("doc_id").as("qid"), col("text"))
     objectIndex(spark, dir)
       .query(queries, k = 5, metadataCond = Some("lang = 'en'"), nprobe = 1 << 30)
-      .select(col("qid"), col("rank"), col("external_id"), col("lang"))
-      .orderBy("qid", "rank")
+      .select(col("qid"), col("external_id"), col("lang"))
+      .orderBy("qid", "external_id")
   }
 
   /** Multimodal binary-column pipeline: documents' bytes as payloads →
@@ -884,6 +944,49 @@ object SparkEntry {
     // text_winnow and dedup_simhash are ported below (the corpus is ASCII,
     // so DuckDB can replay the byte-level FNV-1a in HUGEINT mod-2^64
     // arithmetic); text_langid's stopword-profile vote replays directly.
+    //
+    // Object search replayed END-TO-END: reader chunking (1000/100),
+    // HashTextEmbedding (FNV buckets, un-normalized — normalization
+    // cancels in cosine), probe-all cosine top-k with the (sim DESC,
+    // external_id) tie-break, and the doc-level metadata join. The single
+    // embedding per query makes the reciprocal fusion rank-preserving, so
+    // the oracle ranks by similarity directly.
+    "object_search" ->
+      s"""$objectSearchScoredCte,
+         |ranked AS (
+         |  SELECT qid, external_id, doc_id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, external_id) AS rank
+         |  FROM scored
+         |)
+         |SELECT r.qid, r.rank::INT AS rank, r.external_id, d.lang, d.source
+         |FROM ranked r JOIN documents d ON r.doc_id = d.doc_id
+         |WHERE r.rank <= $K2obj
+         |ORDER BY qid, rank""".stripMargin,
+    // fetch_k inflation (50×k candidates) then the metadata filter and the
+    // order-preserving repack, emitted as the survivor SET (see the Spark
+    // side for why rank is omitted here). A cutoff past the corpus row
+    // count is a no-op, so the 250 literal is safe at every SF. Exact
+    // ties (scalar-multiple embeddings) rank by external_id on both sides.
+    "object_search_filtered" ->
+      s"""$objectSearchScoredCte,
+         |ranked AS (
+         |  SELECT qid, external_id, doc_id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, external_id) AS rn
+         |  FROM scored
+         |),
+         |cand AS (
+         |  SELECT r.qid, r.external_id, r.rn, d.lang
+         |  FROM ranked r JOIN documents d ON r.doc_id = d.doc_id
+         |  WHERE r.rn <= ${50 * K2obj} AND d.lang = 'en'
+         |),
+         |repack AS (
+         |  SELECT qid, external_id, lang,
+         |    row_number() OVER (PARTITION BY qid ORDER BY rn) AS rank
+         |  FROM cand
+         |)
+         |SELECT qid, external_id, lang FROM repack
+         |WHERE rank <= $K2obj
+         |ORDER BY qid, external_id""".stripMargin,
     //
     // Stopword-profile voting replayed exactly: per-language occurrence
     // counts, argmax via struct max (score first, then lang code — the
