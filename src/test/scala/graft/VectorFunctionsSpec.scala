@@ -107,6 +107,43 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("SIMD distance kernels track a double-precision reference across dims (lane tails included)") {
+    // covers the SPECIES_PREFERRED main loop + scalar tail at every
+    // alignment: dims straddling multiples of the lane count, the
+    // below-threshold scalar path, and dims 1. Tolerance is relative to
+    // the accumulated magnitude — float32 sums of n terms.
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val rnd = new scala.util.Random(1234)
+    for (d <- Seq(1, 7, 15, 16, 17, 31, 33, 64, 100, 128, 257)) {
+      val a = Array.fill(d)(rnd.nextFloat() * 4 - 2)
+      val b = Array.fill(d)(rnd.nextFloat() * 4 - 2)
+      val ad = new GenericArrayData(a.map(x => x: Any))
+      val bd = new GenericArrayData(b.map(x => x: Any))
+      val sosRef = a.zip(b).map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum
+      val dotRef = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val tol = 1e-4 * (1.0 + math.abs(sosRef) + math.abs(dotRef))
+      assert(math.abs(graft.functions.VecKernels.sos(ad, bd) - sosRef) < tol, s"sos d=$d")
+      assert(math.abs(graft.functions.VecKernels.dot(ad, bd) - dotRef) < tol, s"dot d=$d")
+      val naRef = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nbRef = math.sqrt(b.map(x => x.toDouble * x).sum)
+      val cosRef = 1.0 - dotRef / (naRef * nbRef)
+      assert(math.abs(graft.functions.VecKernels.cosineDistance(ad, bd) - cosRef) < 1e-4,
+        s"cosine d=$d")
+      // u8 variants agree with the float kernels on byte-ranged data
+      val qb = Array.fill(d)((rnd.nextInt(256)).toFloat)
+      val vb = Array.fill(d)(rnd.nextInt(256))
+      val qbd = new GenericArrayData(qb.map(x => x: Any))
+      val vbytes = vb.map(x => (x & 0xFF).toByte)
+      val vfd = new GenericArrayData(vb.map(x => x.toFloat: Any))
+      assert(graft.functions.VecKernels.sosU8(qbd, vbytes, false) ===
+        graft.functions.VecKernels.sos(qbd, vfd), s"sosU8 d=$d")
+      assert(graft.functions.VecKernels.dotU8(qbd, vbytes, false) ===
+        graft.functions.VecKernels.dot(qbd, vfd), s"dotU8 d=$d")
+      assert(graft.functions.VecKernels.cosineDistanceU8(qbd, vbytes, false) ===
+        graft.functions.VecKernels.cosineDistance(qbd, vfd), s"cosU8 d=$d")
+    }
+  }
+
   test("brute-force query-batch broadcast is size-gated (degrades to partitioned cross join)") {
     import spark.implicits._
     val db = (0L until 200L).map(i => (i, Array(i.toFloat, (i % 7).toFloat))).toDF("id", "vector")
