@@ -118,6 +118,75 @@ object Fnv64Public {
   def hash(s: String): Long = Fnv64.hashBytes(s.getBytes("UTF-8"))
 }
 
+/** One-pass stopword-profile vote over a token array: hash-map lookup per
+  * token → per-language occurrence counts → argmax (ties toward the
+  * lexicographically larger code, zero hits → 'und').
+  *
+  * Replaces the composed-Column formulation
+  * (`greatest(struct(size(filter(split(text), contains(words)))...))`):
+  * higher-order-function lambdas don't common-subexpression-eliminate, so
+  * that shape re-splits the document PER LANGUAGE and scans each token
+  * against each word list — 6 tokenizations and 60 comparisons per token
+  * where one map probe suffices (the same HOF-CSE trap ShingleSet3
+  * documents above). Semantics identical (langid oracle unchanged). */
+case class StopwordVote(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"stopword_vote requires array<string>, got ${other.catalogString}")
+    }
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "stopword_vote"
+
+  @transient private lazy val langs: Array[String] =
+    TextOps.stopwords.keys.toArray.sorted
+  @transient private lazy val und: UTF8String = UTF8String.fromString("und")
+  @transient private lazy val langUtf: Array[UTF8String] =
+    langs.map(UTF8String.fromString)
+  /** token → indices of the languages whose profile contains it (shared
+    * stopwords like 'la'/'de'/'e' vote for several). */
+  @transient private lazy val table: java.util.HashMap[UTF8String, Array[Int]] = {
+    val m = new java.util.HashMap[UTF8String, Array[Int]]()
+    langs.zipWithIndex.foreach { case (lang, i) =>
+      TextOps.stopwords(lang).foreach { w =>
+        val k = UTF8String.fromString(w)
+        m.put(k, Option(m.get(k)).map(_ :+ i).getOrElse(Array(i)))
+      }
+    }
+    m
+  }
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val counts = new Array[Int](langs.length)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val t = arr.getUTF8String(i)
+      if (t != null) {
+        val hit = table.get(t)
+        if (hit != null) { var j = 0; while (j < hit.length) { counts(hit(j)) += 1; j += 1 } }
+      }
+      i += 1
+    }
+    // argmax with >=: langs are sorted ascending, so a tied later (larger)
+    // code wins — greatest(struct(score, lang)) semantics
+    var best = -1; var bestScore = 0
+    var l = 0
+    while (l < counts.length) {
+      if (counts(l) > 0 && counts(l) >= bestScore) { best = l; bestScore = counts(l) }
+      l += 1
+    }
+    if (best < 0) und else langUtf(best)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Distinct 3-shingle set of whitespace-tokenized text in ONE pass.
   *
   * Replaces the higher-order-function formulation

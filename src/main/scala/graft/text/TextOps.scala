@@ -152,12 +152,12 @@ object TextOps {
 
   /** Language ID by stopword-profile voting: argmax over per-language
     * stopword hit counts (ties break toward the lexicographically larger
-    * code via struct ordering; docs with zero hits report 'und'). */
+    * code; docs with zero hits report 'und'). One tokenization + one
+    * hash-map probe per token ([[StopwordVote]]) — the greatest-of-structs
+    * Column formulation re-split the document per language (HOF lambdas
+    * don't CSE). */
   def langId(text: Column): Column = {
-    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
-      struct(wordSetCount(text, words).as("score"), lit(lang).as("lang"))
-    }
-    val best = greatest(scored: _*)
-    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+    import org.apache.spark.sql.graftshim.{toColumn, toExpression}
+    toColumn(StopwordVote(toExpression(tokens(text))))
   }
 }
