@@ -10,7 +10,11 @@ import org.apache.spark.sql.catalyst.util.ArrayData;
  * the plain scalar loops otherwise. {@code -Dgraft.simd=false} forces the
  * scalar path. Both the interpreted eval and the generated code of the
  * distance Expressions call these entry points, so the two execution modes
- * of one plan always agree bit-for-bit.
+ * of one plan agree bit-for-bit WITHIN a JVM. Detection is per-JVM: on a
+ * cluster, give driver and executors the same module flags (or set
+ * -Dgraft.simd=false everywhere) — a SIMD driver beside scalar executors
+ * computes near-tie distances with different rounding, which can reorder
+ * tie-boundary results between the local-serving and distributed paths.
  *
  * SIMD engages above a dimension floor: below it the float[] copy out of
  * ArrayData costs more than the lanes save.

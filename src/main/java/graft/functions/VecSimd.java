@@ -8,9 +8,11 @@ import jdk.incubator.vector.VectorSpecies;
  * Panama Vector API distance kernels — the JVM analogue of the reference's
  * AVX scoring paths (reference: src/include/detail/scoring/l2_distance_avx.h,
  * inner_product_avx.h). This class is the ONLY one that touches
- * jdk.incubator.vector; it is loaded reflectively by {@link VecKernels} so a
- * JVM started without {@code --add-modules jdk.incubator.vector} falls back
- * to the scalar loops without ever linking this class.
+ * jdk.incubator.vector; {@link VecKernels} links it lazily inside a
+ * Throwable-catching static probe, so a JVM started without
+ * {@code --add-modules jdk.incubator.vector} falls back to the scalar
+ * loops (the NoClassDefFoundError from this class's linkage is the
+ * detection signal — keep every VecSimd reference behind that probe).
  *
  * Accumulation is float32 in SPECIES_PREFERRED lanes reduced once at the
  * end — a different rounding order than the scalar loop, exactly like the

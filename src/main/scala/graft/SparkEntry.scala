@@ -141,52 +141,48 @@ object SparkEntry {
       .orderBy("neighbor_id")
   }
 
-  /** SQL surface over an IVF_PQ-backed table: same ORDER BY + LIMIT form;
-    * the rewrite prunes partition_id on the PQ index's coarse centroids and
-    * the pruned scan re-ranks the ORIGINAL vectors stored beside the codes
-    * — at probe-all registration this is exact (brute-force oracle). */
-  private def sqlIndexTopkPq(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared body of the single-constant SQL-surface queries over a
+    * registered non-IVF_FLAT index table: install the rewrite, build or
+    * reuse the fixture, register the view at probe-all (exact), run
+    * `ORDER BY dist_l2(vector, <const>), external_id LIMIT k`. */
+  private def sqlTopkOverIndex(
+      spark: SparkSession, dir: String, label: String, viewName: String)(
+      build: String => Unit): DataFrame = {
     graft.functions.registerAll(spark)
     if (!spark.experimental.extraOptimizations.contains(graft.plans.IndexProbeRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.IndexProbeRewrite
-    val uri = cachedIndex("ivf_pq", dir) { u =>
-      Ingest.ingest(spark, u, embAsIndexInput(spark, dir), "IVF_PQ",
-        DistanceMetric.L2, timestamp = 1000L)
-    }
-    graft.plans.GraftSql.registerIndexTable(spark, "graft_vecs_pq", uri, nprobe = 1 << 30)
+    val uri = cachedIndex(label, dir)(build)
+    graft.plans.GraftSql.registerIndexTable(spark, viewName, uri, nprobe = 1 << 30)
     val qv = emb(spark, dir).where(col("vec_id") === 0)
       .select("embedding").head().getSeq[Float](0)
     spark.sql(
       s"""SELECT CAST(0 AS BIGINT) AS qid, external_id AS neighbor_id
-         |FROM graft_vecs_pq
+         |FROM $viewName
          |ORDER BY dist_l2(vector, ${floatArrayLit(qv)}), external_id LIMIT $K""".stripMargin)
       .orderBy("neighbor_id")
   }
+
+  /** SQL surface over an IVF_PQ-backed table: the rewrite prunes
+    * partition_id on the PQ index's coarse centroids and the pruned scan
+    * re-ranks the ORIGINAL vectors stored beside the codes — at probe-all
+    * registration this is exact (brute-force oracle). */
+  private def sqlIndexTopkPq(spark: SparkSession, dir: String): DataFrame =
+    sqlTopkOverIndex(spark, dir, "ivf_pq", "graft_vecs_pq") { u =>
+      Ingest.ingest(spark, u, embAsIndexInput(spark, dir), "IVF_PQ",
+        DistanceMetric.L2, timestamp = 1000L)
+    }
 
   /** SQL surface over a sharded VAMANA-backed table: the rewrite prunes
     * shard_id on the shard centroids (the routed search's candidate
     * narrowing, exact scan inside the probed shards) — at probe-all
     * registration this is exact (brute-force oracle). */
-  private def sqlIndexTopkVamana(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.registerAll(spark)
-    if (!spark.experimental.extraOptimizations.contains(graft.plans.IndexProbeRewrite))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ graft.plans.IndexProbeRewrite
-    val uri = cachedIndex("vamana_routed", dir) { u =>
+  private def sqlIndexTopkVamana(spark: SparkSession, dir: String): DataFrame =
+    sqlTopkOverIndex(spark, dir, "vamana_routed", "graft_vecs_vam") { u =>
       Ingest.ingest(spark, u, embAsIndexInput(spark, dir), "VAMANA",
         DistanceMetric.L2, timestamp = 1000L,
         partitions = Some(16), shardReplicas = Some(3))
     }
-    graft.plans.GraftSql.registerIndexTable(spark, "graft_vecs_vam", uri, nprobe = 1 << 30)
-    val qv = emb(spark, dir).where(col("vec_id") === 0)
-      .select("embedding").head().getSeq[Float](0)
-    spark.sql(
-      s"""SELECT CAST(0 AS BIGINT) AS qid, external_id AS neighbor_id
-         |FROM graft_vecs_vam
-         |ORDER BY dist_l2(vector, ${floatArrayLit(qv)}), external_id LIMIT $K""".stripMargin)
-      .orderBy("neighbor_id")
-  }
 
   /** SQL surface, multi-query JOIN form: per-query top-k via
     * `row_number() OVER (PARTITION BY q.qid ORDER BY dist_l2(...)) <= k`
@@ -326,6 +322,15 @@ object SparkEntry {
        |    list_cosine_similarity(q.v, c.v) AS sim
        |  FROM qv q CROSS JOIN cv c
        |)""".stripMargin
+
+  /** Brute-force oracle of every single-constant `ORDER BY dist LIMIT k`
+    * SQL-surface query (exact at probe-all registration, any index type). */
+  private val sqlTopkSingleOracle: String =
+    s"""SELECT 0::BIGINT AS qid, n.vec_id AS neighbor_id
+       |FROM (SELECT * FROM embeddings WHERE vec_id = 0) q
+       |CROSS JOIN embeddings n
+       |QUALIFY row_number() OVER (ORDER BY list_distance(n.embedding, q.embedding), n.vec_id) <= $K
+       |ORDER BY neighbor_id""".stripMargin
 
   private val updatesOracle: String =
     s"""WITH merged AS (
@@ -600,7 +605,11 @@ object SparkEntry {
     * scalar multiples tie in exact cosine but can order either way in
     * float32 after normalization, and the deep fetch_k=250 ranking
     * surfaces such ties — membership is the stable, oracle-checkable
-    * contract here (exact ranks stay covered by object_search). */
+    * contract here (exact ranks stay covered by object_search). Residual:
+    * a tie pair straddling the k=5 repack boundary itself would still
+    * differ (the oracle keeps the lower id, the engine whichever float32
+    * favors); deterministic per fixture, currently interior at both SFs —
+    * if this row ever goes red, check the rank-5/6 sims first. */
   private def objectSearchFiltered(spark: SparkSession, dir: String): DataFrame = {
     val queries = docs(spark, dir).where(col("doc_id") < 5)
       .select(col("doc_id").as("qid"), col("text"))
@@ -866,31 +875,17 @@ object SparkEntry {
     "knn_flat_cosine" -> knnOracle("list_cosine_similarity(n.embedding, q.embedding) DESC"),
     "knn_flat_ip" -> knnOracle("list_inner_product(n.embedding, q.embedding) DESC"),
     "ivf_flat_probe_all" -> knnOracle("list_distance(n.embedding, q.embedding)"),
-    "sql_index_topk" ->
-      s"""SELECT 0::BIGINT AS qid, n.vec_id AS neighbor_id
-         |FROM (SELECT * FROM embeddings WHERE vec_id = 0) q
-         |CROSS JOIN embeddings n
-         |QUALIFY row_number() OVER (ORDER BY list_distance(n.embedding, q.embedding), n.vec_id) <= $K
-         |ORDER BY neighbor_id""".stripMargin,
+    "sql_index_topk" -> sqlTopkSingleOracle,
     "sql_index_topk_batch" ->
       s"""SELECT q.vec_id AS qid, n.vec_id AS neighbor_id
          |FROM (SELECT * FROM embeddings WHERE vec_id < $NQ) q
          |CROSS JOIN embeddings n
          |QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY list_distance(n.embedding, q.embedding), n.vec_id) <= $K
          |ORDER BY qid, neighbor_id""".stripMargin,
-    // PQ/VAMANA-backed SQL tables at probe-all registration: exact top-k
-    "sql_index_topk_pq" ->
-      s"""SELECT 0::BIGINT AS qid, n.vec_id AS neighbor_id
-         |FROM (SELECT * FROM embeddings WHERE vec_id = 0) q
-         |CROSS JOIN embeddings n
-         |QUALIFY row_number() OVER (ORDER BY list_distance(n.embedding, q.embedding), n.vec_id) <= $K
-         |ORDER BY neighbor_id""".stripMargin,
-    "sql_index_topk_vamana" ->
-      s"""SELECT 0::BIGINT AS qid, n.vec_id AS neighbor_id
-         |FROM (SELECT * FROM embeddings WHERE vec_id = 0) q
-         |CROSS JOIN embeddings n
-         |QUALIFY row_number() OVER (ORDER BY list_distance(n.embedding, q.embedding), n.vec_id) <= $K
-         |ORDER BY neighbor_id""".stripMargin,
+    // PQ/VAMANA-backed SQL tables at probe-all registration: exact top-k,
+    // same brute-force oracle as the IVF_FLAT single-constant form
+    "sql_index_topk_pq" -> sqlTopkSingleOracle,
+    "sql_index_topk_vamana" -> sqlTopkSingleOracle,
     "ivf_flat_cosine_probe_all" -> knnOracle("list_cosine_similarity(n.embedding, q.embedding) DESC"),
     // ivf_flat_nprobe: intentionally no oracle (approximate, engine-internal
     // k-means); driver records rows-only, recall asserted in IndexSpec.
@@ -1014,13 +1009,10 @@ object SparkEntry {
     // hamming <= 3 by pigeonhole (3 flips cannot touch all 4 chunks), so
     // the oracle is the plain all-pairs hamming predicate.
     "dedup_simhash" ->
-      """WITH h AS (
+      s"""WITH h AS (
         |  SELECT doc_id,
-        |    list_transform(regexp_split_to_array(trim(text), '\s+'),
-        |      t -> list_reduce(list_concat([14695981039346656037::HUGEINT],
-        |             list_transform(split(t, ''), c -> unicode(c)::HUGEINT)),
-        |        (h, x) -> ((h - (h % 256) + xor((h % 256)::BIGINT, x::BIGINT)::HUGEINT)
-        |                   * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT)) AS hs
+        |    list_transform(regexp_split_to_array(trim(text), '\\s+'),
+        |      t -> ${fnvSql("t")}) AS hs
         |  FROM documents
         |),
         |s AS (

@@ -109,14 +109,24 @@ object GraftSql {
       case _ => None
     }
     probeSide.foreach { case (centroids, pidCol) =>
+      // default (nprobe=0) probe width mirrors each engine path's own
+      // default: IVF takes the sqrt rule of thumb; VAMANA takes the
+      // sweep-derived autoNprobeShards — which is 0 (= do NOT register a
+      // probe, SQL scans stay exact) for geometries the programmatic
+      // queryRouted itself refuses to route (replicas < 3 cannot clear the
+      // 0.85 recall gate at any measured S). An explicit nprobe wins.
       val np = if (nprobe > 0) math.min(nprobe, centroids.length)
-        else math.max(1, math.sqrt(centroids.length.toDouble).toInt)
+        else idx match {
+          case vam: VamanaIndex => vam.autoNprobeShards
+          case _ => math.max(1, math.sqrt(centroids.length.toDouble).toInt)
+        }
       val ts = idx.meta.ingestionTimestamps(idx.meta.historyIndex(Long.MaxValue))
       // superseded versions' centroid arrays would otherwise accumulate
       // in the driver across consolidations
       IndexCatalog.unregisterPrefix(IndexCatalog.qualify(spark, s"$uri/base"))
-      IndexCatalog.register(IndexCatalog.qualify(spark, s"$uri/base/v=$ts"),
-        IndexCatalog.Entry(centroids, np, idx.metric, pidCol))
+      if (np > 0)
+        IndexCatalog.register(IndexCatalog.qualify(spark, s"$uri/base/v=$ts"),
+          IndexCatalog.Entry(centroids, np, idx.metric, pidCol))
     }
     idx
   }
@@ -141,9 +151,12 @@ object GraftSql {
     * retiring a registered name. */
   def onIndexMutated(spark: SparkSession, uri: String): Unit =
     registered.foreach { case ((owner, name), (u, np)) =>
-      if (u == uri) {
-        if (owner.sparkContext.isStopped) registered.remove((owner, name))
-        else if (owner.catalog.tableExists(name)) registerIndexTable(owner, name, u, np)
+      // stopped sessions are reaped regardless of uri: a retained entry
+      // pins the whole SparkSession object graph, and an index that is
+      // never consolidated would otherwise never trigger its owner's reap
+      if (owner.sparkContext.isStopped) registered.remove((owner, name))
+      else if (u == uri) {
+        if (owner.catalog.tableExists(name)) registerIndexTable(owner, name, u, np)
         else registered.remove((owner, name))
       }
     }

@@ -16,10 +16,12 @@ import sys
 dims = int(sys.argv[1]) if len(sys.argv) > 1 else 16
 
 for line in sys.stdin:
+    # EVERY line is a request and must get exactly one response line —
+    # base64("") is the empty string, so an empty line means empty text,
+    # and skipping it would desync the strict request/response protocol
+    # (the adapter would block forever on the missing reply).
     line = line.strip()
-    if not line:
-        continue
-    text = base64.b64decode(line).decode("utf-8")
+    text = base64.b64decode(line).decode("utf-8") if line else ""
     if text == "__die__":
         sys.exit(3)
     v = [0.0] * dims

@@ -37,6 +37,13 @@ class SubprocessEmbeddingSpec extends AnyFunSuite {
     assert(out(0)._3.toSeq !== out(2)._3.toSeq)
     val norm = math.sqrt(out(0)._3.map(x => x.toDouble * x).sum)
     assert(math.abs(norm - 1.0) < 1e-5)
+    // empty text is a legal request (base64("") = empty LINE) and must get
+    // a response — a skipped reply would desync the protocol and hang the
+    // next encode forever
+    val empty = emb.embed(Iterator((4L, ""), (5L, "after empty"))).toSeq
+    assert(empty.map(_._1) === Seq(4L, 5L))
+    assert(empty(0)._3.forall(_ == 0.0f))
+    assert(empty(1)._3.length === Dims)
   }
 
   test("one process per (executor, command), reused across embed calls") {
