@@ -32,6 +32,33 @@ object PlanAudit {
       .where(col("l_shipdate") <= lit("1998-09-02"))
       .select(col("l_returnflag"), col("l_quantity"))
       .explain("formatted")
+
+    println("===== brute-force knn PAST the broadcast gate (partitioned cross join) =====")
+    spark.conf.set(graft.Conf.MaxBroadcastBytesKey, "1")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try Knn.bruteForce(emb, q, 5, DistanceMetric.L2,
+      idCol = "external_id", vecCol = "vector").explain("formatted")
+    finally {
+      spark.conf.unset(graft.Conf.MaxBroadcastBytesKey)
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+
+    println("===== SQL probe over a sharded VAMANA table (shard_id pruning) =====")
+    val vamUri = Files.createTempDirectory("graft_audit_vam").toString
+    Ingest.ingest(spark, vamUri, emb, "VAMANA", DistanceMetric.L2,
+      timestamp = 1000L, partitions = Some(4), shardReplicas = Some(2))
+    graft.functions.registerAll(spark)
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.IndexProbeRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.IndexProbeRewrite
+    graft.plans.GraftSql.registerIndexTable(spark, "audit_vam", vamUri, nprobe = 2)
+    val qv = emb.where(col("external_id") === 0).select("vector")
+      .head().getSeq[Float](0)
+    val qlit = "cast(array(" + qv.map(x =>
+      String.format(java.util.Locale.ROOT, "%.9e", Float.box(x))).mkString(",") +
+      ") as array<float>)"
+    spark.sql(s"SELECT external_id FROM audit_vam ORDER BY dist_l2(vector, $qlit) LIMIT 10")
+      .explain("formatted")
     spark.stop()
   }
 }
