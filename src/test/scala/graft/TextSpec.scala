@@ -293,4 +293,15 @@ class TextSpec extends AnyFunSuite {
     val total = groups.agg(sum(col("cnt"))).head().getLong(0)
     assert(total === docs.count())
   }
+
+  test("a malformed graft conf fails naming the key and value, not as a bare NumberFormatException") {
+    spark.conf.set(Dedup.MaxNgramBlockRowsKey, "not-a-number")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Dedup.ngramJaccardPairs(docs, 0.8, Seq("lang", "source")).count()
+      }
+      assert(e.getMessage.contains(Dedup.MaxNgramBlockRowsKey), e.getMessage)
+      assert(e.getMessage.contains("not-a-number"), e.getMessage)
+    } finally spark.conf.unset(Dedup.MaxNgramBlockRowsKey)
+  }
 }
