@@ -740,6 +740,36 @@ object SparkEntry {
     Dedup.dedupAssignmentsEmbedding(emb(spark, dir), 0.4)
       .select(col("vec_id"), col("component")).orderBy("vec_id")
 
+  /** Cross-document duplicated 5-token spans (exact substring dedup): span
+    * and merged-token-coverage counts per document. The engine shuffles
+    * 64-bit shingle hashes; the oracle groups the shingle strings — equal
+    * modulo a 64-bit collision between two distinct spans of the corpus. */
+  private def dedupSpans(spark: SparkSession, dir: String): DataFrame =
+    Dedup.duplicatedSpans(docs(spark, dir), spanTokens = 5, minDocs = 2)
+      .orderBy("doc_id")
+
+  /** Deterministic split + stratified-sample assignment: the reproducible
+    * holdout (80/10/10 by id hash) and a per-language downsample (25% of
+    * en, 50% of fr, everything else kept). Distinct salts — the two draws
+    * must be independent, and `u mod 1000` is a function of
+    * `u mod 10000`, so reusing one hash would correlate them. */
+  private def textHashSplit(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      TextOps.hashSplit(col("doc_id"), 800, 100, salt = "split1").as("split"),
+      TextOps.hashBucket(col("doc_id").cast("string"), 10000, salt = "sample1")
+        .cast("long").as("sample_bucket"),
+      TextOps.stratifiedKeep(col("doc_id"), col("lang"),
+          Map("en" -> 2500, "fr" -> 5000), salt = "sample1")
+        .cast("int").as("kept"))
+      .orderBy("doc_id")
+
+  /** Per-document distinctive terms, integer-exact ranking (tf DESC, df
+    * ASC, term) — see TextOps.distinctiveTerms for why not tf·ln(N/df). */
+  private def textDistinctiveTerms(spark: SparkSession, dir: String): DataFrame =
+    TextOps.distinctiveTerms(docs(spark, dir), topK = 3)
+      .orderBy("doc_id", "rank")
+
   // ----- relational operators over the TPC-H-ish tables (engine breadth:
   // scan+filter pushdown, hash agg, broadcast join, window top-k). Money
   // math in DECIMAL so sums are exact across engines. -----
@@ -865,6 +895,9 @@ object SparkEntry {
     "dedup_embedding_cosine_ann" -> (dedupEmbeddingCosineAnn _),
     "dedup_components" -> (dedupComponents _),
     "dedup_semantic" -> (dedupSemantic _),
+    "dedup_spans" -> (dedupSpans _),
+    "text_hash_split" -> (textHashSplit _),
+    "text_distinctive_terms" -> (textDistinctiveTerms _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1185,5 +1218,50 @@ object SparkEntry {
         |  ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
+    // Duplicated-span replay groups the shingle STRINGS (the engine groups
+    // their 64-bit hashes — equal modulo a hash collision). DuckDB `//` is
+    // integer division; Spark's count/5 divides in double then truncates,
+    // exact for any count < 2^52.
+    "dedup_spans" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |s0 AS (SELECT doc_id,
+        |         list_transform(range(1, len(toks) - 3),
+        |           i -> array_to_string(toks[i:i+4], ' ')) AS shs
+        |       FROM t WHERE len(toks) >= 5),
+        |shg AS (SELECT doc_id, unnest(shs) AS sh, generate_subscripts(shs, 1) - 1 AS pos FROM s0),
+        |dup AS (SELECT sh FROM shg GROUP BY sh HAVING count(DISTINCT doc_id) >= 2),
+        |hits AS (SELECT g.doc_id, g.pos FROM shg g JOIN dup USING (sh)),
+        |cov AS (SELECT doc_id, pos, unnest(range(pos, pos + 5)) AS tpos FROM hits),
+        |agg AS (SELECT doc_id, (count(*) // 5)::BIGINT AS n_dup_spans,
+        |               count(DISTINCT tpos)::BIGINT AS n_dup_tokens
+        |        FROM cov GROUP BY doc_id)
+        |SELECT t.doc_id, greatest(len(t.toks) - 4, 0)::BIGINT AS n_spans,
+        |  coalesce(a.n_dup_spans, 0)::BIGINT AS n_dup_spans,
+        |  coalesce(a.n_dup_tokens, 0)::BIGINT AS n_dup_tokens
+        |FROM t LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // Split/sample replay: the FNV bucket is the unsigned hash mod m —
+    // DuckDB's HUGEINT replay is already unsigned, so a plain % matches
+    // the engine's signed-long unsigned-mod reconstruction.
+    "text_hash_split" ->
+      s"""WITH h AS (SELECT doc_id, lang,
+         |  ${fnvSql("doc_id::VARCHAR || ':split1'")} % 1000 AS bs,
+         |  ${fnvSql("doc_id::VARCHAR || ':sample1'")} % 10000 AS bk
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CASE WHEN bs < 800 THEN 'train' WHEN bs < 900 THEN 'val' ELSE 'test' END AS split,
+         |  bk::BIGINT AS sample_bucket,
+         |  (bk < CASE lang WHEN 'en' THEN 2500 WHEN 'fr' THEN 5000 ELSE 10000 END)::INT AS kept
+         |FROM h ORDER BY doc_id""".stripMargin,
+    "text_distinctive_terms" ->
+      """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+        |SELECT tf.doc_id,
+        |  row_number() OVER (PARTITION BY tf.doc_id ORDER BY tf.tf DESC, df.df ASC, tf.term ASC)::INT AS rank,
+        |  tf.term, tf.tf, df.df
+        |FROM tf JOIN df USING (term)
+        |QUALIFY row_number() OVER (PARTITION BY tf.doc_id ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
   )
 }

@@ -143,6 +143,70 @@ object Dedup {
       .where(col("n_overlap") >= minOverlap)
   }
 
+  /** Cross-document duplicated-SPAN detection (exact substring dedup, the
+    * Lee et al. 2021 "Deduplicating Training Data Makes Language Models
+    * Better" signal): a length-`spanTokens` token span is duplicated when
+    * it occurs in at least `minDocs` distinct documents; per document,
+    * report how many span start positions are duplicated and how many
+    * token positions the merged duplicated spans cover. Documents shorter
+    * than `spanTokens` trivially report zeros. Unlike whole-document
+    * near-dup (MinHash/SimHash), this catches boilerplate shared INSIDE
+    * otherwise-distinct documents — the licence header / navigation bar /
+    * quoted-reply case.
+    *
+    * Output: (doc_id, n_spans, n_dup_spans, n_dup_tokens) for every input
+    * document.
+    *
+    * Scale shape: shingles ride the shuffle as 64-bit xxhash64 values
+    * (engine-internal — the hash never reaches the output, a collision
+    * would need two spans colliding in 64 bits to flip a count), the
+    * duplicated-shingle set is one hash aggregate with an early
+    * `minDocs` filter, and the join back is hash-to-hash. Nothing is
+    * all-pairs; the explode factor is ~1 shingle per token and the
+    * coverage explode is `spanTokens`×hits, both linear. The suffix-array
+    * construction the paper uses is a single-machine formulation — the
+    * shingle-join re-expression is the standard distributed equivalent at
+    * this span granularity. */
+  def duplicatedSpans(
+      docs: DataFrame,
+      spanTokens: Int = 5,
+      minDocs: Int = 2,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(spanTokens > 0 && minDocs >= 2,
+      s"duplicatedSpans: need spanTokens > 0 (got $spanTokens) and minDocs >= 2 (got $minDocs)")
+    val sh = docs.select(col(idCol).as("doc_id"),
+        posexplode(TextOps.positionalShingles(col(textCol), spanTokens))
+          .as(Seq("pos", "sh")))
+      .select(col("doc_id"), col("pos"), xxhash64(col("sh")).as("h"))
+    // one aggregate; count DISTINCT docs, not occurrences — a span repeated
+    // inside a single document is repetition (TextOps.repetitionRatio's
+    // signal), not cross-document duplication
+    val dup = sh.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= minDocs)
+      .select("h")
+    val hits = sh.join(dup, Seq("h"))
+    // merged-span coverage: explode each hit to its covered token
+    // positions and count them distinct — overlap-correct without any
+    // per-document interval logic. Each hit contributes exactly
+    // spanTokens rows, so the span count is count/spanTokens (avoids a
+    // second distinct aggregate and its Expand).
+    val perDoc = hits
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(spanTokens - 1))).as("tpos"))
+      .groupBy("doc_id")
+      .agg((count(lit(1)) / spanTokens).cast("long").as("n_dup_spans"),
+        countDistinct(col("tpos")).as("n_dup_tokens"))
+    docs.select(col(idCol).as("doc_id"),
+        greatest(TextOps.tokenCount(col(textCol)) - lit(spanTokens - 1), lit(0))
+          .cast("long").as("n_spans"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"))
+  }
+
   /** MinHash + banded LSH near-dup pairs over 3-shingle sets
     * (numHashes = bands x rowsPerBand signatures).
     *

@@ -118,6 +118,79 @@ object Fnv64Public {
   def hash(s: String): Long = Fnv64.hashBytes(s.getBytes("UTF-8"))
 }
 
+/** FNV-1a 64-bit of a string column — the engine's stable, oracle-replayable
+  * hash (DuckDB replays it in HUGEINT mod-2^64 arithmetic) exposed as an
+  * expression. Used where a hash value is part of the OPERATOR CONTRACT
+  * (deterministic split/sample assignment must reproduce across engines and
+  * releases); engine-internal hashing (shuffle keys that never reach the
+  * output) uses the codegen'd built-in `xxhash64` instead. */
+case class Fnv64Hash(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"fnv64 requires string, got ${other.catalogString}")
+    }
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "fnv64"
+
+  override protected def nullSafeEval(v: Any): Any =
+    Fnv64.hashBytes(v.asInstanceOf[UTF8String].getBytes)
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** All `n`-token shingles of whitespace-tokenized text in POSITION order
+  * (with duplicates — position i holds tokens[i..i+n-1] space-joined), so
+  * `posexplode` recovers (position, shingle) pairs. Documents with fewer
+  * than `n` tokens yield an EMPTY array: a short document has no length-n
+  * span to duplicate (unlike [[ShingleSet3]]'s degenerate whole-text
+  * shingle, which exists so every doc has a similarity key).
+  *
+  * One pass for the same reason as [[ShingleSet3]]: a
+  * `transform(sequence(...), i -> slice(split(text)...))` formulation
+  * re-tokenizes the document per shingle (HOF lambdas don't CSE). */
+case class PositionalShingles(child: Expression, n: Int = 5)
+    extends UnaryExpression with CodegenFallback {
+  require(n > 0, "positional_shingles: n must be positive")
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"positional_shingles requires string, got ${other.catalogString}")
+    }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "positional_shingles"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val toks = v.asInstanceOf[UTF8String].toString.trim.split("\\s+")
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](toks.length - n + 1)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < out.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** One-pass stopword-profile vote over a token array: hash-map lookup per
   * token → per-language occurrence counts → argmax (ties toward the
   * lexicographically larger code, zero hits → 'und').

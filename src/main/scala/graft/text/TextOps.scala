@@ -67,6 +67,67 @@ object TextOps {
     toColumn(ShingleSet3(toExpression(text)))
   }
 
+  /** `n`-token shingles in position order (duplicates kept) — the unit of
+    * exact substring-span matching; see [[PositionalShingles]]. */
+  def positionalShingles(text: Column, n: Int = 5): Column = {
+    import org.apache.spark.sql.graftshim.{toColumn, toExpression}
+    toColumn(PositionalShingles(toExpression(text), n))
+  }
+
+  /** Stable FNV-1a 64-bit hash of a string column (oracle-replayable;
+    * see [[Fnv64Hash]]). */
+  def fnv64(c: Column): Column = {
+    import org.apache.spark.sql.graftshim.{toColumn, toExpression}
+    toColumn(Fnv64Hash(toExpression(c)))
+  }
+
+  /** UNSIGNED `fnv64(c) mod m` in [0, m): the deterministic bucket of a
+    * hash-based split/sample assignment. The two-step form computes the
+    * unsigned remainder from the signed long without 128-bit arithmetic
+    * (u = 2q + b with q = h >>> 1: (2·(q mod m) + b) mod m, exact for
+    * m ≤ 2^62), matching DuckDB's direct HUGEINT `% m` on the unsigned
+    * replay. */
+  def hashBucket(c: Column, m: Int, salt: String = ""): Column = {
+    require(m > 0 && m <= (1L << 62), s"hashBucket: modulus $m out of range")
+    val h = fnv64(if (salt.isEmpty) c else concat(c, lit(":" + salt)))
+    (shiftrightunsigned(h, 1) % m * 2 + h.bitwiseAND(1)) % m
+  }
+
+  /** Deterministic train/val/test split assignment by content-independent
+    * document-id hash — the standard reproducible holdout: membership
+    * depends only on (id, salt), so re-runs, incremental appends, and
+    * different engines agree row-by-row (no sampling state, no RNG).
+    * `trainPermille`/`valPermille` are out of 1000. Pure per-row expression
+    * — no shuffle, no state, embarrassingly parallel at any scale. */
+  def hashSplit(idCol: Column, trainPermille: Int = 800, valPermille: Int = 100,
+      salt: String = ""): Column = {
+    require(trainPermille >= 0 && valPermille >= 0 &&
+      trainPermille + valPermille <= 1000, "hashSplit: permille out of range")
+    val b = hashBucket(idCol.cast("string"), 1000, salt)
+    when(b < trainPermille, lit("train"))
+      .when(b < trainPermille + valPermille, lit("val"))
+      .otherwise(lit("test"))
+  }
+
+  /** Deterministic per-stratum downsampling ("25% of English, 50% of
+    * French, all the rest"): keep a row iff its id-hash bucket (out of
+    * 10000) falls under the stratum's permyriad rate. Hash-based like
+    * [[hashSplit]] (reproducible, append-stable, no RNG); composes with it
+    * — the same id hashed with different salts gives independent draws. */
+  def stratifiedKeep(idCol: Column, strataCol: Column,
+      permyriadByStratum: Map[String, Int], defaultPermyriad: Int = 10000,
+      salt: String = ""): Column = {
+    (permyriadByStratum.values.toSeq :+ defaultPermyriad).foreach(r =>
+      require(r >= 0 && r <= 10000, s"stratifiedKeep: permyriad $r out of range"))
+    val b = hashBucket(idCol.cast("string"), 10000, salt)
+    // foldLeft over a sorted view so the when-chain is deterministic
+    val cutoff = permyriadByStratum.toSeq.sortBy(_._1)
+      .foldLeft(lit(defaultPermyriad)) { case (acc, (k, v)) =>
+        when(strataCol === k, lit(v)).otherwise(acc)
+      }
+    b < cutoff
+  }
+
   /** A small multilingual stopword table for language ID and quality
     * scoring. Deliberately tiny: the point is the *operator shape*
     * (set-membership counting at scale), not lexicography. */
@@ -149,6 +210,39 @@ object TextOps {
     piiPatterns.foldLeft(text) { case (c, (re, token)) =>
       regexp_replace(c, re, token)
     }
+
+  /** TF-IDF-style distinctive terms: the `topK` tokens of each document
+    * ranked by (term frequency DESC, document frequency ASC, term ASC) —
+    * the terms frequent HERE and rare ELSEWHERE. The rank is kept
+    * integer-lexicographic rather than the classical `tf·ln(N/df)` double:
+    * it preserves the "frequent-and-rare wins" order at equal tf, and an
+    * integer contract hash-compares exactly across engines (libm vs
+    * java.lang.Math can differ in the last ulp of `ln`); callers wanting
+    * the scalar score derive it downstream from the emitted (tf, df).
+    *
+    * Scale shape: tf is one hash aggregate on (doc, term); df reuses tf's
+    * output (already distinct per doc) with a second aggregate on term —
+    * no distinct-Expand anywhere; the tf↔df equi-join shuffles on term
+    * (vocabulary-sized — broadcast would not survive a web corpus, and
+    * stopword-grade hot terms are exactly what AQE skew-join splits); the
+    * per-document top-k window partitions by doc_id, bounded by document
+    * vocabulary. */
+  def distinctiveTerms(docs: DataFrame, topK: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(topK > 0, s"distinctiveTerms: topK must be positive (got $topK)")
+    val tf = docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(df, Seq("term"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"))
+  }
 
   /** Language ID by stopword-profile voting: argmax over per-language
     * stopword hit counts (ties break toward the lexicographically larger

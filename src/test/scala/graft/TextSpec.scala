@@ -294,6 +294,87 @@ class TextSpec extends AnyFunSuite {
     assert(total === docs.count())
   }
 
+  test("duplicated spans: cross-doc 5-token spans found, overlaps merge, short docs zero") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),          // shares span w/ 2
+      (2L, "intro alpha beta gamma delta epsilon tail"),
+      (3L, "one two three four five six seven"),            // clean
+      (4L, "tiny doc"),                                     // < 5 tokens
+      (5L, "p q r s t u"),                                  // exact copy of 6:
+      (6L, "p q r s t u")                                   // 2 overlapping spans
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpans(corpus)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out === Seq(
+      // (doc_id, n_spans, n_dup_spans, n_dup_tokens)
+      (1L, 2L, 1L, 5L),  // "alpha..epsilon" at pos 0
+      (2L, 3L, 1L, 5L),  // same span at pos 1
+      (3L, 3L, 0L, 0L),
+      (4L, 0L, 0L, 0L),
+      (5L, 2L, 2L, 6L),  // both spans dup; merged coverage = 6 tokens, not 10
+      (6L, 2L, 2L, 6L)))
+    // a span repeated only WITHIN one document is repetition, not dup
+    val selfRep = Seq((7L, "x y z w v x y z w v"), (8L, "unrelated words entirely here now"))
+      .toDF("doc_id", "text")
+    val rep = Dedup.duplicatedSpans(selfRep).where(col("n_dup_spans") > 0).count()
+    assert(rep === 0)
+  }
+
+  test("hash split/sample: unsigned-mod buckets match the FNV reference, draws deterministic") {
+    import spark.implicits._
+    val ids = docs.select(col("doc_id")).as[Long].collect()
+    // engine buckets vs a direct unsigned-remainder reference on the JVM
+    val got = docs.select(col("doc_id"),
+        TextOps.hashBucket(col("doc_id").cast("string"), 10000, salt = "sample1"))
+      .as[(Long, Long)].collect().toMap
+    ids.foreach { id =>
+      val expect = java.lang.Long.remainderUnsigned(
+        graft.text.Fnv64Public.hash(s"$id:sample1"), 10000)
+      assert(got(id) === expect, s"doc $id")
+    }
+    // split: assignment is a pure function of (id, salt) and lands in bounds
+    val splits = docs.select(col("doc_id"),
+        TextOps.hashSplit(col("doc_id"), 800, 100, salt = "split1"))
+      .as[(Long, String)].collect().toMap
+    assert(splits.values.toSet.subsetOf(Set("train", "val", "test")))
+    val again = docs.select(col("doc_id"),
+        TextOps.hashSplit(col("doc_id"), 800, 100, salt = "split1"))
+      .as[(Long, String)].collect().toMap
+    assert(again === splits)
+    assert(splits.values.count(_ == "train") > splits.size / 2,
+      "80% of buckets fund train")
+    // stratified keep agrees with bucket < per-stratum cutoff
+    val kept = docs.select(col("doc_id"), col("lang"),
+        TextOps.stratifiedKeep(col("doc_id"), col("lang"),
+          Map("en" -> 2500, "fr" -> 5000), salt = "sample1"))
+      .as[(Long, String, Boolean)].collect()
+    kept.foreach { case (id, lang, k) =>
+      val cutoff = Map("en" -> 2500, "fr" -> 5000).getOrElse(lang, 10000)
+      assert(k === (got(id) < cutoff), s"doc $id lang $lang")
+    }
+  }
+
+  test("distinctive terms: tf desc / df asc / term ranking, top-k per doc") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "apple apple common zebra"),
+      (2L, "berry common common"),
+      (3L, "common plum")
+    ).toDF("doc_id", "text")
+    val out = TextOps.distinctiveTerms(corpus, topK = 3)
+      .as[(Long, Int, String, Long, Long)].collect()
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(out === Seq(
+      (1L, 1, "apple", 2L, 1L),   // tf 2 wins
+      (1L, 2, "zebra", 1L, 1L),   // tf tie -> rarer df first
+      (1L, 3, "common", 1L, 3L),
+      (2L, 1, "common", 2L, 3L),  // tf beats rarity
+      (2L, 2, "berry", 1L, 1L),
+      (3L, 1, "plum", 1L, 1L),
+      (3L, 2, "common", 1L, 3L)))
+  }
+
   test("a malformed graft conf fails naming the key and value, not as a bare NumberFormatException") {
     spark.conf.set(Dedup.MaxNgramBlockRowsKey, "not-a-number")
     try {
