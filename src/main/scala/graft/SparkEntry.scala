@@ -770,6 +770,15 @@ object SparkEntry {
     TextOps.distinctiveTerms(docs(spark, dir), topK = 3)
       .orderBy("doc_id", "rank")
 
+  /** Concat-and-split packing into 256-token training sequences over 8
+    * id-hashed shards, documents laid down in doc_id order. */
+  private def textPackSequences(spark: SparkSession, dir: String): DataFrame =
+    TextOps.packSequences(docs(spark, dir), seqTokens = 256, numShards = 8,
+        orderCol = col("doc_id"), salt = "pack1")
+      .select(col("doc_id"), col("shard").cast("long").as("shard"),
+        col("n_tokens"), col("seq_id"), col("seq_offset"), col("n_seqs"))
+      .orderBy("doc_id")
+
   // ----- relational operators over the TPC-H-ish tables (engine breadth:
   // scan+filter pushdown, hash agg, broadcast join, window top-k). Money
   // math in DECIMAL so sums are exact across engines. -----
@@ -898,6 +907,7 @@ object SparkEntry {
     "dedup_spans" -> (dedupSpans _),
     "text_hash_split" -> (textHashSplit _),
     "text_distinctive_terms" -> (textDistinctiveTerms _),
+    "text_pack_sequences" -> (textPackSequences _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1253,6 +1263,24 @@ object SparkEntry {
          |  bk::BIGINT AS sample_bucket,
          |  (bk < CASE lang WHEN 'en' THEN 2500 WHEN 'fr' THEN 5000 ELSE 10000 END)::INT AS kept
          |FROM h ORDER BY doc_id""".stripMargin,
+    // Sequence-packing replay: same FNV shard route, same per-shard window
+    // cumsum; DuckDB's window SUM over BIGINT is HUGEINT, hence the ::BIGINT
+    // canonicalization on everything derived from it (the text_mix_budget
+    // lesson).
+    "text_pack_sequences" ->
+      s"""WITH d AS (SELECT doc_id,
+         |  ${fnvSql("doc_id::VARCHAR || ':pack1'")} % 8 AS shard,
+         |  len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+         |  FROM documents),
+         |c AS (SELECT doc_id, shard, n_tokens,
+         |  coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         |  FROM d)
+         |SELECT doc_id, shard::BIGINT AS shard, n_tokens::BIGINT AS n_tokens,
+         |  (cum_before // 256)::BIGINT AS seq_id,
+         |  (cum_before % 256)::BIGINT AS seq_offset,
+         |  ((cum_before + n_tokens - 1) // 256 - cum_before // 256 + 1)::BIGINT AS n_seqs
+         |FROM c ORDER BY doc_id""".stripMargin,
     "text_distinctive_terms" ->
       """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),

@@ -50,7 +50,8 @@ package object functions {
 
   /** Register SQL names for the kernels in a session (dist_l2, dist_sos,
     * dot_product, dist_cosine, vector_norm, vector_normalize, shingle_set,
-    * simhash64, winnow_fingerprint, min_topk). */
+    * simhash64, winnow_fingerprint, fnv64, positional_shingles,
+    * stopword_vote, min_topk). */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("dist_l2", es => EuclideanDistance(es(0), es(1)), "built-in")
@@ -65,6 +66,16 @@ package object functions {
       es => graft.text.SimHash64(es(0)), "built-in")
     reg.createOrReplaceTempFunction("winnow_fingerprint",
       es => graft.text.WinnowFingerprint(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("fnv64",
+      es => graft.text.Fnv64Hash(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("positional_shingles", {
+      case Seq(t) => graft.text.PositionalShingles(t)
+      case Seq(t, Literal(n: Int, _)) => graft.text.PositionalShingles(t, n)
+      case other => throw new IllegalArgumentException(
+        "positional_shingles(text[, n]): n must be an integer literal, got " + other)
+    }, "built-in")
+    reg.createOrReplaceTempFunction("stopword_vote",
+      es => graft.text.StopwordVote(es(0)), "built-in")
     reg.createOrReplaceTempFunction("min_topk", es => {
       val k = es(2) match {
         case Literal(v: Int, _) => v

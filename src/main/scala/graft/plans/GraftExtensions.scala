@@ -35,8 +35,8 @@ object OptimizeDistancePredicates extends Rule[LogicalPlan] {
 /** Session extensions: `--conf spark.sql.extensions=graft.plans.GraftExtensions`
   * gives any SQL-only session the graft kernels (dist_l2, dist_sos,
   * dot_product, dist_cosine, vector_norm, vector_normalize, shingle_set,
-  * simhash64, winnow_fingerprint, min_topk) plus the distance-predicate
-  * optimizer rule. */
+  * simhash64, winnow_fingerprint, fnv64, positional_shingles,
+  * stopword_vote, min_topk) plus the distance-predicate optimizer rule. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     def info(name: String) = new ExpressionInfo("graft", name)
@@ -61,6 +61,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => graft.text.SimHash64(es(0))))
     e.injectFunction((FunctionIdentifier("winnow_fingerprint"), info("winnow_fingerprint"),
       (es: Seq[Expression]) => graft.text.WinnowFingerprint(es(0))))
+    e.injectFunction((FunctionIdentifier("fnv64"), info("fnv64"),
+      (es: Seq[Expression]) => graft.text.Fnv64Hash(es(0))))
+    e.injectFunction((FunctionIdentifier("positional_shingles"), info("positional_shingles"),
+      (es: Seq[Expression]) => es match {
+        case Seq(t) => graft.text.PositionalShingles(t)
+        case Seq(t, Literal(n: Int, _)) => graft.text.PositionalShingles(t, n)
+        case other => throw new IllegalArgumentException(
+          "positional_shingles(text[, n]): n must be an integer literal, got " + other)
+      }))
+    e.injectFunction((FunctionIdentifier("stopword_vote"), info("stopword_vote"),
+      (es: Seq[Expression]) => graft.text.StopwordVote(es(0))))
     e.injectFunction((FunctionIdentifier("min_topk"), info("min_topk"),
       (es: Seq[Expression]) => es(2) match {
         case Literal(k: Int, _) => MinTopK(es(0), es(1), k)

@@ -109,6 +109,55 @@ object TextOps {
       .otherwise(lit("test"))
   }
 
+  /** Concat-and-split sequence packing (GPT-style pretraining layout):
+    * documents are laid head-to-tail in a deterministic order and cut into
+    * fixed `seqTokens`-token training sequences; each document reports the
+    * sequence it starts in, its token offset inside that sequence, and how
+    * many sequences it spans. A (shard, seq_id, seq_offset) triple fully
+    * determines where every token of every document lands — re-runs and
+    * engines agree exactly (no greedy bin-packing state).
+    *
+    * Scale shape: a single global layout would be one global sort, so
+    * packing is sharded — documents are routed to `numShards` buckets by id
+    * hash ([[hashBucket]]: content-independent, append-stable) and each
+    * shard packs independently under a window cumsum, the same per-bucket
+    * window posture as [[sampleByTokenBudget]]. Shards are independent
+    * training streams; `numShards` ≈ writer parallelism at the target
+    * scale. */
+  def packSequences(
+      docs: DataFrame,
+      seqTokens: Int,
+      numShards: Int,
+      orderCol: Column,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      salt: String = ""): DataFrame = {
+    require(seqTokens > 0 && numShards > 0,
+      s"packSequences: seqTokens ($seqTokens) and numShards ($numShards) must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"))
+      .orderBy(orderCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs
+      .withColumn("shard", hashBucket(col(idCol).cast("string"), numShards, salt))
+      .withColumn("n_tokens", tokenCount(col(textCol)).cast("long"))
+      // tokens laid down in this shard BEFORE this document (empty frame on
+      // the shard's first row -> 0)
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      // long/int divides in double then truncates — exact while a shard's
+      // cumulative token count stays under 2^52 (~4.5e15; a 100 TB corpus
+      // is ~2.5e13 tokens TOTAL, so the bound is ~160x past the design
+      // point even with numShards=1)
+      .withColumn("seq_id", (col("cum_before") / seqTokens).cast("long"))
+      .withColumn("seq_offset", col("cum_before") % seqTokens)
+      // last token's sequence minus first token's sequence + 1; every doc
+      // has >= 1 token (the empty string tokenizes to [""])
+      .withColumn("n_seqs",
+        ((col("cum_before") + col("n_tokens") - 1) / seqTokens).cast("long")
+          - col("seq_id") + 1)
+      .drop("cum_before")
+  }
+
   /** Deterministic per-stratum downsampling ("25% of English, 50% of
     * French, all the rest"): keep a row iff its id-hash bucket (out of
     * 10000) falls under the stratum's permyriad rate. Hash-based like

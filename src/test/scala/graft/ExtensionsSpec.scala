@@ -46,6 +46,23 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r === 4.0f)
   }
 
+  test("text kernels are on the SQL surface: fnv64 / positional_shingles / stopword_vote") {
+    val row = spark.sql(
+      """SELECT fnv64('abc') AS h,
+        |  positional_shingles('a b c d', 3) AS sh,
+        |  positional_shingles('a b c d') AS sh5,
+        |  stopword_vote(array('the', 'of', 'la')) AS lang""".stripMargin).head()
+    assert(row.getLong(0) === graft.text.Fnv64Public.hash("abc"))
+    assert(row.getSeq[String](1) === Seq("a b c", "b c d"))
+    assert(row.getSeq[String](2) === Seq.empty) // 4 tokens < default n=5
+    assert(row.getString(3) === "en")
+    // non-literal n is a loud error, not a silent default
+    val e = intercept[Exception] {
+      spark.sql("SELECT positional_shingles('a b c', 1 + 2)").head()
+    }
+    assert(e.getMessage.contains("integer literal"), e.getMessage)
+  }
+
   test("radius predicates lose the per-row sqrt (dist_l2 <= r -> dist_sos <= r*r)") {
     import spark.implicits._
     // a real parquet scan: local relations fold away at optimize time

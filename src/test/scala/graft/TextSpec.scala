@@ -355,6 +355,34 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("sequence packing: concat-and-split offsets, span counts, shard-local layout") {
+    import spark.implicits._
+    // one shard isolates the arithmetic: token counts 3, 4, 2 at seqTokens=5
+    val corpus = Seq(
+      (1L, "a b c"), (2L, "d e f g"), (3L, "h i")).toDF("doc_id", "text")
+    val out = TextOps.packSequences(corpus, seqTokens = 5, numShards = 1,
+        orderCol = col("doc_id"))
+      .select("doc_id", "n_tokens", "seq_id", "seq_offset", "n_seqs")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out === Seq(
+      (1L, 3L, 0L, 0L, 1L),   // tokens 0-2 of seq 0
+      (2L, 4L, 0L, 3L, 2L),   // starts at offset 3, spills into seq 1
+      (3L, 2L, 1L, 2L, 1L)))  // resumes where doc 2 ended: seq 1 offset 2
+    // corpus-level invariant: within each shard (ordered by doc_id) the
+    // start position equals the running token total laid down before it
+    val packed = TextOps.packSequences(docs, 256, 8, col("doc_id"), salt = "pack1")
+      .select("shard", "doc_id", "n_tokens", "seq_id", "seq_offset")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    packed.groupBy(_._1).values.foreach { shard =>
+      var cum = 0L
+      shard.sortBy(_._2).foreach { case (_, id, n, seq, off) =>
+        assert(seq * 256 + off === cum, s"doc $id start")
+        cum += n
+      }
+    }
+    assert(packed.map(_._1).distinct.length === 8, "all shards populated")
+  }
+
   test("distinctive terms: tf desc / df asc / term ranking, top-k per doc") {
     import spark.implicits._
     val corpus = Seq(
