@@ -43,6 +43,19 @@ object PlanAudit {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
 
+    println("===== duplicated-span dedup (hash agg + hash join, no all-pairs) =====")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    graft.text.Dedup.duplicatedSpans(docs).explain("formatted")
+
+    println("===== hash split/sample (pure projection, no exchange) =====")
+    docs.select(col("doc_id"),
+      graft.text.TextOps.hashSplit(col("doc_id"), 800, 100, salt = "s1"))
+      .explain("formatted")
+
+    println("===== sequence packing (shard-partitioned window, no global sort) =====")
+    graft.text.TextOps.packSequences(docs, 256, 8, col("doc_id"), salt = "s1")
+      .explain("formatted")
+
     println("===== SQL probe over a sharded VAMANA table (shard_id pruning) =====")
     val vamUri = Files.createTempDirectory("graft_audit_vam").toString
     Ingest.ingest(spark, vamUri, emb, "VAMANA", DistanceMetric.L2,
