@@ -42,10 +42,10 @@ object SparkEntry {
 
   /** Shared shape of the DuckDB k-NN oracles: top-K per query by the given
     * ORDER BY score expression, ids-only output (floats never compared). */
-  private def knnOracle(orderBy: String): String =
+  private def knnOracle(orderBy: String, nWhere: String = "TRUE"): String =
     s"""SELECT q.vec_id AS qid, n.vec_id AS neighbor_id
        |FROM (SELECT * FROM embeddings WHERE vec_id < $NQ) q
-       |CROSS JOIN embeddings n
+       |CROSS JOIN (SELECT * FROM embeddings WHERE $nWhere) n
        |QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY $orderBy, n.vec_id) <= $K
        |ORDER BY qid, neighbor_id""".stripMargin
 
@@ -99,6 +99,21 @@ object SparkEntry {
         DistanceMetric.L2, timestamp = 1000L)
     }
     idsOnly(VectorIndex.open(spark, uri).query(idxQueries(spark, dir), K, nprobe = 1 << 30))
+  }
+
+  /** Attribute-filtered ANN: candidates restricted to an id allow-list
+    * (every third vector) BEFORE ranking, at probe-all — exact, so the
+    * brute-force-over-the-filtered-set oracle must match hash-for-hash.
+    * Exercises [[graft.index.VectorIndex.queryFiltered]]'s pre-filter
+    * semi-join on the IVF partition-pruned scan. */
+  private def ivfFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val uri = cachedIndex("ivf_l2", dir) { u =>
+      Ingest.ingest(spark, u, embAsIndexInput(spark, dir), "IVF_FLAT",
+        DistanceMetric.L2, timestamp = 1000L)
+    }
+    val allow = emb(spark, dir).where(col("vec_id") % 3 === 0).select("vec_id")
+    idsOnly(VectorIndex.open(spark, uri)
+      .queryFiltered(idxQueries(spark, dir), K, allow, nprobe = 1 << 30))
   }
 
   /** Shared SQL-surface setup: graft functions + the probe rewrite
@@ -856,6 +871,7 @@ object SparkEntry {
     "knn_flat_cosine" -> (knnFlat(DistanceMetric.Cosine) _),
     "knn_flat_ip" -> (knnFlat(DistanceMetric.InnerProduct) _),
     "ivf_flat_probe_all" -> (ivfProbeAll _),
+    "ivf_flat_filtered" -> (ivfFiltered _),
     "sql_index_topk" -> (sqlIndexTopk _),
     "sql_index_topk_pq" -> (sqlIndexTopkPq _),
     "sql_index_topk_vamana" -> (sqlIndexTopkVamana _),
@@ -918,6 +934,9 @@ object SparkEntry {
     "knn_flat_cosine" -> knnOracle("list_cosine_similarity(n.embedding, q.embedding) DESC"),
     "knn_flat_ip" -> knnOracle("list_inner_product(n.embedding, q.embedding) DESC"),
     "ivf_flat_probe_all" -> knnOracle("list_distance(n.embedding, q.embedding)"),
+    // filtered ANN is exact at probe-all: brute force over the allowed set
+    "ivf_flat_filtered" ->
+      knnOracle("list_distance(n.embedding, q.embedding)", "vec_id % 3 = 0"),
     "sql_index_topk" -> sqlTopkSingleOracle,
     "sql_index_topk_batch" ->
       s"""SELECT q.vec_id AS qid, n.vec_id AS neighbor_id

@@ -50,16 +50,18 @@ class IvfPqIndex(spark: SparkSession, uri: String, meta: IndexMeta, ts: Long)
     else spark.read.parquet(s"$uri/base/v=$baseTimestamp")
       .select("external_id", "vector", "codes", "partition_id")
 
-  override protected def queryBase(queries: DataFrame, k: Int, nprobe0: Int): DataFrame =
-    queryBase(queries, k, nprobe0, kFactor = IvfPqIndex.DefaultKFactor)
+  override protected def queryBase(queries: DataFrame, k: Int, nprobe0: Int,
+      allow: Option[DataFrame]): DataFrame =
+    queryBase(queries, k, nprobe0, kFactor = IvfPqIndex.DefaultKFactor, allow)
 
   /** @param kFactor candidate inflation before exact re-rank
     *                (reference: ivf_pq_index.py:40-45 `k_factor`). */
-  def queryBase(queries: DataFrame, k: Int, nprobe0: Int, kFactor: Float): DataFrame = {
+  def queryBase(queries: DataFrame, k: Int, nprobe0: Int, kFactor: Float,
+      allow: Option[DataFrame] = None): DataFrame = {
     if (historyIdx < 0) {
       return Knn.bruteForce(
-        baseVectors().select("external_id", "vector"), queries, k, metric,
-        idCol = "external_id", vecCol = "vector")
+        restrictTo(baseVectors().select("external_id", "vector"), allow),
+        queries, k, metric, idCol = "external_id", vecCol = "vector")
     }
     val parts = centroids.length
     val m = codebooks.length
@@ -92,7 +94,11 @@ class IvfPqIndex(spark: SparkSession, uri: String, meta: IndexMeta, ts: Long)
     // each NearestCentroids row fans out to exactly nprobe pairs
     val nq = math.max(1L, pairsRows / nprobe)
 
-    val pruned = baseVectors().where(col("partition_id").isin(activeParts: _*))
+    // allow-list semi-join AFTER partition pruning: both the ADC scoring
+    // scan and the exact re-rank read `pruned`, so one restriction covers
+    // the whole filtered-query path.
+    val pruned = restrictTo(
+      baseVectors().where(col("partition_id").isin(activeParts: _*)), allow)
     val baseSize = meta.baseSizes(historyIdx)
     val kCand = math.min(baseSize,
       math.max(k.toLong, math.ceil(k.toDouble * kFactor).toLong)).toInt

@@ -437,12 +437,21 @@ class VamanaIndex(spark: SparkSession, uri: String, meta: IndexMeta, ts: Long,
     VectorIndex.open(spark, uri)
   }
 
-  override protected def queryBase(queries: DataFrame, k: Int, lSearch0: Int): DataFrame = {
+  override protected def queryBase(queries: DataFrame, k: Int, lSearch0: Int,
+      allow: Option[DataFrame]): DataFrame = {
     if (historyIdx < 0) {
-      return Knn.bruteForce(baseVectors(), queries, k, metric,
+      return Knn.bruteForce(restrictTo(baseVectors(), allow), queries, k, metric,
         idCol = "external_id", vecCol = "vector")
     }
-    val lSearch = math.max(if (lSearch0 <= 0) VamanaIndex.DefaultLSearch else lSearch0, k)
+    // Filtered graph search = overfetch-then-filter (the reference object
+    // layer's fetch_k strategy, object_index.py): constraining the greedy
+    // traversal itself to allowed nodes could disconnect the graph, so the
+    // beam search runs unfiltered, each shard returns its full beam (not
+    // just top-k), and the allow-list semi-joins the merged beam before the
+    // final top-k. Approximate exactly like the unfiltered VAMANA path —
+    // gated by the same recall spec, with the beam width as the overfetch.
+    val lSearch = math.max(if (lSearch0 <= 0) VamanaIndex.DefaultLSearch else lSearch0,
+      if (allow.isDefined) 4 * k else k)
 
     import spark.implicits._
     val qn0 = queries.select(col("qid").cast("long").as("qid"),
@@ -516,7 +525,9 @@ class VamanaIndex(spark: SparkSession, uri: String, meta: IndexMeta, ts: Long,
         col("neighbors"), col("is_medoid"))
       .as[(Int, Long, Array[Float], Array[Long], Boolean)]
 
-    val kLocal = k
+    // filtered queries keep each shard's full beam so the post-filter has
+    // lSearch (≥ 4k) candidates per shard to repack from, not k
+    val kLocal = if (allow.isDefined) lSearch else k
     val lLocal = lSearch
     val perShard = graph
       .groupByKey(_._1)
@@ -539,7 +550,8 @@ class VamanaIndex(spark: SparkSession, uri: String, meta: IndexMeta, ts: Long,
     val scored = if (meta.shardReplicas > 1)
       scored0.groupBy("__qid", "__id").agg(min("__score").as("__score"))
     else scored0
-    val merged = Knn.topKFromScores(scored, k, DistanceMetric.SumOfSquares)
+    val masked = restrictTo(scored, allow, idCol = "__id")
+    val merged = Knn.topKFromScores(masked, k, DistanceMetric.SumOfSquares)
     merged.select(col("qid"), col("rank"), col("id"),
       VamanaIndex.reportDistance(m, col("distance")).as("distance"))
   }

@@ -63,8 +63,26 @@ abstract class VectorIndex(
     * Empty (with correct schema) when the read predates the first ingestion. */
   def baseVectors(): DataFrame
 
-  /** k-NN over the base version only (no updates merge). */
-  protected def queryBase(queries: DataFrame, k: Int, nprobe: Int): DataFrame
+  /** k-NN over the base version only (no updates merge). `allow` is an
+    * optional candidate PRE-filter: a single-column frame of permitted
+    * external ids (normalized to `__allow_id: long` by [[queryFiltered]]).
+    * Subclasses restrict their candidate set BEFORE ranking, so a filtered
+    * query still fills k slots from the allowed set instead of returning
+    * however many of the unfiltered top-k happen to survive. */
+  protected def queryBase(queries: DataFrame, k: Int, nprobe: Int,
+      allow: Option[DataFrame]): DataFrame
+
+  /** Left-semi restrict `candidates` to the allow-list; no-op when None.
+    * A semi join (not `isin`) so the list can be arbitrarily large —
+    * Catalyst broadcasts it when stats say it is small and shuffles
+    * otherwise, the same size discipline as every other query-side join. */
+  protected def restrictTo(candidates: DataFrame, allow: Option[DataFrame],
+      idCol: String = "external_id"): DataFrame =
+    allow match {
+      case Some(a) =>
+        candidates.join(a, candidates(idCol) === a("__allow_id"), "left_semi")
+      case None => candidates
+    }
 
   /** Full query semantics with updates merge (reference: index.py:338-416):
     * when the updates log has entries in-window, the base is queried for 2k
@@ -75,7 +93,31 @@ abstract class VectorIndex(
     * @param queries (qid: Long, qvec: Array[Float])
     * @return (qid, rank, id, distance)
     */
-  def query(queries: DataFrame, k: Int, nprobe: Int = 0): DataFrame = {
+  def query(queries: DataFrame, k: Int, nprobe: Int = 0): DataFrame =
+    queryImpl(queries, k, nprobe, allow = None)
+
+  /** Attribute-filtered k-NN: hits are drawn only from `allowIds` (first
+    * column, cast to long). The filter is applied to the base candidates
+    * AND the updates-log additions BEFORE ranking (pre-filter), so each
+    * query returns up to k allowed neighbors — not the survivors of an
+    * unfiltered top-k. The reference core index has no attribute filter;
+    * its object layer post-filters with a fetch_k overfetch
+    * (object_index.py metadata_array_cond + repack). The Spark-native form
+    * is this semi join: exact on FLAT/IVF/PQ paths, overfetch-then-filter
+    * (the reference's own strategy) on the VAMANA graph path, where a
+    * traversal constrained to allowed nodes could disconnect the graph. */
+  def queryFiltered(queries: DataFrame, k: Int, allowIds: DataFrame,
+      nprobe: Int = 0): DataFrame = {
+    require(allowIds.columns.nonEmpty, "graft: allowIds needs an id column")
+    val norm = allowIds
+      .select(col(allowIds.columns.head).cast("long").as("__allow_id"))
+      .where(col("__allow_id").isNotNull)
+      .distinct()
+    queryImpl(queries, k, nprobe, allow = Some(norm))
+  }
+
+  private def queryImpl(queries: DataFrame, k: Int, nprobe: Int,
+      allow: Option[DataFrame]): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     // shape/dims validation up front (reference: index.py:298-312)
     queries.schema("qvec").dataType match {
@@ -95,10 +137,10 @@ abstract class VectorIndex(
           .where(col("vector").isNotNull)
           .select(col("external_id").as("id"), col("vector")))
         .getOrElse(emptyAdditions())
-      return Knn.bruteForce(additions, q, k, metric,
-        idCol = "id", vecCol = "vector", qidCol = "qid", qvecCol = "qvec")
+      return Knn.bruteForce(restrictTo(additions, allow, idCol = "id"), q, k,
+        metric, idCol = "id", vecCol = "vector", qidCol = "qid", qvecCol = "qvec")
     }
-    if (upd.isEmpty) return queryBase(q, k, nprobe)
+    if (upd.isEmpty) return queryBase(q, k, nprobe, allow)
 
     val latest = latestUpdatePerId(upd.get)
     val updatedIds = latest.select(col("external_id"))
@@ -106,12 +148,12 @@ abstract class VectorIndex(
     // No broadcast hint: the updates-id set is usually tiny (stats/AQE pick
     // a broadcast anti join) but can grow arbitrarily between
     // consolidations, where a forced broadcast would break at scale.
-    val baseHits = queryBase(q, 2 * k, nprobe)
+    val baseHits = queryBase(q, 2 * k, nprobe, allow)
       .join(updatedIds, col("id") === updatedIds("external_id"), "left_anti")
     val additions = latest.where(col("vector").isNotNull)
       .select(col("external_id").as("id"), col("vector"))
-    val addHits = Knn.bruteForce(additions, q, k, metric,
-      idCol = "id", vecCol = "vector", qidCol = "qid", qvecCol = "qvec")
+    val addHits = Knn.bruteForce(restrictTo(additions, allow, idCol = "id"),
+      q, k, metric, idCol = "id", vecCol = "vector", qidCol = "qid", qvecCol = "qvec")
     val merged = baseHits.select("qid", "id", "distance")
       .unionByName(addHits.select("qid", "id", "distance"))
       .select(col("qid").as("__qid"), col("id").as("__id"),
@@ -585,16 +627,19 @@ class FlatIndex(spark: SparkSession, uri: String, meta: IndexMeta, ts: Long)
     } else spark.read.parquet(s"$uri/base/v=$baseTimestamp")
       .select("external_id", "vector")
 
-  override protected def queryBase(queries: DataFrame, k: Int, nprobe: Int): DataFrame =
+  override protected def queryBase(queries: DataFrame, k: Int, nprobe: Int,
+      allow: Option[DataFrame]): DataFrame = {
+    val base = restrictTo(baseVectors(), allow)
     meta.dtype match {
       case "uint8" | "int8" =>
-        graft.operators.ByteKnn.bruteForce(baseVectors(), queries, k, metric,
+        graft.operators.ByteKnn.bruteForce(base, queries, k, metric,
           signed = meta.dtype == "int8",
           idCol = "external_id", vecCol = "vector", qidCol = "qid", qvecCol = "qvec")
       case _ =>
-        Knn.bruteForce(baseVectors(), queries, k, metric,
+        Knn.bruteForce(base, queries, k, metric,
           idCol = "external_id", vecCol = "vector", qidCol = "qid", qvecCol = "qvec")
     }
+  }
 }
 
 /** IVF_FLAT index (reference:
@@ -631,9 +676,10 @@ class IvfFlatIndex(spark: SparkSession, uri: String, meta: IndexMeta, ts: Long)
     case m => m
   }
 
-  override protected def queryBase(queries: DataFrame, k: Int, nprobe0: Int): DataFrame = {
+  override protected def queryBase(queries: DataFrame, k: Int, nprobe0: Int,
+      allow: Option[DataFrame]): DataFrame = {
     if (historyIdx < 0) {
-      return Knn.bruteForce(baseVectors(), queries, k, metric,
+      return Knn.bruteForce(restrictTo(baseVectors(), allow), queries, k, metric,
         idCol = "external_id", vecCol = "vector")
     }
     val parts = centroids.length
@@ -663,8 +709,11 @@ class IvfFlatIndex(spark: SparkSession, uri: String, meta: IndexMeta, ts: Long)
       .agg(count(lit(1)).as("cnt")).collect()
     val activeParts = partCounts.map(_.getInt(0)).sorted.toSeq
     val pairsRows = partCounts.map(_.getLong(1)).sum
-    // partition_id IN (...) reaches the parquet scan as partition pruning.
-    val pruned = baseVectors().where(col("partition_id").isin(activeParts: _*))
+    // partition_id IN (...) reaches the parquet scan as partition pruning;
+    // the allow-list (if any) then semi-joins the surviving rows — pruning
+    // still skips unprobed files, the filter only shrinks what is scored.
+    val pruned = restrictTo(
+      baseVectors().where(col("partition_id").isin(activeParts: _*)), allow)
     val qscore = if (metric == DistanceMetric.Cosine) probeMetric else metric
     // byte dtypes: asymmetric float-query vs byte-packed-vector kernels
     val scoreFn: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>

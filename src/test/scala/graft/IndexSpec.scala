@@ -165,6 +165,66 @@ class IndexSpec extends AnyFunSuite {
     assert(recall >= 0.75, s"recall $recall below IVF_PQ reference gate")
   }
 
+  test("queryFiltered: exact top-k from the allowed set on FLAT/IVF/PQ; " +
+      "updates respect the filter; VAMANA overfetch clears the recall gate") {
+    val allow = emb.where(col("external_id") % 3 === 0).select("external_id")
+    val expected = exactIds(emb.where(col("external_id") % 3 === 0), 10)
+    // every hit must come from the allowed set, and all k slots must fill
+    // from it (pre-filter, not post-filter survivors)
+    assert(expected.values.forall(ids => ids.size == 10 && ids.forall(_ % 3 == 0)))
+
+    val fUri = tmp()
+    val flat = Ingest.ingest(spark, fUri, emb, "FLAT", DistanceMetric.L2,
+      timestamp = 1000L)
+    assert(gotIds(flat.queryFiltered(queries10, 10, allow)) === expected)
+
+    val iUri = tmp()
+    val ivf = Ingest.ingest(spark, iUri, emb, "IVF_FLAT", DistanceMetric.L2,
+      timestamp = 1000L, partitions = Some(16))
+    assert(gotIds(ivf.queryFiltered(queries10, 10, allow, nprobe = 16)) === expected)
+
+    // PQ at full kFactor: ADC candidates = whole allowed set => exact rerank
+    val pUri = tmp()
+    val pq = Ingest.ingest(spark, pUri, emb, "IVF_PQ", DistanceMetric.L2,
+      timestamp = 1000L, partitions = Some(8))
+      .asInstanceOf[graft.index.IvfPqIndex]
+    val allowNorm = allow.select(col("external_id").cast("long").as("__allow_id"))
+    assert(gotIds(pq.queryBase(queries10, 10, nprobe0 = 8, kFactor = 50f,
+      allow = Some(allowNorm))) === expected)
+
+    // updates interplay: deleted-but-allowed ids disappear, added-and-allowed
+    // ids compete; the filter applies to base AND additions branches.
+    // Deletions stay a thin slice (%30) of the allowed set (%3): the
+    // reference's retrieval_k = 2k overfetch (index.py:352-364) only
+    // guarantees k survivors when deletions don't dominate the top-2k, and
+    // this test pins FILTER semantics, not the overfetch heuristic.
+    flat.deleteBatch(emb.where(col("external_id") % 30 === 0), ts = 1100L)
+    flat.updateBatch(
+      emb.where(col("external_id") < 5)
+        .select((col("external_id") * 3 + 3000000L).as("external_id"),
+          col("vector")), ts = 1100L)
+    val added = emb.where(col("external_id") < 5)
+      .select((col("external_id") * 3 + 3000000L).as("external_id"), col("vector"))
+    val allowUpd = allow.unionByName(added.select("external_id"))
+    val mergedAllowed = emb
+      .where(col("external_id") % 3 === 0 && col("external_id") % 30 =!= 0)
+      .unionByName(added)
+    val gotUpd = gotIds(VectorIndex.open(spark, fUri)
+      .queryFiltered(queries10, 10, allowUpd))
+    assert(gotUpd === exactIds(mergedAllowed, 10))
+
+    // VAMANA: graph search is overfetch-then-filter (beam >= 4k), approximate
+    val vUri = tmp()
+    val vam = Ingest.ingest(spark, vUri, emb, "VAMANA", DistanceMetric.L2,
+      timestamp = 1000L)
+    val gotV = gotIds(vam.queryFiltered(queries10, 10, allow))
+    assert(gotV.values.flatten.forall(_ % 3 == 0))
+    val recallV = expected.keys.toSeq.map { q =>
+      gotV.getOrElse(q, Seq.empty).toSet.intersect(expected(q).toSet).size / 10.0
+    }.sum / expected.size
+    assert(recallV >= 0.85, s"filtered VAMANA recall $recallV below gate")
+  }
+
   test("VAMANA: build + beam search clears the 0.85 reference recall gate") {
     val uri = tmp()
     val idx = Ingest.ingest(spark, uri, emb, "VAMANA", DistanceMetric.L2,
