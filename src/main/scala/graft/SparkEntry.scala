@@ -705,6 +705,15 @@ object SparkEntry {
       .select(col("doc_id"), col("n_tokens"), col("cum_tokens"))
       .orderBy("doc_id")
 
+  /** α=0.5 temperature mixture: per-language sqrt-flattened token budget
+    * shares with epoch repeat factors — integer-deterministic, so the
+    * DuckDB replay hash-matches (sqrt is IEEE-correctly-rounded in both
+    * engines; everything downstream is long DIV/mod). */
+  private def textMixTemperature(spark: SparkSession, dir: String): DataFrame =
+    TextOps.mixTemperature(docs(spark, dir), totalTokenBudget = 60000L,
+        groupCol = "lang")
+      .orderBy("doc_id")
+
   /** Test-set decontamination: every 10th document plays the held-out
     * benchmark; the rest of the corpus is scored for shingle overlap
     * against it. */
@@ -914,6 +923,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "text_decontaminate" -> (textDecontaminate _),
     "text_mix_budget" -> (textMixBudget _),
+    "text_mix_temperature" -> (textMixTemperature _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
@@ -1168,6 +1178,33 @@ object SparkEntry {
         |  FROM documents)
         |WHERE cum_tokens - n_tokens < 200
         |ORDER BY doc_id""".stripMargin,
+    // α=0.5 temperature-mix replay: floor(sqrt) weights (IEEE sqrt is
+    // correctly rounded — engines agree bit-for-bit), ppm shares and epoch
+    // counts by integer `//`, every output column re-cast BIGINT/INT
+    // (window sums are HUGEINT in DuckDB — the mix_budget lesson).
+    "text_mix_temperature" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |  len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_tokens FROM documents),
+        |g AS (SELECT lang, sum(n_tokens)::BIGINT AS group_tokens,
+        |        floor(sqrt(sum(n_tokens)::BIGINT))::BIGINT AS weight
+        |      FROM d GROUP BY lang),
+        |t AS (SELECT *, sum(weight) OVER ()::BIGINT AS total_w FROM g),
+        |a AS (SELECT lang, group_tokens,
+        |        (CASE WHEN total_w = 0 THEN 0
+        |              ELSE weight * 1000000 // total_w END)::BIGINT AS share_ppm
+        |      FROM t),
+        |b AS (SELECT lang, group_tokens, share_ppm,
+        |        (60000 * share_ppm // 1000000)::BIGINT AS target FROM a),
+        |c AS (SELECT d.doc_id, d.lang, d.n_tokens, b.group_tokens, b.share_ppm, b.target,
+        |        coalesce(sum(d.n_tokens) OVER (PARTITION BY d.lang ORDER BY d.doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |      FROM d JOIN b USING (lang))
+        |SELECT doc_id, lang, n_tokens::BIGINT AS n_tokens, share_ppm,
+        |  (CASE WHEN group_tokens = 0 THEN 0
+        |        ELSE target // group_tokens END)::BIGINT AS n_epochs,
+        |  (CASE WHEN group_tokens = 0 THEN 0
+        |        ELSE (cum_before < target % group_tokens)::INT END)::INT AS kept_partial
+        |FROM c ORDER BY doc_id""".stripMargin,
     "text_decontaminate" ->
       s"""$shingleCte,
          |b AS (SELECT DISTINCT unnest(sh) AS sh FROM s WHERE doc_id % 10 = 0),

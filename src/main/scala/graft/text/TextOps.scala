@@ -57,6 +57,65 @@ object TextOps {
       .where(col("cum_tokens") - col("n_tokens") < tokenBudget)
   }
 
+  /** Temperature-flattened mixture allocation — the α-sampling of classic
+    * LLM data mixes (GPT-3/PaLM style), with α = 0.5 fixed as a square
+    * root: each `groupCol` bucket (language, source, domain) receives a
+    * share of `totalTokenBudget` proportional to sqrt(group_tokens)
+    * instead of group_tokens, upsampling low-resource groups. A group
+    * whose target exceeds its stock is REPEATED: the output says how many
+    * full epochs of the group to take and whether the document is in the
+    * budget-truncated partial pass (same keep-while-funded convention as
+    * [[sampleByTokenBudget]]); materializing the repeat is one explode.
+    *
+    * Integer-deterministic end to end, so the DuckDB oracle hash-matches:
+    * weights are floor(sqrt(tokens)) — IEEE-754 sqrt is correctly rounded,
+    * so every engine agrees bit-for-bit — shares are parts-per-million by
+    * long division, targets long math (budget ≤ ~9·10¹² stays
+    * overflow-free). Per doc: (id, group, n_tokens, share_ppm, n_epochs,
+    * kept_partial).
+    *
+    * Scale: one hash agg over the corpus, a global window across the GROUP
+    * frame (rows = distinct groups — dozens in a real mix, never corpus-
+    * sized), and a per-group cumsum window identical to the mix-budget
+    * pass (same skew remedy applies). */
+  def mixTemperature(
+      docs: DataFrame,
+      totalTokenBudget: Long,
+      groupCol: String = "lang",
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(totalTokenBudget > 0 && totalTokenBudget <= 8_000_000_000_000L,
+      s"graft: totalTokenBudget must be in (0, 8e12], got $totalTokenBudget")
+    val d = docs.select(col(idCol), col(groupCol),
+      tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy() // the GROUP frame: rows = distinct groups, bounded
+    val alloc = d.groupBy(col(groupCol))
+      .agg(sum("n_tokens").as("group_tokens"))
+      .withColumn("weight", floor(sqrt(col("group_tokens"))).cast("long"))
+      .withColumn("total_w", sum(col("weight")).over(wAll))
+      // integer DIV, not `/`: Spark's `/` on longs returns DOUBLE, which
+      // stops being exact past 2^53 — budget × ppm reaches ~10¹⁸
+      .withColumn("share_ppm",
+        when(col("total_w") === 0L, lit(0L))
+          .otherwise(expr("weight * 1000000L DIV total_w")).cast("long"))
+      .withColumn("target",
+        expr(s"${totalTokenBudget}L * share_ppm DIV 1000000L").cast("long"))
+      .select(col(groupCol), col("group_tokens"), col("share_ppm"), col("target"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    d.join(alloc, groupCol)
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens")).over(wCum), lit(0L)))
+      .select(col(idCol), col(groupCol), col("n_tokens"), col("share_ppm"),
+        when(col("group_tokens") === 0L, lit(0L))
+          .otherwise(expr("target DIV group_tokens")).cast("long").as("n_epochs"),
+        when(col("group_tokens") === 0L, lit(0))
+          .otherwise((col("cum_before") < col("target") % col("group_tokens"))
+            .cast("int")).as("kept_partial"))
+  }
+
   /** Distinct 3-token shingle set — the unit of n-gram Jaccard similarity
     * (documents with < 3 tokens degenerate to a single whole-text shingle
     * so every doc has at least one). A dedicated one-pass expression: the

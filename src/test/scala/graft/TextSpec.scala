@@ -68,6 +68,32 @@ class TextSpec extends AnyFunSuite {
     assert(again === kept)
   }
 
+  test("temperature mixture: sqrt-flattened shares, epoch repeats, partial pass") {
+    import spark.implicits._
+    // group a: 900 tokens (9 docs × 100), group b: 100 tokens (1 doc).
+    // weights = floor(sqrt): 30 and 10; shares = 750000 / 250000 ppm.
+    // budget 2000 → targets 1500 and 500:
+    //   a: 1500 DIV 900 = 1 full epoch, partial budget 600 → docs with
+    //      cum_before < 600 (the first 6 of 9) are in the partial pass
+    //   b: 500 DIV 100 = 5 full epochs, partial budget 0 → no partial
+    val hundred = Seq.fill(100)("w").mkString(" ")
+    val corpus = ((1L to 9L).map(i => (i, "a", hundred)) :+ ((10L, "b", hundred)))
+      .toDF("doc_id", "grp", "text")
+    val out = TextOps.mixTemperature(corpus, totalTokenBudget = 2000L,
+        groupCol = "grp")
+      .select("doc_id", "grp", "n_tokens", "share_ppm", "n_epochs", "kept_partial")
+      .as[(Long, String, Long, Long, Long, Int)].collect().sortBy(_._1)
+    assert(out.length === 10)
+    val a = out.filter(_._2 == "a")
+    assert(a.forall(r => r._3 == 100L && r._4 == 750000L && r._5 == 1L))
+    assert(a.map(r => r._1 -> r._6).toMap ===
+      (1L to 9L).map(i => i -> (if (i <= 6) 1 else 0)).toMap)
+    val b = out.filter(_._2 == "b")
+    assert(b === Array((10L, "b", 100L, 250000L, 5L, 0)))
+    // low-resource upsampling is the point: b holds 10% of the corpus but
+    // sqrt flattening funds it 25% of the budget (5 epochs vs 1)
+  }
+
   test("decontamination flags benchmark-overlapping documents only") {
     import spark.implicits._
     val corpus = Seq(
