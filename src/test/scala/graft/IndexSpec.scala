@@ -213,6 +213,17 @@ class IndexSpec extends AnyFunSuite {
       .queryFiltered(queries10, 10, allowUpd))
     assert(gotUpd === exactIds(mergedAllowed, 10))
 
+    // plan audit: the allow-list semi-join must not defeat the IVF physical
+    // pruning — a filtered nprobe query still shows partition_id
+    // PartitionFilters on the base scan (filter shrinks what is SCORED,
+    // pruning shrinks what is READ; at scale both must hold)
+    val filteredPlan = ivf.queryFiltered(queries10, 10, allow, nprobe = 4)
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*partition_id[^\\]]*\\]".r
+        .findFirstIn(filteredPlan).isDefined,
+      s"expected partition_id PartitionFilters under the allow semi-join:\n${
+        filteredPlan.take(2500)}")
+
     // VAMANA: graph search is overfetch-then-filter (beam >= 4k), approximate
     val vUri = tmp()
     val vam = Ingest.ingest(spark, vUri, emb, "VAMANA", DistanceMetric.L2,
