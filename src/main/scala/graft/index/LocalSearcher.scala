@@ -41,7 +41,24 @@ final class LocalSearcher private[index] (
   /** Top-k for one query vector; ascending (distance, id), no Spark jobs.
     * `nprobe <= 0` = the index default (sqrt of partitions); ignored when the
     * snapshot has no centroid blocking. */
-  def query(qvec: Array[Float], k: Int, nprobe: Int = 0): Array[(Long, Float)] = {
+  def query(qvec: Array[Float], k: Int, nprobe: Int = 0): Array[(Long, Float)] =
+    queryImpl(qvec, k, nprobe, allow = null)
+
+  /** Attribute-filtered top-k: hits drawn only from ids satisfying `allow`
+    * — the serving-path counterpart of [[VectorIndex.queryFiltered]].
+    * Pre-filter (ids are skipped before scoring/heap entry), so all k
+    * slots fill from the allowed set; exact for every snapshot type, since
+    * blocks are brute-force scanned either way. The predicate runs once
+    * per candidate row — for an allowlist, pass a set membership
+    * (`ids.contains`), not a linear scan. */
+  def queryFiltered(qvec: Array[Float], k: Int, allow: Long => Boolean,
+      nprobe: Int = 0): Array[(Long, Float)] = {
+    require(allow != null, "graft: allow predicate must not be null")
+    queryImpl(qvec, k, nprobe, allow)
+  }
+
+  private def queryImpl(qvec: Array[Float], k: Int, nprobe: Int,
+      allow: Long => Boolean): Array[(Long, Float)] = {
     require(k > 0, s"k must be positive, got $k")
     require(qvec.length == dims,
       s"graft: query dimension ${qvec.length} != index dimension $dims")
@@ -66,7 +83,8 @@ final class LocalSearcher private[index] (
       val ids = blockIds(b); val vecs = blockVecs(b)
       var i = 0
       while (i < ids.length) {
-        offer(score(q, vecs, i * dims), ids(i))
+        if (allow == null || allow(ids(i)))
+          offer(score(q, vecs, i * dims), ids(i))
         i += 1
       }
     }

@@ -115,6 +115,24 @@ class LocalSearcherSpec extends AnyFunSuite {
     } finally spark.conf.unset(graft.index.LocalSearcher.MaxLocalServeBytesKey)
   }
 
+  test("queryFiltered: local pre-filter equals the distributed filtered query") {
+    val uri = Files.createTempDirectory("graft_serve_filt").toString
+    val idx = Ingest.ingest(spark, uri, emb, "IVF_FLAT", DistanceMetric.L2,
+      timestamp = 1000L, partitions = Some(8))
+    val allow = emb.where(col("external_id") % 3 === 0).select("external_id")
+    val dist = idx.queryFiltered(queries, 10, allow, nprobe = 1 << 30)
+      .orderBy("qid", "rank").collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(r => (r.getLong(2), r.getFloat(3))).toSeq }
+    val s = idx.localSearcher()
+    val local = queryVecs.map { case (q, v) =>
+      q -> s.queryFiltered(v, 10, _ % 3 == 0, nprobe = 1 << 30)
+    }
+    assert(local.values.forall(_.forall(_._1 % 3 == 0)))
+    assert(local.values.forall(_.length === 10)) // k slots fill from allowed
+    assertMatches(local, dist)
+  }
+
   test("IVF_PQ and VAMANA snapshots serve exact brute force") {
     val uriPq = tmp()
     val pq = Ingest.ingest(spark, uriPq, emb, "IVF_PQ", DistanceMetric.L2,
