@@ -1184,7 +1184,8 @@ object SparkEntry {
     // (window sums are HUGEINT in DuckDB — the mix_budget lesson).
     "text_mix_temperature" ->
       """WITH d AS (SELECT doc_id, lang,
-        |  len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_tokens FROM documents),
+        |  len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_tokens
+        |  FROM documents WHERE lang IS NOT NULL),
         |g AS (SELECT lang, sum(n_tokens)::BIGINT AS group_tokens,
         |        floor(sqrt(sum(n_tokens)::BIGINT))::BIGINT AS weight
         |      FROM d GROUP BY lang),

@@ -47,9 +47,12 @@ final class LocalSearcher private[index] (
   /** Attribute-filtered top-k: hits drawn only from ids satisfying `allow`
     * — the serving-path counterpart of [[VectorIndex.queryFiltered]].
     * Pre-filter (ids are skipped before scoring/heap entry), so all k
-    * slots fill from the allowed set; exact for every snapshot type, since
-    * blocks are brute-force scanned either way. The predicate runs once
-    * per candidate row — for an allowlist, pass a set membership
+    * slots fill from the allowed set. The filter adds NO approximation of
+    * its own: results are exact relative to the blocks the probe scans —
+    * exhaustive for FLAT/PQ/VAMANA snapshots (no centroid blocking) and
+    * for IVF at probe-all; an IVF snapshot at nprobe < partitions keeps
+    * its usual pruning approximation, filtered or not. The predicate runs
+    * once per candidate row — for an allowlist, pass a set membership
     * (`ids.contains`), not a linear scan. */
   def queryFiltered(qvec: Array[Float], k: Int, allow: Long => Boolean,
       nprobe: Int = 0): Array[(Long, Float)] = {

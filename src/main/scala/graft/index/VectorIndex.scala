@@ -103,16 +103,22 @@ abstract class VectorIndex(
     * unfiltered top-k. The reference core index has no attribute filter;
     * its object layer post-filters with a fetch_k overfetch
     * (object_index.py metadata_array_cond + repack). The Spark-native form
-    * is this semi join: exact on FLAT/IVF/PQ paths, overfetch-then-filter
-    * (the reference's own strategy) on the VAMANA graph path, where a
-    * traversal constrained to allowed nodes could disconnect the graph. */
+    * is this semi join. The filter itself adds NO approximation: results
+    * are exact whenever the underlying probe is exhaustive (FLAT always,
+    * IVF at probe-all, PQ at candidate-covering kFactor) and otherwise
+    * inherit exactly the path's usual nprobe/ADC approximation; the VAMANA
+    * graph path overfetches the beam and post-filters (the reference's own
+    * strategy), since a traversal constrained to allowed nodes could
+    * disconnect the graph. */
   def queryFiltered(queries: DataFrame, k: Int, allowIds: DataFrame,
       nprobe: Int = 0): DataFrame = {
     require(allowIds.columns.nonEmpty, "graft: allowIds needs an id column")
+    // no .distinct(): left-semi join semantics already ignore duplicate
+    // right-side rows, and a dedup would add a full shuffle of the
+    // allow-list to every filtered query for nothing
     val norm = allowIds
       .select(col(allowIds.columns.head).cast("long").as("__allow_id"))
       .where(col("__allow_id").isNotNull)
-      .distinct()
     queryImpl(queries, k, nprobe, allow = Some(norm))
   }
 

@@ -86,8 +86,13 @@ object TextOps {
       textCol: String = "text"): DataFrame = {
     require(totalTokenBudget > 0 && totalTokenBudget <= 8_000_000_000_000L,
       s"graft: totalTokenBudget must be in (0, 8e12], got $totalTokenBudget")
+    // NULL groups are excluded up front — from the allocation AND the
+    // output. Counting them in the weights while the equi-join drops their
+    // rows would silently strand their budget share; callers who want an
+    // "unknown" bucket map nulls to a label first.
     val d = docs.select(col(idCol), col(groupCol),
-      tokenCount(col(textCol)).cast("long").as("n_tokens"))
+        tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .where(col(groupCol).isNotNull)
     val wAll = org.apache.spark.sql.expressions.Window
       .partitionBy() // the GROUP frame: rows = distinct groups, bounded
     val alloc = d.groupBy(col(groupCol))

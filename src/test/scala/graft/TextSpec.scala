@@ -92,6 +92,17 @@ class TextSpec extends AnyFunSuite {
     assert(b === Array((10L, "b", 100L, 250000L, 5L, 0)))
     // low-resource upsampling is the point: b holds 10% of the corpus but
     // sqrt flattening funds it 25% of the budget (5 epochs vs 1)
+
+    // NULL groups are excluded from output AND allocation (their weight
+    // must not strand budget share): same corpus plus a null-group doc
+    // yields identical rows
+    val withNull = corpus.unionByName(
+      Seq((99L, null.asInstanceOf[String], hundred)).toDF("doc_id", "grp", "text"))
+    val out2 = TextOps.mixTemperature(withNull, totalTokenBudget = 2000L,
+        groupCol = "grp")
+      .select("doc_id", "grp", "n_tokens", "share_ppm", "n_epochs", "kept_partial")
+      .as[(Long, String, Long, Long, Long, Int)].collect().sortBy(_._1)
+    assert(out2 === out)
   }
 
   test("decontamination flags benchmark-overlapping documents only") {
