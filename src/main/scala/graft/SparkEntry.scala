@@ -634,6 +634,19 @@ object SparkEntry {
       .orderBy("qid", "external_id")
   }
 
+  /** Pre-filter twin of [[objectSearchFiltered]]: the allowed ids semi-join
+    * the candidate scan before ranking (no fetch_k overfetch), so the
+    * oracle is the direct top-k over allowed chunks — no repack CTE. */
+  private def objectSearchPrefiltered(spark: SparkSession, dir: String): DataFrame = {
+    val queries = docs(spark, dir).where(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"), col("text"))
+    objectIndex(spark, dir)
+      .query(queries, k = 5, metadataCond = Some("lang = 'en'"), nprobe = 1 << 30,
+        filterMode = graft.objects.ObjectIndex.FilterPre)
+      .select(col("qid"), col("external_id"), col("lang"))
+      .orderBy("qid", "external_id")
+  }
+
   /** Multimodal binary-column pipeline: documents' bytes as payloads →
     * batch feature extraction (decode stubbed, plumbing real). */
   private def multimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
@@ -901,6 +914,7 @@ object SparkEntry {
     "knn_graph_ann" -> (knnGraphAnn _),
     "object_search" -> (objectSearch _),
     "object_search_filtered" -> (objectSearchFiltered _),
+    "object_search_prefiltered" -> (objectSearchPrefiltered _),
     "object_search_image" -> (objectSearchImage _),
     "multimodal_features" -> (multimodalFeatures _),
     "q1_agg" -> (q1Agg _),
@@ -1052,6 +1066,18 @@ object SparkEntry {
          |  FROM cand
          |)
          |SELECT qid, external_id, lang FROM repack
+         |WHERE rank <= $K2obj
+         |ORDER BY qid, external_id""".stripMargin,
+    // pre-filter twin: no fetch_k CTE — the allowed set ranks directly
+    "object_search_prefiltered" ->
+      s"""$objectSearchScoredCte,
+         |ranked AS (
+         |  SELECT s.qid, s.external_id, d.lang,
+         |    row_number() OVER (PARTITION BY s.qid ORDER BY s.sim DESC, s.external_id) AS rank
+         |  FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+         |  WHERE d.lang = 'en'
+         |)
+         |SELECT qid, external_id, lang FROM ranked
          |WHERE rank <= $K2obj
          |ORDER BY qid, external_id""".stripMargin,
     //

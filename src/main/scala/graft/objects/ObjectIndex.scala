@@ -44,6 +44,17 @@ class ObjectIndex(
     *        reference's mode for mixing embeddings whose distance ranges
     *        differ). Both MAX over duplicate hits within one embedding and
     *        SUM across the query's embeddings.
+    * @param filterMode how `metadataCond` is applied.
+    *        [[ObjectIndex.FilterPost]] (default) = the reference's
+    *        strategy (object_index.py:451-453): fetch fetchFactor×k
+    *        unfiltered hits, filter, repack — can under-fill k when the
+    *        condition is more selective than the overfetch guess.
+    *        [[ObjectIndex.FilterPre]] = the allowed ids (metadata rows
+    *        satisfying the condition) semi-join the candidate scan BEFORE
+    *        ranking ([[graft.index.VectorIndex.queryFiltered]]), so every
+    *        per-embedding list holds k allowed hits with no inflation —
+    *        no reference counterpart; arbitrarily selective conditions
+    *        stay exact at exhaustive probes.
     * @return (qid, rank, external_id, score, metadata attrs...)
     */
   def query(
@@ -52,15 +63,22 @@ class ObjectIndex(
       metadataCond: Option[String] = None,
       nprobe: Int = 0,
       fetchFactor: Int = 50,
-      fusionMode: String = ObjectIndex.FusionReciprocal): DataFrame = {
+      fusionMode: String = ObjectIndex.FusionReciprocal,
+      filterMode: String = ObjectIndex.FilterPost): DataFrame = {
     import spark.implicits._
     require(fusionMode == ObjectIndex.FusionReciprocal ||
         fusionMode == ObjectIndex.FusionRank,
       s"graft: fusionMode must be ${ObjectIndex.FusionReciprocal} or " +
         s"${ObjectIndex.FusionRank}, got $fusionMode")
+    require(filterMode == ObjectIndex.FilterPost ||
+        filterMode == ObjectIndex.FilterPre,
+      s"graft: filterMode must be ${ObjectIndex.FilterPost} or " +
+        s"${ObjectIndex.FilterPre}, got $filterMode")
     val emb = embedQueries(queryObjects)
-    // fetch_k inflation before metadata filtering (object_index.py:451-453)
-    val fetchK = if (metadataCond.isDefined) {
+    val prefilter = metadataCond.isDefined && filterMode == ObjectIndex.FilterPre
+    // fetch_k inflation before metadata filtering (object_index.py:451-453);
+    // the pre-filter path needs none — its candidates are allowed already
+    val fetchK = if (metadataCond.isDefined && !prefilter) {
       math.min(fetchFactor.toLong * k, math.max(indexSize, 1L)).toInt
     } else k
 
@@ -72,7 +90,12 @@ class ObjectIndex(
     val q = emb.select(
       (col("qid") * ObjectIndex.SeqStride + col("embedding_seq")).as("qid"),
       col("qvec"))
-    val hits = index.query(q, fetchK, nprobe)
+    val rawHits =
+      if (prefilter)
+        index.queryFiltered(q, fetchK,
+          metadata.where(expr(metadataCond.get)).select("external_id"), nprobe)
+      else index.query(q, fetchK, nprobe)
+    val hits = rawHits
       .select(expr(s"qid div ${ObjectIndex.SeqStride}L").as("qid"),
         pmod(col("qid"), lit(ObjectIndex.SeqStride)).cast("int").as("embedding_seq"),
         col("id").as("external_id"), col("distance"))
@@ -149,6 +172,8 @@ object ObjectIndex {
   /** Fusion modes (reference: object_index.py:561-635). */
   val FusionReciprocal = "reciprocal"
   val FusionRank = "rank"
+  val FilterPost = "postfilter"
+  val FilterPre = "prefilter"
 
   /** Build the object index: embed all objects and ingest
     * (reference: object_index.py:736-881 update_index → two-stage DAG). */

@@ -67,6 +67,35 @@ class ObjectSpec extends AnyFunSuite {
     assert(perQuery.values.exists(_ > 0))
   }
 
+  test("prefilter mode fills k from the allowed set where the overfetch under-fills") {
+    import spark.implicits._
+    val queries = spark.read.parquet(s"$sf0001/documents.parquet")
+      .where(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"), col("text"))
+    // fetchFactor=1 sabotages the reference strategy on purpose: fetch_k=k
+    // unfiltered hits rarely contain k allowed ones under a selective cond
+    val post = objIndex.query(queries, k = 5, metadataCond = Some("lang = 'de'"),
+      nprobe = 1 << 30, fetchFactor = 1)
+    val pre = objIndex.query(queries, k = 5, metadataCond = Some("lang = 'de'"),
+      nprobe = 1 << 30, fetchFactor = 1,
+      filterMode = ObjectIndex.FilterPre)
+    assert(pre.where(col("lang") =!= "de").count() === 0)
+    val postCnt = post.groupBy("qid").count().as[(Long, Long)].collect().toMap
+    val preCnt = pre.groupBy("qid").count().as[(Long, Long)].collect().toMap
+    // pre-filter fills all k slots for every query (the fixture has >= 5
+    // allowed chunks); the k-overfetch post-filter cannot for them all
+    assert(preCnt.size === 5 && preCnt.values.forall(_ === 5L),
+      s"prefilter should fill k=5 per query, got $preCnt")
+    assert(postCnt.values.sum < preCnt.values.sum,
+      s"expected the sabotaged overfetch to under-fill: post=$postCnt pre=$preCnt")
+    // with a generous overfetch the two modes agree on the survivor SET
+    val postBig = objIndex.query(queries, k = 5, metadataCond = Some("lang = 'de'"),
+      nprobe = 1 << 30, fetchFactor = 1000)
+    val a = postBig.select("qid", "external_id").as[(Long, Long)].collect().toSet
+    val b = pre.select("qid", "external_id").as[(Long, Long)].collect().toSet
+    assert(a === b)
+  }
+
   test("multi-embedding fusion sums scores across a query's embeddings") {
     import spark.implicits._
     // embedding that emits TWO embeddings per object (ColPali-style)
