@@ -105,6 +105,49 @@ class TextSpec extends AnyFunSuite {
     assert(out2 === out)
   }
 
+  test("temperature mixture matches an independent reference on a seeded corpus") {
+    import spark.implicits._
+    // 60 docs, 4 groups, seeded token counts — computed two ways: the
+    // distributed window/join plan vs a straight-line scala fold
+    val rnd = new scala.util.Random(42)
+    val rows = (1L to 60L).map { i =>
+      val grp = s"g${rnd.nextInt(4)}"
+      val n = 1 + rnd.nextInt(40)
+      (i, grp, Seq.fill(n)("t").mkString(" "), n.toLong)
+    }
+    val corpus = rows.map { case (i, g, t, _) => (i, g, t) }.toDF("doc_id", "grp", "text")
+    val budget = 1500L
+    val got = TextOps.mixTemperature(corpus, budget, groupCol = "grp")
+      .select("doc_id", "share_ppm", "n_epochs", "kept_partial")
+      .as[(Long, Long, Long, Int)].collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+
+    val byGroup = rows.groupBy(_._2)
+    val gtok = byGroup.view.mapValues(_.map(_._4).sum).toMap
+    val weight = gtok.view.mapValues(t => math.sqrt(t.toDouble).toLong).toMap
+    val totalW = weight.values.sum
+    val expect = byGroup.flatMap { case (g, ds) =>
+      val ppm = weight(g) * 1000000L / totalW
+      val target = budget * ppm / 1000000L
+      val epochs = target / gtok(g)
+      val partial = target % gtok(g)
+      var cum = 0L
+      ds.sortBy(_._1).map { case (id, _, _, n) =>
+        val kept = if (cum < partial) 1 else 0
+        cum += n
+        id -> (ppm, epochs, kept)
+      }
+    }
+    assert(got === expect)
+    // allocation invariants: shares never over-commit, budgets never exceed
+    val ppmSum = weight.keys.map(g => weight(g) * 1000000L / totalW).sum
+    assert(ppmSum <= 1000000L)
+    val spent = gtok.keys.map { g =>
+      val target = budget * (weight(g) * 1000000L / totalW) / 1000000L
+      (target / gtok(g)) * gtok(g) + (target % gtok(g))
+    }.sum
+    assert(spent <= budget)
+  }
+
   test("decontamination flags benchmark-overlapping documents only") {
     import spark.implicits._
     val corpus = Seq(
