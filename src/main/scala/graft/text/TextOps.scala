@@ -58,21 +58,29 @@ object TextOps {
   }
 
   /** Temperature-flattened mixture allocation — the α-sampling of classic
-    * LLM data mixes (GPT-3/PaLM style), with α = 0.5 fixed as a square
-    * root: each `groupCol` bucket (language, source, domain) receives a
-    * share of `totalTokenBudget` proportional to sqrt(group_tokens)
-    * instead of group_tokens, upsampling low-resource groups. A group
+    * LLM data mixes (GPT-3/PaLM style): each `groupCol` bucket (language,
+    * source, domain) receives a share of `totalTokenBudget` proportional
+    * to group_tokens^α instead of group_tokens, upsampling low-resource
+    * groups. α is restricted to quarters {0.25, 0.5, 0.75, 1.0} — the
+    * quarter powers compose from sqrt and multiply alone (x^¾ =
+    * sqrt(x·sqrt(x))), and IEEE-754 sqrt/multiply are correctly rounded,
+    * so every engine computes the same weight bit-for-bit; a general
+    * pow() is NOT correctly rounded and would put the oracle one ulp off.
+    * 0.75 is the word2vec/XLM unigram-flattening choice, 0.5 the GPT-3
+    * style strong flatten, 1.0 proportional (no flattening). A group
     * whose target exceeds its stock is REPEATED: the output says how many
     * full epochs of the group to take and whether the document is in the
     * budget-truncated partial pass (same keep-while-funded convention as
     * [[sampleByTokenBudget]]); materializing the repeat is one explode.
     *
     * Integer-deterministic end to end, so the DuckDB oracle hash-matches:
-    * weights are floor(sqrt(tokens)) — IEEE-754 sqrt is correctly rounded,
-    * so every engine agrees bit-for-bit — shares are parts-per-million by
-    * long division, targets long math (budget ≤ ~9·10¹² stays
-    * overflow-free). Per doc: (id, group, n_tokens, share_ppm, n_epochs,
-    * kept_partial).
+    * weights are floor(tokens^α) via the sqrt compositions above, shares
+    * are parts-per-million by long division, targets long math (budget ≤
+    * ~9·10¹² stays overflow-free; at α = 1.0 the weights ARE raw token
+    * counts, so a single group past ~9·10¹² tokens would overflow the ppm
+    * numerator — every flattened α ≤ 0.75 keeps weights ≤ ~10¹⁰ at any
+    * realistic corpus). Per doc: (id, group, n_tokens, share_ppm,
+    * n_epochs, kept_partial).
     *
     * Scale: one hash agg over the corpus, a global window across the GROUP
     * frame (rows = distinct groups — dozens in a real mix, never corpus-
@@ -83,9 +91,20 @@ object TextOps {
       totalTokenBudget: Long,
       groupCol: String = "lang",
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      alpha: Double = 0.5): DataFrame = {
     require(totalTokenBudget > 0 && totalTokenBudget <= 8_000_000_000_000L,
       s"graft: totalTokenBudget must be in (0, 8e12], got $totalTokenBudget")
+    // quarter powers only: see scaladoc (cross-engine determinism)
+    val weightOf: Column => Column = alpha match {
+      case 1.0 => identity
+      case 0.5 => c => sqrt(c)
+      case 0.25 => c => sqrt(sqrt(c))
+      case 0.75 => c => sqrt(c * sqrt(c))
+      case other => throw new IllegalArgumentException(
+        s"graft: alpha must be one of 0.25, 0.5, 0.75, 1.0 " +
+          s"(quarter powers stay engine-deterministic), got $other")
+    }
     // NULL groups are excluded up front — from the allocation AND the
     // output. Counting them in the weights while the equi-join drops their
     // rows would silently strand their budget share; callers who want an
@@ -97,7 +116,7 @@ object TextOps {
       .partitionBy() // the GROUP frame: rows = distinct groups, bounded
     val alloc = d.groupBy(col(groupCol))
       .agg(sum("n_tokens").as("group_tokens"))
-      .withColumn("weight", floor(sqrt(col("group_tokens"))).cast("long"))
+      .withColumn("weight", floor(weightOf(col("group_tokens"))).cast("long"))
       .withColumn("total_w", sum(col("weight")).over(wAll))
       // integer DIV, not `/`: Spark's `/` on longs returns DOUBLE, which
       // stops being exact past 2^53 — budget × ppm reaches ~10¹⁸

@@ -103,6 +103,26 @@ class TextSpec extends AnyFunSuite {
       .select("doc_id", "grp", "n_tokens", "share_ppm", "n_epochs", "kept_partial")
       .as[(Long, String, Long, Long, Long, Int)].collect().sortBy(_._1)
     assert(out2 === out)
+
+    // α = 0.75 (word2vec/XLM flattening), composed from sqrt/multiply:
+    // weights floor(900^.75)=164, floor(100^.75)=31; shares 841025/158974
+    val out75 = TextOps.mixTemperature(corpus, totalTokenBudget = 2000L,
+        groupCol = "grp", alpha = 0.75)
+      .select("doc_id", "grp", "share_ppm").distinct()
+      .as[(Long, String, Long)].collect().map(r => r._2 -> r._3).toMap
+    assert(out75 === Map(
+      "a" -> 164L * 1000000L / 195L, "b" -> 31L * 1000000L / 195L))
+    // α = 1.0 is plain proportional: shares 900/1000 and 100/1000
+    val out1 = TextOps.mixTemperature(corpus, totalTokenBudget = 2000L,
+        groupCol = "grp", alpha = 1.0)
+      .select("grp", "share_ppm").distinct()
+      .as[(String, Long)].collect().toMap
+    assert(out1 === Map("a" -> 900000L, "b" -> 100000L))
+    // unsupported α refuses loudly (general pow is not engine-deterministic)
+    val e = intercept[IllegalArgumentException] {
+      TextOps.mixTemperature(corpus, 2000L, groupCol = "grp", alpha = 0.7)
+    }
+    assert(e.getMessage.contains("alpha"))
   }
 
   test("temperature mixture matches an independent reference on a seeded corpus") {
