@@ -325,6 +325,20 @@ class IndexSpec extends AnyFunSuite {
       val forced = idx.queryLSearch(queries10, 10, lSearch = 100, nprobeShards = -1)
       assert(recallOf(forced) >= 0.95, "forced all-shard should be (near-)exact")
     } finally spark.conf.unset(graft.index.VamanaIndex.NprobeShardsKey)
+    // filtered search on the sharded+replicated build: the beam overfetch
+    // (lSearch >= 4k) must clear the gate against the FILTERED ground truth
+    // at 1/3 selectivity on this 2500-row near-uniform corpus — the n=500
+    // single-shard gate alone wouldn't exercise replica dedup + routing
+    // interplay under a filter
+    val allowV = corpus.where(col("external_id") % 3 === 0).select("external_id")
+    val exactF = exactIds(corpus.where(col("external_id") % 3 === 0), 10)
+    val gotF = gotIds(idx.queryFiltered(queries10, 10, allowV))
+    assert(gotF.values.forall(ids => ids.size == 10 && ids.forall(_ % 3 == 0)))
+    val recallF = exactF.keys.toSeq.map { q =>
+      gotF.getOrElse(q, Seq.empty).toSet.intersect(exactF(q).toSet).size / 10.0
+    }.sum / exactF.size
+    assert(recallF >= 0.85, s"filtered sharded recall $recallF below gate")
+
     // updates-merge semantics compose with routing: a deleted id disappears
     idx.deleteBatch(corpus.where(col("external_id") === 0L), ts = 1100L)
     val afterDel = VectorIndex.open(spark, uri).asInstanceOf[graft.index.VamanaIndex]
