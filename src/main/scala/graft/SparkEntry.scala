@@ -116,6 +116,24 @@ object SparkEntry {
       .queryFiltered(idxQueries(spark, dir), K, allow, nprobe = 1 << 30))
   }
 
+  /** Filtered SQL top-k: a user WHERE composes with the probe rewrite —
+    * the probe filter lands on the scan, the predicate restricts candidates
+    * before the TakeOrdered. Exact at the probe-all registration (= brute
+    * force over the allowed set), the SQL twin of
+    * [[graft.index.VectorIndex.queryFiltered]]. */
+  private def sqlIndexTopkFiltered(spark: SparkSession, dir: String): DataFrame = {
+    sqlIvfSetup(spark, dir, "graft_vecs")
+    val qv = emb(spark, dir).where(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0)
+    val qlit = floatArrayLit(qv)
+    spark.sql(
+      s"""SELECT CAST(0 AS BIGINT) AS qid, external_id AS neighbor_id
+         |FROM graft_vecs
+         |WHERE external_id % 3 = 0
+         |ORDER BY dist_l2(vector, $qlit), external_id LIMIT $K""".stripMargin)
+      .orderBy("neighbor_id")
+  }
+
   /** Shared SQL-surface setup: graft functions + the probe rewrite
     * installed into the plain session (experimental extraOptimizations — no
     * session-creation extensions needed), the ivf_l2 index built once, and
@@ -895,6 +913,7 @@ object SparkEntry {
     "ivf_flat_probe_all" -> (ivfProbeAll _),
     "ivf_flat_filtered" -> (ivfFiltered _),
     "sql_index_topk" -> (sqlIndexTopk _),
+    "sql_index_topk_filtered" -> (sqlIndexTopkFiltered _),
     "sql_index_topk_pq" -> (sqlIndexTopkPq _),
     "sql_index_topk_vamana" -> (sqlIndexTopkVamana _),
     "sql_index_topk_batch" -> (sqlIndexTopkBatch _),
@@ -962,6 +981,13 @@ object SparkEntry {
     "ivf_flat_filtered" ->
       knnOracle("list_distance(n.embedding, q.embedding)", "vec_id % 3 = 0"),
     "sql_index_topk" -> sqlTopkSingleOracle,
+    // filtered twin: the allowed set ranks directly (exact at probe-all)
+    "sql_index_topk_filtered" ->
+      s"""SELECT 0::BIGINT AS qid, n.vec_id AS neighbor_id
+         |FROM (SELECT * FROM embeddings WHERE vec_id = 0) q
+         |CROSS JOIN (SELECT * FROM embeddings WHERE vec_id % 3 = 0) n
+         |QUALIFY row_number() OVER (ORDER BY list_distance(n.embedding, q.embedding), n.vec_id) <= $K
+         |ORDER BY neighbor_id""".stripMargin,
     "sql_index_topk_batch" ->
       s"""SELECT q.vec_id AS qid, n.vec_id AS neighbor_id
          |FROM (SELECT * FROM embeddings WHERE vec_id < $NQ) q

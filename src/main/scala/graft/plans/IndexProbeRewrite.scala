@@ -172,6 +172,15 @@ object GraftSql {
   * The Sort+Limit stay and run as TakeOrdered over the pruned scan, so
   * results are exactly the index's nprobe answer.
   *
+  * A user WHERE between the Sort and the scan composes: the probe filter
+  * is injected directly above the scan regardless (the transform finds the
+  * relation through intervening Filters/Projects), the user predicate then
+  * restricts candidates before the TakeOrdered — the SQL twin of
+  * [[graft.index.VectorIndex.queryFiltered]]'s semantics (filter AFTER
+  * partition pruning): exact at probe-all registration, the filtered
+  * nprobe answer otherwise (spec: SqlApiSpec "composes with a user WHERE";
+  * oracle: `sql_index_topk_filtered`).
+  *
   * Covers every partitioned base the engine stores: IVF_FLAT and IVF_PQ
   * prune `partition_id` on the k-means centroids (the PQ base keeps the
   * original vectors beside the codes, so the pruned SQL scan re-ranks

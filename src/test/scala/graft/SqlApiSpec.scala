@@ -91,6 +91,60 @@ class SqlApiSpec extends AnyFunSuite {
     }
   }
 
+  test("probe rewrite composes with a user WHERE: filtered SQL top-k") {
+    graft.functions.registerAll(spark)
+    val hadRule = spark.experimental.extraOptimizations.contains(graft.plans.IndexProbeRewrite)
+    if (!hadRule)
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.IndexProbeRewrite
+    try {
+      val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+        .select(col("vec_id").as("external_id"), col("embedding").as("vector"))
+      val uri = java.nio.file.Files.createTempDirectory("graft_sqlapi_filt").toString
+      graft.index.Ingest.ingest(spark, uri, emb, "IVF_FLAT",
+        DistanceMetric.L2, timestamp = 1000L, partitions = Some(16))
+      // probe-all registration: the filtered rewrite stays EXACT (the probe
+      // filter admits every partition; the user predicate then restricts
+      // candidates before the TakeOrdered — brute force over the allowed set)
+      graft.plans.GraftSql.registerIndexTable(spark, "filt_vecs", uri, nprobe = 1 << 30)
+      val qv = emb.where(col("external_id") === 1).select("vector")
+        .head().getSeq[Float](0)
+      val qlit = "cast(array(" + qv.map(x =>
+        String.format(java.util.Locale.ROOT, "%.9e", Float.box(x))).mkString(",") +
+        ") as array<float>)"
+      val df = spark.sql(
+        s"""SELECT external_id FROM filt_vecs
+           |WHERE external_id % 3 = 0
+           |ORDER BY dist_l2(vector, $qlit) LIMIT 5""".stripMargin)
+      val got = df.collect().map(_.getLong(0)).toSeq
+      // oracle: brute force over the allowed set
+      val expected = graft.operators.Knn.bruteForce(
+          emb.where(col("external_id") % 3 === 0),
+          emb.where(col("external_id") === 1)
+            .select(col("external_id").as("qid"), col("vector").as("qvec")),
+          5, DistanceMetric.L2, idCol = "external_id", vecCol = "vector")
+        .orderBy("rank").collect().map(_.getLong(2)).toSeq
+      assert(got === expected)
+      assert(got.forall(_ % 3 == 0))
+      // the probe still reaches the physical scan as partition pruning at a
+      // narrowed registration too (semantics = queryFiltered at that nprobe)
+      graft.plans.GraftSql.registerIndexTable(spark, "filt_vecs_np", uri, nprobe = 4)
+      val dfNp = spark.sql(
+        s"""SELECT external_id FROM filt_vecs_np
+           |WHERE external_id % 3 = 0
+           |ORDER BY dist_l2(vector, $qlit) LIMIT 5""".stripMargin)
+      val physical = dfNp.queryExecution.executedPlan.toString
+      assert("PartitionFilters: \\[[^\\]]*partition_id[^\\]]*\\]".r
+          .findFirstIn(physical).isDefined,
+        s"expected partition_id PartitionFilters under the user WHERE:\n${
+          physical.take(3000)}")
+      assert(dfNp.collect().forall(_.getLong(0) % 3 == 0))
+    } finally if (!hadRule) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == graft.plans.IndexProbeRewrite)
+    }
+  }
+
   test("query on an empty additions set and k > index size degrade gracefully") {
     import spark.implicits._
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
