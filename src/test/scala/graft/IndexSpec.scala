@@ -236,6 +236,26 @@ class IndexSpec extends AnyFunSuite {
     assert(recallV >= 0.85, s"filtered VAMANA recall $recallV below gate")
   }
 
+  test("queryFiltered edge cases: empty and no-match allow-lists return empty, correct schema") {
+    val uri = tmp()
+    val idx = Ingest.ingest(spark, uri, emb, "IVF_FLAT", DistanceMetric.L2,
+      timestamp = 1000L, partitions = Some(8))
+    val noneAllowed = emb.where(col("external_id") < 0).select("external_id")
+    val r1 = idx.queryFiltered(queries10, 10, noneAllowed, nprobe = 8)
+    assert(r1.columns.toSeq === Seq("qid", "rank", "id", "distance"))
+    assert(r1.count() === 0)
+    // ids absent from the index filter to nothing rather than erroring
+    val absent = emb.select((col("external_id") + 900000000L).as("external_id"))
+    assert(idx.queryFiltered(queries10, 10, absent, nprobe = 8).count() === 0)
+    // a partial allow-list smaller than k yields that many hits per query
+    val three = emb.where(col("external_id").isin(3L, 33L, 333L)).select("external_id")
+    val r3 = idx.queryFiltered(queries10, 10, three, nprobe = 1 << 30)
+    val counts = r3.groupBy("qid").count().collect().map(_.getLong(1)).toSet
+    assert(counts === Set(3L))
+    assert(r3.select("id").distinct().collect().map(_.getLong(0)).toSet
+      === Set(3L, 33L, 333L))
+  }
+
   test("VAMANA: build + beam search clears the 0.85 reference recall gate") {
     val uri = tmp()
     val idx = Ingest.ingest(spark, uri, emb, "VAMANA", DistanceMetric.L2,
