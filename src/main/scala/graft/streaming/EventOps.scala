@@ -168,14 +168,20 @@ object EventOps {
       outDir: String,
       k: Int,
       queryName: String,
-      nprobe: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
+      nprobe: Int = 0,
+      allowIds: Option[DataFrame] = None): org.apache.spark.sql.streaming.StreamingQuery =
     queries.writeStream
       .outputMode("append")
       .queryName(queryName)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val idx = VectorIndex.open(batch.sparkSession, indexUri)
-        idx.query(batch, k, nprobe)
+        // allowIds (a STATIC policy/tenant allow-list) pre-filters each
+        // micro-batch's candidates — VectorIndex.queryFiltered semantics
+        // per batch; each batch re-opens the index, so consolidations
+        // land between batches without restarting the stream
+        allowIds.map(a => idx.queryFiltered(batch, k, a, nprobe))
+          .getOrElse(idx.query(batch, k, nprobe))
           .withColumn("batch_id", lit(batchId))
           .write.mode("append").parquet(outDir)
       }

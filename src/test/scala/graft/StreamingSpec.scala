@@ -145,6 +145,22 @@ class StreamingSpec extends AnyFunSuite {
     val batch = idx.query(batchQueries, 5)
       .select("qid", "rank", "id").as[(Long, Int, Long)].collect().toSet
     assert(streamed === batch)
+
+    // filtered stream: a static allow-list pre-filters every micro-batch
+    val allow = emb.where(col("external_id") % 3 === 0).select("external_id")
+    val outF = Files.createTempDirectory("graft_sknn_outf").toString + "/hits"
+    val srcF = spark.readStream
+      .schema(spark.read.parquet(qDir).schema)
+      .parquet(qDir)
+    val qf = EventOps.streamingKnn(srcF, uri, outF, k = 5,
+      queryName = "sknn_filt_test", allowIds = Some(allow))
+    qf.awaitTermination()
+    val streamedF = spark.read.parquet(outF)
+      .select("qid", "rank", "id").as[(Long, Int, Long)].collect().toSet
+    val batchF = idx.queryFiltered(batchQueries, 5, allow)
+      .select("qid", "rank", "id").as[(Long, Int, Long)].collect().toSet
+    assert(streamedF === batchF)
+    assert(streamedF.forall(_._3 % 3 == 0))
   }
 
   test("mapGroupsWithState running totals equal the batch aggregate") {
