@@ -560,6 +560,15 @@ object SparkEntry {
         partitions = 8, nprobe = 8, idCol = "vec_id", vecCol = "embedding")
       .select(col("id"), col("nbr_id")).orderBy("id", "nbr_id")
 
+  /** Hard negatives at probe-all: per vector, top-5 nearest with a
+    * DIFFERENT label — exact, ids-only for the oracle hash. */
+  private def knnHardNegatives(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.KnnGraph.hardNegatives(emb(spark, dir), 5, DistanceMetric.L2,
+        partitions = 8, nprobe = 8, idCol = "vec_id", vecCol = "embedding",
+        labelCol = "label")
+      .select(col("id"), col("nbr_id"), col("nbr_label"))
+      .orderBy("id", "nbr_id")
+
   /** Approximate k-NN graph (nprobe=2 of 8): the scale configuration;
     * rows-only, recall spec-tested. */
   private def knnGraphAnn(spark: SparkSession, dir: String): DataFrame =
@@ -929,6 +938,7 @@ object SparkEntry {
     "ivf_flat_u8" -> (ivfFlatU8 _),
     "ivf_pq_u8_exact_rerank" -> (ivfPqU8ExactRerank _),
     "knn_graph_exact" -> (knnGraphExact _),
+    "knn_hard_negatives" -> (knnHardNegatives _),
     "range_search_l2" -> (rangeSearchL2 _),
     "knn_graph_ann" -> (knnGraphAnn _),
     "object_search" -> (objectSearch _),
@@ -1025,6 +1035,13 @@ object SparkEntry {
       """SELECT a.vec_id AS id, b.vec_id AS nbr_id
         |FROM embeddings a CROSS JOIN embeddings b
         |WHERE a.vec_id <> b.vec_id
+        |QUALIFY row_number() OVER (PARTITION BY a.vec_id ORDER BY list_distance(b.embedding, a.embedding), b.vec_id) <= 5
+        |ORDER BY id, nbr_id""".stripMargin,
+    // hard negatives: nearest different-label vectors (contrastive mining)
+    "knn_hard_negatives" ->
+      """SELECT a.vec_id AS id, b.vec_id AS nbr_id, b.label AS nbr_label
+        |FROM embeddings a CROSS JOIN embeddings b
+        |WHERE a.vec_id <> b.vec_id AND a.label IS DISTINCT FROM b.label
         |QUALIFY row_number() OVER (PARTITION BY a.vec_id ORDER BY list_distance(b.embedding, a.embedding), b.vec_id) <= 5
         |ORDER BY id, nbr_id""".stripMargin,
     "knn_flat_u8" -> u8KnnOracle,

@@ -53,4 +53,57 @@ object KnnGraph {
     Knn.topKFromScores(scored, k, metric)
       .select(col("qid").as("id"), col("rank"), col("id").as("nbr_id"), col("distance"))
   }
+
+  /** Hard-negative mining for embedding-model training: per vector, the
+    * top-k NEAREST vectors carrying a DIFFERENT label (same-label hits are
+    * the positives — excluding them leaves exactly the near-but-wrong
+    * candidates contrastive losses want). Same multi-probe blocking and
+    * exactness contract as [[build]] (nprobe = partitions ⇒ exact, the
+    * oracle-checked configuration); the label inequality is one more
+    * cheap-first conjunct on the partition-local join, so the shuffle
+    * volume is unchanged and no same-label pair survives to scoring.
+    *
+    * Output: (id, label, rank, nbr_id, nbr_label, distance). */
+  def hardNegatives(
+      db: DataFrame,
+      k: Int,
+      metric: DistanceMetric = DistanceMetric.L2,
+      partitions: Int = 0,
+      nprobe: Int = 2,
+      idCol: String = "id",
+      vecCol: String = "vector",
+      labelCol: String = "label"): DataFrame = {
+    val d = db.select(col(idCol).cast("long").as("__id"), col(vecCol).as("__vec"),
+      col(labelCol).as("__lbl"))
+    val n = d.count()
+    val parts = if (partitions > 0) partitions else Ingest.autoPartitions(n)
+    val probes = math.min(math.max(1, nprobe), parts)
+    val centroids = Ingest.trainCentroids(
+      d.select(col("__id"), col("__vec").as("vector")),
+      parts, Ingest.autoTrainingSize(n, parts), totalRows = n)
+
+    val home = d.withColumn("__pid",
+      toColumn(NearestCentroid(toExpression(col("__vec")), centroids)))
+    val replicas = d.select(col("__id").as("__cid"), col("__vec").as("__cvec"),
+        col("__lbl").as("__clbl"),
+        explode(toColumn(NearestCentroids(toExpression(col("__vec")), centroids, probes)))
+          .as("__pid"))
+
+    val scored = home.join(replicas, Seq("__pid"))
+      .where(col("__id") =!= col("__cid") && !(col("__lbl") <=> col("__clbl")))
+      .select(col("__id").as("__qid"), col("__cid").as("__id"),
+        DistanceMetric.score(metric)(col("__cvec"), col("__vec")).as("__score"))
+    val topk = Knn.topKFromScores(scored, k, metric)
+      .select(col("qid").as("id"), col("rank"), col("id").as("nbr_id"), col("distance"))
+    // re-attach both sides' labels (post-top-k: k rows per id, not |pairs|);
+    // two independently-projected frames, not one frame joined twice (a
+    // reused frame's attributes would be ambiguous in the second join)
+    val l1 = d.select(col("__id").as("__lid"), col("__lbl").as("label"))
+    val l2 = d.select(col("__id").as("__nid"), col("__lbl").as("nbr_label"))
+    topk
+      .join(l1, col("id") === col("__lid")).drop("__lid")
+      .join(l2, col("nbr_id") === col("__nid")).drop("__nid")
+      .select(col("id"), col("label"), col("rank"), col("nbr_id"),
+        col("nbr_label"), col("distance"))
+  }
 }

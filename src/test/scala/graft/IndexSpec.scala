@@ -616,6 +616,29 @@ class IndexSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"multi-probe graph recall $recall too low")
   }
 
+  test("hard negatives: nearest different-label vectors, exact at probe-all") {
+    import spark.implicits._
+    val labeled = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val got = graft.operators.KnnGraph.hardNegatives(labeled, 3,
+        DistanceMetric.L2, partitions = 8, nprobe = 8,
+        idCol = "vec_id", vecCol = "embedding", labelCol = "label")
+      .select("id", "label", "nbr_id", "nbr_label")
+      .as[(Long, Int, Long, Int)].collect()
+    // no same-label pair, no self-pair, k per id
+    assert(got.forall { case (id, l, nid, nl) => id != nid && l != nl })
+    assert(got.groupBy(_._1).forall(_._2.length == 3))
+    // spot-check node 0 against brute force over different-label vectors
+    val data = labeled.select("vec_id", "embedding", "label")
+      .as[(Long, Array[Float], Int)].collect()
+    val (q0, l0) = data.find(_._1 == 0L).map(r => (r._2, r._3)).get
+    val bf = data.filter(r => r._1 != 0L && r._3 != l0).map { case (id, v, _) =>
+      var s = 0.0f; var i = 0
+      while (i < v.length) { val d = v(i) - q0(i); s += d * d; i += 1 }
+      (s, id)
+    }.sortBy(t => (t._1, t._2)).take(3).map(_._2).toSet
+    assert(got.filter(_._1 == 0L).map(_._3).toSet === bf)
+  }
+
   test("collect-free IVF path handles a large query batch (all 500 as queries)") {
     val uri = tmp()
     val idx = Ingest.ingest(spark, uri, emb, "IVF_FLAT", DistanceMetric.L2,
