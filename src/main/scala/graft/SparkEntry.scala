@@ -754,6 +754,15 @@ object SparkEntry {
         groupCol = "lang")
       .orderBy("doc_id")
 
+  /** Top-30%-per-language cut by token count — exact window ranks,
+    * integer score so the oracle replays the ordering bit-for-bit. */
+  private def textTopQuantile(spark: SparkSession, dir: String): DataFrame =
+    TextOps.topQuantileByGroup(docs(spark, dir), permyriad = 3000,
+        groupCol = "lang", scoreCol = TextOps.tokenCount(col("text")))
+      .select(col("doc_id"), col("lang"), col("grp_rank"),
+        col("grp_size").cast("long").as("grp_size"), col("kept"))
+      .orderBy("doc_id")
+
   /** Test-set decontamination: every 10th document plays the held-out
     * benchmark; the rest of the corpus is scored for shingle overlap
     * against it. */
@@ -967,6 +976,7 @@ object SparkEntry {
     "text_decontaminate" -> (textDecontaminate _),
     "text_mix_budget" -> (textMixBudget _),
     "text_mix_temperature" -> (textMixTemperature _),
+    "text_top_quantile" -> (textTopQuantile _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
@@ -1275,6 +1285,17 @@ object SparkEntry {
         |  (CASE WHEN group_tokens = 0 THEN 0
         |        ELSE (cum_before < target % group_tokens)::INT END)::INT AS kept_partial
         |FROM c ORDER BY doc_id""".stripMargin,
+    // exact per-group quantile cut replay: same rank/ceil-div integers
+    "text_top_quantile" ->
+      """SELECT doc_id, lang, grp_rank, grp_size,
+        |  (grp_rank <= (grp_size * 3000 + 9999) // 10000)::INT AS kept
+        |FROM (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY len(regexp_split_to_array(trim(text), '\s+')) DESC, doc_id)::BIGINT AS grp_rank,
+        |    count(*) OVER (PARTITION BY lang)::BIGINT AS grp_size
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     "text_decontaminate" ->
       s"""$shingleCte,
          |b AS (SELECT DISTINCT unnest(sh) AS sh FROM s WHERE doc_id % 10 = 0),

@@ -260,6 +260,37 @@ object TextOps {
     b < cutoff
   }
 
+  /** Per-group quality-quantile filter: keep each group's top share of
+    * documents by `scoreCol` — "top 30% by quality per domain", the
+    * standard curation cut. EXACT ranks via one window per group (no
+    * approx_percentile drift between runs or engines): a document is kept
+    * iff its 1-based rank by (score DESC, id ASC — the id breaks ties
+    * deterministically, so re-runs and engines agree on boundary docs)
+    * is ≤ ceil(group_size × permyriad / 10000). Integer arithmetic
+    * throughout; the window sorts within groups only (domain-sized, the
+    * usual skew remedy applies — see [[sampleByTokenBudget]]).
+    *
+    * Output: input columns + (grp_rank, grp_size, kept). */
+  def topQuantileByGroup(
+      docs: DataFrame,
+      permyriad: Int,
+      groupCol: String,
+      scoreCol: Column,
+      idCol: String = "doc_id"): DataFrame = {
+    require(permyriad >= 0 && permyriad <= 10000,
+      s"graft: permyriad must be in [0, 10000], got $permyriad")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(scoreCol.desc, col(idCol).asc)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+    docs
+      .withColumn("grp_rank", row_number().over(w).cast("long"))
+      .withColumn("grp_size", count(lit(1)).over(wAll))
+      // ceil-div in integers: (n*p + 9999) DIV 10000
+      .withColumn("kept",
+        (col("grp_rank") <= expr(s"(grp_size * $permyriad + 9999) DIV 10000"))
+          .cast("int"))
+  }
+
   /** A small multilingual stopword table for language ID and quality
     * scoring. Deliberately tiny: the point is the *operator shape*
     * (set-membership counting at scale), not lexicography. */

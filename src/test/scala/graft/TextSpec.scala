@@ -168,6 +168,36 @@ class TextSpec extends AnyFunSuite {
     assert(spent <= budget)
   }
 
+  test("top-quantile cut keeps exact per-group ranks with deterministic ties") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a", "w w w w w"),  // 5 tokens
+      (2L, "a", "w w w"),      // 3
+      (3L, "a", "w w w"),      // 3 — tie with doc 2, id breaks it
+      (4L, "a", "w w"),        // 2
+      (5L, "a", "w"),          // 1
+      (10L, "b", "w w"), (11L, "b", "w"), (12L, "b", "w w w")
+    ).toDF("doc_id", "grp", "text")
+    val out = TextOps.topQuantileByGroup(corpus, permyriad = 4000,
+        groupCol = "grp", scoreCol = TextOps.tokenCount(col("text")))
+      .select("doc_id", "grp_rank", "grp_size", "kept")
+      .as[(Long, Long, Long, Int)].collect().map(r => r._1 -> r).toMap
+    // group a: ceil(5 * 0.4) = 2 kept — ranks 1 (doc 1) and 2 (doc 2, the
+    // tie at 3 tokens breaks by smaller id); group b: ceil(3 * 0.4) = 2
+    assert(out(1L) === ((1L, 1L, 5L, 1)))
+    assert(out(2L) === ((2L, 2L, 5L, 1)))
+    assert(out(3L) === ((3L, 3L, 5L, 0)))
+    assert(out(5L)._4 === 0)
+    assert(out(12L) === ((12L, 1L, 3L, 1)))
+    assert(out(10L) === ((10L, 2L, 3L, 1)))
+    assert(out(11L) === ((11L, 3L, 3L, 0)))
+    // permyriad bounds refuse loudly
+    val e = intercept[IllegalArgumentException] {
+      TextOps.topQuantileByGroup(corpus, 10001, "grp", col("doc_id"))
+    }
+    assert(e.getMessage.contains("permyriad"))
+  }
+
   test("decontamination flags benchmark-overlapping documents only") {
     import spark.implicits._
     val corpus = Seq(
