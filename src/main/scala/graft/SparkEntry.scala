@@ -569,6 +569,19 @@ object SparkEntry {
       .select(col("id"), col("nbr_id"), col("nbr_label"))
       .orderBy("id", "nbr_id")
 
+  /** 2-round label propagation from a 20% seed set over the exact k-NN
+    * graph — ids and int labels only, oracle replays both rounds unrolled. */
+  private def knnLabelPropagation(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val edges = graft.operators.KnnGraph.build(e, 5, DistanceMetric.L2,
+        partitions = 8, nprobe = 8, idCol = "vec_id", vecCol = "embedding")
+      .select(col("id"), col("nbr_id"))
+    val seeds = e.where(col("vec_id") % 5 === 0)
+      .select(col("vec_id").as("id"), col("label"))
+    graft.operators.KnnGraph.propagateLabels(edges, seeds, iters = 2)
+      .orderBy("id")
+  }
+
   /** Approximate k-NN graph (nprobe=2 of 8): the scale configuration;
     * rows-only, recall spec-tested. */
   private def knnGraphAnn(spark: SparkSession, dir: String): DataFrame =
@@ -948,6 +961,7 @@ object SparkEntry {
     "ivf_pq_u8_exact_rerank" -> (ivfPqU8ExactRerank _),
     "knn_graph_exact" -> (knnGraphExact _),
     "knn_hard_negatives" -> (knnHardNegatives _),
+    "knn_label_propagation" -> (knnLabelPropagation _),
     "range_search_l2" -> (rangeSearchL2 _),
     "knn_graph_ann" -> (knnGraphAnn _),
     "object_search" -> (objectSearch _),
@@ -1047,6 +1061,31 @@ object SparkEntry {
         |WHERE a.vec_id <> b.vec_id
         |QUALIFY row_number() OVER (PARTITION BY a.vec_id ORDER BY list_distance(b.embedding, a.embedding), b.vec_id) <= 5
         |ORDER BY id, nbr_id""".stripMargin,
+    // 2-round LPA unrolled: votes from labeled neighbors, majority by
+    // (count DESC, label ASC), seeds clamped, previous label persists only
+    // when no neighbor is labeled
+    "knn_label_propagation" ->
+      """WITH e AS (
+        |  SELECT a.vec_id AS id, b.vec_id AS nbr
+        |  FROM embeddings a CROSS JOIN embeddings b
+        |  WHERE a.vec_id <> b.vec_id
+        |  QUALIFY row_number() OVER (PARTITION BY a.vec_id ORDER BY list_distance(b.embedding, a.embedding), b.vec_id) <= 5),
+        |seeds AS (SELECT vec_id AS id, label FROM embeddings WHERE vec_id % 5 = 0),
+        |nodes AS (SELECT DISTINCT id FROM (SELECT id FROM e UNION ALL SELECT nbr FROM e)),
+        |l0 AS (SELECT n.id, s.label AS lbl FROM nodes n LEFT JOIN seeds s USING (id)),
+        |v1 AS (SELECT e.id, l.lbl AS nlbl, count(*) AS c
+        |       FROM e JOIN l0 l ON e.nbr = l.id WHERE l.lbl IS NOT NULL GROUP BY 1, 2),
+        |w1 AS (SELECT id, nlbl FROM v1
+        |       QUALIFY row_number() OVER (PARTITION BY id ORDER BY c DESC, nlbl ASC) = 1),
+        |l1 AS (SELECT l0.id, coalesce(s.label, w1.nlbl, l0.lbl) AS lbl
+        |       FROM l0 LEFT JOIN w1 USING (id) LEFT JOIN seeds s USING (id)),
+        |v2 AS (SELECT e.id, l.lbl AS nlbl, count(*) AS c
+        |       FROM e JOIN l1 l ON e.nbr = l.id WHERE l.lbl IS NOT NULL GROUP BY 1, 2),
+        |w2 AS (SELECT id, nlbl FROM v2
+        |       QUALIFY row_number() OVER (PARTITION BY id ORDER BY c DESC, nlbl ASC) = 1),
+        |l2 AS (SELECT l1.id, coalesce(s.label, w2.nlbl, l1.lbl) AS lbl
+        |       FROM l1 LEFT JOIN w2 USING (id) LEFT JOIN seeds s USING (id))
+        |SELECT id, lbl AS label FROM l2 ORDER BY id""".stripMargin,
     // hard negatives: nearest different-label vectors (contrastive mining)
     "knn_hard_negatives" ->
       """SELECT a.vec_id AS id, b.vec_id AS nbr_id, b.label AS nbr_label

@@ -96,6 +96,7 @@ object KnnGraph {
     val topk = Knn.topKFromScores(scored, k, metric)
       .select(col("qid").as("id"), col("rank"), col("id").as("nbr_id"), col("distance"))
     // re-attach both sides' labels (post-top-k: k rows per id, not |pairs|);
+    // (see below for propagateLabels, which consumes graphs like this one)
     // two independently-projected frames, not one frame joined twice (a
     // reused frame's attributes would be ambiguous in the second join)
     val l1 = d.select(col("__id").as("__lid"), col("__lbl").as("label"))
@@ -105,5 +106,68 @@ object KnnGraph {
       .join(l2, col("nbr_id") === col("__nid")).drop("__nid")
       .select(col("id"), col("label"), col("rank"), col("nbr_id"),
         col("nbr_label"), col("distance"))
+  }
+
+  /** Semi-supervised label propagation over a k-NN graph (noisy-label
+    * cleanup / seed-label expansion in data curation): classic synchronous
+    * LPA — each non-seed node adopts the majority label among its
+    * out-neighbors' current labels each round (its previous label persists
+    * only when NO neighbor is labeled); seed labels stay clamped. Runs
+    * `iters` rounds.
+    * Deterministic: majority by (count DESC, label ASC) — re-runs and the
+    * unrolled SQL oracle agree exactly.
+    *
+    * @param edges directed (idCol, nbrCol) rows — [[build]]'s output shape
+    * @param seeds (idCol, labelCol) for the labeled subset only
+    * @return one row per node id seen in `edges`: (id, label) with label
+    *         null where no labeled node is reachable in `iters` hops
+    *
+    * Scale: per round, one join (edges × current labels — shuffle on the
+    * already-partitioned node id) + one count aggregate + one max_by-style
+    * window over per-node candidate labels (≤ distinct labels per node,
+    * bounded by k). Lineage is cut every round (checkpoint when a reliable
+    * dir is configured, else localCheckpoint) so `iters` stays O(1) plan
+    * depth — the CC iteration's discipline. */
+  def propagateLabels(
+      edges: DataFrame,
+      seeds: DataFrame,
+      iters: Int = 2,
+      idCol: String = "id",
+      nbrCol: String = "nbr_id",
+      labelCol: String = "label"): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"graft: iters must be in [1, 50], got $iters")
+    val spark = edges.sparkSession
+    val e = edges.select(col(idCol).cast("long").as("__id"),
+      col(nbrCol).cast("long").as("__nbr"))
+    val seed = seeds.select(col(idCol).cast("long").as("__id"),
+      col(labelCol).as("__seed"))
+    val nodes = e.select(col("__id")).union(e.select(col("__nbr").as("__id")))
+      .distinct()
+    def cut(df: DataFrame): DataFrame =
+      if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
+    var cur = cut(nodes.join(seed, Seq("__id"), "left")
+      .select(col("__id"), col("__seed").as("__lbl")))
+    var i = 0
+    while (i < iters) {
+      val votes = e
+        .join(cur.select(col("__id").as("__nbr"), col("__lbl").as("__nlbl")), Seq("__nbr"))
+        .where(col("__nlbl").isNotNull)
+        .groupBy(col("__id"), col("__nlbl"))
+        .agg(count(lit(1)).as("__cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__id"))
+        .orderBy(col("__cnt").desc, col("__nlbl").asc)
+      val winner = votes.withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1)
+        .select(col("__id"), col("__nlbl").as("__win"))
+      cur = cut(cur.join(winner, Seq("__id"), "left")
+        .join(seed, Seq("__id"), "left")
+        // seeds clamp; otherwise adopt this round's majority, else keep
+        .select(col("__id"),
+          coalesce(col("__seed"), col("__win"), col("__lbl")).as("__lbl")))
+      i += 1
+    }
+    cur.select(col("__id").as(idCol), col("__lbl").as(labelCol))
   }
 }

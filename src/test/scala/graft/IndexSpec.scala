@@ -639,6 +639,22 @@ class IndexSpec extends AnyFunSuite {
     assert(got.filter(_._1 == 0L).map(_._3).toSet === bf)
   }
 
+  test("label propagation: seeds clamp, ties break to the smaller label, hops advance per round") {
+    import spark.implicits._
+    // 1 hears {A, B} (tie -> A); 4 only reaches 1, so it needs round 2
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 1L), (3L, 1L), (4L, 1L))
+      .toDF("id", "nbr_id")
+    val seeds = Seq((2L, 10), (3L, 20)).toDF("id", "label")
+    val r1 = graft.operators.KnnGraph.propagateLabels(edges, seeds, iters = 1)
+      .as[(Long, Option[Int])].collect().toMap
+    assert(r1(1L) === Some(10)) // tie {10, 20} -> smaller label
+    assert(r1(2L) === Some(10) && r1(3L) === Some(20)) // clamped
+    assert(r1(4L) === None) // nothing labeled in reach yet
+    val r2 = graft.operators.KnnGraph.propagateLabels(edges, seeds, iters = 2)
+      .as[(Long, Option[Int])].collect().toMap
+    assert(r2(4L) === Some(10)) // round 2: 1's label arrived
+  }
+
   test("collect-free IVF path handles a large query batch (all 500 as queries)") {
     val uri = tmp()
     val idx = Ingest.ingest(spark, uri, emb, "IVF_FLAT", DistanceMetric.L2,
