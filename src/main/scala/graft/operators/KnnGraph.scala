@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftshim.{toColumn, toExpression}
 
@@ -25,6 +25,44 @@ import graft.index.Ingest
   */
 object KnnGraph {
 
+  /** Shared blocking pipeline of [[build]] and [[hardNegatives]]:
+    * `d` must carry (__id, __vec[, extra columns]); candidate-side copies
+    * of `extraCandCols` are exposed with a `__c` prefix to `pairFilter`,
+    * which restricts pairs BEFORE scoring (the self-pair exclusion is
+    * always applied). One definition so the blocking scheme (centroid
+    * training size, probes clamp, join order) can never diverge between
+    * the graph and its filtered variants. */
+  private def topKPairs(
+      d: DataFrame,
+      k: Int,
+      metric: DistanceMetric,
+      partitions: Int,
+      nprobe: Int,
+      extraCandCols: Seq[String],
+      pairFilter: Column): DataFrame = {
+    val n = d.count()
+    val parts = if (partitions > 0) partitions else Ingest.autoPartitions(n)
+    val probes = math.min(math.max(1, nprobe), parts)
+    val centroids = Ingest.trainCentroids(
+      d.select(col("__id"), col("__vec").as("vector")),
+      parts, Ingest.autoTrainingSize(n, parts), totalRows = n) // no re-count scan
+
+    val home = d.withColumn("__pid",
+      toColumn(NearestCentroid(toExpression(col("__vec")), centroids)))
+    val candCols = Seq(col("__id").as("__cid"), col("__vec").as("__cvec")) ++
+      extraCandCols.map(c => col(c).as("__c" + c.stripPrefix("__"))) :+
+      explode(toColumn(NearestCentroids(toExpression(col("__vec")), centroids, probes)))
+        .as("__pid")
+    val replicas = d.select(candCols: _*)
+
+    val scored = home.join(replicas, Seq("__pid"))
+      .where(col("__id") =!= col("__cid") && pairFilter)
+      .select(col("__id").as("__qid"), col("__cid").as("__id"),
+        DistanceMetric.score(metric)(col("__cvec"), col("__vec")).as("__score"))
+    Knn.topKFromScores(scored, k, metric)
+      .select(col("qid").as("id"), col("rank"), col("id").as("nbr_id"), col("distance"))
+  }
+
   def build(
       db: DataFrame,
       k: Int,
@@ -34,24 +72,7 @@ object KnnGraph {
       idCol: String = "id",
       vecCol: String = "vector"): DataFrame = {
     val d = db.select(col(idCol).cast("long").as("__id"), col(vecCol).as("__vec"))
-    val n = d.count()
-    val parts = if (partitions > 0) partitions else Ingest.autoPartitions(n)
-    val probes = math.min(math.max(1, nprobe), parts)
-    val centroids = Ingest.trainCentroids(d.withColumnRenamed("__vec", "vector"),
-      parts, Ingest.autoTrainingSize(n, parts), totalRows = n) // no re-count scan
-
-    val home = d.withColumn("__pid",
-      toColumn(NearestCentroid(toExpression(col("__vec")), centroids)))
-    val replicas = d.select(col("__id").as("__cid"), col("__vec").as("__cvec"),
-        explode(toColumn(NearestCentroids(toExpression(col("__vec")), centroids, probes)))
-          .as("__pid"))
-
-    val scored = home.join(replicas, Seq("__pid"))
-      .where(col("__id") =!= col("__cid"))
-      .select(col("__id").as("__qid"), col("__cid").as("__id"),
-        DistanceMetric.score(metric)(col("__cvec"), col("__vec")).as("__score"))
-    Knn.topKFromScores(scored, k, metric)
-      .select(col("qid").as("id"), col("rank"), col("id").as("nbr_id"), col("distance"))
+    topKPairs(d, k, metric, partitions, nprobe, Nil, lit(true))
   }
 
   /** Hard-negative mining for embedding-model training: per vector, the
@@ -75,28 +96,10 @@ object KnnGraph {
       labelCol: String = "label"): DataFrame = {
     val d = db.select(col(idCol).cast("long").as("__id"), col(vecCol).as("__vec"),
       col(labelCol).as("__lbl"))
-    val n = d.count()
-    val parts = if (partitions > 0) partitions else Ingest.autoPartitions(n)
-    val probes = math.min(math.max(1, nprobe), parts)
-    val centroids = Ingest.trainCentroids(
-      d.select(col("__id"), col("__vec").as("vector")),
-      parts, Ingest.autoTrainingSize(n, parts), totalRows = n)
-
-    val home = d.withColumn("__pid",
-      toColumn(NearestCentroid(toExpression(col("__vec")), centroids)))
-    val replicas = d.select(col("__id").as("__cid"), col("__vec").as("__cvec"),
-        col("__lbl").as("__clbl"),
-        explode(toColumn(NearestCentroids(toExpression(col("__vec")), centroids, probes)))
-          .as("__pid"))
-
-    val scored = home.join(replicas, Seq("__pid"))
-      .where(col("__id") =!= col("__cid") && !(col("__lbl") <=> col("__clbl")))
-      .select(col("__id").as("__qid"), col("__cid").as("__id"),
-        DistanceMetric.score(metric)(col("__cvec"), col("__vec")).as("__score"))
-    val topk = Knn.topKFromScores(scored, k, metric)
-      .select(col("qid").as("id"), col("rank"), col("id").as("nbr_id"), col("distance"))
+    val topk = topKPairs(d, k, metric, partitions, nprobe,
+      extraCandCols = Seq("__lbl"),
+      pairFilter = !(col("__lbl") <=> col("__clbl")))
     // re-attach both sides' labels (post-top-k: k rows per id, not |pairs|);
-    // (see below for propagateLabels, which consumes graphs like this one)
     // two independently-projected frames, not one frame joined twice (a
     // reused frame's attributes would be ambiguous in the second join)
     val l1 = d.select(col("__id").as("__lid"), col("__lbl").as("label"))
@@ -125,9 +128,11 @@ object KnnGraph {
     * Scale: per round, one join (edges × current labels — shuffle on the
     * already-partitioned node id) + one count aggregate + one max_by-style
     * window over per-node candidate labels (≤ distinct labels per node,
-    * bounded by k). Lineage is cut every round (checkpoint when a reliable
-    * dir is configured, else localCheckpoint) so `iters` stays O(1) plan
-    * depth — the CC iteration's discipline. */
+    * bounded by k). The EDGES are materialized once at entry and the label
+    * frame's lineage is cut every round (checkpoint when a reliable dir is
+    * configured, else localCheckpoint) — without the entry cut, an edges
+    * argument built by [[build]] would re-run its whole blocking join once
+    * per round. */
   def propagateLabels(
       edges: DataFrame,
       seeds: DataFrame,
@@ -137,15 +142,15 @@ object KnnGraph {
       labelCol: String = "label"): DataFrame = {
     require(iters >= 1 && iters <= 50, s"graft: iters must be in [1, 50], got $iters")
     val spark = edges.sparkSession
-    val e = edges.select(col(idCol).cast("long").as("__id"),
-      col(nbrCol).cast("long").as("__nbr"))
+    def cut(df: DataFrame): DataFrame =
+      if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
+    val e = cut(edges.select(col(idCol).cast("long").as("__id"),
+      col(nbrCol).cast("long").as("__nbr")))
     val seed = seeds.select(col(idCol).cast("long").as("__id"),
       col(labelCol).as("__seed"))
     val nodes = e.select(col("__id")).union(e.select(col("__nbr").as("__id")))
       .distinct()
-    def cut(df: DataFrame): DataFrame =
-      if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-      else df.localCheckpoint()
     var cur = cut(nodes.join(seed, Seq("__id"), "left")
       .select(col("__id"), col("__seed").as("__lbl")))
     var i = 0

@@ -114,9 +114,22 @@ object TextOps {
       .where(col(groupCol).isNotNull)
     val wAll = org.apache.spark.sql.expressions.Window
       .partitionBy() // the GROUP frame: rows = distinct groups, bounded
+    // fail-loud overflow guard (runtime — group sizes are data): the ppm
+    // numerator is weight × 10⁶, so any weight past Long.Max/10⁶ would
+    // wrap negative and silently corrupt every share. Reachable only at
+    // α = 1.0 with a ≥ ~9.2·10¹²-token group (realistic for a web-crawl
+    // bucket); the flattened αs cannot get there.
+    val maxW = Long.MaxValue / 1000000L
     val alloc = d.groupBy(col(groupCol))
       .agg(sum("n_tokens").as("group_tokens"))
       .withColumn("weight", floor(weightOf(col("group_tokens"))).cast("long"))
+      .withColumn("weight",
+        when(col("weight") > maxW, raise_error(concat(
+          lit(s"graft: mixTemperature weight overflow (> $maxW) for group "),
+          col(groupCol).cast("string"),
+          lit(" — use a flattened alpha (<= 0.75) for corpora this large")))
+          .cast("long"))
+        .otherwise(col("weight")))
       .withColumn("total_w", sum(col("weight")).over(wAll))
       // integer DIV, not `/`: Spark's `/` on longs returns DOUBLE, which
       // stops being exact past 2^53 — budget × ppm reaches ~10¹⁸
