@@ -589,6 +589,14 @@ object SparkEntry {
       .orderBy("id")
   }
 
+  /** Contrastive triplets at probe-all: exact nearest positive + hard
+    * negative per anchor, ids-only. */
+  private def knnTriplets(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.KnnGraph.contrastiveTriplets(emb(spark, dir),
+        DistanceMetric.L2, partitions = 8, nprobe = 8,
+        idCol = "vec_id", vecCol = "embedding", labelCol = "label")
+      .orderBy("id")
+
   /** Approximate k-NN graph (nprobe=2 of 8): the scale configuration;
     * rows-only, recall spec-tested. */
   private def knnGraphAnn(spark: SparkSession, dir: String): DataFrame =
@@ -969,6 +977,7 @@ object SparkEntry {
     "knn_graph_exact" -> (knnGraphExact _),
     "knn_hard_negatives" -> (knnHardNegatives _),
     "knn_label_propagation" -> (knnLabelPropagation _),
+    "knn_triplets" -> (knnTriplets _),
     "range_search_l2" -> (rangeSearchL2 _),
     "knn_graph_ann" -> (knnGraphAnn _),
     "object_search" -> (objectSearch _),
@@ -1093,6 +1102,20 @@ object SparkEntry {
         |l2 AS (SELECT l1.id, coalesce(s.label, w2.nlbl, l1.lbl) AS lbl
         |       FROM l1 LEFT JOIN w2 USING (id) LEFT JOIN seeds s USING (id))
         |SELECT id, lbl AS label FROM l2 ORDER BY id""".stripMargin,
+    // triplets: nearest same-label + nearest different-label per anchor
+    "knn_triplets" ->
+      """WITH pos AS (
+        |  SELECT a.vec_id AS id, a.label, b.vec_id AS pos_id
+        |  FROM embeddings a CROSS JOIN embeddings b
+        |  WHERE a.vec_id <> b.vec_id AND a.label = b.label
+        |  QUALIFY row_number() OVER (PARTITION BY a.vec_id ORDER BY list_distance(b.embedding, a.embedding), b.vec_id) <= 1),
+        |neg AS (
+        |  SELECT a.vec_id AS id, b.vec_id AS neg_id
+        |  FROM embeddings a CROSS JOIN embeddings b
+        |  WHERE a.vec_id <> b.vec_id AND a.label IS DISTINCT FROM b.label
+        |  QUALIFY row_number() OVER (PARTITION BY a.vec_id ORDER BY list_distance(b.embedding, a.embedding), b.vec_id) <= 1)
+        |SELECT id, label, pos_id, neg_id FROM pos JOIN neg USING (id)
+        |ORDER BY id""".stripMargin,
     // hard negatives: nearest different-label vectors (contrastive mining)
     "knn_hard_negatives" ->
       """SELECT a.vec_id AS id, b.vec_id AS nbr_id, b.label AS nbr_label

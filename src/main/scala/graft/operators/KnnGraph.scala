@@ -32,21 +32,27 @@ object KnnGraph {
     * always applied). One definition so the blocking scheme (centroid
     * training size, probes clamp, join order) can never diverge between
     * the graph and its filtered variants. */
+  /** One centroid fit shared by every pair pass over the same frame —
+    * [[contrastiveTriplets]] runs two passes (positives + negatives) and
+    * must not train twice. */
+  private def blocking(d: DataFrame, partitions: Int, nprobe: Int)
+      : (Int, Array[Array[Float]]) = {
+    val n = d.count()
+    val parts = if (partitions > 0) partitions else Ingest.autoPartitions(n)
+    val centroids = Ingest.trainCentroids(
+      d.select(col("__id"), col("__vec").as("vector")),
+      parts, Ingest.autoTrainingSize(n, parts), totalRows = n) // no re-count scan
+    (math.min(math.max(1, nprobe), parts), centroids)
+  }
+
   private def topKPairs(
       d: DataFrame,
       k: Int,
       metric: DistanceMetric,
-      partitions: Int,
-      nprobe: Int,
+      probes: Int,
+      centroids: Array[Array[Float]],
       extraCandCols: Seq[String],
       pairFilter: Column): DataFrame = {
-    val n = d.count()
-    val parts = if (partitions > 0) partitions else Ingest.autoPartitions(n)
-    val probes = math.min(math.max(1, nprobe), parts)
-    val centroids = Ingest.trainCentroids(
-      d.select(col("__id"), col("__vec").as("vector")),
-      parts, Ingest.autoTrainingSize(n, parts), totalRows = n) // no re-count scan
-
     val home = d.withColumn("__pid",
       toColumn(NearestCentroid(toExpression(col("__vec")), centroids)))
     val candCols = Seq(col("__id").as("__cid"), col("__vec").as("__cvec")) ++
@@ -72,7 +78,8 @@ object KnnGraph {
       idCol: String = "id",
       vecCol: String = "vector"): DataFrame = {
     val d = db.select(col(idCol).cast("long").as("__id"), col(vecCol).as("__vec"))
-    topKPairs(d, k, metric, partitions, nprobe, Nil, lit(true))
+    val (probes, centroids) = blocking(d, partitions, nprobe)
+    topKPairs(d, k, metric, probes, centroids, Nil, lit(true))
   }
 
   /** Hard-negative mining for embedding-model training: per vector, the
@@ -96,7 +103,8 @@ object KnnGraph {
       labelCol: String = "label"): DataFrame = {
     val d = db.select(col(idCol).cast("long").as("__id"), col(vecCol).as("__vec"),
       col(labelCol).as("__lbl"))
-    val topk = topKPairs(d, k, metric, partitions, nprobe,
+    val (probes, centroids) = blocking(d, partitions, nprobe)
+    val topk = topKPairs(d, k, metric, probes, centroids,
       extraCandCols = Seq("__lbl"),
       pairFilter = !(col("__lbl") <=> col("__clbl")))
     // re-attach both sides' labels (post-top-k: k rows per id, not |pairs|);
@@ -109,6 +117,38 @@ object KnnGraph {
       .join(l2, col("nbr_id") === col("__nid")).drop("__nid")
       .select(col("id"), col("label"), col("rank"), col("nbr_id"),
         col("nbr_label"), col("distance"))
+  }
+
+  /** Contrastive triplets: per anchor, its nearest SAME-label vector (the
+    * positive) and nearest DIFFERENT-label vector (the hard negative) —
+    * the (anchor, positive, negative) rows a triplet/InfoNCE loss consumes
+    * directly. One shared centroid fit, two blocked pair passes over it
+    * (complementary predicates), both exact at nprobe = partitions; inner
+    * join keeps anchors that have BOTH a positive and a negative in reach.
+    *
+    * Output: (id, label, pos_id, neg_id). */
+  def contrastiveTriplets(
+      db: DataFrame,
+      metric: DistanceMetric = DistanceMetric.L2,
+      partitions: Int = 0,
+      nprobe: Int = 2,
+      idCol: String = "id",
+      vecCol: String = "vector",
+      labelCol: String = "label"): DataFrame = {
+    val d = db.select(col(idCol).cast("long").as("__id"), col(vecCol).as("__vec"),
+      col(labelCol).as("__lbl"))
+    val (probes, centroids) = blocking(d, partitions, nprobe)
+    val pos = topKPairs(d, 1, metric, probes, centroids,
+        extraCandCols = Seq("__lbl"),
+        pairFilter = col("__lbl") <=> col("__clbl"))
+      .select(col("id"), col("nbr_id").as("pos_id"))
+    val neg = topKPairs(d, 1, metric, probes, centroids,
+        extraCandCols = Seq("__lbl"),
+        pairFilter = !(col("__lbl") <=> col("__clbl")))
+      .select(col("id"), col("nbr_id").as("neg_id"))
+    val lbl = d.select(col("__id").as("id"), col("__lbl").as("label"))
+    pos.join(neg, Seq("id")).join(lbl, Seq("id"))
+      .select(col("id"), col("label"), col("pos_id"), col("neg_id"))
   }
 
   /** Semi-supervised label propagation over a k-NN graph (noisy-label

@@ -639,6 +639,34 @@ class IndexSpec extends AnyFunSuite {
     assert(got.filter(_._1 == 0L).map(_._3).toSet === bf)
   }
 
+  test("contrastive triplets: nearest positive and hard negative per anchor, exact at probe-all") {
+    import spark.implicits._
+    val labeled = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val got = graft.operators.KnnGraph.contrastiveTriplets(labeled,
+        DistanceMetric.L2, partitions = 8, nprobe = 8,
+        idCol = "vec_id", vecCol = "embedding", labelCol = "label")
+      .as[(Long, Int, Long, Long)].collect()
+    assert(got.length === 500) // every anchor has both sides in this fixture
+    val data = labeled.select("vec_id", "embedding", "label")
+      .as[(Long, Array[Float], Int)].collect()
+    val byId = data.map(r => r._1 -> r).toMap
+    def nearest(q: Long, sameLabel: Boolean): Long = {
+      val (_, qv, ql) = byId(q)
+      data.filter(r => r._1 != q && (r._3 == ql) == sameLabel).map { case (id, v, _) =>
+        var s = 0.0f; var i = 0
+        while (i < v.length) { val d = v(i) - qv(i); s += d * d; i += 1 }
+        (s, id)
+      }.minBy(t => (t._1, t._2))._2
+    }
+    // brute-force spot-check a handful of anchors
+    got.filter(r => Set(0L, 7L, 123L, 499L)(r._1)).foreach { case (id, l, p, n) =>
+      assert(byId(p)._3 === l, s"positive label mismatch for $id")
+      assert(byId(n)._3 !== l, s"negative label match for $id")
+      assert(p === nearest(id, sameLabel = true), s"positive for $id")
+      assert(n === nearest(id, sameLabel = false), s"negative for $id")
+    }
+  }
+
   test("label propagation: seeds clamp, ties break to the smaller label, hops advance per round") {
     import spark.implicits._
     // 1 hears {A, B} (tie -> A); 4 only reaches 1, so it needs round 2
