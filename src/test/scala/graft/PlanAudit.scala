@@ -72,6 +72,29 @@ object PlanAudit {
       ") as array<float>)"
     spark.sql(s"SELECT external_id FROM audit_vam ORDER BY dist_l2(vector, $qlit) LIMIT 10")
       .explain("formatted")
+
+    println("===== filtered IVF query (allow semi-join UNDER partition pruning) =====")
+    val allow = emb.where(col("external_id") % 3 === 0).select("external_id")
+    idx.queryFiltered(q, 5, allow, nprobe = 2).explain("formatted")
+
+    println("===== filtered SQL top-k (probe filter + user WHERE compose) =====")
+    spark.sql(s"""SELECT external_id FROM audit_vam
+                 |WHERE external_id % 3 = 0
+                 |ORDER BY dist_l2(vector, $qlit) LIMIT 10""".stripMargin)
+      .explain("formatted")
+
+    println("===== temperature mixture (two hash aggs + bounded-group window + per-group cumsum) =====")
+    graft.text.TextOps.mixTemperature(docs, 60000L).explain("formatted")
+
+    println("===== per-group quantile cut (two windows, group-local sorts) =====")
+    graft.text.TextOps.topQuantileByGroup(docs, 3000, "lang",
+      graft.text.TextOps.tokenCount(col("text"))).explain("formatted")
+
+    println("===== hard negatives (blocked pair join, label conjunct pre-score) =====")
+    val labeled = spark.read.parquet(s"$dir/embeddings.parquet")
+    graft.operators.KnnGraph.hardNegatives(labeled, 3, DistanceMetric.L2,
+      partitions = 8, nprobe = 2, idCol = "vec_id", vecCol = "embedding")
+      .explain("formatted")
     spark.stop()
   }
 }
