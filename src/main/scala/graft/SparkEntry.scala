@@ -782,6 +782,14 @@ object SparkEntry {
         groupCol = "lang")
       .orderBy("doc_id")
 
+  /** Whitespace vs BPE-ish pretokenizer counts side by side — the regex
+    * is the RE2-compatible GPT-2 subset, so DuckDB replays it exactly. */
+  private def textBpeTokenCount(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_ws_tokens"),
+        TextOps.bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"))
+      .orderBy("doc_id")
+
   /** Top-30%-per-language cut by token count — exact window ranks,
     * integer score so the oracle replays the ordering bit-for-bit. */
   private def textTopQuantile(spark: SparkSession, dir: String): DataFrame =
@@ -1007,6 +1015,7 @@ object SparkEntry {
     "text_mix_budget" -> (textMixBudget _),
     "text_mix_temperature" -> (textMixTemperature _),
     "text_top_quantile" -> (textTopQuantile _),
+    "text_bpe_token_count" -> (textBpeTokenCount _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
@@ -1354,6 +1363,13 @@ object SparkEntry {
         |  (CASE WHEN group_tokens = 0 THEN 0
         |        ELSE (cum_before < target % group_tokens)::INT END)::INT AS kept_partial
         |FROM c ORDER BY doc_id""".stripMargin,
+    // same RE2 pattern, DuckDB regexp_extract_all count (the leading
+    // '' is SQL quote-escaping for the pattern's contraction quote)
+    "text_bpe_token_count" ->
+      """SELECT doc_id,
+        |  len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_ws_tokens,
+        |  len(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))::BIGINT AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // exact per-group quantile cut replay: same rank/ceil-div integers
     "text_top_quantile" ->
       """SELECT doc_id, lang, grp_rank, grp_size,

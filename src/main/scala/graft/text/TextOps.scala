@@ -21,6 +21,23 @@ object TextOps {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** GPT-2-style pretokenizer pattern: contraction suffixes, space-prefixed
+    * letter runs, digit runs, punctuation runs, residual whitespace.
+    * Deliberately the RE2-COMPATIBLE subset — the real GPT-2 pattern's
+    * `\s+(?!\S)` lookahead doesn't exist in RE2, so the oracle (DuckDB =
+    * RE2) could never replay it; dropping it folds trailing-space handling
+    * into the plain `\s+` branch (the PII redaction made the same
+    * trade, see [[redactPii]]). */
+  val BpeTokenPattern: String =
+    "'(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** Subword-ish token count: matches of [[BpeTokenPattern]] — the
+    * pretokenizer piece count a BPE vocabulary would start from, a much
+    * closer LLM-token estimate than whitespace counting (digits split from
+    * letters, punctuation runs counted, contractions split). */
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit(BpeTokenPattern))
+
   def distinctTokens(text: Column): Column = array_distinct(tokens(text))
 
   /** Token-budgeted mixture composition: within each `bucketCols` group

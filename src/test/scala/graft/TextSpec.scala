@@ -198,6 +198,24 @@ class TextSpec extends AnyFunSuite {
     assert(e.getMessage.contains("permyriad"))
   }
 
+  test("BPE-ish pretokenizer counts match hand-tokenized expectations") {
+    import spark.implicits._
+    val got = Seq(
+      "hello world, it's 42 tokens-ish!", // hello| world|,| it|'s| 42| tokens|-|ish|!
+      "don't",                            // don|'t
+      "a1b2",                             // a|1|b|2
+      ""
+    ).toDF("text")
+      .select(TextOps.bpeTokenCount(col("text"))).as[Int].collect().toSeq
+    assert(got === Seq(10, 2, 4, 0))
+    // subword estimate is never below... not guaranteed in general, but on
+    // whitespace-separated corpora each ws token yields >= 1 piece
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val bad = docs.where(
+      TextOps.bpeTokenCount(col("text")) < TextOps.tokenCount(col("text"))).count()
+    assert(bad === 0)
+  }
+
   test("decontamination flags benchmark-overlapping documents only") {
     import spark.implicits._
     val corpus = Seq(
