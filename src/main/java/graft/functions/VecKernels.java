@@ -10,11 +10,13 @@ import org.apache.spark.sql.catalyst.util.ArrayData;
  * the plain scalar loops otherwise. {@code -Dgraft.simd=false} forces the
  * scalar path. Both the interpreted eval and the generated code of the
  * distance Expressions call these entry points, so the two execution modes
- * of one plan agree bit-for-bit WITHIN a JVM. Detection is per-JVM: on a
- * cluster, give driver and executors the same module flags (or set
- * -Dgraft.simd=false everywhere) — a SIMD driver beside scalar executors
- * computes near-tie distances with different rounding, which can reorder
- * tie-boundary results between the local-serving and distributed paths.
+ * of one plan agree bit-for-bit WITHIN a JVM. Detection is per-JVM; to pin
+ * ONE mode across a heterogeneous cluster set the {@code spark.graft.simd}
+ * session conf (graft.functions.Simd.sync pushes it to every executor and
+ * warns when driver/executor detection disagrees) — a SIMD driver beside
+ * scalar executors computes near-tie distances with different rounding,
+ * which can reorder tie-boundary results between the local-serving and
+ * distributed paths.
  *
  * SIMD engages above a dimension floor: below it the float[] copy out of
  * ArrayData costs more than the lanes save.
@@ -25,21 +27,47 @@ public final class VecKernels {
   /** Minimum vector length for the SIMD path. */
   static final int SIMD_MIN_DIMS = 16;
 
-  public static final boolean SIMD_AVAILABLE;
+  /** Whether this JVM CAN run the Panama kernels (module present and the
+   * probe multiply checked out). Immutable per-JVM detection. */
+  public static final boolean SIMD_SUPPORTED;
+
+  /** Whether the Panama kernels are IN USE. Starts at {@link #SIMD_SUPPORTED}
+   * (minus the {@code -Dgraft.simd=false} property override) and is
+   * re-settable at runtime via {@link #setSimdEnabled} so the
+   * {@code spark.graft.simd} session conf can force one mode across a
+   * cluster (see graft.functions.Simd.sync) — volatile so a force applied by a
+   * sync task is visible to every later task thread in the executor. */
+  private static volatile boolean simdEnabled;
 
   static {
     boolean ok = false;
     try {
-      if (!"false".equalsIgnoreCase(System.getProperty("graft.simd", "true"))) {
-        // force-link VecSimd (and through it the incubator module); throws
-        // NoClassDefFoundError when the module is absent
-        float probe = VecSimd.sos(new float[] {1f, 2f}, new float[] {0f, 0f});
-        ok = probe == 5f;
-      }
+      // force-link VecSimd (and through it the incubator module); throws
+      // NoClassDefFoundError when the module is absent
+      float probe = VecSimd.sos(new float[] {1f, 2f}, new float[] {0f, 0f});
+      ok = probe == 5f;
     } catch (Throwable t) {
       ok = false;
     }
-    SIMD_AVAILABLE = ok;
+    SIMD_SUPPORTED = ok;
+    simdEnabled =
+        ok && !"false".equalsIgnoreCase(System.getProperty("graft.simd", "true"));
+  }
+
+  public static boolean simdEnabled() {
+    return simdEnabled;
+  }
+
+  /** Force the kernel mode for this JVM; enabling on a JVM without the
+   * incubator module is a named error, not a silent scalar fallback (the
+   * caller asked for cross-cluster bit-agreement and cannot have it). */
+  public static void setSimdEnabled(boolean on) {
+    if (on && !SIMD_SUPPORTED) {
+      throw new IllegalStateException(
+          "graft: spark.graft.simd=true but jdk.incubator.vector is not usable in"
+              + " this JVM (start it with --add-modules jdk.incubator.vector)");
+    }
+    simdEnabled = on;
   }
 
   private static void checkDims(int an, int bn) {
@@ -52,7 +80,7 @@ public final class VecKernels {
   public static float sos(ArrayData a, ArrayData b) {
     int n = a.numElements();
     checkDims(n, b.numElements());
-    if (SIMD_AVAILABLE && n >= SIMD_MIN_DIMS) {
+    if (simdEnabled && n >= SIMD_MIN_DIMS) {
       return VecSimd.sos(a.toFloatArray(), b.toFloatArray());
     }
     float s = 0.0f;
@@ -70,7 +98,7 @@ public final class VecKernels {
   public static float dot(ArrayData a, ArrayData b) {
     int n = a.numElements();
     checkDims(n, b.numElements());
-    if (SIMD_AVAILABLE && n >= SIMD_MIN_DIMS) {
+    if (simdEnabled && n >= SIMD_MIN_DIMS) {
       return VecSimd.dot(a.toFloatArray(), b.toFloatArray());
     }
     float s = 0.0f;
@@ -103,7 +131,7 @@ public final class VecKernels {
   public static float sosU8(ArrayData q, byte[] v, boolean signed) {
     int n = q.numElements();
     checkDims(n, v.length);
-    if (SIMD_AVAILABLE && n >= SIMD_MIN_DIMS) {
+    if (simdEnabled && n >= SIMD_MIN_DIMS) {
       return VecSimd.sos(q.toFloatArray(), widen(v, signed));
     }
     float s = 0.0f;
@@ -117,7 +145,7 @@ public final class VecKernels {
   public static float dotU8(ArrayData q, byte[] v, boolean signed) {
     int n = q.numElements();
     checkDims(n, v.length);
-    if (SIMD_AVAILABLE && n >= SIMD_MIN_DIMS) {
+    if (simdEnabled && n >= SIMD_MIN_DIMS) {
       return VecSimd.dot(q.toFloatArray(), widen(v, signed));
     }
     float s = 0.0f;
@@ -133,7 +161,7 @@ public final class VecKernels {
     float dot;
     float nq;
     float nv;
-    if (SIMD_AVAILABLE && n >= SIMD_MIN_DIMS) {
+    if (simdEnabled && n >= SIMD_MIN_DIMS) {
       float[] parts = new float[3];
       VecSimd.cosineParts(q.toFloatArray(), widen(v, signed), parts);
       dot = parts[0];
@@ -161,7 +189,7 @@ public final class VecKernels {
     float dot;
     float na;
     float nb;
-    if (SIMD_AVAILABLE && n >= SIMD_MIN_DIMS) {
+    if (simdEnabled && n >= SIMD_MIN_DIMS) {
       float[] parts = new float[3];
       VecSimd.cosineParts(a.toFloatArray(), b.toFloatArray(), parts);
       dot = parts[0];

@@ -1058,8 +1058,10 @@ object SparkEntry {
     "sql_index_topk_pq" -> sqlTopkSingleOracle,
     "sql_index_topk_vamana" -> sqlTopkSingleOracle,
     "ivf_flat_cosine_probe_all" -> knnOracle("list_cosine_similarity(n.embedding, q.embedding) DESC"),
-    // ivf_flat_nprobe: intentionally no oracle (approximate, engine-internal
-    // k-means); driver records rows-only, recall asserted in IndexSpec.
+    // ivf_flat_nprobe: oracle appended dynamically (ivfNprobeReplayOracle) —
+    // DuckDB replays the probe against the PERSISTED centroids, so the
+    // trained k-means stops being "engine-internal" and the default-nprobe
+    // path gets a hash check instead of rows-only.
     "ivf_pq_exact_rerank" -> knnOracle("list_distance(n.embedding, q.embedding)"),
     "fvecs_roundtrip_knn" -> knnOracle("list_distance(n.embedding, q.embedding)"),
     "vecs_dsv2_range_knn" ->
@@ -1523,5 +1525,39 @@ object SparkEntry {
         |FROM tf JOIN df USING (term)
         |QUALIFY row_number() OVER (PARTITION BY tf.doc_id ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) <= 3
         |ORDER BY doc_id, rank""".stripMargin,
-  )
+  ) ++ ivfNprobeReplayOracle
+
+  /** DuckDB replay of the default-nprobe IVF query against the PERSISTED
+    * ivf_l2 index: top-⌊√partitions⌋ centroids per query (ascending L2,
+    * ties toward the lower partition_id — [[graft.functions.NearestCentroids]]'s
+    * ordering), then exact top-k over only the probed hive partitions. This
+    * checks the probe pipeline end-to-end (trained centroids included, read
+    * from the index's own parquet) rather than declaring k-means
+    * engine-internal. Available only once the fixture exists in this
+    * process; [[Verify]] runs every query before dumping oracleSql, so the
+    * entry is present for the driver and absent (rows-only fallback) only
+    * if the ivf_l2 build itself failed. */
+  private def ivfNprobeReplayOracle: Map[String, String] =
+    indexCache.collectFirst { case (k, uri) if k.startsWith("ivf_l2|") => uri }
+      .map { uri =>
+        "ivf_flat_nprobe" ->
+          s"""WITH cents AS (
+             |  SELECT partition_id::INT AS partition_id, centroid
+             |  FROM read_parquet('$uri/centroids/v=1000/*.parquet')),
+             |q AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < $NQ),
+             |probes AS (
+             |  SELECT q.qid, c.partition_id, q.embedding
+             |  FROM q CROSS JOIN cents c
+             |  QUALIFY row_number() OVER (PARTITION BY q.qid
+             |      ORDER BY list_distance(c.centroid, q.embedding), c.partition_id)
+             |    <= (SELECT greatest(1, floor(sqrt(count(*)))::INT) FROM cents)),
+             |base AS (
+             |  SELECT external_id, vector, partition_id::INT AS partition_id
+             |  FROM read_parquet('$uri/base/v=1000/*/*.parquet', hive_partitioning=true))
+             |SELECT p.qid, b.external_id AS neighbor_id
+             |FROM probes p JOIN base b USING (partition_id)
+             |QUALIFY row_number() OVER (PARTITION BY p.qid
+             |    ORDER BY list_distance(b.vector, p.embedding), b.external_id) <= $K
+             |ORDER BY qid, neighbor_id""".stripMargin
+      }.toMap
 }

@@ -192,6 +192,7 @@ object Ingest {
       presetCentroids: Option[Array[Array[Float]]] = None,
       stageInputs: Boolean = false): VectorIndex = {
 
+    graft.functions.Simd.syncOnce(spark) // no-op unless spark.graft.simd is set
     val prior: Option[IndexMeta] =
       if (appendMeta && IndexMeta.exists(uri)) Some(IndexMeta.read(uri)) else None
     prior.foreach { m =>

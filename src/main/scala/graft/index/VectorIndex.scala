@@ -113,11 +113,29 @@ abstract class VectorIndex(
   def queryFiltered(queries: DataFrame, k: Int, allowIds: DataFrame,
       nprobe: Int = 0): DataFrame = {
     require(allowIds.columns.nonEmpty, "graft: allowIds needs an id column")
+    val idColName = allowIds.columns.head
+    // type gate up front: a non-numeric allow column (binary, struct,
+    // boolean…) must fail with a named error here, not cast to all-NULLs
+    // and return empty results that masquerade as "no allowed neighbors"
+    allowIds.schema.head.dataType match {
+      case _: org.apache.spark.sql.types.NumericType |
+           org.apache.spark.sql.types.StringType =>
+      case other => throw new IllegalArgumentException(
+        s"graft: allowIds column '$idColName' must be numeric or a numeric " +
+          s"string (external ids are int64), got ${other.catalogString}")
+    }
     // no .distinct(): left-semi join semantics already ignore duplicate
     // right-side rows, and a dedup would add a full shuffle of the
-    // allow-list to every filtered query for nothing
+    // allow-list to every filtered query for nothing. String ids that fail
+    // the long cast raise at execution instead of vanishing; NULL ids are
+    // dropped (an explicit NULL allows nothing).
+    val src = col(idColName)
     val norm = allowIds
-      .select(col(allowIds.columns.head).cast("long").as("__allow_id"))
+      .select(when(src.isNull, lit(null).cast("long"))
+        .when(src.cast("long").isNull,
+          raise_error(concat(lit(s"graft: allowIds value '"), src.cast("string"),
+            lit(s"' in column '$idColName' is not castable to long"))).cast("long"))
+        .otherwise(src.cast("long")).as("__allow_id"))
       .where(col("__allow_id").isNotNull)
     queryImpl(queries, k, nprobe, allow = Some(norm))
   }
@@ -490,6 +508,7 @@ object VectorIndex {
   /** Open an index, optionally at a historical timestamp
     * (reference: index.py:94-177). */
   def open(spark: SparkSession, uri: String, timestamp: Option[Long] = None): VectorIndex = {
+    graft.functions.Simd.syncOnce(spark) // no-op unless spark.graft.simd is set
     val meta = IndexMeta.read(uri)
     val ts = timestamp.getOrElse(Long.MaxValue)
     meta.indexType match {

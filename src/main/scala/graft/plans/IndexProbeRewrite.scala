@@ -78,11 +78,22 @@ object GraftSql {
     * the next mutation pass. */
   private val registered = TrieMap.empty[(SparkSession, String), (String, Int)]
 
+  /** Drop entries whose owning session has stopped — each retained entry
+    * pins the whole SparkSession object graph. Runs on EVERY registry
+    * mutation (register/unregister/onIndexMutated), so a JVM that
+    * registers views but never consolidates still releases dead sessions
+    * the next time any session touches the registry. */
+  private def reapStopped(): Unit =
+    registered.keys.foreach { case key @ (owner, _) =>
+      if (owner.sparkContext.isStopped) registered.remove(key)
+    }
+
   def registerIndexTable(
       spark: SparkSession,
       name: String,
       uri: String,
       nprobe: Int = 0): VectorIndex = {
+    reapStopped()
     val idx = VectorIndex.open(spark, uri)
     // VAMANA replicated builds register the scan-stable dedup formulation —
     // see [[graft.index.VamanaIndex.baseVectorsStableAttrs]]
@@ -133,12 +144,14 @@ object GraftSql {
 
   /** Forget a registered view: drops the temp view, its probe-catalog
     * entries, and the consolidation-refresh tracking. */
-  def unregisterIndexTable(spark: SparkSession, name: String): Unit =
+  def unregisterIndexTable(spark: SparkSession, name: String): Unit = {
+    reapStopped()
     registered.remove((spark, name)).foreach { case (uri, _) =>
       IndexCatalog.unregisterPrefix(IndexCatalog.qualify(spark, s"$uri/base"))
       spark.catalog.dropTempView(name)
       ()
     }
+  }
 
   /** Called by [[graft.index.VectorIndex.consolidateUpdates]]: any views
     * registered over `uri` are re-created against the new active version

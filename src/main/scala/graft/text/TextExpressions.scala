@@ -96,18 +96,30 @@ case class WinnowFingerprint(child: Expression, k: Int = 5, w: Int = 4)
       grams(i) = h
       i += 1
     }
-    val picked = scala.collection.mutable.SortedSet.empty[Long]
+    // windows overlap, so consecutive picks repeat heavily: collect into a
+    // primitive array (skipping immediate repeats), then sort + dedup in
+    // place — same sorted-distinct result as a tree set without boxing a
+    // Long per window
     val lastWin = math.max(0, nGrams - w)
+    val picks = new Array[Long](lastWin + 1)
+    var nPicks = 0
     var s = 0
     while (s <= lastWin) {
       var m = grams(s)
       var j = s + 1
       val e = math.min(s + w, nGrams)
       while (j < e) { if (grams(j) < m) m = grams(j); j += 1 }
-      picked += m
+      if (nPicks == 0 || picks(nPicks - 1) != m) { picks(nPicks) = m; nPicks += 1 }
       s += 1
     }
-    new GenericArrayData(picked.toArray)
+    java.util.Arrays.sort(picks, 0, nPicks)
+    var out = 0
+    var i2 = 0
+    while (i2 < nPicks) {
+      if (out == 0 || picks(out - 1) != picks(i2)) { picks(out) = picks(i2); out += 1 }
+      i2 += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(picks, out))
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)

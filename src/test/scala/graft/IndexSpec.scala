@@ -254,6 +254,52 @@ class IndexSpec extends AnyFunSuite {
     assert(counts === Set(3L))
     assert(r3.select("id").distinct().collect().map(_.getLong(0)).toSet
       === Set(3L, 33L, 333L))
+    // a non-numeric allow column is a NAMED error up front, not an
+    // all-NULL cast that masquerades as "no allowed neighbors"
+    val binCol = emb.select(col("external_id").cast("string").cast("binary").as("blob"))
+    val err = intercept[IllegalArgumentException] {
+      idx.queryFiltered(queries10, 10, binCol)
+    }
+    assert(err.getMessage.contains("allowIds"))
+    assert(err.getMessage.contains("blob"))
+    // string ids that parse are fine; ones that don't raise at execution
+    import spark.implicits._
+    val okStrings = Seq("3", " 33", "333").toDF("sid")
+    val rs = idx.queryFiltered(queries10, 10, okStrings, nprobe = 1 << 30)
+    assert(rs.select("id").distinct().collect().map(_.getLong(0)).toSet
+      === Set(3L, 33L, 333L))
+    val badStrings = Seq("3", "not-an-id").toDF("sid")
+    val ex = intercept[Exception] {
+      idx.queryFiltered(queries10, 10, badStrings).count()
+    }
+    assert(ex.getMessage.contains("not-an-id"),
+      s"expected the offending value in: ${ex.getMessage}")
+  }
+
+  test("spark.graft.simd conf: false forces scalar kernels on driver and executors; " +
+    "auto keeps detection; malformed value errors") {
+    import graft.functions.{Simd, VecKernels}
+    val before = VecKernels.simdEnabled()
+    try {
+      spark.conf.set(Simd.SimdKey, "false")
+      Simd.sync(spark)
+      assert(!VecKernels.simdEnabled())
+      // executors (same JVM under local[], but through real task threads)
+      val states = spark.sparkContext.range(0L, 8L, 1L, 8)
+        .mapPartitions(_ => Iterator.single(VecKernels.simdEnabled())).collect()
+      assert(states.forall(_ == false))
+      // auto restores per-JVM detection semantics (enabled iff supported here)
+      spark.conf.set(Simd.SimdKey, "auto")
+      if (VecKernels.SIMD_SUPPORTED) VecKernels.setSimdEnabled(true)
+      Simd.sync(spark)
+      assert(VecKernels.simdEnabled() === VecKernels.SIMD_SUPPORTED)
+      spark.conf.set(Simd.SimdKey, "sideways")
+      val bad = intercept[IllegalArgumentException](Simd.sync(spark))
+      assert(bad.getMessage.contains(Simd.SimdKey))
+    } finally {
+      spark.conf.unset(Simd.SimdKey)
+      VecKernels.setSimdEnabled(before && VecKernels.SIMD_SUPPORTED)
+    }
   }
 
   test("VAMANA: build + beam search clears the 0.85 reference recall gate") {
