@@ -35,15 +35,25 @@ object KnnGraph {
   /** One centroid fit shared by every pair pass over the same frame —
     * [[contrastiveTriplets]] runs two passes (positives + negatives) and
     * must not train twice. */
-  private def blocking(d: DataFrame, partitions: Int, nprobe: Int)
-      : (Int, Array[Array[Float]]) = {
-    val n = d.count()
-    val parts = if (partitions > 0) partitions else Ingest.autoPartitions(n)
-    val centroids = Ingest.trainCentroids(
-      d.select(col("__id"), col("__vec").as("vector")),
-      parts, Ingest.autoTrainingSize(n, parts), totalRows = n) // no re-count scan
-    (math.min(math.max(1, nprobe), parts), centroids)
-  }
+  private def blocking(d: DataFrame, partitions: Int, nprobe: Int,
+      preset: Option[Array[Array[Float]]]): (Int, Array[Array[Float]]) =
+    preset match {
+      case Some(c) =>
+        // preset centroids pin the blocking layout (the Ingest
+        // presetCentroids contract): reproducible runs, and an external
+        // replay (e.g. a SQL oracle) can read the same centroids the graph
+        // actually used instead of re-deriving them
+        require(partitions <= 0 || partitions == c.length,
+          s"graft: partitions=$partitions contradicts ${c.length} preset centroids")
+        (math.min(math.max(1, nprobe), c.length), c)
+      case None =>
+        val n = d.count()
+        val parts = if (partitions > 0) partitions else Ingest.autoPartitions(n)
+        val centroids = Ingest.trainCentroids(
+          d.select(col("__id"), col("__vec").as("vector")),
+          parts, Ingest.autoTrainingSize(n, parts), totalRows = n) // no re-count scan
+        (math.min(math.max(1, nprobe), parts), centroids)
+    }
 
   private def topKPairs(
       d: DataFrame,
@@ -76,9 +86,10 @@ object KnnGraph {
       partitions: Int = 0,
       nprobe: Int = 2,
       idCol: String = "id",
-      vecCol: String = "vector"): DataFrame = {
+      vecCol: String = "vector",
+      presetCentroids: Option[Array[Array[Float]]] = None): DataFrame = {
     val d = db.select(col(idCol).cast("long").as("__id"), col(vecCol).as("__vec"))
-    val (probes, centroids) = blocking(d, partitions, nprobe)
+    val (probes, centroids) = blocking(d, partitions, nprobe, presetCentroids)
     topKPairs(d, k, metric, probes, centroids, Nil, lit(true))
   }
 
@@ -100,10 +111,11 @@ object KnnGraph {
       nprobe: Int = 2,
       idCol: String = "id",
       vecCol: String = "vector",
-      labelCol: String = "label"): DataFrame = {
+      labelCol: String = "label",
+      presetCentroids: Option[Array[Array[Float]]] = None): DataFrame = {
     val d = db.select(col(idCol).cast("long").as("__id"), col(vecCol).as("__vec"),
       col(labelCol).as("__lbl"))
-    val (probes, centroids) = blocking(d, partitions, nprobe)
+    val (probes, centroids) = blocking(d, partitions, nprobe, presetCentroids)
     val topk = topKPairs(d, k, metric, probes, centroids,
       extraCandCols = Seq("__lbl"),
       pairFilter = !(col("__lbl") <=> col("__clbl")))
@@ -134,10 +146,11 @@ object KnnGraph {
       nprobe: Int = 2,
       idCol: String = "id",
       vecCol: String = "vector",
-      labelCol: String = "label"): DataFrame = {
+      labelCol: String = "label",
+      presetCentroids: Option[Array[Array[Float]]] = None): DataFrame = {
     val d = db.select(col(idCol).cast("long").as("__id"), col(vecCol).as("__vec"),
       col(labelCol).as("__lbl"))
-    val (probes, centroids) = blocking(d, partitions, nprobe)
+    val (probes, centroids) = blocking(d, partitions, nprobe, presetCentroids)
     val pos = topKPairs(d, 1, metric, probes, centroids,
         extraCandCols = Seq("__lbl"),
         pairFilter = col("__lbl") <=> col("__clbl"))

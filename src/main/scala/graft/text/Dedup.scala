@@ -479,21 +479,24 @@ object Dedup {
       partitions: Int = 0, // 0 = auto (sqrt of corpus size)
       probes: Int = 2,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      presetCentroids: Option[Array[Array[Float]]] = None): DataFrame = {
     import org.apache.spark.sql.graftshim.{toColumn, toExpression}
     import graft.functions.vector_normalize
     // normalized up front: cosine neighbors cluster on the unit sphere, and
     // the verification dot product reuses the normalized form
     val v = emb.select(col(idCol).cast("long").as("id"),
       vector_normalize(col(vecCol).cast("array<float>")).as("v"))
-    val n = v.count()
-    if (n == 0) // no vectors -> no pairs (training would yield zero centroids)
-      return v.sparkSession.emptyDataFrame
-        .select(lit(0L).as("id_a"), lit(0L).as("id_b"))
-    val k = if (partitions > 0) partitions else graft.index.Ingest.autoPartitions(n)
-    val centroids = graft.index.Ingest.trainCentroids(
-      v.select(col("v").as("vector")), k,
-      graft.index.Ingest.autoTrainingSize(n, k), totalRows = n)
+    val centroids = presetCentroids.getOrElse {
+      val n = v.count()
+      if (n == 0) // no vectors -> no pairs (training would yield zero centroids)
+        return v.sparkSession.emptyDataFrame
+          .select(lit(0L).as("id_a"), lit(0L).as("id_b"))
+      val k = if (partitions > 0) partitions else graft.index.Ingest.autoPartitions(n)
+      graft.index.Ingest.trainCentroids(
+        v.select(col("v").as("vector")), k,
+        graft.index.Ingest.autoTrainingSize(n, k), totalRows = n)
+    }
     // materialized before the self-join: projection collapse would re-run
     // the normalize + top-probes assignment once per joined pair
     val blocked = materialize(v.select(col("id"), col("v"),
@@ -520,8 +523,10 @@ object Dedup {
       partitions: Int = 0,
       probes: Int = 2,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
-    val pairs = embeddingCosinePairsAnn(emb, threshold, partitions, probes, idCol, vecCol)
+      vecCol: String = "embedding",
+      presetCentroids: Option[Array[Array[Float]]] = None): DataFrame = {
+    val pairs = embeddingCosinePairsAnn(emb, threshold, partitions, probes, idCol,
+      vecCol, presetCentroids)
     val cc = connectedComponents(emb.select(col(idCol).cast("long").as("id")), pairs)
     cc.select(col("id").as(idCol), col("component"),
       (col("id") === col("component")).as("is_canonical"))
