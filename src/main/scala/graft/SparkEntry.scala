@@ -641,6 +641,38 @@ object SparkEntry {
         presetCentroids = Some(annGraphCentroids(spark, dir)._2))
       .select(col("id"), col("nbr_id")).orderBy("id", "nbr_id")
 
+  /** Hyperplanes of the LSH fixture: generated once (seeded, deterministic),
+    * persisted through [[cachedIndex]] (timed as a build; trivially fast),
+    * and read back so query and oracle share byte-identical planes. */
+  private def lshPlanes(spark: SparkSession, dir: String): (String, Array[Array[Float]]) =
+    graphCentroids.getOrElseUpdate(s"lsh_planes|$dir", {
+      val path = cachedIndex("lsh_planes", dir) { u =>
+        import spark.implicits._
+        val dims = emb(spark, dir).select(size(col("embedding"))).head().getInt(0)
+        graft.operators.LshKnn.planes(seed = 42L, nbits = 64, dims = dims)
+          .zipWithIndex.map { case (p, i) => (i, p) }
+          .toSeq.toDF("plane_id", "plane")
+          .repartition(1).write.mode("overwrite").parquet(u)
+      }
+      val ps = spark.read.parquet(path).orderBy("plane_id").collect()
+        .map(r => r.getSeq[Float](r.fieldIndex("plane")).toArray)
+      (path, ps)
+    })
+
+  /** LSH-bucketed ANN (8 bands × 8 bits, cosine re-rank): the training-free
+    * bucketing twin of the IVF scale path. Hash-checked against a DuckDB
+    * replay of the banding from the persisted hyperplanes. */
+  private def knnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val db = emb(spark, dir)
+    val queries = db.where(col("vec_id") < NQ)
+    graft.operators.LshKnn.search(db, queries, K,
+        lshPlanes(spark, dir)._2, bands = 8, DistanceMetric.Cosine,
+        idCol = "vec_id", vecCol = "embedding",
+        qidCol = "vec_id", qvecCol = "embedding")
+      .select(col("qid"), col("id").as("neighbor_id"))
+      .orderBy("qid", "neighbor_id")
+  }
+
   /** Radius search: all vectors within L2 distance 1.25 of each query
     * (sqrt-free SOS comparison — the OptimizeDistancePredicates shape). */
   private def rangeSearchL2(spark: SparkSession, dir: String): DataFrame = {
@@ -1044,6 +1076,7 @@ object SparkEntry {
     "knn_triplets" -> (knnTriplets _),
     "range_search_l2" -> (rangeSearchL2 _),
     "knn_graph_ann" -> (knnGraphAnn _),
+    "knn_lsh" -> (knnLsh _),
     "object_search" -> (objectSearch _),
     "object_search_filtered" -> (objectSearchFiltered _),
     "object_search_prefiltered" -> (objectSearchPrefiltered _),
@@ -1582,7 +1615,7 @@ object SparkEntry {
         |QUALIFY row_number() OVER (PARTITION BY tf.doc_id ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) <= 3
         |ORDER BY doc_id, rank""".stripMargin,
   ) ++ ivfNprobeReplayOracle ++ ivfPqDefaultReplayOracle ++
-    knnGraphAnnReplayOracle ++ annDedupReplayOracles
+    knnGraphAnnReplayOracle ++ annDedupReplayOracles ++ lshReplayOracle
 
   /** DuckDB replay of the default-nprobe IVF query against the PERSISTED
     * ivf_l2 index: top-⌊√partitions⌋ centroids per query (ascending L2,
@@ -1757,4 +1790,37 @@ object SparkEntry {
                |GROUP BY e.vec_id
                |ORDER BY e.vec_id""".stripMargin)
       }.getOrElse(Map.empty)
+
+  /** DuckDB replay of the LSH banding from the persisted hyperplanes: bit t
+    * of band b is `list_inner_product(embedding, plane[b*8+t]) > 0` —
+    * DuckDB's FLOAT inner product uses the same sequential float32
+    * accumulation as [[graft.functions.LshBandKeys]], so the signs (and
+    * hence every band key) are bit-identical across engines — candidates
+    * share ≥1 band key, exact cosine re-rank to top-k. */
+  private def lshReplayOracle: Map[String, String] =
+    graphCentroids.collectFirst { case (k, (path, _)) if k.startsWith("lsh_planes|") => path }
+      .map { path =>
+        "knn_lsh" ->
+          s"""WITH planes AS (
+             |  SELECT plane_id, plane FROM read_parquet('$path/*.parquet')),
+             |bits AS (
+             |  SELECT e.vec_id, p.plane_id // 8 AS band,
+             |    CASE WHEN list_inner_product(e.embedding, p.plane) > 0
+             |         THEN 1::BIGINT << (p.plane_id % 8) ELSE 0 END AS bit
+             |  FROM embeddings e CROSS JOIN planes p),
+             |keys AS (
+             |  SELECT vec_id, band, sum(bit)::BIGINT AS key
+             |  FROM bits GROUP BY vec_id, band),
+             |cand AS (
+             |  SELECT DISTINCT q.vec_id AS qid, d.vec_id AS id
+             |  FROM (SELECT * FROM keys WHERE vec_id < $NQ) q
+             |  JOIN keys d ON q.band = d.band AND q.key = d.key)
+             |SELECT c.qid, c.id AS neighbor_id
+             |FROM cand c
+             |JOIN embeddings qe ON qe.vec_id = c.qid
+             |JOIN embeddings de ON de.vec_id = c.id
+             |QUALIFY row_number() OVER (PARTITION BY c.qid
+             |    ORDER BY list_cosine_similarity(de.embedding, qe.embedding) DESC, c.id) <= $K
+             |ORDER BY 1, 2""".stripMargin
+      }.toMap
 }

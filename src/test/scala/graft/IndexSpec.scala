@@ -662,6 +662,38 @@ class IndexSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"multi-probe graph recall $recall too low")
   }
 
+  test("LSH search: near-duplicates recalled through band buckets; " +
+    "exact over candidates; deterministic planes") {
+    import spark.implicits._
+    // near-dup fixture: 200 base vectors + a small-angle perturbation of
+    // each (cosine ≈ 0.995). Sign-LSH's contract is HIGH-cosine retrieval:
+    // P(bit agrees) = 1 - θ/π ≈ 0.97, so P(some 8-bit band agrees) ≈ 1 —
+    // while generic k-NN on near-orthogonal data is IVF's job, not LSH's.
+    val rnd = new java.util.Random(7)
+    val base = Array.fill(200)(Array.fill(64)(rnd.nextGaussian().toFloat))
+    val rows = base.zipWithIndex.flatMap { case (v, i) =>
+      val dup = v.map(x => x + 0.1f * rnd.nextGaussian().toFloat)
+      Seq((i.toLong, v), ((i + 1000).toLong, dup))
+    }.toSeq
+    val db = rows.toDF("id", "vector")
+    val queries = db.where(col("id") < 200)
+      .select(col("id").as("qid"), col("vector").as("qvec"))
+    val planes = graft.operators.LshKnn.planes(seed = 1L, nbits = 64, dims = 64)
+    val hits = graft.operators.LshKnn.search(db, queries, 2, planes, bands = 8)
+      .select("qid", "id").as[(Long, Long)].collect()
+    // each query's duplicate (cosine ≈ 0.995) must be recalled for ≥90%
+    // of queries through some shared band
+    val found = hits.filter { case (q, id) => id == q + 1000 }.map(_._1).toSet
+    assert(found.size >= 180, s"only ${found.size}/200 near-dups recalled")
+    // exact-over-candidates: every query at least finds itself at rank 1
+    val self = graft.operators.LshKnn.search(db, queries, 1, planes, bands = 8)
+      .select("qid", "id").as[(Long, Long)].collect()
+    assert(self.forall { case (q, id) => id == q }, "self not at rank 1")
+    // deterministic: same seed → identical planes
+    val p2 = graft.operators.LshKnn.planes(seed = 1L, nbits = 64, dims = 64)
+    assert(planes.flatten.toSeq === p2.flatten.toSeq)
+  }
+
   test("hard negatives: nearest different-label vectors, exact at probe-all") {
     import spark.implicits._
     val labeled = spark.read.parquet(s"$sf0001/embeddings.parquet")
