@@ -820,6 +820,18 @@ object SparkEntry {
       length(TextOps.redactPii(col("text"))).cast("long").as("n_chars_redacted"))
       .orderBy("doc_id")
 
+  /** Gopher rule bank: integer facets + per-rule flags + the conjunction.
+    * All-expression projection ([[TextOps.gopherRules]]) — flags are exact
+    * integer cross-multiplications, so the oracle hash-compares. */
+  private def textGopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val facetAndFlagCols =
+      (TextOps.gopherFacets(col("text")) ++ TextOps.gopherRules(col("text")))
+        .map { case (n, c) => c.as(n) }
+    docs(spark, dir)
+      .select(col("doc_id") +: facetAndFlagCols: _*)
+      .orderBy("doc_id")
+  }
+
   private def textWinnow(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(col("doc_id"),
         toColumn(WinnowFingerprint(toExpression(col("text")))).as("fps"))
@@ -1042,6 +1054,47 @@ object SparkEntry {
         graft.streaming.EventOps.loadEvents(spark, dir))
       .orderBy("user_id", "session_idx")
 
+  /** As-of join: each purchase picks up the most recent prior view by the
+    * same user (union + running window — one shuffle, no inequality join;
+    * [[graft.operators.AsOfJoin.asOf]]). Left-outer: first purchases keep
+    * null view columns. */
+  private def eventsAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.streaming.EventOps.loadEvents(spark, dir)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val views = ev.where(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    graft.operators.AsOfJoin.asOf(purchases, views,
+        keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+        rightCols = Seq("event_id", "value"), tieBreaker = "event_id",
+        rightPrefix = "view_")
+      .select(
+        col("event_id").as("purchase_id"), col("user_id"),
+        unix_micros(col("ts")).as("purchase_us"), col("value"),
+        col("view_event_id").as("view_id"),
+        unix_micros(col("view_ts")).as("view_us"),
+        col("view_value"))
+      .orderBy("purchase_id")
+  }
+
+  /** Bounded time-band join: every (click, purchase-within-10-minutes)
+    * pair per user via bucketed equi-join
+    * ([[graft.operators.AsOfJoin.timeBandJoin]] — shuffle is 2×|right|,
+    * never the |L|×|R| inequality product). */
+  private def eventsBandJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.streaming.EventOps.loadEvents(spark, dir)
+    def side(t: String) = ev.where(col("event_type") === t)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("es"))
+    graft.operators.AsOfJoin.timeBandJoin(
+        side("click"), side("purchase"),
+        keys = Seq("user_id"), leftTs = "es", rightTs = "es",
+        band = 600000000L) // 10 min in micros
+      .select(col("user_id"), col("l_event_id").as("click_id"),
+        col("r_event_id").as("purchase_id"),
+        (col("r_es") - col("l_es")).as("gap_us"))
+      .orderBy("click_id", "purchase_id")
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     knnFlat(DistanceMetric.L2)(spark, "/root/testdata/sf0.001")
@@ -1087,6 +1140,8 @@ object SparkEntry {
     "q_top_customers" -> (qTopCustomers _),
     "events_windowed" -> (eventsWindowed _),
     "events_sessionized" -> (eventsSessionized _),
+    "events_asof_join" -> (eventsAsofJoin _),
+    "events_band_join" -> (eventsBandJoin _),
     "ivf_pq_default" -> (ivfPqDefault _),
     "updates_knn" -> (updatesKnn _),
     "timetravel_knn" -> (timetravelKnn _),
@@ -1098,6 +1153,7 @@ object SparkEntry {
     "text_winnow" -> (textWinnow _),
     "text_repetition" -> (textRepetition _),
     "text_redact_pii" -> (textRedactPii _),
+    "text_gopher_rules" -> (textGopherRules _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "text_decontaminate" -> (textDecontaminate _),
@@ -1402,6 +1458,41 @@ object SparkEntry {
         |    '\+?[0-9]{0,3} ?\(?[0-9]{2,4}\)?([-. ][0-9]{2,4}){1,4}\b|\+?[0-9]{7,15}\b', '[PHONE]', 'g') AS r
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    // Gopher rule bank replay: identical tokenization/regex classes, flags
+    // by the same integer cross-multiplications (never ratio doubles).
+    "text_gopher_rules" ->
+      """WITH t AS (SELECT doc_id, text,
+        |    regexp_split_to_array(trim(text), '\s+') AS toks,
+        |    split(text, chr(10)) AS lines
+        |  FROM documents),
+        |f AS (SELECT doc_id,
+        |  len(toks)::BIGINT AS n_words,
+        |  length(regexp_replace(text, '\s', '', 'g'))::BIGINT AS sum_word_len,
+        |  (length(text) - length(replace(text, '#', ''))
+        |     + len(regexp_extract_all(text, '\.\.\.')))::BIGINT AS n_symbols,
+        |  len(lines)::BIGINT AS n_lines,
+        |  len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•]')))::BIGINT AS n_bullet_lines,
+        |  len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)\s*$')))::BIGINT AS n_ellipsis_lines,
+        |  len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))::BIGINT AS n_alpha_words,
+        |  len(list_intersect(list_distinct(list_transform(toks, x -> lower(x))),
+        |      ['the','be','to','of','and','that','have','with']))::BIGINT AS n_required_words
+        |  FROM t)
+        |SELECT *,
+        |  (n_words >= 50 AND n_words <= 100000) AS ok_word_count,
+        |  (sum_word_len >= 3 * n_words AND sum_word_len <= 10 * n_words) AS ok_mean_word_len,
+        |  (10 * n_symbols <= n_words) AS ok_symbol_ratio,
+        |  (10 * n_bullet_lines <= 9 * n_lines) AS ok_bullet_lines,
+        |  (10 * n_ellipsis_lines <= 3 * n_lines) AS ok_ellipsis_lines,
+        |  (5 * n_alpha_words >= 4 * n_words) AS ok_alpha_words,
+        |  (n_required_words >= 2) AS ok_required_words,
+        |  ((n_words >= 50 AND n_words <= 100000)
+        |    AND (sum_word_len >= 3 * n_words AND sum_word_len <= 10 * n_words)
+        |    AND (10 * n_symbols <= n_words)
+        |    AND (10 * n_bullet_lines <= 9 * n_lines)
+        |    AND (10 * n_ellipsis_lines <= 3 * n_lines)
+        |    AND (5 * n_alpha_words >= 4 * n_words)
+        |    AND (n_required_words >= 2)) AS pass
+        |FROM f ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(trim(text), '\s+'))), ' ')) AS fp,
         |  min(doc_id) AS canonical_id, count(*) AS cnt
@@ -1545,6 +1636,24 @@ object SparkEntry {
         |  FROM g)
         |SELECT user_id, session_idx::BIGINT AS session_idx, count(*) AS n_events
         |FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin,
+    // As-of replay: per purchase, the latest (ts, event_id)-ordered view at
+    // or before it — row_number over an inequality left join. The engine
+    // computes the identical total order with a running window, never the
+    // inequality product; same semantics, different physics.
+    "events_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+        |     v AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view')
+        |SELECT p.event_id AS purchase_id, p.user_id, epoch_us(p.ts) AS purchase_us, p.value,
+        |       v.event_id AS view_id, epoch_us(v.ts) AS view_us, v.value AS view_value
+        |FROM p LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+        |QUALIFY row_number() OVER (PARTITION BY p.event_id ORDER BY v.ts DESC, v.event_id DESC) = 1
+        |ORDER BY purchase_id""".stripMargin,
+    "events_band_join" ->
+      """WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS es FROM events WHERE event_type = 'click'),
+        |     p AS (SELECT event_id, user_id, epoch_us(ts) AS es FROM events WHERE event_type = 'purchase')
+        |SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id, p.es - c.es AS gap_us
+        |FROM c JOIN p ON c.user_id = p.user_id AND p.es >= c.es AND p.es <= c.es + 600000000
+        |ORDER BY click_id, purchase_id""".stripMargin,
     "dedup_embedding_cosine" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |FROM embeddings a JOIN embeddings b

@@ -38,13 +38,19 @@ object EventOps {
         case Some(v) => spark.conf.set(NanosKey, v)
         case None => spark.conf.unset(NanosKey)
       }
-    val tsIsLong = raw.schema("ts").dataType ==
-      org.apache.spark.sql.types.LongType
-    if (tsIsLong) {
-      // Integer division: nano epochs (~1.7e18) exceed double's 53-bit
-      // mantissa, so `/ 1000` (double div) corrupts ~12% of values.
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    } else raw
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // Integer division: nano epochs (~1.7e18) exceed double's 53-bit
+        // mantissa, so `/ 1000` (double div) corrupts ~12% of values.
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // A parquet writer that sets isAdjustedToUTC=false (pandas/pyarrow
+        // default) infers as TIMESTAMP_NTZ; pin to the session-zoned type
+        // so every consumer sees ONE timestamp flavor (a UTC session makes
+        // the wall values identical — same convention DuckDB applies).
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /** Tumbling-window aggregate keyed to integer epoch buckets (exact

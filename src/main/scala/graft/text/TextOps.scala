@@ -362,6 +362,65 @@ object TextOps {
     round(diversity * (lit(1.0) - stopRatio), 6)
   }
 
+  /** Gopher-style rule-bank words the quality filters require (Rae et al.
+    * 2021, table A1): a document must contain at least two of these. */
+  val gopherRequiredWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Integer facets feeding [[gopherRules]] — kept integer so every flag is
+    * an exact integer comparison on both engines (no ratio doubles to
+    * canonicalize at the hash layer). */
+  def gopherFacets(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    val lines = split(text, "\n")
+    Seq(
+      "n_words" -> size(toks).cast("long"),
+      // sum of token lengths == non-whitespace char count (exact identity)
+      "sum_word_len" -> length(regexp_replace(text, "\\s", "")).cast("long"),
+      // Gopher's symbol counts: '#' occurrences + non-overlapping '...'
+      "n_symbols" -> ((length(text) - length(regexp_replace(text, "#", ""))) +
+        regexp_count(text, lit("\\.\\.\\."))).cast("long"),
+      "n_lines" -> size(lines).cast("long"),
+      "n_bullet_lines" -> size(filter(lines, l => l.rlike("^\\s*[-*•]"))).cast("long"),
+      "n_ellipsis_lines" -> size(filter(lines, l => l.rlike("(\\.\\.\\.|…)\\s*$"))).cast("long"),
+      "n_alpha_words" -> size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long"),
+      "n_required_words" -> size(array_intersect(
+        array_distinct(transform(toks, t => lower(t))),
+        typedlit(gopherRequiredWords))).cast("long"))
+  }
+
+  /** The Gopher quality rule bank (Rae et al. 2021 §A1.1 — the same filter
+    * family the reference-adjacent curation pipelines apply before
+    * training): per-document boolean flags plus the conjunction `pass`.
+    * Thresholds are the published defaults; ratio rules are evaluated by
+    * integer cross-multiplication (`10·symbols ≤ words` instead of
+    * `symbols/words ≤ 0.1`) so results hash-compare exactly across engines.
+    * Pure codegen'd column expressions — one projection pass, no shuffle,
+    * embarrassingly parallel at any corpus size. */
+  def gopherRules(
+      text: Column,
+      minWords: Long = 50L,
+      maxWords: Long = 100000L): Seq[(String, Column)] = {
+    val f = gopherFacets(text).toMap
+    val words = f("n_words")
+    val flags = Seq(
+      "ok_word_count" -> (words >= minWords && words <= maxWords),
+      // mean word length in [3, 10]
+      "ok_mean_word_len" -> (f("sum_word_len") >= lit(3L) * words &&
+        f("sum_word_len") <= lit(10L) * words),
+      // symbol-to-word ratio <= 0.1
+      "ok_symbol_ratio" -> (lit(10L) * f("n_symbols") <= words),
+      // <= 90% of lines start with a bullet
+      "ok_bullet_lines" -> (lit(10L) * f("n_bullet_lines") <= lit(9L) * f("n_lines")),
+      // <= 30% of lines end with an ellipsis
+      "ok_ellipsis_lines" -> (lit(10L) * f("n_ellipsis_lines") <= lit(3L) * f("n_lines")),
+      // >= 80% of words contain an alphabetic character
+      "ok_alpha_words" -> (lit(5L) * f("n_alpha_words") >= lit(4L) * words),
+      // >= 2 of the required stopwords appear
+      "ok_required_words" -> (f("n_required_words") >= lit(2L)))
+    flags :+ ("pass" -> flags.map(_._2).reduce(_ && _))
+  }
+
   /** Document fingerprint: md5 of the whitespace-normalized lowercased text
     * (exact-dup key). */
   def fingerprintMd5(text: Column): Column =
