@@ -820,6 +820,23 @@ object SparkEntry {
       length(TextOps.redactPii(col("text"))).cast("long").as("n_chars_redacted"))
       .orderBy("doc_id")
 
+  /** CCNet-style perplexity filter: char-trigram LM trained on the English
+    * subset (the clean-reference-corpus pattern), scoring every document.
+    * Log-probs are persisted as integer micro-nats at train time, so
+    * scoring is exact integer summation + one double division — the DuckDB
+    * oracle replays it bit-for-bit from the model parquet without calling
+    * ln ([[graft.text.LangModel]]). */
+  private def lmModelUri(spark: SparkSession, dir: String): String =
+    cachedIndex("lm_trigram", dir) { u =>
+      graft.text.LangModel.trainCharTrigram(
+        docs(spark, dir).where(col("lang") === "en"), u)
+    }
+
+  private def textLmPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    val uri = lmModelUri(spark, dir)
+    graft.text.LangModel.scoreDocs(docs(spark, dir), uri).orderBy("doc_id")
+  }
+
   /** Gopher rule bank: integer facets + per-rule flags + the conjunction.
     * All-expression projection ([[TextOps.gopherRules]]) — flags are exact
     * integer cross-multiplications, so the oracle hash-compares. */
@@ -1154,6 +1171,7 @@ object SparkEntry {
     "text_repetition" -> (textRepetition _),
     "text_redact_pii" -> (textRedactPii _),
     "text_gopher_rules" -> (textGopherRules _),
+    "text_lm_perplexity" -> (textLmPerplexity _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "text_decontaminate" -> (textDecontaminate _),
@@ -1724,7 +1742,45 @@ object SparkEntry {
         |QUALIFY row_number() OVER (PARTITION BY tf.doc_id ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) <= 3
         |ORDER BY doc_id, rank""".stripMargin,
   ) ++ ivfNprobeReplayOracle ++ ivfPqDefaultReplayOracle ++
-    knnGraphAnnReplayOracle ++ annDedupReplayOracles ++ lshReplayOracle
+    knnGraphAnnReplayOracle ++ annDedupReplayOracles ++ lshReplayOracle ++
+    lmReplayOracle
+
+  /** DuckDB replay of the perplexity scorer against the PERSISTED trigram
+    * model: identical trigram explosion, the same
+    * seen → unseen-in-context → unseen-context coalesce, an exact BIGINT
+    * sum of the persisted micro-nat log-probs, and the same two-division
+    * mean. No `ln` on the oracle side — the model parquet carries every
+    * transcendental already quantized. */
+  private def lmReplayOracle: Map[String, String] =
+    indexCache.collectFirst { case (k, uri) if k.startsWith("lm_trigram|") => uri }
+      .map { uri =>
+        "text_lm_perplexity" ->
+          s"""WITH gi AS (
+             |  SELECT doc_id, lower(text) AS t,
+             |         unnest(range(1, greatest(length(lower(text)) - 1, 1))) AS i
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id, substring(t, i::INT, 3) AS gram,
+             |         substring(t, i::INT, 2) AS ctx
+             |  FROM gi),
+             |m3 AS (SELECT gram, logp_micro FROM read_parquet('$uri/model3/*.parquet')),
+             |m2 AS (SELECT ctx, unseen_logp_micro FROM read_parquet('$uri/model2/*.parquet')),
+             |meta AS (SELECT logp0_micro FROM read_parquet('$uri/meta/*.parquet')),
+             |scored AS (
+             |  SELECT g.doc_id,
+             |    coalesce(m3.logp_micro, m2.unseen_logp_micro,
+             |      (SELECT logp0_micro FROM meta)) AS lp
+             |  FROM g LEFT JOIN m3 USING (gram) LEFT JOIN m2 ON g.ctx = m2.ctx),
+             |a AS (
+             |  SELECT doc_id, count(*)::BIGINT AS n_grams,
+             |         sum(lp)::BIGINT AS sum_logp_micro
+             |  FROM scored GROUP BY doc_id)
+             |SELECT d.doc_id, coalesce(a.n_grams, 0)::BIGINT AS n_grams,
+             |  a.sum_logp_micro,
+             |  (a.sum_logp_micro::DOUBLE / 1000000.0) / a.n_grams::DOUBLE AS avg_logp
+             |FROM documents d LEFT JOIN a USING (doc_id)
+             |ORDER BY doc_id""".stripMargin
+      }.toMap
 
   /** DuckDB replay of the default-nprobe IVF query against the PERSISTED
     * ivf_l2 index: top-⌊√partitions⌋ centroids per query (ascending L2,

@@ -1,0 +1,127 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** CCNet-style perplexity filtering (Wenzek et al. 2020): score every
+  * document under a character-trigram language model trained on a clean
+  * reference subset; low log-probability (high perplexity) marks
+  * boilerplate, encoding junk, and out-of-domain text. The reference
+  * pipeline family this engine ports runs the same filter with a KenLM
+  * model — the n-gram machinery here is the Spark-native, container-free
+  * equivalent with add-α smoothing.
+  *
+  * Numeric contract: log-probabilities are computed ONCE at training time
+  * and persisted quantized to integer micro-nats (`round(ln(p)·1e6)`).
+  * Scoring then only SUMS integers — exact in any order, on any engine —
+  * and performs a single final double division. A DuckDB oracle can replay
+  * scoring bit-for-bit from the persisted model without ever calling `ln`
+  * (libm and java.lang.Math disagree in the last ulp; integers don't).
+  *
+  * Scale shape: training is explode → hash-aggregate (map-side partial
+  * combine; state bounded by the trigram vocabulary, ≤ charset³, NOT the
+  * corpus). Scoring is explode → broadcast join against the
+  * vocabulary-bounded model → per-document re-aggregate; the corpus
+  * shuffles once on doc_id with partial aggregation, the model never
+  * shuffles. At 100 TB both passes stay linear with no all-pairs or
+  * global-sort stage anywhere.
+  */
+object LangModel {
+
+  /** Smoothing constant α = 1/2 (add-half), as exact integer halves. */
+  private val AlphaNum = 1.0
+  private val AlphaDen = 2.0
+
+  /** Train the trigram model on `train` and persist it under `uri` as
+    * three parquet tables the oracle (and later sessions) replay from:
+    *
+    *   - `model3`: (gram, ctx, logp_micro) — seen trigrams,
+    *     `ln((c3+α)/(c2+α·V))` in micro-nats
+    *   - `model2`: (ctx, unseen_logp_micro) — seen contexts,
+    *     `ln(α/(c2+α·V))` for any unseen third char
+    *   - `meta`: singleton (v, logp0_micro) — vocabulary size and the
+    *     `ln(1/V)` fallback for a never-seen context
+    */
+  def trainCharTrigram(
+      train: DataFrame,
+      uri: String,
+      textCol: String = "text"): Unit = {
+    val spark = train.sparkSession
+    val grams = train
+      .select(explode(trigramArray(col(textCol))).as("gram"))
+    val c3 = grams.groupBy("gram").agg(count(lit(1)).as("c3"))
+      .withColumn("ctx", substring(col("gram"), 1, 2))
+      .withColumn("third", substring(col("gram"), 3, 1))
+    val c2 = c3.groupBy("ctx").agg(sum("c3").as("c2"))
+    val v = c3.select(countDistinct("third")).head().getLong(0)
+    require(v > 0, "graft: LM training corpus produced no trigrams")
+    val vTerm = AlphaNum / AlphaDen * v
+    val model3 = c3.join(c2, "ctx")
+      .select(col("gram"), col("ctx"),
+        microNats(log((col("c3") + lit(AlphaNum / AlphaDen)) /
+          (col("c2") + lit(vTerm)))).as("logp_micro"))
+    val model2 = c2.select(col("ctx"),
+      microNats(log(lit(AlphaNum / AlphaDen) / (col("c2") + lit(vTerm))))
+        .as("unseen_logp_micro"))
+    val meta = spark.range(1).select(
+      lit(v).as("v"),
+      microNats(log(lit(1.0) / lit(v.toDouble))).as("logp0_micro"))
+    model3.write.mode("overwrite").parquet(s"$uri/model3")
+    model2.write.mode("overwrite").parquet(s"$uri/model2")
+    meta.write.mode("overwrite").parquet(s"$uri/meta")
+  }
+
+  /** Score `docs` under the model persisted at `uri`: per document the
+    * trigram count, the exact integer sum of micro-nat log-probs, and the
+    * mean log-prob in nats (one double division — `exp(-avg_logp)` is the
+    * perplexity; the monotone mean is what thresholds compare, so the
+    * score column stays division-exact). Documents with no trigrams score
+    * null. */
+  def scoreDocs(
+      docs: DataFrame,
+      uri: String,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    val model3 = spark.read.parquet(s"$uri/model3")
+    val model2 = spark.read.parquet(s"$uri/model2")
+    val meta = spark.read.parquet(s"$uri/meta")
+    val logp0 = meta.select("logp0_micro").head().getLong(0)
+    val grams = docs.select(col(idCol),
+        explode(trigramArray(col(textCol))).as("gram"))
+      .withColumn("ctx", substring(col("gram"), 1, 2))
+    // model tables are vocabulary-bounded (≤ charset³ rows) — broadcast by
+    // construction; the corpus side never shuffles for the lookups
+    val scored = grams
+      .join(broadcast(model3.select("gram", "logp_micro")), Seq("gram"), "left")
+      .join(broadcast(model2), Seq("ctx"), "left")
+      .select(col(idCol),
+        coalesce(col("logp_micro"), col("unseen_logp_micro"), lit(logp0))
+          .as("lp"))
+    val agg = scored.groupBy(idCol).agg(
+      count(lit(1)).as("n_grams"),
+      sum("lp").as("sum_logp_micro"))
+    docs.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        col("sum_logp_micro"),
+        (col("sum_logp_micro").cast("double") / lit(1000000.0) /
+          col("n_grams").cast("double")).as("avg_logp"))
+  }
+
+  /** Sliding lowercased trigram array (duplicates preserved, empty for
+    * short docs) — `transform` over an index sequence, pure codegen-able
+    * higher-order functions, no UDF. */
+  def trigramArray(text: Column): Column = {
+    val t = lower(text)
+    val n = length(t)
+    // guard: Spark's sequence(1, stop) DESCENDS when stop < 1 — a 2-char
+    // doc would otherwise yield [1, 0] and substr garbage
+    when(n >= 3,
+        transform(sequence(lit(1), n - lit(2)), i => t.substr(i, lit(3))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  private def microNats(lnCol: Column): Column =
+    round(lnCol * lit(1000000.0)).cast("long")
+}
