@@ -837,6 +837,22 @@ object SparkEntry {
     graft.text.LangModel.scoreDocs(docs(spark, dir), uri).orderBy("doc_id")
   }
 
+  /** Model-based quality classifier: MLlib logistic regression over the
+    * exact integer quality facets, weakly labeled by the heuristic score's
+    * top/bottom quantiles. Weights persist once; the query (and oracle)
+    * evaluate the same fixed-order linear logit — the learned-filter stage
+    * of the curation pipeline ([[graft.text.QualityClassifier]]). */
+  private def qualityClfUri(spark: SparkSession, dir: String): String =
+    cachedIndex("quality_clf", dir) { u =>
+      graft.text.QualityClassifier.train(docs(spark, dir), u)
+    }
+
+  private def textQualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val uri = qualityClfUri(spark, dir)
+    graft.text.QualityClassifier.scoreLogit(docs(spark, dir), uri)
+      .orderBy("doc_id")
+  }
+
   /** Gopher rule bank: integer facets + per-rule flags + the conjunction.
     * All-expression projection ([[TextOps.gopherRules]]) — flags are exact
     * integer cross-multiplications, so the oracle hash-compares. */
@@ -1172,6 +1188,7 @@ object SparkEntry {
     "text_redact_pii" -> (textRedactPii _),
     "text_gopher_rules" -> (textGopherRules _),
     "text_lm_perplexity" -> (textLmPerplexity _),
+    "text_quality_classifier" -> (textQualityClassifier _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "text_decontaminate" -> (textDecontaminate _),
@@ -1743,7 +1760,36 @@ object SparkEntry {
         |ORDER BY doc_id, rank""".stripMargin,
   ) ++ ivfNprobeReplayOracle ++ ivfPqDefaultReplayOracle ++
     knnGraphAnnReplayOracle ++ annDedupReplayOracles ++ lshReplayOracle ++
-    lmReplayOracle
+    lmReplayOracle ++ qualityClfReplayOracle
+
+  /** DuckDB replay of the learned quality filter: the text_quality-proven
+    * facet SQL, weights via scalar subqueries on the persisted parquet, and
+    * the logit summed in the same fixed left-associative feature order —
+    * bit-identical doubles, no sigmoid on either side. */
+  private def qualityClfReplayOracle: Map[String, String] =
+    indexCache.collectFirst { case (k, uri) if k.startsWith("quality_clf|") => uri }
+      .map { uri =>
+        "text_quality_classifier" ->
+          s"""WITH t AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+             |f AS (SELECT doc_id,
+             |  length(text)::BIGINT AS n_chars,
+             |  len(toks)::BIGINT AS n_tokens,
+             |  len(list_distinct(toks))::BIGINT AS n_distinct_tokens,
+             |  len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it','that','for'], x)))::BIGINT AS n_stopwords,
+             |  (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::BIGINT AS n_punct
+             |  FROM t),
+             |w AS (SELECT feature, weight FROM read_parquet('$uri/weights/*.parquet')),
+             |s AS (SELECT doc_id,
+             |  (SELECT weight FROM w WHERE feature = '__intercept')
+             |    + (SELECT weight FROM w WHERE feature = 'n_chars') * n_chars::DOUBLE
+             |    + (SELECT weight FROM w WHERE feature = 'n_tokens') * n_tokens::DOUBLE
+             |    + (SELECT weight FROM w WHERE feature = 'n_distinct_tokens') * n_distinct_tokens::DOUBLE
+             |    + (SELECT weight FROM w WHERE feature = 'n_stopwords') * n_stopwords::DOUBLE
+             |    + (SELECT weight FROM w WHERE feature = 'n_punct') * n_punct::DOUBLE AS logit
+             |  FROM f)
+             |SELECT doc_id, logit, logit > 0 AS keep
+             |FROM s ORDER BY doc_id""".stripMargin
+      }.toMap
 
   /** DuckDB replay of the perplexity scorer against the PERSISTED trigram
     * model: identical trigram explosion, the same
