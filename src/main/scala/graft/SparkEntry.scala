@@ -1689,6 +1689,36 @@ object SparkEntry {
         |SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id, p.es - c.es AS gap_us
         |FROM c JOIN p ON c.user_id = p.user_id AND p.es >= c.es AND p.es <= c.es + 600000000
         |ORDER BY click_id, purchase_id""".stripMargin,
+    // Full replay of the stub multimodal featurizer: the FNV-1a byte fold
+    // (Multimodal.stubDecode) re-run as a recursive CTE in HUGEINT modular
+    // arithmetic — xor emulated on the low byte, the 64-bit wrap as
+    // `% 2^64`, the sign bit as `(h // 2^32) % 2` (`//`: DuckDB's `/` is
+    // float division). dim=16 is a power of two, so Java's signed
+    // `((h % dim) + dim) % dim` equals the unsigned `h % 16` here.
+    // Normalization can't change nonzero-ness, so n_nonzero compares the
+    // pre-norm ±1 bucket sums (exact integers). Assumes ASCII payloads
+    // (ord == utf8 byte; the documents fixture is ASCII — checked).
+    "multimodal_features" ->
+      """WITH RECURSIVE b AS (
+        |  SELECT doc_id, list_transform(range(1, length(text)+1), i -> ord(substring(text, i::INT, 1))) AS bytes
+        |  FROM documents),
+        |steps AS (
+        |  SELECT doc_id, 0 AS i, 14695981039346656037::HUGEINT AS h FROM b
+        |  UNION ALL
+        |  SELECT s.doc_id, s.i + 1,
+        |    (((s.h - (s.h % 256) + xor((s.h % 256)::BIGINT, b.bytes[s.i + 1])::HUGEINT)
+        |      * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT)
+        |  FROM steps s JOIN b USING (doc_id) WHERE s.i < len(b.bytes)),
+        |emits AS (
+        |  SELECT doc_id, (h % 16)::INT AS bucket,
+        |    CASE WHEN ((h // 4294967296::HUGEINT) % 2) = 0 THEN 1 ELSE -1 END AS sgn
+        |  FROM steps WHERE i > 0),
+        |sums AS (SELECT doc_id, bucket, sum(sgn) AS s FROM emits GROUP BY 1, 2),
+        |nz AS (SELECT doc_id, count(*) FILTER (WHERE s <> 0)::BIGINT AS n_nonzero FROM sums GROUP BY 1)
+        |SELECT d.doc_id AS obj_id,
+        |  CASE WHEN d.doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS modality,
+        |  coalesce(nz.n_nonzero, 0)::BIGINT AS n_nonzero
+        |FROM documents d LEFT JOIN nz ON nz.doc_id = d.doc_id ORDER BY obj_id""".stripMargin,
     "dedup_embedding_cosine" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |FROM embeddings a JOIN embeddings b
