@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.ml.feature.PCA
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.ml.linalg.Vector
+import org.apache.spark.ml.stat.Summarizer
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Embedding-space preprocessing for the curation pipeline: PCA projection
+  * (the dimensionality-reduction step SemDeDup-style semantic dedup and
+  * embedding-cluster analyses run before clustering; reference embeddings
+  * land here via the object layer's ObjectEmbedding).
+  *
+  * The decomposition is fitted once with MLlib (covariance eigenvectors,
+  * distributed treeAggregate under the hood) and persisted as plain
+  * parquet: a singleton mean row and one (comp_idx, comp) row per
+  * component. SERVING recomputes nothing: projection is
+  * `(x − mean) · c_j` evaluated as one sequential left fold per component
+  * — center, multiply elementwise, then fold-add in index order — so an
+  * engine reading the same parquet reproduces the doubles bit-for-bit
+  * (float32 inputs widen to double exactly; every product and partial sum
+  * rounds identically).
+  *
+  * Scale: fitting aggregates one d×d covariance (d = embedding dim, tiny);
+  * projection is a broadcast of k component rows against the corpus — a
+  * k-fan-out projection with no shuffle of the embedding table.
+  */
+object EmbeddingOps {
+
+  /** Fit PCA(k) on `vecCol` and persist `{uri}/mean` (singleton
+    * array<double>) + `{uri}/components` (k rows: comp_idx,
+    * comp array<double>). */
+  def trainPca(
+      df: DataFrame,
+      uri: String,
+      k: Int,
+      vecCol: String = "embedding"): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val data = df.select(array_to_vector(col(vecCol).cast("array<double>")).as("fv"))
+    val mean = data.select(Summarizer.mean(col("fv")).as("m"))
+      .head().getAs[Vector]("m").toArray
+    val model = new PCA().setK(k).setInputCol("fv").setOutputCol("pc").fit(data)
+    val d = mean.length
+    require(model.pc.numRows == d && model.pc.numCols == k,
+      s"graft: PCA returned ${model.pc.numRows}x${model.pc.numCols}, expected ${d}x$k")
+    val comps = (0 until k).map { j =>
+      (j.toLong, (0 until d).map(i => model.pc(i, j)).toArray)
+    }
+    Seq(Tuple1(mean)).toDF("mean")
+      .coalesce(1).write.mode("overwrite").parquet(s"$uri/mean")
+    comps.toDF("comp_idx", "comp")
+      .coalesce(1).write.mode("overwrite").parquet(s"$uri/components")
+  }
+
+  /** Project every row onto the persisted components, long format:
+    * `(id, comp_idx, proj)` — k rows per input. The fold order (center →
+    * elementwise product → left-fold sum) is the replayable contract. */
+  def projectPca(
+      df: DataFrame,
+      uri: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = df.sparkSession
+    val mean = spark.read.parquet(s"$uri/mean")
+      .head().getSeq[Double](0)
+    val comps = spark.read.parquet(s"$uri/components")
+    val meanLit = typedlit(mean)
+    val centered = zip_with(col(vecCol).cast("array<double>"), meanLit,
+      (a, b) => a - b)
+    df.select(col(idCol), centered.as("__c"))
+      .crossJoin(broadcast(comps))
+      .select(col(idCol), col("comp_idx"),
+        aggregate(
+          zip_with(col("__c"), col("comp"), (a, b) => a * b),
+          lit(0.0), (acc, v) => acc + v).as("proj"))
+  }
+}
