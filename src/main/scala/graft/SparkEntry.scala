@@ -820,6 +820,22 @@ object SparkEntry {
       length(TextOps.redactPii(col("text"))).cast("long").as("n_chars_redacted"))
       .orderBy("doc_id")
 
+  /** PCA projection of the embedding table: fitted once (MLlib covariance
+    * eigenvectors), persisted as mean + component parquet, and served as a
+    * fixed-order fold per component — the SemDeDup-style dimensionality
+    * reduction ahead of embedding clustering
+    * ([[graft.operators.EmbeddingOps]]). */
+  private def pcaUri(spark: SparkSession, dir: String): String =
+    cachedIndex("emb_pca", dir) { u =>
+      graft.operators.EmbeddingOps.trainPca(emb(spark, dir), u, k = 8)
+    }
+
+  private def embeddingPca(spark: SparkSession, dir: String): DataFrame = {
+    val uri = pcaUri(spark, dir)
+    graft.operators.EmbeddingOps.projectPca(emb(spark, dir), uri)
+      .orderBy("vec_id", "comp_idx")
+  }
+
   /** CCNet-style perplexity filter: char-trigram LM trained on the English
     * subset (the clean-reference-corpus pattern), scoring every document.
     * Log-probs are persisted as integer micro-nats at train time, so
@@ -1189,6 +1205,7 @@ object SparkEntry {
     "text_gopher_rules" -> (textGopherRules _),
     "text_lm_perplexity" -> (textLmPerplexity _),
     "text_quality_classifier" -> (textQualityClassifier _),
+    "embedding_pca" -> (embeddingPca _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "text_decontaminate" -> (textDecontaminate _),
@@ -1790,7 +1807,28 @@ object SparkEntry {
         |ORDER BY doc_id, rank""".stripMargin,
   ) ++ ivfNprobeReplayOracle ++ ivfPqDefaultReplayOracle ++
     knnGraphAnnReplayOracle ++ annDedupReplayOracles ++ lshReplayOracle ++
-    lmReplayOracle ++ qualityClfReplayOracle
+    lmReplayOracle ++ qualityClfReplayOracle ++ pcaReplayOracle
+
+  /** DuckDB replay of the PCA projection from the persisted mean and
+    * components: float32 embeddings widen to double exactly on both
+    * engines, centering/products/partial sums evaluate in the same index
+    * order (list_transform + sequential list_sum ↔ zip_with + left-fold
+    * aggregate), so the projected doubles compare bit-for-bit. */
+  private def pcaReplayOracle: Map[String, String] =
+    indexCache.collectFirst { case (k, uri) if k.startsWith("emb_pca|") => uri }
+      .map { uri =>
+        "embedding_pca" ->
+          s"""WITH m AS (SELECT mean FROM read_parquet('$uri/mean/*.parquet')),
+             |c AS (SELECT comp_idx, comp FROM read_parquet('$uri/components/*.parquet')),
+             |x AS (SELECT vec_id,
+             |  list_transform(list_zip(embedding::DOUBLE[], (SELECT mean FROM m)),
+             |    s -> s[1] - s[2]) AS ce
+             |  FROM embeddings)
+             |SELECT x.vec_id, c.comp_idx,
+             |  list_sum(list_transform(list_zip(x.ce, c.comp), s -> s[1] * s[2])) AS proj
+             |FROM x CROSS JOIN c
+             |ORDER BY vec_id, comp_idx""".stripMargin
+      }.toMap
 
   /** DuckDB replay of the learned quality filter: the text_quality-proven
     * facet SQL, weights via scalar subqueries on the persisted parquet, and
