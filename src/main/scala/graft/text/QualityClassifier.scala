@@ -3,7 +3,6 @@ package graft.text
 import org.apache.spark.ml.classification.LogisticRegression
 import org.apache.spark.ml.feature.VectorAssembler
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Model-based document quality scoring — the fasttext-classifier stage of
@@ -24,9 +23,11 @@ import org.apache.spark.sql.functions._
   * thresholding the logit at 0 is the same decision as thresholding the
   * probability at 0.5.
   *
-  * Scale: training aggregates a bounded facet frame (one pass over the
-  * corpus, 5 doubles per row) and fits on it; scoring is a pure projection
-  * — no shuffle, no UDF, embarrassingly parallel.
+  * Scale: weak-labeling sorts only bare (score, id) pairs under a
+  * range-partitioned distributed sort (no global window, no single-task
+  * stage) to find the two quantile boundary rows, then labels by scalar
+  * comparison; training fits on the bounded labeled facet frame; scoring
+  * is a pure projection — no shuffle, no UDF, embarrassingly parallel.
   */
 object QualityClassifier {
 
@@ -44,7 +45,17 @@ object QualityClassifier {
   /** Train on weak labels from the heuristic score: documents in the top
     * `quantile` are positives, bottom `quantile` negatives, the middle is
     * dropped (standard self-training margin). Persists
-    * `(feature, weight)` rows plus the intercept under `uri/weights`. */
+    * `(feature, weight)` rows plus the intercept under `uri/weights`.
+    *
+    * Labeling never runs a global window: the two quantile BOUNDARY rows in
+    * the unique (score, id) total order are found by a distributed
+    * range-partitioned sort of the bare (score, id) pairs (16 bytes/row)
+    * plus `zipWithIndex`, and every document is then labeled by a scalar
+    * lexicographic comparison against those two rows — a pure projection.
+    * The boundary ranks reproduce `percent_rank`'s `(rank-1)/(n-1)` double
+    * arithmetic exactly, so labels (and therefore the fitted weights) are
+    * bit-identical to a window formulation without ever moving the corpus
+    * through one task. */
   def train(
       docs: DataFrame,
       uri: String,
@@ -54,16 +65,7 @@ object QualityClassifier {
     require(quantile > 0 && quantile < 0.5,
       s"graft: label quantile must be in (0, 0.5), got $quantile")
     val spark = docs.sparkSession
-    val facets = docs.select(
-      (col(idCol) +: facetCols(col(textCol)).map { case (n, c) => c.as(n) }) :+
-        TextOps.qualityScore(col(textCol)).as("__score"): _*)
-    // deterministic rank: unique (score, id) total order
-    val pr = percent_rank().over(Window.orderBy(col("__score"), col(idCol)))
-    val labeled = facets.withColumn("__pr", pr)
-      .withColumn("label",
-        when(col("__pr") >= 1 - quantile, 1.0)
-          .when(col("__pr") <= quantile, 0.0))
-      .where(col("label").isNotNull)
+    val labeled = weakLabels(docs, textCol, idCol, quantile)
     val assembled = new VectorAssembler()
       .setInputCols(featureNames.toArray)
       .setOutputCol("features")
@@ -77,6 +79,80 @@ object QualityClassifier {
     import spark.implicits._
     rows.toDF("feature", "weight").coalesce(1)
       .write.mode("overwrite").parquet(s"$uri/weights")
+  }
+
+  /** Weak-label frame: integer facets + `label` (1.0 top-quantile, 0.0
+    * bottom-quantile; middle rows dropped). Package-private so the spec can
+    * check the boundary-comparison labels against a `percent_rank`
+    * reference on a small frame. */
+  private[graft] def weakLabels(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      quantile: Double): DataFrame = {
+    val idType = docs.schema(idCol).dataType
+    require(Seq("byte", "short", "int", "long").contains(idType.typeName),
+      s"graft: classifier id column $idCol must be integral for the " +
+        s"deterministic (score, id) tie-break, got $idType")
+    val facets = docs.select(
+      (col(idCol) +: facetCols(col(textCol)).map { case (n, c) => c.as(n) }) :+
+        TextOps.qualityScore(col(textCol)).as("__score"): _*)
+    val ((negS, negId), (posS, posId)) = labelBoundaries(facets, idCol, quantile)
+    val s = col("__score")
+    val i = col(idCol).cast("long")
+    val isNeg = s < negS || (s === negS && i <= negId)
+    val isPos = s > posS || (s === posS && i >= posId)
+    facets
+      .withColumn("label", when(isPos, 1.0).when(isNeg, 0.0))
+      .where(col("label").isNotNull)
+  }
+
+  /** The (score, id) rows at the last-negative and first-positive global
+    * ranks of the unique (score, id) order — the exact quantile cutoffs the
+    * old window formulation implied. Distributed exact selection: sort only
+    * the projected key pairs (range-partitioned, never single-task), index
+    * with `zipWithIndex`, and fetch the two boundary rows. The boundary
+    * ranks are solved on the driver against `percent_rank`'s own
+    * `(rank-1)/(n-1)` double formula, so label assignment is bit-identical
+    * to the window it replaces. */
+  private def labelBoundaries(
+      facets: DataFrame,
+      idCol: String,
+      quantile: Double): ((Double, Long), (Double, Long)) = {
+    val spark = facets.sparkSession
+    import spark.implicits._
+    val sorted = facets
+      .select(col("__score").cast("double"), col(idCol).cast("long"))
+      .as[(Double, Long)]
+      .orderBy(col("__score"), col(idCol))
+      .persist()
+    val n = sorted.count()
+    require(n > 1, s"graft: classifier training needs >1 document, got $n")
+    // percent_rank of 0-based rank r is r/(n-1); monotone in r, so the
+    // boundary ranks are found by driver-side binary search on the SAME
+    // double expression the window would have evaluated.
+    def pr(r: Long): Double = r.toDouble / (n - 1).toDouble
+    def lastRankWhere(p: Double => Boolean): Long = {
+      var lo = 0L; var hi = n - 1; var ans = -1L
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        if (p(pr(mid))) { ans = mid; lo = mid + 1 } else hi = mid - 1
+      }
+      ans
+    }
+    val kNegMax = lastRankWhere(_ <= quantile)
+    val kPosMin = {
+      val lastBelow = lastRankWhere(_ < 1 - quantile)
+      lastBelow + 1
+    }
+    require(kNegMax >= 0 && kNegMax < kPosMin && kPosMin <= n - 1,
+      s"graft: degenerate label quantiles (n=$n, q=$quantile)")
+    val bounds = sorted.rdd.zipWithIndex()
+      .filter { case (_, r) => r == kNegMax || r == kPosMin }
+      .map { case ((sc, id), r) => (r, (sc, id)) }
+      .collect().toMap
+    sorted.unpersist()
+    (bounds(kNegMax), bounds(kPosMin))
   }
 
   /** Score `docs` with the persisted model: `(id, logit, keep)` where

@@ -38,6 +38,27 @@ class QualityClassifierSpec extends AnyFunSuite {
       s"top-quantile mean logit $topAvg must exceed bottom $botAvg")
   }
 
+  test("boundary-comparison weak labels match a percent_rank reference") {
+    // driver-side replica of the old global-window labeling: unique
+    // (score, id) sort, pr = r/(n-1) in doubles, same when() precedence
+    val q = 0.3
+    val keys = docs.select(col("doc_id"),
+        TextOps.qualityScore(col("text")).as("s"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy { case (id, s) => (s, id) }
+    val n = keys.length
+    val expected = keys.zipWithIndex.flatMap { case ((id, _), r) =>
+      val pr = r.toDouble / (n - 1).toDouble
+      if (pr >= 1 - q) Some(id -> 1.0)
+      else if (pr <= q) Some(id -> 0.0)
+      else None
+    }.toMap
+    val got = QualityClassifier.weakLabels(docs, "text", "doc_id", q)
+      .select("doc_id", "label")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got === expected)
+  }
+
   test("logit equals the manual fixed-order dot product, keep = logit>0") {
     val w = QualityClassifier.readWeights(spark, uri)
     val facets = docs.select(
