@@ -436,32 +436,72 @@ object SparkEntry {
     idsOnly(VectorIndex.open(spark, uri).query(idxQueries(spark, dir), K))
   }
 
-  /** VAMANA graph search at reference defaults: approximate → rows-only;
-    * the 0.85 recall gate is spec-tested (IndexSpec). */
+  /** Shared recall-emitting shape of the two VAMANA queries. Beam search is
+    * not SQL-replayable, so the driver row is made hash-checkable the way
+    * the reference itself gates Vamana — accuracy vs exact brute force
+    * (`apis/python/test/test_ingestion.py:23`, floor 0.85): the raw beam
+    * results persist under the index, the query returns per-query
+    * intersection counts against the exact twin (the oracle-green
+    * knn_flat_l2 path) plus the aggregate gate flag, and the DuckDB oracle
+    * recomputes the same counts independently from the persisted beams and
+    * its OWN exact twin. The 0.85 floor is also asserted eagerly here, so a
+    * recall regression fails the query rather than just flipping a flag. */
+  private def vamanaRecallFrame(
+      spark: SparkSession, dir: String, uri: String, sub: String,
+      beams: DataFrame): DataFrame = {
+    import spark.implicits._
+    beams.write.mode("overwrite").parquet(s"$uri/$sub")
+    val persisted = spark.read.parquet(s"$uri/$sub")
+    val db = emb(spark, dir)
+    val exact = Knn.bruteForce(db, db.where(col("vec_id") < NQ), K,
+        DistanceMetric.L2, idCol = "vec_id", vecCol = "embedding",
+        qidCol = "vec_id", qvecCol = "embedding")
+      .select(col("qid"), col("id").as("neighbor_id"))
+    val perQ = exact
+      .join(persisted.withColumn("__hit", lit(1)), Seq("qid", "neighbor_id"), "left")
+      .groupBy("qid")
+      .agg(sum(coalesce(col("__hit"), lit(0))).cast("long").as("hits"))
+      .orderBy("qid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val total = perQ.map(_._2).sum
+    require(total * 100 >= 85L * NQ * K,
+      s"graft: vamana recall ${total.toDouble / (NQ * K)} below the 0.85 floor ($sub)")
+    perQ.toDF("qid", "hits")
+      .withColumn("meets_gate", lit(true))
+      .orderBy("qid")
+  }
+
+  /** VAMANA graph search at reference defaults, emitted as per-query recall
+    * vs the exact twin ([[vamanaRecallFrame]]) so the driver hash-checks
+    * the reference's 0.85 accuracy gate instead of a rows-only count. */
   private def vamanaKnn(spark: SparkSession, dir: String): DataFrame = {
     val uri = cachedIndex("vamana", dir) { u =>
       Ingest.ingest(spark, u, embAsIndexInput(spark, dir), "VAMANA",
         DistanceMetric.L2, timestamp = 1000L)
     }
-    idsOnly(VectorIndex.open(spark, uri).query(idxQueries(spark, dir), K))
+    vamanaRecallFrame(spark, dir, uri, "results_knn",
+      idsOnly(VectorIndex.open(spark, uri).query(idxQueries(spark, dir), K)))
   }
 
   /** Shard-ROUTED VAMANA search at the PERF.md sweep-validated config
-    * (16 shards × 3 boundary replicas, S=4 probes → recall 0.927 on the
-    * adversarial fixture): each query beam-searches only its top-4 shards
+    * (16 shards × 3 boundary replicas; S=5 probes here — S=4 measured
+    * 0.927 on the n=10k audit fixture but 0.84 on this NQ=10 driver set,
+    * one probe more clears the 0.85 floor with margin while staying
+    * O(S) ≪ O(shards)): each query beam-searches only its top-S shards
     * by shard-centroid distance, and the probed-shard set prunes the
     * base/graph scans physically (the 100 TB scale path — fan-out AND
-    * reads are O(S) per query instead of O(shards)). Approximate →
-    * rows-only. */
+    * reads are O(S) per query instead of O(shards)). Emitted as per-query
+    * recall vs the exact twin ([[vamanaRecallFrame]]). */
   private def vamanaKnnRouted(spark: SparkSession, dir: String): DataFrame = {
     val uri = cachedIndex("vamana_routed", dir) { u =>
       Ingest.ingest(spark, u, embAsIndexInput(spark, dir), "VAMANA",
         DistanceMetric.L2, timestamp = 1000L,
         partitions = Some(16), shardReplicas = Some(3))
     }
-    idsOnly(VectorIndex.open(spark, uri).asInstanceOf[graft.index.VamanaIndex]
-      .queryLSearch(idxQueries(spark, dir), K,
-        lSearch = graft.index.VamanaIndex.DefaultLSearch, nprobeShards = 4))
+    vamanaRecallFrame(spark, dir, uri, "results_routed",
+      idsOnly(VectorIndex.open(spark, uri).asInstanceOf[graft.index.VamanaIndex]
+        .queryLSearch(idxQueries(spark, dir), K,
+          lSearch = graft.index.VamanaIndex.DefaultLSearch, nprobeShards = 5)))
   }
 
   /** Shared fvecs fixture, exported through the DSv2 write path (executor
@@ -1807,7 +1847,41 @@ object SparkEntry {
         |ORDER BY doc_id, rank""".stripMargin,
   ) ++ ivfNprobeReplayOracle ++ ivfPqDefaultReplayOracle ++
     knnGraphAnnReplayOracle ++ annDedupReplayOracles ++ lshReplayOracle ++
-    lmReplayOracle ++ qualityClfReplayOracle ++ pcaReplayOracle
+    lmReplayOracle ++ qualityClfReplayOracle ++ pcaReplayOracle ++
+    vamanaRecallOracle("vamana", "results_knn", "vamana_knn") ++
+    vamanaRecallOracle("vamana_routed", "results_routed", "vamana_knn_routed")
+
+  /** DuckDB verification of the VAMANA recall frames: recompute the exact
+    * top-k twin from `embeddings` directly, intersect with the PERSISTED
+    * beam results ([[vamanaRecallFrame]] wrote them during the query run),
+    * and re-derive the per-query hit counts plus the reference's 0.85
+    * accuracy-gate flag (`test_ingestion.py:23`) entirely inside DuckDB.
+    * The engine's recall arithmetic and the gate decision are therefore
+    * independently replayed; only the beam contents themselves come from
+    * the engine (they are the artifact under test). Present only once the
+    * fixture exists (same dump-order contract as
+    * [[ivfNprobeReplayOracle]]). */
+  private def vamanaRecallOracle(
+      label: String, sub: String, queryName: String): Map[String, String] =
+    indexCache.collectFirst { case (k, uri) if k.startsWith(s"$label|") => uri }
+      .map { uri =>
+        queryName ->
+          s"""WITH beams AS (
+             |  SELECT qid, neighbor_id FROM read_parquet('$uri/$sub/*.parquet')),
+             |exact AS (
+             |  SELECT q.vec_id AS qid, n.vec_id AS neighbor_id
+             |  FROM (SELECT * FROM embeddings WHERE vec_id < $NQ) q
+             |  CROSS JOIN embeddings n
+             |  QUALIFY row_number() OVER (PARTITION BY q.vec_id
+             |      ORDER BY list_distance(n.embedding, q.embedding), n.vec_id) <= $K),
+             |hits AS (
+             |  SELECT e.qid, count(b.neighbor_id)::BIGINT AS hits
+             |  FROM exact e LEFT JOIN beams b USING (qid, neighbor_id)
+             |  GROUP BY e.qid)
+             |SELECT qid, hits,
+             |  (SELECT sum(hits) * 100 >= 85 * $NQ * $K FROM hits) AS meets_gate
+             |FROM hits ORDER BY qid""".stripMargin
+      }.toMap
 
   /** DuckDB replay of the PCA projection from the persisted mean and
     * components: float32 embeddings widen to double exactly on both
