@@ -31,6 +31,10 @@ object SparkEntry {
   /** k of the object-search queries (5 query docs × top-5 chunks). */
   private val K2obj = 5
 
+  /** File count of the deterministic FNV image fixture (payload of file i
+    * is fnvBytes(i, 512 + 8i)); the DuckDB oracle regenerates all of it. */
+  private val ImgN = 60
+
   private def knnFlat(metric: DistanceMetric)(spark: SparkSession, dir: String): DataFrame = {
     val db = emb(spark, dir)
     val queries = db.where(col("vec_id") < NQ)
@@ -744,15 +748,17 @@ object SparkEntry {
     * object_readers/directory_reader.py:507): a deterministic binary-file
     * fixture stands in for real images (no codecs in this container — the
     * decode slot is Multimodal.stubDecode), read through the binaryFile
-    * source, FLAT-indexed, self-retrieval queried. Rows-only check. */
+    * source, FLAT-indexed, self-retrieval queried. Payload bytes come from
+    * [[graft.multimodal.Multimodal.fnvBytes]] (a pure-integer FNV stream),
+    * so the DuckDB oracle regenerates the payloads AND replays the
+    * stub-decode signature from the formula alone — full hash check, no
+    * fixture files on the oracle side. */
   private def objectSearchImage(spark: SparkSession, dir: String): DataFrame = {
     val imgRoot = cachedIndex("imgdir", dir) { u =>
       val d = new java.io.File(s"$u/images"); d.mkdirs()
-      val rnd = new java.util.Random(7)
-      for (i <- 0 until 60) {
-        val bytes = new Array[Byte](512 + 8 * i)
-        rnd.nextBytes(bytes)
-        Files.write(d.toPath.resolve(f"img_$i%04d.png"), bytes)
+      for (i <- 0 until ImgN) {
+        Files.write(d.toPath.resolve(f"img_$i%04d.png"),
+          graft.multimodal.Multimodal.fnvBytes(i, 512 + 8 * i))
       }
     }
     val reader = new graft.objects.DirectoryImageReader(s"$imgRoot/images", "*.png")
@@ -1755,6 +1761,49 @@ object SparkEntry {
     // Normalization can't change nonzero-ness, so n_nonzero compares the
     // pre-norm ±1 bucket sums (exact integers). Assumes ASCII payloads
     // (ord == utf8 byte; the documents fixture is ASCII — checked).
+    // Image object search replay: regenerate the FNV payload stream (gh)
+    // and fold the stub-decode signature (dh) in ONE recursive CTE — both
+    // are pure 64-bit integer arithmetic (HUGEINT mod 2^64, low-byte xor
+    // trick as in multimodal_features). Bucket sums are exact integers;
+    // ranking by cosine over the RAW integer signatures equals the
+    // engine's L2-over-normalized ranking (d² = 2 − 2cos), sidestepping
+    // normalization roundoff entirely. Ties rank by external_id on both
+    // sides.
+    "object_search_image" ->
+      s"""WITH RECURSIVE steps AS (
+         |  SELECT i::BIGINT AS ext_id, (512 + 8*i)::BIGINT AS len, 0::BIGINT AS j,
+         |    (14695981039346656037::HUGEINT - (14695981039346656037::HUGEINT % 256)
+         |      + xor((14695981039346656037::HUGEINT % 256)::BIGINT, i)::HUGEINT) AS gh,
+         |    14695981039346656037::HUGEINT AS dh
+         |  FROM range(0, $ImgN) t(i)
+         |  UNION ALL
+         |  SELECT ext_id, len, j + 1, gh2,
+         |    (((dh - (dh % 256)
+         |        + xor((dh % 256)::BIGINT, ((gh2 // 16777216::HUGEINT) % 256)::BIGINT)::HUGEINT)
+         |      * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT)
+         |  FROM (
+         |    SELECT ext_id, len, j, dh,
+         |      (((gh - (gh % 256) + xor((gh % 256)::BIGINT, (j % 256)::BIGINT)::HUGEINT)
+         |        * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT) AS gh2
+         |    FROM steps WHERE j < len)
+         |),
+         |sums AS (
+         |  SELECT ext_id, (dh % 64)::INT AS bucket,
+         |    sum(CASE WHEN ((dh // 4294967296::HUGEINT) % 2) = 0 THEN 1 ELSE -1 END)::BIGINT AS s
+         |  FROM steps WHERE j > 0 GROUP BY 1, 2),
+         |vecs AS (
+         |  SELECT f.ext_id, list(coalesce(su.s, 0)::DOUBLE ORDER BY r.b) AS v
+         |  FROM (SELECT DISTINCT ext_id FROM sums) f
+         |  CROSS JOIN range(0, 64) r(b)
+         |  LEFT JOIN sums su ON su.ext_id = f.ext_id AND su.bucket = r.b
+         |  GROUP BY f.ext_id)
+         |SELECT q.ext_id AS qid,
+         |  (row_number() OVER (PARTITION BY q.ext_id
+         |     ORDER BY list_cosine_similarity(c.v, q.v) DESC, c.ext_id))::INT AS rank,
+         |  c.ext_id AS external_id
+         |FROM (SELECT * FROM vecs WHERE ext_id < 5) q CROSS JOIN vecs c
+         |QUALIFY rank <= 3
+         |ORDER BY qid, rank""".stripMargin,
     "multimodal_features" ->
       """WITH RECURSIVE b AS (
         |  SELECT doc_id, list_transform(range(1, length(text)+1), i -> ord(substring(text, i::INT, 1))) AS bytes

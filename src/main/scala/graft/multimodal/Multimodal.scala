@@ -28,6 +28,28 @@ object Multimodal {
       StructField("sample_rate", IntegerType, nullable = true),
       StructField("n_frames", IntegerType, nullable = true))), nullable = true)))
 
+  /** Deterministic FNV byte stream for media fixtures: payload `seed`'s
+    * byte j is bits 24..31 of the running fold
+    * `h ← (h xor (j mod 256)) * FNV_PRIME` seeded by
+    * `FNV_OFFSET xor seed` (seed < 256 so only the low byte differs).
+    * Pure integer arithmetic, so a DuckDB recursive CTE regenerates the
+    * exact payload — which is what lets [[stubDecode]]'s signature over a
+    * generated fixture be replayed as an oracle, byte for byte, with no
+    * files shipped to the oracle side. */
+  def fnvBytes(seed: Int, len: Int): Array[Byte] = {
+    require(seed >= 0 && seed < 256, s"graft: fnvBytes seed must be a byte, got $seed")
+    val out = new Array[Byte](len)
+    var h = 0xcbf29ce484222325L ^ seed.toLong
+    var j = 0
+    while (j < len) {
+      h ^= (j & 0xff).toLong
+      h *= 0x100000001b3L
+      out(j) = ((h >>> 24) & 0xffL).toByte
+      j += 1
+    }
+    out
+  }
+
   /** STUB decoder: a real implementation would decode the payload with an
     * image/audio library and pool activations; this derives `dim` float
     * features from byte n-gram statistics so the pipeline stays
