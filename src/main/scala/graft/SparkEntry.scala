@@ -35,6 +35,10 @@ object SparkEntry {
     * is fnvBytes(i, 512 + 8i)); the DuckDB oracle regenerates all of it. */
   private val ImgN = 60
 
+  /** Card count of the REAL-PNG decode fixture (card i is a
+    * testCardPng(i, 16+i, 12+i)); the oracle replays the pixel formula. */
+  private val CardN = 40
+
   private def knnFlat(metric: DistanceMetric)(spark: SparkSession, dir: String): DataFrame = {
     val db = emb(spark, dir)
     val queries = db.where(col("vec_id") < NQ)
@@ -830,6 +834,30 @@ object SparkEntry {
       .orderBy("obj_id")
   }
 
+  /** REAL image decode through the full Spark pipeline: the fixture is
+    * [[graft.multimodal.Multimodal.testCardPng]] — genuine PNGs whose
+    * pixels follow an integer formula — read back through the binaryFile
+    * source and decoded with javax.imageio
+    * ([[graft.multimodal.Multimodal.decodeImageStats]]). PNG is lossless,
+    * so the DuckDB oracle replays the per-grid-cell RGB sums from the
+    * formula alone; any decode defect (channel order, stride, color space)
+    * breaks the hash. */
+  private def multimodalImageDecode(spark: SparkSession, dir: String): DataFrame = {
+    val root = cachedIndex("imgreal", dir) { u =>
+      val d = new java.io.File(s"$u/cards"); d.mkdirs()
+      for (i <- 0 until CardN) {
+        Files.write(d.toPath.resolve(f"card_$i%04d.png"),
+          graft.multimodal.Multimodal.testCardPng(i, 16 + i, 12 + i))
+      }
+    }
+    val media = graft.index.Ingest.withSyntheticIds(
+        spark.read.format("binaryFile").load(s"$root/cards")
+          .select(col("path"), col("content").as("payload")), "path")
+      .select(col("external_id").as("obj_id"), col("payload"))
+    graft.multimodal.Multimodal.decodeImageStats(media, grid = 4)
+      .orderBy("obj_id", "cell")
+  }
+
   // ----- text analysis / dedup operators (documents + embeddings tables) -----
 
   private def textTokenCount(spark: SparkSession, dir: String): DataFrame =
@@ -1230,6 +1258,7 @@ object SparkEntry {
     "object_search_prefiltered" -> (objectSearchPrefiltered _),
     "object_search_image" -> (objectSearchImage _),
     "multimodal_features" -> (multimodalFeatures _),
+    "multimodal_image_decode" -> (multimodalImageDecode _),
     "q1_agg" -> (q1Agg _),
     "q_join_revenue" -> (qJoinRevenue _),
     "q_top_customers" -> (qTopCustomers _),
@@ -1804,6 +1833,29 @@ object SparkEntry {
          |FROM (SELECT * FROM vecs WHERE ext_id < 5) q CROSS JOIN vecs c
          |QUALIFY rank <= 3
          |ORDER BY qid, rank""".stripMargin,
+    // Real-decode replay: regenerate the test-card pixel formula and
+    // re-aggregate the grid-cell RGB sums — the engine's numbers come from
+    // javax.imageio-decoded rasters of real PNG bytes, so equality proves
+    // the decode (PNG is lossless). Max card is 55x51, so the fixed
+    // 56/52 ranges cover every (x, y).
+    "multimodal_image_decode" ->
+      s"""WITH imgs AS (
+         |  SELECT i::BIGINT AS obj_id, (16 + i)::BIGINT AS w, (12 + i)::BIGINT AS h
+         |  FROM range(0, $CardN) t(i)),
+         |px AS (
+         |  SELECT obj_id, w, h,
+         |    ((y * 4 // h) * 4 + (x * 4 // w))::INT AS cell,
+         |    (3*x + 5*y + 7*obj_id) % 256 AS r,
+         |    (11*x + 13*y + 17*obj_id) % 256 AS g,
+         |    (19*x + 23*y + 29*obj_id) % 256 AS b
+         |  FROM imgs
+         |  CROSS JOIN range(0, 56) rx(x)
+         |  CROSS JOIN range(0, 52) ry(y)
+         |  WHERE x < w AND y < h)
+         |SELECT obj_id, max(w)::INT AS width, max(h)::INT AS height, cell,
+         |  sum(r)::BIGINT AS r_sum, sum(g)::BIGINT AS g_sum, sum(b)::BIGINT AS b_sum
+         |FROM px GROUP BY obj_id, cell
+         |ORDER BY obj_id, cell""".stripMargin,
     "multimodal_features" ->
       """WITH RECURSIVE b AS (
         |  SELECT doc_id, list_transform(range(1, length(text)+1), i -> ord(substring(text, i::INT, 1))) AS bytes

@@ -10,11 +10,14 @@ import org.apache.spark.sql.types._
   * object_readers/bioimage_reader.py, directory_reader.py
   * DirectoryImageReader — and of `mapInPandas` batch UDFs in PySpark).
   *
-  * The DECODE step is a clearly-marked deterministic STUB: the container
-  * has no image/audio codecs, so `stubDecode` derives per-record features
-  * from the payload bytes alone. Everything around it — schema, batching,
-  * partitioning, null/short-payload handling, the feature column contract —
-  * is the real pipeline a codec would drop into.
+  * IMAGE decode is REAL: `decodeImage` uses the JDK's `javax.imageio`
+  * (PNG/JPEG need no external codec) behind a magic-number sniff, and
+  * `imageFeature`/`decodeImageStats` pool exact pixel statistics from the
+  * decoded raster. AUDIO/VIDEO decode remains a clearly-marked
+  * deterministic STUB (`stubDecode` — the container genuinely lacks those
+  * codecs); everything around it — schema, batching, partitioning,
+  * null/short-payload handling, the feature column contract — is the real
+  * pipeline a codec would drop into.
   */
 object Multimodal {
 
@@ -82,12 +85,145 @@ object Multimodal {
       .mapPartitions { it =>
         // per-executor init hook would go here (codec/model load)
         it.map { case (id, mod, payload) =>
-          (id, mod, if (payload == null) null else stubDecode(payload, dim).toSeq)
+          (id, mod,
+            if (payload == null) null
+            else decodeImage(payload) match {
+              case Some(img) => imageFeature(img, dim).toSeq
+              case None      => stubDecode(payload, dim).toSeq
+            })
         }
       }
       .toDF("obj_id", "modality", "feature")
       .select(col("obj_id"), col("modality"),
         col("feature").cast("array<float>").as("feature"))
+  }
+
+  // ----- real image decode (javax.imageio — ships in the JDK, no external
+  // codec needed; the reference's image path is
+  // image_resnetv2_embedding.py / object_readers/directory_reader.py) -----
+
+  /** PNG (\x89PNG) / JPEG (\xff\xd8\xff) magic-number sniff — the format
+    * detection gate in front of [[decodeImage]]; anything else keeps the
+    * honest stub path (audio/video codecs are genuinely absent). */
+  def isDecodableImage(payload: Array[Byte]): Boolean =
+    payload != null && payload.length >= 8 &&
+      (((payload(0) & 0xff) == 0x89 && payload(1) == 'P' &&
+          payload(2) == 'N' && payload(3) == 'G') ||
+        ((payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8 &&
+          (payload(2) & 0xff) == 0xff))
+
+  /** Decode an image payload with the JDK's ImageIO. None for non-image
+    * payloads (magic sniff) or undecodable bytes — callers fall back to
+    * [[stubDecode]], so a corrupt file degrades instead of failing the
+    * stage. */
+  def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    if (!isDecodableImage(payload)) None
+    else Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+
+  /** Pooled feature vector from REAL decoded pixels: per grid-cell RGB
+    * channel means (grid chosen so grid²·3 fills `dim`), L2-normalized —
+    * the classic pooled-activation shape a model embedding would produce,
+    * computed from pixel statistics instead. */
+  def imageFeature(img: java.awt.image.BufferedImage, dim: Int): Array[Float] = {
+    val grid = math.max(1, math.sqrt(dim / 3.0).toInt)
+    val sums = gridChannelSums(img, grid)
+    val counts = gridCellCounts(img.getWidth, img.getHeight, grid)
+    val v = new Array[Float](dim)
+    var c = 0
+    while (c < grid * grid && c * 3 + 2 < dim) {
+      val n = math.max(counts(c), 1L).toDouble
+      v(c * 3) = (sums(c)(0) / n / 255.0).toFloat
+      v(c * 3 + 1) = (sums(c)(1) / n / 255.0).toFloat
+      v(c * 3 + 2) = (sums(c)(2) / n / 255.0).toFloat
+      c += 1
+    }
+    val norm = math.sqrt(v.map(x => x.toDouble * x).sum)
+    if (norm > 0) { var j = 0; while (j < dim) { v(j) = (v(j) / norm).toFloat; j += 1 } }
+    v
+  }
+
+  /** Exact per-grid-cell RGB sums of a decoded image (cell of pixel (x,y)
+    * is `(y·grid div h)·grid + (x·grid div w)` — pure integer arithmetic,
+    * so an oracle can replay the sums from a generating formula). */
+  def gridChannelSums(img: java.awt.image.BufferedImage, grid: Int): Array[Array[Long]] = {
+    val w = img.getWidth; val h = img.getHeight
+    val sums = Array.fill(grid * grid)(new Array[Long](3))
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val cell = (y * grid / h) * grid + (x * grid / w)
+        sums(cell)(0) += (rgb >> 16) & 0xff
+        sums(cell)(1) += (rgb >> 8) & 0xff
+        sums(cell)(2) += rgb & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    sums
+  }
+
+  private def gridCellCounts(w: Int, h: Int, grid: Int): Array[Long] = {
+    val counts = new Array[Long](grid * grid)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { counts((y * grid / h) * grid + (x * grid / w)) += 1; x += 1 }
+      y += 1
+    }
+    counts
+  }
+
+  /** Batch image-decode statistics: (obj_id, payload) → one row per grid
+    * cell with exact integer RGB sums from the DECODED pixels. The unit the
+    * driver oracle checks: fixtures are real PNGs whose pixels follow an
+    * integer formula, PNG is lossless, so a DuckDB replay of the formula
+    * must reproduce these sums exactly — any decode defect (channel order,
+    * stride, color space) breaks the hash. Undecodable payloads are
+    * dropped (count them upstream if loss matters). */
+  def decodeImageStats(media: DataFrame, grid: Int = 4): DataFrame = {
+    import media.sparkSession.implicits._
+    media.select(col("obj_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-executor codec init would go here
+        it.flatMap { case (id, payload) =>
+          decodeImage(payload).iterator.flatMap { img =>
+            val w = img.getWidth; val h = img.getHeight
+            val sums = gridChannelSums(img, grid)
+            (0 until grid * grid).iterator.map { c =>
+              (id, w, h, c, sums(c)(0), sums(c)(1), sums(c)(2))
+            }
+          }
+        }
+      }
+      .toDF("obj_id", "width", "height", "cell", "r_sum", "g_sum", "b_sum")
+  }
+
+  /** Deterministic REAL-PNG test card: pixel (x, y) of card `seed` has
+    * channels `r = (3x+5y+7s) mod 256`, `g = (11x+13y+17s) mod 256`,
+    * `b = (19x+23y+29s) mod 256`, encoded losslessly with the JDK PNG
+    * writer. Decoding anywhere must reproduce the formula exactly — the
+    * fixture generator for decode-path oracles and specs. */
+  def testCardPng(seed: Int, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = (3 * x + 5 * y + 7 * seed) % 256
+        val g = (11 * x + 13 * y + 17 * seed) % 256
+        val b = (19 * x + 23 * y + 29 * seed) % 256
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
   }
 
   /** Frame sampling for video payloads: emits every `everyN`-th frame as

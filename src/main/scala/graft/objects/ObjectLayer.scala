@@ -107,6 +107,28 @@ class StubImageEmbedding(
     objects.map { case (id, payload) => (id, 0, decode(payload, dimensions)) }
 }
 
+/** REAL image embedding: payloads are decoded with the JDK's ImageIO
+  * ([[graft.multimodal.Multimodal.decodeImage]] — PNG/JPEG, no external
+  * codec) and pooled into per-grid-cell channel-mean features
+  * ([[graft.multimodal.Multimodal.imageFeature]]), the pooled-activation
+  * shape of the reference's model embeddings
+  * (embeddings/image_resnetv2_embedding.py:1-104) computed from pixel
+  * statistics. Payloads the sniffer rejects (non-image bytes, corrupt
+  * files) fall back to the byte-level stub so a mixed directory degrades
+  * instead of failing the build. */
+class ImageStatsEmbedding(val dimensions: Int = 48) extends ObjectEmbedding {
+  override def contentColumn: String = "payload"
+  override def embedBinary(objects: Iterator[(Long, Array[Byte])])
+      : Iterator[(Long, Int, Array[Float])] =
+    objects.map { case (id, payload) =>
+      val v = graft.multimodal.Multimodal.decodeImage(payload) match {
+        case Some(img) => graft.multimodal.Multimodal.imageFeature(img, dimensions)
+        case None      => graft.multimodal.Multimodal.stubDecode(payload, dimensions)
+      }
+      (id, 0, v)
+    }
+}
+
 /** Image-directory reader (reference: object_readers/directory_reader.py:507
   * `DirectoryImageReader`): one object per file under `dir`, read through
   * Spark's built-in `binaryFile` source — the scan carries (path, length,

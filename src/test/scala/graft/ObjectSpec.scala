@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.multimodal.Multimodal
-import graft.objects.{DirectoryImageReader, DocumentsTableReader, HashTextEmbedding, ObjectIndex, StubImageEmbedding}
+import graft.objects.{DirectoryImageReader, DocumentsTableReader, HashTextEmbedding, ImageStatsEmbedding, ObjectIndex, StubImageEmbedding}
 
 class ObjectSpec extends AnyFunSuite {
   import SparkTestSession._
@@ -338,6 +338,59 @@ class ObjectSpec extends AnyFunSuite {
     val v = f1(0).getSeq[Float](2)
     assert(math.abs(v.map(x => x * x).sum - 1.0f) < 1e-5)
     assert(f1(2).isNullAt(2))
+  }
+
+  test("real image decode: grid RGB sums reproduce the pixel formula") {
+    import spark.implicits._
+    val media = (0 until 6).map { i =>
+      (i.toLong, Multimodal.testCardPng(i, 16 + i, 12 + i))
+    }.toDF("obj_id", "payload")
+    val got = Multimodal.decodeImageStats(media, grid = 4)
+      .orderBy("obj_id", "cell")
+      .as[(Long, Int, Int, Int, Long, Long, Long)].collect()
+    assert(got.length === 6 * 16)
+    // driver-side replay of the formula: PNG is lossless, so the decoded
+    // sums must equal the generator's arithmetic exactly
+    val expected = for {
+      i <- 0 until 6; w = 16 + i; h = 12 + i
+      cell <- 0 until 16
+    } yield {
+      var (rs, gs, bs) = (0L, 0L, 0L)
+      for (y <- 0 until h; x <- 0 until w
+           if (y * 4 / h) * 4 + (x * 4 / w) == cell) {
+        rs += (3 * x + 5 * y + 7 * i) % 256
+        gs += (11 * x + 13 * y + 17 * i) % 256
+        bs += (19 * x + 23 * y + 29 * i) % 256
+      }
+      (i.toLong, w, h, cell, rs, gs, bs)
+    }
+    assert(got.toSeq === expected)
+  }
+
+  test("real image embedding: ImageIO-decoded PNGs index and self-retrieve") {
+    import spark.implicits._
+    val imgDir = Files.createTempDirectory("graft_realimgs")
+    for (i <- 0 until 12) {
+      Files.write(imgDir.resolve(f"card_$i%03d.png"),
+        Multimodal.testCardPng(i, 20 + 2 * i, 14 + i))
+    }
+    val reader = new DirectoryImageReader(imgDir.toString, "*.png")
+    val idx = ObjectIndex.create(spark, tmp(), reader, new ImageStatsEmbedding(48),
+      indexType = "FLAT",
+      metric = graft.operators.DistanceMetric.L2, timestamp = 1000L)
+    val queries = reader.readObjects(spark).where(col("external_id") < 4)
+      .select(col("external_id").as("qid"), col("payload"))
+    val top1 = idx.query(queries, k = 2).where(col("rank") === 1)
+      .select(col("qid"), col("external_id")).as[(Long, Long)].collect().toMap
+    (0L until 4L).foreach(q => assert(top1(q) === q, s"query $q should retrieve itself"))
+    // extractFeatures must route the PNG through the REAL decoder: the
+    // pooled-pixel feature differs from the byte-level stub signature
+    val png = Multimodal.testCardPng(0, 16, 12)
+    val viaPipeline = Multimodal
+      .extractFeatures(Seq((0L, "image", png)).toDF("obj_id", "modality", "payload"), 48)
+      .head().getSeq[Float](2)
+    assert(viaPipeline === Multimodal.imageFeature(Multimodal.decodeImage(png).get, 48).toSeq)
+    assert(viaPipeline !== Multimodal.stubDecode(png, 48).toSeq)
   }
 
   test("multimodal: frame sampling emits every Nth frame") {
