@@ -210,4 +210,25 @@ public final class VecKernels {
     float den = (float) Math.sqrt((double) na) * (float) Math.sqrt((double) nb);
     return den == 0.0f ? 1.0f : 1.0f - dot / den;
   }
+
+  /**
+   * Centered dot product in DOUBLE precision: sum_i (x[i] - m[i]) * c[i],
+   * accumulated strictly left-to-right. The PCA projection kernel — the
+   * sequential double fold IS the replayable contract (an oracle fold in
+   * another engine must reproduce the doubles bit-for-bit), so this stays
+   * a scalar loop on purpose: double-lane SIMD would reassociate the sum
+   * and break bit-equality. Still codegen'd — one virtual-free static call
+   * inside the whole-stage loop instead of three interpreted HOF lambdas
+   * per row.
+   */
+  public static double centeredDot(ArrayData x, ArrayData m, ArrayData c) {
+    int n = x.numElements();
+    checkDims(n, m.numElements());
+    checkDims(n, c.numElements());
+    double s = 0.0;
+    for (int i = 0; i < n; i++) {
+      s += (x.getDouble(i) - m.getDouble(i)) * c.getDouble(i);
+    }
+    return s;
+  }
 }

@@ -256,3 +256,44 @@ case class ScatterDense(indices: Expression, values: Expression, dims: Int)
       newLeft: Expression, newRight: Expression): ScatterDense =
     copy(indices = newLeft, values = newRight)
 }
+
+/** Centered dot product `Σᵢ (x[i] − m[i]) · c[i]` in DOUBLE precision,
+  * accumulated strictly left-to-right — the PCA projection kernel
+  * ([[graft.operators.EmbeddingOps.projectPca]]). The fold order is the
+  * bit-replayable contract, so the kernel is a sequential scalar loop
+  * (no SIMD reassociation); the win over the `zip_with`/`aggregate` HOF
+  * formulation it replaces is staying codegen'd — one static call in the
+  * whole-stage loop versus three interpreted lambda passes per row. */
+case class CenteredDot(vec: Expression, mean: Expression, comp: Expression)
+    extends TernaryExpression {
+  override def first: Expression = vec
+  override def second: Expression = mean
+  override def third: Expression = comp
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "centered_dot"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    val ok = Seq(vec, mean, comp).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"centered_dot requires three array<double> arguments, got " +
+        Seq(vec, mean, comp).map(_.dataType.catalogString).mkString(", "))
+  }
+
+  override protected def nullSafeEval(x: Any, m: Any, c: Any): Any =
+    VecKernels.centeredDot(x.asInstanceOf[ArrayData],
+      m.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (x, m, c) => s"graft.functions.VecKernels.centeredDot($x, $m, $c)")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): CenteredDot =
+    copy(vec = f, mean = s, comp = t)
+}

@@ -31,6 +31,11 @@ package object functions {
 
   def vector_norm(a: Column): Column = toColumn(L2Norm(toExpression(a)))
 
+  /** Centered dot `Σ (x−m)·c` in double, strict left fold (PCA projection
+    * kernel — bit-replayable by an oracle fold). */
+  def centered_dot(x: Column, mean: Column, comp: Column): Column =
+    toColumn(CenteredDot(toExpression(x), toExpression(mean), toExpression(comp)))
+
   def vector_normalize(a: Column): Column = toColumn(NormalizeVector(toExpression(a)))
 
   /** Grouped top-k: keeps the k smallest (score, id) pairs per group.

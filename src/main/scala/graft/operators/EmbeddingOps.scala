@@ -56,7 +56,11 @@ object EmbeddingOps {
 
   /** Project every row onto the persisted components, long format:
     * `(id, comp_idx, proj)` — k rows per input. The fold order (center →
-    * elementwise product → left-fold sum) is the replayable contract. */
+    * elementwise product → left-fold sum) is the replayable contract,
+    * evaluated by the codegen'd [[graft.functions.CenteredDot]] kernel —
+    * one static double loop inside the whole-stage span instead of three
+    * interpreted HOF lambda passes per row×component (same doubles: the
+    * fused loop performs the identical operation sequence). */
   def projectPca(
       df: DataFrame,
       uri: String,
@@ -67,13 +71,9 @@ object EmbeddingOps {
       .head().getSeq[Double](0)
     val comps = spark.read.parquet(s"$uri/components")
     val meanLit = typedlit(mean)
-    val centered = zip_with(col(vecCol).cast("array<double>"), meanLit,
-      (a, b) => a - b)
-    df.select(col(idCol), centered.as("__c"))
+    df.select(col(idCol), col(vecCol).cast("array<double>").as("__x"))
       .crossJoin(broadcast(comps))
       .select(col(idCol), col("comp_idx"),
-        aggregate(
-          zip_with(col("__c"), col("comp"), (a, b) => a * b),
-          lit(0.0), (acc, v) => acc + v).as("proj"))
+        graft.functions.centered_dot(col("__x"), meanLit, col("comp")).as("proj"))
   }
 }
