@@ -81,6 +81,8 @@ package object functions {
     }, "built-in")
     reg.createOrReplaceTempFunction("stopword_vote",
       es => graft.text.StopwordVote(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("char_trigram_counts",
+      es => graft.text.CharTrigramCounts(es(0)), "built-in")
     reg.createOrReplaceTempFunction("min_topk", es => {
       val k = es(2) match {
         case Literal(v: Int, _) => v

@@ -63,6 +63,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => graft.text.WinnowFingerprint(es(0))))
     e.injectFunction((FunctionIdentifier("fnv64"), info("fnv64"),
       (es: Seq[Expression]) => graft.text.Fnv64Hash(es(0))))
+    e.injectFunction((FunctionIdentifier("char_trigram_counts"), info("char_trigram_counts"),
+      (es: Seq[Expression]) => graft.text.CharTrigramCounts(es(0))))
     e.injectFunction((FunctionIdentifier("positional_shingles"), info("positional_shingles"),
       (es: Seq[Expression]) => es match {
         case Seq(t) => graft.text.PositionalShingles(t)

@@ -18,12 +18,18 @@ import org.apache.spark.sql.functions._
   * scoring bit-for-bit from the persisted model without ever calling `ln`
   * (libm and java.lang.Math disagree in the last ulp; integers don't).
   *
-  * Scale shape: training is explode → hash-aggregate (map-side partial
-  * combine; state bounded by the trigram vocabulary, ≤ charset³, NOT the
-  * corpus). Scoring is explode → broadcast join against the
-  * vocabulary-bounded model → per-document re-aggregate; the corpus
-  * shuffles once on doc_id with partial aggregation, the model never
-  * shuffles. At 100 TB both passes stay linear with no all-pairs or
+  * Scale shape: both passes front-load a per-document gram→count partial
+  * aggregation ([[CharTrigramCounts]], one pass over the text) so the
+  * exploded row count scales with DISTINCT grams per document, not
+  * characters — the join probes and the per-document re-aggregate shrink
+  * by the corpus' mean gram duplication factor, and the integer sums stay
+  * exactly `Σ cnt·logp`. Training is then a hash-aggregate (map-side
+  * partial combine; state bounded by the trigram vocabulary, ≤ charset³,
+  * NOT the corpus). Scoring joins the model tables broadcast when they fit
+  * under `spark.graft.maxBroadcastBytes` and falls back to a shuffle-hash
+  * join above it (large/CJK charsets can push the trigram vocabulary past
+  * broadcast size); the corpus shuffles once on doc_id with partial
+  * aggregation. At 100 TB both passes stay linear with no all-pairs or
   * global-sort stage anywhere.
   */
 object LangModel {
@@ -48,8 +54,9 @@ object LangModel {
       textCol: String = "text"): Unit = {
     val spark = train.sparkSession
     val grams = train
-      .select(explode(trigramArray(col(textCol))).as("gram"))
-    val c3 = grams.groupBy("gram").agg(count(lit(1)).as("c3"))
+      .select(explode(charTrigramCounts(col(textCol))).as("gc"))
+      .select(col("gc.gram").as("gram"), col("gc.cnt").as("cnt"))
+    val c3 = grams.groupBy("gram").agg(sum("cnt").as("c3"))
       .withColumn("ctx", substring(col("gram"), 1, 2))
       .withColumn("third", substring(col("gram"), 3, 1))
     val c2 = c3.groupBy("ctx").agg(sum("c3").as("c2"))
@@ -87,20 +94,26 @@ object LangModel {
     val model2 = spark.read.parquet(s"$uri/model2")
     val meta = spark.read.parquet(s"$uri/meta")
     val logp0 = meta.select("logp0_micro").head().getLong(0)
+    // one row per DISTINCT gram per document ([[CharTrigramCounts]]), not
+    // one per character — the partial aggregation that keeps join-probe
+    // volume at `Σ distinct grams` while `Σ cnt·lp` reproduces the
+    // per-instance integer sum exactly
     val grams = docs.select(col(idCol),
-        explode(trigramArray(col(textCol))).as("gram"))
+        explode(charTrigramCounts(col(textCol))).as("gc"))
+      .select(col(idCol), col("gc.gram").as("gram"), col("gc.cnt").as("cnt"))
       .withColumn("ctx", substring(col("gram"), 1, 2))
-    // model tables are vocabulary-bounded (≤ charset³ rows) — broadcast by
-    // construction; the corpus side never shuffles for the lookups
+    // model tables are vocabulary-bounded (≤ charset³ rows) — usually
+    // broadcast-sized, but a large/CJK charset can exceed it, so the
+    // broadcast is gated with a shuffle-hash fallback
     val scored = grams
-      .join(broadcast(model3.select("gram", "logp_micro")), Seq("gram"), "left")
-      .join(broadcast(model2), Seq("ctx"), "left")
-      .select(col(idCol),
+      .join(gatedModelSide(spark, model3.select("gram", "logp_micro")), Seq("gram"), "left")
+      .join(gatedModelSide(spark, model2), Seq("ctx"), "left")
+      .select(col(idCol), col("cnt"),
         coalesce(col("logp_micro"), col("unseen_logp_micro"), lit(logp0))
           .as("lp"))
     val agg = scored.groupBy(idCol).agg(
-      count(lit(1)).as("n_grams"),
-      sum("lp").as("sum_logp_micro"))
+      sum("cnt").as("n_grams"),
+      sum(col("cnt") * col("lp")).as("sum_logp_micro"))
     docs.select(col(idCol)).join(agg, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),
@@ -109,9 +122,28 @@ object LangModel {
           col("n_grams").cast("double")).as("avg_logp"))
   }
 
+  /** Model-side join input: broadcast below the engine-wide
+    * `spark.graft.maxBroadcastBytes` gate (plan-stats estimate, reflects
+    * the parquet file sizes), shuffle-hash join above it. */
+  private def gatedModelSide(spark: SparkSession, df: DataFrame): DataFrame = {
+    val max = graft.Conf.long(spark,
+      graft.Conf.MaxBroadcastBytesKey, graft.Conf.DefaultMaxBroadcastBytes)
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(max))
+      broadcast(df)
+    else df.hint("shuffle_hash")
+  }
+
+  /** Per-document gram→count array ([[CharTrigramCounts]] — the one-pass
+    * partial-aggregation front of both passes). */
+  private def charTrigramCounts(text: Column): Column =
+    org.apache.spark.sql.graftshim.toColumn(CharTrigramCounts(
+      org.apache.spark.sql.graftshim.toExpression(text)))
+
   /** Sliding lowercased trigram array (duplicates preserved, empty for
     * short docs) — `transform` over an index sequence, pure codegen-able
-    * higher-order functions, no UDF. */
+    * higher-order functions, no UDF. Kept as the semantic reference for
+    * [[CharTrigramCounts]] (spec-asserted equivalent) and the shape the
+    * DuckDB oracles replay. */
   def trigramArray(text: Column): Column = {
     val t = lower(text)
     val n = length(t)

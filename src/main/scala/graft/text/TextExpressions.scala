@@ -318,3 +318,61 @@ case class ShingleSet3(child: Expression) extends UnaryExpression with CodegenFa
   override protected def withNewChildInternal(newChild: Expression): ShingleSet3 =
     copy(child = newChild)
 }
+
+/** Per-document character-trigram COUNTS in one pass:
+  * `array<struct<gram:string, cnt:long>>` over the lowercased text, one
+  * entry per DISTINCT trigram (first-occurrence order), duplicates
+  * counted.
+  *
+  * The partial-aggregation front of [[LangModel]]: exploding this array
+  * produces one row per distinct gram per document instead of one row per
+  * CHARACTER, so the model-join probe count and the per-document
+  * re-aggregate shrink by the corpus' mean gram duplication factor while
+  * the downstream integer sums stay exactly `Σ cnt·logp`. Lowercasing and
+  * slicing use the same UTF8String kernels as Spark's `lower`/`substr`
+  * ([[LangModel.trigramArray]]'s pinned semantics — the DuckDB oracles
+  * replay them). */
+case class CharTrigramCounts(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"char_trigram_counts requires string, got ${other.catalogString}")
+    }
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("gram", StringType, nullable = false),
+      StructField("cnt", LongType, nullable = false))),
+    containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "char_trigram_counts"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val t = v.asInstanceOf[UTF8String].toLowerCase
+    val n = t.numChars()
+    if (n < 3) return new GenericArrayData(Array.empty[Any])
+    val counts = new java.util.LinkedHashMap[UTF8String, Long]()
+    var i = 1
+    while (i <= n - 2) {
+      val g = t.substringSQL(i, 3)
+      counts.merge(g, 1L, (a, b) => a + b)
+      i += 1
+    }
+    val out = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](e.getKey, e.getValue))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CharTrigramCounts =
+    copy(child = newChild)
+}

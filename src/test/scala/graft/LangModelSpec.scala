@@ -68,6 +68,21 @@ class LangModelSpec extends AnyFunSuite {
     assert(row.getLong(2) === logp0)
   }
 
+  test("char_trigram_counts equals the trigramArray multiset on real docs") {
+    import spark.implicits._
+    graft.functions.registerAll(spark)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val viaArray = docs.select(col("doc_id"),
+        explode(LangModel.trigramArray(col("text"))).as("gram"))
+      .groupBy("doc_id", "gram").count()
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val viaCounts = docs.selectExpr("doc_id", "char_trigram_counts(text) AS gc")
+      .select(col("doc_id"), explode(col("gc")).as("g"))
+      .select(col("doc_id"), col("g.gram"), col("g.cnt"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(viaCounts === viaArray)
+  }
+
   test("scoring keeps every input document (left-outer, zero-gram nulls)") {
     import spark.implicits._
     val tiny = Seq((1L, "hello world"), (2L, "ab")).toDF("doc_id", "text")
