@@ -23,10 +23,14 @@ import org.apache.spark.sql.functions._
   *    bucket width bounds each hash cell so AQE's skew split applies.
   *
   * Scale posture: both shuffle by the join keys, so a single pathological
-  * key (one user with a billion events) concentrates in one task — the
-  * standard remedy (salting the band join's bucket key, or splitting the
-  * as-of window by coarse time range then stitching boundaries) composes on
-  * top without changing either contract.
+  * key (one user with a billion events) concentrates in one task. The band
+  * join SHIPS the remedy: `salt > 1` splits every (key, bucket) hash cell
+  * across `salt` sub-cells by right-row hash (left rows replicate to every
+  * sub-cell), flattening hot-cell task time by ~`salt` for identical
+  * results — including the identical-timestamp pileup a time-subdivision
+  * scheme cannot split. The as-of remedy (coarse time-range split, stitch
+  * the boundary row per range) still composes on top without changing the
+  * contract.
   */
 object AsOfJoin {
 
@@ -65,6 +69,12 @@ object AsOfJoin {
       forward: Boolean = false): DataFrame = {
     require(keys.nonEmpty, "graft: asOf needs at least one equi-key")
     require(rightCols.nonEmpty, "graft: asOf needs right columns to carry")
+    // a non-numeric tie-breaker would cast to null below and silently break
+    // the determinism contract for equal-timestamp matches — fail fast
+    val tieType = right.schema(tieBreaker).dataType
+    require(Seq("byte", "short", "int", "long").contains(tieType.typeName),
+      s"graft: asOf tieBreaker '$tieBreaker' must be an integral column " +
+        s"(the equal-ts total order), got ${tieType.catalogString}")
     val payloadCols = (rightCols :+ rightTs).distinct
     val l = left.select(
       keys.map(col) ++ Seq(
@@ -117,6 +127,13 @@ object AsOfJoin {
     * is a plain equi-join on `(keys, bucket)`, and the exact predicate
     * filters the residue. Output: left columns prefixed `l_`, right columns
     * prefixed `r_` (keys once, unprefixed).
+    *
+    * `salt > 1` splits each (key, bucket) hash cell into `salt` sub-cells:
+    * every right row lands in ONE sub-cell (by row hash — deterministic,
+    * and effective even when the pileup is a single repeated timestamp),
+    * every left row replicates to all of them. Identical result set, left
+    * shuffle volume ×`salt`, hot-cell task time ÷~`salt` — turn it on for
+    * skewed keys when AQE's skew split isn't enough.
     */
   def timeBandJoin(
       left: DataFrame,
@@ -124,26 +141,34 @@ object AsOfJoin {
       keys: Seq[String],
       leftTs: String,
       rightTs: String,
-      band: Long): DataFrame = {
+      band: Long,
+      salt: Int = 1): DataFrame = {
     require(band > 0, s"graft: timeBandJoin band must be positive, got $band")
     require(keys.nonEmpty, "graft: timeBandJoin needs at least one equi-key")
-    // Exact floor division: (x - pmod(x, band)) is a long multiple of band,
-    // so the double division returns the integer bucket exactly (no
-    // truncate-toward-zero or large-epoch double-rounding hazards).
-    def bucket(ts: Column): Column = {
+    require(salt >= 1, s"graft: timeBandJoin salt must be >= 1, got $salt")
+    // Bucket identity is the bucket START `x - pmod(x, band)` — a long
+    // multiple of `band` in pure integer arithmetic. Equal starts ⟺ equal
+    // ⌊x/band⌋, with no division anywhere: a double quotient would go
+    // inexact past 2^53 (nano-epoch × small band truncates to bucket−1 and
+    // silently drops pairs).
+    def bucketStart(ts: Column): Column = {
       val x = ts.cast("long")
-      ((x - pmod(x, lit(band))) / band).cast("long")
+      x - pmod(x, lit(band))
     }
-    val l = left.select(
+    val lStart = bucketStart(col("__l").getField(leftTs))
+    val l0 = left.select(
       keys.map(col) ++ Seq(struct(left.columns.map(col).toIndexedSeq: _*).as("__l")): _*)
-      .withColumn("__bucket",
-        explode(array(
-          bucket(col("__l").getField(leftTs)),
-          bucket(col("__l").getField(leftTs)) + 1)))
-    val r = right.select(
+      .withColumn("__bucket", explode(array(lStart, lStart + band)))
+    val r0 = right.select(
       keys.map(col) ++ Seq(struct(right.columns.map(col).toIndexedSeq: _*).as("__r")): _*)
-      .withColumn("__bucket", bucket(col("__r").getField(rightTs)))
-    val joined = l.join(r, keys :+ "__bucket")
+      .withColumn("__bucket", bucketStart(col("__r").getField(rightTs)))
+    val (l, r, joinKeys) =
+      if (salt == 1) (l0, r0, keys :+ "__bucket")
+      else (
+        l0.withColumn("__salt", explode(array((0 until salt).map(lit): _*))),
+        r0.withColumn("__salt", pmod(hash(col("__r")), lit(salt))),
+        keys ++ Seq("__bucket", "__salt"))
+    val joined = l.join(r, joinKeys)
       .where(col("__r").getField(rightTs) >= col("__l").getField(leftTs) &&
         col("__r").getField(rightTs) <= col("__l").getField(leftTs) + band)
     val lCols = left.columns.filterNot(keys.contains)

@@ -78,6 +78,48 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out.count() === out.distinct().count())
   }
 
+  test("salted band join: identical result on a skewed key, hot cell split ~salt-ways") {
+    import spark.implicits._
+    // one pathological key: 20k right rows piled into a single (key,
+    // bucket) cell — many at the SAME timestamp, the case time
+    // subdivision can't split
+    val hotR = (0 until 20000).map(i => (7L, 100L + i % 3, i.toLong)).toDF("key", "ts", "rid")
+    val coldR = (0 until 50).map(i => (8L, 100L + i, 100000L + i)).toDF("key", "ts", "rid")
+    val skewR = hotR.union(coldR)
+    val skewL = Seq((7L, 101L, 1L), (7L, 40L, 2L), (8L, 120L, 3L))
+      .toDF("key", "ts", "lid")
+    val flat = AsOfJoin.timeBandJoin(skewL, skewR, Seq("key"), "ts", "ts", band = 50L)
+      .select("l_lid", "r_rid").as[(Long, Long)].collect().toSet
+    val salted = AsOfJoin.timeBandJoin(skewL, skewR, Seq("key"), "ts", "ts",
+        band = 50L, salt = 8)
+      .select("l_lid", "r_rid").as[(Long, Long)].collect().toSet
+    assert(salted === flat)
+    assert(flat.size > 13000) // lid 1 matches the ts∈{101,102} hot pile
+    // task-size proxy: the max (key, bucket[, salt]) cell on the right
+    // side shrinks ~salt-fold, so no single task owns the pile
+    def maxCell(groupCols: Seq[org.apache.spark.sql.Column]): Long = {
+      val start = col("ts") - pmod(col("ts"), lit(50L))
+      skewR.withColumn("__bucket", start)
+        .withColumn("__salt", pmod(hash(struct(col("ts"), col("rid"))), lit(8)))
+        .groupBy(groupCols: _*).count().agg(max("count")).head().getLong(0)
+    }
+    val unsaltedMax = maxCell(Seq(col("key"), col("__bucket")))
+    val saltedMax = maxCell(Seq(col("key"), col("__bucket"), col("__salt")))
+    assert(unsaltedMax >= 6000, s"fixture should be skewed, got $unsaltedMax")
+    assert(saltedMax * 4 <= unsaltedMax,
+      s"salting should split the hot cell: $unsaltedMax -> $saltedMax")
+  }
+
+  test("as-of rejects a non-integral tie-breaker instead of nulling it") {
+    import spark.implicits._
+    val rStr = Seq((1L, 10L, "a")).toDF("key", "ts", "rid")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(left, rStr, Seq("key"), "ts", "ts",
+        rightCols = Seq("rid"), tieBreaker = "rid")
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("as-of plan is one shuffle + running window, no cartesian/NLJ") {
     val plan = AsOfJoin.asOf(left, right, Seq("key"), "ts", "ts",
       rightCols = Seq("rid"), tieBreaker = "rid")
