@@ -39,6 +39,10 @@ object SparkEntry {
     * testCardPng(i, 16+i, 12+i)); the oracle replays the pixel formula. */
   private val CardN = 40
 
+  /** Tone count of the REAL-WAV decode fixture (tone i is a
+    * testToneWav(i, 400+16i)); the oracle replays the sample formula. */
+  private val ToneN = 30
+
   private def knnFlat(metric: DistanceMetric)(spark: SparkSession, dir: String): DataFrame = {
     val db = emb(spark, dir)
     val queries = db.where(col("vec_id") < NQ)
@@ -858,6 +862,29 @@ object SparkEntry {
       .orderBy("obj_id", "cell")
   }
 
+  /** REAL WAV decode through the full Spark pipeline — the audio twin of
+    * [[multimodalImageDecode]]: fixtures are
+    * [[graft.multimodal.Multimodal.testToneWav]] formula tones encoded by
+    * the JDK WAV writer, decoded with javax.sound.sampled
+    * ([[graft.multimodal.Multimodal.decodeAudioStats]]); PCM is lossless,
+    * so the DuckDB oracle replays the per-window |sample| sums from the
+    * formula alone. */
+  private def multimodalAudioDecode(spark: SparkSession, dir: String): DataFrame = {
+    val root = cachedIndex("wavreal", dir) { u =>
+      val d = new java.io.File(s"$u/tones"); d.mkdirs()
+      for (i <- 0 until ToneN) {
+        Files.write(d.toPath.resolve(f"tone_$i%04d.wav"),
+          graft.multimodal.Multimodal.testToneWav(i, 400 + 16 * i))
+      }
+    }
+    val media = graft.index.Ingest.withSyntheticIds(
+        spark.read.format("binaryFile").load(s"$root/tones")
+          .select(col("path"), col("content").as("payload")), "path")
+      .select(col("external_id").as("obj_id"), col("payload"))
+    graft.multimodal.Multimodal.decodeAudioStats(media, windows = 16)
+      .orderBy("obj_id", "window")
+  }
+
   // ----- text analysis / dedup operators (documents + embeddings tables) -----
 
   private def textTokenCount(spark: SparkSession, dir: String): DataFrame =
@@ -1259,6 +1286,7 @@ object SparkEntry {
     "object_search_image" -> (objectSearchImage _),
     "multimodal_features" -> (multimodalFeatures _),
     "multimodal_image_decode" -> (multimodalImageDecode _),
+    "multimodal_audio_decode" -> (multimodalAudioDecode _),
     "q1_agg" -> (q1Agg _),
     "q_join_revenue" -> (qJoinRevenue _),
     "q_top_customers" -> (qTopCustomers _),
@@ -1856,6 +1884,24 @@ object SparkEntry {
          |  sum(r)::BIGINT AS r_sum, sum(g)::BIGINT AS g_sum, sum(b)::BIGINT AS b_sum
          |FROM px GROUP BY obj_id, cell
          |ORDER BY obj_id, cell""".stripMargin,
+    // Real-WAV replay: regenerate the tone formula and re-aggregate the
+    // per-window |sample| sums — the engine's numbers come from
+    // javax.sound.sampled-decoded PCM of real WAV bytes, so equality
+    // proves the decode (PCM is lossless). Max tone is 864 samples, so
+    // the fixed range covers every j. sample_rate pins the header parse.
+    "multimodal_audio_decode" ->
+      s"""WITH tones AS (
+         |  SELECT i::BIGINT AS obj_id, (400 + 16*i)::BIGINT AS n
+         |  FROM range(0, $ToneN) t(i)),
+         |s AS (
+         |  SELECT obj_id, n,
+         |    ((j * 16) // n)::INT AS w,
+         |    abs(((j * (3 + obj_id) + 7 * obj_id) % 2048) - 1024) AS a
+         |  FROM tones CROSS JOIN range(0, 864) rj(j) WHERE j < n)
+         |SELECT obj_id, 8000 AS sample_rate, max(n)::BIGINT AS n_samples,
+         |  w AS "window", sum(a)::BIGINT AS abs_sum
+         |FROM s GROUP BY obj_id, w
+         |ORDER BY obj_id, w""".stripMargin,
     "multimodal_features" ->
       """WITH RECURSIVE b AS (
         |  SELECT doc_id, list_transform(range(1, length(text)+1), i -> ord(substring(text, i::INT, 1))) AS bytes

@@ -10,10 +10,11 @@ import org.apache.spark.sql.types._
   * object_readers/bioimage_reader.py, directory_reader.py
   * DirectoryImageReader — and of `mapInPandas` batch UDFs in PySpark).
   *
-  * IMAGE decode is REAL: `decodeImage` uses the JDK's `javax.imageio`
-  * (PNG/JPEG need no external codec) behind a magic-number sniff, and
-  * `imageFeature`/`decodeImageStats` pool exact pixel statistics from the
-  * decoded raster. AUDIO/VIDEO decode remains a clearly-marked
+  * IMAGE and WAV-AUDIO decode are REAL: `decodeImage` uses the JDK's
+  * `javax.imageio` (PNG/JPEG) and `decodeWav` the JDK's
+  * `javax.sound.sampled` (16-bit PCM WAV) — both behind magic-number
+  * sniffs, pooling exact pixel/amplitude statistics from the decoded
+  * raster/PCM. VIDEO (and non-WAV audio) decode remains a clearly-marked
   * deterministic STUB (`stubDecode` — the container genuinely lacks those
   * codecs); everything around it — schema, batching, partitioning,
   * null/short-payload handling, the feature column contract — is the real
@@ -89,7 +90,10 @@ object Multimodal {
             if (payload == null) null
             else decodeImage(payload) match {
               case Some(img) => imageFeature(img, dim).toSeq
-              case None      => stubDecode(payload, dim).toSeq
+              case None => decodeWav(payload) match {
+                case Some((_, samples)) => audioFeature(samples, dim).toSeq
+                case None               => stubDecode(payload, dim).toSeq
+              }
             })
         }
       }
@@ -201,12 +205,129 @@ object Multimodal {
       .toDF("obj_id", "width", "height", "cell", "r_sum", "g_sum", "b_sum")
   }
 
+  // ----- real audio decode (javax.sound.sampled — also in the JDK; WAV
+  // PCM needs no external codec) -----
+
+  /** RIFF/WAVE magic sniff — the gate in front of [[decodeWav]]. */
+  def isDecodableAudio(payload: Array[Byte]): Boolean =
+    payload != null && payload.length >= 12 &&
+      payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' &&
+      payload(3) == 'F' && payload(8) == 'W' && payload(9) == 'A' &&
+      payload(10) == 'V' && payload(11) == 'E'
+
+  /** Decode a WAV payload with the JDK's AudioSystem to
+    * `(sampleRate, samples)` — 16-bit little-endian PCM only (the WAV
+    * baseline); anything else returns None and callers fall back to the
+    * byte-level stub. Multi-channel frames stay interleaved. */
+  def decodeWav(payload: Array[Byte]): Option[(Int, Array[Int])] =
+    if (!isDecodableAudio(payload)) None
+    else try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian) None
+        else {
+          val bytes = in.readAllBytes()
+          val n = bytes.length / 2
+          val out = new Array[Int](n)
+          var i = 0
+          while (i < n) {
+            out(i) = (bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xff)
+            i += 1
+          }
+          Some((fmt.getSampleRate.toInt, out))
+        }
+      } finally in.close()
+    } catch { case _: Exception => None }
+
+  /** Pooled feature vector from REAL decoded samples: per-window mean
+    * absolute amplitude (window of sample j is `j·dim div n`), scaled to
+    * [0, 1] and L2-normalized — the audio analogue of [[imageFeature]]. */
+  def audioFeature(samples: Array[Int], dim: Int): Array[Float] = {
+    val v = new Array[Float](dim)
+    val n = samples.length
+    if (n == 0) return v
+    val sums = new Array[Long](dim)
+    val counts = new Array[Long](dim)
+    var j = 0
+    while (j < n) {
+      val w = (j.toLong * dim / n).toInt
+      sums(w) += math.abs(samples(j)); counts(w) += 1
+      j += 1
+    }
+    var w = 0
+    while (w < dim) {
+      if (counts(w) > 0) v(w) = (sums(w).toDouble / counts(w) / 32768.0).toFloat
+      w += 1
+    }
+    val norm = math.sqrt(v.map(x => x.toDouble * x).sum)
+    if (norm > 0) { var k = 0; while (k < dim) { v(k) = (v(k) / norm).toFloat; k += 1 } }
+    v
+  }
+
+  /** Batch audio-decode statistics: (obj_id, payload) → one row per
+    * amplitude window with the exact integer |sample| sum from the DECODED
+    * PCM — the audio twin of [[decodeImageStats]], oracle-checkable when
+    * fixtures are [[testToneWav]] formula tones (WAV PCM is lossless). */
+  def decodeAudioStats(media: DataFrame, windows: Int = 16): DataFrame = {
+    import media.sparkSession.implicits._
+    media.select(col("obj_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          decodeWav(payload).iterator.flatMap { case (rate, samples) =>
+            val n = samples.length
+            val sums = new Array[Long](windows)
+            var j = 0
+            while (j < n) {
+              sums((j.toLong * windows / n).toInt) += math.abs(samples(j))
+              j += 1
+            }
+            (0 until windows).iterator.map(w => (id, rate, n.toLong, w, sums(w)))
+          }
+        }
+      }
+      .toDF("obj_id", "sample_rate", "n_samples", "window", "abs_sum")
+  }
+
+  /** Deterministic REAL-WAV test tone: sample j of tone `seed` is
+    * `((j·(3+seed) + 7·seed) mod 2048) − 1024`, encoded as 16-bit mono
+    * little-endian PCM through the JDK WAV writer. Decoding anywhere must
+    * reproduce the formula exactly — the fixture generator for
+    * decode-path oracles and specs. */
+  def testToneWav(seed: Int, n: Int, sampleRate: Int = 8000): Array[Byte] = {
+    val pcm = new Array[Byte](n * 2)
+    var j = 0
+    while (j < n) {
+      val s = ((j * (3 + seed) + 7 * seed) % 2048) - 1024
+      pcm(2 * j) = (s & 0xff).toByte
+      pcm(2 * j + 1) = ((s >> 8) & 0xff).toByte
+      j += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
   /** Deterministic REAL-PNG test card: pixel (x, y) of card `seed` has
     * channels `r = (3x+5y+7s) mod 256`, `g = (11x+13y+17s) mod 256`,
     * `b = (19x+23y+29s) mod 256`, encoded losslessly with the JDK PNG
     * writer. Decoding anywhere must reproduce the formula exactly — the
     * fixture generator for decode-path oracles and specs. */
   def testCardPng(seed: Int, w: Int, h: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(testCardImage(seed, w, h), "png", out)
+    out.toByteArray
+  }
+
+  /** The raster behind [[testCardPng]] — reused by the TIFF pyramid
+    * fixtures ([[graft.objects.TiffPyramidReader]] specs). */
+  def testCardImage(seed: Int, w: Int, h: Int): java.awt.image.BufferedImage = {
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
@@ -221,9 +342,7 @@ object Multimodal {
       }
       y += 1
     }
-    val out = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", out)
-    out.toByteArray
+    img
   }
 
   /** Frame sampling for video payloads: emits every `everyN`-th frame as

@@ -367,3 +367,126 @@ class DocumentsTableReader(
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars")),
         Seq("doc_id"))
 }
+
+/** REAL bioimage pyramid reader: multi-page TIFF files decoded with the
+  * JDK's ImageIO TIFF plugin (part of `javax.imageio` since Java 9 — no
+  * external codec). Page `level` of each file is the pyramid level (the
+  * OME-TIFF sub-resolution convention the reference's
+  * object_readers/bioimage_reader.py reads via tifffile/zarr); each tile
+  * is decoded through an ImageIO `sourceRegion` RECT read — only the
+  * requested sub-raster decompresses, the JVM analogue of a zarr chunk
+  * read — and re-encoded as a lossless PNG payload, so downstream
+  * embeddings ([[ImageStatsEmbedding]]) run on real pixels.
+  *
+  * [[BioimageDirectoryReader]] remains the honest STUB for the formats
+  * this container truly cannot decode (OME-zarr, proprietary scanners);
+  * same id scheme (`image_id · tileStride + tile`), same schema, so the
+  * two are drop-in interchangeable. */
+class TiffPyramidReader(
+    dir: String,
+    glob: String = "*.tif*",
+    level: Int = 0,
+    tileSize: Int = 256,
+    tileStride: Long = 100000L) extends ObjectReader {
+  require(level >= 0 && tileSize > 0)
+
+  override def readObjects(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val l = level; val ts = tileSize; val stride = tileStride
+    val files = graft.index.Ingest.withSyntheticIds(
+      spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(dir)
+        .select(col("path"), col("content")),
+      "path")
+      .select(col("external_id").as("image_id"), col("path"), col("content"))
+    files.as[(Long, String, Array[Byte])].flatMap { case (imageId, path, content) =>
+      TiffPyramidReader.withReader(content) { (reader, nPages) =>
+        require(l < nPages,
+          s"graft: $path has $nPages pyramid pages, level $l requested")
+        val w = reader.getWidth(l); val h = reader.getHeight(l)
+        val tilesX = (w + ts - 1) / ts; val tilesY = (h + ts - 1) / ts
+        val n = tilesX * tilesY
+        require(n < stride,
+          s"graft: $path yields $n tiles at level $l >= tileStride $stride — " +
+            "raise tileStride or read a higher pyramid level")
+        (0 until n).map { t =>
+          val tx = t % tilesX; val ty = t / tilesX
+          val param = reader.getDefaultReadParam
+          param.setSourceRegion(new java.awt.Rectangle(tx * ts, ty * ts,
+            math.min(ts, w - tx * ts), math.min(ts, h - ty * ts)))
+          val tile = reader.read(l, param)
+          val buf = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(tile, "png", buf)
+          (imageId * stride + t, imageId, path, l, tx, ty, w, h, buf.toByteArray)
+        }
+      }.iterator
+    }.toDF("external_id", "image_id", "path", "level", "tile_x", "tile_y",
+      "level_width", "level_height", "payload")
+  }
+
+  /** Geometry pass: page headers only — `getWidth`/`getHeight` parse the
+    * TIFF IFD without decompressing any raster strip. */
+  override def readMetadata(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val l = level; val ts = tileSize; val stride = tileStride
+    val files = graft.index.Ingest.withSyntheticIds(
+      spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(dir)
+        .select(col("path"), col("content")),
+      "path")
+      .select(col("external_id").as("image_id"), col("path"), col("content"))
+    files.as[(Long, String, Array[Byte])].flatMap { case (imageId, path, content) =>
+      TiffPyramidReader.withReader(content) { (reader, nPages) =>
+        require(l < nPages,
+          s"graft: $path has $nPages pyramid pages, level $l requested")
+        val w = reader.getWidth(l); val h = reader.getHeight(l)
+        val tilesX = (w + ts - 1) / ts; val tilesY = (h + ts - 1) / ts
+        val n = tilesX * tilesY
+        require(n < stride,
+          s"graft: $path yields $n tiles at level $l >= tileStride $stride")
+        (0 until n).map { t =>
+          (imageId * stride + t, imageId, path, l, t % tilesX, t / tilesX, w, h)
+        }
+      }.iterator
+    }.toDF("external_id", "image_id", "path", "level", "tile_x", "tile_y",
+      "level_width", "level_height")
+  }
+}
+
+object TiffPyramidReader {
+
+  /** Run `f` with an ImageIO reader over `content`, disposing afterwards. */
+  def withReader[A](content: Array[Byte])(
+      f: (javax.imageio.ImageReader, Int) => A): A = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(content))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      require(readers.hasNext, "graft: no ImageIO reader accepts this payload")
+      val reader = readers.next()
+      try { reader.setInput(iis); f(reader, reader.getNumImages(true)) }
+      finally reader.dispose()
+    } finally iis.close()
+  }
+
+  /** Encode `pages` as one multi-page TIFF with the JDK TIFF writer —
+    * the pyramid fixture generator for specs (page l = level l). */
+  def writePyramidTiff(pages: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+    require(pages.nonEmpty, "graft: pyramid needs at least one page")
+    val writers = javax.imageio.ImageIO.getImageWritersByFormatName("tiff")
+    require(writers.hasNext, "graft: JDK TIFF writer missing")
+    val writer = writers.next()
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      pages.foreach(p =>
+        writer.writeToSequence(new javax.imageio.IIOImage(p, null, null), null))
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    out.toByteArray
+  }
+}
