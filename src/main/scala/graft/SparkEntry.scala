@@ -954,6 +954,15 @@ object SparkEntry {
     graft.text.LangModel.scoreDocs(docs(spark, dir), uri).orderBy("doc_id")
   }
 
+  /** CCNet head/middle/tail perplexity bucketing per language
+    * ([[graft.text.LangModel.ccnetBuckets]]) — the composition step
+    * downstream of the LM filter; oracle recomputes the per-language
+    * ranks from the persisted model in DuckDB. */
+  private def textCcnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val uri = lmModelUri(spark, dir)
+    graft.text.LangModel.ccnetBuckets(docs(spark, dir), uri).orderBy("doc_id")
+  }
+
   /** Model-based quality classifier: MLlib logistic regression over the
     * exact integer quality facets, weakly labeled by the heuristic score's
     * top/bottom quantiles. Weights persist once; the query (and oracle)
@@ -1307,6 +1316,7 @@ object SparkEntry {
     "text_redact_pii" -> (textRedactPii _),
     "text_gopher_rules" -> (textGopherRules _),
     "text_lm_perplexity" -> (textLmPerplexity _),
+    "text_ccnet_buckets" -> (textCcnetBuckets _),
     "text_quality_classifier" -> (textQualityClassifier _),
     "embedding_pca" -> (embeddingPca _),
     "dedup_exact" -> (dedupExact _),
@@ -2089,7 +2099,9 @@ object SparkEntry {
   private def lmReplayOracle: Map[String, String] =
     indexCache.collectFirst { case (k, uri) if k.startsWith("lm_trigram|") => uri }
       .map { uri =>
-        "text_lm_perplexity" ->
+        // shared CTE block: trigram explode → persisted-model lookups →
+        // per-doc integer sums (the text_lm_perplexity contract)
+        val lmCtes =
           s"""WITH gi AS (
              |  SELECT doc_id, lower(text) AS t,
              |         unnest(range(1, greatest(length(lower(text)) - 1, 1))) AS i
@@ -2109,13 +2121,33 @@ object SparkEntry {
              |a AS (
              |  SELECT doc_id, count(*)::BIGINT AS n_grams,
              |         sum(lp)::BIGINT AS sum_logp_micro
-             |  FROM scored GROUP BY doc_id)
-             |SELECT d.doc_id, coalesce(a.n_grams, 0)::BIGINT AS n_grams,
-             |  a.sum_logp_micro,
-             |  (a.sum_logp_micro::DOUBLE / 1000000.0) / a.n_grams::DOUBLE AS avg_logp
-             |FROM documents d LEFT JOIN a USING (doc_id)
-             |ORDER BY doc_id""".stripMargin
-      }.toMap
+             |  FROM scored GROUP BY doc_id)""".stripMargin
+        Map(
+          "text_lm_perplexity" ->
+            s"""$lmCtes
+               |SELECT d.doc_id, coalesce(a.n_grams, 0)::BIGINT AS n_grams,
+               |  a.sum_logp_micro,
+               |  (a.sum_logp_micro::DOUBLE / 1000000.0) / a.n_grams::DOUBLE AS avg_logp
+               |FROM documents d LEFT JOIN a USING (doc_id)
+               |ORDER BY doc_id""".stripMargin,
+          // per-language rank → ⌊rank·3/n⌋ bucket; avg_logp doubles are
+          // hash-identical across engines (text_lm_perplexity proves it),
+          // so the DESC ordering replays exactly; no-gram docs stay null
+          "text_ccnet_buckets" ->
+            s"""$lmCtes,
+               |j AS (
+               |  SELECT d.doc_id, d.lang,
+               |    (a.sum_logp_micro::DOUBLE / 1000000.0) / a.n_grams::DOUBLE AS avg_logp
+               |  FROM documents d JOIN a USING (doc_id)),
+               |r AS (
+               |  SELECT doc_id, lang,
+               |    row_number() OVER (PARTITION BY lang ORDER BY avg_logp DESC, doc_id) - 1 AS rk,
+               |    count(*) OVER (PARTITION BY lang) AS n
+               |  FROM j)
+               |SELECT d.doc_id, d.lang, ((r.rk * 3) // r.n)::INT AS ppl_bucket
+               |FROM documents d LEFT JOIN r USING (doc_id)
+               |ORDER BY doc_id""".stripMargin)
+      }.getOrElse(Map.empty)
 
   /** DuckDB replay of the default-nprobe IVF query against the PERSISTED
     * ivf_l2 index: top-⌊√partitions⌋ centroids per query (ascending L2,

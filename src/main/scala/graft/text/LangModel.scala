@@ -122,6 +122,60 @@ object LangModel {
           col("n_grams").cast("double")).as("avg_logp"))
   }
 
+  /** CCNet's per-language perplexity bucketing (Wenzek et al. 2020 §3:
+    * each language's documents split into head/middle/tail by LM
+    * perplexity; the head trains, the tail is discarded) — the composition
+    * step downstream of [[scoreDocs]]. Documents rank per language by
+    * `avg_logp` DESC (low perplexity first, doc-id tie-break) and bucket
+    * `⌊rank·buckets/n_lang⌋`: 0 = head … buckets−1 = tail. Documents with
+    * no trigrams keep a null bucket (nothing to score).
+    *
+    * Scale: ranks come from ONE range-partitioned distributed sort of the
+    * bare (lang, avg_logp, id) keys plus `zipWithIndex` — languages sort
+    * contiguously, so per-language rank = global index − language offset
+    * (offsets from a per-language count, collected: one row per LANGUAGE,
+    * not per document). No per-language window, so a dominant language
+    * never funnels through one task — the same machinery as
+    * [[QualityClassifier]]'s boundary selection. */
+  def ccnetBuckets(
+      docs: DataFrame,
+      uri: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      langCol: String = "lang",
+      buckets: Int = 3): DataFrame = {
+    require(buckets >= 1, s"graft: ccnetBuckets needs buckets >= 1, got $buckets")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val scored = scoreDocs(docs, uri, idCol, textCol)
+      .join(docs.select(col(idCol), col(langCol).as("__lang")), Seq(idCol))
+    val sorted = scored.where(col("avg_logp").isNotNull)
+      .select(col("__lang"), col("avg_logp"), col(idCol).cast("long").as("__id"))
+      .orderBy(col("__lang"), col("avg_logp").desc, col("__id"))
+      .as[(String, Double, Long)]
+      .persist()
+    // one row per language; ASCII language codes order identically under
+    // Spark's UTF8 binary sort and Scala's string sort
+    val counts = sorted.groupBy(col("__lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets: Map[String, (Long, Long)] = {
+      var acc = 0L
+      counts.map { case (lang, n) =>
+        val entry = lang -> (acc, n); acc += n; entry
+      }.toMap
+    }
+    val ranked = sorted.rdd.zipWithIndex()
+      .map { case ((lang, _, id), idx) =>
+        val (off, n) = offsets(lang)
+        (id, (((idx - off) * buckets) / n).toInt)
+      }
+      .toDF(idCol, "ppl_bucket")
+    val out = docs.select(col(idCol), col(langCol))
+      .join(ranked, Seq(idCol), "left")
+    sorted.unpersist()
+    out
+  }
+
   /** Model-side join input: broadcast below the engine-wide
     * `spark.graft.maxBroadcastBytes` gate (plan-stats estimate, reflects
     * the parquet file sizes), shuffle-hash join above it. */

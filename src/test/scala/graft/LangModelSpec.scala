@@ -83,6 +83,44 @@ class LangModelSpec extends AnyFunSuite {
     assert(viaCounts === viaArray)
   }
 
+  test("ccnet buckets: per-language thirds, head beats tail, no-gram docs null") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val out = LangModel.ccnetBuckets(docs, modelUri).cache()
+    assert(out.count() === docs.count())
+    // per-language bucket sizes differ by at most 1 (floor split)
+    val sizes = out.where(col("ppl_bucket").isNotNull)
+      .groupBy("lang", "ppl_bucket").count()
+      .groupBy("lang").agg((max("count") - min("count")).as("spread"))
+      .collect()
+    assert(sizes.nonEmpty)
+    sizes.foreach(r => assert(r.getLong(1) <= 1, s"uneven split: $r"))
+    // the head bucket's mean log-prob strictly beats the tail's, per lang
+    val scored = LangModel.scoreDocs(docs, modelUri).join(out, "doc_id")
+    val byBucket = scored.where(col("ppl_bucket").isNotNull)
+      .groupBy("lang", "ppl_bucket").agg(avg("avg_logp").as("m"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    byBucket.keys.map(_._1).toSet.foreach { (lang: String) =>
+      assert(byBucket((lang, 0)) > byBucket((lang, 2)),
+        s"$lang head should out-score tail")
+    }
+    // driver-side replica: rank per lang by (avg_logp desc, id), floor split
+    val perp = LangModel.scoreDocs(docs, modelUri)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .where(col("avg_logp").isNotNull)
+      .select("doc_id", "lang", "avg_logp")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val expected = perp.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      val ordered = rows.sortBy { case (id, _, lp) => (-lp, id) }
+      val n = ordered.length
+      ordered.zipWithIndex.map { case ((id, _, _), r) => id -> (r * 3 / n) }
+    }.toMap
+    val got = out.where(col("ppl_bucket").isNotNull)
+      .select("doc_id", "ppl_bucket")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === expected)
+  }
+
   test("scoring keeps every input document (left-outer, zero-gram nulls)") {
     import spark.implicits._
     val tiny = Seq((1L, "hello world"), (2L, "ab")).toDF("doc_id", "text")

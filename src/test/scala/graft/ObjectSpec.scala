@@ -393,6 +393,23 @@ class ObjectSpec extends AnyFunSuite {
     assert(viaPipeline !== Multimodal.stubDecode(png, 48).toSeq)
   }
 
+  test("JPEG decode: sniffed, decoded, dims preserved (lossy, so stats-only)") {
+    val img = Multimodal.testCardImage(3, 32, 24)
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", out))
+    val jpeg = out.toByteArray
+    assert(Multimodal.isDecodableImage(jpeg))
+    val back = Multimodal.decodeImage(jpeg).get
+    assert(back.getWidth === 32 && back.getHeight === 24)
+    // JPEG is lossy: assert the pooled feature is close to the PNG
+    // original's, not equal — proves real pixel decode either way
+    val fPng = Multimodal.imageFeature(img, 48)
+    val fJpg = Multimodal.imageFeature(back, 48)
+    val cos = fPng.zip(fJpg).map { case (a, b) => a.toDouble * b }.sum
+    assert(cos > 0.999, s"JPEG feature should track the original, cos=$cos")
+    assert(fJpg.toSeq !== Multimodal.stubDecode(jpeg, 48).toSeq)
+  }
+
   test("real WAV decode: windowed amplitude sums reproduce the tone formula") {
     import spark.implicits._
     val media = (0 until 5).map { i =>
