@@ -155,4 +155,67 @@ object KernelProperties extends Properties("graft.kernels") {
       }
       got == ref
     }
+
+  // unicode-heavy text gen: ascii, umlauts, CJK, and astral-plane emoji
+  // (surrogate pairs — the case where byte/char/codepoint indexing diverge)
+  private val uniCharGen: Gen[String] = Gen.frequency(
+    6 -> Gen.alphaNumChar.map(_.toString),
+    2 -> Gen.oneOf(" ", "\n", "ä", "Ö", "ß", "é", "日", "本", "語"),
+    1 -> Gen.oneOf("😀", "🤖", "𐀀"))
+  private val uniStrGen: Gen[String] = Gen.listOf(uniCharGen).map(_.mkString)
+
+  property("CharTrigramCounts == sliding-trigram multiset on unicode text") =
+    forAll(uniStrGen) { s =>
+      val e = graft.text.CharTrigramCounts(
+        BoundReference(0, StringType, nullable = false))
+      val got = e.eval(InternalRow(UTF8String.fromString(s)))
+        .asInstanceOf[ArrayData]
+      val gotMap = (0 until got.numElements()).map { i =>
+        val r = got.getStruct(i, 2)
+        r.getUTF8String(0).toString -> r.getLong(1)
+      }.toMap
+      // reference: the same lower/substringSQL kernels trigramArray pins,
+      // counted naively
+      val t = UTF8String.fromString(s).toLowerCase
+      val n = t.numChars()
+      val expected = (1 to math.max(0, n - 2))
+        .map(i => t.substringSQL(i, 3).toString)
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      gotMap == expected &&
+        (0 until got.numElements()).map(i => got.getStruct(i, 2).getLong(1)).sum ==
+          math.max(0, n - 2)
+    }
+
+  property("fnvBytes == independent BigInt mod-2^64 reference") =
+    forAll(Gen.chooseNum(0, 255), Gen.chooseNum(0, 300)) { (seed, len) =>
+      val M = BigInt(1) << 64
+      val P = BigInt("100000001b3", 16)
+      var h = (BigInt("cbf29ce484222325", 16) ^ BigInt(seed)).mod(M)
+      val expected = (0 until len).map { j =>
+        h = ((h ^ BigInt(j & 0xff)) * P).mod(M)
+        ((h >> 24) & 0xff).toByte
+      }
+      graft.multimodal.Multimodal.fnvBytes(seed, len).toSeq == expected
+    }
+
+  property("CenteredDot eval == strict left-fold double reference") =
+    forAll(Gen.chooseNum(0, 64).flatMap { n =>
+      Gen.zip(
+        Gen.listOfN(n, Gen.chooseNum(-1e3, 1e3)),
+        Gen.listOfN(n, Gen.chooseNum(-1e3, 1e3)),
+        Gen.listOfN(n, Gen.chooseNum(-1e3, 1e3)))
+    }) { case (x, m, c) =>
+      val e = graft.functions.CenteredDot(
+        BoundReference(0, ArrayType(org.apache.spark.sql.types.DoubleType), nullable = false),
+        BoundReference(1, ArrayType(org.apache.spark.sql.types.DoubleType), nullable = false),
+        BoundReference(2, ArrayType(org.apache.spark.sql.types.DoubleType), nullable = false))
+      val got = e.eval(InternalRow(
+        new GenericArrayData(x.map(_.asInstanceOf[Any]).toArray),
+        new GenericArrayData(m.map(_.asInstanceOf[Any]).toArray),
+        new GenericArrayData(c.map(_.asInstanceOf[Any]).toArray))).asInstanceOf[Double]
+      var s = 0.0
+      var i = 0
+      while (i < x.length) { s += (x(i) - m(i)) * c(i); i += 1 }
+      java.lang.Double.doubleToLongBits(got) == java.lang.Double.doubleToLongBits(s)
+    }
 }
