@@ -164,16 +164,20 @@ object LangModel {
         val entry = lang -> (acc, n); acc += n; entry
       }.toMap
     }
-    val ranked = sorted.rdd.zipWithIndex()
+    // materialize the assignment under the model while `sorted` is still
+    // cached (ONE scoring pass), then serve from parquet — the bucket
+    // table is a pipeline OUTPUT, and a lazy plan here would re-score the
+    // corpus on every downstream action
+    sorted.rdd.zipWithIndex()
       .map { case ((lang, _, id), idx) =>
         val (off, n) = offsets(lang)
         (id, (((idx - off) * buckets) / n).toInt)
       }
       .toDF(idCol, "ppl_bucket")
-    val out = docs.select(col(idCol), col(langCol))
-      .join(ranked, Seq(idCol), "left")
+      .write.mode("overwrite").parquet(s"$uri/buckets")
     sorted.unpersist()
-    out
+    docs.select(col(idCol), col(langCol))
+      .join(spark.read.parquet(s"$uri/buckets"), Seq(idCol), "left")
   }
 
   /** Model-side join input: broadcast below the engine-wide
