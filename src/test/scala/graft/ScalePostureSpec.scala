@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.text.{LangModel, QualityClassifier}
+
+/** Physical-plan assertions for the round-9 scale fixes — these lock the
+  * shapes in so a refactor cannot quietly reintroduce the hazards the
+  * fixes removed (single-task global windows, ungated broadcasts). */
+class ScalePostureSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private lazy val docs = spark.read.parquet(s"$sf0001/documents.parquet").cache()
+
+  test("classifier weak-labeling plan has no window and no exchange") {
+    val plan = QualityClassifier.weakLabels(docs, "text", "doc_id", 0.3)
+      .queryExecution.executedPlan.toString
+    // the boundary selection runs in its own jobs; the LABELING frame the
+    // regression fit consumes must be a pure scan+project+filter
+    assert(!plan.contains("Window"), s"global window crept back:\n$plan")
+    assert(!plan.contains("Exchange"), s"labeling should not shuffle:\n$plan")
+  }
+
+  test("LM model joins broadcast under the gate, shuffle-hash above it") {
+    val uri = Files.createTempDirectory("graft_posture_lm").toString
+    LangModel.trainCharTrigram(docs.where(col("lang") === "en"), uri)
+    val under = LangModel.scoreDocs(docs, uri)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(under).length >= 2,
+      s"vocabulary-bounded model tables should broadcast:\n$under")
+    spark.conf.set(graft.Conf.MaxBroadcastBytesKey, "1")
+    try {
+      val over = LangModel.scoreDocs(docs, uri)
+        .queryExecution.executedPlan.toString
+      assert("ShuffledHashJoin".r.findAllIn(over).length >= 2,
+        s"past the gate the model joins must fall back to shuffle-hash:\n$over")
+      assert(!over.contains("BroadcastHashJoin"),
+        s"no forced broadcast may survive the gate:\n$over")
+    } finally spark.conf.unset(graft.Conf.MaxBroadcastBytesKey)
+  }
+
+  test("LM scoring aggregates partially before the doc_id shuffle") {
+    val uri = Files.createTempDirectory("graft_posture_lm2").toString
+    LangModel.trainCharTrigram(docs.where(col("lang") === "en"), uri)
+    val plan = LangModel.scoreDocs(docs, uri)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"),
+      s"map-side combine missing from the per-doc aggregate:\n$plan")
+  }
+
+  test("salted band join plans as a plain equi hash join (no NLJ/cartesian)") {
+    import spark.implicits._
+    val l = Seq((1L, 10L, 1L)).toDF("key", "ts", "lid")
+    val r = Seq((1L, 12L, 2L)).toDF("key", "ts", "rid")
+    val plan = graft.operators.AsOfJoin
+      .timeBandJoin(l, r, Seq("key"), "ts", "ts", band = 5L, salt = 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"salted band join must stay an equi join:\n$plan")
+  }
+}
