@@ -27,6 +27,33 @@ class StreamingSpec extends AnyFunSuite {
     spark.conf.unset(key)
   }
 
+  test("streaming image decode equals the batch decode (stateless, no state store)") {
+    import graft.multimodal.Multimodal
+    val dir = Files.createTempDirectory("graft_stream_imgs")
+    for (i <- 0 until 6) {
+      Files.write(dir.resolve(f"card_$i%02d.png"),
+        Multimodal.testCardPng(i, 16 + i, 12 + i))
+    }
+    // ids from the path (zipWithIndex isn't streamable); real ImageIO
+    // decode runs unchanged on the stream — decodeImageStats is stateless
+    def media(df: org.apache.spark.sql.DataFrame) = df.select(
+      regexp_extract(col("path"), "card_(\\d+)", 1).cast("long").as("obj_id"),
+      col("content").as("payload"))
+    val schema = spark.read.format("binaryFile").load(dir.toString).schema
+    val stream = spark.readStream.format("binaryFile").schema(schema)
+      .load(dir.toString)
+    val q = Multimodal.decodeImageStats(media(stream), grid = 4)
+      .writeStream.format("memory").queryName("img_stream")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("img_stream")
+      .orderBy("obj_id", "cell").collect().toSeq
+    val batch = Multimodal.decodeImageStats(
+        media(spark.read.format("binaryFile").load(dir.toString)), grid = 4)
+      .orderBy("obj_id", "cell").collect().toSeq
+    assert(streamed.nonEmpty && streamed === batch)
+  }
+
   test("streaming windowed counts equal the batch plan") {
     val events = EventOps.loadEvents(spark, sf0001)
     val batch = events
