@@ -231,4 +231,37 @@ public final class VecKernels {
     }
     return s;
   }
+
+  /**
+   * Sign-bit sketch of a float vector: bit (i mod 64) of word (i / 64) is
+   * set iff v[i] &gt;= 0 (IEEE compare, so -0.0f packs as non-negative —
+   * matching SQL's {@code x >= 0} for oracle replay). 1 bit/dim = a 32x
+   * smaller candidate-scan payload than float32.
+   */
+  public static ArrayData signPack(ArrayData v) {
+    int n = v.numElements();
+    long[] out = new long[(n + 63) >>> 6];
+    for (int i = 0; i < n; i++) {
+      if (v.getFloat(i) >= 0.0f) {
+        out[i >>> 6] |= 1L << (i & 63);
+      }
+    }
+    return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(out);
+  }
+
+  /**
+   * Hamming distance between two packed sign sketches (XOR + popcount per
+   * word; HotSpot intrinsifies {@link Long#bitCount} to POPCNT). The
+   * binary-quantization candidate metric.
+   */
+  public static int hamming(ArrayData a, ArrayData b) {
+    int n = a.numElements();
+    checkDims(n, b.numElements());
+    int s = 0;
+    for (int j = 0; j < n; j++) {
+      s += Long.bitCount(a.getLong(j) ^ b.getLong(j));
+    }
+    return s;
+  }
 }

@@ -725,6 +725,27 @@ object SparkEntry {
       .orderBy("qid", "neighbor_id")
   }
 
+  /** Candidate-list size of the binary-Hamming query (4k re-rank budget). */
+  private val BinFetchK = 4 * K
+
+  /** Binary sign-quantization ANN ([[graft.operators.BinaryKnn]]): persisted
+    * 1-bit/dim sketch, Hamming shortlist of 4k over the bits-only scan,
+    * exact L2 re-rank. The oracle replays both stages from the raw floats
+    * (sign recompute ⊇ sketch-integrity check). */
+  private def knnBinaryHamming(spark: SparkSession, dir: String): DataFrame = {
+    val uri = cachedIndex("bin_sketch", dir) { u =>
+      graft.operators.BinaryKnn.buildSketch(embAsIndexInput(spark, dir), u,
+        idCol = "external_id", vecCol = "vector")
+    }
+    val db = emb(spark, dir)
+    graft.operators.BinaryKnn.search(spark, uri, db, db.where(col("vec_id") < NQ),
+        K, fetchK = BinFetchK, DistanceMetric.L2,
+        idCol = "vec_id", vecCol = "embedding",
+        qidCol = "vec_id", qvecCol = "embedding")
+      .select(col("qid"), col("id").as("neighbor_id"))
+      .orderBy("qid", "neighbor_id")
+  }
+
   /** Radius search: all vectors within L2 distance 1.25 of each query
     * (sqrt-free SOS comparison — the OptimizeDistancePredicates shape). */
   private def rangeSearchL2(spark: SparkSession, dir: String): DataFrame = {
@@ -1289,6 +1310,7 @@ object SparkEntry {
     "range_search_l2" -> (rangeSearchL2 _),
     "knn_graph_ann" -> (knnGraphAnn _),
     "knn_lsh" -> (knnLsh _),
+    "knn_binary_hamming" -> (knnBinaryHamming _),
     "object_search" -> (objectSearch _),
     "object_search_filtered" -> (objectSearchFiltered _),
     "object_search_prefiltered" -> (objectSearchPrefiltered _),
@@ -1349,6 +1371,22 @@ object SparkEntry {
     // filtered ANN is exact at probe-all: brute force over the allowed set
     "ivf_flat_filtered" ->
       knnOracle("list_distance(n.embedding, q.embedding)", "vec_id % 3 = 0"),
+    // binary-quantization two-stage replay: Hamming over recomputed sign
+    // bits (>= 0, so -0.0 counts non-negative on both engines) shortlists
+    // BinFetchK per query with (ham, id) tie-break = MinTopK's contract,
+    // then the exact-L2 re-rank picks the final K
+    "knn_binary_hamming" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < $NQ),
+         |h AS (
+         |  SELECT q.qid, n.vec_id AS id, n.embedding AS e, q.qe AS qe,
+         |    list_sum(list_transform(range(1, len(q.qe) + 1),
+         |      i -> CASE WHEN (q.qe[i] >= 0) <> (n.embedding[i] >= 0) THEN 1 ELSE 0 END)) AS ham
+         |  FROM q CROSS JOIN embeddings n),
+         |cand AS (SELECT * FROM h
+         |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY ham, id) <= $BinFetchK)
+         |SELECT qid, id AS neighbor_id FROM cand
+         |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY list_distance(e, qe), id) <= $K
+         |ORDER BY qid, neighbor_id""".stripMargin,
     "sql_index_topk" -> sqlTopkSingleOracle,
     // filtered twin: the allowed set ranks directly (exact at probe-all)
     "sql_index_topk_filtered" ->

@@ -38,6 +38,13 @@ package object functions {
 
   def vector_normalize(a: Column): Column = toColumn(NormalizeVector(toExpression(a)))
 
+  /** 1-bit sign sketch of a float vector (array<long> words). */
+  def sign_pack(v: Column): Column = toColumn(SignPack(toExpression(v)))
+
+  /** Hamming distance between two [[sign_pack]] sketches. */
+  def hamming_dist(a: Column, b: Column): Column =
+    toColumn(HammingDistance(toExpression(a), toExpression(b)))
+
   /** Grouped top-k: keeps the k smallest (score, id) pairs per group.
     * Returns array<struct<id:long, score:float>> sorted ascending. */
   def min_topk(score: Column, id: Column, k: Int): Column =
@@ -54,9 +61,9 @@ package object functions {
   }
 
   /** Register SQL names for the kernels in a session (dist_l2, dist_sos,
-    * dot_product, dist_cosine, vector_norm, vector_normalize, shingle_set,
-    * simhash64, winnow_fingerprint, fnv64, positional_shingles,
-    * stopword_vote, min_topk). */
+    * dot_product, dist_cosine, vector_norm, vector_normalize, sign_pack,
+    * hamming_dist, shingle_set, simhash64, winnow_fingerprint, fnv64,
+    * positional_shingles, stopword_vote, min_topk). */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("dist_l2", es => EuclideanDistance(es(0), es(1)), "built-in")
@@ -65,6 +72,8 @@ package object functions {
     reg.createOrReplaceTempFunction("dist_cosine", es => CosineDistance(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("vector_norm", es => L2Norm(es(0)), "built-in")
     reg.createOrReplaceTempFunction("vector_normalize", es => NormalizeVector(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("sign_pack", es => SignPack(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("hamming_dist", es => HammingDistance(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("shingle_set",
       es => graft.text.ShingleSet3(es(0)), "built-in")
     reg.createOrReplaceTempFunction("simhash64",

@@ -51,6 +51,25 @@ class ScalePostureSpec extends AnyFunSuite {
       s"map-side combine missing from the per-doc aggregate:\n$plan")
   }
 
+  test("binary-hamming candidate stage scans only the 8-byte sketch column") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val uri = Files.createTempDirectory("graft_posture_bin").toString
+    graft.operators.BinaryKnn.buildSketch(
+      emb.select(col("vec_id").as("id"), col("embedding").as("vector")), uri)
+    val plan = graft.operators.BinaryKnn.search(spark, uri, emb,
+        emb.where(col("vec_id") < 3), 5, fetchK = 20,
+        graft.operators.DistanceMetric.L2, idCol = "vec_id", vecCol = "embedding",
+        qidCol = "vec_id", qvecCol = "embedding")
+      .queryExecution.executedPlan.toString
+    // the sketch side of the shortlist must not drag the float vectors in:
+    // its FileScan reads exactly (id, bits)
+    val sketchScans = "ReadSchema: struct<id:bigint,bits:array<bigint>>".r
+      .findAllIn(plan).length
+    assert(sketchScans >= 1, s"bits-only sketch scan missing:\n$plan")
+    // float vectors appear only on the re-rank side (joined by candidate id)
+    assert(plan.contains("embedding"), "re-rank side must read the vectors")
+  }
+
   test("salted band join plans as a plain equi hash join (no NLJ/cartesian)") {
     import spark.implicits._
     val l = Seq((1L, 10L, 1L)).toDF("key", "ts", "lid")
