@@ -984,6 +984,22 @@ object SparkEntry {
     graft.text.LangModel.ccnetBuckets(docs(spark, dir), uri).orderBy("doc_id")
   }
 
+  /** DSIR importance selection ([[graft.text.Dsir]]): hashed word-bigram
+    * importance weights (target = the English subset, raw = whole corpus)
+    * fit once to integer micro-nats; the query integer-sums the persisted
+    * weights per document and flags the deterministic top-20% slice. The
+    * DuckDB oracle replays features (FNV mod buckets), sums, and the
+    * row_number boundary from the model parquet alone. */
+  private def dsirUri(spark: SparkSession, dir: String): String =
+    cachedIndex("dsir", dir) { u =>
+      graft.text.Dsir.fit(docs(spark, dir), col("lang") === "en", u)
+    }
+
+  private def textDsirSelect(spark: SparkSession, dir: String): DataFrame = {
+    val uri = dsirUri(spark, dir)
+    graft.text.Dsir.select(docs(spark, dir), uri).orderBy("doc_id")
+  }
+
   /** Model-based quality classifier: MLlib logistic regression over the
     * exact integer quality facets, weakly labeled by the heuristic score's
     * top/bottom quantiles. Weights persist once; the query (and oracle)
@@ -1339,6 +1355,7 @@ object SparkEntry {
     "text_gopher_rules" -> (textGopherRules _),
     "text_lm_perplexity" -> (textLmPerplexity _),
     "text_ccnet_buckets" -> (textCcnetBuckets _),
+    "text_dsir_select" -> (textDsirSelect _),
     "text_quality_classifier" -> (textQualityClassifier _),
     "embedding_pca" -> (embeddingPca _),
     "dedup_exact" -> (dedupExact _),
@@ -2042,7 +2059,7 @@ object SparkEntry {
         |ORDER BY doc_id, rank""".stripMargin,
   ) ++ ivfNprobeReplayOracle ++ ivfPqDefaultReplayOracle ++
     knnGraphAnnReplayOracle ++ annDedupReplayOracles ++ lshReplayOracle ++
-    lmReplayOracle ++ qualityClfReplayOracle ++ pcaReplayOracle ++
+    lmReplayOracle ++ dsirReplayOracle ++ qualityClfReplayOracle ++ pcaReplayOracle ++
     vamanaRecallOracle("vamana", "results_knn", "vamana_knn") ++
     vamanaRecallOracle("vamana_routed", "results_routed", "vamana_knn_routed")
 
@@ -2186,6 +2203,41 @@ object SparkEntry {
                |FROM documents d LEFT JOIN r USING (doc_id)
                |ORDER BY doc_id""".stripMargin)
       }.getOrElse(Map.empty)
+
+  /** DuckDB replay of the DSIR scorer + top-slice selector against the
+    * PERSISTED importance model: identical bigram hashing (FNV-1a in
+    * HUGEINT, unsigned mod buckets), exact BIGINT weight sums, and the
+    * row_number() boundary that [[graft.text.Dsir.select]]'s distributed
+    * boundary comparison reproduces. No `ln` on the oracle side. */
+  private def dsirReplayOracle: Map[String, String] =
+    indexCache.collectFirst { case (k, uri) if k.startsWith("dsir|") => uri }
+      .map { uri =>
+        "text_dsir_select" ->
+          s"""WITH tk AS (
+             |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id,
+             |    unnest(list_transform(range(1, len(t)),
+             |      i -> ${fnvSql("t[i] || ' ' || t[i+1]")} % ${graft.text.Dsir.DefaultBuckets})) AS bucket
+             |  FROM tk WHERE len(t) >= 2),
+             |m AS (SELECT bucket, logw_micro FROM read_parquet('$uri/model/*.parquet')),
+             |s AS (
+             |  SELECT g.doc_id, count(*)::BIGINT AS n_bigrams,
+             |         sum(m.logw_micro)::BIGINT AS score_micro
+             |  FROM g JOIN m USING (bucket) GROUP BY 1),
+             |a AS (
+             |  SELECT d.doc_id, coalesce(s.n_bigrams, 0)::BIGINT AS n_bigrams,
+             |         coalesce(s.score_micro, 0)::BIGINT AS score_micro
+             |  FROM documents d LEFT JOIN s USING (doc_id)),
+             |r AS (
+             |  SELECT *, row_number() OVER (ORDER BY score_micro DESC, doc_id) AS rn,
+             |         count(*) OVER () AS n
+             |  FROM a)
+             |SELECT doc_id, n_bigrams, score_micro,
+             |       rn <= (n * 200 + 999) // 1000 AS selected
+             |FROM r ORDER BY doc_id""".stripMargin
+      }.toMap
 
   /** DuckDB replay of the default-nprobe IVF query against the PERSISTED
     * ivf_l2 index: top-⌊√partitions⌋ centroids per query (ascending L2,

@@ -376,3 +376,61 @@ case class CharTrigramCounts(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): CharTrigramCounts =
     copy(child = newChild)
 }
+
+/** Per-document hashed word-bigram bucket counts: lowercase, trim,
+  * whitespace-split, join adjacent token pairs with a single space, FNV-1a
+  * the pair, and take the UNSIGNED remainder mod `buckets` — exactly
+  * `fnv64(tok[i] || ' ' || tok[i+1]) % buckets` on DuckDB's HUGEINT side,
+  * so an oracle replays the feature extraction verbatim.
+  *
+  * The DSIR feature front ([[Dsir]] — Xie et al. 2023, "Data Selection
+  * for Language Models via Importance Resampling", arXiv:2302.03169, which
+  * uses hashed n-gram bucket counts exactly like this): one pass per
+  * document, one output row per DISTINCT bucket (first-seen order), so the
+  * downstream model join explodes per distinct bucket, not per token. */
+case class BigramBucketCounts(child: Expression, buckets: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(buckets > 0, s"bigram_bucket_counts: buckets must be positive, got $buckets")
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bigram_bucket_counts requires string, got ${other.catalogString}")
+    }
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("bucket", LongType, nullable = false),
+      StructField("cnt", LongType, nullable = false))),
+    containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bigram_bucket_counts"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val toks = v.asInstanceOf[UTF8String].toLowerCase.trim().toString
+      .split("\\s+")
+    if (toks.length < 2) return new GenericArrayData(Array.empty[Any])
+    val counts = new java.util.LinkedHashMap[java.lang.Long, Long]()
+    var i = 0
+    while (i < toks.length - 1) {
+      val h = Fnv64.hashBytes((toks(i) + " " + toks(i + 1)).getBytes("UTF-8"))
+      val b = java.lang.Long.remainderUnsigned(h, buckets.toLong)
+      counts.merge(b, 1L, (a, c) => a + c)
+      i += 1
+    }
+    val out = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](e.getKey.longValue(), e.getValue))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BigramBucketCounts =
+    copy(child = newChild)
+}
