@@ -1000,6 +1000,25 @@ object SparkEntry {
     graft.text.Dsir.select(docs(spark, dir), uri).orderBy("doc_id")
   }
 
+  /** BM25 lexical top-k ([[graft.text.Bm25]]): idf fit once to integer
+    * micro-nats + exact persisted avgdl; query-time scoring is one pinned
+    * double expression floored per (query, doc, term) and integer-summed,
+    * so the DuckDB oracle replays the whole ranking from the persisted
+    * model. Query batch = the first 5 documents (the object-search
+    * convention). */
+  private def bm25Uri(spark: SparkSession, dir: String): String =
+    cachedIndex("bm25", dir) { u =>
+      graft.text.Bm25.fit(docs(spark, dir), u)
+    }
+
+  private def textBm25Topk(spark: SparkSession, dir: String): DataFrame = {
+    val uri = bm25Uri(spark, dir)
+    graft.text.Bm25.topk(docs(spark, dir),
+        docs(spark, dir).where(col("doc_id") < 5), K, uri)
+      .select(col("qid"), col("id").as("neighbor_id"), col("score_micro"))
+      .orderBy("qid", "neighbor_id")
+  }
+
   /** Model-based quality classifier: MLlib logistic regression over the
     * exact integer quality facets, weakly labeled by the heuristic score's
     * top/bottom quantiles. Weights persist once; the query (and oracle)
@@ -1356,6 +1375,7 @@ object SparkEntry {
     "text_lm_perplexity" -> (textLmPerplexity _),
     "text_ccnet_buckets" -> (textCcnetBuckets _),
     "text_dsir_select" -> (textDsirSelect _),
+    "text_bm25_topk" -> (textBm25Topk _),
     "text_quality_classifier" -> (textQualityClassifier _),
     "embedding_pca" -> (embeddingPca _),
     "dedup_exact" -> (dedupExact _),
@@ -2059,7 +2079,8 @@ object SparkEntry {
         |ORDER BY doc_id, rank""".stripMargin,
   ) ++ ivfNprobeReplayOracle ++ ivfPqDefaultReplayOracle ++
     knnGraphAnnReplayOracle ++ annDedupReplayOracles ++ lshReplayOracle ++
-    lmReplayOracle ++ dsirReplayOracle ++ qualityClfReplayOracle ++ pcaReplayOracle ++
+    lmReplayOracle ++ dsirReplayOracle ++ bm25ReplayOracle ++
+    qualityClfReplayOracle ++ pcaReplayOracle ++
     vamanaRecallOracle("vamana", "results_knn", "vamana_knn") ++
     vamanaRecallOracle("vamana_routed", "results_routed", "vamana_knn_routed")
 
@@ -2237,6 +2258,40 @@ object SparkEntry {
              |SELECT doc_id, n_bigrams, score_micro,
              |       rn <= (n * 200 + 999) // 1000 AS selected
              |FROM r ORDER BY doc_id""".stripMargin
+      }.toMap
+
+  /** DuckDB replay of the BM25 ranking against the PERSISTED idf/avgdl
+    * model: identical tokenization, the same pinned double expression per
+    * (query, doc, term) floored to an integral contribution, exact
+    * integer totals, same (score desc, id) top-k. No `ln` on the oracle
+    * side. */
+  private def bm25ReplayOracle: Map[String, String] =
+    indexCache.collectFirst { case (k, uri) if k.startsWith("bm25|") => uri }
+      .map { uri =>
+        "text_bm25_topk" ->
+          s"""WITH meta AS (SELECT avgdl FROM read_parquet('$uri/meta/*.parquet')),
+             |i AS (SELECT term, idf_micro FROM read_parquet('$uri/idf/*.parquet')),
+             |tok AS (
+             |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+             |  FROM documents),
+             |dl AS (
+             |  SELECT doc_id, len(regexp_split_to_array(trim(lower(text)), '\\s+'))::DOUBLE AS dl
+             |  FROM documents),
+             |tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+             |q AS (SELECT DISTINCT doc_id AS qid, term FROM tok WHERE doc_id < 5),
+             |sc AS (
+             |  SELECT q.qid, tf.doc_id,
+             |    sum(floor((((i.idf_micro::DOUBLE / 1000000.0) * (tf.tf * 2.2)) /
+             |        (tf.tf + (1.2 * (0.25 + (0.75 * (dl.dl / (SELECT avgdl FROM meta))))))) *
+             |      1000000.0))::BIGINT AS score_micro
+             |  FROM q
+             |  JOIN tf USING (term)
+             |  JOIN dl ON tf.doc_id = dl.doc_id
+             |  JOIN i USING (term)
+             |  GROUP BY 1, 2)
+             |SELECT qid, doc_id AS neighbor_id, score_micro FROM sc
+             |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score_micro DESC, doc_id) <= $K
+             |ORDER BY qid, neighbor_id""".stripMargin
       }.toMap
 
   /** DuckDB replay of the default-nprobe IVF query against the PERSISTED

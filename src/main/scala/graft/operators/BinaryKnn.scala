@@ -76,7 +76,7 @@ object BinaryKnn {
 
     // stage 2: exact re-rank of the shortlist only.
     val d = db.select(col(idCol).cast("long").as("__id"), col(vecCol).as("__vec"))
-    val rescored = gatedSmallSide(shortlist)
+    val rescored = graft.gatedSmallSide(shortlist)
       .join(d, Seq("__id"))
       .join(Knn.sizedQuerySide(q, "__qvec"), Seq("__qid"))
       .select(col("__qid"), col("__id"),
@@ -84,13 +84,4 @@ object BinaryKnn {
     Knn.topKFromScores(rescored, k, metric)
   }
 
-  /** Broadcast the (|Q|·fetchK)-row candidate list when the plan-stats
-    * estimate clears the engine-wide gate; shuffle-hash join otherwise
-    * (the [[graft.text.LangModel]] model-side pattern). */
-  private def gatedSmallSide(df: DataFrame): DataFrame = {
-    val max = graft.Conf.long(df.sparkSession,
-      graft.Conf.MaxBroadcastBytesKey, graft.Conf.DefaultMaxBroadcastBytes)
-    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(max)) broadcast(df)
-    else df.hint("shuffle_hash")
-  }
 }

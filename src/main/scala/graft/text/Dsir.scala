@@ -90,7 +90,7 @@ object Dsir {
     val sums = docs
       .select(col(idCol), explode(bigramBucketCounts(col(textCol), buckets)).as("e"))
       .select(col(idCol), col("e.bucket").as("bucket"), col("e.cnt").as("cnt"))
-      .join(gatedModelSide(spark, model), Seq("bucket"))
+      .join(graft.gatedSmallSide(model), Seq("bucket"))
       .groupBy(col(idCol))
       .agg(sum(col("cnt")).as("n_bigrams"),
         sum(col("cnt") * col("logw_micro")).as("score_micro"))
@@ -136,16 +136,6 @@ object Dsir {
     scored.withColumn("selected",
       col("score_micro") > bScore ||
         (col("score_micro") === bScore && col(idCol).cast("long") <= bId))
-  }
-
-  /** Broadcast under the engine-wide gate, shuffle-hash above it (the
-    * [[LangModel]] model-side pattern; the model is `buckets` rows, so the
-    * gate only trips when someone fits a colossal feature space). */
-  private def gatedModelSide(spark: SparkSession, df: DataFrame): DataFrame = {
-    val max = graft.Conf.long(spark,
-      graft.Conf.MaxBroadcastBytesKey, graft.Conf.DefaultMaxBroadcastBytes)
-    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(max)) broadcast(df)
-    else df.hint("shuffle_hash")
   }
 
   private def microNats(lnCol: Column): Column =

@@ -183,13 +183,8 @@ object LangModel {
   /** Model-side join input: broadcast below the engine-wide
     * `spark.graft.maxBroadcastBytes` gate (plan-stats estimate, reflects
     * the parquet file sizes), shuffle-hash join above it. */
-  private def gatedModelSide(spark: SparkSession, df: DataFrame): DataFrame = {
-    val max = graft.Conf.long(spark,
-      graft.Conf.MaxBroadcastBytesKey, graft.Conf.DefaultMaxBroadcastBytes)
-    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(max))
-      broadcast(df)
-    else df.hint("shuffle_hash")
-  }
+  private def gatedModelSide(spark: SparkSession, df: DataFrame): DataFrame =
+    graft.gatedSmallSide(df)
 
   /** Per-document gram→count array ([[CharTrigramCounts]] — the one-pass
     * partial-aggregation front of both passes). */

@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.text.Bm25
+
+/** BM25 retrieval ([[graft.text.Bm25]]): idf shape, score direction,
+  * self-retrieval, and determinism. */
+class Bm25Spec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private lazy val docs = spark.read.parquet(s"$sf0001/documents.parquet").cache()
+
+  private lazy val uri: String = {
+    val u = Files.createTempDirectory("graft_bm25").toString
+    Bm25.fit(docs, u)
+    u
+  }
+
+  test("idf is positive and decreases with document frequency") {
+    val idf = spark.read.parquet(s"$uri/idf")
+      .select("df", "idf_micro").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(idf.forall(_._2 > 0), "Lucene idf variant is strictly positive")
+    val byDf = idf.groupBy(_._1).map { case (d, g) => d -> g.map(_._2).toSet }
+    assert(byDf.values.forall(_.size == 1), "idf is a function of df alone")
+    val sorted = byDf.toSeq.sortBy(_._1).map(_._2.head)
+    assert(sorted == sorted.sorted.reverse, "higher df must mean lower idf")
+  }
+
+  test("every query document retrieves itself in its own top-k") {
+    // rank 1 is NOT guaranteed (a near-duplicate with higher tf of the
+    // query's terms can legitimately outscore the query itself — the
+    // fixture contains such a pair), but the self-match shares every term
+    // at full tf and must land in the shortlist
+    val hits = Bm25.topk(docs, docs.where(col("doc_id") < 5), 10, uri)
+      .select("qid", "id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (q, g) => q -> g.map(_._2).toSet }
+    (0L until 5L).foreach { q =>
+      assert(hits(q).contains(q), s"query $q missing from its own top-10: ${hits(q)}")
+    }
+  }
+
+  test("adding a rare query term boosts only documents containing it") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "alpha beta gamma"),
+      (1L, "alpha beta zzzrare"),
+      (2L, "delta epsilon zeta"),
+      (3L, "zzzrare alpha beta")).toDF("doc_id", "text")
+    val u = Files.createTempDirectory("graft_bm25_toy").toString
+    Bm25.fit(corpus, u)
+    val q = Seq((100L, "zzzrare")).toDF("doc_id", "text")
+    val hits = Bm25.topk(corpus, q, 10, u)
+      .select("id", "score_micro").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits.keySet == Set(1L, 3L), "only docs containing the term score")
+    assert(hits(3L) > hits(1L) || hits(3L) == hits(1L),
+      "equal tf; shorter/equal dl must not lose") // dl equal here: scores tie
+    assert(hits(1L) == hits(3L), "identical tf and dl ⇒ identical integer score")
+  }
+
+  test("ranking is deterministic across runs") {
+    val a = Bm25.topk(docs, docs.where(col("doc_id") < 5), 10, uri)
+      .select("qid", "rank", "id").collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val b = Bm25.topk(docs, docs.where(col("doc_id") < 5), 10, uri)
+      .select("qid", "rank", "id").collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(a == b)
+  }
+}
