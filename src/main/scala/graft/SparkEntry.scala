@@ -1000,6 +1000,14 @@ object SparkEntry {
     graft.text.Dsir.select(docs(spark, dir), uri).orderBy("doc_id")
   }
 
+  /** Sliding token-window chunking (64-token windows, stride 48 —
+    * [[graft.text.TextOps.chunkTokenWindows]]): the RAG splitter as a
+    * pure projection; the oracle replays windows, offsets, and the FNV
+    * content signature exactly. */
+  private def textChunkWindows(spark: SparkSession, dir: String): DataFrame =
+    graft.text.TextOps.chunkTokenWindows(docs(spark, dir))
+      .orderBy("doc_id", "chunk_idx")
+
   /** BM25 lexical top-k ([[graft.text.Bm25]]): idf fit once to integer
     * micro-nats + exact persisted avgdl; query-time scoring is one pinned
     * double expression floored per (query, doc, term) and integer-summed,
@@ -1376,6 +1384,7 @@ object SparkEntry {
     "text_ccnet_buckets" -> (textCcnetBuckets _),
     "text_dsir_select" -> (textDsirSelect _),
     "text_bm25_topk" -> (textBm25Topk _),
+    "text_chunk_windows" -> (textChunkWindows _),
     "text_quality_classifier" -> (textQualityClassifier _),
     "embedding_pca" -> (embeddingPca _),
     "dedup_exact" -> (dedupExact _),
@@ -2039,6 +2048,29 @@ object SparkEntry {
     // Split/sample replay: the FNV bucket is the unsigned hash mod m —
     // DuckDB's HUGEINT replay is already unsigned, so a plain % matches
     // the engine's signed-long unsigned-mod reconstruction.
+    // Token-window chunking replay: identical window starts (multiples of
+    // the 48 stride below n − overlap, one window for short docs), offsets
+    // recoverable as st/stride, FNV content hash converted to the signed
+    // BIGINT Spark emits
+    "text_chunk_windows" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, ts, len(ts) AS n,
+         |    unnest(range(0, greatest(len(ts) - 16, 1), 48)) AS st
+         |  FROM t),
+         |h AS (
+         |  SELECT doc_id, st, n,
+         |    ${fnvSql("array_to_string(list_slice(ts, st + 1, st + 64), ' ')")} AS hu
+         |  FROM c)
+         |SELECT doc_id,
+         |  (st // 48)::INT AS chunk_idx,
+         |  st::INT AS start_tok,
+         |  least(64, n - st)::INT AS n_tokens,
+         |  (CASE WHEN hu >= 9223372036854775808::HUGEINT
+         |        THEN hu - 18446744073709551616::HUGEINT ELSE hu END)::BIGINT AS chunk_hash
+         |FROM h ORDER BY doc_id, chunk_idx""".stripMargin,
     "text_hash_split" ->
       s"""WITH h AS (SELECT doc_id, lang,
          |  ${fnvSql("doc_id::VARCHAR || ':split1'")} % 1000 AS bs,

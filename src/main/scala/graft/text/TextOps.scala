@@ -194,6 +194,47 @@ object TextOps {
     toColumn(Fnv64Hash(toExpression(c)))
   }
 
+  /** Sliding token-window chunking — the RAG/embedding-pipeline splitter:
+    * windows of `window` tokens starting every `stride` tokens
+    * (overlap = window − stride), so every token is covered and window
+    * boundaries never lose cross-chunk context. A new window starts only
+    * while it would add tokens beyond the previous one's coverage (start
+    * < n − overlap); documents shorter than one window yield exactly one
+    * chunk. Output one row per chunk:
+    * `(id, chunk_idx, start_tok, n_tokens, chunk_hash)` where
+    * `chunk_hash = fnv64` of the single-space token re-join — a
+    * whitespace-normalized content signature an engine can replay (and
+    * the dedup layer can group on).
+    *
+    * The reference chunks objects the same way for embedding
+    * (object_readers/directory_reader.py:200-240 splits text with a
+    * chunk/overlap pair); this is the token-granular variant. Pure
+    * projection + posexplode — per-row work, no shuffle, embarrassingly
+    * parallel at any scale. */
+  def chunkTokenWindows(
+      docs: DataFrame,
+      window: Int = 64,
+      stride: Int = 48,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"chunkTokenWindows: need 0 < stride <= window, got window=$window stride=$stride")
+    val overlap = window - stride
+    docs
+      .select(col(idCol), tokens(col(textCol)).as("__ts"))
+      .withColumn("__n", size(col("__ts")))
+      .select(col(idCol), col("__ts"), col("__n"),
+        posexplode(sequence(lit(0),
+          greatest(col("__n") - lit(overlap + 1), lit(0)), lit(stride)))
+          .as(Seq("chunk_idx", "start_tok")))
+      .select(col(idCol),
+        col("chunk_idx"),
+        col("start_tok"),
+        least(lit(window), col("__n") - col("start_tok")).as("n_tokens"),
+        fnv64(array_join(slice(col("__ts"), col("start_tok") + 1, lit(window)), " "))
+          .as("chunk_hash"))
+  }
+
   /** UNSIGNED `fnv64(c) mod m` in [0, m): the deterministic bucket of a
     * hash-based split/sample assignment. The two-step form computes the
     * unsigned remainder from the signed long without 128-bit arithmetic

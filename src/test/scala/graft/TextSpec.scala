@@ -551,6 +551,35 @@ class TextSpec extends AnyFunSuite {
       (3L, 2, "common", 1L, 3L)))
   }
 
+  test("token-window chunking: coverage, offsets, boundaries, hash") {
+    import spark.implicits._
+    // 5 tokens, window 4, stride 3 (overlap 1): starts 0 and 3
+    val corpus = Seq(
+      (1L, "a b c d e"),
+      (2L, "x y"),          // shorter than one window -> single chunk
+      (3L, "a b c d"),      // n == window -> single chunk (start 3 adds nothing)
+      (4L, "a b c d e f g") // n=7: starts 0 and 3 — start 6 would add no
+                            // token beyond window [3,7)'s coverage
+    ).toDF("doc_id", "text")
+    val out = TextOps.chunkTokenWindows(corpus, window = 4, stride = 3)
+      .select("doc_id", "chunk_idx", "start_tok", "n_tokens")
+      .as[(Long, Int, Int, Int)].collect().sorted.toSeq
+    assert(out === Seq(
+      (1L, 0, 0, 4), (1L, 1, 3, 2),
+      (2L, 0, 0, 2),
+      (3L, 0, 0, 4),
+      (4L, 0, 0, 4), (4L, 1, 3, 4)))
+    // every token is covered: union of [start, start+n_tokens) == [0, n)
+    val covered = out.filter(_._1 == 4L)
+      .flatMap { case (_, _, s, n) => s until (s + n) }.toSet
+    assert(covered == (0 until 7).toSet)
+    // content signature is the hash of the whitespace-normalized window
+    val h = TextOps.chunkTokenWindows(corpus, window = 4, stride = 3)
+      .where(col("doc_id") === 1L && col("chunk_idx") === 1)
+      .select("chunk_hash").head().getLong(0)
+    assert(h == graft.text.Fnv64Public.hash("d e"))
+  }
+
   test("a malformed graft conf fails naming the key and value, not as a bare NumberFormatException") {
     spark.conf.set(Dedup.MaxNgramBlockRowsKey, "not-a-number")
     try {
