@@ -1027,6 +1027,26 @@ object SparkEntry {
       .orderBy("qid", "neighbor_id")
   }
 
+  /** Hybrid retrieval ([[graft.operators.RankFusion]]): RRF of the dense
+    * cosine top-k (embeddings) and the sparse BM25 top-k (documents) for
+    * the same first-5 query ids — ranks only enter the fusion, so the
+    * oracle replays both retrievers and the `1/(60+rank)` sum exactly. */
+  private def hybridRrfSearch(spark: SparkSession, dir: String): DataFrame = {
+    val uri = bm25Uri(spark, dir)
+    val sparse = graft.text.Bm25.topk(docs(spark, dir),
+        docs(spark, dir).where(col("doc_id") < 5), K, uri)
+      .select(col("qid"), col("id"), col("rank"))
+    val db = emb(spark, dir)
+    val dense = Knn.bruteForce(db, db.where(col("vec_id") < 5), K,
+        DistanceMetric.Cosine, idCol = "vec_id", vecCol = "embedding",
+        qidCol = "vec_id", qvecCol = "embedding")
+      .select(col("qid"), col("id"), col("rank"))
+    graft.operators.RankFusion.rrf(dense, sparse, K)
+      .select(col("qid"), col("id").as("neighbor_id"), col("fused_rank"),
+        col("in_a").as("in_dense"), col("in_b").as("in_sparse"))
+      .orderBy("qid", "neighbor_id")
+  }
+
   /** Model-based quality classifier: MLlib logistic regression over the
     * exact integer quality facets, weakly labeled by the heuristic score's
     * top/bottom quantiles. Weights persist once; the query (and oracle)
@@ -1385,6 +1405,7 @@ object SparkEntry {
     "text_dsir_select" -> (textDsirSelect _),
     "text_bm25_topk" -> (textBm25Topk _),
     "text_chunk_windows" -> (textChunkWindows _),
+    "hybrid_rrf_search" -> (hybridRrfSearch _),
     "text_quality_classifier" -> (textQualityClassifier _),
     "embedding_pca" -> (embeddingPca _),
     "dedup_exact" -> (dedupExact _),
@@ -2300,7 +2321,7 @@ object SparkEntry {
   private def bm25ReplayOracle: Map[String, String] =
     indexCache.collectFirst { case (k, uri) if k.startsWith("bm25|") => uri }
       .map { uri =>
-        "text_bm25_topk" ->
+        val bm25Ctes =
           s"""WITH meta AS (SELECT avgdl FROM read_parquet('$uri/meta/*.parquet')),
              |i AS (SELECT term, idf_micro FROM read_parquet('$uri/idf/*.parquet')),
              |tok AS (
@@ -2320,11 +2341,43 @@ object SparkEntry {
              |  JOIN tf USING (term)
              |  JOIN dl ON tf.doc_id = dl.doc_id
              |  JOIN i USING (term)
-             |  GROUP BY 1, 2)
-             |SELECT qid, doc_id AS neighbor_id, score_micro FROM sc
-             |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score_micro DESC, doc_id) <= $K
-             |ORDER BY qid, neighbor_id""".stripMargin
-      }.toMap
+             |  GROUP BY 1, 2)""".stripMargin
+        Map(
+          "text_bm25_topk" ->
+            s"""$bm25Ctes
+               |SELECT qid, doc_id AS neighbor_id, score_micro FROM sc
+               |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score_micro DESC, doc_id) <= $K
+               |ORDER BY qid, neighbor_id""".stripMargin,
+          // hybrid fusion: both retrievers' rank lists replayed, then the
+          // pinned dense-term + sparse-term 1/(60+rank) sum; ranks and
+          // membership flags are the only outputs (no raw doubles)
+          "hybrid_rrf_search" ->
+            s"""$bm25Ctes,
+               |sparse AS (
+               |  SELECT qid, doc_id AS id,
+               |    row_number() OVER (PARTITION BY qid ORDER BY score_micro DESC, doc_id) AS r
+               |  FROM sc
+               |  QUALIFY r <= $K),
+               |dense AS (
+               |  SELECT q.vec_id AS qid, n.vec_id AS id,
+               |    row_number() OVER (PARTITION BY q.vec_id
+               |      ORDER BY list_cosine_similarity(n.embedding, q.embedding) DESC, n.vec_id) AS r
+               |  FROM (SELECT * FROM embeddings WHERE vec_id < 5) q
+               |  CROSS JOIN embeddings n
+               |  QUALIFY r <= $K),
+               |f AS (
+               |  SELECT coalesce(d.qid, s.qid) AS qid, coalesce(d.id, s.id) AS id,
+               |    (CASE WHEN d.r IS NULL THEN 0.0 ELSE 1.0 / (60.0 + d.r) END) +
+               |    (CASE WHEN s.r IS NULL THEN 0.0 ELSE 1.0 / (60.0 + s.r) END) AS rrf,
+               |    d.r IS NOT NULL AS in_dense, s.r IS NOT NULL AS in_sparse
+               |  FROM dense d FULL OUTER JOIN sparse s ON d.qid = s.qid AND d.id = s.id)
+               |SELECT qid, id AS neighbor_id,
+               |  row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, id)::INT AS fused_rank,
+               |  in_dense, in_sparse
+               |FROM f
+               |QUALIFY fused_rank <= $K
+               |ORDER BY qid, neighbor_id""".stripMargin)
+      }.getOrElse(Map.empty)
 
   /** DuckDB replay of the default-nprobe IVF query against the PERSISTED
     * ivf_l2 index: top-⌊√partitions⌋ centroids per query (ascending L2,
