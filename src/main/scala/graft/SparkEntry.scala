@@ -1106,6 +1106,14 @@ object SparkEntry {
         groupCol = "lang")
       .orderBy("doc_id")
 
+  /** The temperature allocation MATERIALIZED: one row per (document,
+    * epoch) the α=0.5 mix actually trains on
+    * ([[graft.text.TextOps.epochExpand]]). */
+  private def textMixEpochs(spark: SparkSession, dir: String): DataFrame =
+    TextOps.epochExpand(TextOps.mixTemperature(docs(spark, dir),
+        totalTokenBudget = 60000L, groupCol = "lang"))
+      .orderBy("doc_id", "epoch_idx")
+
   /** Whitespace vs BPE-ish pretokenizer counts side by side — the regex
     * is the RE2-compatible GPT-2 subset, so DuckDB replays it exactly. */
   private def textBpeTokenCount(spark: SparkSession, dir: String): DataFrame =
@@ -1413,6 +1421,7 @@ object SparkEntry {
     "text_decontaminate" -> (textDecontaminate _),
     "text_mix_budget" -> (textMixBudget _),
     "text_mix_temperature" -> (textMixTemperature _),
+    "text_mix_epochs" -> (textMixEpochs _),
     "text_top_quantile" -> (textTopQuantile _),
     "text_bpe_token_count" -> (textBpeTokenCount _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
@@ -1426,6 +1435,33 @@ object SparkEntry {
     "text_distinctive_terms" -> (textDistinctiveTerms _),
     "text_pack_sequences" -> (textPackSequences _),
   )
+
+  /** α=0.5 temperature-mix replay (shared by text_mix_temperature and, as
+    * a CTE, the materialized text_mix_epochs). */
+  private val mixTemperatureOracle: String =
+    """WITH d AS (SELECT doc_id, lang,
+      |  len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_tokens
+      |  FROM documents WHERE lang IS NOT NULL),
+      |g AS (SELECT lang, sum(n_tokens)::BIGINT AS group_tokens,
+      |        floor(sqrt(sum(n_tokens)::BIGINT))::BIGINT AS weight
+      |      FROM d GROUP BY lang),
+      |t AS (SELECT *, sum(weight) OVER ()::BIGINT AS total_w FROM g),
+      |a AS (SELECT lang, group_tokens,
+      |        (CASE WHEN total_w = 0 THEN 0
+      |              ELSE weight * 1000000 // total_w END)::BIGINT AS share_ppm
+      |      FROM t),
+      |b AS (SELECT lang, group_tokens, share_ppm,
+      |        (60000 * share_ppm // 1000000)::BIGINT AS target FROM a),
+      |c AS (SELECT d.doc_id, d.lang, d.n_tokens, b.group_tokens, b.share_ppm, b.target,
+      |        coalesce(sum(d.n_tokens) OVER (PARTITION BY d.lang ORDER BY d.doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      |      FROM d JOIN b USING (lang))
+      |SELECT doc_id, lang, n_tokens::BIGINT AS n_tokens, share_ppm,
+      |  (CASE WHEN group_tokens = 0 THEN 0
+      |        ELSE target // group_tokens END)::BIGINT AS n_epochs,
+      |  (CASE WHEN group_tokens = 0 THEN 0
+      |        ELSE (cum_before < target % group_tokens)::INT END)::INT AS kept_partial
+      |FROM c ORDER BY doc_id""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -1791,30 +1827,18 @@ object SparkEntry {
     // correctly rounded — engines agree bit-for-bit), ppm shares and epoch
     // counts by integer `//`, every output column re-cast BIGINT/INT
     // (window sums are HUGEINT in DuckDB — the mix_budget lesson).
-    "text_mix_temperature" ->
-      """WITH d AS (SELECT doc_id, lang,
-        |  len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_tokens
-        |  FROM documents WHERE lang IS NOT NULL),
-        |g AS (SELECT lang, sum(n_tokens)::BIGINT AS group_tokens,
-        |        floor(sqrt(sum(n_tokens)::BIGINT))::BIGINT AS weight
-        |      FROM d GROUP BY lang),
-        |t AS (SELECT *, sum(weight) OVER ()::BIGINT AS total_w FROM g),
-        |a AS (SELECT lang, group_tokens,
-        |        (CASE WHEN total_w = 0 THEN 0
-        |              ELSE weight * 1000000 // total_w END)::BIGINT AS share_ppm
-        |      FROM t),
-        |b AS (SELECT lang, group_tokens, share_ppm,
-        |        (60000 * share_ppm // 1000000)::BIGINT AS target FROM a),
-        |c AS (SELECT d.doc_id, d.lang, d.n_tokens, b.group_tokens, b.share_ppm, b.target,
-        |        coalesce(sum(d.n_tokens) OVER (PARTITION BY d.lang ORDER BY d.doc_id
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
-        |      FROM d JOIN b USING (lang))
-        |SELECT doc_id, lang, n_tokens::BIGINT AS n_tokens, share_ppm,
-        |  (CASE WHEN group_tokens = 0 THEN 0
-        |        ELSE target // group_tokens END)::BIGINT AS n_epochs,
-        |  (CASE WHEN group_tokens = 0 THEN 0
-        |        ELSE (cum_before < target % group_tokens)::INT END)::INT AS kept_partial
-        |FROM c ORDER BY doc_id""".stripMargin,
+    "text_mix_temperature" -> mixTemperatureOracle,
+    // the allocation materialized: one row per (doc, epoch_idx) with the
+    // full-epoch + kept-partial copy count, zero-copy docs dropped
+    "text_mix_epochs" ->
+      s"""WITH mix AS (
+         |$mixTemperatureOracle
+         |)
+         |SELECT doc_id,
+         |  unnest(range(0, n_epochs + kept_partial))::INT AS epoch_idx,
+         |  (n_epochs + kept_partial)::INT AS n_copies
+         |FROM mix WHERE n_epochs + kept_partial >= 1
+         |ORDER BY doc_id, epoch_idx""".stripMargin,
     // same RE2 pattern, DuckDB regexp_extract_all count (the leading
     // '' is SQL quote-escaping for the pattern's contraction quote)
     "text_bpe_token_count" ->

@@ -170,6 +170,22 @@ object TextOps {
             .cast("int")).as("kept_partial"))
   }
 
+  /** Materialize a [[mixTemperature]] allocation into the physical epoch
+    * rows a training-shard writer consumes: each document appears
+    * `n_epochs + kept_partial` times, tagged `epoch_idx` 0… (full epochs
+    * first, the partial epoch last); zero-copy documents drop out. One
+    * posexplode over an integer sequence — per-row work, no shuffle, and
+    * output cardinality = the allocation's token budget, not the corpus. */
+  def epochExpand(mixed: DataFrame, idCol: String = "doc_id"): DataFrame =
+    mixed
+      .withColumn("n_copies", (col("n_epochs") + col("kept_partial")).cast("int"))
+      // sequence(0, -1) DESCENDS in Spark (the trigramArray guard) — filter
+      // zero-copy docs before building the index range
+      .where(col("n_copies") >= 1)
+      .select(col(idCol),
+        explode(sequence(lit(0), col("n_copies") - 1)).as("epoch_idx"),
+        col("n_copies"))
+
   /** Distinct 3-token shingle set — the unit of n-gram Jaccard similarity
     * (documents with < 3 tokens degenerate to a single whole-text shingle
     * so every doc has at least one). A dedicated one-pass expression: the

@@ -551,6 +551,27 @@ class TextSpec extends AnyFunSuite {
       (3L, 2, "common", 1L, 3L)))
   }
 
+  test("epoch expansion materializes n_epochs + kept_partial copies per doc") {
+    import spark.implicits._
+    val mixed = Seq(
+      (1L, 2L, 1),  // 3 copies
+      (2L, 0L, 1),  // partial epoch only
+      (3L, 1L, 0),  // one full epoch
+      (4L, 0L, 0)   // dropped
+    ).toDF("doc_id", "n_epochs", "kept_partial")
+    val out = TextOps.epochExpand(mixed)
+      .as[(Long, Int, Int)].collect().sorted.toSeq
+    assert(out === Seq(
+      (1L, 0, 3), (1L, 1, 3), (1L, 2, 3),
+      (2L, 0, 1),
+      (3L, 0, 1)))
+    // end-to-end: exploded cardinality equals the allocation's copy total
+    val alloc = TextOps.mixTemperature(docs, totalTokenBudget = 60000L)
+    val copies = alloc.select(sum(col("n_epochs") + col("kept_partial")))
+      .head().getLong(0)
+    assert(TextOps.epochExpand(alloc).count() == copies)
+  }
+
   test("token-window chunking: coverage, offsets, boundaries, hash") {
     import spark.implicits._
     // 5 tokens, window 4, stride 3 (overlap 1): starts 0 and 3
