@@ -1021,7 +1021,7 @@ object SparkEntry {
 
   private def textBm25Topk(spark: SparkSession, dir: String): DataFrame = {
     val uri = bm25Uri(spark, dir)
-    graft.text.Bm25.topk(docs(spark, dir),
+    graft.text.Bm25.topkIndexed(spark,
         docs(spark, dir).where(col("doc_id") < 5), K, uri)
       .select(col("qid"), col("id").as("neighbor_id"), col("score_micro"))
       .orderBy("qid", "neighbor_id")
@@ -1033,7 +1033,7 @@ object SparkEntry {
     * oracle replays both retrievers and the `1/(60+rank)` sum exactly. */
   private def hybridRrfSearch(spark: SparkSession, dir: String): DataFrame = {
     val uri = bm25Uri(spark, dir)
-    val sparse = graft.text.Bm25.topk(docs(spark, dir),
+    val sparse = graft.text.Bm25.topkIndexed(spark,
         docs(spark, dir).where(col("doc_id") < 5), K, uri)
       .select(col("qid"), col("id"), col("rank"))
     val db = emb(spark, dir)

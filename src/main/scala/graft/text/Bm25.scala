@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** BM25 lexical retrieval (Robertson/Spärck Jones; the Lucene-variant idf
@@ -20,11 +20,15 @@ import org.apache.spark.sql.functions._
   * the 2⁵³ window where summed floors are exact in the oracle's DOUBLE
   * accumulation). No transcendentals at query time.
   *
-  * Scale shape: postings = one explode + one (doc, term) hash aggregate
-  * (map-side combined); the query side (a handful of query documents'
-  * distinct terms) and the vocabulary-bounded idf table join broadcast
-  * under the engine gate; the final top-k is a per-query window over only
-  * the documents sharing ≥ 1 term with that query.
+  * Two query paths:
+  *   - [[topk]] scores ad hoc against the live corpus frame (one explode +
+  *     one map-side-combined (doc, term) aggregate);
+  *   - [[topkIndexed]] serves from the PERSISTED postings table `fit`
+  *     writes term-sorted, so parquet row-group min/max statistics prune
+  *     everything but the query's terms — at corpus scale a query batch
+  *     touches posting runs, not the corpus (the inverted-index serving
+  *     shape; term-literal pushdown is collected under a size gate with a
+  *     join fallback past it).
   */
 object Bm25 {
 
@@ -35,10 +39,18 @@ object Bm25 {
   private val OneMinusB = 0.25
   private val B = 0.75
 
+  /** Max distinct query terms collected as pushdown literals for
+    * [[topkIndexed]]; larger query batches fall back to the join path. */
+  val MaxPushdownTermsKey = "spark.graft.bm25MaxPushdownTerms"
+  val DefaultMaxPushdownTerms = 100000L
+
   private def toks(textCol: Column): Column = TextOps.tokens(lower(textCol))
 
-  /** Fit document frequencies over `docs`: persists
-    * `uri/idf (term, df, idf_micro)` and `uri/meta (n_docs, avgdl)`. */
+  /** Fit over `docs`: persists `uri/idf (term, df, idf_micro)`,
+    * `uri/meta (n_docs, avgdl)`, and the serving postings table
+    * `uri/postings (term, id, tf, dl)` — repartitioned by term and sorted
+    * within partitions, so every parquet row group covers a narrow term
+    * range and term predicates prune at the footer level. */
   def fit(
       docs: DataFrame,
       uri: String,
@@ -51,8 +63,17 @@ object Bm25 {
     val avgdl = docs
       .select(sum(TextOps.tokenCount(col(textCol)).cast("long")))
       .head().getLong(0).toDouble / n.toDouble
-    docs.select(col(idCol).as("id"), explode(toks(col(textCol))).as("term"))
-      .distinct()
+    val postings = docs
+      .select(col(idCol).cast("long").as("id"),
+        TextOps.tokenCount(col(textCol)).cast("long").as("dl"),
+        explode(toks(col(textCol))).as("term"))
+      .groupBy("id", "dl", "term").agg(count(lit(1)).as("tf"))
+    postings
+      .repartition(col("term"))
+      .sortWithinPartitions("term")
+      .select("term", "id", "tf", "dl")
+      .write.mode("overwrite").parquet(s"$uri/postings")
+    postings
       .groupBy("term").agg(count(lit(1)).as("df"))
       .select(col("term"), col("df"),
         microNats(log(lit(1.0) +
@@ -63,9 +84,9 @@ object Bm25 {
       .repartition(1).write.mode("overwrite").parquet(s"$uri/meta")
   }
 
-  /** Top-`k` documents per query document by BM25 score (integer
-    * micro-score, ties to the lower doc id). Output:
-    * `(qid, id, score_micro, rank)`. */
+  /** Top-`k` documents per query document by BM25 score, scoring the live
+    * corpus frame (integer micro-score, ties to the lower doc id).
+    * Output: `(qid, id, score_micro, rank)`. */
   def topk(
       docs: DataFrame,
       queryDocs: DataFrame,
@@ -74,18 +95,55 @@ object Bm25 {
       textCol: String = "text",
       idCol: String = "doc_id",
       qidCol: String = "doc_id"): DataFrame = {
-    require(k > 0, s"graft: BM25 k must be positive, got $k")
-    val spark = docs.sparkSession
-    val avgdl = spark.read.parquet(s"$uri/meta").head().getAs[Double]("avgdl")
-    val idf = spark.read.parquet(s"$uri/idf").select("term", "idf_micro")
     val postings = docs
       .select(col(idCol).cast("long").as("id"),
         TextOps.tokenCount(col(textCol)).cast("double").as("dl"),
         explode(toks(col(textCol))).as("term"))
       .groupBy("id", "dl", "term").agg(count(lit(1)).cast("double").as("tf"))
-    val qTerms = queryDocs
-      .select(col(qidCol).cast("long").as("qid"),
-        explode(array_distinct(toks(col(textCol)))).as("term"))
+    rank(postings, queryTerms(queryDocs, textCol, qidCol), k, uri)
+  }
+
+  /** Top-`k` served from the persisted postings index: only the query
+    * batch's terms are read (literal pushdown under the
+    * [[MaxPushdownTermsKey]] gate, join fallback above it) — the corpus
+    * text is never touched at query time. Results are identical to
+    * [[topk]] over the fitted corpus. */
+  def topkIndexed(
+      spark: SparkSession,
+      queryDocs: DataFrame,
+      k: Int,
+      uri: String,
+      textCol: String = "text",
+      qidCol: String = "doc_id"): DataFrame = {
+    val q = queryTerms(queryDocs, textCol, qidCol).persist()
+    val all = spark.read.parquet(s"$uri/postings")
+    val maxTerms = graft.Conf.long(spark, MaxPushdownTermsKey, DefaultMaxPushdownTerms)
+    val nTerms = q.select("term").distinct().count()
+    val postings =
+      if (nTerms <= maxTerms) {
+        val terms = q.select("term").distinct().collect().map(_.getString(0))
+        all.where(col("term").isin(terms.toIndexedSeq: _*))
+      } else all // the equi-join below still restricts to query terms
+    val out = rank(
+      postings.select(col("term"), col("id"),
+        col("tf").cast("double").as("tf"), col("dl").cast("double").as("dl")),
+      q, k, uri)
+    q.unpersist()
+    out
+  }
+
+  private def queryTerms(queryDocs: DataFrame, textCol: String, qidCol: String): DataFrame =
+    queryDocs.select(col(qidCol).cast("long").as("qid"),
+      explode(array_distinct(toks(col(textCol)))).as("term"))
+
+  /** Shared scoring tail: postings `(term, id, tf, dl)` × query terms ×
+    * persisted idf → pinned-expression contributions → exact integer
+    * per-(query, doc) totals → per-query top-k window. */
+  private def rank(postings: DataFrame, qTerms: DataFrame, k: Int, uri: String): DataFrame = {
+    require(k > 0, s"graft: BM25 k must be positive, got $k")
+    val spark = postings.sparkSession
+    val avgdl = spark.read.parquet(s"$uri/meta").head().getAs[Double]("avgdl")
+    val idf = spark.read.parquet(s"$uri/idf").select("term", "idf_micro")
     val contrib = postings
       .join(graft.gatedSmallSide(qTerms), Seq("term"))
       .join(graft.gatedSmallSide(idf), Seq("term"))

@@ -64,6 +64,18 @@ class Bm25Spec extends AnyFunSuite {
     assert(hits(1L) == hits(3L), "identical tf and dl ⇒ identical integer score")
   }
 
+  test("indexed serving equals ad-hoc scoring, on and off the pushdown gate") {
+    val q = docs.where(col("doc_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "id", "score_micro", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val adhoc = rows(Bm25.topk(docs, q, 10, uri))
+    assert(rows(Bm25.topkIndexed(spark, q, 10, uri)) == adhoc)
+    spark.conf.set(Bm25.MaxPushdownTermsKey, "1") // force the join fallback
+    try assert(rows(Bm25.topkIndexed(spark, q, 10, uri)) == adhoc)
+    finally spark.conf.unset(Bm25.MaxPushdownTermsKey)
+  }
+
   test("ranking is deterministic across runs") {
     val a = Bm25.topk(docs, docs.where(col("doc_id") < 5), 10, uri)
       .select("qid", "rank", "id").collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet

@@ -51,6 +51,45 @@ class ScalePostureSpec extends AnyFunSuite {
       s"map-side combine missing from the per-doc aggregate:\n$plan")
   }
 
+  test("DSIR scoring: gated model join, map-side partial aggregation") {
+    val uri = Files.createTempDirectory("graft_posture_dsir").toString
+    graft.text.Dsir.fit(docs, col("lang") === "en", uri)
+    val under = graft.text.Dsir.score(docs, uri)
+      .queryExecution.executedPlan.toString
+    assert(under.contains("BroadcastHashJoin"),
+      s"the 4096-row model must broadcast under the gate:\n$under")
+    assert(under.contains("partial_sum"),
+      s"per-doc sums must combine map-side before the shuffle:\n$under")
+    spark.conf.set(graft.Conf.MaxBroadcastBytesKey, "1")
+    try {
+      val over = graft.text.Dsir.score(docs, uri)
+        .queryExecution.executedPlan.toString
+      assert(over.contains("ShuffledHashJoin") && !over.contains("BroadcastHashJoin"),
+        s"past the gate the model join must fall back to shuffle-hash:\n$over")
+    } finally spark.conf.unset(graft.Conf.MaxBroadcastBytesKey)
+  }
+
+  test("BM25 scoring: query terms and idf broadcast under the gate") {
+    val uri = Files.createTempDirectory("graft_posture_bm25").toString
+    graft.text.Bm25.fit(docs, uri)
+    val plan = graft.text.Bm25.topk(docs, docs.where(col("doc_id") < 3), 5, uri)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2,
+      s"both small sides (query terms, idf) should broadcast:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"postings tf aggregate must combine map-side:\n$plan")
+  }
+
+  test("BM25 indexed serving pushes the query's term literals into the postings scan") {
+    val uri = Files.createTempDirectory("graft_posture_bm25idx").toString
+    graft.text.Bm25.fit(docs, uri)
+    val plan = graft.text.Bm25.topkIndexed(spark,
+        docs.where(col("doc_id") < 3), 5, uri)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(term"),
+      s"term-literal pushdown missing from the postings scan:\n$plan")
+  }
+
   test("binary-hamming candidate stage scans only the 8-byte sketch column") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val uri = Files.createTempDirectory("graft_posture_bin").toString
