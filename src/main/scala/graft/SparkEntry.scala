@@ -1114,6 +1114,11 @@ object SparkEntry {
         totalTokenBudget = 60000L, groupCol = "lang"))
       .orderBy("doc_id", "epoch_idx")
 
+  /** Dataset-card profile per (lang, source): integer moments + lower
+    * median ([[graft.text.TextOps.corpusProfile]]). */
+  private def textCorpusProfile(spark: SparkSession, dir: String): DataFrame =
+    TextOps.corpusProfile(docs(spark, dir)).orderBy("lang", "source")
+
   /** Whitespace vs BPE-ish pretokenizer counts side by side — the regex
     * is the RE2-compatible GPT-2 subset, so DuckDB replays it exactly. */
   private def textBpeTokenCount(spark: SparkSession, dir: String): DataFrame =
@@ -1422,6 +1427,7 @@ object SparkEntry {
     "text_mix_budget" -> (textMixBudget _),
     "text_mix_temperature" -> (textMixTemperature _),
     "text_mix_epochs" -> (textMixEpochs _),
+    "text_corpus_profile" -> (textCorpusProfile _),
     "text_top_quantile" -> (textTopQuantile _),
     "text_bpe_token_count" -> (textBpeTokenCount _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
@@ -1828,6 +1834,29 @@ object SparkEntry {
     // counts by integer `//`, every output column re-cast BIGINT/INT
     // (window sums are HUGEINT in DuckDB — the mix_budget lesson).
     "text_mix_temperature" -> mixTemperatureOracle,
+    // dataset-card replay: same integer moments, lower median at rank
+    // (n+1) DIV 2 in the unique (dl, doc_id) order, mean under integer DIV
+    "text_corpus_profile" ->
+      """WITH d AS (
+        |  SELECT lang, source, doc_id,
+        |    len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS dl
+        |  FROM documents),
+        |a AS (
+        |  SELECT lang, source, count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS n_tokens,
+        |    min(dl)::BIGINT AS min_tokens, max(dl)::BIGINT AS max_tokens,
+        |    (sum(dl) * 100 // count(*))::BIGINT AS mean_tokens_x100
+        |  FROM d GROUP BY 1, 2),
+        |m AS (
+        |  SELECT lang, source, dl AS median_tokens FROM (
+        |    SELECT lang, source, dl,
+        |      row_number() OVER (PARTITION BY lang, source ORDER BY dl, doc_id) AS rn,
+        |      count(*) OVER (PARTITION BY lang, source) AS n
+        |    FROM d)
+        |  WHERE rn = (n + 1) // 2)
+        |SELECT a.lang, a.source, a.n_docs, a.n_tokens, a.min_tokens, a.max_tokens,
+        |  a.mean_tokens_x100, m.median_tokens::BIGINT AS median_tokens
+        |FROM a JOIN m USING (lang, source)
+        |ORDER BY lang, source""".stripMargin,
     // the allocation materialized: one row per (doc, epoch_idx) with the
     // full-epoch + kept-partial copy count, zero-copy docs dropped
     "text_mix_epochs" ->

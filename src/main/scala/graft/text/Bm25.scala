@@ -58,22 +58,25 @@ object Bm25 {
       idCol: String = "doc_id"): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val n = docs.count()
+    // one light pass for the corpus moments (single aggregate scan)
+    val moments = docs.select(count(lit(1)).as("n"),
+      sum(TextOps.tokenCount(col(textCol)).cast("long")).as("total")).head()
+    val n = moments.getLong(0)
     require(n > 0, "graft: BM25 fit over an empty corpus")
-    val avgdl = docs
-      .select(sum(TextOps.tokenCount(col(textCol)).cast("long")))
-      .head().getLong(0).toDouble / n.toDouble
-    val postings = docs
+    val avgdl = moments.getLong(1).toDouble / n.toDouble
+    // one heavy pass: explode + (doc, term) aggregate, written term-sorted;
+    // df/idf then derive from the WRITTEN parquet (a posting-table read,
+    // not a second corpus explode through lineage)
+    docs
       .select(col(idCol).cast("long").as("id"),
         TextOps.tokenCount(col(textCol)).cast("long").as("dl"),
         explode(toks(col(textCol))).as("term"))
       .groupBy("id", "dl", "term").agg(count(lit(1)).as("tf"))
-    postings
       .repartition(col("term"))
       .sortWithinPartitions("term")
       .select("term", "id", "tf", "dl")
       .write.mode("overwrite").parquet(s"$uri/postings")
-    postings
+    spark.read.parquet(s"$uri/postings")
       .groupBy("term").agg(count(lit(1)).as("df"))
       .select(col("term"), col("df"),
         microNats(log(lit(1.0) +

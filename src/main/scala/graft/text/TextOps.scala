@@ -170,6 +170,44 @@ object TextOps {
             .cast("int")).as("kept_partial"))
   }
 
+  /** Per-group corpus profile — the "dataset card" numbers curation
+    * decisions read: document count, token totals, min/max/median/mean
+    * document length per (lang, source, …) bucket. Everything integer
+    * (lower median at rank ⌊(n+1)/2⌋ in the unique (dl, id) order; mean
+    * scaled ×100 under integer DIV) so any engine replays it exactly.
+    *
+    * Scale: one hash aggregate for the moments plus one window over each
+    * GROUP'S rows for the median — groups are catalog-bounded
+    * (languages × sources), so no corpus-sized partition funnels through
+    * one task; a pathological single giant bucket would inherit the
+    * distributed boundary-selection remedy ([[QualityClassifier]]). */
+  def corpusProfile(
+      docs: DataFrame,
+      groupCols: Seq[String] = Seq("lang", "source"),
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(groupCols.nonEmpty, "corpusProfile: need at least one group column")
+    val g = groupCols.map(col)
+    val d = docs.select(
+      g :+ col(idCol).as("__id") :+
+        tokenCount(col(textCol)).cast("long").as("__dl"): _*)
+    val aggs = d.groupBy(g: _*).agg(
+      count(lit(1)).as("n_docs"),
+      sum("__dl").as("n_tokens"),
+      min("__dl").as("min_tokens"),
+      max("__dl").as("max_tokens"),
+      expr("sum(__dl) * 100 DIV count(1)").as("mean_tokens_x100"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(g: _*).orderBy(col("__dl"), col("__id"))
+    val med = d
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(g: _*)))
+      .where(col("__rn") === expr("(__n + 1) DIV 2"))
+      .select(g :+ col("__dl").as("median_tokens"): _*)
+    aggs.join(med, groupCols)
+  }
+
   /** Materialize a [[mixTemperature]] allocation into the physical epoch
     * rows a training-shard writer consumes: each document appears
     * `n_epochs + kept_partial` times, tagged `epoch_idx` 0… (full epochs

@@ -54,6 +54,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed === batch)
   }
 
+  test("streaming token-window chunking equals the batch plan (stateless)") {
+    val docsDir = Files.createTempDirectory("graft_stream_chunks")
+    spark.read.parquet(s"$sf0001/documents.parquet").limit(40)
+      .write.mode("overwrite").parquet(docsDir.toString)
+    val schema = spark.read.parquet(docsDir.toString).schema
+    val stream = spark.readStream.schema(schema).parquet(docsDir.toString)
+    val q = graft.text.TextOps.chunkTokenWindows(stream, window = 16, stride = 12)
+      .writeStream.format("memory").queryName("chunk_stream")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("chunk_stream")
+      .orderBy("doc_id", "chunk_idx").collect().toSeq
+    val batch = graft.text.TextOps.chunkTokenWindows(
+        spark.read.parquet(docsDir.toString), window = 16, stride = 12)
+      .orderBy("doc_id", "chunk_idx").collect().toSeq
+    assert(streamed.nonEmpty && streamed === batch)
+  }
+
   test("streaming windowed counts equal the batch plan") {
     val events = EventOps.loadEvents(spark, sf0001)
     val batch = events

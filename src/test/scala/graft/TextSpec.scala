@@ -551,6 +551,25 @@ class TextSpec extends AnyFunSuite {
       (3L, 2, "common", 1L, 3L)))
   }
 
+  test("corpus profile: integer moments and lower median per group") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "en", "a", "one"),                    // dl 1
+      (2L, "en", "a", "one two three"),          // dl 3
+      (3L, "en", "a", "one two three four five"),// dl 5 -> odd group: median 3
+      (4L, "fr", "b", "un deux"),                // dl 2
+      (5L, "fr", "b", "un deux trois voila")     // dl 4 -> even group: LOWER median 2
+    ).toDF("doc_id", "lang", "source", "text")
+    val out = TextOps.corpusProfile(corpus)
+      .select("lang", "n_docs", "n_tokens", "min_tokens", "max_tokens",
+        "mean_tokens_x100", "median_tokens")
+      .as[(String, Long, Long, Long, Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(out === Seq(
+      ("en", 3L, 9L, 1L, 5L, 300L, 3L),
+      ("fr", 2L, 6L, 2L, 4L, 300L, 2L)))
+  }
+
   test("epoch expansion materializes n_epochs + kept_partial copies per doc") {
     import spark.implicits._
     val mixed = Seq(
