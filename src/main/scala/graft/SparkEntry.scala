@@ -1114,6 +1114,12 @@ object SparkEntry {
         totalTokenBudget = 60000L, groupCol = "lang"))
       .orderBy("doc_id", "epoch_idx")
 
+  /** Subword seed vocabulary: top-500 word substrings (≤ 6 chars,
+    * "##" continuations) by corpus frequency
+    * ([[graft.text.TextOps.vocabSeed]]). */
+  private def textVocabSeed(spark: SparkSession, dir: String): DataFrame =
+    TextOps.vocabSeed(docs(spark, dir)).orderBy("rank")
+
   /** Dataset-card profile per (lang, source): integer moments + lower
     * median ([[graft.text.TextOps.corpusProfile]]). */
   private def textCorpusProfile(spark: SparkSession, dir: String): DataFrame =
@@ -1428,6 +1434,7 @@ object SparkEntry {
     "text_mix_temperature" -> (textMixTemperature _),
     "text_mix_epochs" -> (textMixEpochs _),
     "text_corpus_profile" -> (textCorpusProfile _),
+    "text_vocab_seed" -> (textVocabSeed _),
     "text_top_quantile" -> (textTopQuantile _),
     "text_bpe_token_count" -> (textBpeTokenCount _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
@@ -1834,6 +1841,24 @@ object SparkEntry {
     // counts by integer `//`, every output column re-cast BIGINT/INT
     // (window sums are HUGEINT in DuckDB — the mix_budget lesson).
     "text_mix_temperature" -> mixTemperatureOracle,
+    // seed-vocabulary replay: every ≤6-char substring of every lowercased
+    // token ("##" marks continuations), global counts, top-500 by
+    // (cnt desc, piece)
+    "text_vocab_seed" ->
+      """WITH w AS (
+        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        |  FROM documents),
+        |p AS (
+        |  SELECT unnest(flatten(list_transform(range(1, len(w) + 1), i ->
+        |    list_transform(range(1, least(6, len(w) - i + 1) + 1), l ->
+        |      CASE WHEN i = 1 THEN substr(w, i::INT, l::INT)
+        |           ELSE '##' || substr(w, i::INT, l::INT) END)))) AS piece
+        |  FROM w),
+        |c AS (SELECT piece, count(*)::BIGINT AS cnt FROM p GROUP BY piece)
+        |SELECT row_number() OVER (ORDER BY cnt DESC, piece)::INT AS rank, piece, cnt
+        |FROM c
+        |QUALIFY rank <= 500
+        |ORDER BY rank""".stripMargin,
     // dataset-card replay: same integer moments, lower median at rank
     // (n+1) DIV 2 in the unique (dl, doc_id) order, mean under integer DIV
     "text_corpus_profile" ->

@@ -434,3 +434,67 @@ case class BigramBucketCounts(child: Expression, buckets: Int)
   override protected def withNewChildInternal(newChild: Expression): BigramBucketCounts =
     copy(child = newChild)
 }
+
+/** Per-document word-substring piece counts — the seed-vocabulary front of
+  * subword tokenizer training (SentencePiece's unigram init takes the most
+  * frequent substrings, Kudo 2018 arXiv:1804.10959 §3.2; WordPiece marks
+  * word-internal continuations with "##", which this reproduces). For each
+  * lowercased whitespace token, every substring of length 1..maxLen is
+  * counted, prefixed "##" unless word-initial. One pass, one output row
+  * per DISTINCT piece per document (first-seen order), so the global
+  * aggregate shuffles distinct-piece rows, not positions×lengths. */
+case class WordPieceCounts(child: Expression, maxLen: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(maxLen > 0, s"word_piece_counts: maxLen must be positive, got $maxLen")
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"word_piece_counts requires string, got ${other.catalogString}")
+    }
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("piece", StringType, nullable = false),
+      StructField("cnt", LongType, nullable = false))),
+    containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "word_piece_counts"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val toks = v.asInstanceOf[UTF8String].toLowerCase.trim().toString
+      .split("\\s+")
+    val counts = new java.util.LinkedHashMap[String, Long]()
+    var t = 0
+    while (t < toks.length) {
+      val w = toks(t)
+      var i = 0
+      while (i < w.length) {
+        val maxL = math.min(maxLen, w.length - i)
+        var l = 1
+        while (l <= maxL) {
+          val raw = w.substring(i, i + l)
+          val piece = if (i == 0) raw else "##" + raw
+          counts.merge(piece, 1L, (a, b) => a + b)
+          l += 1
+        }
+        i += 1
+      }
+      t += 1
+    }
+    val out = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](UTF8String.fromString(e.getKey), e.getValue))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordPieceCounts =
+    copy(child = newChild)
+}

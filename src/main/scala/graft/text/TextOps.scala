@@ -170,6 +170,36 @@ object TextOps {
             .cast("int")).as("kept_partial"))
   }
 
+  /** Seed vocabulary for subword-tokenizer training: the `topN` most
+    * frequent word substrings (length ≤ `maxPieceLen`, WordPiece-style
+    * "##" continuation marks) across the corpus — SentencePiece's unigram
+    * initialization (Kudo 2018, arXiv:1804.10959 §3.2: "frequent
+    * substrings" seed the EM vocabulary). Counting is the one-pass
+    * [[WordPieceCounts]] expression (distinct-piece rows per doc), the
+    * global aggregate map-side combines, and the final cut is a
+    * distributed TakeOrdered of `topN` rows by (count desc, piece) — no
+    * global sort materializes. Output `(rank, piece, cnt)`. */
+  def vocabSeed(
+      docs: DataFrame,
+      topN: Int = 500,
+      maxPieceLen: Int = 6,
+      textCol: String = "text"): DataFrame = {
+    require(topN > 0, s"vocabSeed: topN must be positive, got $topN")
+    import org.apache.spark.sql.graftshim.{toColumn, toExpression}
+    val pieces = docs
+      .select(explode(toColumn(WordPieceCounts(
+        toExpression(col(textCol)), maxPieceLen))).as("e"))
+      .groupBy(col("e.piece").as("piece"))
+      .agg(sum(col("e.cnt")).as("cnt"))
+      .orderBy(col("cnt").desc, col("piece"))
+      .limit(topN)
+    // rank over the already-bounded topN frame (tiny window, driver-safe)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("piece"))
+    pieces.withColumn("rank", row_number().over(w))
+      .select("rank", "piece", "cnt")
+  }
+
   /** Per-group corpus profile — the "dataset card" numbers curation
     * decisions read: document count, token totals, min/max/median/mean
     * document length per (lang, source, …) bucket. Everything integer

@@ -551,6 +551,22 @@ class TextSpec extends AnyFunSuite {
       (3L, 2, "common", 1L, 3L)))
   }
 
+  test("vocab seed: substring pieces, ## continuations, frequency ranking") {
+    import spark.implicits._
+    val corpus = Seq((1L, "aba ab"), (2L, "ab")).toDF("doc_id", "text")
+    val out = TextOps.vocabSeed(corpus, topN = 100, maxPieceLen = 2)
+      .as[(Int, String, Long)].collect().toSeq
+    // aba -> a, ab, ##b, ##ba, ##a ; ab (x2) -> a, ab, ##b
+    val expect = Map("a" -> 3L, "ab" -> 3L, "##b" -> 3L, "##ba" -> 1L, "##a" -> 1L)
+    assert(out.map(t => t._2 -> t._3).toMap == expect)
+    // rank order: cnt desc then piece asc ("##b" < "a" < "ab" ASCII)
+    assert(out.sortBy(_._1).map(_._2) == Seq("##b", "a", "ab", "##a", "##ba"))
+    // topN boundary is deterministic
+    val top2 = TextOps.vocabSeed(corpus, topN = 2, maxPieceLen = 2)
+      .as[(Int, String, Long)].collect().toSeq.sortBy(_._1).map(_._2)
+    assert(top2 == Seq("##b", "a"))
+  }
+
   test("corpus profile: integer moments and lower median per group") {
     import spark.implicits._
     val corpus = Seq(
