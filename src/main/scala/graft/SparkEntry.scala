@@ -1185,6 +1185,19 @@ object SparkEntry {
         presetCentroids = Some(annDedupCentroids(spark, dir)._2))
       .orderBy("id_a", "id_b")
 
+  /** Soft duplication score: per-doc shared-shingle fraction
+    * ([[graft.text.Dedup.duplicationScore]]). */
+  private def textDupScore(spark: SparkSession, dir: String): DataFrame =
+    Dedup.duplicationScore(docs(spark, dir)).orderBy("doc_id")
+
+  /** Per-cluster farthest members over the SAME persisted blocking
+    * centroids the ANN dedup uses
+    * ([[graft.operators.EmbeddingOps.clusterOutliers]]). */
+  private def embeddingClusterOutliers(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.EmbeddingOps.clusterOutliers(emb(spark, dir),
+        annDedupCentroids(spark, dir)._2)
+      .orderBy("centroid_id", "vec_id")
+
   /** DuckDB-side 3-shingle set CTE shared by the jaccard oracles. */
   private val shingleCte: String =
     """WITH t AS (SELECT doc_id, lang, source, text,
@@ -1435,6 +1448,8 @@ object SparkEntry {
     "text_mix_epochs" -> (textMixEpochs _),
     "text_corpus_profile" -> (textCorpusProfile _),
     "text_vocab_seed" -> (textVocabSeed _),
+    "text_dup_score" -> (textDupScore _),
+    "embedding_cluster_outliers" -> (embeddingClusterOutliers _),
     "text_top_quantile" -> (textTopQuantile _),
     "text_bpe_token_count" -> (textBpeTokenCount _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
@@ -1841,6 +1856,19 @@ object SparkEntry {
     // counts by integer `//`, every output column re-cast BIGINT/INT
     // (window sums are HUGEINT in DuckDB — the mix_budget lesson).
     "text_mix_temperature" -> mixTemperatureOracle,
+    // soft-dup replay: same distinct-shingle sets, corpus df, >=2 test,
+    // integer-DIV permille
+    "text_dup_score" ->
+      s"""$shingleCte,
+         |e AS (SELECT doc_id, unnest(sh) AS sh FROM s),
+         |f AS (SELECT sh, count(*)::BIGINT AS df FROM e GROUP BY sh),
+         |a AS (
+         |  SELECT e.doc_id, count(*)::BIGINT AS n_shingles,
+         |    sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_shared
+         |  FROM e JOIN f USING (sh) GROUP BY e.doc_id)
+         |SELECT doc_id, n_shingles, n_shared,
+         |  (n_shared * 1000 // n_shingles)::BIGINT AS dup_permille
+         |FROM a ORDER BY doc_id""".stripMargin,
     // seed-vocabulary replay: every ≤6-char substring of every lowercased
     // token ("##" marks continuations), global counts, top-500 by
     // (cnt desc, piece)
@@ -2618,6 +2646,28 @@ object SparkEntry {
           "dedup_embedding_cosine_ann" ->
             s"""${annDedupPairsCte(path)}
                |SELECT id_a, id_b FROM pairs ORDER BY id_a, id_b""".stripMargin,
+          // farthest-members replay: argmin assignment (dist, pid ties)
+          // from the same persisted centroids, per-cluster rank by
+          // distance DESC with id ties
+          "embedding_cluster_outliers" ->
+            s"""WITH cents AS (
+               |  SELECT partition_id::INT AS pid, centroid
+               |  FROM read_parquet('$path/*.parquet')),
+               |v AS (
+               |  SELECT vec_id AS id,
+               |    list_transform(embedding,
+               |      x -> x / sqrt(list_inner_product(embedding, embedding))) AS nv
+               |  FROM embeddings),
+               |a AS (
+               |  SELECT v.id, c.pid, list_distance(c.centroid, v.nv) AS d
+               |  FROM v CROSS JOIN cents c
+               |  QUALIFY row_number() OVER (PARTITION BY v.id
+               |      ORDER BY list_distance(c.centroid, v.nv), c.pid) = 1)
+               |SELECT pid AS centroid_id, id AS vec_id,
+               |  row_number() OVER (PARTITION BY pid ORDER BY d DESC, id)::INT AS outlier_rank
+               |FROM a
+               |QUALIFY outlier_rank <= 3
+               |ORDER BY centroid_id, vec_id""".stripMargin,
           "dedup_semantic" ->
             s"""WITH RECURSIVE
                |${annDedupPairsCte(path).stripPrefix("WITH ")},

@@ -76,4 +76,47 @@ object EmbeddingOps {
       .select(col(idCol), col("comp_idx"),
         graft.functions.centered_dot(col("__x"), meanLit, col("comp")).as("proj"))
   }
+
+  /** Per-cluster outlier ranking — the "prune the noise before training"
+    * signal of embedding-space curation (the farthest members of each
+    * SemDeDup-style cluster are mislabeled/off-distribution candidates;
+    * SemDeDup's own §3 keeps LOW-similarity examples and prunes the rest —
+    * this surfaces the extremes of that same geometry). Each vector is
+    * normalized, assigned to its nearest blocking centroid (argmin L2,
+    * lower id on ties — [[graft.functions.NearestCentroid]]), and the
+    * `topK` FARTHEST members per cluster are ranked.
+    *
+    * Scale shape: assignment is a broadcast-k argmin projection; the
+    * per-cluster top-k goes through the [[MinTopK]] partial→final
+    * aggregate on negated distance (only topK rows per cluster per input
+    * partition cross the shuffle) — never a per-cluster sort window.
+    * Output: `(centroid_id, vec_id, outlier_rank)`. */
+  def clusterOutliers(
+      emb: DataFrame,
+      centroids: Array[Array[Float]],
+      topK: Int = 3,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(topK > 0, s"graft: clusterOutliers topK must be positive, got $topK")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.graftshim.{toColumn, toExpression}
+    import graft.functions.{dist_l2, min_topk, vector_normalize}
+    val cdf = centroids.zipWithIndex
+      .map { case (c, i) => (i, c) }.toSeq.toDF("centroid_id", "__cent")
+    val nv = vector_normalize(col(vecCol).cast("array<float>"))
+    emb
+      .select(col(idCol).cast("long").as("__id"), nv.as("__nv"),
+        toColumn(graft.functions.NearestCentroid(toExpression(nv), centroids))
+          .as("centroid_id"))
+      .join(graft.gatedSmallSide(cdf), Seq("centroid_id"))
+      .select(col("centroid_id"), col("__id"),
+        negate(dist_l2(col("__nv"), col("__cent"))).as("__score"))
+      .groupBy(col("centroid_id"))
+      .agg(min_topk(col("__score"), col("__id"), topK).as("__topk"))
+      .select(col("centroid_id"), posexplode(col("__topk")).as(Seq("__pos", "__hit")))
+      .select(col("centroid_id"),
+        col("__hit.id").as("vec_id"),
+        (col("__pos") + 1).cast("int").as("outlier_rank"))
+  }
 }

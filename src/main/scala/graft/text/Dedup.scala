@@ -547,4 +547,29 @@ object Dedup {
       .where(lit(1.0f) - dist_cosine(col("a.v"), col("b.v")) >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
   }
+
+  /** Soft duplication score — the document-level "how much of this text
+    * exists elsewhere" signal (the scoring complement of the hard pair
+    * generators above; Lee et al. 2021 §5 measures corpora exactly this
+    * way before choosing dedup thresholds). For every document: how many
+    * of its distinct 3-token shingles appear in at least one OTHER
+    * document, reported as exact integers plus an integer-DIV permille.
+    *
+    * Scale: one shingle explode, one corpus-wide shingle-frequency hash
+    * aggregate (map-side combined), one hash join back on the shingle,
+    * one per-doc re-aggregate — every step keyed and shuffle-parallel,
+    * no pair enumeration anywhere. Output:
+    * `(id, n_shingles, n_shared, dup_permille)`. */
+  def duplicationScore(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val e = docs.select(col(idCol), explode(TextOps.shingleSet(col(textCol))).as("sh"))
+    val freq = e.groupBy("sh").agg(count(lit(1)).as("df"))
+    e.join(freq, Seq("sh"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("dup_permille", expr("n_shared * 1000 DIV n_shingles"))
+  }
 }

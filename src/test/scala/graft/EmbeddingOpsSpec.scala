@@ -79,4 +79,39 @@ class EmbeddingOpsSpec extends AnyFunSuite {
     assert(!plan.toLowerCase.contains("lambdafunction"),
       s"interpreted HOF lambdas crept back into the projection:\n$plan")
   }
+
+  test("cluster outliers rank the farthest normalized members per centroid") {
+    import org.apache.spark.sql.functions._
+    val full = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val centroids = Array(
+      Array.fill(64)(0.1f),
+      Array.tabulate(64)(i => if (i % 2 == 0) 0.15f else -0.15f))
+    val got = graft.operators.EmbeddingOps.clusterOutliers(full, centroids, topK = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).toSet
+    // naive recompute in float32 (the engine's normalize/distance math)
+    def norm(v: Array[Float]): Array[Float] = {
+      var s = 0.0f; v.foreach(x => s += x * x)
+      val n = math.sqrt(s.toDouble).toFloat
+      if (n == 0f) v else v.map(_ / n)
+    }
+    def d(a: Array[Float], b: Array[Float]): Float = {
+      var s = 0.0f
+      for (i <- a.indices) { val t = a(i) - b(i); s += t * t }
+      math.sqrt(s.toDouble).toFloat
+    }
+    val rows = full.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), norm(r.getSeq[Float](1).toArray)))
+    val expect = rows
+      .map { case (id, nv) =>
+        val ds = centroids.map(c => d(nv, c))
+        val cid = ds.indices.minBy(i => (ds(i), i))
+        (cid, id, ds(cid))
+      }
+      .groupBy(_._1).toSeq
+      .flatMap { case (_, g) =>
+        g.sortBy { case (_, id, dist) => (-dist, id) }.take(2).zipWithIndex
+          .map { case ((c, id, _), i) => (c, id, i + 1) }.toSeq
+      }.toSet
+    assert(got == expect)
+  }
 }

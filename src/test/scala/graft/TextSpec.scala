@@ -551,6 +551,25 @@ class TextSpec extends AnyFunSuite {
       (3L, 2, "common", 1L, 3L)))
   }
 
+  test("duplication score counts shingles shared with OTHER documents") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a b c d e"),      // shingles: abc bcd cde
+      (2L, "a b c x y"),      // shares abc with doc 1
+      (3L, "p q r s t")       // nothing shared
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicationScore(corpus)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out === Seq(
+      (1L, 3L, 1L, 333L),
+      (2L, 3L, 1L, 333L),
+      (3L, 3L, 0L, 0L)))
+    // a shingle repeated WITHIN one doc only is not "shared": sets dedupe it
+    val solo = Seq((7L, "x y z x y z x y z")).toDF("doc_id", "text")
+    val r = Dedup.duplicationScore(solo).as[(Long, Long, Long, Long)].head()
+    assert(r._3 == 0L && r._4 == 0L)
+  }
+
   test("vocab seed: substring pieces, ## continuations, frequency ranking") {
     import spark.implicits._
     val corpus = Seq((1L, "aba ab"), (2L, "ab")).toDF("doc_id", "text")
