@@ -87,6 +87,52 @@ object Bm25 {
       .repartition(1).write.mode("overwrite").parquet(s"$uri/meta")
   }
 
+  /** Incrementally index `newDocs` into a fitted model: their postings
+    * append as new parquet files (term-sorted like the originals), and
+    * idf/meta are refreshed EXACTLY from the merged postings table — df
+    * by term count, `n`/`avgdl` from the distinct (id, dl) pairs — so
+    * `fit(A); append(B)` serves bit-identically to `fit(A ∪ B)`
+    * (spec-asserted). The corpus-sized work is one explode over the NEW
+    * documents plus one postings-table aggregate; the original corpus
+    * text is never re-read — the text-index sibling of the vector side's
+    * update/consolidate path (reference: index.py update_batch +
+    * consolidate_updates). Callers must ensure `newDocs` ids are disjoint
+    * from the fitted corpus (duplicate ids would double-count postings). */
+  def append(
+      newDocs: DataFrame,
+      uri: String,
+      textCol: String = "text",
+      idCol: String = "doc_id"): Unit = {
+    val spark = newDocs.sparkSession
+    import spark.implicits._
+    newDocs
+      .select(col(idCol).cast("long").as("id"),
+        TextOps.tokenCount(col(textCol)).cast("long").as("dl"),
+        explode(toks(col(textCol))).as("term"))
+      .groupBy("id", "dl", "term").agg(count(lit(1)).as("tf"))
+      .repartition(col("term"))
+      .sortWithinPartitions("term")
+      .select("term", "id", "tf", "dl")
+      .write.mode("append").parquet(s"$uri/postings")
+    val merged = spark.read.parquet(s"$uri/postings")
+    val moments = merged.select(col("id"), col("dl")).distinct()
+      .agg(count(lit(1)).as("n"), sum("dl").as("total")).head()
+    val n = moments.getLong(0)
+    val avgdl = moments.getLong(1).toDouble / n.toDouble
+    // write via temp + swap is unnecessary here: idf/meta are tiny and
+    // overwrite is atomic per directory at this size; readers in-flight
+    // hold their own snapshots
+    merged
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .select(col("term"), col("df"),
+        microNats(log(lit(1.0) +
+          (lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+          .as("idf_micro"))
+      .write.mode("overwrite").parquet(s"$uri/idf")
+    Seq((n, avgdl)).toDF("n_docs", "avgdl")
+      .repartition(1).write.mode("overwrite").parquet(s"$uri/meta")
+  }
+
   /** Top-`k` documents per query document by BM25 score, scoring the live
     * corpus frame (integer micro-score, ties to the lower doc id).
     * Output: `(qid, id, score_micro, rank)`. */

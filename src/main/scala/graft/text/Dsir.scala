@@ -77,7 +77,13 @@ object Dsir {
   }
 
   /** Integer importance score per document:
-    * `(id, n_bigrams, score_micro)` with zero-bigram documents scored 0. */
+    * `(id, n_bigrams, score_micro)` with zero-bigram documents scored 0.
+    *
+    * One corpus pass: a zero-count sentinel entry rides along with every
+    * document's feature array, so the single aggregate sees every doc and
+    * no doc-list left join is needed — which also makes the plan a legal
+    * STREAMING plan (projection → stream-static model join → aggregate;
+    * spec-checked against the batch results in complete mode). */
   def score(
       docs: DataFrame,
       uri: String,
@@ -87,18 +93,17 @@ object Dsir {
     val meta = spark.read.parquet(s"$uri/meta").head()
     val buckets = meta.getAs[Int]("buckets")
     val model = spark.read.parquet(s"$uri/model")
-    val sums = docs
-      .select(col(idCol), explode(bigramBucketCounts(col(textCol), buckets)).as("e"))
+    // bucket -1 can never collide (real buckets are in [0, buckets)); its
+    // cnt 0 contributes to neither sum
+    val sentinel = array(struct(lit(-1L).as("bucket"), lit(0L).as("cnt")))
+    docs
+      .select(col(idCol),
+        explode(concat(bigramBucketCounts(col(textCol), buckets), sentinel)).as("e"))
       .select(col(idCol), col("e.bucket").as("bucket"), col("e.cnt").as("cnt"))
-      .join(graft.gatedSmallSide(model), Seq("bucket"))
+      .join(graft.gatedSmallSide(model), Seq("bucket"), "left")
       .groupBy(col(idCol))
       .agg(sum(col("cnt")).as("n_bigrams"),
-        sum(col("cnt") * col("logw_micro")).as("score_micro"))
-    docs.select(col(idCol))
-      .join(sums, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        coalesce(col("score_micro"), lit(0L)).as("score_micro"))
+        sum(col("cnt") * coalesce(col("logw_micro"), lit(0L))).as("score_micro"))
   }
 
   /** [[score]] plus the deterministic top-slice flag: the

@@ -76,6 +76,28 @@ class Bm25Spec extends AnyFunSuite {
     finally spark.conf.unset(Bm25.MaxPushdownTermsKey)
   }
 
+  test("fit(A) + append(B) serves identically to fit(A ∪ B)") {
+    val a = docs.where(col("doc_id") < 25)
+    val b = docs.where(col("doc_id") >= 25 && col("doc_id") < 50)
+    val full = Files.createTempDirectory("graft_bm25_full").toString
+    Bm25.fit(docs.where(col("doc_id") < 50), full)
+    val inc = Files.createTempDirectory("graft_bm25_inc").toString
+    Bm25.fit(a, inc)
+    Bm25.append(b, inc)
+    // model tables agree exactly (idf micro-nats and meta doubles)
+    def idf(u: String) = spark.read.parquet(s"$u/idf")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(idf(inc) == idf(full))
+    assert(spark.read.parquet(s"$inc/meta").head() ==
+      spark.read.parquet(s"$full/meta").head())
+    // and so does the served ranking
+    val q = docs.where(col("doc_id") < 3)
+    def rows(u: String) = Bm25.topkIndexed(spark, q, 10, u)
+      .select("qid", "id", "score_micro", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(rows(inc) == rows(full))
+  }
+
   test("ranking is deterministic across runs") {
     val a = Bm25.topk(docs, docs.where(col("doc_id") < 5), 10, uri)
       .select("qid", "rank", "id").collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet

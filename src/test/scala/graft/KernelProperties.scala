@@ -218,4 +218,75 @@ object KernelProperties extends Properties("graft.kernels") {
       while (i < x.length) { s += (x(i) - m(i)) * c(i); i += 1 }
       java.lang.Double.doubleToLongBits(got) == java.lang.Double.doubleToLongBits(s)
     }
+
+  private val floatVecGen: Gen[List[Float]] =
+    Gen.chooseNum(0, 130).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(
+        Gen.chooseNum(-1e3f, 1e3f), Gen.oneOf(0.0f, -0.0f))))
+
+  property("signPack sets bit (i%64) of word (i/64) iff v(i) >= 0") =
+    forAll(floatVecGen) { v =>
+      val packed = graft.functions.VecKernels.signPack(
+        new GenericArrayData(v.map(_.asInstanceOf[Any]).toArray))
+      val words = packed.toLongArray()
+      words.length == (v.length + 63) / 64 &&
+        v.indices.forall { i =>
+          (((words(i >>> 6) >>> (i & 63)) & 1L) == 1L) == (v(i) >= 0.0f)
+        }
+    }
+
+  property("hamming == naive sign-mismatch count, symmetric, zero on self") =
+    forAll(Gen.chooseNum(0, 130).flatMap(n =>
+      Gen.zip(Gen.listOfN(n, Gen.chooseNum(-1e3f, 1e3f)),
+        Gen.listOfN(n, Gen.chooseNum(-1e3f, 1e3f))))) { case (a, b) =>
+      def pack(v: List[Float]) = graft.functions.VecKernels.signPack(
+        new GenericArrayData(v.map(_.asInstanceOf[Any]).toArray))
+      val (pa, pb) = (pack(a), pack(b))
+      val got = graft.functions.VecKernels.hamming(pa, pb)
+      val naive = a.zip(b).count { case (x, y) => (x >= 0) != (y >= 0) }
+      got == naive &&
+        graft.functions.VecKernels.hamming(pb, pa) == got &&
+        graft.functions.VecKernels.hamming(pa, pa) == 0
+    }
+
+  private val asciiTextGen: Gen[String] =
+    Gen.listOf(Gen.oneOf(Gen.alphaLowerChar, Gen.const(' '), Gen.alphaUpperChar))
+      .map(_.mkString)
+
+  property("BigramBucketCounts sums to max(tokens-1, 0) with buckets in range") =
+    forAll(asciiTextGen, Gen.oneOf(16, 64, 4096)) { (text, m) =>
+      val e = graft.text.BigramBucketCounts(
+        BoundReference(0, StringType, nullable = false), m)
+      val out = e.eval(InternalRow(UTF8String.fromString(text)))
+        .asInstanceOf[ArrayData]
+      val rows = (0 until out.numElements()).map { i =>
+        val r = out.getStruct(i, 2); (r.getLong(0), r.getLong(1))
+      }
+      val toks = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+      val expectTotal = math.max(toks.length - 1, 0)
+      rows.map(_._2).sum == expectTotal &&
+        rows.forall { case (b, c) => b >= 0 && b < m && c > 0 } &&
+        rows.map(_._1).distinct.length == rows.length
+    }
+
+  property("WordPieceCounts covers every substring <= maxLen exactly once per occurrence") =
+    forAll(asciiTextGen, Gen.chooseNum(1, 6)) { (text, maxLen) =>
+      val e = graft.text.WordPieceCounts(
+        BoundReference(0, StringType, nullable = false), maxLen)
+      val out = e.eval(InternalRow(UTF8String.fromString(text)))
+        .asInstanceOf[ArrayData]
+      val got = (0 until out.numElements()).map { i =>
+        val r = out.getStruct(i, 2); (r.getUTF8String(0).toString, r.getLong(1))
+      }.toMap
+      val naive = scala.collection.mutable.Map.empty[String, Long]
+      for {
+        w <- text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+        i <- 0 until w.length
+        l <- 1 to math.min(maxLen, w.length - i)
+      } {
+        val p = (if (i == 0) "" else "##") + w.substring(i, i + l)
+        naive(p) = naive.getOrElse(p, 0L) + 1L
+      }
+      got == naive.toMap
+    }
 }

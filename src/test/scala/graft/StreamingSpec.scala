@@ -72,6 +72,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed === batch)
   }
 
+  test("streaming DSIR scoring equals batch (stream-static model join)") {
+    val docsDir = Files.createTempDirectory("graft_stream_dsir")
+    val fixture = spark.read.parquet(s"$sf0001/documents.parquet").limit(30)
+    fixture.write.mode("overwrite").parquet(docsDir.toString)
+    val modelUri = Files.createTempDirectory("graft_stream_dsir_model").toString
+    graft.text.Dsir.fit(fixture, col("lang") === "en", modelUri)
+    val schema = spark.read.parquet(docsDir.toString).schema
+    val stream = spark.readStream.schema(schema).parquet(docsDir.toString)
+    // score() is a projection + stream-static broadcast join + per-doc
+    // aggregate; complete-mode aggregation makes it streamable unchanged
+    val q = graft.text.Dsir.score(stream, modelUri)
+      .writeStream.format("memory").queryName("dsir_stream")
+      .outputMode("complete").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("dsir_stream")
+      .orderBy("doc_id").collect().toSeq
+    val batch = graft.text.Dsir.score(
+        spark.read.parquet(docsDir.toString), modelUri)
+      .orderBy("doc_id").collect().toSeq
+    assert(streamed.nonEmpty && streamed === batch)
+  }
+
   test("streaming windowed counts equal the batch plan") {
     val events = EventOps.loadEvents(spark, sf0001)
     val batch = events
