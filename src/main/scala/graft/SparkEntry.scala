@@ -725,8 +725,11 @@ object SparkEntry {
       .orderBy("qid", "neighbor_id")
   }
 
-  /** Candidate-list size of the binary-Hamming query (4k re-rank budget). */
-  private val BinFetchK = 4 * K
+  /** Candidate-list size of the binary-Hamming query. 16k clears 0.9
+    * recall@10 on the audit sweep (BinaryRecallAudit → PERF.md) while the
+    * re-rank stays a 160-row-per-query join — the knob trades exactly
+    * this curve. */
+  private val BinFetchK = 16 * K
 
   /** Binary sign-quantization ANN ([[graft.operators.BinaryKnn]]): persisted
     * 1-bit/dim sketch, Hamming shortlist of 4k over the bits-only scan,
