@@ -133,6 +133,29 @@ object Bm25 {
       .repartition(1).write.mode("overwrite").parquet(s"$uri/meta")
   }
 
+  /** Compact the postings table after a run of [[append]]s: rewrite every
+    * file into one fresh term-sorted layout so row-group term ranges are
+    * narrow again (appends interleave their own term-sorted files, which
+    * widens the per-file ranges the pushdown prunes against). Results are
+    * unchanged — only file geometry moves. Single-writer maintenance op
+    * (the vector side's vacuum analogue): the swap is staged-dir +
+    * directory move, not atomic against concurrent writers. */
+  def compactPostings(spark: SparkSession, uri: String): Unit = {
+    val src = new java.io.File(s"$uri/postings")
+    val tmp = new java.io.File(s"$uri/postings_compact_tmp")
+    spark.read.parquet(src.toString)
+      .repartition(col("term"))
+      .sortWithinPartitions("term")
+      .write.mode("overwrite").parquet(tmp.toString)
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmTree))
+      f.delete(); ()
+    }
+    rmTree(src)
+    require(tmp.renameTo(src),
+      s"graft: postings compaction could not move $tmp into place")
+  }
+
   /** Top-`k` documents per query document by BM25 score, scoring the live
     * corpus frame (integer micro-score, ties to the lower doc id).
     * Output: `(qid, id, score_micro, rank)`. */

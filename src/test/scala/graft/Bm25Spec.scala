@@ -98,6 +98,25 @@ class Bm25Spec extends AnyFunSuite {
     assert(rows(inc) == rows(full))
   }
 
+  test("postings compaction preserves results and consolidates files") {
+    val u = Files.createTempDirectory("graft_bm25_compact").toString
+    Bm25.fit(docs.where(col("doc_id") < 20), u)
+    for (lo <- 20 to 44 by 5)
+      Bm25.append(docs.where(col("doc_id") >= lo && col("doc_id") < lo + 5), u)
+    val q = docs.where(col("doc_id") < 3)
+    def rows() = Bm25.topkIndexed(spark, q, 10, u)
+      .select("qid", "id", "score_micro").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def nFiles() = new java.io.File(s"$u/postings").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    val before = rows()
+    val filesBefore = nFiles()
+    Bm25.compactPostings(spark, u)
+    assert(rows() == before)
+    assert(nFiles() < filesBefore,
+      s"compaction should shrink the file count ($filesBefore -> ${nFiles()})")
+  }
+
   test("ranking is deterministic across runs") {
     val a = Bm25.topk(docs, docs.where(col("doc_id") < 5), 10, uri)
       .select("qid", "rank", "id").collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet

@@ -47,6 +47,27 @@ object PlanAudit {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     graft.text.Dedup.duplicatedSpans(docs).explain("formatted")
 
+    println("===== binary sign-sketch ANN (bits-only scan -> MinTopK -> re-rank join) =====")
+    val binUri = Files.createTempDirectory("graft_audit_bin").toString
+    val embRaw = spark.read.parquet(s"$dir/embeddings.parquet")
+    graft.operators.BinaryKnn.buildSketch(
+      embRaw.select(col("vec_id").as("id"), col("embedding").as("vector")), binUri)
+    graft.operators.BinaryKnn.search(spark, binUri, embRaw,
+      embRaw.where(col("vec_id") < 3), 5, fetchK = 20,
+      DistanceMetric.L2, idCol = "vec_id", vecCol = "embedding",
+      qidCol = "vec_id", qvecCol = "embedding").explain("formatted")
+
+    println("===== BM25 indexed serving (term pushdown on sorted postings) =====")
+    val bm25Uri = Files.createTempDirectory("graft_audit_bm25").toString
+    graft.text.Bm25.fit(docs, bm25Uri)
+    graft.text.Bm25.topkIndexed(spark, docs.where(col("doc_id") < 3), 5, bm25Uri)
+      .explain("formatted")
+
+    println("===== DSIR scoring (one pass, gated model broadcast, partial agg) =====")
+    val dsirUri = Files.createTempDirectory("graft_audit_dsir").toString
+    graft.text.Dsir.fit(docs, col("lang") === "en", dsirUri)
+    graft.text.Dsir.score(docs, dsirUri).explain("formatted")
+
     println("===== hash split/sample (pure projection, no exchange) =====")
     docs.select(col("doc_id"),
       graft.text.TextOps.hashSplit(col("doc_id"), 800, 100, salt = "s1"))
