@@ -292,6 +292,26 @@ object SparkEntry {
     idsOnly(VectorIndex.open(spark, flatUpdIndex(spark, dir))
       .query(idxQueries(spark, dir), K))
 
+  /** BINARY index type under the SAME updates script as [[flatUpdIndex]],
+    * queried at probe-all (fetchK >= |base| → exact) — proving the
+    * sign-sketch type rides the shared updates/merge machinery; the FLAT
+    * updates oracle applies verbatim. */
+  private def binaryIdxUpdatesKnn(spark: SparkSession, dir: String): DataFrame = {
+    val uri = cachedIndex("bin_upd", dir) { u =>
+      val base = embAsIndexInput(spark, dir)
+      val idx = Ingest.ingest(spark, u, base, "BINARY", DistanceMetric.L2,
+        timestamp = 1000L)
+      idx.deleteBatch(base.where(col("external_id") % 20 === 0), ts = 1100L)
+      idx.updateBatch(base.where(col("external_id") % 20 === 1)
+        .select(col("external_id"), reverse(col("vector")).as("vector")), ts = 1100L)
+      idx.updateBatch(base.where(col("external_id") < 50)
+        .select((col("external_id") + 1000000L).as("external_id"),
+          reverse(col("vector")).as("vector")), ts = 1100L)
+    }
+    idsOnly(VectorIndex.open(spark, uri)
+      .query(idxQueries(spark, dir), K, nprobe = 1 << 30))
+  }
+
   /** Time-RANGE open (reference index.py:115-177, `timestamp=(start, end)`
     * tuple form): start=1100 is past the first ingestion (ts=1000), so no
     * base version is attributable to the window and only updates-log
@@ -1425,6 +1445,7 @@ object SparkEntry {
     "events_band_join" -> (eventsBandJoin _),
     "ivf_pq_default" -> (ivfPqDefault _),
     "updates_knn" -> (updatesKnn _),
+    "binary_idx_updates_knn" -> (binaryIdxUpdatesKnn _),
     "timetravel_knn" -> (timetravelKnn _),
     "timetravel_range_knn" -> (timetravelRangeKnn _),
     "text_token_count" -> (textTokenCount _),
@@ -1620,6 +1641,8 @@ object SparkEntry {
     "ivf_flat_u8" -> u8KnnOracle,
     "ivf_pq_u8_exact_rerank" -> u8KnnOracle,
     "updates_knn" -> updatesOracle,
+    // exact at probe-all over the identical merged state
+    "binary_idx_updates_knn" -> updatesOracle,
     "timetravel_knn" -> timetravelOracle,
     "timetravel_range_knn" -> timetravelRangeOracle,
     "text_token_count" ->

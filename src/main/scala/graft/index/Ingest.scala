@@ -205,7 +205,10 @@ object Ingest {
       col("vector").cast("array<float>").as("vector"))
     // COSINE rides on normalized vectors + L2 kernels for IVF
     // (reference: ivf_flat_index.py:254-255, ingestion.py:2616-2663).
-    val normalize = metric == DistanceMetric.Cosine && indexType != "FLAT" && !normalizeDone
+    // (BINARY stores raw like FLAT: dist_cosine runs directly at re-rank,
+    // and coordinate SIGNS are normalization-invariant anyway)
+    val normalize = metric == DistanceMetric.Cosine &&
+      indexType != "FLAT" && indexType != "BINARY" && !normalizeDone
     val base1 = if (normalize) {
       base0.select(col("external_id"), vector_normalize(col("vector")).as("vector"))
     } else base0
@@ -238,7 +241,7 @@ object Ingest {
         s"graft: partitions=${partitions.get} contradicts ${c.length} preset centroids")
     }
     val numParts: Int = indexType match {
-      case "FLAT" => 0
+      case "FLAT" | "BINARY" => 0
       case _ => presetCentroids.map(_.length)
         .getOrElse(partitions.getOrElse(autoPartitions(count)))
     }
@@ -274,6 +277,22 @@ object Ingest {
     indexType match {
       case "FLAT" =>
         packVector(base).write.mode("overwrite").parquet(s"$uri/base/v=$timestamp")
+      case "BINARY" =>
+        // 1-bit sign-sketch index: base stored like FLAT (raw floats, the
+        // exact re-rank side) plus a versioned (external_id, bits) sketch
+        // the candidate stage scans at 1 bit/dim. Magnitude-blind, so
+        // INNER_PRODUCT cannot be ordered by it; byte dtypes are rejected
+        // because u8 coordinates are all non-negative (a degenerate
+        // sketch) and i8 packing would hide the float view the sketch
+        // derives from.
+        require(metric != DistanceMetric.InnerProduct,
+          "BINARY sign sketches cannot order INNER_PRODUCT (magnitude-blind); use FLAT")
+        require(!byteDtype,
+          s"BINARY requires dtype float32, got $dtype (u8/i8 signs are degenerate)")
+        base.write.mode("overwrite").parquet(s"$uri/base/v=$timestamp")
+        base.select(col("external_id"),
+            graft.functions.sign_pack(col("vector")).as("bits"))
+          .write.mode("overwrite").parquet(s"$uri/sketch/v=$timestamp")
       case "IVF_FLAT" =>
         // copy-centroids reuse on consolidation (reference: index.py:503-577
         // `copy_centroids_uri` + partitions check) skips re-training; a

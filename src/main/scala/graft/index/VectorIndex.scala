@@ -474,6 +474,7 @@ abstract class VectorIndex(
       Storage.deleteRecursively(s"$uri/centroids/v=$t")
       Storage.deleteRecursively(s"$uri/graph/v=$t") // VAMANA adjacency
       Storage.deleteRecursively(s"$uri/pq_codebooks/v=$t") // IVF_PQ codebooks
+      Storage.deleteRecursively(s"$uri/sketch/v=$t") // BINARY sign sketch
     }
     val keepIdx = keep.map(_._2).toSet
     IndexMeta.write(uri, meta.copy(
@@ -513,6 +514,7 @@ object VectorIndex {
     val ts = timestamp.getOrElse(Long.MaxValue)
     meta.indexType match {
       case "FLAT" => new FlatIndex(spark, uri, meta, ts)
+      case "BINARY" => new BinaryIndex(spark, uri, meta, ts)
       case "IVF_FLAT" => new IvfFlatIndex(spark, uri, meta, ts)
       case "IVF_PQ" => new IvfPqIndex(spark, uri, meta, ts)
       case "VAMANA" => new VamanaIndex(spark, uri, meta, ts)
@@ -664,6 +666,52 @@ class FlatIndex(spark: SparkSession, uri: String, meta: IndexMeta, ts: Long)
         Knn.bruteForce(base, queries, k, metric,
           idCol = "external_id", vecCol = "vector", qidCol = "qid", qvecCol = "qvec")
     }
+  }
+}
+
+/** BINARY sign-sketch index: the engine's 1-bit quantization
+  * ([[graft.operators.BinaryKnn]]) as a full index type. Base vectors are
+  * stored raw like FLAT (the exact re-rank side and the updates-merge
+  * substrate), plus a versioned `(external_id, bits)` sketch table the
+  * candidate stage scans at 1 bit/dim — 32× less IO than the float scan.
+  * `nprobe` doubles as the re-rank budget `fetchK` (the type's one knob,
+  * like IVF's probe count: ≤ 0 → 16k default; ≥ |base| → exact by
+  * construction). Updates, deletes, time travel, range opens, filtered
+  * queries, and consolidation all ride the shared [[VectorIndex]]
+  * machinery unchanged — consolidation re-ingests through the BINARY
+  * path, which regenerates the sketch for the new base version. No
+  * reference analogue (its quantization story is IVF_PQ); this is the
+  * sign-sketch classic on the same lifecycle contract. */
+class BinaryIndex(spark: SparkSession, uri: String, meta: IndexMeta, ts: Long)
+    extends VectorIndex(spark, uri, meta, ts) {
+
+  private def sketch(): DataFrame =
+    spark.read.parquet(s"$uri/sketch/v=$baseTimestamp")
+
+  override def baseVectors(): DataFrame =
+    new FlatIndex(spark, uri, meta, ts).baseVectors()
+
+  override protected def queryBase(queries: DataFrame, k: Int, nprobe0: Int,
+      allow: Option[DataFrame]): DataFrame = {
+    val base = baseVectors()
+    if (historyIdx < 0) {
+      return Knn.bruteForce(restrictTo(base, allow), queries, k, metric,
+        idCol = "external_id", vecCol = "vector", qidCol = "qid", qvecCol = "qvec")
+    }
+    // cap at the recorded base size: fetchK >= |base| IS probe-all, and the
+    // cap keeps the shortlist aggregate's capacity honest for huge requests
+    val baseN = meta.baseSizes(historyIdx)
+    val fetchK = math.min(
+      if (nprobe0 <= 0) 16L * k else math.max(k.toLong, nprobe0.toLong),
+      math.max(k.toLong, baseN)).toInt
+    // the allow-list restricts the SKETCH side, so a filtered query fills
+    // its shortlist from allowed candidates (pre-filter semantics); the
+    // re-rank join then only ever sees allowed ids
+    graft.operators.BinaryKnn.searchFrames(
+      restrictTo(sketch(), allow)
+        .select(col("external_id").as("id"), col("bits")),
+      base.select(col("external_id").as("id"), col("vector")),
+      queries, k, fetchK, metric)
   }
 }
 

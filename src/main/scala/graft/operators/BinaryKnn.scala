@@ -56,11 +56,26 @@ object BinaryKnn {
       idCol: String = "id",
       vecCol: String = "vector",
       qidCol: String = "qid",
-      qvecCol: String = "qvec"): DataFrame = {
+      qvecCol: String = "qvec"): DataFrame =
+    searchFrames(spark.read.parquet(s"$uri/sketch"),
+      db.select(col(idCol).cast("long").as("id"), col(vecCol).as("vector")),
+      queries.select(col(qidCol).cast("long").as("qid"), col(qvecCol).as("qvec")),
+      k, fetchK, metric)
+
+  /** Frame-level two-stage query: `sketch (id, bits)` drives the Hamming
+    * shortlist, `db (id, vector)` the exact re-rank, `queries (qid, qvec)`
+    * both — the entry point [[graft.index.BinaryIndex]] serves VERSIONED
+    * sketch tables through. */
+  def searchFrames(
+      sketch: DataFrame,
+      db: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      fetchK: Int,
+      metric: DistanceMetric = DistanceMetric.L2): DataFrame = {
     require(k > 0 && fetchK >= k, s"graft: need fetchK >= k > 0, got k=$k fetchK=$fetchK")
-    val q = queries.select(col(qidCol).cast("long").as("__qid"), col(qvecCol).as("__qvec"))
+    val q = queries.select(col("qid").cast("long").as("__qid"), col("qvec").as("__qvec"))
     val qBits = q.select(col("__qid"), sign_pack(col("__qvec")).as("__qbits"))
-    val sketch = spark.read.parquet(s"$uri/sketch")
 
     // stage 1: Hamming shortlist over the bits-only scan. Ties resolve to
     // the lower id (MinTopK's contract), so the shortlist is deterministic
@@ -75,7 +90,7 @@ object BinaryKnn {
       .select(col("__qid"), col("__hit.id").as("__id"))
 
     // stage 2: exact re-rank of the shortlist only.
-    val d = db.select(col(idCol).cast("long").as("__id"), col(vecCol).as("__vec"))
+    val d = db.select(col("id").cast("long").as("__id"), col("vector").as("__vec"))
     val rescored = graft.gatedSmallSide(shortlist)
       .join(d, Seq("__id"))
       .join(Knn.sizedQuerySide(q, "__qvec"), Seq("__qid"))

@@ -91,6 +91,40 @@ class SqlApiSpec extends AnyFunSuite {
     }
   }
 
+  test("a BINARY index registers on the SQL surface with exact-scan semantics") {
+    graft.functions.registerAll(spark)
+    val hadRule = spark.experimental.extraOptimizations.contains(graft.plans.IndexProbeRewrite)
+    if (!hadRule)
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.IndexProbeRewrite
+    try {
+      val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+        .select(col("vec_id").as("external_id"), col("embedding").as("vector"))
+      val uri = java.nio.file.Files.createTempDirectory("graft_sqlapi_bin").toString
+      graft.index.Ingest.ingest(spark, uri, emb, "BINARY",
+        DistanceMetric.L2, timestamp = 1000L)
+      graft.plans.GraftSql.registerIndexTable(spark, "bin_vecs", uri, nprobe = 4)
+      val qv = emb.where(col("external_id") === 2).select("vector")
+        .head().getSeq[Float](0)
+      val qlit = "cast(array(" + qv.map(x =>
+        String.format(java.util.Locale.ROOT, "%.9e", Float.box(x))).mkString(",") +
+        ") as array<float>)"
+      val got = spark.sql(
+        s"SELECT external_id FROM bin_vecs ORDER BY dist_l2(vector, $qlit) LIMIT 5")
+        .collect().map(_.getLong(0)).toSet
+      // no probe side for the sketch type -> the SQL path is the exact scan
+      val exact = graft.operators.Knn.bruteForce(emb,
+          emb.where(col("external_id") === 2)
+            .select(col("external_id").as("qid"), col("vector").as("qvec")),
+          5, DistanceMetric.L2, idCol = "external_id", vecCol = "vector")
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(got == exact)
+    } finally if (!hadRule) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == graft.plans.IndexProbeRewrite)
+    }
+  }
+
   test("probe rewrite composes with a user WHERE: filtered SQL top-k") {
     graft.functions.registerAll(spark)
     val hadRule = spark.experimental.extraOptimizations.contains(graft.plans.IndexProbeRewrite)
