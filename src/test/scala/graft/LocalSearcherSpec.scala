@@ -148,6 +148,15 @@ class LocalSearcherSpec extends AnyFunSuite {
       timestamp = 1000L)
     val localV = serveAll(vam, 10)
     localV.keys.foreach(q => assert(localV(q).map(_._1).toSeq === exact(q).map(_._1)))
+
+    // BINARY snapshots serve exact brute force too — equal to the
+    // distributed path at probe-all (the sketch is a distributed-scan
+    // optimization; a local snapshot scans the floats directly)
+    val uriB = tmp()
+    val bin = Ingest.ingest(spark, uriB, emb, "BINARY", DistanceMetric.L2,
+      timestamp = 1000L)
+    val localB = serveAll(bin, 10)
+    localB.keys.foreach(q => assert(localB(q).map(_._1).toSeq === exact(q).map(_._1)))
   }
 
   private lazy val tmpFlat: String = {
