@@ -1208,6 +1208,46 @@ object SparkEntry {
         presetCentroids = Some(annDedupCentroids(spark, dir)._2))
       .orderBy("id_a", "id_b")
 
+  /** End-to-end curation funnel — the hygiene operators composed the way
+    * a real pipeline runs them: Gopher rule bank (word floor lowered to
+    * 10 for the short synthetic docs) → exact-dup canonicalization among
+    * rule survivors → trained-classifier keep → DSIR top-half selection
+    * among the remaining survivors. Emits per-document funnel flags; ONE
+    * composed DuckDB oracle replays all four stages, two of them from
+    * persisted models. */
+  private def pipelineCurationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val clfUri = qualityClfUri(spark, dir)
+    val dsUri = dsirUri(spark, dir)
+    val d = docs(spark, dir)
+    // calibrated to the synthetic word-soup: word floor 10, required
+    // stopwords >= 1 (the corpus vocabulary carries only "the" from the
+    // required list — the >= 2 natural-English default would zero the
+    // funnel, which the oracle would happily confirm but proves nothing)
+    val gPass = TextOps.gopherRules(col("text"), minWords = 10L,
+      minRequiredWords = 1L).last._2
+    val s1 = d.select(col("doc_id"), col("text"), gPass.as("keep_gopher"))
+      .withColumn("__fp", TextOps.fingerprintMd5(col("text")))
+    val canon = s1.where(col("keep_gopher"))
+      .groupBy("__fp").agg(min("doc_id").as("__canon"))
+    // FALSE && NULL is FALSE in both engines, and a gopher-surviving doc's
+    // fingerprint group always contains itself, so keep_dedup never nulls
+    val s2 = s1.join(canon, Seq("__fp"), "left")
+      .withColumn("keep_dedup", col("keep_gopher") && col("doc_id") === col("__canon"))
+    val clf = graft.text.QualityClassifier.scoreLogit(d, clfUri)
+      .select(col("doc_id"), col("keep").as("keep_clf"))
+    val s3 = s2.join(clf, Seq("doc_id"))
+    val survivors = s3.where(col("keep_dedup") && col("keep_clf"))
+      .select(col("doc_id"), col("text"))
+    val sel = graft.text.Dsir.select(survivors, dsUri, keepPermille = 500)
+      .select(col("doc_id"), col("selected").as("selected_dsir"))
+    s3.join(sel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("keep_gopher"), col("keep_dedup"), col("keep_clf"),
+        coalesce(col("selected_dsir"), lit(false)).as("selected_dsir"))
+      .withColumn("final_keep",
+        col("keep_dedup") && col("keep_clf") && col("selected_dsir"))
+      .orderBy("doc_id")
+  }
+
   /** Soft duplication score: per-doc shared-shingle fraction
     * ([[graft.text.Dedup.duplicationScore]]). */
   private def textDupScore(spark: SparkSession, dir: String): DataFrame =
@@ -1474,6 +1514,7 @@ object SparkEntry {
     "text_vocab_seed" -> (textVocabSeed _),
     "text_dup_score" -> (textDupScore _),
     "embedding_cluster_outliers" -> (embeddingClusterOutliers _),
+    "pipeline_curation_funnel" -> (pipelineCurationFunnel _),
     "text_top_quantile" -> (textTopQuantile _),
     "text_bpe_token_count" -> (textBpeTokenCount _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
@@ -2265,7 +2306,7 @@ object SparkEntry {
   ) ++ ivfNprobeReplayOracle ++ ivfPqDefaultReplayOracle ++
     knnGraphAnnReplayOracle ++ annDedupReplayOracles ++ lshReplayOracle ++
     lmReplayOracle ++ dsirReplayOracle ++ bm25ReplayOracle ++
-    qualityClfReplayOracle ++ pcaReplayOracle ++
+    qualityClfReplayOracle ++ pipelineFunnelOracle ++ pcaReplayOracle ++
     vamanaRecallOracle("vamana", "results_knn", "vamana_knn") ++
     vamanaRecallOracle("vamana_routed", "results_routed", "vamana_knn_routed")
 
@@ -2326,6 +2367,104 @@ object SparkEntry {
     * facet SQL, weights via scalar subqueries on the persisted parquet, and
     * the logit summed in the same fixed left-associative feature order —
     * bit-identical doubles, no sigmoid on either side. */
+  /** Composed four-stage funnel replay: gopher flags (word floor 10),
+    * canonical-among-survivors dedup, the persisted-weight logit, and the
+    * DSIR top-half boundary computed over ONLY the stage-3 survivors —
+    * available once both model fixtures exist. */
+  private def pipelineFunnelOracle: Map[String, String] = {
+    val clfU = indexCache.collectFirst { case (k, u) if k.startsWith("quality_clf|") => u }
+    val dsU = indexCache.collectFirst { case (k, u) if k.startsWith("dsir|") => u }
+    (clfU, dsU) match {
+      case (Some(cu), Some(du)) => Map(
+        "pipeline_curation_funnel" ->
+          s"""WITH gt AS (SELECT doc_id, text,
+             |    regexp_split_to_array(trim(text), '\\s+') AS toks,
+             |    split(text, chr(10)) AS lines
+             |  FROM documents),
+             |gfa AS (SELECT doc_id,
+             |  len(toks)::BIGINT AS n_words,
+             |  length(regexp_replace(text, '\\s', '', 'g'))::BIGINT AS sum_word_len,
+             |  (length(text) - length(replace(text, '#', ''))
+             |     + len(regexp_extract_all(text, '\\.\\.\\.')))::BIGINT AS n_symbols,
+             |  len(lines)::BIGINT AS n_lines,
+             |  len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*•]')))::BIGINT AS n_bullet_lines,
+             |  len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$$')))::BIGINT AS n_ellipsis_lines,
+             |  len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))::BIGINT AS n_alpha_words,
+             |  len(list_intersect(list_distinct(list_transform(toks, x -> lower(x))),
+             |      ['the','be','to','of','and','that','have','with']))::BIGINT AS n_required_words
+             |  FROM gt),
+             |g AS (SELECT doc_id,
+             |  ((n_words >= 10 AND n_words <= 100000)
+             |    AND (sum_word_len >= 3 * n_words AND sum_word_len <= 10 * n_words)
+             |    AND (10 * n_symbols <= n_words)
+             |    AND (10 * n_bullet_lines <= 9 * n_lines)
+             |    AND (10 * n_ellipsis_lines <= 3 * n_lines)
+             |    AND (5 * n_alpha_words >= 4 * n_words)
+             |    AND (n_required_words >= 1)) AS keep_gopher
+             |  FROM gfa),
+             |fpt AS (SELECT doc_id,
+             |    md5(lower(array_to_string(regexp_split_to_array(trim(text), '\\s+'), ' '))) AS fp
+             |  FROM documents),
+             |canon AS (
+             |  SELECT fpt.fp, min(fpt.doc_id) AS canon
+             |  FROM fpt JOIN g USING (doc_id) WHERE g.keep_gopher GROUP BY fpt.fp),
+             |d2 AS (
+             |  SELECT g.doc_id, g.keep_gopher,
+             |    (g.keep_gopher AND fpt.doc_id = c.canon) AS keep_dedup
+             |  FROM g JOIN fpt USING (doc_id) LEFT JOIN canon c ON fpt.fp = c.fp),
+             |cf AS (SELECT doc_id,
+             |  length(text)::BIGINT AS n_chars,
+             |  len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_tokens,
+             |  len(list_distinct(regexp_split_to_array(trim(text), '\\s+')))::BIGINT AS n_distinct_tokens,
+             |  len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+             |    x -> list_contains(['the','a','of','and','to','in','is','it','that','for'], x)))::BIGINT AS n_stopwords,
+             |  (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::BIGINT AS n_punct
+             |  FROM documents),
+             |cw AS (SELECT feature, weight FROM read_parquet('$cu/weights/*.parquet')),
+             |cs AS (SELECT doc_id,
+             |  (SELECT weight FROM cw WHERE feature = '__intercept')
+             |    + (SELECT weight FROM cw WHERE feature = 'n_chars') * n_chars::DOUBLE
+             |    + (SELECT weight FROM cw WHERE feature = 'n_tokens') * n_tokens::DOUBLE
+             |    + (SELECT weight FROM cw WHERE feature = 'n_distinct_tokens') * n_distinct_tokens::DOUBLE
+             |    + (SELECT weight FROM cw WHERE feature = 'n_stopwords') * n_stopwords::DOUBLE
+             |    + (SELECT weight FROM cw WHERE feature = 'n_punct') * n_punct::DOUBLE AS logit
+             |  FROM cf),
+             |surv AS (
+             |  SELECT d2.doc_id FROM d2 JOIN cs USING (doc_id)
+             |  WHERE d2.keep_dedup AND cs.logit > 0),
+             |dtk AS (
+             |  SELECT d.doc_id, regexp_split_to_array(trim(lower(d.text)), '\\s+') AS t
+             |  FROM documents d JOIN surv USING (doc_id)),
+             |dg AS (
+             |  SELECT doc_id,
+             |    unnest(list_transform(range(1, len(t)),
+             |      i -> ${fnvSql("t[i] || ' ' || t[i+1]")} % ${graft.text.Dsir.DefaultBuckets})) AS bucket
+             |  FROM dtk WHERE len(t) >= 2),
+             |dm AS (SELECT bucket, logw_micro FROM read_parquet('$du/model/*.parquet')),
+             |dsums AS (
+             |  SELECT dg.doc_id, sum(dm.logw_micro)::BIGINT AS score_micro
+             |  FROM dg JOIN dm USING (bucket) GROUP BY 1),
+             |da AS (
+             |  SELECT surv.doc_id, coalesce(dsums.score_micro, 0)::BIGINT AS score_micro
+             |  FROM surv LEFT JOIN dsums USING (doc_id)),
+             |dr AS (
+             |  SELECT doc_id,
+             |    row_number() OVER (ORDER BY score_micro DESC, doc_id) AS rn,
+             |    count(*) OVER () AS n
+             |  FROM da),
+             |sel AS (SELECT doc_id, rn <= (n * 500 + 999) // 1000 AS selected FROM dr)
+             |SELECT d2.doc_id, d2.keep_gopher, d2.keep_dedup,
+             |  (cs.logit > 0) AS keep_clf,
+             |  coalesce(sel.selected, false) AS selected_dsir,
+             |  (d2.keep_dedup AND cs.logit > 0 AND coalesce(sel.selected, false)) AS final_keep
+             |FROM d2
+             |JOIN cs USING (doc_id)
+             |LEFT JOIN sel USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)
+      case _ => Map.empty
+    }
+  }
+
   private def qualityClfReplayOracle: Map[String, String] =
     indexCache.collectFirst { case (k, uri) if k.startsWith("quality_clf|") => uri }
       .map { uri =>

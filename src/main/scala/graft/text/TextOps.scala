@@ -525,7 +525,8 @@ object TextOps {
   def gopherRules(
       text: Column,
       minWords: Long = 50L,
-      maxWords: Long = 100000L): Seq[(String, Column)] = {
+      maxWords: Long = 100000L,
+      minRequiredWords: Long = 2L): Seq[(String, Column)] = {
     val f = gopherFacets(text).toMap
     val words = f("n_words")
     val flags = Seq(
@@ -541,8 +542,8 @@ object TextOps {
       "ok_ellipsis_lines" -> (lit(10L) * f("n_ellipsis_lines") <= lit(3L) * f("n_lines")),
       // >= 80% of words contain an alphabetic character
       "ok_alpha_words" -> (lit(5L) * f("n_alpha_words") >= lit(4L) * words),
-      // >= 2 of the required stopwords appear
-      "ok_required_words" -> (f("n_required_words") >= lit(2L)))
+      // >= minRequiredWords of the required stopwords appear
+      "ok_required_words" -> (f("n_required_words") >= lit(minRequiredWords)))
     flags :+ ("pass" -> flags.map(_._2).reduce(_ && _))
   }
 
