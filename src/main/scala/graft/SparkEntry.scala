@@ -780,6 +780,18 @@ object SparkEntry {
       .orderBy("qid", "neighbor_id")
   }
 
+  /** Cosine-radius search (all vectors with cosine distance ≤ 0.7 — an
+    * angular neighborhood query; radius chosen inside an empty band of
+    * the data's distance distribution, see the oracle note). */
+  private def rangeSearchCosine(spark: SparkSession, dir: String): DataFrame = {
+    val db = emb(spark, dir)
+    val queries = db.where(col("vec_id") < NQ)
+    Knn.rangeSearch(db, queries, 0.7, DistanceMetric.Cosine,
+        idCol = "vec_id", vecCol = "embedding", qidCol = "vec_id", qvecCol = "embedding")
+      .select(col("qid"), col("id").as("neighbor_id"))
+      .orderBy("qid", "neighbor_id")
+  }
+
   // ----- object layer / multimodal (rows-only: hash-embedding internals) -----
 
   /** Cache the URI only (like [[cachedIndex]]) and re-wrap per call: an
@@ -1466,6 +1478,7 @@ object SparkEntry {
     "knn_label_propagation" -> (knnLabelPropagation _),
     "knn_triplets" -> (knnTriplets _),
     "range_search_l2" -> (rangeSearchL2 _),
+    "range_search_cosine" -> (rangeSearchCosine _),
     "knn_graph_ann" -> (knnGraphAnn _),
     "knn_lsh" -> (knnLsh _),
     "knn_binary_hamming" -> (knnBinaryHamming _),
@@ -1625,6 +1638,16 @@ object SparkEntry {
          |FROM (SELECT * FROM embeddings WHERE vec_id < $NQ) q
          |CROSS JOIN embeddings n
          |WHERE list_distance(n.embedding, q.embedding) <= 1.25
+         |ORDER BY qid, neighbor_id""".stripMargin,
+    // radius 0.7 sits inside an empty band of the cosine-distance
+    // distribution at both oracle SFs (nearest observed distance is
+    // >= 4.5e-4 away), so the float32 engine compare and the double
+    // oracle compare cannot disagree on any row
+    "range_search_cosine" ->
+      s"""SELECT q.vec_id AS qid, n.vec_id AS neighbor_id
+         |FROM (SELECT * FROM embeddings WHERE vec_id < $NQ) q
+         |CROSS JOIN embeddings n
+         |WHERE 1 - list_cosine_similarity(n.embedding, q.embedding) <= 0.7
          |ORDER BY qid, neighbor_id""".stripMargin,
     "knn_graph_exact" ->
       """SELECT a.vec_id AS id, b.vec_id AS nbr_id
