@@ -581,7 +581,7 @@ object VectorIndex {
   * clearing, incremental consolidation copies). nio.Files would silently
   * restrict these to the local filesystem — the 100 TB design point keeps
   * indexes on shared storage. */
-private[index] object Storage {
+private[graft] object Storage {
   private def conf(): org.apache.hadoop.conf.Configuration =
     org.apache.spark.sql.SparkSession.getActiveSession
       .map(_.sparkContext.hadoopConfiguration)

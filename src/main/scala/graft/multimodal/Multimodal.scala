@@ -122,7 +122,12 @@ object Multimodal {
     * stage. */
   def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
     if (!isDecodableImage(payload)) None
-    else Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+    else try {
+      // ImageIO throws (not just returns null) on truncated/corrupt bytes
+      // behind a valid magic — catch so the documented stub fallback holds
+      // and one bad file cannot fail the stage (decodeWav's contract)
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+    } catch { case _: Exception => None }
 
   /** Pooled feature vector from REAL decoded pixels: per grid-cell RGB
     * channel means (grid chosen so grid²·3 fills `dim`), L2-normalized —

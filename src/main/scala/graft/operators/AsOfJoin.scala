@@ -72,7 +72,14 @@ object AsOfJoin {
     // a non-numeric tie-breaker would cast to null below and silently break
     // the determinism contract for equal-timestamp matches — fail fast
     val tieType = right.schema(tieBreaker).dataType
-    require(Seq("byte", "short", "int", "long").contains(tieType.typeName),
+    // type MATCH, not typeName strings: IntegerType.typeName is "integer",
+    // so a name list with "int" would reject valid int columns
+    val tieIntegral = tieType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    require(tieIntegral,
       s"graft: asOf tieBreaker '$tieBreaker' must be an integral column " +
         s"(the equal-ts total order), got ${tieType.catalogString}")
     val payloadCols = (rightCols :+ rightTs).distinct

@@ -141,19 +141,23 @@ object Bm25 {
     * (the vector side's vacuum analogue): the swap is staged-dir +
     * directory move, not atomic against concurrent writers. */
   def compactPostings(spark: SparkSession, uri: String): Unit = {
-    val src = new java.io.File(s"$uri/postings")
-    val tmp = new java.io.File(s"$uri/postings_compact_tmp")
-    spark.read.parquet(src.toString)
+    import graft.index.Storage
+    val src = s"$uri/postings"
+    val tmp = s"$uri/postings_compact_tmp"
+    val bak = s"$uri/postings_compact_bak"
+    Storage.deleteRecursively(tmp)
+    Storage.deleteRecursively(bak)
+    spark.read.parquet(src)
       .repartition(col("term"))
       .sortWithinPartitions("term")
-      .write.mode("overwrite").parquet(tmp.toString)
-    def rmTree(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rmTree))
-      f.delete(); ()
-    }
-    rmTree(src)
-    require(tmp.renameTo(src),
-      s"graft: postings compaction could not move $tmp into place")
+      .write.mode("overwrite").parquet(tmp)
+    // Hadoop-FS moves (work on hdfs/s3a, not just local files), swapped
+    // through a backup: a failure between the two moves leaves a
+    // recoverable directory instead of no postings at all
+    Storage.move(src, bak)
+    try Storage.move(tmp, src)
+    catch { case e: Throwable => Storage.move(bak, src); throw e }
+    Storage.deleteRecursively(bak)
   }
 
   /** Top-`k` documents per query document by BM25 score, scoring the live
@@ -190,12 +194,15 @@ object Bm25 {
     val q = queryTerms(queryDocs, textCol, qidCol).persist()
     val all = spark.read.parquet(s"$uri/postings")
     val maxTerms = graft.Conf.long(spark, MaxPushdownTermsKey, DefaultMaxPushdownTerms)
-    val nTerms = q.select("term").distinct().count()
+    // ONE job decides the gate AND supplies the literals: collect at most
+    // maxTerms+1 distinct terms — an overflow row means "past the gate"
+    val terms = q.select("term").distinct()
+      .limit(math.min(maxTerms + 1, Int.MaxValue.toLong).toInt)
+      .collect().map(_.getString(0))
     val postings =
-      if (nTerms <= maxTerms) {
-        val terms = q.select("term").distinct().collect().map(_.getString(0))
+      if (terms.length <= maxTerms)
         all.where(col("term").isin(terms.toIndexedSeq: _*))
-      } else all // the equi-join below still restricts to query terms
+      else all // the equi-join below still restricts to query terms
     val out = rank(
       postings.select(col("term"), col("id"),
         col("tf").cast("double").as("tf"), col("dl").cast("double").as("dl")),

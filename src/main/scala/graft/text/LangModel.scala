@@ -106,8 +106,8 @@ object LangModel {
     // broadcast-sized, but a large/CJK charset can exceed it, so the
     // broadcast is gated with a shuffle-hash fallback
     val scored = grams
-      .join(gatedModelSide(spark, model3.select("gram", "logp_micro")), Seq("gram"), "left")
-      .join(gatedModelSide(spark, model2), Seq("ctx"), "left")
+      .join(graft.gatedSmallSide(model3.select("gram", "logp_micro")), Seq("gram"), "left")
+      .join(graft.gatedSmallSide(model2), Seq("ctx"), "left")
       .select(col(idCol), col("cnt"),
         coalesce(col("logp_micro"), col("unseen_logp_micro"), lit(logp0))
           .as("lp"))
@@ -149,7 +149,11 @@ object LangModel {
     import spark.implicits._
     val scored = scoreDocs(docs, uri, idCol, textCol)
       .join(docs.select(col(idCol), col(langCol).as("__lang")), Seq(idCol))
-    val sorted = scored.where(col("avg_logp").isNotNull)
+    // null-language docs keep a null bucket via the final left join — they
+    // must not enter the rank frame (a null key would NPE the driver-side
+    // language sort and has no per-language rank anyway; the same
+    // exclusion mixTemperature documents for its null groups)
+    val sorted = scored.where(col("avg_logp").isNotNull && col("__lang").isNotNull)
       .select(col("__lang"), col("avg_logp"), col(idCol).cast("long").as("__id"))
       .orderBy(col("__lang"), col("avg_logp").desc, col("__id"))
       .as[(String, Double, Long)]
@@ -183,8 +187,6 @@ object LangModel {
   /** Model-side join input: broadcast below the engine-wide
     * `spark.graft.maxBroadcastBytes` gate (plan-stats estimate, reflects
     * the parquet file sizes), shuffle-hash join above it. */
-  private def gatedModelSide(spark: SparkSession, df: DataFrame): DataFrame =
-    graft.gatedSmallSide(df)
 
   /** Per-document gram→count array ([[CharTrigramCounts]] — the one-pass
     * partial-aggregation front of both passes). */

@@ -91,7 +91,14 @@ object QualityClassifier {
       idCol: String,
       quantile: Double): DataFrame = {
     val idType = docs.schema(idCol).dataType
-    require(Seq("byte", "short", "int", "long").contains(idType.typeName),
+    // type MATCH, not typeName strings: IntegerType.typeName is "integer",
+    // so a name list with "int" would reject valid int ids
+    val idIntegral = idType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    require(idIntegral,
       s"graft: classifier id column $idCol must be integral for the " +
         s"deterministic (score, id) tie-break, got $idType")
     val facets = docs.select(

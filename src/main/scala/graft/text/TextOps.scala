@@ -234,8 +234,16 @@ object TextOps {
       .withColumn("__n",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(g: _*)))
       .where(col("__rn") === expr("(__n + 1) DIV 2"))
-      .select(g :+ col("__dl").as("median_tokens"): _*)
-    aggs.join(med, groupCols)
+      .select(groupCols.map(n => col(n).as(s"__m_$n")) :+
+        col("__dl").as("median_tokens"): _*)
+    // null-SAFE group equality: a null group key (e.g. lang = null) is a
+    // real bucket and must appear in the profile, not vanish through an
+    // inner equi-join that never matches nulls
+    val cond = groupCols.map(n => aggs(n) <=> med(s"__m_$n")).reduce(_ && _)
+    aggs.join(med, cond)
+      .select(groupCols.map(aggs(_)) ++ Seq(col("n_docs"), col("n_tokens"),
+        col("min_tokens"), col("max_tokens"), col("mean_tokens_x100"),
+        col("median_tokens")): _*)
   }
 
   /** Materialize a [[mixTemperature]] allocation into the physical epoch

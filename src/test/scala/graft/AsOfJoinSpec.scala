@@ -118,6 +118,11 @@ class AsOfJoinSpec extends AnyFunSuite {
         rightCols = Seq("rid"), tieBreaker = "rid")
     }
     assert(e.getMessage.contains("integral"))
+    // ...but every integral width passes — IntegerType especially
+    // (typeName is "integer", which a name-list guard once mismatched)
+    val rInt = Seq(("a", 10L, 7)).toDF("key", "ts", "rid")
+    assert(AsOfJoin.asOf(left, rInt, Seq("key"), "ts", "ts",
+      rightCols = Seq("rid"), tieBreaker = "rid").count() >= 0)
   }
 
   test("as-of plan is one shuffle + running window, no cartesian/NLJ") {

@@ -59,6 +59,13 @@ class QualityClassifierSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("weak labeling accepts an IntegerType id column") {
+    // IntegerType.typeName is "integer" — a name-list guard with "int"
+    // once rejected valid int ids; the type-match guard must not
+    val intIds = docs.select(col("doc_id").cast("int").as("doc_id"), col("text"))
+    assert(QualityClassifier.weakLabels(intIds, "text", "doc_id", 0.3).count() > 0)
+  }
+
   test("logit equals the manual fixed-order dot product, keep = logit>0") {
     val w = QualityClassifier.readWeights(spark, uri)
     val facets = docs.select(
