@@ -74,6 +74,12 @@ object CompatFixtureGen {
     Ingest.ingest(spark, s"$root/vamana_f32", f32, "VAMANA",
       DistanceMetric.L2, timestamp = 1000L, partitions = Some(2),
       lBuild = Some(30), rMaxDegree = Some(8))
+    // BINARY joined the format family in round 9 (base + sketch/v=ts);
+    // frozen from the first fixture generation after its introduction —
+    // CompatSpec tests it conditionally so pre-existing version dirs
+    // (written before the type existed) stay green
+    Ingest.ingest(spark, s"$root/binary_f32", f32, "BINARY",
+      DistanceMetric.L2, timestamp = 1000L)
     // an updates log on one fixture: the log layout is part of the format
     val flat = graft.index.VectorIndex.open(spark, s"$root/flat_f32")
     flat.deleteBatch(f32.where(col("external_id") === 59L), ts = 1100L)

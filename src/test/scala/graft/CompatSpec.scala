@@ -109,5 +109,17 @@ class CompatSpec extends AnyFunSuite {
       val hits = idx.queryLSearch(queries, 5, lSearch = 30)
       assert(hits.where(col("rank") === 1 && col("qid") === col("id")).count() === 5)
     }
+
+    // BINARY exists only in fixture dirs generated after round 9 — the
+    // frozen 0.3 dir predates the type, so the test is conditional
+    if (new java.io.File(dir, "binary_f32").isDirectory)
+      test(s"v$version: BINARY base + sketch serve probe-all exact results") {
+        val idx = VectorIndex.open(spark, s"${dir.getPath}/binary_f32")
+        val n = frozen.count().toInt
+        val got = idx.query(queries, 5, nprobe = n)
+          .orderBy("qid", "rank").collect()
+          .groupBy(_.getLong(0)).map { case (q, r) => q -> r.map(_.getLong(2)).toSeq }
+        assert(got === exactTop(frozen, queries, 5))
+      }
   }
 }
