@@ -19,7 +19,7 @@ import graft.operators.DistanceMetric
   * ≤ the read timestamp (reference: index.py:94-177).
   */
 case class IndexMeta(
-    indexType: String, // FLAT | IVF_FLAT | IVF_PQ | VAMANA
+    indexType: String, // FLAT | BINARY | IVF_FLAT | IVF_PQ | VAMANA
     dtype: String, // float32 | uint8 | int8
     dimensions: Int,
     distanceMetric: Int,
