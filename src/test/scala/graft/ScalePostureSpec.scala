@@ -109,6 +109,17 @@ class ScalePostureSpec extends AnyFunSuite {
     assert(plan.contains("embedding"), "re-rank side must read the vectors")
   }
 
+  test("the composed curation funnel plans with equi-joins only, no window") {
+    val plan = SparkEntry.queries("pipeline_curation_funnel")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"funnel must stay equi-joined:\n$plan")
+    // the DSIR boundary runs as its own key-only sort OUTSIDE this plan;
+    // the served plan itself must carry no window at all
+    assert(!plan.contains("Window"), s"window crept into the funnel:\n$plan")
+  }
+
   test("salted band join plans as a plain equi hash join (no NLJ/cartesian)") {
     import spark.implicits._
     val l = Seq((1L, 10L, 1L)).toDF("key", "ts", "lid")
