@@ -113,6 +113,18 @@ object SparkEntry {
     idsOnly(VectorIndex.open(spark, uri).query(idxQueries(spark, dir), K, nprobe = 1 << 30))
   }
 
+  /** IVF partition stats (the reference's `partition_indexes` CSR offsets,
+    * ingestion.py:2119-2168 — SURVEY A5): per-partition counts + cumulative
+    * offsets of the persisted ivf_l2 index; the oracle recomputes both
+    * from the hive-partitioned base parquet. */
+  private def ivfPartitionHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val uri = cachedIndex("ivf_l2", dir) { u =>
+      Ingest.ingest(spark, u, embAsIndexInput(spark, dir), "IVF_FLAT",
+        DistanceMetric.L2, timestamp = 1000L)
+    }
+    VectorIndex.open(spark, uri).partitionHistogram().orderBy("partition_id")
+  }
+
   /** Attribute-filtered ANN: candidates restricted to an id allow-list
     * (every third vector) BEFORE ranking, at probe-all — exact, so the
     * brute-force-over-the-filtered-set oracle must match hash-for-hash.
@@ -1464,6 +1476,7 @@ object SparkEntry {
     "sql_index_topk_batch" -> (sqlIndexTopkBatch _),
     "ivf_flat_cosine_probe_all" -> (ivfCosineProbeAll _),
     "ivf_flat_nprobe" -> (ivfNprobe _),
+    "ivf_partition_histogram" -> (ivfPartitionHistogram _),
     "ivf_pq_exact_rerank" -> (ivfPqExactRerank _),
     "vamana_knn" -> (vamanaKnn _),
     "vamana_knn_routed" -> (vamanaKnnRouted _),
@@ -2326,7 +2339,7 @@ object SparkEntry {
         |FROM tf JOIN df USING (term)
         |QUALIFY row_number() OVER (PARTITION BY tf.doc_id ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) <= 3
         |ORDER BY doc_id, rank""".stripMargin,
-  ) ++ ivfNprobeReplayOracle ++ ivfPqDefaultReplayOracle ++
+  ) ++ ivfNprobeReplayOracle ++ ivfHistogramReplayOracle ++ ivfPqDefaultReplayOracle ++
     knnGraphAnnReplayOracle ++ annDedupReplayOracles ++ lshReplayOracle ++
     lmReplayOracle ++ dsirReplayOracle ++ bm25ReplayOracle ++
     qualityClfReplayOracle ++ pipelineFunnelOracle ++ pcaReplayOracle ++
@@ -2683,6 +2696,23 @@ object SparkEntry {
     * process; [[Verify]] runs every query before dumping oracleSql, so the
     * entry is present for the driver and absent (rows-only fallback) only
     * if the ivf_l2 build itself failed. */
+  /** CSR partition-stats replay from the hive-partitioned base parquet:
+    * same counts, same cumulative offsets (bounded window — one row per
+    * PARTITION, not per vector). */
+  private def ivfHistogramReplayOracle: Map[String, String] =
+    indexCache.collectFirst { case (k, uri) if k.startsWith("ivf_l2|") => uri }
+      .map { uri =>
+        "ivf_partition_histogram" ->
+          s"""WITH h AS (
+             |  SELECT partition_id, count(*)::BIGINT AS cnt
+             |  FROM read_parquet('$uri/base/v=1000/*/*.parquet', hive_partitioning = true)
+             |  GROUP BY 1)
+             |SELECT partition_id::INT AS partition_id, cnt,
+             |  coalesce(sum(cnt) OVER (ORDER BY partition_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS offset
+             |FROM h ORDER BY partition_id""".stripMargin
+      }.toMap
+
   private def ivfNprobeReplayOracle: Map[String, String] =
     indexCache.collectFirst { case (k, uri) if k.startsWith("ivf_l2|") => uri }
       .map { uri =>
