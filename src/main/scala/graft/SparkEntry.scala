@@ -324,6 +324,65 @@ object SparkEntry {
       .query(idxQueries(spark, dir), K, nprobe = 1 << 30))
   }
 
+  /** U4 oracle-visible: the SAME updates script consolidated into a fresh
+    * base version (reference index.py:503-577) — the folded index must
+    * serve exactly what the log-merging query served, so the updates
+    * oracle applies verbatim. */
+  private def consolidatedUpdatesKnn(spark: SparkSession, dir: String): DataFrame = {
+    val uri = cachedIndex("flat_consol", dir) { u =>
+      val base = embAsIndexInput(spark, dir)
+      val idx = Ingest.ingest(spark, u, base, "FLAT", DistanceMetric.L2, timestamp = 1000L)
+      idx.deleteBatch(base.where(col("external_id") % 20 === 0), ts = 1100L)
+      idx.updateBatch(base.where(col("external_id") % 20 === 1)
+        .select(col("external_id"), reverse(col("vector")).as("vector")), ts = 1100L)
+      idx.updateBatch(base.where(col("external_id") < 50)
+        .select((col("external_id") + 1000000L).as("external_id"),
+          reverse(col("vector")).as("vector")), ts = 1100L)
+      VectorIndex.open(spark, u).consolidateUpdates(newTs = 3000L)
+    }
+    idsOnly(VectorIndex.open(spark, uri).query(idxQueries(spark, dir), K))
+  }
+
+  /** U8 oracle-visible: clear_history drops the v1000 base (reference
+    * index.py:626-735); the surviving v2000 full corpus must serve exact
+    * brute force. */
+  private def clearedHistoryKnn(spark: SparkSession, dir: String): DataFrame = {
+    val uri = cachedIndex("flat_clearhist", dir) { u =>
+      val base = embAsIndexInput(spark, dir)
+      Ingest.ingest(spark, u, base.where(col("external_id") % 2 === 0), "FLAT",
+        DistanceMetric.L2, timestamp = 1000L)
+      Ingest.ingest(spark, u, base, "FLAT", DistanceMetric.L2,
+        timestamp = 2000L, appendMeta = true)
+      VectorIndex.open(spark, u).clearHistory(1500L)
+    }
+    idsOnly(VectorIndex.open(spark, uri).query(idxQueries(spark, dir), K))
+  }
+
+  /** S2 oracle-visible: header-only metadata of the exported fvecs fixture
+    * must equal the source table's own statistics. */
+  private def vecsSourceMetadata(spark: SparkSession, dir: String): DataFrame = {
+    val path = fvecsFixture(spark, dir)
+    val (n, d) = graft.io.VecsIO.sourceMetadata(spark, s"$path/emb.fvecs")
+    import spark.implicits._
+    Seq((n, d)).toDF("n_vectors", "dims")
+  }
+
+  /** A6 oracle-visible: exact corpus medoid (argmin of summed L2, id
+    * ties) — the seed-selection kernel Vamana builds run per shard,
+    * expressed as the distributed cross-score it is. Quadratic by
+    * definition: run it on shard/sample-sized sets at corpus scale (the
+    * builds do), never the raw 100 TB. */
+  private def embMedoid(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    e.select(col("vec_id").as("ia"), col("embedding").as("va"))
+      .crossJoin(e.select(col("embedding").as("vb")))
+      .select(col("ia"),
+        graft.functions.dist_l2(col("va"), col("vb")).cast("double").as("d"))
+      .groupBy("ia").agg(sum("d").as("total"))
+      .orderBy(col("total"), col("ia")).limit(1)
+      .select(col("ia").as("medoid_id"))
+  }
+
   /** Time-RANGE open (reference index.py:115-177, `timestamp=(start, end)`
     * tuple form): start=1100 is past the first ingestion (ts=1000), so no
     * base version is attributable to the window and only updates-log
@@ -1512,6 +1571,10 @@ object SparkEntry {
     "ivf_pq_default" -> (ivfPqDefault _),
     "updates_knn" -> (updatesKnn _),
     "binary_idx_updates_knn" -> (binaryIdxUpdatesKnn _),
+    "consolidated_updates_knn" -> (consolidatedUpdatesKnn _),
+    "cleared_history_knn" -> (clearedHistoryKnn _),
+    "vecs_source_metadata" -> (vecsSourceMetadata _),
+    "emb_medoid" -> (embMedoid _),
     "timetravel_knn" -> (timetravelKnn _),
     "timetravel_range_knn" -> (timetravelRangeKnn _),
     "text_token_count" -> (textTokenCount _),
@@ -1720,6 +1783,22 @@ object SparkEntry {
     "updates_knn" -> updatesOracle,
     // exact at probe-all over the identical merged state
     "binary_idx_updates_knn" -> updatesOracle,
+    // a consolidated fold must serve the identical merged state
+    "consolidated_updates_knn" -> updatesOracle,
+    // after clear_history the surviving full version is plain brute force
+    "cleared_history_knn" -> knnOracle("list_distance(n.embedding, q.embedding)"),
+    // header-only fvecs metadata == source table statistics
+    "vecs_source_metadata" ->
+      """SELECT count(*)::BIGINT AS n_vectors, max(len(embedding))::INT AS dims
+        |FROM embeddings""".stripMargin,
+    // exact medoid: argmin of summed pairwise L2, id tie-break (margins
+    // between candidate sums are orders above float accumulation noise on
+    // these fixtures — checked at both oracle SFs)
+    "emb_medoid" ->
+      """WITH s AS (
+        |  SELECT a.vec_id AS ia, sum(list_distance(a.embedding, b.embedding)) AS total
+        |  FROM embeddings a CROSS JOIN embeddings b GROUP BY 1)
+        |SELECT ia AS medoid_id FROM s ORDER BY total, ia LIMIT 1""".stripMargin,
     "timetravel_knn" -> timetravelOracle,
     "timetravel_range_knn" -> timetravelRangeOracle,
     "text_token_count" ->
