@@ -286,16 +286,26 @@ object SparkEntry {
   /** Shared fixture: FLAT base at ts=1000 + updates log at ts=1100
     * (delete ids %20==0, re-vector ids %20==1 reversed, add ids+1000000
     * reversed for vec_id<50). */
+  /** The ONE updates script `updatesOracle` replays — shared by every
+    * fixture that exercises the log (FLAT, BINARY, consolidation), so the
+    * oracle and all its Scala twins stay in lockstep at a single edit
+    * point: deletes (%20==0), re-vectors (%20==1, reversed), and +1000000
+    * additions for ids < 50, all at ts=1100 over the ts=1000 base. */
+  private def applyUpdatesScript(idx: VectorIndex, base: DataFrame): Unit = {
+    idx.deleteBatch(base.where(col("external_id") % 20 === 0), ts = 1100L)
+    idx.updateBatch(base.where(col("external_id") % 20 === 1)
+      .select(col("external_id"), reverse(col("vector")).as("vector")), ts = 1100L)
+    idx.updateBatch(base.where(col("external_id") < 50)
+      .select((col("external_id") + 1000000L).as("external_id"),
+        reverse(col("vector")).as("vector")), ts = 1100L)
+  }
+
   private def flatUpdIndex(spark: SparkSession, dir: String): String =
     cachedIndex("flat_upd", dir) { u =>
       val base = embAsIndexInput(spark, dir)
-      val idx = Ingest.ingest(spark, u, base, "FLAT", DistanceMetric.L2, timestamp = 1000L)
-      idx.deleteBatch(base.where(col("external_id") % 20 === 0), ts = 1100L)
-      idx.updateBatch(base.where(col("external_id") % 20 === 1)
-        .select(col("external_id"), reverse(col("vector")).as("vector")), ts = 1100L)
-      idx.updateBatch(base.where(col("external_id") < 50)
-        .select((col("external_id") + 1000000L).as("external_id"),
-          reverse(col("vector")).as("vector")), ts = 1100L)
+      applyUpdatesScript(
+        Ingest.ingest(spark, u, base, "FLAT", DistanceMetric.L2, timestamp = 1000L),
+        base)
     }
 
   /** FLAT index + updates log, queried through the two-branch merge
@@ -311,14 +321,9 @@ object SparkEntry {
   private def binaryIdxUpdatesKnn(spark: SparkSession, dir: String): DataFrame = {
     val uri = cachedIndex("bin_upd", dir) { u =>
       val base = embAsIndexInput(spark, dir)
-      val idx = Ingest.ingest(spark, u, base, "BINARY", DistanceMetric.L2,
-        timestamp = 1000L)
-      idx.deleteBatch(base.where(col("external_id") % 20 === 0), ts = 1100L)
-      idx.updateBatch(base.where(col("external_id") % 20 === 1)
-        .select(col("external_id"), reverse(col("vector")).as("vector")), ts = 1100L)
-      idx.updateBatch(base.where(col("external_id") < 50)
-        .select((col("external_id") + 1000000L).as("external_id"),
-          reverse(col("vector")).as("vector")), ts = 1100L)
+      applyUpdatesScript(
+        Ingest.ingest(spark, u, base, "BINARY", DistanceMetric.L2, timestamp = 1000L),
+        base)
     }
     idsOnly(VectorIndex.open(spark, uri)
       .query(idxQueries(spark, dir), K, nprobe = 1 << 30))
@@ -331,13 +336,9 @@ object SparkEntry {
   private def consolidatedUpdatesKnn(spark: SparkSession, dir: String): DataFrame = {
     val uri = cachedIndex("flat_consol", dir) { u =>
       val base = embAsIndexInput(spark, dir)
-      val idx = Ingest.ingest(spark, u, base, "FLAT", DistanceMetric.L2, timestamp = 1000L)
-      idx.deleteBatch(base.where(col("external_id") % 20 === 0), ts = 1100L)
-      idx.updateBatch(base.where(col("external_id") % 20 === 1)
-        .select(col("external_id"), reverse(col("vector")).as("vector")), ts = 1100L)
-      idx.updateBatch(base.where(col("external_id") < 50)
-        .select((col("external_id") + 1000000L).as("external_id"),
-          reverse(col("vector")).as("vector")), ts = 1100L)
+      applyUpdatesScript(
+        Ingest.ingest(spark, u, base, "FLAT", DistanceMetric.L2, timestamp = 1000L),
+        base)
       VectorIndex.open(spark, u).consolidateUpdates(newTs = 3000L)
     }
     idsOnly(VectorIndex.open(spark, uri).query(idxQueries(spark, dir), K))
@@ -2775,23 +2776,6 @@ object SparkEntry {
     * process; [[Verify]] runs every query before dumping oracleSql, so the
     * entry is present for the driver and absent (rows-only fallback) only
     * if the ivf_l2 build itself failed. */
-  /** CSR partition-stats replay from the hive-partitioned base parquet:
-    * same counts, same cumulative offsets (bounded window — one row per
-    * PARTITION, not per vector). */
-  private def ivfHistogramReplayOracle: Map[String, String] =
-    indexCache.collectFirst { case (k, uri) if k.startsWith("ivf_l2|") => uri }
-      .map { uri =>
-        "ivf_partition_histogram" ->
-          s"""WITH h AS (
-             |  SELECT partition_id, count(*)::BIGINT AS cnt
-             |  FROM read_parquet('$uri/base/v=1000/*/*.parquet', hive_partitioning = true)
-             |  GROUP BY 1)
-             |SELECT partition_id::INT AS partition_id, cnt,
-             |  coalesce(sum(cnt) OVER (ORDER BY partition_id
-             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS offset
-             |FROM h ORDER BY partition_id""".stripMargin
-      }.toMap
-
   private def ivfNprobeReplayOracle: Map[String, String] =
     indexCache.collectFirst { case (k, uri) if k.startsWith("ivf_l2|") => uri }
       .map { uri =>
@@ -2814,6 +2798,24 @@ object SparkEntry {
              |QUALIFY row_number() OVER (PARTITION BY p.qid
              |    ORDER BY list_distance(b.vector, p.embedding), b.external_id) <= $K
              |ORDER BY qid, neighbor_id""".stripMargin
+      }.toMap
+
+  /** CSR partition-stats replay from the hive-partitioned base parquet:
+    * same counts, same cumulative offsets (bounded window — one row per
+    * PARTITION, not per vector). Same dump-order contract as
+    * [[ivfNprobeReplayOracle]]. */
+  private def ivfHistogramReplayOracle: Map[String, String] =
+    indexCache.collectFirst { case (k, uri) if k.startsWith("ivf_l2|") => uri }
+      .map { uri =>
+        "ivf_partition_histogram" ->
+          s"""WITH h AS (
+             |  SELECT partition_id, count(*)::BIGINT AS cnt
+             |  FROM read_parquet('$uri/base/v=1000/*/*.parquet', hive_partitioning = true)
+             |  GROUP BY 1)
+             |SELECT partition_id::INT AS partition_id, cnt,
+             |  coalesce(sum(cnt) OVER (ORDER BY partition_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS offset
+             |FROM h ORDER BY partition_id""".stripMargin
       }.toMap
 
   /** DuckDB replay of the DEFAULT IVF_PQ query against the persisted index:

@@ -41,80 +41,45 @@ object IndexDoctor {
           s"must match ${ts.length} ingestions")
     if (meta.dimensions <= 0)
       out += Finding("error", "meta.dimensions", s"non-positive dimensions ${meta.dimensions}")
+    // VectorIndex.open dispatches on these exact strings — anything else
+    // opens with a MatchError, which the doctor must say BEFORE the caller
+    // trusts the index
+    val knownTypes = Set("FLAT", "BINARY", "IVF_FLAT", "IVF_PQ", "VAMANA")
+    if (!knownTypes.contains(meta.indexType))
+      out += Finding("error", "meta.indexType",
+        s"unrecognized index type '${meta.indexType}' — open() will fail " +
+          s"(known: ${knownTypes.toSeq.sorted.mkString(", ")})")
+    if (!Set("float32", "uint8", "int8").contains(meta.dtype))
+      out += Finding("error", "meta.dtype", s"unrecognized dtype '${meta.dtype}'")
 
     // ---- per-version artifacts ----
+    // each version checks inside its own guard: a truncated parquet footer
+    // or a drifted schema must become a FINDING for that version (and the
+    // remaining versions still get checked), not a propagated stack trace —
+    // corrupt artifacts are exactly what the doctor exists to report
     ts.zipWithIndex.foreach { case (t, i) =>
-      val basePath = s"$uri/base/v=$t"
-      if (!Storage.nonEmptyDir(basePath)) {
-        out += Finding("error", s"base.v=$t", "base version directory missing or empty")
-      } else {
-        val base = spark.read.parquet(basePath)
-        // float32 stores array<float> (size = dims); byte dtypes store
-        // packed binary (length = dims bytes) — one element/byte per dim
-        // either way
-        val lenOf =
-          if (meta.dtype == "float32") size(col("vector")) else length(col("vector"))
-        val stats = base.agg(count(lit(1)).as("n"),
-          min(lenOf).as("lo"), max(lenOf).as("hi")).head()
-        val n = stats.getLong(0)
-        if (meta.baseSizes.lift(i).exists(_ != n))
+      try checkVersion(spark, uri, meta, t, i, out)
+      catch {
+        case e: Exception =>
           out += Finding("error", s"base.v=$t",
-            s"row count $n != recorded baseSize ${meta.baseSizes(i)}")
-        // dims: float32 stores array<float> (length = dims); byte dtypes
-        // store packed binary (length = dims bytes)
-        val expectLen = meta.dimensions
-        if (!stats.isNullAt(1) &&
-            (stats.getInt(1) != expectLen || stats.getInt(2) != expectLen))
-          out += Finding("error", s"base.v=$t",
-            s"vector length range [${stats.getInt(1)}, ${stats.getInt(2)}] " +
-              s"!= dimensions $expectLen")
-        meta.indexType match {
-          case "IVF_FLAT" | "IVF_PQ" =>
-            val cPath = s"$uri/centroids/v=$t"
-            if (!Storage.nonEmptyDir(cPath))
-              out += Finding("error", s"centroids.v=$t", "centroid table missing")
-            else {
-              val c = spark.read.parquet(cPath).count()
-              if (meta.partitionHistory.lift(i).exists(_ != c))
-                out += Finding("error", s"centroids.v=$t",
-                  s"$c centroids != recorded partition count ${meta.partitionHistory(i)}")
-            }
-            if (meta.indexType == "IVF_PQ" && !Storage.nonEmptyDir(s"$uri/pq_codebooks/v=$t"))
-              out += Finding("error", s"pq_codebooks.v=$t", "codebook table missing")
-          case "VAMANA" =>
-            if (!Storage.nonEmptyDir(s"$uri/graph/v=$t"))
-              out += Finding("error", s"graph.v=$t", "adjacency table missing")
-          case "BINARY" =>
-            val sPath = s"$uri/sketch/v=$t"
-            if (!Storage.nonEmptyDir(sPath))
-              out += Finding("error", s"sketch.v=$t", "sign-sketch table missing")
-            else {
-              val s = spark.read.parquet(sPath)
-              val sn = s.count()
-              if (sn != n)
-                out += Finding("error", s"sketch.v=$t",
-                  s"sketch rows $sn != base rows $n")
-              val words = (meta.dimensions + 63) / 64
-              val bad = s.where(size(col("bits")) =!= words).count()
-              if (bad > 0)
-                out += Finding("error", s"sketch.v=$t",
-                  s"$bad sketch rows with word count != $words")
-            }
-          case _ => // FLAT: base only
-        }
+            s"version unreadable: ${e.getClass.getSimpleName}: ${e.getMessage}")
       }
     }
 
     // ---- updates log bookkeeping ----
     val logDir = s"$uri/updates"
     val logExists = Storage.nonEmptyDir(logDir)
+    // queries gate the merge branch on the log DIRECTORY, not the flag
+    // (VectorIndex.updatesLog), so either drift is bookkeeping, not broken
+    // serving — both warn
     if (meta.hasUpdates && !logExists)
       out += Finding("warn", "updates",
         "hasUpdates is set but the log directory is missing/empty " +
-          "(queries pay the merge branch for nothing)")
+          "(stale flag; queries gate on the directory and serve correctly)")
     if (!meta.hasUpdates && logExists)
-      out += Finding("error", "updates",
-        "updates log present but hasUpdates is false — logged writes are invisible")
+      out += Finding("warn", "updates",
+        "updates log present but hasUpdates is false — the log still " +
+          "merges into queries (directory-gated); the flag is stale bookkeeping")
     if (logExists) {
       val cols = spark.read.parquet(logDir).columns.toSet
       val need = Set("external_id", "vector", "ts")
@@ -123,5 +88,71 @@ object IndexDoctor {
           s"log schema $cols missing ${(need -- cols).mkString(", ")}")
     }
     out.toSeq
+  }
+
+  /** All artifact checks for one base version (throwing variants surface
+    * as a single per-version finding in [[check]]). */
+  private def checkVersion(
+      spark: SparkSession,
+      uri: String,
+      meta: IndexMeta,
+      t: Long,
+      i: Int,
+      out: mutable.Buffer[Finding]): Unit = {
+    val basePath = s"$uri/base/v=$t"
+    if (!Storage.nonEmptyDir(basePath)) {
+      out += Finding("error", s"base.v=$t", "base version directory missing or empty")
+      return
+    }
+    val base = spark.read.parquet(basePath)
+    // float32 stores array<float> (size = dims); byte dtypes store packed
+    // binary (length = dims bytes) — one element/byte per dim either way
+    val lenOf =
+      if (meta.dtype == "float32") size(col("vector")) else length(col("vector"))
+    val stats = base.agg(count(lit(1)).as("n"),
+      min(lenOf).as("lo"), max(lenOf).as("hi")).head()
+    val n = stats.getLong(0)
+    if (meta.baseSizes.lift(i).exists(_ != n))
+      out += Finding("error", s"base.v=$t",
+        s"row count $n != recorded baseSize ${meta.baseSizes(i)}")
+    val expectLen = meta.dimensions
+    if (!stats.isNullAt(1) &&
+        (stats.getInt(1) != expectLen || stats.getInt(2) != expectLen))
+      out += Finding("error", s"base.v=$t",
+        s"vector length range [${stats.getInt(1)}, ${stats.getInt(2)}] " +
+          s"!= dimensions $expectLen")
+    meta.indexType match {
+      case "IVF_FLAT" | "IVF_PQ" =>
+        val cPath = s"$uri/centroids/v=$t"
+        if (!Storage.nonEmptyDir(cPath))
+          out += Finding("error", s"centroids.v=$t", "centroid table missing")
+        else {
+          val c = spark.read.parquet(cPath).count()
+          if (meta.partitionHistory.lift(i).exists(_ != c))
+            out += Finding("error", s"centroids.v=$t",
+              s"$c centroids != recorded partition count ${meta.partitionHistory(i)}")
+        }
+        if (meta.indexType == "IVF_PQ" && !Storage.nonEmptyDir(s"$uri/pq_codebooks/v=$t"))
+          out += Finding("error", s"pq_codebooks.v=$t", "codebook table missing")
+      case "VAMANA" =>
+        if (!Storage.nonEmptyDir(s"$uri/graph/v=$t"))
+          out += Finding("error", s"graph.v=$t", "adjacency table missing")
+      case "BINARY" =>
+        val sPath = s"$uri/sketch/v=$t"
+        if (!Storage.nonEmptyDir(sPath))
+          out += Finding("error", s"sketch.v=$t", "sign-sketch table missing")
+        else {
+          val sk = spark.read.parquet(sPath)
+          val sn = sk.count()
+          if (sn != n)
+            out += Finding("error", s"sketch.v=$t", s"sketch rows $sn != base rows $n")
+          val words = (meta.dimensions + 63) / 64
+          val bad = sk.where(size(col("bits")) =!= words).count()
+          if (bad > 0)
+            out += Finding("error", s"sketch.v=$t",
+              s"$bad sketch rows with word count != $words")
+        }
+      case _ => // FLAT (and unknown types, already flagged): base only
+    }
   }
 }

@@ -61,7 +61,10 @@ case class IndexMeta(
 object IndexMeta {
   implicit private val formats: Formats = DefaultFormats
 
-  val StorageVersion = "0.3" // mirrors the reference's current version
+  // 0.3 mirrored the reference's storage version; 0.4 adds the BINARY
+  // index type's sketch/v=<ts> layout (round 9). Purely informational on
+  // read — every committed fixture version stays openable (CompatSpec).
+  val StorageVersion = "0.4"
   // (reference: src/include/index/index_defs.h:75, storage_formats.py:48)
 
   /** index.json IO runs through the Hadoop FileSystem API so index roots on
@@ -98,7 +101,7 @@ object IndexMeta {
     try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
   }
 
-  val SupportedVersions = Set("0.1", "0.2", "0.3")
+  val SupportedVersions = Set("0.1", "0.2", "0.3", "0.4")
 
   def read(rootDir: String): IndexMeta = {
     val p = metaPath(rootDir)

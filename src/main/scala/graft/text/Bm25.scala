@@ -195,12 +195,16 @@ object Bm25 {
     val all = spark.read.parquet(s"$uri/postings")
     val maxTerms = graft.Conf.long(spark, MaxPushdownTermsKey, DefaultMaxPushdownTerms)
     // ONE job decides the gate AND supplies the literals: collect at most
-    // maxTerms+1 distinct terms — an overflow row means "past the gate"
+    // cap+1 distinct terms — an overflow row means "past the gate". The
+    // cap clamps the conf into [0, Int.MaxValue-1] so a "disable the
+    // gate" Long.MaxValue cannot overflow into limit(0) and a negative
+    // setting degrades to the join fallback instead of throwing
+    val cap = math.max(0L, math.min(maxTerms, Int.MaxValue - 1L)).toInt
     val terms = q.select("term").distinct()
-      .limit(math.min(maxTerms + 1, Int.MaxValue.toLong).toInt)
+      .limit(cap + 1)
       .collect().map(_.getString(0))
     val postings =
-      if (terms.length <= maxTerms)
+      if (terms.length <= cap && terms.length.toLong <= maxTerms)
         all.where(col("term").isin(terms.toIndexedSeq: _*))
       else all // the equi-join below still restricts to query terms
     val out = rank(

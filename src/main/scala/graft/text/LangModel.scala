@@ -184,10 +184,6 @@ object LangModel {
       .join(spark.read.parquet(s"$uri/buckets"), Seq(idCol), "left")
   }
 
-  /** Model-side join input: broadcast below the engine-wide
-    * `spark.graft.maxBroadcastBytes` gate (plan-stats estimate, reflects
-    * the parquet file sizes), shuffle-hash join above it. */
-
   /** Per-document gram→count array ([[CharTrigramCounts]] — the one-pass
     * partial-aggregation front of both passes). */
   private def charTrigramCounts(text: Column): Column =

@@ -44,6 +44,29 @@ class IndexDoctorSpec extends AnyFunSuite {
     assert(f.exists(x => x.severity == "warn" && x.check == "updates"), f.toString)
   }
 
+  test("an unrecognized index type is an error BEFORE open() can MatchError") {
+    val uri = tmp()
+    Ingest.ingest(spark, uri, emb, "FLAT", DistanceMetric.L2, timestamp = 1000L)
+    IndexMeta.write(uri, IndexMeta.read(uri).copy(indexType = "ivf_flat"))
+    val f = IndexDoctor.check(spark, uri)
+    assert(f.exists(x => x.severity == "error" && x.check == "meta.indexType"), f.toString)
+  }
+
+  test("a corrupt version parquet becomes a finding, not a stack trace") {
+    val uri = tmp()
+    Ingest.ingest(spark, uri, emb, "FLAT", DistanceMetric.L2, timestamp = 1000L)
+    // truncate every parquet footer in the version dir
+    new java.io.File(s"$uri/base/v=1000").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .foreach { f =>
+        val ch = java.nio.channels.FileChannel.open(f.toPath,
+          java.nio.file.StandardOpenOption.WRITE)
+        try ch.truncate(math.max(0, f.length() - 16)) finally ch.close()
+      }
+    val f = IndexDoctor.check(spark, uri)
+    assert(f.exists(x => x.severity == "error" && x.check == "base.v=1000"), f.toString)
+  }
+
   test("a missing BINARY sketch and a count drift are named errors") {
     val uri = tmp()
     Ingest.ingest(spark, uri, emb, "BINARY", DistanceMetric.L2, timestamp = 1000L)
