@@ -626,6 +626,32 @@ class TextSpec extends AnyFunSuite {
     assert(TextOps.epochExpand(alloc).count() == copies)
   }
 
+  test("token-window chunking invariants hold for every doc length 1..80") {
+    import spark.implicits._
+    val corpus = (1 to 80)
+      .map(n => (n.toLong, (1 to n).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    for ((w, st) <- Seq((64, 48), (16, 12), (8, 8), (5, 1))) {
+      val rows = TextOps.chunkTokenWindows(corpus, window = w, stride = st)
+        .select("doc_id", "chunk_idx", "start_tok", "n_tokens")
+        .as[(Long, Int, Int, Int)].collect()
+        .groupBy(_._1).map { case (id, g) => id -> g.sortBy(_._2).toSeq }
+      (1 to 80).foreach { n =>
+        val chunks = rows(n.toLong)
+        // contiguous indices from 0; starts on the stride grid; full
+        // coverage; every window adds at least one uncovered token
+        assert(chunks.map(_._2) == chunks.indices.toSeq, s"n=$n w=$w s=$st")
+        assert(chunks.forall { case (_, i, s, _) => s == i * st })
+        val covered = chunks.flatMap { case (_, _, s, len) => s until (s + len) }.toSet
+        assert(covered == (0 until n).toSet, s"n=$n w=$w s=$st coverage")
+        assert(chunks.forall { case (_, _, s, len) => len == math.min(w, n - s) })
+        assert(chunks.zipWithIndex.forall { case ((_, _, s, len), j) =>
+          j == 0 || s + len > chunks(j - 1)._3 + chunks(j - 1)._4 - (w - st)
+        }, s"n=$n w=$w s=$st zero-gain window")
+      }
+    }
+  }
+
   test("token-window chunking: coverage, offsets, boundaries, hash") {
     import spark.implicits._
     // 5 tokens, window 4, stride 3 (overlap 1): starts 0 and 3
