@@ -59,6 +59,17 @@ abstract class VectorIndex(
 
   def metric: DistanceMetric = meta.metric
 
+  /** True when the base version stores RAW (un-normalized) vectors. FLAT
+    * keeps raw floats so exact re-scoring matches brute force; BINARY keeps
+    * raw floats alongside the sign sketch because the exact re-rank stage
+    * (BinaryKnn) recomputes true distances from them (Ingest.scala
+    * normalize-at-ingest excludes both). Everything cosine that is NOT a
+    * raw store was normalized at ingest, so merge/serve paths must mirror
+    * that split — a BINARY+Cosine snapshot scored as if normalized would
+    * silently produce wrong distances. */
+  protected def rawVectorStore: Boolean =
+    meta.indexType == "FLAT" || meta.indexType == "BINARY"
+
   /** The active base version's vectors: (external_id, vector[, partition_id]).
     * Empty (with correct schema) when the read predates the first ingestion. */
   def baseVectors(): DataFrame
@@ -278,13 +289,15 @@ abstract class VectorIndex(
       case None => base
       case Some(u) =>
         val latest = latestUpdatePerId(u)
-        // The updates log holds RAW vectors, but COSINE non-FLAT bases are
-        // stored normalized (normalizeDone=true below skips re-normalizing
-        // the base) — normalize the additions so the union is uniform.
+        // The updates log holds RAW vectors, but COSINE non-raw-store bases
+        // (IVF/PQ/VAMANA/...) are stored normalized (normalizeDone=true below
+        // skips re-normalizing the base) — normalize the additions so the
+        // union is uniform. FLAT and BINARY bases stay raw (rawVectorStore),
+        // so their additions must stay raw too.
         val addsRaw = latest.where(col("vector").isNotNull)
           .select("external_id", "vector")
         val adds =
-          if (metric == DistanceMetric.Cosine && meta.indexType != "FLAT")
+          if (metric == DistanceMetric.Cosine && !rawVectorStore)
             addsRaw.select(col("external_id"),
               vector_normalize(col("vector")).as("vector"))
           else addsRaw
@@ -377,9 +390,10 @@ abstract class VectorIndex(
       else Array.empty[org.apache.spark.sql.Row]
     val additions = upd.map { u =>
       val addsRaw = u.where(col("vector").isNotNull)
-      // cosine non-FLAT stores normalized vectors; match for the extras
+      // cosine non-raw-store bases hold normalized vectors; match for the
+      // extras (FLAT/BINARY bases are raw — extras stay raw there)
       val adds =
-        if (metric == DistanceMetric.Cosine && meta.indexType != "FLAT")
+        if (metric == DistanceMetric.Cosine && !rawVectorStore)
           addsRaw.select(col("external_id"), vector_normalize(col("vector")).as("vector"))
         else addsRaw.select("external_id", "vector")
       adds.collect()
@@ -415,7 +429,7 @@ abstract class VectorIndex(
       all.map(_._1).toArray, all.map(_._2).toArray,
       if (blocked) centroids else Array.empty,
       alwaysScan,
-      normalizedStore = metric == DistanceMetric.Cosine && meta.indexType != "FLAT")
+      normalizedStore = metric == DistanceMetric.Cosine && !rawVectorStore)
   }
 
   /** Compact the updates log when it has accumulated many small fragment

@@ -159,6 +159,52 @@ class LocalSearcherSpec extends AnyFunSuite {
     localB.keys.foreach(q => assert(localB(q).map(_._1).toSeq === exact(q).map(_._1)))
   }
 
+  test("BINARY cosine: raw store scored as cosine, equal to distributed") {
+    val uri = tmp()
+    val idx = Ingest.ingest(spark, uri, emb, "BINARY", DistanceMetric.Cosine,
+      timestamp = 1000L)
+    // scoring path: a BINARY base stores RAW vectors (Ingest skips
+    // normalize-at-ingest), so the local snapshot must use the raw-store
+    // cosine path (divide by candidate norm), not sqDist/2 — a stale
+    // normalizedStore flag here produced wrong distances AND wrong top-k.
+    // Compare at probe-all (fetchK = |base|): the distributed sketch
+    // shortlist is exact there, so local must match it bit-for-rank.
+    assertMatches(serveAll(idx, 10), distributed(idx, 10, 1 << 30))
+    // ids also equal exact FLAT cosine brute force (probe-all semantics)
+    val flatUri = tmp()
+    val flat = Ingest.ingest(spark, flatUri, emb, "FLAT", DistanceMetric.Cosine,
+      timestamp = 1000L)
+    val exact = distributed(flat, 10)
+    val localB = serveAll(idx, 10)
+    localB.keys.foreach(q => assert(localB(q).map(_._1).toSeq === exact(q).map(_._1)))
+
+    // additions keep RAW magnitudes: add reversed 3x-scaled vectors (reverse
+    // gives a distinct direction — a pure scaled copy would cosine-TIE its
+    // original for every query and flip ranks on float rounding), update,
+    // serve, consolidate — cosine results are scale-invariant, but the
+    // STORED consolidated base must hold the raw (scaled) values, not
+    // silently normalized ones
+    idx.updateBatch(emb.where(col("external_id") < 5)
+      .select((col("external_id") + 2000000L).as("external_id"),
+        expr("reverse(transform(vector, x -> x * 3.0f))").as("vector")), ts = 1100L)
+    val reopened = VectorIndex.open(spark, uri)
+    assertMatches(serveAll(reopened, 10), distributed(reopened, 10, 1 << 30))
+    val cons = reopened.consolidateUpdates(newTs = 1200L)
+    assertMatches(serveAll(cons, 10), distributed(cons, 10, 1 << 30))
+    val orig = emb.where(col("external_id") < 5).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    cons.baseVectors().where(col("external_id") >= 2000000L).collect()
+      .foreach { r =>
+        val got = r.getSeq[Float](r.fieldIndex("vector")).toArray
+        val want = orig(r.getLong(r.fieldIndex("external_id")) - 2000000L)
+          .map(_ * 3.0f).reverse
+        got.zip(want).foreach { case (g, w) =>
+          assert(math.abs(g - w) <= 1e-5f * math.max(1.0f, math.abs(w)),
+            "consolidated BINARY base must keep raw magnitudes")
+        }
+      }
+  }
+
   private lazy val tmpFlat: String = {
     val uri = tmp()
     Ingest.ingest(spark, uri, emb, "FLAT", DistanceMetric.L2, timestamp = 1000L)
