@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.graftshim.{toColumn, toExpression}
 import org.apache.spark.sql.catalyst.expressions.Literal
 
-import graft.operators.MinTopK
+import graft.operators.{MinTopK, MinTopKLong}
 
 /** Column-level API for the graft vector kernels.
   *
@@ -49,6 +49,13 @@ package object functions {
     * Returns array<struct<id:long, score:float>> sorted ascending. */
   def min_topk(score: Column, id: Column, k: Int): Column =
     toColumn(MinTopK(toExpression(score), toExpression(id), k).toAggregateExpression())
+
+  /** Grouped top-k with exact LONG scores: keeps the k smallest (score, id)
+    * pairs per group. Returns array<struct<id:long, score:long>> sorted
+    * ascending. Use for integer-contract rankings (micro-scores) where a
+    * float heap would collapse distinct values above 2²⁴. */
+  def min_topk_long(score: Column, id: Column, k: Int): Column =
+    toColumn(MinTopKLong(toExpression(score), toExpression(id), k).toAggregateExpression())
 
   /** Symmetric int8 quantization of a float vector (reference test helper
     * `quantize_embeddings_int8`, apis/python/test/common.py:378-388):

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.FloatType
 
 import graft.functions._
-import graft.operators.MinTopK
+import graft.operators.{MinTopK, MinTopKLong}
 
 /** Distance-predicate optimization: radius comparisons against a true L2
   * distance pay a `sqrt` per row that the comparison doesn't need —
@@ -79,6 +79,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Literal(k: Int, _) => MinTopK(es(0), es(1), k)
         case other => throw new IllegalArgumentException(
           s"min_topk: k must be an integer literal, got $other")
+      }))
+    e.injectFunction((FunctionIdentifier("min_topk_long"), info("min_topk_long"),
+      (es: Seq[Expression]) => es(2) match {
+        case Literal(k: Int, _) => MinTopKLong(es(0), es(1), k)
+        case other => throw new IllegalArgumentException(
+          s"min_topk_long: k must be an integer literal, got $other")
       }))
     e.injectOptimizerRule(_ => OptimizeDistancePredicates)
     e.injectOptimizerRule(_ => IndexProbeRewrite)

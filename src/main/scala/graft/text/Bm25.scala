@@ -221,7 +221,15 @@ object Bm25 {
 
   /** Shared scoring tail: postings `(term, id, tf, dl)` × query terms ×
     * persisted idf → pinned-expression contributions → exact integer
-    * per-(query, doc) totals → per-query top-k window. */
+    * per-(query, doc) totals → per-query top-k via the [[MinTopKLong]]
+    * partial→final aggregate. NOT a window: candidate generation is exact
+    * BM25 (every doc sharing any query term), so a stop-word-frequency
+    * query term makes the candidate set approach the corpus — a
+    * per-qid `row_number` window would funnel all of it through one task,
+    * while the heap aggregate ships only k rows per (query, input
+    * partition) across the shuffle. Ordering contract unchanged:
+    * (score_micro desc, id asc), realized as min-heap on
+    * (-score_micro, id). */
   private def rank(postings: DataFrame, qTerms: DataFrame, k: Int, uri: String): DataFrame = {
     require(k > 0, s"graft: BM25 k must be positive, got $k")
     val spark = postings.sparkSession
@@ -239,13 +247,15 @@ object Bm25 {
           (col("tf") + (lit(K1) * (lit(OneMinusB) + (lit(B) * (col("dl") / lit(avgdl))))))) *
           lit(1000000.0)).as("c"))
     val scores = contrib.groupBy("qid", "id")
-      .agg(sum(col("c")).as("score_micro"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("qid"))
-      .orderBy(col("score_micro").desc, col("id"))
+      .agg(sum(col("c")).cast("long").as("score_micro"))
     scores
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
+      .groupBy("qid")
+      .agg(graft.functions.min_topk_long(
+        -col("score_micro"), col("id"), k).as("__topk"))
+      .select(col("qid"), posexplode(col("__topk")).as(Seq("__pos", "__hit")))
+      .select(col("qid"), col("__hit.id").as("id"),
+        (-col("__hit.score")).as("score_micro"),
+        (col("__pos") + 1).cast("int").as("rank"))
   }
 
   private def microNats(lnCol: Column): Column =

@@ -90,6 +90,25 @@ class ScalePostureSpec extends AnyFunSuite {
       s"term-literal pushdown missing from the postings scan:\n$plan")
   }
 
+  test("BM25 serving plans without a window: heap aggregate, only k rows per partition shuffle") {
+    val uri = Files.createTempDirectory("graft_posture_bm25win").toString
+    graft.text.Bm25.fit(docs, uri)
+    for (df <- Seq(
+        graft.text.Bm25.topkIndexed(spark, docs.where(col("doc_id") < 3), 5, uri),
+        graft.text.Bm25.topk(docs, docs.where(col("doc_id") < 3), 5, uri))) {
+      val plan = df.queryExecution.executedPlan.toString
+      // a per-qid row_number window would funnel a hot-term query's
+      // corpus-sized candidate set through ONE task; the MinTopKLong
+      // partial→final aggregate must carry the top-k instead
+      assert(!plan.contains("Window"), s"BM25 serving must not window:\n$plan")
+      assert(plan.contains("min_topk_long"),
+        s"BM25 serving should rank through the heap aggregate:\n$plan")
+      assert(plan.contains("partial_min_topk_long") || plan.contains("min_topk_long(")
+        && plan.contains("HashAggregate"),
+        s"heap aggregate should run partial before the qid shuffle:\n$plan")
+    }
+  }
+
   test("binary-hamming candidate stage scans only the 8-byte sketch column") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val uri = Files.createTempDirectory("graft_posture_bin").toString
