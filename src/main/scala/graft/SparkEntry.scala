@@ -1228,9 +1228,22 @@ object SparkEntry {
     TextOps.vocabSeed(docs(spark, dir)).orderBy("rank")
 
   /** Dataset-card profile per (lang, source): integer moments + lower
-    * median ([[graft.text.TextOps.corpusProfile]]). */
-  private def textCorpusProfile(spark: SparkSession, dir: String): DataFrame =
-    TextOps.corpusProfile(docs(spark, dir)).orderBy("lang", "source")
+    * median ([[graft.text.TextOps.corpusProfile]]). The input unions three
+    * deterministic NULL-lang rows so the null-bucket contract (a null group
+    * key is a real profile bucket, kept through null-safe joins) is
+    * oracle-checked, not just engine-internal — the oracle mirrors the
+    * union and joins IS NOT DISTINCT FROM. */
+  private def textCorpusProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nullBucket = Seq(
+      (9000001L, "alpha beta gamma", Option.empty[String], "nullsrc"),
+      (9000002L, "alpha beta", Option.empty[String], "nullsrc"),
+      (9000003L, "alpha beta gamma delta epsilon", Option.empty[String], "nullsrc"))
+      .toDF("doc_id", "text", "lang", "source")
+    val in = docs(spark, dir).select("doc_id", "text", "lang", "source")
+      .unionByName(nullBucket)
+    TextOps.corpusProfile(in).orderBy("lang", "source")
+  }
 
   /** Whitespace vs BPE-ish pretokenizer counts side by side — the regex
     * is the RE2-compatible GPT-2 subset, so DuckDB replays it exactly. */
@@ -2073,10 +2086,18 @@ object SparkEntry {
     // dataset-card replay: same integer moments, lower median at rank
     // (n+1) DIV 2 in the unique (dl, doc_id) order, mean under integer DIV
     "text_corpus_profile" ->
-      """WITH d AS (
+      """WITH base AS (
+        |  SELECT doc_id, text, lang, source FROM documents
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    (9000001, 'alpha beta gamma', NULL, 'nullsrc'),
+        |    (9000002, 'alpha beta', NULL, 'nullsrc'),
+        |    (9000003, 'alpha beta gamma delta epsilon', NULL, 'nullsrc'))
+        |    v(doc_id, text, lang, source)),
+        |d AS (
         |  SELECT lang, source, doc_id,
         |    len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS dl
-        |  FROM documents),
+        |  FROM base),
         |a AS (
         |  SELECT lang, source, count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS n_tokens,
         |    min(dl)::BIGINT AS min_tokens, max(dl)::BIGINT AS max_tokens,
@@ -2091,8 +2112,9 @@ object SparkEntry {
         |  WHERE rn = (n + 1) // 2)
         |SELECT a.lang, a.source, a.n_docs, a.n_tokens, a.min_tokens, a.max_tokens,
         |  a.mean_tokens_x100, m.median_tokens::BIGINT AS median_tokens
-        |FROM a JOIN m USING (lang, source)
-        |ORDER BY lang, source""".stripMargin,
+        |FROM a JOIN m ON a.lang IS NOT DISTINCT FROM m.lang
+        |  AND a.source IS NOT DISTINCT FROM m.source
+        |ORDER BY a.lang, a.source""".stripMargin,
     // the allocation materialized: one row per (doc, epoch_idx) with the
     // full-epoch + kept-partial copy count, zero-copy docs dropped
     "text_mix_epochs" ->

@@ -206,11 +206,15 @@ object TextOps {
     * (lower median at rank ⌊(n+1)/2⌋ in the unique (dl, id) order; mean
     * scaled ×100 under integer DIV) so any engine replays it exactly.
     *
-    * Scale: one hash aggregate for the moments plus one window over each
-    * GROUP'S rows for the median — groups are catalog-bounded
-    * (languages × sources), so no corpus-sized partition funnels through
-    * one task; a pathological single giant bucket would inherit the
-    * distributed boundary-selection remedy ([[QualityClassifier]]). */
+    * Scale: one hash aggregate for the moments plus one for the per-group
+    * LENGTH HISTOGRAM `(group, dl) → count` — the median of the rank-
+    * (n+1)/2 contract depends only on the dl multiset, so the exact median
+    * is read off the histogram's cumulative counts. The only window runs
+    * over the histogram, whose per-group row count is the number of
+    * DISTINCT document lengths (value-domain-bounded), not the group's
+    * document count — a 60%-of-corpus language bucket contributes the same
+    * handful of histogram rows as a small one, so no corpus-sized
+    * partition ever funnels through one task. */
   def corpusProfile(
       docs: DataFrame,
       groupCols: Seq[String] = Seq("lang", "source"),
@@ -227,13 +231,20 @@ object TextOps {
       min("__dl").as("min_tokens"),
       max("__dl").as("max_tokens"),
       expr("sum(__dl) * 100 DIV count(1)").as("mean_tokens_x100"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(g: _*).orderBy(col("__dl"), col("__id"))
-    val med = d
-      .withColumn("__rn", row_number().over(w))
+    // exact median from the (group, dl) histogram: the row at per-group
+    // rank (n+1) DIV 2 of the (dl, id) order carries the dl value whose
+    // cumulative histogram count first reaches that rank — the id
+    // tie-break picks WHICH row, never a different dl
+    val hist = d.groupBy(g :+ col("__dl"): _*).agg(count(lit(1)).as("__c"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(g: _*).orderBy(col("__dl"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val med = hist
+      .withColumn("__cum", sum(col("__c")).over(wCum))
       .withColumn("__n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(g: _*)))
-      .where(col("__rn") === expr("(__n + 1) DIV 2"))
+        sum(col("__c")).over(org.apache.spark.sql.expressions.Window.partitionBy(g: _*)))
+      .where(col("__cum") - col("__c") < expr("(__n + 1) DIV 2") &&
+        expr("(__n + 1) DIV 2") <= col("__cum"))
       .select(groupCols.map(n => col(n).as(s"__m_$n")) :+
         col("__dl").as("median_tokens"): _*)
     // null-SAFE group equality: a null group key (e.g. lang = null) is a

@@ -139,6 +139,20 @@ class ScalePostureSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"window crept into the funnel:\n$plan")
   }
 
+  test("corpus profile median windows over the length histogram, never corpus rows") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val plan = graft.text.TextOps.corpusProfile(docs).queryExecution.optimizedPlan
+    val windows = plan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty, s"median path should use the histogram window:\n$plan")
+    // every window's input must be the (group, dl) aggregate — its per-group
+    // row count is DISTINCT lengths, so a 60%-of-corpus bucket cannot
+    // funnel its document rows through one window task
+    windows.foreach { w =>
+      assert(w.child.collectFirst { case a: Aggregate => a }.isDefined,
+        s"window consumes un-aggregated corpus rows:\n$w")
+    }
+  }
+
   test("salted band join plans as a plain equi hash join (no NLJ/cartesian)") {
     import spark.implicits._
     val l = Seq((1L, 10L, 1L)).toDF("key", "ts", "lid")

@@ -605,6 +605,27 @@ class TextSpec extends AnyFunSuite {
       ("fr", 2L, 6L, 2L, 4L, 300L, 2L)))
   }
 
+  test("corpus profile: histogram median survives duplicate lengths, skew, null groups") {
+    import spark.implicits._
+    // one giant bucket dominated by duplicate lengths (the histogram path's
+    // home turf: 101 rows collapse to 3 histogram rows) plus a NULL-lang
+    // bucket, which is a real group and must appear in the profile
+    val big = (1L to 101L).map { i =>
+      val dl = if (i <= 50) 2 else if (i <= 90) 7 else 11
+      (i, "en", "big", (1 to dl).map(_ => "w").mkString(" "))
+    }
+    val nulls = Seq(
+      (200L, null.asInstanceOf[String], "n", "a b c"),
+      (201L, null.asInstanceOf[String], "n", "a"))
+    val corpus = (big ++ nulls).toDF("doc_id", "lang", "source", "text")
+    val out = TextOps.corpusProfile(corpus)
+      .select("lang", "n_docs", "median_tokens")
+      .as[(String, Long, Long)].collect().toSeq.sortBy(r => Option(r._1))
+    // en: n=101, rank (101+1)/2 = 51 in dl order (50x2, 40x7, 11x11) -> 7
+    // null: n=2, LOWER median rank 1 -> dl 1
+    assert(out === Seq((null, 2L, 1L), ("en", 101L, 7L)))
+  }
+
   test("epoch expansion materializes n_epochs + kept_partial copies per doc") {
     import spark.implicits._
     val mixed = Seq(
