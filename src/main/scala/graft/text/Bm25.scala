@@ -83,21 +83,25 @@ object Bm25 {
           (lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
           .as("idf_micro"))
       .write.mode("overwrite").parquet(s"$uri/idf")
-    Seq((n, avgdl)).toDF("n_docs", "avgdl")
+    Seq((n, avgdl, moments.getLong(1))).toDF("n_docs", "avgdl", "total_dl")
       .repartition(1).write.mode("overwrite").parquet(s"$uri/meta")
   }
 
   /** Incrementally index `newDocs` into a fitted model: their postings
-    * append as new parquet files (term-sorted like the originals), and
-    * idf/meta are refreshed EXACTLY from the merged postings table — df
-    * by term count, `n`/`avgdl` from the distinct (id, dl) pairs — so
-    * `fit(A); append(B)` serves bit-identically to `fit(A ∪ B)`
-    * (spec-asserted). The corpus-sized work is one explode over the NEW
-    * documents plus one postings-table aggregate; the original corpus
+    * append as new parquet files (term-sorted like the originals), idf is
+    * refreshed from the merged postings table, and `n`/`avgdl` combine the
+    * PERSISTED per-corpus moments (`meta.n_docs` + `meta.total_dl`) with
+    * the new batch's — the same integer count/sum `fit` evaluates over the
+    * union frame, so `fit(A); append(B)` serves bit-identically to
+    * `fit(A ∪ B)` (spec-asserted) without assuming every document emits a
+    * posting row (a tokenizer that drops empty docs would silently skew a
+    * postings-derived n). A duplicate-id batch is REFUSED up front (one
+    * ids-only semi-join probe): duplicate ids would double-count postings
+    * and corrupt every idf. The corpus-sized work is one explode over the
+    * NEW documents plus one postings-table aggregate; the original corpus
     * text is never re-read — the text-index sibling of the vector side's
     * update/consolidate path (reference: index.py update_batch +
-    * consolidate_updates). Callers must ensure `newDocs` ids are disjoint
-    * from the fitted corpus (duplicate ids would double-count postings). */
+    * consolidate_updates). */
   def append(
       newDocs: DataFrame,
       uri: String,
@@ -105,6 +109,17 @@ object Bm25 {
       idCol: String = "doc_id"): Unit = {
     val spark = newDocs.sparkSession
     import spark.implicits._
+    val existing = spark.read.parquet(s"$uri/postings")
+    val dup = newDocs.select(col(idCol).cast("long").as("id")).distinct()
+      .join(existing.select("id").distinct(), Seq("id"), "left_semi")
+      .limit(1).collect()
+    require(dup.isEmpty,
+      s"graft: BM25 append batch contains ids already indexed (e.g. id=" +
+        s"${if (dup.nonEmpty) dup.head.getLong(0) else -1L}) — duplicate ids " +
+        "double-count postings; re-fit, or de-duplicate the batch")
+    val newMoments = newDocs.select(count(lit(1)).as("n"),
+      sum(TextOps.tokenCount(col(textCol)).cast("long")).as("total")).head()
+    val (oldN, oldTotal) = readMoments(spark, uri)
     newDocs
       .select(col(idCol).cast("long").as("id"),
         TextOps.tokenCount(col(textCol)).cast("long").as("dl"),
@@ -115,10 +130,9 @@ object Bm25 {
       .select("term", "id", "tf", "dl")
       .write.mode("append").parquet(s"$uri/postings")
     val merged = spark.read.parquet(s"$uri/postings")
-    val moments = merged.select(col("id"), col("dl")).distinct()
-      .agg(count(lit(1)).as("n"), sum("dl").as("total")).head()
-    val n = moments.getLong(0)
-    val avgdl = moments.getLong(1).toDouble / n.toDouble
+    val n = oldN + newMoments.getLong(0)
+    val total = oldTotal + newMoments.getLong(1)
+    val avgdl = total.toDouble / n.toDouble
     // write via temp + swap is unnecessary here: idf/meta are tiny and
     // overwrite is atomic per directory at this size; readers in-flight
     // hold their own snapshots
@@ -129,8 +143,26 @@ object Bm25 {
           (lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
           .as("idf_micro"))
       .write.mode("overwrite").parquet(s"$uri/idf")
-    Seq((n, avgdl)).toDF("n_docs", "avgdl")
+    Seq((n, avgdl, total)).toDF("n_docs", "avgdl", "total_dl")
       .repartition(1).write.mode("overwrite").parquet(s"$uri/meta")
+  }
+
+  /** The persisted corpus moments `(n_docs, total_dl)`. Metas written
+    * before `total_dl` existed rederive the total ONCE from the postings
+    * table's distinct (id, dl) pairs (the legacy formula — correct for
+    * those corpora because the legacy tokenizer emits ≥1 posting per doc);
+    * the next meta write persists it. */
+  private def readMoments(spark: SparkSession, uri: String): (Long, Long) = {
+    val meta = spark.read.parquet(s"$uri/meta")
+    if (meta.columns.contains("total_dl")) {
+      val r = meta.select("n_docs", "total_dl").head()
+      (r.getLong(0), r.getLong(1))
+    } else {
+      val r = spark.read.parquet(s"$uri/postings")
+        .select(col("id"), col("dl")).distinct()
+        .agg(count(lit(1)).as("n"), sum("dl").as("total")).head()
+      (r.getLong(0), r.getLong(1))
+    }
   }
 
   /** Compact the postings table after a run of [[append]]s: rewrite every

@@ -98,6 +98,38 @@ class Bm25Spec extends AnyFunSuite {
     assert(rows(inc) == rows(full))
   }
 
+  test("append refuses a batch with already-indexed ids") {
+    val u = Files.createTempDirectory("graft_bm25_dup").toString
+    Bm25.fit(docs.where(col("doc_id") < 20), u)
+    val before = spark.read.parquet(s"$u/postings").count()
+    val e = intercept[IllegalArgumentException](
+      Bm25.append(docs.where(col("doc_id") >= 15 && col("doc_id") < 25), u))
+    assert(e.getMessage.contains("already indexed"))
+    // the refusal happens BEFORE any postings write — the table is intact
+    assert(spark.read.parquet(s"$u/postings").count() == before)
+  }
+
+  test("append onto a legacy meta (no total_dl) migrates and stays bit-identical") {
+    val a = docs.where(col("doc_id") < 25)
+    val b = docs.where(col("doc_id") >= 25 && col("doc_id") < 50)
+    val full = Files.createTempDirectory("graft_bm25_leg_full").toString
+    Bm25.fit(docs.where(col("doc_id") < 50), full)
+    val inc = Files.createTempDirectory("graft_bm25_leg_inc").toString
+    Bm25.fit(a, inc)
+    // simulate a model written before total_dl existed
+    val legacy = spark.read.parquet(s"$inc/meta").select("n_docs", "avgdl").collect()
+    import spark.implicits._
+    legacy.map(r => (r.getLong(0), r.getDouble(1))).toSeq.toDF("n_docs", "avgdl")
+      .repartition(1).write.mode("overwrite").parquet(s"$inc/meta")
+    Bm25.append(b, inc)
+    // migrated meta persists the totals and matches the one-shot fit exactly
+    assert(spark.read.parquet(s"$inc/meta").head() ==
+      spark.read.parquet(s"$full/meta").head())
+    def idf(u: String) = spark.read.parquet(s"$u/idf")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(idf(inc) == idf(full))
+  }
+
   test("postings compaction preserves results and consolidates files") {
     val u = Files.createTempDirectory("graft_bm25_compact").toString
     Bm25.fit(docs.where(col("doc_id") < 20), u)
