@@ -44,6 +44,16 @@ object Bm25 {
   val MaxPushdownTermsKey = "spark.graft.bm25MaxPushdownTerms"
   val DefaultMaxPushdownTerms = 100000L
 
+  /** Posting-run length (document frequency) above which a query term is
+    * treated as HOT by [[topkIndexed]]'s max-score pruning: candidates are
+    * generated from the rare terms only, and a per-query upper bound on
+    * the hot terms' possible contribution proves the candidate top-k
+    * complete (or falls the query back to full evaluation). 0 or negative
+    * disables pruning. Results are EXACT either way — the knob only moves
+    * work, never answers. */
+  val MaxScoreDfCapKey = "spark.graft.bm25MaxScoreDfCap"
+  val DefaultMaxScoreDfCap = 262144L
+
   private def toks(textCol: Column): Column = TextOps.tokens(lower(textCol))
 
   /** Fit over `docs`: persists `uri/idf (term, df, idf_micro)`,
@@ -239,10 +249,10 @@ object Bm25 {
       if (terms.length <= cap && terms.length.toLong <= maxTerms)
         all.where(col("term").isin(terms.toIndexedSeq: _*))
       else all // the equi-join below still restricts to query terms
-    val out = rank(
-      postings.select(col("term"), col("id"),
-        col("tf").cast("double").as("tf"), col("dl").cast("double").as("dl")),
-      q, k, uri)
+    val p = postings.select(col("term"), col("id"),
+      col("tf").cast("double").as("tf"), col("dl").cast("double").as("dl"))
+    val dfCap = graft.Conf.long(spark, MaxScoreDfCapKey, DefaultMaxScoreDfCap)
+    val out = if (dfCap > 0) rankMaxScore(p, q, k, uri, dfCap) else rank(p, q, k, uri)
     q.unpersist()
     out
   }
@@ -270,16 +280,96 @@ object Bm25 {
     val contrib = postings
       .join(graft.gatedSmallSide(qTerms), Seq("term"))
       .join(graft.gatedSmallSide(idf), Seq("term"))
-      .select(col("qid"), col("id"),
-        // the ONE pinned expression — mirrored token-for-token by the
-        // DuckDB oracle; floor makes each contribution integral before the
-        // exact integer total
-        floor((((col("idf_micro").cast("double") / lit(1000000.0)) *
-            (col("tf") * lit(K1Plus1))) /
-          (col("tf") + (lit(K1) * (lit(OneMinusB) + (lit(B) * (col("dl") / lit(avgdl))))))) *
-          lit(1000000.0)).as("c"))
-    val scores = contrib.groupBy("qid", "id")
+      .select(col("qid"), col("id"), contribMicro(avgdl).as("c"))
+    explodeTopk(
+      contrib.groupBy("qid", "id")
+        .agg(sum(col("c")).cast("long").as("score_micro")), k)
+  }
+
+  /** Exact max-score serving (Turtle & Flood's MaxScore bound re-shaped
+    * for a batch engine): terms with posting runs longer than `dfCap` are
+    * HOT; candidates come from the rare terms' runs only and get exact
+    * FULL scores (their hot-term postings are fetched by a candidate-id
+    * semi-join, never expanded corpus-wide); a per-query ceiling on what
+    * the hot terms alone could contribute (`Σ ceil(idf·(k₁+1))` — each
+    * contribution is strictly below idf·(k₁+1) because tf/(tf+x) < 1)
+    * then proves no rare-term-free document can reach the candidate
+    * top-k. Queries the bound cannot clear — no rare terms at all, fewer
+    * than k candidates, or a bound at/above the k-th candidate score
+    * (a tying outsider could still win the id tie-break) — fall back to
+    * [[rank]] for JUST those qids. Results are therefore EXACTLY
+    * [[rank]]'s on every input; what changes is that a stop-word query
+    * term no longer drives a corpus-sized (qid, doc) expansion and
+    * aggregation — the hot run is scanned once, streamed through a
+    * candidate-id filter. */
+  private def rankMaxScore(
+      postings: DataFrame,
+      qTerms: DataFrame,
+      k: Int,
+      uri: String,
+      dfCap: Long): DataFrame = {
+    require(k > 0, s"graft: BM25 k must be positive, got $k")
+    val spark = postings.sparkSession
+    val avgdl = spark.read.parquet(s"$uri/meta").head().getAs[Double]("avgdl")
+    val idf = spark.read.parquet(s"$uri/idf").select("term", "df", "idf_micro")
+    val qt = qTerms.join(graft.gatedSmallSide(idf), Seq("term"))
+      .select("qid", "term", "df", "idf_micro")
+    val bounds = qt.where(col("df") > dfCap)
+      .groupBy("qid")
+      .agg(sum(expr("idf_micro * 22 DIV 10 + 1")).as("__hot_bound"))
+    val candIds = postings
+      .join(graft.gatedSmallSide(
+        qt.where(col("df") <= dfCap).select("qid", "term")), Seq("term"))
+      .select("qid", "id").distinct()
+    // candidate docs' postings for ALL the batch's terms: restrict by id
+    // straight off the scan (gated semi-join), then per-query terms, then
+    // drop candidate-of-another-query leakage
+    val contrib = postings
+      .join(graft.gatedSmallSide(candIds.select("id").distinct()), Seq("id"), "left_semi")
+      .join(graft.gatedSmallSide(qt.select("qid", "term", "idf_micro")), Seq("term"))
+      .join(graft.gatedSmallSide(candIds), Seq("qid", "id"), "left_semi")
+      .select(col("qid"), col("id"), contribMicro(avgdl).as("c"))
+    val heaps = contrib.groupBy("qid", "id")
       .agg(sum(col("c")).cast("long").as("score_micro"))
+      .groupBy("qid")
+      .agg(graft.functions.min_topk_long(
+        -col("score_micro"), col("id"), k).as("__topk"))
+    val decided = heaps
+      .join(bounds, Seq("qid"), "left")
+      .withColumn("__nc", size(col("__topk")))
+      // ascending by negated score → the LAST kept entry is the k-th best
+      .withColumn("__kth",
+        -element_at(col("__topk"), col("__nc")).getField("score"))
+      .withColumn("__ok",
+        coalesce(col("__hot_bound"), lit(0L)) === lit(0L) ||
+          (col("__nc") >= lit(k) &&
+            coalesce(col("__hot_bound"), lit(0L)) < col("__kth")))
+    val ok = decided.where(col("__ok"))
+      .select(col("qid"), posexplode(col("__topk")).as(Seq("__pos", "__hit")))
+      .select(col("qid"), col("__hit.id").as("id"),
+        (-col("__hit.score")).as("score_micro"),
+        (col("__pos") + 1).cast("int").as("rank"))
+    val fallback = qTerms.select("qid").distinct()
+      .join(decided.where(col("__ok")).select("qid"), Seq("qid"), "left_anti")
+    val fbRanked = rank(postings,
+      qTerms.join(graft.gatedSmallSide(fallback), Seq("qid"), "left_semi"), k, uri)
+    ok.unionByName(fbRanked)
+  }
+
+  /** The ONE pinned per-(query, doc, term) contribution expression —
+    * mirrored token-for-token by the DuckDB oracle; floor makes each
+    * contribution integral before the exact integer total. Shared by
+    * every serving path so they cannot drift numerically. */
+  private def contribMicro(avgdl: Double): Column =
+    floor((((col("idf_micro").cast("double") / lit(1000000.0)) *
+        (col("tf") * lit(K1Plus1))) /
+      (col("tf") + (lit(K1) * (lit(OneMinusB) + (lit(B) * (col("dl") / lit(avgdl))))))) *
+      lit(1000000.0))
+
+  /** Per-query top-k tail shared by the serving paths: the
+    * [[graft.operators.MinTopKLong]] partial→final heap on
+    * (−score_micro, id), exploded to `(qid, id, score_micro, rank)`. */
+  private def explodeTopk(scores: DataFrame, k: Int): DataFrame =
     scores
       .groupBy("qid")
       .agg(graft.functions.min_topk_long(
@@ -288,7 +378,6 @@ object Bm25 {
       .select(col("qid"), col("__hit.id").as("id"),
         (-col("__hit.score")).as("score_micro"),
         (col("__pos") + 1).cast("int").as("rank"))
-  }
 
   private def microNats(lnCol: Column): Column =
     round(lnCol * lit(1000000.0)).cast("long")

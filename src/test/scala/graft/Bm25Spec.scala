@@ -98,6 +98,39 @@ class Bm25Spec extends AnyFunSuite {
     assert(rows(inc) == rows(full))
   }
 
+  test("max-score pruning is exact on a stop-word-skewed corpus") {
+    import spark.implicits._
+    // inject a stop word into EVERY document: its posting run is the whole
+    // corpus, the worst case the df cap exists for
+    val skew = docs.where(col("doc_id") < 80)
+      .select(col("doc_id"), concat_ws(" ", lit("the"), col("text")).as("text"))
+    val u = Files.createTempDirectory("graft_bm25_maxscore").toString
+    Bm25.fit(skew, u)
+    // queries: normal docs (stop word + content terms) plus one ALL-HOT
+    // query ("the the the") that has no rare term to generate candidates
+    // from and must fall back to full evaluation
+    val q = skew.where(col("doc_id") < 4)
+      .unionByName(Seq((900L, "the the the")).toDF("doc_id", "text"))
+    def served(cap: Long): Set[(Long, Long, Long, Int)] = {
+      spark.conf.set(Bm25.MaxScoreDfCapKey, cap.toString)
+      try Bm25.topkIndexed(spark, q, 10, u)
+        .select("qid", "id", "score_micro", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+      finally spark.conf.unset(Bm25.MaxScoreDfCapKey)
+    }
+    val exact = served(0) // pruning disabled: the reference answer
+    assert(exact.exists(_._1 == 900L), "the all-hot query must still answer")
+    // cap 5: 'the' (df=80) is hot, content vocabulary mostly rare —
+    // pruned candidates + hot bound (and fallback for qid 900)
+    assert(served(5) === exact)
+    // cap 1: nearly the whole vocabulary is hot — most queries fail the
+    // bound and fall back; the union must still be exactly the answer
+    assert(served(1) === exact)
+    // cap above every df: nothing is hot, the pruned path degenerates to
+    // the plain candidate evaluation
+    assert(served(1000000) === exact)
+  }
+
   test("append refuses a batch with already-indexed ids") {
     val u = Files.createTempDirectory("graft_bm25_dup").toString
     Bm25.fit(docs.where(col("doc_id") < 20), u)
