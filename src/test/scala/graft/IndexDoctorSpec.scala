@@ -86,4 +86,112 @@ class IndexDoctorSpec extends AnyFunSuite {
     assert(f2.exists(x => x.severity == "error" && x.check == "base.v=1000" &&
       x.detail.contains("row count")), f2.toString)
   }
+
+  // ---- text-side artifacts ([[graft.text.TextDoctor]]) ----
+
+  private lazy val docs = spark.read.parquet(s"$sf0001/documents.parquet").cache()
+
+  /** Rewrite a small persisted table in place (collect, transform, overwrite). */
+  private def rewrite(path: String)(
+      f: Seq[org.apache.spark.sql.Row] => Seq[org.apache.spark.sql.Row]): Unit = {
+    val df = spark.read.parquet(path)
+    val schema = df.schema
+    val rows = f(df.collect().toSeq)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), schema)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  test("healthy BM25 / LM / DSIR models report no findings") {
+    import graft.text.{Bm25, Dsir, LangModel, TextDoctor}
+    val b = tmp(); Bm25.fit(docs, b)
+    assert(TextDoctor.checkBm25(spark, b).isEmpty)
+    val l = tmp(); LangModel.trainCharTrigram(docs.where(col("lang") === "en"), l)
+    assert(TextDoctor.checkLangModel(spark, l).isEmpty)
+    val d = tmp(); Dsir.fit(docs, col("lang") === "en", d)
+    assert(TextDoctor.checkDsir(spark, d).isEmpty)
+  }
+
+  test("seeded BM25 corruption in each table surfaces as a named finding") {
+    import graft.text.{Bm25, TextDoctor}
+    import org.apache.spark.sql.Row
+    // idf drift: one perturbed idf_micro breaks replay
+    val u1 = tmp(); Bm25.fit(docs, u1)
+    rewrite(s"$u1/idf") { rows =>
+      rows.head match { case Row(t, df, i: Long) =>
+        Row(t, df, i + 1L) +: rows.tail }
+    }
+    val f1 = TextDoctor.checkBm25(spark, u1)
+    assert(f1.exists(x => x.severity == "error" && x.check == "bm25.idf" &&
+      x.detail.contains("replay")), f1.toString)
+    // postings loss: dropping one term's rows breaks df = posting count
+    val u2 = tmp(); Bm25.fit(docs, u2)
+    val victim = spark.read.parquet(s"$u2/postings").head().getString(0)
+    rewrite(s"$u2/postings")(_.filterNot(_.getString(0) == victim))
+    val f2 = TextDoctor.checkBm25(spark, u2)
+    assert(f2.exists(x => x.severity == "error" && x.check == "bm25.idf"), f2.toString)
+    // meta drift: n_docs below the distinct posting ids is impossible
+    val u3 = tmp(); Bm25.fit(docs, u3)
+    rewrite(s"$u3/meta") {
+      case Seq(Row(n: Long, a: Double, t: Long)) => Seq(Row(n - 10L, a, t))
+    }
+    val f3 = TextDoctor.checkBm25(spark, u3)
+    assert(f3.exists(x => x.severity == "error" && x.check == "bm25.meta"), f3.toString)
+    // tf corruption: a doc whose term frequencies no longer sum to dl
+    val u4 = tmp(); Bm25.fit(docs, u4)
+    rewrite(s"$u4/postings") { rows =>
+      rows.head match { case Row(t, id, tf: Long, dl) =>
+        Row(t, id, tf + 1L, dl) +: rows.tail }
+    }
+    val f4 = TextDoctor.checkBm25(spark, u4)
+    assert(f4.exists(x => x.severity == "error" && x.check == "bm25.postings" &&
+      x.detail.contains("sum to dl")), f4.toString)
+  }
+
+  test("seeded LM and DSIR corruptions surface as named findings") {
+    import graft.text.{Dsir, LangModel, TextDoctor}
+    import org.apache.spark.sql.Row
+    val l = tmp(); LangModel.trainCharTrigram(docs.where(col("lang") === "en"), l)
+    // a context vanishing from model2 breaks unseen-char scoring
+    val victim = spark.read.parquet(s"$l/model2").head().getString(0)
+    rewrite(s"$l/model2")(_.filterNot(_.getString(0) == victim))
+    val fl = TextDoctor.checkLangModel(spark, l)
+    assert(fl.exists(x => x.severity == "error" && x.check == "lm.model2"), fl.toString)
+    // a positive log-prob is impossible under smoothing
+    val l2 = tmp(); LangModel.trainCharTrigram(docs.where(col("lang") === "en"), l2)
+    rewrite(s"$l2/model3") { rows =>
+      rows.head match { case Row(g, c, lp: Long) => Row(g, c, -lp) +: rows.tail }
+    }
+    val fl2 = TextDoctor.checkLangModel(spark, l2)
+    assert(fl2.exists(x => x.severity == "error" && x.check == "lm.model3"), fl2.toString)
+    // DSIR: a dropped bucket breaks the dense-model contract scoring relies on
+    val d = tmp(); Dsir.fit(docs, col("lang") === "en", d)
+    rewrite(s"$d/model")(_.filterNot(_.getLong(0) == 7L))
+    val fd = TextDoctor.checkDsir(spark, d)
+    assert(fd.exists(x => x.severity == "error" && x.check == "dsir.model"), fd.toString)
+    // DSIR meta: n_raw below n_target is impossible (target ⊆ raw)
+    val d2 = tmp(); Dsir.fit(docs, col("lang") === "en", d2)
+    rewrite(s"$d2/meta") {
+      case Seq(Row(nt: Long, nr: Long, b: Int)) => Seq(Row(nr + 1L, nt, b))
+    }
+    val fd2 = TextDoctor.checkDsir(spark, d2)
+    assert(fd2.exists(x => x.severity == "error" && x.check == "dsir.meta"), fd2.toString)
+  }
+
+  test("a truncated text table is a finding, not a stack trace") {
+    import graft.text.{Bm25, TextDoctor}
+    val u = tmp(); Bm25.fit(docs, u)
+    new java.io.File(s"$u/idf").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .foreach { f =>
+        val ch = java.nio.channels.FileChannel.open(f.toPath,
+          java.nio.file.StandardOpenOption.WRITE)
+        try ch.truncate(math.max(0, f.length() - 16)) finally ch.close()
+      }
+    val f = TextDoctor.checkBm25(spark, u)
+    assert(f.exists(x => x.severity == "error" && x.check == "bm25.idf" &&
+      x.detail.contains("unreadable")), f.toString)
+    // the other tables were still checked (no cascade abort)
+    assert(f.forall(x => x.check.startsWith("bm25.")), f.toString)
+  }
 }
