@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.index.{Ingest, VectorIndex}
+import graft.operators.{DistanceMetric, Knn}
+
+/** The reference-scale IVF_FLAT benchmark (reference:
+  * local-benchmarks.py:339-378 — SIFT-style sweep of partitions × nprobe
+  * at k=100): builds IVF_FLAT indexes over a ≥1M-vector corpus and sweeps
+  * nprobe, reporting recall@100 against exact brute force plus query
+  * wall-clock. This is the scale where PLANS dominate (partition pruning,
+  * shuffle shape), not per-query constant overheads — the regime the
+  * sf0.01–0.1 driver bench can't reach.
+  *
+  * Corpus: the sf embeddings table replicated `reps` times with a
+  * deterministic per-(id, replica, lane) Murmur3 jitter — keeps the
+  * original cluster structure (what IVF partitions latch onto) while
+  * making every replica a distinct point. Queries are the UN-jittered
+  * replica-0 rows of the first `nq` ids; ground truth is exact
+  * [[Knn.bruteForce]] top-k over the full corpus.
+  *
+  * Usage: `runMain graft.IvfSweepBench [sfDir] [reps] [nq]`
+  * (defaults /root/testdata/sf0.1, 500 → 1,000,000 vectors, 100 queries).
+  * Prints one `SWEEP {...}` line per (partitions, nprobe) cell, for
+  * PERF.md. Not wired into Bench: this is a maintenance benchmark, run
+  * when index plumbing changes, like the Vamana recall audits.
+  */
+object IvfSweepBench {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val reps = args.lift(1).map(_.toInt).getOrElse(500)
+    val nq = args.lift(2).map(_.toInt).getOrElse(100)
+    val jitter = args.lift(3).map(_.toDouble).getOrElse(0.5)
+    val spark = SparkSession.builder()
+      .appName("graft-ivf-sweep").master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.driver.memory", "48g")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, sfDir, reps, nq, jitter)
+    finally spark.stop()
+  }
+
+  def run(spark: SparkSession, sfDir: String, reps: Int, nq: Int, jitter: Double): Unit = {
+    val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    // replica r of id v gets external_id v*reps+r; r=0 is the original
+    // point bit-for-bit, r>0 adds a deterministic per-lane jitter of up
+    // to ±`jitter` (hash(id, r, lane) → uniform). The amplitude sets the
+    // difficulty: small values keep each original's replicas in one tight
+    // cluster (one probed partition captures the whole top-k — recall
+    // trivially high); the ±0.5 default diffuses replicas of different
+    // originals into each other, so a query's top-100 spans partitions
+    // and the nprobe/recall trade-off is genuinely exercised
+    val corpus = base
+      .select(col("vec_id"), col("embedding"),
+        explode(sequence(lit(0), lit(reps - 1))).as("r"))
+      .select(
+        (col("vec_id") * reps + col("r")).as("external_id"),
+        expr(s"""transform(embedding, (x, i) ->
+             CASE WHEN r = 0 THEN x
+             ELSE x + float((pmod(hash(vec_id, r, i), 1000) - 500) / 1000.0 * $jitter) END)""")
+          .as("vector"))
+    val corpusPath = java.nio.file.Files.createTempDirectory("ivf_sweep_corpus").toString
+    corpus.write.mode("overwrite").parquet(corpusPath)
+    val big = spark.read.parquet(corpusPath)
+    val n = big.count()
+    println(s"SWEEP_CORPUS n=$n dims=64 reps=$reps")
+
+    val queries = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .where(col("vec_id") < nq)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      .cache()
+    queries.count()
+
+    val k = 100
+    val exact = groundTruth(
+      Knn.bruteForce(big, queries, k, DistanceMetric.L2,
+        idCol = "external_id", vecCol = "vector", qidCol = "qid", qvecCol = "qvec"))
+    println(s"SWEEP_EXACT queries=${exact.size} k=$k")
+
+    // the reference sweep's partition counts, plus √N (the reference
+    // ingestion default at this corpus size)
+    val sqrtN = math.sqrt(n.toDouble).toInt
+    for (parts <- Seq(20, 50, 100, 200, sqrtN)) {
+      val uri = java.nio.file.Files.createTempDirectory(s"ivf_sweep_p$parts").toString
+      val t0 = System.nanoTime()
+      Ingest.ingest(spark, uri, big, "IVF_FLAT", DistanceMetric.L2,
+        timestamp = 1000L, partitions = Some(parts))
+      val buildS = (System.nanoTime() - t0) / 1e9
+      val idx = VectorIndex.open(spark, uri)
+      val probes =
+        if (parts == sqrtN) Seq(0, 1, 2, 4, 8, 16, 31) // 0 = the √parts default
+        else (1 to 20)
+      for (nprobe <- probes) {
+        val t1 = System.nanoTime()
+        val got = groundTruth(idx.query(queries, k, nprobe))
+        val queryS = (System.nanoTime() - t1) / 1e9
+        // .toSeq: Map.keys is a Set — mapping it to recall VALUES would
+        // deduplicate queries that happen to share a recall (e.g. all 1.0)
+        val recall = exact.keys.toSeq.map { q =>
+          (got.getOrElse(q, Set.empty) intersect exact(q)).size.toDouble / k
+        }.sum / exact.size
+        println(f"SWEEP {partitions: $parts, nprobe: $nprobe, recall: $recall%.4f, " +
+          f"query_s: $queryS%.2f, build_s: $buildS%.1f}")
+      }
+      graft.index.Storage.deleteRecursively(uri)
+    }
+    graft.index.Storage.deleteRecursively(corpusPath)
+  }
+
+  private def groundTruth(res: DataFrame): Map[Long, Set[Long]] =
+    res.select("qid", "id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+}

@@ -25,7 +25,9 @@ import graft.functions.{hamming_dist, min_topk, sign_pack}
   *      side) and runs the exact metric for the final top-k.
   *
   * Recall is governed by `fetchK`: at `fetchK >= |db|` the result equals
-  * brute force (spec-asserted); the driver query uses `fetchK = 4k`, and
+  * brute force (spec-asserted); the driver query uses `fetchK = 16k`
+  * (`SparkEntry.BinFetchK` — the budget the recall audit and the
+  * knn_binary_hamming oracle replay assume), and
   * the DuckDB oracle replays both stages exactly (signs recomputed from
   * the raw floats — which also audits the persisted sketch, since a
   * corrupted pack would change the candidate sets).
