@@ -911,6 +911,37 @@ object SparkEntry {
       .orderBy("qid", "rank")
   }
 
+  /** Object search over a REAL trained model's embeddings: an actual MLlib
+    * Word2Vec (skip-gram) fits on the corpus, its learned word vectors
+    * persist under the index, and the object pipeline (chunk → mean of
+    * word vectors → FLAT cosine index → query) serves from them
+    * ([[graft.objects.WordVectorTextEmbedding]]; reference analogue:
+    * embeddings/sentence_transformers_embedding.py — a model's encode
+    * behind the ObjectEmbedding ABC). Replay contract: training is
+    * engine-internal, but the model's OUTPUT table is the persisted
+    * artifact, so the DuckDB oracle recomputes chunk/query embeddings from
+    * the SAME word vectors and replays the cosine top-k — the averaging,
+    * indexing, and serving path are all hash-checked on real model
+    * weights (the centroid-replay pattern applied to a trained model). */
+  private def objectSearchW2v(spark: SparkSession, dir: String): DataFrame = {
+    val uri = cachedIndex("w2v_idx", dir) { u =>
+      val model = graft.objects.WordVectorTextEmbedding.train(
+        docs(spark, dir), dim = 32, seed = 42L)
+      graft.objects.WordVectorTextEmbedding.save(spark, model, s"$u/word_vectors")
+      graft.objects.ObjectIndex.create(spark, u,
+        new graft.objects.DocumentsTableReader(dir), model,
+        indexType = "FLAT", metric = DistanceMetric.Cosine, timestamp = 1000L)
+    }
+    val model = graft.objects.WordVectorTextEmbedding.load(spark, s"$uri/word_vectors")
+    val idx = new graft.objects.ObjectIndex(spark, uri,
+      new graft.objects.DocumentsTableReader(dir), model)
+    val queries = docs(spark, dir).where(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"), col("text"))
+    idx.query(queries, k = K2obj, nprobe = 1 << 30)
+      .select(col("qid"), col("rank"), col("external_id"))
+      .orderBy("qid", "rank")
+  }
+
   /** Semantic object search with metadata join (reference object_index
     * query path, rows-only — embedding is engine-internal). */
   private def objectSearch(spark: SparkSession, dir: String): DataFrame = {
@@ -1572,6 +1603,7 @@ object SparkEntry {
     "object_search_filtered" -> (objectSearchFiltered _),
     "object_search_prefiltered" -> (objectSearchPrefiltered _),
     "object_search_image" -> (objectSearchImage _),
+    "object_search_w2v" -> (objectSearchW2v _),
     "multimodal_features" -> (multimodalFeatures _),
     "multimodal_image_decode" -> (multimodalImageDecode _),
     "multimodal_audio_decode" -> (multimodalAudioDecode _),
@@ -2441,7 +2473,8 @@ object SparkEntry {
         |FROM tf JOIN df USING (term)
         |QUALIFY row_number() OVER (PARTITION BY tf.doc_id ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) <= 3
         |ORDER BY doc_id, rank""".stripMargin,
-  ) ++ ivfNprobeReplayOracle ++ ivfHistogramReplayOracle ++ ivfPqDefaultReplayOracle ++
+  ) ++ w2vReplayOracle ++
+    ivfNprobeReplayOracle ++ ivfHistogramReplayOracle ++ ivfPqDefaultReplayOracle ++
     knnGraphAnnReplayOracle ++ annDedupReplayOracles ++ lshReplayOracle ++
     lmReplayOracle ++ dsirReplayOracle ++ bm25ReplayOracle ++
     qualityClfReplayOracle ++ pipelineFunnelOracle ++ pcaReplayOracle ++
@@ -2727,6 +2760,66 @@ object SparkEntry {
     * (query, doc, term) floored to an integral contribution, exact
     * integer totals, same (score desc, id) top-k. No `ln` on the oracle
     * side. */
+  /** DuckDB replay of [[objectSearchW2v]] from the PERSISTED Word2Vec
+    * word-vector table: chunk the documents exactly like
+    * DocumentsTableReader, average the learned vectors over each chunk's /
+    * query's tokens, and rank by cosine — the trained model's outputs are
+    * the replayable contract (training itself stays engine-internal).
+    * Present only once the fixture exists in this process (same dump-order
+    * contract as [[ivfNprobeReplayOracle]]). */
+  private def w2vReplayOracle: Map[String, String] =
+    indexCache.collectFirst { case (k, uri) if k.startsWith("w2v_idx|") => uri }
+      .map { uri =>
+        "object_search_w2v" ->
+          s"""WITH chunks AS (
+             |  SELECT doc_id * 1000 + i AS external_id, doc_id, ch AS text
+             |  FROM (
+             |    SELECT doc_id, unnest(chs) AS ch, generate_subscripts(chs, 1) - 1 AS i
+             |    FROM (
+             |      SELECT doc_id,
+             |        CASE WHEN length(text) <= 1000 THEN [text]
+             |             ELSE list_transform(range(0, length(text), 900), s -> substr(text, s+1, 1000))
+             |        END AS chs
+             |      FROM documents)
+             |  )
+             |),
+             |wv AS (SELECT word, vector FROM read_parquet('$uri/word_vectors/*.parquet')),
+             |ctok AS (
+             |  SELECT external_id, doc_id,
+             |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+             |  FROM chunks),
+             |cdim AS (
+             |  SELECT t.external_id, t.doc_id,
+             |    generate_subscripts(w.vector, 1) AS dim, unnest(w.vector) AS x
+             |  FROM ctok t JOIN wv w USING (word)),
+             |cv AS (
+             |  SELECT external_id, doc_id, array_agg(val ORDER BY dim) AS v
+             |  FROM (SELECT external_id, doc_id, dim, avg(x) AS val
+             |        FROM cdim GROUP BY 1, 2, 3)
+             |  GROUP BY 1, 2),
+             |qtok AS (
+             |  SELECT doc_id AS qid,
+             |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+             |  FROM documents WHERE doc_id < 5),
+             |qdim AS (
+             |  SELECT t.qid, generate_subscripts(w.vector, 1) AS dim, unnest(w.vector) AS x
+             |  FROM qtok t JOIN wv w USING (word)),
+             |qv AS (
+             |  SELECT qid, array_agg(val ORDER BY dim) AS v
+             |  FROM (SELECT qid, dim, avg(x) AS val FROM qdim GROUP BY 1, 2)
+             |  GROUP BY 1),
+             |scored AS (
+             |  SELECT q.qid, c.external_id,
+             |    list_cosine_similarity(q.v, c.v) AS sim
+             |  FROM qv q CROSS JOIN cv c)
+             |SELECT qid, rank::INT AS rank, external_id FROM (
+             |  SELECT qid, external_id,
+             |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, external_id) AS rank
+             |  FROM scored)
+             |WHERE rank <= $K2obj
+             |ORDER BY qid, rank""".stripMargin
+      }.toMap
+
   private def bm25ReplayOracle: Map[String, String] =
     indexCache.collectFirst { case (k, uri) if k.startsWith("bm25|") => uri }
       .map { uri =>

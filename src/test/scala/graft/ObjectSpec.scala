@@ -280,6 +280,83 @@ class ObjectSpec extends AnyFunSuite {
     (0L until 3L).foreach(q => assert(top1(q) === q))
   }
 
+  test("word2vec: a real trained model drives the pipeline, in-JVM and via a python subprocess") {
+    import spark.implicits._
+    import graft.objects.WordVectorTextEmbedding
+    val docsDf = spark.read.parquet(s"$sf0001/documents.parquet")
+    val model = WordVectorTextEmbedding.train(docsDf, dim = 32, seed = 42L)
+    val wvDir = Files.createTempDirectory("graft_w2v")
+    WordVectorTextEmbedding.save(spark, model, s"$wvDir/wv")
+    val loaded = WordVectorTextEmbedding.load(spark, s"$wvDir/wv")
+
+    // e2e: the reference's update_index → query shape (ObjectIndex.create
+    // is the two-stage embed+ingest DAG) on REAL learned vectors
+    val uri = tmp()
+    val idx = ObjectIndex.create(spark, uri, reader, loaded,
+      indexType = "FLAT", metric = graft.operators.DistanceMetric.Cosine,
+      timestamp = 1000L)
+    val queries = docsDf.where(col("doc_id") < 3)
+      .select(col("doc_id").as("qid"), col("text"))
+    val jvmTop = idx.query(queries, k = 3)
+      .select(col("qid"), col("rank"), col("external_id"))
+      .as[(Long, Int, Long)].collect()
+    // a chunk of the query's own document must rank first (the model
+    // actually separates documents — a broken model collapses everything)
+    jvmTop.filter(_._2 == 1).foreach { case (q, _, id) => assert(id / 1000 === q) }
+
+    // the SAME learned weights through a LIVE python encoder process: the
+    // SubprocessEmbedding line protocol carries a real model end-to-end
+    val tsv = wvDir.resolve("wv.tsv")
+    WordVectorTextEmbedding.exportTsv(loaded, tsv)
+    val script =
+      """import sys, base64
+        |vecs = {}
+        |with open(sys.argv[1], encoding='utf-8') as f:
+        |    for line in f:
+        |        w, vs = line.rstrip('\n').split('\t')
+        |        vecs[w] = [float(x) for x in vs.split(' ')]
+        |dim = len(next(iter(vecs.values())))
+        |for line in sys.stdin:
+        |    t = base64.b64decode(line.strip()).decode('utf-8')
+        |    acc = [0.0] * dim
+        |    n = 0
+        |    for tok in t.strip().lower().split():
+        |        v = vecs.get(tok)
+        |        if v is not None:
+        |            acc = [a + b for a, b in zip(acc, v)]
+        |            n += 1
+        |    if n:
+        |        acc = [a / n for a in acc]
+        |    print(' '.join(repr(a) for a in acc))
+        |    sys.stdout.flush()
+        |""".stripMargin
+    val cmd = Seq("python3", "-u", "-c", script, tsv.toString)
+    val sub = new graft.objects.SubprocessEmbedding(cmd, dimensions = 32)
+    val uriSub = tmp()
+    ObjectIndex.create(spark, uriSub, reader, sub,
+      indexType = "FLAT", metric = graft.operators.DistanceMetric.Cosine,
+      timestamp = 1000L)
+    // stored vectors from the python process match the in-JVM model's
+    // (python averages in float64, the JVM in float32 — tolerance, not
+    // bit-equality, is the contract across runtimes)
+    val jvmVecs = graft.index.VectorIndex.open(spark, uri).baseVectors()
+      .select("external_id", "vector").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val subVecs = graft.index.VectorIndex.open(spark, uriSub).baseVectors()
+      .select("external_id", "vector").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    assert(subVecs.keySet === jvmVecs.keySet)
+    subVecs.foreach { case (id, sv) =>
+      sv.zip(jvmVecs(id)).foreach { case (a, b) =>
+        assert(math.abs(a - b) <= 1e-4f * math.max(1.0f, math.abs(b)),
+          s"python vs JVM model output diverged for id=$id")
+      }
+    }
+    // python tokenization note: str.split() and the JVM's trim+"\\s+" agree
+    // on this corpus (ASCII whitespace); the vector comparison above is
+    // the real parity check
+  }
+
   test("subprocess embedding: external encoder process drives the pipeline") {
     import spark.implicits._
     // stdlib-only deterministic "model": md5 over the text, digest bytes
