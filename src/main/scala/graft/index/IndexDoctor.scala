@@ -109,17 +109,27 @@ object IndexDoctor {
     // binary (length = dims bytes) — one element/byte per dim either way
     val lenOf =
       if (meta.dtype == "float32") size(col("vector")) else length(col("vector"))
-    val stats = base.agg(count(lit(1)).as("n"),
+    val stats = base.agg(count(lit(1)).as("rows"),
+      countDistinct(col("external_id")).as("n"),
       min(lenOf).as("lo"), max(lenOf).as("hi")).head()
-    val n = stats.getLong(0)
+    val rows = stats.getLong(0)
+    val n = stats.getLong(1)
+    // the logical corpus is DISTINCT ids: boundary-replicated VAMANA
+    // builds store each vector in several shards (+ portal copies from
+    // the neighbor exchange), so raw row count legitimately exceeds the
+    // recorded size there — but duplicate rows in any OTHER layout are
+    // corruption
     if (meta.baseSizes.lift(i).exists(_ != n))
       out += Finding("error", s"base.v=$t",
-        s"row count $n != recorded baseSize ${meta.baseSizes(i)}")
-    val expectLen = meta.dimensions
-    if (!stats.isNullAt(1) &&
-        (stats.getInt(1) != expectLen || stats.getInt(2) != expectLen))
+        s"distinct id count $n != recorded baseSize ${meta.baseSizes(i)}")
+    if (meta.shardReplicas <= 1 && rows != n)
       out += Finding("error", s"base.v=$t",
-        s"vector length range [${stats.getInt(1)}, ${stats.getInt(2)}] " +
+        s"${rows - n} duplicate external_id rows in an unreplicated layout")
+    val expectLen = meta.dimensions
+    if (!stats.isNullAt(2) &&
+        (stats.getInt(2) != expectLen || stats.getInt(3) != expectLen))
+      out += Finding("error", s"base.v=$t",
+        s"vector length range [${stats.getInt(2)}, ${stats.getInt(3)}] " +
           s"!= dimensions $expectLen")
     meta.indexType match {
       case "IVF_FLAT" | "IVF_PQ" =>

@@ -410,8 +410,22 @@ object Ingest {
               (sid, ids(i), adj(i).map(ids(_)).toSeq, i == med)
             }
           }.toDF("shard_id", "external_id", "neighbors", "is_medoid")
-        g.write.mode("overwrite").partitionBy("shard_id")
-          .parquet(s"$uri/graph/v=$timestamp")
+        // boundary-replicated builds get the cross-shard neighbor
+        // exchange: each replicated point's per-shard edges are re-pruned
+        // from the union across its copies, with foreign endpoints
+        // imported as search-only portal rows
+        // ([[VamanaIndex.exchangeBoundaryEdges]])
+        if (vamanaShardReplicas > 1) {
+          val (gx, portalBase) =
+            VamanaIndex.exchangeBoundaryEdges(spark, sharded, g, rd)
+          gx.write.mode("overwrite").partitionBy("shard_id")
+            .parquet(s"$uri/graph/v=$timestamp")
+          packVector(portalBase).write.mode("append").partitionBy("shard_id")
+            .parquet(s"$uri/base/v=$timestamp")
+        } else {
+          g.write.mode("overwrite").partitionBy("shard_id")
+            .parquet(s"$uri/graph/v=$timestamp")
+        }
       case other =>
         throw new IllegalArgumentException(s"unsupported index_type $other")
     }

@@ -562,22 +562,125 @@ object VamanaIndex {
   val DefaultRMaxDegree = 64
   val DefaultLSearch = 100
 
+  /** Cross-shard neighbor exchange for boundary-replicated builds (the
+    * sharded sibling of the reference's single-graph merge,
+    * vamana_index.h:321-410; the merge shape follows DiskANN's
+    * overlapping-shard construction, Subramanya et al. NeurIPS'19 §4):
+    * a point replicated into several shards was built into each with only
+    * that shard's view of its neighborhood. This pass unions each such
+    * point's out-edges ACROSS its copies and re-prunes the union inside
+    * every hosting shard (RobustPrune, same α and degree cap as the
+    * build) — and, crucially, KEEPS cross-shard edges by importing the
+    * missing endpoint's (id, vector) into the shard as a search-only
+    * "portal" row (empty out-adjacency, never a medoid). Filtering the
+    * union to already-resident endpoints instead is measurably a no-op:
+    * a resident candidate was already visible to that shard's own build,
+    * so the prune reproduces the local adjacency (audited — recall
+    * unchanged to 4 decimals). The portals are what let a routed query
+    * that probes one side of a boundary still reach true neighbors the
+    * build discovered from the other side.
+    *
+    * Distributed shape: bounded joins assemble per-(shard, point)
+    * candidate lists and the foreign endpoints' vectors (volume ≤
+    * boundary points × replicas × rMaxDegree), then one cogroup per
+    * shard re-prunes inside the same task geometry as the build. Only
+    * portals some pruned adjacency actually kept are emitted. Returns
+    * (graph with merged boundary rows + portal rows, portal base rows to
+    * append). Single-replica builds exchange nothing (no copies). */
+  def exchangeBoundaryEdges(
+      spark: SparkSession,
+      sharded: DataFrame,
+      g: DataFrame,
+      rMaxDegree: Int,
+      alpha: Float = 1.2f): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val residency = sharded.select(col("shard_id"), col("external_id"))
+    val multi = residency.groupBy("external_id")
+      .agg(count(lit(1)).as("__copies"))
+      .where(col("__copies") > 1)
+      .select("external_id")
+    val unionNb = g.join(multi, Seq("external_id"), "left_semi")
+      .select(col("external_id"), explode(col("neighbors")).as("nb"))
+      .where(col("nb") =!= col("external_id"))
+      .distinct()
+    // (shard, boundary point, candidate) for every shard hosting the point
+    val candPairs = unionNb.join(residency, Seq("external_id"))
+    val cands = candPairs
+      .groupBy("shard_id", "external_id")
+      .agg(collect_set(col("nb")).as("cand_nbs"))
+    // endpoints NOT resident in the shard: ship their vectors in as portals
+    val foreign = candPairs.select(col("shard_id"), col("nb"))
+      .join(residency.select(col("shard_id"), col("external_id").as("nb")),
+        Seq("shard_id", "nb"), "left_anti")
+      .distinct()
+      .join(sharded.select(col("external_id").as("nb"), col("vector"))
+        .dropDuplicates("nb"), Seq("nb"))
+      .select(col("shard_id"), col("nb").as("external_id"), col("vector"))
+    // one tagged point stream per shard: residents (imported = false) +
+    // portal candidates (imported = true); ids are disjoint within a shard
+    val points = sharded
+      .select(col("shard_id"), col("external_id"), col("vector"), lit(false).as("imported"))
+      .unionByName(foreign.withColumn("imported", lit(true)))
+      .as[(Int, Long, Array[Float], Boolean)]
+      .groupByKey(_._1)
+    val candDs = cands.select(col("shard_id"), col("external_id"), col("cand_nbs"))
+      .as[(Int, Long, Seq[Long])].groupByKey(_._1)
+    // emit kind 0 = merged adjacency for a boundary point, kind 1 = a
+    // portal actually kept by some pruned adjacency
+    val out = points.cogroup(candDs) { (sid, pit, cit) =>
+      val cs = cit.toArray
+      if (cs.isEmpty) Iterator.empty
+      else {
+        val arr = pit.map { case (_, id, v, imp) => (id, v, imp) }.toArray
+        val pos = arr.iterator.map(_._1).zipWithIndex.toMap
+        val pts = arr.map(_._2)
+        val keptImports = mutable.LinkedHashSet.empty[Int]
+        val merged = cs.map { case (_, p, nbs) =>
+          val pi = pos(p)
+          val cand = nbs.iterator.flatMap(pos.get).filter(_ != pi).toSeq
+          val pruned = VamanaKernels.robustPrune(pts, pi, cand, alpha, rMaxDegree)
+          pruned.foreach(i => if (arr(i)._3) keptImports += i)
+          (0, sid, p, pruned.map(i => arr(i)._1).toSeq, Array.empty[Float])
+        }
+        merged.iterator ++ keptImports.iterator.map(i =>
+          (1, sid, arr(i)._1, Seq.empty[Long], arr(i)._2))
+      }
+    }.toDF("kind", "shard_id", "external_id", "nbs", "vec")
+      .localCheckpoint() // one pass feeds both splits below
+    val mergedAdj = out.where(col("kind") === 0)
+      .select(col("shard_id"), col("external_id"), col("nbs").as("__merged"))
+    val portals = out.where(col("kind") === 1)
+    val gx = g
+      .join(mergedAdj, Seq("shard_id", "external_id"), "left")
+      .select(col("shard_id"), col("external_id"),
+        coalesce(col("__merged"), col("neighbors")).as("neighbors"),
+        col("is_medoid"))
+      .unionByName(portals.select(col("shard_id"), col("external_id"),
+        col("nbs").cast("array<bigint>").as("neighbors"), lit(false).as("is_medoid")))
+    val portalBase = portals.select(col("external_id"), col("vec").as("vector"),
+      col("shard_id"))
+    (gx, portalBase)
+  }
+
   /** Session-conf default for [[VamanaIndex.nprobeShards]] (0 = search every
     * shard). The PERF.md sweep picks a safe S for a given shard count; the
     * conf lets serving sessions set it once without threading the parameter
     * through callers. */
   val NprobeShardsKey = "spark.graft.vamana.nprobeShards"
 
-  /** Probe width the PERF.md round-5 routing sweep validates for a build's
+  /** Probe width the PERF.md routing sweeps validate for a build's
     * persisted geometry (shard count × boundary-replication factor), so
-    * callers don't have to know the sweep: replicas ≥ 3 make S ≈ shards/4
+    * callers don't have to know the sweep. With the round-10
+    * [[exchangeBoundaryEdges]] portal pass, replicas ≥ 2 make S ≈ shards/4
     * clear the 0.85 reference recall gate even on the adversarial
-    * near-uniform fixture (0.927 at S=4 of 16×3; 0.973 at ×4); with fewer
-    * replicas no measured S below all-shard clears it (×1: 0.734, ×2:
-    * 0.835 at S=shards/4), so the pick is 0 = the exact all-shard merge.
-    * Floor of 2: S=1 forfeits the boundary-replica safety net entirely. */
+    * near-uniform fixture (0.913 at S=4 of 16×2; 0.989 at ×3; 1.000 at
+    * ×4 — round-5 pre-exchange numbers were 0.835/0.927/0.973); with no
+    * replication there is nothing to exchange and no measured S below
+    * all-shard clears the gate (×1: 0.734 at S=shards/4), so the pick is
+    * 0 = the exact all-shard merge. Floor of 2: S=1 forfeits the
+    * boundary-replica safety net entirely. */
   def autoNprobeShards(shards: Int, replicas: Int): Int =
-    if (shards <= 1 || replicas < 3) 0
+    if (shards <= 1 || replicas < 2) 0
     else math.min(shards, math.max(2, (shards + 3) / 4))
 
   /** Target vectors per shard for the default (auto) shard count. The

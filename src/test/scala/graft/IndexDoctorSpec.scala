@@ -28,6 +28,22 @@ class IndexDoctorSpec extends AnyFunSuite {
       val findings = IndexDoctor.check(spark, uri)
       assert(findings.isEmpty, s"$t: $findings")
     }
+    // boundary-replicated VAMANA stores each vector in several shards plus
+    // the neighbor-exchange portal copies: the doctor must count DISTINCT
+    // ids against baseSizes, not raw rows
+    val uriR = tmp()
+    Ingest.ingest(spark, uriR, emb, "VAMANA", DistanceMetric.L2,
+      timestamp = 1000L, partitions = Some(4), shardReplicas = Some(2))
+    val fr = IndexDoctor.check(spark, uriR)
+    assert(fr.isEmpty, s"replicated VAMANA: $fr")
+    // and a duplicated row in an UNREPLICATED layout is still corruption
+    val uriD = tmp()
+    Ingest.ingest(spark, uriD, emb, "FLAT", DistanceMetric.L2, timestamp = 1000L)
+    emb.where(col("external_id") === 7L).write.mode("append")
+      .parquet(s"$uriD/base/v=1000")
+    val fd = IndexDoctor.check(spark, uriD)
+    assert(fd.exists(x => x.severity == "error" &&
+      x.detail.contains("duplicate external_id")), fd.toString)
   }
 
   test("an index with a consistent updates log stays clean; a stale flag warns") {
@@ -83,8 +99,11 @@ class IndexDoctorSpec extends AnyFunSuite {
     Ingest.ingest(spark, uri2, emb, "FLAT", DistanceMetric.L2, timestamp = 1000L)
     emb.limit(3).write.mode("append").parquet(s"$uri2/base/v=1000")
     val f2 = IndexDoctor.check(spark, uri2)
+    // re-appending EXISTING ids surfaces as duplicate rows; appending new
+    // ids would surface as a distinct-count drift — both are base errors
     assert(f2.exists(x => x.severity == "error" && x.check == "base.v=1000" &&
-      x.detail.contains("row count")), f2.toString)
+      (x.detail.contains("duplicate external_id") ||
+        x.detail.contains("distinct id count"))), f2.toString)
   }
 
   // ---- text-side artifacts ([[graft.text.TextDoctor]]) ----

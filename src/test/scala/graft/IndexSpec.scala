@@ -411,9 +411,12 @@ class IndexSpec extends AnyFunSuite {
       .queryLSearch(queries10, 10, lSearch = 100, nprobeShards = 2)
     assert(afterDel.where(col("id") === 0L).count() === 0)
 
-    // Auto-picked S (queryRouted): replicas < 3 must refuse to route (the
-    // sweep says no measured S clears the gate) ...
-    assert(idx.autoNprobeShards === 0)
+    // Auto-picked S (queryRouted): with the portal exchange, replicas >= 2
+    // route at ~shards/4 (round-10 sweep: 0.913 at S=4 of 16x2); an
+    // UNREPLICATED build still refuses (nothing to exchange, 0.734 at
+    // S=shards/4)
+    assert(idx.autoNprobeShards === 2)
+    assert(graft.index.VamanaIndex.autoNprobeShards(16, 1) === 0)
     // ... and a replicas>=3 build routes at ~shards/4 (floor 2) and clears
     // the gate without the caller knowing the sweep.
     val uri3 = tmp()
