@@ -34,6 +34,7 @@ object IvfSweepBench {
     val reps = args.lift(1).map(_.toInt).getOrElse(500)
     val nq = args.lift(2).map(_.toInt).getOrElse(100)
     val jitter = args.lift(3).map(_.toDouble).getOrElse(0.5)
+    val mode = args.lift(4).getOrElse("all") // all | flat | pq
     val spark = SparkSession.builder()
       .appName("graft-ivf-sweep").master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -42,11 +43,12 @@ object IvfSweepBench {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try run(spark, sfDir, reps, nq, jitter)
+    try run(spark, sfDir, reps, nq, jitter, mode)
     finally spark.stop()
   }
 
-  def run(spark: SparkSession, sfDir: String, reps: Int, nq: Int, jitter: Double): Unit = {
+  def run(spark: SparkSession, sfDir: String, reps: Int, nq: Int, jitter: Double,
+      mode: String = "all"): Unit = {
     val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
     // replica r of id v gets external_id v*reps+r; r=0 is the original
@@ -87,7 +89,7 @@ object IvfSweepBench {
     // the reference sweep's partition counts, plus √N (the reference
     // ingestion default at this corpus size)
     val sqrtN = math.sqrt(n.toDouble).toInt
-    for (parts <- Seq(20, 50, 100, 200, sqrtN)) {
+    for (parts <- Seq(20, 50, 100, 200, sqrtN) if mode != "pq") {
       val uri = java.nio.file.Files.createTempDirectory(s"ivf_sweep_p$parts").toString
       val t0 = System.nanoTime()
       Ingest.ingest(spark, uri, big, "IVF_FLAT", DistanceMetric.L2,
@@ -111,6 +113,28 @@ object IvfSweepBench {
       }
       graft.index.Storage.deleteRecursively(uri)
     }
+
+    if (mode == "flat") { graft.index.Storage.deleteRecursively(corpusPath); return }
+    // IVF_PQ at the √N geometry: k_factor (exact-re-rank candidate
+    // inflation) × nprobe, the reference's PQ accuracy/latency curve
+    // (local-benchmarks.py PQ sweeps; k_factor: ivf_pq_index.py:40-45)
+    val uriPq = java.nio.file.Files.createTempDirectory("ivf_sweep_pq").toString
+    val t0 = System.nanoTime()
+    Ingest.ingest(spark, uriPq, big, "IVF_PQ", DistanceMetric.L2,
+      timestamp = 1000L, partitions = Some(sqrtN))
+    val buildPqS = (System.nanoTime() - t0) / 1e9
+    val pq = VectorIndex.open(spark, uriPq).asInstanceOf[graft.index.IvfPqIndex]
+    for (kf <- Seq(1.0f, 2.0f, 4.0f, 8.0f); nprobe <- Seq(8, 31)) {
+      val t1 = System.nanoTime()
+      val got = groundTruth(pq.queryBase(queries, k, nprobe, kf, None))
+      val queryS = (System.nanoTime() - t1) / 1e9
+      val recall = exact.keys.toSeq.map { q =>
+        (got.getOrElse(q, Set.empty) intersect exact(q)).size.toDouble / k
+      }.sum / exact.size
+      println(f"SWEEP_PQ {partitions: $sqrtN, nprobe: $nprobe, k_factor: $kf%.0f, " +
+        f"recall: $recall%.4f, query_s: $queryS%.2f, build_s: $buildPqS%.1f}")
+    }
+    graft.index.Storage.deleteRecursively(uriPq)
     graft.index.Storage.deleteRecursively(corpusPath)
   }
 
