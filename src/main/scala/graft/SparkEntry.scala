@@ -43,6 +43,9 @@ object SparkEntry {
     * testToneWav(i, 400+16i)); the oracle replays the sample formula. */
   private val ToneN = 30
 
+  /** AVI clips in the video-decode fixture (and its oracle). */
+  private val VidN = 12
+
   private def knnFlat(metric: DistanceMetric)(spark: SparkSession, dir: String): DataFrame = {
     val db = emb(spark, dir)
     val queries = db.where(col("vec_id") < NQ)
@@ -1031,9 +1034,17 @@ object SparkEntry {
   private def multimodalAudioDecode(spark: SparkSession, dir: String): DataFrame = {
     val root = cachedIndex("wavreal", dir) { u =>
       val d = new java.io.File(s"$u/tones"); d.mkdirs()
+      // the SAME formula PCM rotates through all three JDK-decodable
+      // containers (WAV little-endian, AIFF and AU big-endian), so the
+      // container+endianness handling is oracle-checked — the replay
+      // below is container-agnostic by construction
       for (i <- 0 until ToneN) {
-        Files.write(d.toPath.resolve(f"tone_$i%04d.wav"),
-          graft.multimodal.Multimodal.testToneWav(i, 400 + 16 * i))
+        val (ext, bytes) = i % 3 match {
+          case 0 => ("wav", graft.multimodal.Multimodal.testToneWav(i, 400 + 16 * i))
+          case 1 => ("aiff", graft.multimodal.Multimodal.testToneAiff(i, 400 + 16 * i))
+          case _ => ("au", graft.multimodal.Multimodal.testToneAu(i, 400 + 16 * i))
+        }
+        Files.write(d.toPath.resolve(f"tone_$i%04d.$ext%s"), bytes)
       }
     }
     val media = graft.index.Ingest.withSyntheticIds(
@@ -1042,6 +1053,33 @@ object SparkEntry {
       .select(col("external_id").as("obj_id"), col("payload"))
     graft.multimodal.Multimodal.decodeAudioStats(media, windows = 16)
       .orderBy("obj_id", "window")
+  }
+
+  /** REAL video decode through the full Spark pipeline — the video twin
+    * of [[multimodalImageDecode]]: fixtures are
+    * [[graft.multimodal.Multimodal.testClipAvi]] clips (hand-built AVI
+    * containers around lossless PNG frames whose pixels follow the
+    * (x, y, frame)-formula), read through the binaryFile source, the
+    * container walked by [[graft.multimodal.Multimodal.parseAviFrames]]
+    * and each frame decoded with javax.imageio
+    * ([[graft.multimodal.Multimodal.decodeVideoStats]]). The DuckDB
+    * oracle replays the per-(frame, grid-cell) RGB sums from the formula
+    * alone; a container-walk defect (chunk padding, frame order) or a
+    * frame-decode defect breaks the hash. */
+  private def multimodalVideoDecode(spark: SparkSession, dir: String): DataFrame = {
+    val root = cachedIndex("avireal", dir) { u =>
+      val d = new java.io.File(s"$u/clips"); d.mkdirs()
+      for (i <- 0 until VidN) {
+        Files.write(d.toPath.resolve(f"clip_$i%04d.avi"),
+          graft.multimodal.Multimodal.testClipAvi(i, 2 + i % 3, 16 + i, 12 + i))
+      }
+    }
+    val media = graft.index.Ingest.withSyntheticIds(
+        spark.read.format("binaryFile").load(s"$root/clips")
+          .select(col("path"), col("content").as("payload")), "path")
+      .select(col("external_id").as("obj_id"), col("payload"))
+    graft.multimodal.Multimodal.decodeVideoStats(media, grid = 2)
+      .orderBy("obj_id", "frame_idx", "cell")
   }
 
   // ----- text analysis / dedup operators (documents + embeddings tables) -----
@@ -1607,6 +1645,7 @@ object SparkEntry {
     "multimodal_features" -> (multimodalFeatures _),
     "multimodal_image_decode" -> (multimodalImageDecode _),
     "multimodal_audio_decode" -> (multimodalAudioDecode _),
+    "multimodal_video_decode" -> (multimodalVideoDecode _),
     "q1_agg" -> (q1Agg _),
     "q_join_revenue" -> (qJoinRevenue _),
     "q_top_customers" -> (qTopCustomers _),
@@ -2360,6 +2399,35 @@ object SparkEntry {
          |  w AS "window", sum(a)::BIGINT AS abs_sum
          |FROM s GROUP BY obj_id, w
          |ORDER BY obj_id, w""".stripMargin,
+    // Real-AVI replay: regenerate the per-(clip, frame) pixel formula and
+    // re-aggregate the grid-cell RGB sums — the engine's numbers come from
+    // a hand-walked RIFF container + javax.imageio-decoded PNG frames, so
+    // equality proves the container walk AND the frame decode (PNG is
+    // lossless). Fixed pixel ranges cover the largest clip.
+    "multimodal_video_decode" ->
+      s"""WITH clips AS (
+         |  SELECT i::BIGINT AS obj_id, (2 + i % 3)::INT AS nf,
+         |    (16 + i)::BIGINT AS w, (12 + i)::BIGINT AS h
+         |  FROM range(0, $VidN) t(i)),
+         |fr AS (
+         |  SELECT obj_id, nf, w, h, f::INT AS frame_idx,
+         |    (obj_id + 31 * f)::BIGINT AS s
+         |  FROM clips CROSS JOIN range(0, 4) tf(f) WHERE f < nf),
+         |px AS (
+         |  SELECT obj_id, frame_idx, nf, w, h,
+         |    ((y * 2 // h) * 2 + (x * 2 // w))::INT AS cell,
+         |    (3*x + 5*y + 7*s) % 256 AS r,
+         |    (11*x + 13*y + 17*s) % 256 AS g,
+         |    (19*x + 23*y + 29*s) % 256 AS b
+         |  FROM fr
+         |  CROSS JOIN range(0, 28) rx(x)
+         |  CROSS JOIN range(0, 24) ry(y)
+         |  WHERE x < w AND y < h)
+         |SELECT obj_id, frame_idx, max(nf)::INT AS n_frames,
+         |  max(w)::INT AS width, max(h)::INT AS height, cell,
+         |  sum(r)::BIGINT AS r_sum, sum(g)::BIGINT AS g_sum, sum(b)::BIGINT AS b_sum
+         |FROM px GROUP BY obj_id, frame_idx, cell
+         |ORDER BY obj_id, frame_idx, cell""".stripMargin,
     "multimodal_features" ->
       """WITH RECURSIVE b AS (
         |  SELECT doc_id, list_transform(range(1, length(text)+1), i -> ord(substring(text, i::INT, 1))) AS bytes

@@ -213,38 +213,56 @@ object Multimodal {
   // ----- real audio decode (javax.sound.sampled — also in the JDK; WAV
   // PCM needs no external codec) -----
 
-  /** RIFF/WAVE magic sniff — the gate in front of [[decodeWav]]. */
+  /** Container magic sniff — the gate in front of [[decodeAudio]]:
+    * RIFF/WAVE, AIFF (`FORM`/`AIFF`) and Sun AU (`.snd`) all decode with
+    * the JDK's AudioSystem, no external codec. */
   def isDecodableAudio(payload: Array[Byte]): Boolean =
-    payload != null && payload.length >= 12 &&
-      payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' &&
-      payload(3) == 'F' && payload(8) == 'W' && payload(9) == 'A' &&
-      payload(10) == 'V' && payload(11) == 'E'
+    payload != null && payload.length >= 12 && (
+      (payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' &&
+        payload(3) == 'F' && payload(8) == 'W' && payload(9) == 'A' &&
+        payload(10) == 'V' && payload(11) == 'E') ||
+      (payload(0) == 'F' && payload(1) == 'O' && payload(2) == 'R' &&
+        payload(3) == 'M' && payload(8) == 'A' && payload(9) == 'I' &&
+        payload(10) == 'F' && payload(11) == 'F') ||
+      (payload(0) == '.' && payload(1) == 's' && payload(2) == 'n' &&
+        payload(3) == 'd'))
 
-  /** Decode a WAV payload with the JDK's AudioSystem to
-    * `(sampleRate, samples)` — 16-bit little-endian PCM only (the WAV
-    * baseline); anything else returns None and callers fall back to the
-    * byte-level stub. Multi-channel frames stay interleaved. */
-  def decodeWav(payload: Array[Byte]): Option[(Int, Array[Int])] =
+  /** Decode a WAV/AIFF/AU payload with the JDK's AudioSystem to
+    * `(sampleRate, samples)` — 16-bit PCM in either endianness (WAV is
+    * little-endian, AIFF/AU big-endian); anything else returns None and
+    * callers fall back to the byte-level stub. Multi-channel frames stay
+    * interleaved. */
+  def decodeAudio(payload: Array[Byte]): Option[(Int, Array[Int])] =
     if (!isDecodableAudio(payload)) None
     else try {
       val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(payload))
       try {
         val fmt = in.getFormat
-        if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian) None
+        if (fmt.getSampleSizeInBits != 16) None
         else {
           val bytes = in.readAllBytes()
           val n = bytes.length / 2
           val out = new Array[Int](n)
           var i = 0
-          while (i < n) {
-            out(i) = (bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xff)
-            i += 1
-          }
+          if (fmt.isBigEndian)
+            while (i < n) {
+              out(i) = (bytes(2 * i).toInt << 8) | (bytes(2 * i + 1) & 0xff)
+              i += 1
+            }
+          else
+            while (i < n) {
+              out(i) = (bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xff)
+              i += 1
+            }
           Some((fmt.getSampleRate.toInt, out))
         }
       } finally in.close()
     } catch { case _: Exception => None }
+
+  /** Back-compat alias (WAV was the first real audio path). */
+  def decodeWav(payload: Array[Byte]): Option[(Int, Array[Int])] =
+    decodeAudio(payload)
 
   /** Pooled feature vector from REAL decoded samples: per-window mean
     * absolute amplitude (window of sample j is `j·dim div n`), scaled to
@@ -281,7 +299,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, payload) =>
-          decodeWav(payload).iterator.flatMap { case (rate, samples) =>
+          decodeAudio(payload).iterator.flatMap { case (rate, samples) =>
             val n = samples.length
             val sums = new Array[Long](windows)
             var j = 0
@@ -319,6 +337,43 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** [[testToneWav]]'s PCM, containered as big-endian AIFF by the JDK
+    * writer — same formula samples, different container + endianness, so
+    * one oracle covers all three audio containers. */
+  def testToneAiff(seed: Int, n: Int, sampleRate: Int = 8000): Array[Byte] =
+    writeTone(seed, n, sampleRate,
+      javax.sound.sampled.AudioFileFormat.Type.AIFF, bigEndian = true)
+
+  /** [[testToneWav]]'s PCM as a Sun AU payload (big-endian). */
+  def testToneAu(seed: Int, n: Int, sampleRate: Int = 8000): Array[Byte] =
+    writeTone(seed, n, sampleRate,
+      javax.sound.sampled.AudioFileFormat.Type.AU, bigEndian = true)
+
+  private def writeTone(seed: Int, n: Int, sampleRate: Int,
+      tpe: javax.sound.sampled.AudioFileFormat.Type,
+      bigEndian: Boolean): Array[Byte] = {
+    val pcm = new Array[Byte](n * 2)
+    var j = 0
+    while (j < n) {
+      val v = ((j * (3 + seed) + 7 * seed) % 2048) - 1024
+      if (bigEndian) {
+        pcm(2 * j) = ((v >> 8) & 0xff).toByte
+        pcm(2 * j + 1) = (v & 0xff).toByte
+      } else {
+        pcm(2 * j) = (v & 0xff).toByte
+        pcm(2 * j + 1) = ((v >> 8) & 0xff).toByte
+      }
+      j += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, bigEndian)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais, tpe, out)
+    out.toByteArray
+  }
+
   /** Deterministic REAL-PNG test card: pixel (x, y) of card `seed` has
     * channels `r = (3x+5y+7s) mod 256`, `g = (11x+13y+17s) mod 256`,
     * `b = (19x+23y+29s) mod 256`, encoded losslessly with the JDK PNG
@@ -350,10 +405,155 @@ object Multimodal {
     img
   }
 
+  // ----- real video decode: the AVI container is RIFF — a plain
+  // length-prefixed chunk format parsed by hand (no codec library needed
+  // for the CONTAINER) — and per-frame images decode with javax.imageio.
+  // Frames tagged 'MJPG' are JPEGs (classic Motion-JPEG); 'png '-in-AVI
+  // frames are lossless PNGs, which is what makes the formula-replay
+  // decode oracle possible (JPEG's lossiness would break a hash
+  // contract; the MJPG path is spec-checked with a tolerance instead).
+  // Reference analogue: object_readers read media through external
+  // codecs; here the container walk itself is the engine's code. -----
+
+  /** RIFF/AVI magic sniff — the gate in front of [[parseAviFrames]]. */
+  def isDecodableVideo(payload: Array[Byte]): Boolean =
+    payload != null && payload.length >= 12 &&
+      payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' &&
+      payload(3) == 'F' && payload(8) == 'A' && payload(9) == 'V' &&
+      payload(10) == 'I' && payload(11) == ' '
+
+  /** Parse an AVI payload into `(width, height, usPerFrame, encoded
+    * frames)` by walking the RIFF chunk tree: `avih` (inside LIST `hdrl`)
+    * carries the geometry, the `00dc`/`00db` chunks inside LIST `movi`
+    * carry one encoded frame each, in order. Odd-sized chunks are padded
+    * to even offsets per the RIFF rule — a parser that forgets the pad
+    * desynchronizes on the first odd JPEG. Returns None for non-AVI or
+    * structurally broken payloads (a truncated chunk is a None, not an
+    * exception — corrupt media must degrade like corrupt images do). */
+  def parseAviFrames(payload: Array[Byte])
+      : Option[(Int, Int, Int, Vector[Array[Byte]])] = {
+    if (!isDecodableVideo(payload)) return None
+    try {
+      def le32(off: Int): Int =
+        (payload(off) & 0xff) | ((payload(off + 1) & 0xff) << 8) |
+          ((payload(off + 2) & 0xff) << 16) | ((payload(off + 3) & 0xff) << 24)
+      def fourcc(off: Int): String =
+        new String(payload, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      var w = 0; var h = 0; var usPerFrame = 0
+      val frames = Vector.newBuilder[Array[Byte]]
+      var ok = true
+      def walk(start: Int, end: Int): Unit = {
+        var off = start
+        while (ok && off + 8 <= end) {
+          val id = fourcc(off)
+          val size = le32(off + 4)
+          val dataStart = off + 8
+          if (size < 0 || dataStart + size > end) { ok = false }
+          else {
+            if (id == "LIST") walk(dataStart + 4, dataStart + size)
+            else if (id == "avih" && size >= 40) {
+              usPerFrame = le32(dataStart)
+              w = le32(dataStart + 32)
+              h = le32(dataStart + 36)
+            } else if (id == "00dc" || id == "00db") {
+              frames += java.util.Arrays.copyOfRange(payload, dataStart, dataStart + size)
+            }
+            off = dataStart + size + (size & 1) // RIFF even-offset pad
+          }
+        }
+      }
+      walk(12, math.min(payload.length, 8 + le32(4)))
+      if (!ok) None else Some((w, h, usPerFrame, frames.result()))
+    } catch { case _: Exception => None }
+  }
+
+  /** Batch video-decode statistics: (obj_id, payload) → one row per
+    * (frame, grid cell) with exact integer RGB sums from the DECODED
+    * frame pixels — the video twin of [[decodeImageStats]]. The container
+    * walk is [[parseAviFrames]]; each frame decodes with the image path.
+    * Frames that fail to decode are dropped per-frame (the index stays
+    * the CONTAINER frame index, so a dropped frame is visible as a gap). */
+  def decodeVideoStats(media: DataFrame, grid: Int = 2): DataFrame = {
+    import media.sparkSession.implicits._
+    media.select(col("obj_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          parseAviFrames(payload).iterator.flatMap { case (_, _, _, frames) =>
+            frames.iterator.zipWithIndex.flatMap { case (enc, f) =>
+              decodeImage(enc).iterator.flatMap { img =>
+                val w = img.getWidth; val h = img.getHeight
+                val sums = gridChannelSums(img, grid)
+                (0 until grid * grid).iterator.map { c =>
+                  (id, f, frames.length, w, h, c, sums(c)(0), sums(c)(1), sums(c)(2))
+                }
+              }
+            }
+          }
+        }
+      }
+      .toDF("obj_id", "frame_idx", "n_frames", "width", "height",
+        "cell", "r_sum", "g_sum", "b_sum")
+  }
+
+  /** Build a minimal structurally-valid AVI around pre-encoded frames:
+    * RIFF(AVI ){ LIST(hdrl){ avih, LIST(strl){ strh, strf } },
+    * LIST(movi){ 00dc… } }. `fourccCodec` goes into strh/strf ('MJPG'
+    * for JPEG frames, 'png ' for PNG frames — both are real VfW codec
+    * tags). The writer exists for fixtures and tests; the engine-side
+    * artifact under test is [[parseAviFrames]]. */
+  def buildAvi(frames: Seq[Array[Byte]], w: Int, h: Int, fps: Int,
+      fourccCodec: String = "png "): Array[Byte] = {
+    val bo = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def cc(sx: String): Array[Byte] = sx.getBytes("US-ASCII")
+    def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+      val pad = if (data.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+      cc(id) ++ le32(data.length) ++ data ++ pad
+    }
+    def list(listType: String, data: Array[Byte]): Array[Byte] =
+      cc("LIST") ++ le32(data.length + 4) ++ cc(listType) ++ data
+    val usPerFrame = if (fps > 0) 1000000 / fps else 0
+    val avih = le32(usPerFrame) ++ le32(0) ++ le32(0) ++ le32(0x10) ++
+      le32(frames.length) ++ le32(0) ++ le32(1) ++ le32(0) ++
+      le32(w) ++ le32(h) ++ Array.fill(16)(0.toByte)
+    val strh = cc("vids") ++ cc(fourccCodec) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(1) ++ le32(if (fps > 0) fps else 1) ++ le32(0) ++
+      le32(frames.length) ++ le32(0) ++ le32(-1) ++ le32(0) ++
+      Array.fill(8)(0.toByte)
+    val strf = le32(40) ++ le32(w) ++ le32(h) ++
+      Array(1.toByte, 0.toByte) ++ Array(24.toByte, 0.toByte) ++
+      cc(fourccCodec) ++ le32(w * h * 3) ++ le32(0) ++ le32(0) ++
+      le32(0) ++ le32(0)
+    val hdrl = list("hdrl", chunk("avih", avih) ++
+      list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi",
+      frames.iterator.map(fd => chunk("00dc", fd)).reduceLeft(_ ++ _))
+    val body = cc("AVI ") ++ hdrl ++ movi
+    bo.write(cc("RIFF")); bo.write(le32(body.length)); bo.write(body)
+    bo.toByteArray
+  }
+
+  /** Deterministic REAL-AVI test clip: frame f of clip `seed` is the
+    * [[testCardImage]] of `seed + 31·f` (so the per-pixel channel formula
+    * extends to (x, y, frame)), PNG-encoded (lossless) inside a
+    * hand-built AVI — decode anywhere must reproduce the formula. */
+  def testClipAvi(seed: Int, nFrames: Int, w: Int, h: Int, fps: Int = 10): Array[Byte] =
+    buildAvi(
+      (0 until nFrames).map { f =>
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(testCardImage(seed + 31 * f, w, h), "png", out)
+        out.toByteArray
+      }, w, h, fps)
+
   /** Frame sampling for video payloads: emits every `everyN`-th frame as
-    * its own row with a frame index. Frame extraction itself is stubbed as
-    * fixed-size byte windows over the payload (a codec would replace
-    * `frameBytes`). */
+    * its own row with a frame index. AVI payloads sample REAL container
+    * frames ([[parseAviFrames]] — each row's payload is one encoded
+    * frame, decodable downstream); other containers fall back to the
+    * documented byte-window stub (`frameBytes`) until their codecs exist
+    * in the environment. */
   def sampleFrames(media: DataFrame, everyN: Int, frameBytes: Int = 256): DataFrame = {
     import media.sparkSession.implicits._
     media.where(col("modality") === "video")
@@ -361,9 +561,16 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .flatMap { case (id, payload) =>
         if (payload == null) Iterator.empty
-        else payload.grouped(frameBytes).zipWithIndex
-          .filter { case (_, i) => i % everyN == 0 }
-          .map { case (frame, i) => (id, i, frame) }
+        else parseAviFrames(payload) match {
+          case Some((_, _, _, frames)) =>
+            frames.iterator.zipWithIndex
+              .filter { case (_, i) => i % everyN == 0 }
+              .map { case (frame, i) => (id, i, frame) }
+          case None =>
+            payload.grouped(frameBytes).zipWithIndex
+              .filter { case (_, i) => i % everyN == 0 }
+              .map { case (frame, i) => (id, i, frame) }
+        }
       }
       .toDF("obj_id", "frame_idx", "frame_payload")
   }

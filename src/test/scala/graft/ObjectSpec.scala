@@ -516,6 +516,104 @@ class ObjectSpec extends AnyFunSuite {
     assert(viaPipeline !== Multimodal.stubDecode(wav, 16).toSeq)
   }
 
+  test("real AIFF and AU decode: same formula samples as WAV across containers") {
+    import spark.implicits._
+    for (i <- 0 until 3) {
+      val n = 400 + 16 * i
+      val wav = Multimodal.decodeAudio(Multimodal.testToneWav(i, n))
+      val aiff = Multimodal.decodeAudio(Multimodal.testToneAiff(i, n))
+      val au = Multimodal.decodeAudio(Multimodal.testToneAu(i, n))
+      assert(wav.isDefined && aiff.isDefined && au.isDefined)
+      // container + endianness differ; the decoded PCM must not
+      assert(aiff.get._2.toSeq === wav.get._2.toSeq, s"AIFF samples, tone $i")
+      assert(au.get._2.toSeq === wav.get._2.toSeq, s"AU samples, tone $i")
+      assert(aiff.get._1 === 8000 && au.get._1 === 8000)
+    }
+    // and through the batch stats path, mixed containers in one frame
+    val media = Seq(
+      (0L, Multimodal.testToneWav(0, 400)),
+      (1L, Multimodal.testToneAiff(0, 400)),
+      (2L, Multimodal.testToneAu(0, 400))).toDF("obj_id", "payload")
+    val rows = Multimodal.decodeAudioStats(media, windows = 4)
+      .orderBy("obj_id", "window")
+      .as[(Long, Int, Long, Int, Long)].collect()
+    assert(rows.length === 12)
+    val byObj = rows.groupBy(_._1).map { case (k, v) => k -> v.map(_._5).toSeq }
+    assert(byObj(1L) === byObj(0L) && byObj(2L) === byObj(0L))
+  }
+
+  test("real AVI decode: container walk + per-frame grid sums match the formula") {
+    import spark.implicits._
+    // PNG-in-AVI clip: lossless frames, exact formula replay
+    val clip = Multimodal.testClipAvi(seed = 2, nFrames = 4, w = 20, h = 14, fps = 10)
+    assert(Multimodal.isDecodableVideo(clip))
+    val Some((w, h, us, frames)) = Multimodal.parseAviFrames(clip)
+    assert((w, h, us, frames.length) === (20, 14, 100000, 4))
+    val media = Seq((7L, clip)).toDF("obj_id", "payload")
+    val got = Multimodal.decodeVideoStats(media, grid = 2)
+      .orderBy("frame_idx", "cell")
+      .as[(Long, Int, Int, Int, Int, Int, Long, Long, Long)].collect()
+    assert(got.length === 4 * 4)
+    val expected = for (f <- 0 until 4; cell <- 0 until 4) yield {
+      val s = 2 + 31 * f
+      var r = 0L; var g = 0L; var b = 0L
+      for (y <- 0 until 14; x <- 0 until 20
+           if (y * 2 / 14) * 2 + (x * 2 / 20) == cell) {
+        r += (3 * x + 5 * y + 7 * s) % 256
+        g += (11 * x + 13 * y + 17 * s) % 256
+        b += (19 * x + 23 * y + 29 * s) % 256
+      }
+      (7L, f, 4, 20, 14, cell, r, g, b)
+    }
+    assert(got.toSeq === expected)
+
+    // RIFF even-offset padding: an odd-length chunk between two real
+    // frames must not desynchronize the walk — the junk frame shows up
+    // as a decode GAP (frame index preserved), not as corruption
+    val png = {
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(Multimodal.testCardImage(5, 8, 8), "png", out)
+      out.toByteArray
+    }
+    val padded = Multimodal.buildAvi(Seq(png, Array[Byte](1, 2, 3), png), 8, 8, 5)
+    val Some((_, _, _, fr2)) = Multimodal.parseAviFrames(padded)
+    assert(fr2.length === 3 && fr2(1).toSeq === Seq[Byte](1, 2, 3))
+    val gapRows = Multimodal.decodeVideoStats(
+      Seq((1L, padded)).toDF("obj_id", "payload"), grid = 1).collect()
+    assert(gapRows.map(_.getInt(1)).toSet === Set(0, 2)) // frame 1 is the gap
+
+    // Motion-JPEG: real JPEG frames decode through the same walk; JPEG is
+    // lossy so the contract is geometry + closeness, not equality
+    val jpgFrames = (0 until 3).map { f =>
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(Multimodal.testCardImage(9 + f, 16, 12), "jpg", out)
+      out.toByteArray
+    }
+    val mjpg = Multimodal.buildAvi(jpgFrames, 16, 12, 10, fourccCodec = "MJPG")
+    val mj = Multimodal.decodeVideoStats(
+      Seq((3L, mjpg)).toDF("obj_id", "payload"), grid = 1)
+      .orderBy("frame_idx").collect()
+    assert(mj.length === 3)
+    assert(mj.forall(r => r.getInt(3) === 16 && r.getInt(4) === 12))
+    mj.zipWithIndex.foreach { case (r, f) =>
+      val s = 9 + f
+      var exp = 0L
+      for (y <- 0 until 12; x <- 0 until 16) exp += (3 * x + 5 * y + 7 * s) % 256
+      val gotR = r.getLong(6)
+      assert(math.abs(gotR - exp) <= 16 * 12 * 8, // ≤8 grey-levels/pixel drift
+        s"MJPEG frame $f red sum $gotR too far from $exp")
+    }
+
+    // truncated container degrades to None, not an exception
+    assert(Multimodal.parseAviFrames(clip.take(clip.length / 2)) === None)
+    // sampleFrames serves REAL container frames for AVI payloads
+    val sampled = Multimodal.sampleFrames(
+      Seq((7L, "video", clip)).toDF("obj_id", "modality", "payload"), everyN = 2)
+      .orderBy("frame_idx").collect()
+    assert(sampled.map(_.getInt(1)).toSeq === Seq(0, 2))
+    assert(sampled.forall(r => Multimodal.isDecodableImage(r.getAs[Array[Byte]](2))))
+  }
+
   test("TIFF pyramid reader: real page decode, rect tile reads match the formula") {
     import spark.implicits._
     import graft.objects.TiffPyramidReader
