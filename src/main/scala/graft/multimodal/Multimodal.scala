@@ -90,9 +90,12 @@ object Multimodal {
             if (payload == null) null
             else decodeImage(payload) match {
               case Some(img) => imageFeature(img, dim).toSeq
-              case None => decodeWav(payload) match {
+              case None => decodeAudio(payload) match {
                 case Some((_, samples)) => audioFeature(samples, dim).toSeq
-                case None               => stubDecode(payload, dim).toSeq
+                case None => videoFeatureOf(payload, dim) match {
+                  case Some(v) => v.toSeq
+                  case None    => stubDecode(payload, dim).toSeq
+                }
               }
             })
         }
@@ -547,6 +550,31 @@ object Multimodal {
         javax.imageio.ImageIO.write(testCardImage(seed + 31 * f, w, h), "png", out)
         out.toByteArray
       }, w, h, fps)
+
+  /** Pooled feature from a REAL decoded AVI clip: the mean of the
+    * per-frame [[imageFeature]]s over every decodable frame, re-normalized
+    * — the temporal-average-pooling shape a video model head would
+    * produce, computed from frame pixel statistics instead. None when the
+    * payload is not a parseable AVI or no frame decodes (callers keep the
+    * stub fallback). */
+  def videoFeatureOf(payload: Array[Byte], dim: Int): Option[Array[Float]] =
+    parseAviFrames(payload).flatMap { case (_, _, _, frames) =>
+      val decoded = frames.flatMap(decodeImage(_))
+      if (decoded.isEmpty) None
+      else {
+        val acc = new Array[Float](dim)
+        decoded.foreach { img =>
+          val f = imageFeature(img, dim)
+          var i = 0
+          while (i < dim) { acc(i) += f(i); i += 1 }
+        }
+        var i = 0
+        while (i < dim) { acc(i) /= decoded.length; i += 1 }
+        val norm = math.sqrt(acc.map(x => x.toDouble * x).sum)
+        if (norm > 0) { var j = 0; while (j < dim) { acc(j) = (acc(j) / norm).toFloat; j += 1 } }
+        Some(acc)
+      }
+    }
 
   /** Frame sampling for video payloads: emits every `everyN`-th frame as
     * its own row with a frame index. AVI payloads sample REAL container

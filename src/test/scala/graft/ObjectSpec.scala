@@ -606,6 +606,13 @@ class ObjectSpec extends AnyFunSuite {
 
     // truncated container degrades to None, not an exception
     assert(Multimodal.parseAviFrames(clip.take(clip.length / 2)) === None)
+    // extractFeatures routes AVI payloads through REAL frame decode
+    // (temporal mean of per-frame pooled features), not the byte stub
+    val viaPipeline = Multimodal
+      .extractFeatures(Seq((7L, "video", clip)).toDF("obj_id", "modality", "payload"), 48)
+      .head().getSeq[Float](2)
+    assert(viaPipeline === Multimodal.videoFeatureOf(clip, 48).get.toSeq)
+    assert(viaPipeline !== Multimodal.stubDecode(clip, 48).toSeq)
     // sampleFrames serves REAL container frames for AVI payloads
     val sampled = Multimodal.sampleFrames(
       Seq((7L, "video", clip)).toDF("obj_id", "modality", "payload"), everyN = 2)
