@@ -416,8 +416,19 @@ object Ingest {
         // imported as search-only portal rows
         // ([[VamanaIndex.exchangeBoundaryEdges]])
         if (vamanaShardReplicas > 1) {
+          // feed the exchange from the WRITTEN base, not the `sharded`
+          // lineage — the k-means assignment expression would otherwise
+          // recompute over the corpus once per join the exchange builds
+          val written = spark.read.parquet(s"$uri/base/v=$timestamp")
+            .select("external_id", "vector", "shard_id")
+          val writtenFloat =
+            if (dtype == "uint8" || dtype == "int8")
+              written.withColumn("vector",
+                toColumn(graft.functions.UnpackBytes(toExpression(col("vector")),
+                  signed = dtype == "int8")))
+            else written
           val (gx, portalBase) =
-            VamanaIndex.exchangeBoundaryEdges(spark, sharded, g, rd)
+            VamanaIndex.exchangeBoundaryEdges(spark, writtenFloat, g, rd)
           gx.write.mode("overwrite").partitionBy("shard_id")
             .parquet(s"$uri/graph/v=$timestamp")
           packVector(portalBase).write.mode("append").partitionBy("shard_id")

@@ -608,13 +608,18 @@ object VamanaIndex {
     val cands = candPairs
       .groupBy("shard_id", "external_id")
       .agg(collect_set(col("nb")).as("cand_nbs"))
-    // endpoints NOT resident in the shard: ship their vectors in as portals
-    val foreign = candPairs.select(col("shard_id"), col("nb"))
+    // endpoints NOT resident in the shard: ship their vectors in as portals.
+    // Restrict the corpus to the needed ids BEFORE deduplicating copies —
+    // a dropDuplicates over the full corpus would shuffle everything to
+    // serve a boundary-sized id set
+    val foreignIds = candPairs.select(col("shard_id"), col("nb"))
       .join(residency.select(col("shard_id"), col("external_id").as("nb")),
         Seq("shard_id", "nb"), "left_anti")
       .distinct()
-      .join(sharded.select(col("external_id").as("nb"), col("vector"))
-        .dropDuplicates("nb"), Seq("nb"))
+    val neededVecs = sharded.select(col("external_id").as("nb"), col("vector"))
+      .join(foreignIds.select("nb").distinct(), Seq("nb"), "left_semi")
+      .dropDuplicates("nb")
+    val foreign = foreignIds.join(neededVecs, Seq("nb"))
       .select(col("shard_id"), col("nb").as("external_id"), col("vector"))
     // one tagged point stream per shard: residents (imported = false) +
     // portal candidates (imported = true); ids are disjoint within a shard
