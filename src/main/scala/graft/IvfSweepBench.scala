@@ -52,11 +52,11 @@ object IvfSweepBench {
     val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
     // replica r of id v gets external_id v*reps+r; r=0 is the original
-    // point bit-for-bit, r>0 adds a deterministic per-lane jitter of up
-    // to ±`jitter` (hash(id, r, lane) → uniform). The amplitude sets the
-    // difficulty: small values keep each original's replicas in one tight
+    // point bit-for-bit, r>0 adds a deterministic per-lane jitter
+    // uniform on ±`jitter`/2 (hash maps to [-0.5, 0.5) then scales by
+    // the parameter). The amplitude sets the difficulty: small values keep each original's replicas in one tight
     // cluster (one probed partition captures the whole top-k — recall
-    // trivially high); the ±0.5 default diffuses replicas of different
+    // trivially high); the default (parameter 0.5 → ±0.25 per lane) diffuses replicas of different
     // originals into each other, so a query's top-100 spans partitions
     // and the nprobe/recall trade-off is genuinely exercised
     val corpus = base

@@ -125,6 +125,18 @@ object IndexDoctor {
     if (meta.shardReplicas <= 1 && rows != n)
       out += Finding("error", s"base.v=$t",
         s"${rows - n} duplicate external_id rows in an unreplicated layout")
+    // replicated layouts hold copies ACROSS shards, but within one shard
+    // (shard_id, external_id) is still unique — portals are only imported
+    // where the point is NOT resident — so a double-written file is
+    // detectable there too
+    if (meta.shardReplicas > 1 && base.columns.contains("shard_id")) {
+      val dupInShard = base.groupBy(col("shard_id"), col("external_id"))
+        .agg(count(lit(1)).as("c")).where(col("c") > 1).count()
+      if (dupInShard > 0)
+        out += Finding("error", s"base.v=$t",
+          s"$dupInShard (shard, id) pairs with duplicate rows — a point " +
+            "must appear at most once per shard even under replication")
+    }
     val expectLen = meta.dimensions
     if (!stats.isNullAt(2) &&
         (stats.getInt(2) != expectLen || stats.getInt(3) != expectLen))

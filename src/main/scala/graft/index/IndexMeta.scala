@@ -37,7 +37,13 @@ case class IndexMeta(
     // `shardReplicas` nearest shards (SPANN-style closure assignment), so
     // shard-routed queries keep recall across shard boundaries. 1 = disjoint
     // shards (also the value for non-VAMANA indexes).
-    shardReplicas: Int = 1) {
+    shardReplicas: Int = 1,
+    // true when the build ran the cross-shard neighbor exchange
+    // (VamanaIndex.exchangeBoundaryEdges): replicated graphs WITHOUT it
+    // have the weaker round-5 routed recall, so autoNprobeShards must not
+    // apply the post-exchange sweep to a legacy persisted index — the
+    // flag is what distinguishes them (absent in old index.json → false).
+    boundaryExchanged: Boolean = false) {
 
   def metric: DistanceMetric = DistanceMetric.fromId(distanceMetric)
 
@@ -96,7 +102,8 @@ object IndexMeta {
       "num_subspaces" -> meta.numSubspaces,
       "l_build" -> meta.lBuild,
       "r_max_degree" -> meta.rMaxDegree,
-      "shard_replicas" -> meta.shardReplicas))
+      "shard_replicas" -> meta.shardReplicas,
+      "boundary_exchanged" -> meta.boundaryExchanged))
     val out = fs.create(p, true)
     try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
   }
@@ -128,7 +135,8 @@ object IndexMeta {
       numSubspaces = (j \ "num_subspaces").extractOrElse[Int](0),
       lBuild = (j \ "l_build").extractOrElse[Int](0),
       rMaxDegree = (j \ "r_max_degree").extractOrElse[Int](0),
-      shardReplicas = (j \ "shard_replicas").extractOrElse[Int](1))
+      shardReplicas = (j \ "shard_replicas").extractOrElse[Int](1),
+      boundaryExchanged = (j \ "boundary_exchanged").extractOrElse[Boolean](false))
   }
 
   def exists(rootDir: String): Boolean = {

@@ -416,9 +416,17 @@ object Ingest {
         // imported as search-only portal rows
         // ([[VamanaIndex.exchangeBoundaryEdges]])
         if (vamanaShardReplicas > 1) {
-          // feed the exchange from the WRITTEN base, not the `sharded`
-          // lineage — the k-means assignment expression would otherwise
-          // recompute over the corpus once per join the exchange builds
+          // materialize BOTH exchange inputs before the exchange's joins:
+          // the written base (else the k-means assignment lineage
+          // recomputes over the corpus per join) and the built graph
+          // (else the expensive flatMapGroups Vamana build re-runs for
+          // every plan that references `g` — measured ~2× build time).
+          // The graph goes to a staging dir first; the exchange output
+          // then overwrites the final location.
+          val gTmp = s"$uri/graph_build_tmp_$timestamp"
+          g.write.mode("overwrite").partitionBy("shard_id").parquet(gTmp)
+          val gWritten = spark.read.parquet(gTmp)
+            .select("external_id", "neighbors", "is_medoid", "shard_id")
           val written = spark.read.parquet(s"$uri/base/v=$timestamp")
             .select("external_id", "vector", "shard_id")
           val writtenFloat =
@@ -428,11 +436,12 @@ object Ingest {
                   signed = dtype == "int8")))
             else written
           val (gx, portalBase) =
-            VamanaIndex.exchangeBoundaryEdges(spark, writtenFloat, g, rd)
+            VamanaIndex.exchangeBoundaryEdges(spark, writtenFloat, gWritten, rd)
           gx.write.mode("overwrite").partitionBy("shard_id")
             .parquet(s"$uri/graph/v=$timestamp")
           packVector(portalBase).write.mode("append").partitionBy("shard_id")
             .parquet(s"$uri/base/v=$timestamp")
+          Storage.deleteRecursively(gTmp)
         } else {
           g.write.mode("overwrite").partitionBy("shard_id")
             .parquet(s"$uri/graph/v=$timestamp")
@@ -454,7 +463,8 @@ object Ingest {
       numSubspaces = mSubspaces,
       lBuild = vamanaLBuild,
       rMaxDegree = vamanaRMaxDegree,
-      shardReplicas = vamanaShardReplicas)
+      shardReplicas = vamanaShardReplicas,
+      boundaryExchanged = vamanaShardReplicas > 1)
     IndexMeta.write(uri, meta)
     // staging copy served its purpose once the partitioned base is written
     if (stageInputs)

@@ -265,7 +265,8 @@ class VamanaIndex(spark: SparkSession, uri: String, meta: IndexMeta, ts: Long,
   /** The PERF.md-sweep default probe width for THIS build's persisted
     * geometry: see [[VamanaIndex.autoNprobeShards]]. 0 = all-shard. */
   def autoNprobeShards: Int =
-    VamanaIndex.autoNprobeShards(shardCentroids.length, math.max(1, meta.shardReplicas))
+    VamanaIndex.autoNprobeShards(shardCentroids.length,
+      math.max(1, meta.shardReplicas), meta.boundaryExchanged)
 
   /** Routed search at the auto-picked probe width — callers get the
     * sweep-validated configuration without knowing the sweep: with
@@ -685,8 +686,19 @@ object VamanaIndex {
     * 0 = the exact all-shard merge. Floor of 2: S=1 forfeits the
     * boundary-replica safety net entirely. */
   def autoNprobeShards(shards: Int, replicas: Int): Int =
-    if (shards <= 1 || replicas < 2) 0
+    autoNprobeShards(shards, replicas, exchanged = true)
+
+  /** `exchanged` = the persisted graph carries the portal merge
+    * (IndexMeta.boundaryExchanged). A LEGACY replicated index built before
+    * the exchange existed has only the round-5 recall (×2 at S=shards/4:
+    * 0.835 < gate), so auto-routing demands ≥ 3 replicas there — the
+    * pre-exchange sweep's clearing point — instead of silently serving
+    * below the gate. */
+  def autoNprobeShards(shards: Int, replicas: Int, exchanged: Boolean): Int = {
+    val minReplicas = if (exchanged) 2 else 3
+    if (shards <= 1 || replicas < minReplicas) 0
     else math.min(shards, math.max(2, (shards + 3) / 4))
+  }
 
   /** Target vectors per shard for the default (auto) shard count. The
     * reference builds ONE global graph on one node (ingestion.py:2572-2595);

@@ -105,9 +105,10 @@ object Bm25 {
     * union frame, so `fit(A); append(B)` serves bit-identically to
     * `fit(A ∪ B)` (spec-asserted) without assuming every document emits a
     * posting row (a tokenizer that drops empty docs would silently skew a
-    * postings-derived n). A duplicate-id batch is REFUSED up front (one
-    * ids-only semi-join probe): duplicate ids would double-count postings
-    * and corrupt every idf. The corpus-sized work is one explode over the
+    * postings-derived n). A duplicate-id batch is REFUSED up front — both ids
+    * already indexed (ids-only semi-join probe) and ids repeated WITHIN
+    * the batch (one grouped count): either would double-count postings
+    * and corrupt every idf. An empty batch is a no-op. The corpus-sized work is one explode over the
     * NEW documents plus one postings-table aggregate; the original corpus
     * text is never re-read — the text-index sibling of the vector side's
     * update/consolidate path (reference: index.py update_batch +
@@ -120,7 +121,19 @@ object Bm25 {
     val spark = newDocs.sparkSession
     import spark.implicits._
     val existing = spark.read.parquet(s"$uri/postings")
-    val dup = newDocs.select(col(idCol).cast("long").as("id")).distinct()
+    // one aggregate answers both duplicate questions: ids repeated WITHIN
+    // the batch (would double-count immediately) and ids already indexed
+    // (checked next) — and an empty batch short-circuits to a no-op
+    // before any write or null-summing moment aggregate
+    val batchIds = newDocs.select(col(idCol).cast("long").as("id"))
+      .groupBy("id").agg(count(lit(1)).as("c"))
+    val innerDup = batchIds.where(col("c") > 1).limit(1).collect()
+    require(innerDup.isEmpty,
+      s"graft: BM25 append batch repeats id" +
+        s"${if (innerDup.nonEmpty) s"=${innerDup.head.getLong(0)}" else ""} " +
+        "within itself — duplicate ids double-count postings; " +
+        "de-duplicate the batch")
+    val dup = batchIds.select("id")
       .join(existing.select("id").distinct(), Seq("id"), "left_semi")
       .limit(1).collect()
     require(dup.isEmpty,
@@ -129,6 +142,7 @@ object Bm25 {
         "double-count postings; re-fit, or de-duplicate the batch")
     val newMoments = newDocs.select(count(lit(1)).as("n"),
       sum(TextOps.tokenCount(col(textCol)).cast("long")).as("total")).head()
+    if (newMoments.getLong(0) == 0L) return // empty batch: a no-op append
     val (oldN, oldTotal) = readMoments(spark, uri)
     newDocs
       .select(col(idCol).cast("long").as("id"),
@@ -314,9 +328,14 @@ object Bm25 {
     val idf = spark.read.parquet(s"$uri/idf").select("term", "df", "idf_micro")
     val qt = qTerms.join(graft.gatedSmallSide(idf), Seq("term"))
       .select("qid", "term", "df", "idf_micro")
+    // per-term ceiling derived from the SAME constant the contribution
+    // uses (tf·(k₁+1)/(tf+x) < k₁+1): ceil in double, +1 micro of slack
+    // against downward double rounding — an over-bound only costs prune
+    // power, an under-bound would cost correctness
     val bounds = qt.where(col("df") > dfCap)
       .groupBy("qid")
-      .agg(sum(expr("idf_micro * 22 DIV 10 + 1")).as("__hot_bound"))
+      .agg(sum(ceil(col("idf_micro").cast("double") * lit(K1Plus1)).cast("long") +
+        lit(1L)).as("__hot_bound"))
     val candIds = postings
       .join(graft.gatedSmallSide(
         qt.where(col("df") <= dfCap).select("qid", "term")), Seq("term"))
@@ -334,6 +353,9 @@ object Bm25 {
       .groupBy("qid")
       .agg(graft.functions.min_topk_long(
         -col("score_micro"), col("id"), k).as("__topk"))
+    // localCheckpoint: `decided` (one tiny row per qid) feeds BOTH the
+    // ok branch and the fallback anti-join — on lineage, the whole
+    // candidate-scoring pipeline above would execute twice per serve
     val decided = heaps
       .join(bounds, Seq("qid"), "left")
       .withColumn("__nc", size(col("__topk")))
@@ -344,6 +366,7 @@ object Bm25 {
         coalesce(col("__hot_bound"), lit(0L)) === lit(0L) ||
           (col("__nc") >= lit(k) &&
             coalesce(col("__hot_bound"), lit(0L)) < col("__kth")))
+      .localCheckpoint()
     val ok = decided.where(col("__ok"))
       .select(col("qid"), posexplode(col("__topk")).as(Seq("__pos", "__hit")))
       .select(col("qid"), col("__hit.id").as("id"),

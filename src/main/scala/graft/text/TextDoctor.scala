@@ -94,34 +94,40 @@ object TextDoctor {
     }
     guard(out, "bm25.meta") {
       val meta = spark.read.parquet(s"$uri/meta")
-      val m = meta.head()
-      val n = m.getAs[Long]("n_docs")
-      if (meta.count() != 1L)
-        out += Finding("error", "bm25.meta", "meta must be a single row")
-      if (n <= 0L)
-        out += Finding("error", "bm25.meta", s"non-positive n_docs $n")
-      val docMoments = spark.read.parquet(s"$uri/postings")
-        .select(col("id"), col("dl")).distinct()
-        .agg(count(lit(1)).as("ids"), sum("dl").as("total")).head()
-      val distinctIds = docMoments.getLong(0)
-      if (n < distinctIds)
+      // count BEFORE head(): an empty meta must produce the specific
+      // single-row finding, not a generic head-of-nothing "unreadable"
+      val nRows = meta.count()
+      if (nRows != 1L)
         out += Finding("error", "bm25.meta",
-          s"n_docs $n < $distinctIds distinct posting ids — idf over-weights every term")
-      else if (n > distinctIds)
-        out += Finding("warn", "bm25.meta",
-          s"n_docs $n > $distinctIds distinct posting ids (zero-posting documents)")
-      if (meta.columns.contains("total_dl")) {
-        val total = m.getAs[Long]("total_dl")
-        // equality only when every doc has postings; otherwise the posting
-        // total is a floor for the recorded one
-        if (total < docMoments.getLong(1))
+          s"meta must be a single row, found $nRows")
+      else {
+        val m = meta.head()
+        val n = m.getAs[Long]("n_docs")
+        if (n <= 0L)
+          out += Finding("error", "bm25.meta", s"non-positive n_docs $n")
+        val docMoments = spark.read.parquet(s"$uri/postings")
+          .select(col("id"), col("dl")).distinct()
+          .agg(count(lit(1)).as("ids"), sum("dl").as("total")).head()
+        val distinctIds = docMoments.getLong(0)
+        if (n < distinctIds)
           out += Finding("error", "bm25.meta",
-            s"total_dl $total < posting-table dl sum ${docMoments.getLong(1)}")
-        val avgdl = m.getAs[Double]("avgdl")
-        if (avgdl != total.toDouble / n.toDouble)
-          out += Finding("error", "bm25.meta",
-            s"avgdl $avgdl != total_dl/n_docs ${total.toDouble / n.toDouble} — " +
-              "every saturation denominator shifts")
+            s"n_docs $n < $distinctIds distinct posting ids — idf over-weights every term")
+        else if (n > distinctIds)
+          out += Finding("warn", "bm25.meta",
+            s"n_docs $n > $distinctIds distinct posting ids (zero-posting documents)")
+        if (meta.columns.contains("total_dl")) {
+          val total = m.getAs[Long]("total_dl")
+          // equality only when every doc has postings; otherwise the posting
+          // total is a floor for the recorded one
+          if (total < docMoments.getLong(1))
+            out += Finding("error", "bm25.meta",
+              s"total_dl $total < posting-table dl sum ${docMoments.getLong(1)}")
+          val avgdl = m.getAs[Double]("avgdl")
+          if (avgdl != total.toDouble / n.toDouble)
+            out += Finding("error", "bm25.meta",
+              s"avgdl $avgdl != total_dl/n_docs ${total.toDouble / n.toDouble} — " +
+                "every saturation denominator shifts")
+        }
       }
     }
     out.toSeq
@@ -160,6 +166,11 @@ object TextDoctor {
     }
     guard(out, "lm.meta") {
       val meta = spark.read.parquet(s"$uri/meta")
+      val nRows = meta.count()
+      if (nRows != 1L)
+        out += Finding("error", "lm.meta",
+          s"meta must be a single row, found $nRows")
+      else {
       val v = meta.head().getAs[Long]("v")
       if (v <= 0)
         out += Finding("error", "lm.meta", s"non-positive vocabulary size $v")
@@ -172,6 +183,7 @@ object TextDoctor {
         if (bad > 0)
           out += Finding("error", "lm.meta",
             s"logp0_micro does not replay from v=$v")
+      }
       }
     }
     out.toSeq

@@ -142,6 +142,23 @@ class Bm25Spec extends AnyFunSuite {
     assert(spark.read.parquet(s"$u/postings").count() == before)
   }
 
+  test("append: empty batch is a no-op, within-batch duplicates are refused") {
+    val u = Files.createTempDirectory("graft_bm25_edge").toString
+    Bm25.fit(docs.where(col("doc_id") < 20), u)
+    val metaBefore = spark.read.parquet(s"$u/meta").head()
+    val postingsBefore = spark.read.parquet(s"$u/postings").count()
+    // empty batch: previously NPE'd on the null sum; must change nothing
+    Bm25.append(docs.where(org.apache.spark.sql.functions.lit(false)), u)
+    assert(spark.read.parquet(s"$u/meta").head() == metaBefore)
+    assert(spark.read.parquet(s"$u/postings").count() == postingsBefore)
+    // a batch repeating its own (all-new) ids must be refused BEFORE
+    // writing — it would double-count postings just like a corpus dup
+    val fresh = docs.where(col("doc_id") >= 20 && col("doc_id") < 25)
+    val e = intercept[IllegalArgumentException](Bm25.append(fresh.union(fresh), u))
+    assert(e.getMessage.contains("within itself"))
+    assert(spark.read.parquet(s"$u/postings").count() == postingsBefore)
+  }
+
   test("append onto a legacy meta (no total_dl) migrates and stays bit-identical") {
     val a = docs.where(col("doc_id") < 25)
     val b = docs.where(col("doc_id") >= 25 && col("doc_id") < 50)

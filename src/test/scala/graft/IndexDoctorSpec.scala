@@ -36,6 +36,15 @@ class IndexDoctorSpec extends AnyFunSuite {
       timestamp = 1000L, partitions = Some(4), shardReplicas = Some(2))
     val fr = IndexDoctor.check(spark, uriR)
     assert(fr.isEmpty, s"replicated VAMANA: $fr")
+    // a double-written file WITHIN one shard is still corruption under
+    // replication: (shard_id, external_id) must be unique
+    val oneShard = spark.read.parquet(s"$uriR/base/v=1000")
+      .withColumn("shard_id", lit(0)).limit(2)
+    oneShard.write.mode("append").partitionBy("shard_id")
+      .parquet(s"$uriR/base/v=1000")
+    val frDup = IndexDoctor.check(spark, uriR)
+    assert(frDup.exists(x => x.severity == "error" &&
+      x.detail.contains("once per shard")), frDup.toString)
     // and a duplicated row in an UNREPLICATED layout is still corruption
     val uriD = tmp()
     Ingest.ingest(spark, uriD, emb, "FLAT", DistanceMetric.L2, timestamp = 1000L)

@@ -417,6 +417,12 @@ class IndexSpec extends AnyFunSuite {
     // S=shards/4)
     assert(idx.autoNprobeShards === 2)
     assert(graft.index.VamanaIndex.autoNprobeShards(16, 1) === 0)
+    // a LEGACY replicated index persisted BEFORE the exchange existed has
+    // only the round-5 recall (x2: 0.835 < gate) — auto-routing must not
+    // apply the post-exchange sweep to it
+    assert(graft.index.VamanaIndex.autoNprobeShards(16, 2, exchanged = false) === 0)
+    assert(graft.index.VamanaIndex.autoNprobeShards(16, 3, exchanged = false) === 4)
+    assert(idx.meta.boundaryExchanged)
     // ... and a replicas>=3 build routes at ~shards/4 (floor 2) and clears
     // the gate without the caller knowing the sweep.
     val uri3 = tmp()
