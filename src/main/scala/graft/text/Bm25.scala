@@ -33,11 +33,12 @@ import org.apache.spark.sql.functions._
 object Bm25 {
 
   /** k₁ + 1 and the two b-terms, pinned as literals so the Spark and
-    * oracle expressions agree symbol-for-symbol. */
-  private val K1Plus1 = 2.2
-  private val K1 = 1.2
-  private val OneMinusB = 0.25
-  private val B = 0.75
+    * oracle expressions agree symbol-for-symbol ([[Bm25Server]] evaluates
+    * the same constants JVM-side). */
+  private[text] val K1Plus1 = 2.2
+  private[text] val K1 = 1.2
+  private[text] val OneMinusB = 0.25
+  private[text] val B = 0.75
 
   /** Max distinct query terms collected as pushdown literals for
     * [[topkIndexed]]; larger query batches fall back to the join path. */
@@ -404,4 +405,94 @@ object Bm25 {
 
   private def microNats(lnCol: Column): Column =
     round(lnCol * lit(1000000.0)).cast("long")
+}
+
+/** Serving-mode BM25 snapshot — the text twin of
+  * [[graft.index.LocalSearcher]]: the fitted postings/idf/meta tables
+  * loaded once into executor-free in-memory structures, then every query
+  * is a pure-JVM posting walk + bounded heap at ZERO Spark jobs — the
+  * latency shape an interactive retrieval endpoint needs, while
+  * [[Bm25.topkIndexed]] stays the batch/corpus-scale path.
+  *
+  * Numeric contract: the per-(doc, term) contribution evaluates the SAME
+  * double expression, in the SAME association order, as
+  * [[Bm25.contribMicro]] — identical IEEE-754 inputs and operations, so
+  * the server's integer micro-scores (and the (score desc, id) ranking)
+  * are bit-equal to the distributed path's (spec-asserted). Tokenization
+  * mirrors `TextOps.tokens(lower(text))` with `Locale.ROOT` (the
+  * locale-independent lowering Spark's `lower` performs).
+  *
+  * Memory is gated by the same `spark.graft.maxLocalServeBytes` conf the
+  * vector snapshot honors — a corpus-sized postings table refuses to
+  * load with the sizing in the error instead of OOMing the driver.
+  */
+final class Bm25Server private (
+    postings: java.util.HashMap[String, (Array[Long], Array[Long], Array[Long])],
+    idfMicro: java.util.HashMap[String, java.lang.Long],
+    avgdl: Double) {
+
+  /** Top-`k` `(id, score_micro)` in rank order for one query text. Terms
+    * absent from the model contribute nothing (exactly the inner idf join
+    * in the distributed path). */
+  def query(text: String, k: Int): Array[(Long, Long)] = {
+    require(k > 0, s"graft: BM25 k must be positive, got $k")
+    val terms = text.toLowerCase(java.util.Locale.ROOT).trim
+      .split("\\s+").distinct
+    val acc = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+    terms.foreach { t =>
+      val idf = idfMicro.get(t)
+      val run = postings.get(t)
+      if (idf != null && run != null) {
+        val (ids, tfs, dls) = run
+        val idfD = idf.toDouble
+        var i = 0
+        while (i < ids.length) {
+          val tf = tfs(i).toDouble
+          val dl = dls(i).toDouble
+          // the ONE pinned expression (Bm25.contribMicro), JVM-evaluated
+          // with identical association and the SAME constants
+          val c = math.floor((((idfD / 1000000.0) *
+              (tf * Bm25.K1Plus1)) /
+            (tf + (Bm25.K1 * (Bm25.OneMinusB + (Bm25.B * (dl / avgdl)))))) *
+            1000000.0).toLong
+          acc.merge(ids(i), c, (a, b) => a + b)
+          i += 1
+        }
+      }
+    }
+    val heap = new graft.operators.LongTopKHeap(k)
+    acc.forEach((id, s) => heap.insert(-s, id))
+    heap.sorted.map { case (negScore, id) => (id, -negScore) }
+  }
+}
+
+object Bm25Server {
+
+  /** Load the fitted model at `uri` into a serving snapshot. Refuses past
+    * the `spark.graft.maxLocalServeBytes` gate (plan-stats estimate of
+    * the postings table, the dominant term) — the same budget contract
+    * as [[graft.index.LocalSearcher]]. */
+  def load(spark: SparkSession, uri: String): Bm25Server = {
+    val maxBytes = graft.Conf.long(spark,
+      graft.index.LocalSearcher.MaxLocalServeBytesKey,
+      graft.index.LocalSearcher.DefaultMaxLocalServeBytes)
+    val p = spark.read.parquet(s"$uri/postings")
+    val est = p.queryExecution.optimizedPlan.stats.sizeInBytes
+    require(est <= BigInt(maxBytes),
+      s"graft: postings table ~$est bytes exceeds maxLocalServeBytes " +
+        s"$maxBytes (${graft.index.LocalSearcher.MaxLocalServeBytesKey}) — " +
+        "serve this corpus through topkIndexed, or raise the budget")
+    val byTerm = new java.util.HashMap[String, (Array[Long], Array[Long], Array[Long])]()
+    p.select("term", "id", "tf", "dl").collect()
+      .groupBy(_.getString(0))
+      .foreach { case (t, rows) =>
+        byTerm.put(t,
+          (rows.map(_.getLong(1)), rows.map(_.getLong(2)), rows.map(_.getLong(3))))
+      }
+    val idf = new java.util.HashMap[String, java.lang.Long]()
+    spark.read.parquet(s"$uri/idf").select("term", "idf_micro").collect()
+      .foreach(r => idf.put(r.getString(0), r.getLong(1)))
+    val avgdl = spark.read.parquet(s"$uri/meta").head().getAs[Double]("avgdl")
+    new Bm25Server(byTerm, idf, avgdl)
+  }
 }

@@ -199,6 +199,35 @@ class Bm25Spec extends AnyFunSuite {
       s"compaction should shrink the file count ($filesBefore -> ${nFiles()})")
   }
 
+  test("serving snapshot: bit-equal scores and ranks at zero Spark jobs") {
+    import graft.text.Bm25Server
+    val server = Bm25Server.load(spark, uri)
+    val q = docs.where(col("doc_id") < 5)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val dist = Bm25.topkIndexed(spark, docs.where(col("doc_id") < 5), 10, uri)
+      .select("qid", "id", "score_micro", "rank").collect()
+      .groupBy(_.getLong(0))
+      .map { case (k, rows) =>
+        k -> rows.sortBy(_.getInt(3)).map(r => (r.getLong(1), r.getLong(2))).toSeq
+      }
+    q.foreach { case (qid, text) =>
+      // identical ids, identical integer micro-scores, identical order —
+      // the pinned double expression evaluated JVM-side must agree
+      // bit-for-bit with the distributed plan
+      assert(server.query(text, 10).toSeq === dist(qid), s"qid=$qid")
+    }
+    // unseen vocabulary scores nothing; empty text returns empty
+    assert(server.query("zzzunseen qqqnever", 10).isEmpty)
+    assert(server.query("   ", 10).isEmpty)
+    // the serve gate refuses an over-budget postings table with sizing
+    spark.conf.set(graft.index.LocalSearcher.MaxLocalServeBytesKey, "16")
+    try {
+      val e = intercept[IllegalArgumentException](Bm25Server.load(spark, uri))
+      assert(e.getMessage.contains("maxLocalServeBytes"))
+    } finally spark.conf.unset(graft.index.LocalSearcher.MaxLocalServeBytesKey)
+  }
+
   test("ranking is deterministic across runs") {
     val a = Bm25.topk(docs, docs.where(col("doc_id") < 5), 10, uri)
       .select("qid", "rank", "id").collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
