@@ -433,11 +433,13 @@ final class Bm25Server private (
 
   /** Top-`k` `(id, score_micro)` in rank order for one query text. Terms
     * absent from the model contribute nothing (exactly the inner idf join
-    * in the distributed path). */
+    * in the distributed path). Null text returns empty, like a null-text
+    * query row dropping out of the distributed explode. */
   def query(text: String, k: Int): Array[(Long, Long)] = {
     require(k > 0, s"graft: BM25 k must be positive, got $k")
-    val terms = text.toLowerCase(java.util.Locale.ROOT).trim
-      .split("\\s+").distinct
+    if (text == null) return Array.empty
+    val terms = Bm25Server.sparkTrim(Bm25Server.sparkLower(text))
+      .split("\\s+", -1).distinct
     val acc = new java.util.HashMap[java.lang.Long, java.lang.Long]()
     terms.foreach { t =>
       val idf = idfMicro.get(t)
@@ -469,30 +471,82 @@ final class Bm25Server private (
 object Bm25Server {
 
   /** Load the fitted model at `uri` into a serving snapshot. Refuses past
-    * the `spark.graft.maxLocalServeBytes` gate (plan-stats estimate of
-    * the postings table, the dominant term) — the same budget contract
-    * as [[graft.index.LocalSearcher]]. */
+    * the `spark.graft.maxLocalServeBytes` gate, which is measured against
+    * the IN-MEMORY footprint (one bounded aggregate: row count × the
+    * three unboxed longs + term characters — the same actual-payload
+    * sizing [[graft.index.LocalSearcher]]'s vector gate uses), not the
+    * compressed parquet size, which dictionary/RLE encoding routinely
+    * shrinks 5–20× below what the heap would hold. */
   def load(spark: SparkSession, uri: String): Bm25Server = {
     val maxBytes = graft.Conf.long(spark,
       graft.index.LocalSearcher.MaxLocalServeBytesKey,
       graft.index.LocalSearcher.DefaultMaxLocalServeBytes)
     val p = spark.read.parquet(s"$uri/postings")
-    val est = p.queryExecution.optimizedPlan.stats.sizeInBytes
-    require(est <= BigInt(maxBytes),
-      s"graft: postings table ~$est bytes exceeds maxLocalServeBytes " +
-        s"$maxBytes (${graft.index.LocalSearcher.MaxLocalServeBytesKey}) — " +
+    val sizing = p.agg(count(lit(1)).as("n"),
+      coalesce(sum(length(col("term"))), lit(0L)).as("chars")).head()
+    // 3 longs per posting + 2 bytes/char (String) + ~48 B map overhead
+    // per distinct term folded into a conservative per-row constant
+    val est = sizing.getLong(0) * 32L + sizing.getLong(1) * 2L
+    require(est <= maxBytes,
+      s"graft: postings snapshot needs ~$est bytes in memory, over " +
+        s"maxLocalServeBytes $maxBytes " +
+        s"(${graft.index.LocalSearcher.MaxLocalServeBytesKey}) — " +
         "serve this corpus through topkIndexed, or raise the budget")
+    // one collected array, sorted by term, runs walked once into primitive
+    // arrays — no intermediate per-term Row groups (collect + final
+    // structures are the only two copies alive)
+    val rows = p.select("term", "id", "tf", "dl").collect()
+    java.util.Arrays.sort(rows,
+      (a: org.apache.spark.sql.Row, b: org.apache.spark.sql.Row) =>
+        a.getString(0).compareTo(b.getString(0)))
     val byTerm = new java.util.HashMap[String, (Array[Long], Array[Long], Array[Long])]()
-    p.select("term", "id", "tf", "dl").collect()
-      .groupBy(_.getString(0))
-      .foreach { case (t, rows) =>
-        byTerm.put(t,
-          (rows.map(_.getLong(1)), rows.map(_.getLong(2)), rows.map(_.getLong(3))))
+    var start = 0
+    while (start < rows.length) {
+      val t = rows(start).getString(0)
+      var end = start + 1
+      while (end < rows.length && rows(end).getString(0) == t) end += 1
+      val n = end - start
+      val ids = new Array[Long](n); val tfs = new Array[Long](n)
+      val dls = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        val r = rows(start + i)
+        ids(i) = r.getLong(1); tfs(i) = r.getLong(2); dls(i) = r.getLong(3)
+        i += 1
       }
+      byTerm.put(t, (ids, tfs, dls))
+      start = end
+    }
     val idf = new java.util.HashMap[String, java.lang.Long]()
     spark.read.parquet(s"$uri/idf").select("term", "idf_micro").collect()
       .foreach(r => idf.put(r.getString(0), r.getLong(1)))
     val avgdl = spark.read.parquet(s"$uri/meta").head().getAs[Double]("avgdl")
     new Bm25Server(byTerm, idf, avgdl)
+  }
+
+  /** Spark `trim` semantics, mirrored exactly: leading/trailing ASCII
+    * SPACE (0x20) only — Java's `String.trim` strips every control char
+    * ≤ 0x20 (tab, newline, …), which would drop tokens the distributed
+    * split keeps and break the bit-equality contract. */
+  private[text] def sparkTrim(s: String): String = {
+    var b = 0; var e = s.length
+    while (b < e && s.charAt(b) == ' ') b += 1
+    while (e > b && s.charAt(e - 1) == ' ') e -= 1
+    if (b == 0 && e == s.length) s else s.substring(b, e)
+  }
+
+  /** Spark `lower` semantics, mirrored exactly: full-ASCII strings take
+    * the locale-independent fast path (≡ `Locale.ROOT` on ASCII), and
+    * any non-ASCII string goes through `String.toLowerCase()` with the
+    * JVM DEFAULT locale — which is what `UTF8String.toLowerCaseSlow`
+    * actually calls, so a Turkish-locale JVM lowers identically on both
+    * paths instead of diverging on dotted-İ. */
+  private[text] def sparkLower(s: String): String = {
+    var i = 0; var ascii = true
+    while (i < s.length && ascii) {
+      if (s.charAt(i) >= 0x80) ascii = false
+      i += 1
+    }
+    if (ascii) s.toLowerCase(java.util.Locale.ROOT) else s.toLowerCase()
   }
 }

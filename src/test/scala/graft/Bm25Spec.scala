@@ -217,9 +217,26 @@ class Bm25Spec extends AnyFunSuite {
       // bit-for-bit with the distributed plan
       assert(server.query(text, 10).toSeq === dist(qid), s"qid=$qid")
     }
-    // unseen vocabulary scores nothing; empty text returns empty
+    // unseen vocabulary scores nothing; empty/null text returns empty
     assert(server.query("zzzunseen qqqnever", 10).isEmpty)
     assert(server.query("   ", 10).isEmpty)
+    assert(server.query(null, 10).isEmpty)
+    // whitespace-semantics parity: Spark trim strips SPACES only, so a
+    // query with a trailing newline tokenizes to [.., ""] on the
+    // distributed path — the server must produce the same term set (the
+    // toy corpus below gives the "" token a posting via an empty doc)
+    import spark.implicits._
+    val toy = Seq((0L, ""), (1L, "hello world"), (2L, "hello")).toDF("doc_id", "text")
+    val tu = java.nio.file.Files.createTempDirectory("graft_bm25_ws").toString
+    Bm25.fit(toy, tu)
+    val toyServer = Bm25Server.load(spark, tu)
+    val qNl = Seq((9L, "hello\n")).toDF("doc_id", "text")
+    val distNl = Bm25.topkIndexed(spark, qNl, 10, tu)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(toyServer.query("hello\n", 10).toSeq === distNl,
+      "trailing-newline tokenization must match the distributed split")
+    assert(distNl.map(_._1).contains(0L),
+      "fixture sanity: the empty doc scores via the empty token")
     // the serve gate refuses an over-budget postings table with sizing
     spark.conf.set(graft.index.LocalSearcher.MaxLocalServeBytesKey, "16")
     try {
