@@ -159,6 +159,34 @@ object IndexDoctor {
       case "VAMANA" =>
         if (!Storage.nonEmptyDir(s"$uri/graph/v=$t"))
           out += Finding("error", s"graph.v=$t", "adjacency table missing")
+        else {
+          // graph ↔ base coherence: the per-shard search assembles rows by
+          // an inner join on (shard_id, external_id), so a base row with
+          // no adjacency is INVISIBLE to search and an adjacency row with
+          // no vector silently drops — both are real serving defects,
+          // caught here as bounded anti-join counts
+          val graph = spark.read.parquet(s"$uri/graph/v=$t")
+          val gKeys = graph.select("shard_id", "external_id")
+          val bKeys = base.select("shard_id", "external_id")
+          val invisible = bKeys.join(gKeys, Seq("shard_id", "external_id"),
+            "left_anti").count()
+          if (invisible > 0)
+            out += Finding("error", s"graph.v=$t",
+              s"$invisible base rows without adjacency — invisible to search")
+          val vectorless = gKeys.join(bKeys, Seq("shard_id", "external_id"),
+            "left_anti").count()
+          if (vectorless > 0)
+            out += Finding("error", s"graph.v=$t",
+              s"$vectorless adjacency rows without a base vector — dropped at query")
+          // exactly one medoid (beam entry point) per shard; a missing or
+          // duplicated one silently degrades every search in that shard
+          val badMedoids = graph.groupBy("shard_id")
+            .agg(sum(when(col("is_medoid"), 1L).otherwise(0L)).as("m"))
+            .where(col("m") =!= 1L).count()
+          if (badMedoids > 0)
+            out += Finding("error", s"graph.v=$t",
+              s"$badMedoids shards without exactly one medoid entry point")
+        }
       case "BINARY" =>
         val sPath = s"$uri/sketch/v=$t"
         if (!Storage.nonEmptyDir(sPath))

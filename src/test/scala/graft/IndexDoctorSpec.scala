@@ -55,6 +55,39 @@ class IndexDoctorSpec extends AnyFunSuite {
       x.detail.contains("duplicate external_id")), fd.toString)
   }
 
+  test("VAMANA graph/base incoherence and medoid loss are named errors") {
+    // a base row whose adjacency vanished: invisible to search
+    val uri = tmp()
+    Ingest.ingest(spark, uri, emb, "VAMANA", DistanceMetric.L2,
+      timestamp = 1000L, partitions = Some(2))
+    val victim = spark.read.parquet(s"$uri/graph/v=1000")
+      .where(!col("is_medoid")).head()
+    val vid = victim.getLong(victim.fieldIndex("external_id"))
+    val kept = spark.read.parquet(s"$uri/graph/v=1000")
+      .where(col("external_id") =!= vid).collect()
+    val schema = spark.read.parquet(s"$uri/graph/v=1000").schema
+    spark.createDataFrame(spark.sparkContext.parallelize(kept.toSeq), schema)
+      .write.mode("overwrite").partitionBy("shard_id")
+      .parquet(s"$uri/graph/v=1000")
+    val f = IndexDoctor.check(spark, uri)
+    assert(f.exists(x => x.severity == "error" && x.check == "graph.v=1000" &&
+      x.detail.contains("invisible to search")), f.toString)
+
+    // every medoid flag cleared: no entry point in any shard
+    val uri2 = tmp()
+    Ingest.ingest(spark, uri2, emb, "VAMANA", DistanceMetric.L2,
+      timestamp = 1000L, partitions = Some(2))
+    val g2 = spark.read.parquet(s"$uri2/graph/v=1000")
+      .withColumn("is_medoid", lit(false)).collect()
+    val schema2 = spark.read.parquet(s"$uri2/graph/v=1000").schema
+    spark.createDataFrame(spark.sparkContext.parallelize(g2.toSeq), schema2)
+      .write.mode("overwrite").partitionBy("shard_id")
+      .parquet(s"$uri2/graph/v=1000")
+    val f2 = IndexDoctor.check(spark, uri2)
+    assert(f2.exists(x => x.severity == "error" && x.check == "graph.v=1000" &&
+      x.detail.contains("medoid")), f2.toString)
+  }
+
   test("an index with a consistent updates log stays clean; a stale flag warns") {
     val uri = tmp()
     val idx = Ingest.ingest(spark, uri, emb, "FLAT", DistanceMetric.L2,
