@@ -38,7 +38,6 @@ object IvfSweepBench {
     val spark = SparkSession.builder()
       .appName("graft-ivf-sweep").master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.driver.memory", "48g")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
@@ -49,39 +48,14 @@ object IvfSweepBench {
 
   def run(spark: SparkSession, sfDir: String, reps: Int, nq: Int, jitter: Double,
       mode: String = "all"): Unit = {
-    val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
-      .select(col("vec_id"), col("embedding"))
-    // replica r of id v gets external_id v*reps+r; r=0 is the original
-    // point bit-for-bit, r>0 adds a deterministic per-lane jitter
-    // uniform on ±`jitter`/2 (hash maps to [-0.5, 0.5) then scales by
-    // the parameter). The amplitude sets the difficulty: small values keep each original's replicas in one tight
-    // cluster (one probed partition captures the whole top-k — recall
-    // trivially high); the default (parameter 0.5 → ±0.25 per lane) diffuses replicas of different
-    // originals into each other, so a query's top-100 spans partitions
-    // and the nprobe/recall trade-off is genuinely exercised
-    val corpus = base
-      .select(col("vec_id"), col("embedding"),
-        explode(sequence(lit(0), lit(reps - 1))).as("r"))
-      .select(
-        (col("vec_id") * reps + col("r")).as("external_id"),
-        expr(s"""transform(embedding, (x, i) ->
-             CASE WHEN r = 0 THEN x
-             ELSE x + float((pmod(hash(vec_id, r, i), 1000) - 500) / 1000.0 * $jitter) END)""")
-          .as("vector"))
-    val corpusPath = java.nio.file.Files.createTempDirectory("ivf_sweep_corpus").toString
-    corpus.write.mode("overwrite").parquet(corpusPath)
-    val big = spark.read.parquet(corpusPath)
-    val n = big.count()
+    val (corpusPath, big, n) = SweepFixture.replicatedCorpus(spark, sfDir, reps, jitter)
     println(s"SWEEP_CORPUS n=$n dims=64 reps=$reps")
 
-    val queries = spark.read.parquet(s"$sfDir/embeddings.parquet")
-      .where(col("vec_id") < nq)
-      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      .cache()
+    val queries = SweepFixture.queries(spark, sfDir, nq).cache()
     queries.count()
 
     val k = 100
-    val exact = groundTruth(
+    val exact = SweepFixture.groundTruth(
       Knn.bruteForce(big, queries, k, DistanceMetric.L2,
         idCol = "external_id", vecCol = "vector", qidCol = "qid", qvecCol = "qvec"))
     println(s"SWEEP_EXACT queries=${exact.size} k=$k")
@@ -101,13 +75,9 @@ object IvfSweepBench {
         else (1 to 20)
       for (nprobe <- probes) {
         val t1 = System.nanoTime()
-        val got = groundTruth(idx.query(queries, k, nprobe))
+        val got = SweepFixture.groundTruth(idx.query(queries, k, nprobe))
         val queryS = (System.nanoTime() - t1) / 1e9
-        // .toSeq: Map.keys is a Set — mapping it to recall VALUES would
-        // deduplicate queries that happen to share a recall (e.g. all 1.0)
-        val recall = exact.keys.toSeq.map { q =>
-          (got.getOrElse(q, Set.empty) intersect exact(q)).size.toDouble / k
-        }.sum / exact.size
+        val recall = SweepFixture.recall(exact, got, k)
         println(f"SWEEP {partitions: $parts, nprobe: $nprobe, recall: $recall%.4f, " +
           f"query_s: $queryS%.2f, build_s: $buildS%.1f}")
       }
@@ -126,11 +96,9 @@ object IvfSweepBench {
     val pq = VectorIndex.open(spark, uriPq).asInstanceOf[graft.index.IvfPqIndex]
     for (kf <- Seq(1.0f, 2.0f, 4.0f, 8.0f); nprobe <- Seq(8, 31)) {
       val t1 = System.nanoTime()
-      val got = groundTruth(pq.queryBase(queries, k, nprobe, kf, None))
+      val got = SweepFixture.groundTruth(pq.queryBase(queries, k, nprobe, kf, None))
       val queryS = (System.nanoTime() - t1) / 1e9
-      val recall = exact.keys.toSeq.map { q =>
-        (got.getOrElse(q, Set.empty) intersect exact(q)).size.toDouble / k
-      }.sum / exact.size
+      val recall = SweepFixture.recall(exact, got, k)
       println(f"SWEEP_PQ {partitions: $sqrtN, nprobe: $nprobe, k_factor: $kf%.0f, " +
         f"recall: $recall%.4f, query_s: $queryS%.2f, build_s: $buildPqS%.1f}")
     }
@@ -138,7 +106,4 @@ object IvfSweepBench {
     graft.index.Storage.deleteRecursively(corpusPath)
   }
 
-  private def groundTruth(res: DataFrame): Map[Long, Set[Long]] =
-    res.select("qid", "id").collect()
-      .groupBy(_.getLong(0)).map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
 }

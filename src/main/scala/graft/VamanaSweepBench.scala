@@ -35,7 +35,6 @@ object VamanaSweepBench {
     val spark = SparkSession.builder()
       .appName("graft-vamana-sweep").master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.driver.memory", "48g")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -45,33 +44,14 @@ object VamanaSweepBench {
 
   def run(spark: SparkSession, sfDir: String, reps: Int, nq: Int,
       jitter: Double, replicas: Int, shardsOpt: Option[Int] = None): Unit = {
-    val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
-      .select(col("vec_id"), col("embedding"))
-    // the IvfSweepBench fixture: replica 0 bit-exact, others jittered
-    // uniform on ±jitter/2 per lane (deterministic Murmur3)
-    val corpus = base
-      .select(col("vec_id"), col("embedding"),
-        explode(sequence(lit(0), lit(reps - 1))).as("r"))
-      .select(
-        (col("vec_id") * reps + col("r")).as("external_id"),
-        expr(s"""transform(embedding, (x, i) ->
-             CASE WHEN r = 0 THEN x
-             ELSE x + float((pmod(hash(vec_id, r, i), 1000) - 500) / 1000.0 * $jitter) END)""")
-          .as("vector"))
-    val corpusPath = java.nio.file.Files.createTempDirectory("vam_sweep_corpus").toString
-    corpus.write.mode("overwrite").parquet(corpusPath)
-    val big = spark.read.parquet(corpusPath)
-    val n = big.count()
+    val (corpusPath, big, n) = SweepFixture.replicatedCorpus(spark, sfDir, reps, jitter)
     println(s"VSWEEP_CORPUS n=$n dims=64 reps=$reps replicas=$replicas")
 
-    val queries = spark.read.parquet(s"$sfDir/embeddings.parquet")
-      .where(col("vec_id") < nq)
-      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      .cache()
+    val queries = SweepFixture.queries(spark, sfDir, nq).cache()
     queries.count()
 
     val k = 10
-    val exact = groundTruth(
+    val exact = SweepFixture.groundTruth(
       Knn.bruteForce(big, queries, k, DistanceMetric.L2,
         idCol = "external_id", vecCol = "vector", qidCol = "qid", qvecCol = "qvec"))
     println(s"VSWEEP_EXACT queries=${exact.size} k=$k")
@@ -88,11 +68,10 @@ object VamanaSweepBench {
     for (s <- Seq(2, 4, 8, 0); ls <- Seq(50, 100, 200)) {
       if (s == 0 || s < shards) {
         val t1 = System.nanoTime()
-        val got = groundTruth(idx.queryLSearch(queries, k, ls, nprobeShards = s))
+        val got = SweepFixture.groundTruth(
+          idx.queryLSearch(queries, k, ls, nprobeShards = s))
         val queryS = (System.nanoTime() - t1) / 1e9
-        val recall = exact.keys.toSeq.map { q =>
-          (got.getOrElse(q, Set.empty) intersect exact(q)).size.toDouble / k
-        }.sum / exact.size
+        val recall = SweepFixture.recall(exact, got, k)
         val sLabel = if (s == 0) "all" else s.toString
         println(f"VSWEEP {shards: $shards, S: $sLabel%s, l_search: $ls, " +
           f"recall: $recall%.4f, query_s: $queryS%.2f}")
@@ -102,7 +81,4 @@ object VamanaSweepBench {
     graft.index.Storage.deleteRecursively(corpusPath)
   }
 
-  private def groundTruth(res: DataFrame): Map[Long, Set[Long]] =
-    res.select("qid", "id").collect()
-      .groupBy(_.getLong(0)).map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
 }

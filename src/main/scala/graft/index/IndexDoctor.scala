@@ -162,30 +162,60 @@ object IndexDoctor {
         else {
           // graph ↔ base coherence: the per-shard search assembles rows by
           // an inner join on (shard_id, external_id), so a base row with
-          // no adjacency is INVISIBLE to search and an adjacency row with
-          // no vector silently drops — both are real serving defects,
-          // caught here as bounded anti-join counts
-          val graph = spark.read.parquet(s"$uri/graph/v=$t")
-          val gKeys = graph.select("shard_id", "external_id")
-          val bKeys = base.select("shard_id", "external_id")
-          val invisible = bKeys.join(gKeys, Seq("shard_id", "external_id"),
-            "left_anti").count()
-          if (invisible > 0)
+          // no adjacency is INVISIBLE to search, an adjacency row with no
+          // vector silently drops, and a shard needs exactly one medoid
+          // entry point. ONE full-outer join + a per-shard aggregate
+          // (bounded by shard count) answers all of it in a single pass
+          // over each table — the doctor's one-bounded-job-per-table
+          // contract.
+          val gk = spark.read.parquet(s"$uri/graph/v=$t")
+            .select(col("shard_id"), col("external_id"), col("is_medoid"))
+            .withColumn("__g", lit(1))
+          val bk = base.select("shard_id", "external_id").withColumn("__b", lit(1))
+          val perShard = gk.join(bk, Seq("shard_id", "external_id"), "full_outer")
+            .groupBy("shard_id")
+            .agg(
+              sum(when(col("__g").isNull, 1L).otherwise(0L)).as("inv"),
+              sum(when(col("__b").isNull, 1L).otherwise(0L)).as("vless"),
+              sum(when(coalesce(col("is_medoid"), lit(false)), 1L)
+                .otherwise(0L)).as("m"))
+          val tot = perShard.agg(
+            sum("inv").as("invisible"),
+            sum("vless").as("vectorless"),
+            sum(when(col("m") =!= 1L, 1L).otherwise(0L)).as("badMedoids"),
+            count(lit(1)).as("shardsSeen")).head()
+          if (tot.getLong(0) > 0)
             out += Finding("error", s"graph.v=$t",
-              s"$invisible base rows without adjacency — invisible to search")
-          val vectorless = gKeys.join(bKeys, Seq("shard_id", "external_id"),
-            "left_anti").count()
-          if (vectorless > 0)
+              s"${tot.getLong(0)} base rows without adjacency — invisible to search")
+          if (tot.getLong(1) > 0)
             out += Finding("error", s"graph.v=$t",
-              s"$vectorless adjacency rows without a base vector — dropped at query")
-          // exactly one medoid (beam entry point) per shard; a missing or
-          // duplicated one silently degrades every search in that shard
-          val badMedoids = graph.groupBy("shard_id")
-            .agg(sum(when(col("is_medoid"), 1L).otherwise(0L)).as("m"))
-            .where(col("m") =!= 1L).count()
-          if (badMedoids > 0)
+              s"${tot.getLong(1)} adjacency rows without a base vector — dropped at query")
+          if (tot.getLong(2) > 0)
             out += Finding("error", s"graph.v=$t",
-              s"$badMedoids shards without exactly one medoid entry point")
+              s"${tot.getLong(2)} shards without exactly one medoid entry point")
+          // a WHOLE shard vanishing (base + graph partitions lost together)
+          // is invisible to the row-level checks above: compare the
+          // observed shard set against the recorded geometry. An assigned
+          // shard can legitimately be empty (k-means may starve one), so
+          // this is a warn naming both readings.
+          meta.partitionHistory.lift(i).foreach { parts =>
+            if (tot.getLong(3) < parts)
+              out += Finding("warn", s"graph.v=$t",
+                s"only ${tot.getLong(3)} of $parts shards have any rows — " +
+                  "either empty k-means shards (benign) or lost shard " +
+                  "partitions (routed queries probing them lose recall)")
+            if (tot.getLong(3) > parts)
+              out += Finding("error", s"graph.v=$t",
+                s"${tot.getLong(3)} shards on disk > recorded $parts")
+          }
+          // sharded builds persist the shard map; its size must match the
+          // recorded geometry exactly (the IVF centroid check's sibling)
+          if (Storage.nonEmptyDir(s"$uri/centroids/v=$t")) {
+            val c = spark.read.parquet(s"$uri/centroids/v=$t").count()
+            if (meta.partitionHistory.lift(i).exists(_ != c))
+              out += Finding("error", s"centroids.v=$t",
+                s"$c shard centroids != recorded shard count ${meta.partitionHistory(i)}")
+          }
         }
       case "BINARY" =>
         val sPath = s"$uri/sketch/v=$t"

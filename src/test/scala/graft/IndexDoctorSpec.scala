@@ -86,6 +86,54 @@ class IndexDoctorSpec extends AnyFunSuite {
     val f2 = IndexDoctor.check(spark, uri2)
     assert(f2.exists(x => x.severity == "error" && x.check == "graph.v=1000" &&
       x.detail.contains("medoid")), f2.toString)
+
+    // adjacency for an id with no vector: dropped at query assembly
+    val uri3 = tmp()
+    Ingest.ingest(spark, uri3, emb, "VAMANA", DistanceMetric.L2,
+      timestamp = 1000L, partitions = Some(2))
+    val ghost = spark.read.parquet(s"$uri3/graph/v=1000")
+      .where(!col("is_medoid")).limit(1)
+      .withColumn("external_id", lit(99999999L))
+    ghost.write.mode("append").partitionBy("shard_id")
+      .parquet(s"$uri3/graph/v=1000")
+    val f3 = IndexDoctor.check(spark, uri3)
+    assert(f3.exists(x => x.severity == "error" && x.check == "graph.v=1000" &&
+      x.detail.contains("without a base vector")), f3.toString)
+
+    // a DUPLICATED medoid row is the other side of the exactly-one check
+    val uri4 = tmp()
+    Ingest.ingest(spark, uri4, emb, "VAMANA", DistanceMetric.L2,
+      timestamp = 1000L, partitions = Some(2))
+    val extraMedoid = spark.read.parquet(s"$uri4/graph/v=1000")
+      .where(!col("is_medoid")).limit(1)
+      .withColumn("is_medoid", lit(true))
+    // replace that point's row so keys stay coherent but medoids = 2
+    val vid4 = extraMedoid.head().getLong(extraMedoid.head().fieldIndex("external_id"))
+    val rest = spark.read.parquet(s"$uri4/graph/v=1000")
+      .where(col("external_id") =!= vid4)
+    val schema4 = spark.read.parquet(s"$uri4/graph/v=1000").schema
+    spark.createDataFrame(
+      spark.sparkContext.parallelize((rest.collect() ++ extraMedoid.collect()).toSeq),
+      schema4)
+      .write.mode("overwrite").partitionBy("shard_id")
+      .parquet(s"$uri4/graph/v=1000")
+    val f4 = IndexDoctor.check(spark, uri4)
+    assert(f4.exists(x => x.severity == "error" && x.check == "graph.v=1000" &&
+      x.detail.contains("medoid")), f4.toString)
+
+    // a WHOLE shard vanishing (base + graph lost together) warns against
+    // the recorded geometry — row-level checks cannot see it
+    val uri5 = tmp()
+    Ingest.ingest(spark, uri5, emb, "VAMANA", DistanceMetric.L2,
+      timestamp = 1000L, partitions = Some(4), shardReplicas = Some(2))
+    def rmDir(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmDir)); f.delete(); ()
+    }
+    rmDir(new java.io.File(s"$uri5/base/v=1000/shard_id=1"))
+    rmDir(new java.io.File(s"$uri5/graph/v=1000/shard_id=1"))
+    val f5 = IndexDoctor.check(spark, uri5)
+    assert(f5.exists(x => x.severity == "warn" && x.check == "graph.v=1000" &&
+      x.detail.contains("shards have any rows")), f5.toString)
   }
 
   test("an index with a consistent updates log stays clean; a stale flag warns") {
