@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.index.{Ingest, VectorIndex}
-import graft.operators.{DistanceMetric, Knn}
+import graft.operators.{DistanceMetric, Knn, MaxSim}
 import graft.text.{Dedup, TextOps, WinnowFingerprint}
 import org.apache.spark.sql.graftshim.{toColumn, toExpression}
 
@@ -53,6 +53,30 @@ object SparkEntry {
         idCol = "vec_id", vecCol = "embedding", qidCol = "vec_id", qvecCol = "embedding")
       .select(col("qid"), col("id").as("neighbor_id"))
       .orderBy("qid", "neighbor_id")
+  }
+
+  /** ColPali-style late-interaction (MaxSim) retrieval: embeddings grouped
+    * four per object (`vec_id DIV 4`) play the reference's
+    * multi-vector-per-external-id layout (reference:
+    * apis/python/src/tiledb/vector_search/embeddings/colpali_embedding.py
+    * :88-104 stacks per-patch vectors under one external id); the first
+    * [[MaxSimQObjs]] objects are the query batch. Exact per-query-vector
+    * shortlist ([[MaxSimShortlist]] hits each) + integer-micro MaxSim
+    * re-rank ([[graft.operators.MaxSim]]) — the oracle replays BOTH stages,
+    * so the two-stage decomposition itself is hash-checked. Ids-only
+    * output (floats never compared). */
+  private val MaxSimQObjs = 8
+  private val MaxSimShortlist = 16
+  private def objectMaxsimTopk(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = emb(spark, dir).select(
+      expr("vec_id DIV 4").as("obj"),
+      col("vec_id").as("vid"),
+      col("embedding").as("vector"))
+    val qs = vecs.where(col("obj") < MaxSimQObjs).select(
+      col("obj").as("qid"), col("vid").as("qvid"), col("vector").as("qvec"))
+    MaxSim.topK(vecs, qs, K, MaxSimShortlist)
+      .select(col("qid"), col("obj").as("neighbor_obj"))
+      .orderBy("qid", "neighbor_obj")
   }
 
   /** Shared shape of the DuckDB k-NN oracles: top-K per query by the given
@@ -1331,6 +1355,15 @@ object SparkEntry {
         col("grp_size").cast("long").as("grp_size"), col("kept"))
       .orderBy("doc_id")
 
+  /** Per-source document cap: at most 20 docs per source, ranked by
+    * lexical richness (distinct-token count — the integer facet the
+    * quality family already oracle-checks), windowless via MinTopKLong
+    * heaps (see [[TextOps.capPerGroup]]). */
+  private def textSourceCap(spark: SparkSession, dir: String): DataFrame =
+    TextOps.capPerGroup(docs(spark, dir), n = 20, groupCol = "source",
+        scoreCol = size(TextOps.distinctTokens(col("text"))))
+      .orderBy("source", "doc_id")
+
   /** Test-set decontamination: every 10th document plays the held-out
     * benchmark; the rest of the corpus is scored for shingle overlap
     * against it. */
@@ -1637,6 +1670,7 @@ object SparkEntry {
     "knn_graph_ann" -> (knnGraphAnn _),
     "knn_lsh" -> (knnLsh _),
     "knn_binary_hamming" -> (knnBinaryHamming _),
+    "object_maxsim_topk" -> (objectMaxsimTopk _),
     "object_search" -> (objectSearch _),
     "object_search_filtered" -> (objectSearchFiltered _),
     "object_search_prefiltered" -> (objectSearchPrefiltered _),
@@ -1690,6 +1724,7 @@ object SparkEntry {
     "embedding_cluster_outliers" -> (embeddingClusterOutliers _),
     "pipeline_curation_funnel" -> (pipelineCurationFunnel _),
     "text_top_quantile" -> (textTopQuantile _),
+    "text_source_cap" -> (textSourceCap _),
     "text_bpe_token_count" -> (textBpeTokenCount _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
@@ -1757,6 +1792,32 @@ object SparkEntry {
          |SELECT qid, id AS neighbor_id FROM cand
          |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY list_distance(e, qe), id) <= $K
          |ORDER BY qid, neighbor_id""".stripMargin,
+    // MaxSim late interaction: replay BOTH stages — per-query-vector
+    // shortlist by (dot desc, vid asc), then exact MaxSim on the candidate
+    // objects with the same floor-micro integer pin before the sum
+    "object_maxsim_topk" ->
+      s"""WITH e AS (SELECT vec_id // 4 AS obj, vec_id AS vid, embedding FROM embeddings),
+         |q AS (SELECT obj AS qid, vid AS qvid, embedding AS qvec FROM e WHERE obj < $MaxSimQObjs),
+         |sl AS (
+         |  SELECT q.qid, d.obj
+         |  FROM q CROSS JOIN e d
+         |  QUALIFY row_number() OVER (PARTITION BY q.qvid
+         |    ORDER BY list_inner_product(d.embedding, q.qvec) DESC, d.vid) <= $MaxSimShortlist),
+         |cand AS (SELECT DISTINCT qid, obj FROM sl),
+         |m AS (
+         |  SELECT c.qid, c.obj, qv.qvid,
+         |    max(list_inner_product(dv.embedding, qv.qvec)) AS m
+         |  FROM cand c
+         |  JOIN e dv ON dv.obj = c.obj
+         |  JOIN q qv ON qv.qid = c.qid
+         |  GROUP BY 1, 2, 3),
+         |s AS (
+         |  SELECT qid, obj,
+         |    sum(CAST(floor(m::DOUBLE * 1000000.0) AS BIGINT)) AS score_micro
+         |  FROM m GROUP BY 1, 2)
+         |SELECT qid, obj AS neighbor_obj FROM s
+         |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score_micro DESC, obj) <= $K
+         |ORDER BY qid, neighbor_obj""".stripMargin,
     "sql_index_topk" -> sqlTopkSingleOracle,
     // filtered twin: the allowed set ranks directly (exact at probe-all)
     "sql_index_topk_filtered" ->
@@ -2215,6 +2276,14 @@ object SparkEntry {
         |    count(*) OVER (PARTITION BY lang)::BIGINT AS grp_size
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    "text_source_cap" ->
+      """SELECT source, doc_id, rn::INT AS cap_rank FROM (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) DESC, doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 20
+        |ORDER BY source, doc_id""".stripMargin,
     "text_decontaminate" ->
       s"""$shingleCte,
          |b AS (SELECT DISTINCT unnest(sh) AS sh FROM s WHERE doc_id % 10 = 0),

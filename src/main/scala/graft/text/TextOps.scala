@@ -465,6 +465,38 @@ object TextOps {
           .cast("int"))
   }
 
+  /** Per-group document cap — the RefinedWeb/C4-style "at most `n`
+    * documents per domain" curation rule: keeps each group's top `n`
+    * documents by an integer quality score. Unlike [[topQuantileByGroup]]
+    * (whose keep-share needs the group size, hence a per-group window),
+    * a fixed cap needs no group total, so this runs WINDOWLESS on
+    * [[graft.operators.MinTopKLong]] partial→final heaps: only `n` rows
+    * per (group, input partition) cross the shuffle, and a dominant
+    * domain (60% English web is realistic) costs its share of the scan —
+    * never a single-task per-group sort. Tie-break (score desc, id asc),
+    * the same deterministic contract as [[topQuantileByGroup]].
+    *
+    * Output: (groupCol, idCol, cap_rank) — cap_rank 1-based by
+    * (score desc, id asc) within the group. */
+  def capPerGroup(
+      docs: DataFrame,
+      n: Int,
+      groupCol: String,
+      scoreCol: Column,
+      idCol: String = "doc_id"): DataFrame = {
+    require(n > 0, s"graft: capPerGroup n must be positive, got $n")
+    docs
+      .select(col(groupCol),
+        col(idCol).cast("long").as("__id"),
+        scoreCol.cast("long").as("__s"))
+      .groupBy(col(groupCol))
+      .agg(graft.functions.min_topk_long(-col("__s"), col("__id"), n).as("__topk"))
+      .select(col(groupCol), posexplode(col("__topk")).as(Seq("__pos", "__hit")))
+      .select(col(groupCol),
+        col("__hit.id").as(idCol),
+        (col("__pos") + 1).cast("int").as("cap_rank"))
+  }
+
   /** A small multilingual stopword table for language ID and quality
     * scoring. Deliberately tiny: the point is the *operator shape*
     * (set-membership counting at scale), not lexicography. */

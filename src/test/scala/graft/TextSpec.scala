@@ -702,6 +702,31 @@ class TextSpec extends AnyFunSuite {
     assert(h == graft.text.Fnv64Public.hash("d e"))
   }
 
+  test("capPerGroup keeps the top-n per group with (score desc, id asc) ties, windowless") {
+    import spark.implicits._
+    val rows = Seq(
+      // group a: 4 docs, scores 5,5,3,1 -> cap 2 keeps ids 1,2 (tie by id)
+      (1L, "a", 5L), (2L, "a", 5L), (3L, "a", 3L), (4L, "a", 1L),
+      // group b: fewer docs than the cap -> all kept, ranked
+      (5L, "b", 9L), (6L, "b", 2L),
+      // null group key is a real bucket, not dropped
+      (7L, null.asInstanceOf[String], 4L), (8L, null.asInstanceOf[String], 7L),
+      (9L, null.asInstanceOf[String], 6L)
+    ).toDF("doc_id", "source", "s")
+    val out = TextOps.capPerGroup(rows, n = 2, groupCol = "source", scoreCol = col("s"))
+    val got = out.collect()
+      .map(r => (Option(r.getString(0)).getOrElse("<null>"), r.getLong(1), r.getInt(2)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    assert(got == Seq(
+      ("<null>", 8L, 1), ("<null>", 9L, 2),
+      ("a", 1L, 1), ("a", 2L, 2),
+      ("b", 5L, 1), ("b", 6L, 2)))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"capPerGroup must stay windowless:\n$plan")
+    assert(plan.contains("partial_min_topk_long") || plan.contains("MinTopKLong"),
+      s"cap should ride the partial top-k heap:\n$plan")
+  }
+
   test("a malformed graft conf fails naming the key and value, not as a bare NumberFormatException") {
     spark.conf.set(Dedup.MaxNgramBlockRowsKey, "not-a-number")
     try {
