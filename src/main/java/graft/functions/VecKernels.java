@@ -95,6 +95,25 @@ public final class VecKernels {
     return (float) Math.sqrt((double) sos(a, b));
   }
 
+  /**
+   * Strict dot product over float vectors: each element widened exactly to
+   * double, accumulated left-to-right in double. NO SIMD variant on
+   * purpose — the sequential double fold is the bit-replayable contract
+   * (same discipline as {@link #centeredDot}), so a value-pinned oracle
+   * (e.g. MaxSim's floor-micro scores) reproduces it in any engine that
+   * folds doubles in list order. Use {@link #dot} where only ORDERING is
+   * compared.
+   */
+  public static double dotStrict(ArrayData a, ArrayData b) {
+    int n = a.numElements();
+    checkDims(n, b.numElements());
+    double s = 0.0;
+    for (int i = 0; i < n; i++) {
+      s += (double) a.getFloat(i) * (double) b.getFloat(i);
+    }
+    return s;
+  }
+
   public static float dot(ArrayData a, ArrayData b) {
     int n = a.numElements();
     checkDims(n, b.numElements());

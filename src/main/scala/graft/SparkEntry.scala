@@ -1794,7 +1794,10 @@ object SparkEntry {
          |ORDER BY qid, neighbor_id""".stripMargin,
     // MaxSim late interaction: replay BOTH stages — per-query-vector
     // shortlist by (dot desc, vid asc), then exact MaxSim on the candidate
-    // objects with the same floor-micro integer pin before the sum
+    // objects. The re-rank dot is the STRICT left-to-right DOUBLE fold on
+    // both sides (dot_product_strict ↔ list_sum over the zipped doubles,
+    // the embedding_pca-proven replay form), so the floor-micro pin is
+    // bit-exact; the shortlist uses float ordering only (never compared).
     "object_maxsim_topk" ->
       s"""WITH e AS (SELECT vec_id // 4 AS obj, vec_id AS vid, embedding FROM embeddings),
          |q AS (SELECT obj AS qid, vid AS qvid, embedding AS qvec FROM e WHERE obj < $MaxSimQObjs),
@@ -1806,7 +1809,9 @@ object SparkEntry {
          |cand AS (SELECT DISTINCT qid, obj FROM sl),
          |m AS (
          |  SELECT c.qid, c.obj, qv.qvid,
-         |    max(list_inner_product(dv.embedding, qv.qvec)) AS m
+         |    max(list_sum(list_transform(
+         |      list_zip(dv.embedding::DOUBLE[], qv.qvec::DOUBLE[]),
+         |      s -> s[1] * s[2]))) AS m
          |  FROM cand c
          |  JOIN e dv ON dv.obj = c.obj
          |  JOIN q qv ON qv.qid = c.qid
@@ -2276,12 +2281,14 @@ object SparkEntry {
         |    count(*) OVER (PARTITION BY lang)::BIGINT AS grp_size
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    // NULL-text docs are excluded on BOTH sides (capPerGroup's documented
+    // null-score contract; the score is NULL iff text is)
     "text_source_cap" ->
       """SELECT source, doc_id, rn::INT AS cap_rank FROM (
         |  SELECT source, doc_id,
         |    row_number() OVER (PARTITION BY source
         |      ORDER BY len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) DESC, doc_id) AS rn
-        |  FROM documents)
+        |  FROM documents WHERE text IS NOT NULL)
         |WHERE rn <= 20
         |ORDER BY source, doc_id""".stripMargin,
     "text_decontaminate" ->

@@ -257,6 +257,41 @@ case class ScatterDense(indices: Expression, values: Expression, dims: Int)
     copy(indices = newLeft, values = newRight)
 }
 
+/** Strict dot product `Σᵢ x[i] · y[i]` over float vectors in DOUBLE
+  * precision, accumulated strictly left-to-right (kernel:
+  * [[VecKernels.dotStrict]]) — the bit-replayable sibling of
+  * [[DotProduct]]: no SIMD reassociation, so a VALUE-pinned oracle (e.g.
+  * MaxSim's floor-micro scores) reproduces it exactly in any engine that
+  * folds doubles in list order. Same fold-order contract as
+  * [[CenteredDot]]. */
+case class DotProductStrict(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "dot_product_strict"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dot_product_strict requires two array<float> arguments, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    VecKernels.dotStrict(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecKernels.dotStrict($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Centered dot product `Σᵢ (x[i] − m[i]) · c[i]` in DOUBLE precision,
   * accumulated strictly left-to-right — the PCA projection kernel
   * ([[graft.operators.EmbeddingOps.projectPca]]). The fold order is the

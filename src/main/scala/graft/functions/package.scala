@@ -25,6 +25,11 @@ package object functions {
   def dot_product(a: Column, b: Column): Column =
     toColumn(DotProduct(toExpression(a), toExpression(b)))
 
+  /** Strict left-to-right double-fold dot over float vectors — the
+    * bit-replayable variant for value-pinned oracles (no SIMD). */
+  def dot_product_strict(a: Column, b: Column): Column =
+    toColumn(DotProductStrict(toExpression(a), toExpression(b)))
+
   /** Cosine distance 1-cos (reference metric COSINE=2). */
   def dist_cosine(a: Column, b: Column): Column =
     toColumn(CosineDistance(toExpression(a), toExpression(b)))

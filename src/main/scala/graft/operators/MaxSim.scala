@@ -32,19 +32,23 @@ import graft.functions._
   *      and dedup to (qid, obj) pairs: ≤ |q.vectors|·shortlistK per query.
   *   3. '''Exact MaxSim re-rank''' — ONLY candidate objects' vectors are
   *      fetched (semi-join prunes the corpus scan), every (query vector ×
-  *      candidate vector) dot is scored in one codegen'd stage, reduced
-  *      max-per-query-vector then summed per object. Per-pair maxima are
-  *      pinned to integer micro units (floor(max·10⁶) on the exact
-  *      float→double widening) before the sum, so the cross-object
-  *      ranking is integer arithmetic — deterministic under any shuffle
-  *      arrival order, replayable in the SQL oracle.
+  *      candidate vector) dot is scored in one codegen'd stage with the
+  *      STRICT double-fold kernel ([[graft.functions.DotProductStrict]]:
+  *      left-to-right double accumulation, no SIMD reassociation — the
+  *      bit-replayable contract), reduced max-per-query-vector then
+  *      summed per object. Per-pair maxima are pinned to integer micro
+  *      units (floor(max·10⁶)) before the sum, so the cross-object
+  *      ranking is integer arithmetic on cross-engine-exact values —
+  *      deterministic under any shuffle arrival order AND bit-replayable
+  *      in the SQL oracle.
   *   4. Top-`k` objects per query via [[MinTopKLong]] on
   *      (−score_micro, obj) — ascending heap = (score desc, obj asc).
   *
-  * Scale shape: the corpus is touched by exactly two pruned scans (the
-  * shortlist dot scan — or an index probe — and the candidate semi-join);
-  * everything query-sided is bounded by the batch and rides the
-  * engine-wide broadcast gate. No windows anywhere.
+  * Scale shape: the corpus is touched by three column-pruned scans — the
+  * shortlist dot scan (or an index probe), the hit-id → owning-object
+  * mapping (two int64 columns, no vectors), and the candidate semi-join
+  * vector fetch; everything query-sided is bounded by the batch and
+  * rides the engine-wide broadcast gate. No windows anywhere.
   *
   * @param docVecs   (objCol: Long, vidCol: Long, vecCol: Array[Float]) —
   *                  one row per doc vector; vidCol globally unique
@@ -140,20 +144,23 @@ object MaxSim {
     val candVecs = docs.join(
       graft.gatedSmallSide(candPairs.select(col("__obj")).distinct()),
       Seq("__obj"), "left_semi")
+    // strict double-fold dot: the score is VALUE-pinned by the oracle
+    // (floor-micro), so it must be bit-equal across engines — the SIMD
+    // float kernel is ordering-safe but not value-replayable
     val pairDots = candVecs
       .join(graft.gatedSmallSide(candPairs), Seq("__obj"))
       .join(graft.gatedSmallSide(qs), Seq("__qid"))
       .select(col("__qid"), col("__obj"), col("__qvid"),
-        dot_product(col("__vec"), col("__qvec")).as("__dot"))
+        dot_product_strict(col("__vec"), col("__qvec")).as("__dot"))
     val maxes = pairDots
       .groupBy(col("__qid"), col("__obj"), col("__qvid"))
       .agg(max(col("__dot")).as("__m"))
 
-    // integer micro pin BEFORE the sum: float max -> double (exact) -> x1e6
-    // -> floor, so the per-object score is a sum of longs
+    // integer micro pin BEFORE the sum: exact double max -> x1e6 -> floor,
+    // so the per-object score is a sum of longs
     val scores = maxes
       .groupBy(col("__qid"), col("__obj"))
-      .agg(sum(floor(col("__m").cast("double") * lit(1000000.0)).cast("long"))
+      .agg(sum(floor(col("__m") * lit(1000000.0)).cast("long"))
         .as("__score_micro"))
 
     // stage 4: top-k objects per query, (score desc, obj asc)

@@ -476,6 +476,11 @@ object TextOps {
     * never a single-task per-group sort. Tie-break (score desc, id asc),
     * the same deterministic contract as [[topQuantileByGroup]].
     *
+    * Documents whose score or id evaluates to NULL are EXCLUDED (explicit
+    * filter, not an aggregate-internal skip): a curation cap has no rank
+    * for an unscorable document — coalesce the score upstream to keep
+    * them. NULL group KEYS are real buckets (groupBy keeps them).
+    *
     * Output: (groupCol, idCol, cap_rank) — cap_rank 1-based by
     * (score desc, id asc) within the group. */
   def capPerGroup(
@@ -489,6 +494,7 @@ object TextOps {
       .select(col(groupCol),
         col(idCol).cast("long").as("__id"),
         scoreCol.cast("long").as("__s"))
+      .where(col("__s").isNotNull && col("__id").isNotNull)
       .groupBy(col(groupCol))
       .agg(graft.functions.min_topk_long(-col("__s"), col("__id"), n).as("__topk"))
       .select(col(groupCol), posexplode(col("__topk")).as(Seq("__pos", "__hit")))

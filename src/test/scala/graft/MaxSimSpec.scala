@@ -3,7 +3,6 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.dot_product
 import graft.operators.MaxSim
 
 /** Late-interaction (MaxSim) retrieval ([[graft.operators.MaxSim]]):
@@ -20,22 +19,27 @@ class MaxSimSpec extends AnyFunSuite {
   private lazy val qs = vecs.where(col("obj") < 5)
     .select(col("obj").as("qid"), col("vid").as("qvid"), col("vector").as("qvec"))
 
-  /** Driver-side MaxSim replay sharing ONLY the dot kernel with the
-    * operator: every pair dot comes from the dot_product expression, the
-    * max / floor-micro / sum / top-k pipeline re-runs in plain Scala. */
+  /** Driver-side MaxSim replay sharing NOTHING with the operator: raw
+    * vectors are collected and the strict left-to-right double-fold dot,
+    * max, floor-micro, sum, and top-k all re-run in plain Scala — so a
+    * defect in the DotProductStrict kernel itself breaks this spec too. */
   private lazy val exactScores: Map[(Long, Long), Long] = {
-    val dots = vecs.crossJoin(qs)
-      .select(col("qid"), col("obj"), col("qvid"),
-        dot_product(col("vector"), col("qvec")).as("dot"))
-      .collect()
-      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getFloat(3)))
-    dots.groupBy(_._1).view.mapValues(_.map(_._2).max)
-      .toSeq
-      .groupBy { case ((qid, obj, _), _) => (qid, obj) }
-      .view.mapValues(_.map { case (_, m) =>
-        math.floor(m.toDouble * 1000000.0).toLong
-      }.sum)
-      .toMap
+    def fold(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val dv = vecs.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Float](2).toArray))
+    val qv = dv.filter(_._1 < 5)
+    (for {
+      (qid, _, q) <- qv
+      (obj, _, _) <- dv.map(t => (t._1, 0, 0)).distinct
+    } yield ((qid, obj), {
+      val m = dv.filter(_._1 == obj).map(t => fold(t._3, q)).max
+      math.floor(m * 1000000.0).toLong
+    })).groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
   }
 
   private def exactTopK(k: Int): Map[Long, Seq[(Long, Long)]] =

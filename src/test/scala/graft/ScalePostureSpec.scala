@@ -109,6 +109,29 @@ class ScalePostureSpec extends AnyFunSuite {
     }
   }
 
+  test("MaxSim re-rank joins ride the broadcast gate and the shortlist aggregates partially") {
+    val vecs = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(expr("vec_id DIV 4").as("obj"), col("vec_id").as("vid"),
+        col("embedding").as("vector"))
+    val qs = vecs.where(col("obj") < 3)
+      .select(col("obj").as("qid"), col("vid").as("qvid"), col("vector").as("qvec"))
+    val df = graft.operators.MaxSim.topK(vecs, qs, k = 5, shortlistK = 8)
+    val plan = df.queryExecution.executedPlan.toString
+    // per-query-vector shortlist and per-object sum both reduce through
+    // heap/partial aggregates — a window would funnel per-query candidate
+    // sets through one task
+    assert(!plan.contains("Window"), s"MaxSim must stay windowless:\n$plan")
+    assert(plan.contains("min_topk"),
+      s"shortlist and final rank should ride the heap aggregates:\n$plan")
+    // candidate-sized sides broadcast under the engine gate; the corpus
+    // side is never the build side of a nested-loop beyond the one scored
+    // shortlist cross join
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("ShuffledHashJoin"),
+      s"re-rank joins should be hash joins (gated broadcast):\n$plan")
+    // stage-3 corpus pruning is a semi join on candidate objects
+    assert(plan.contains("LeftSemi"), s"candidate fetch should semi-join:\n$plan")
+  }
+
   test("binary-hamming candidate stage scans only the 8-byte sketch column") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val uri = Files.createTempDirectory("graft_posture_bin").toString

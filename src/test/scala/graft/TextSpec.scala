@@ -713,6 +713,10 @@ class TextSpec extends AnyFunSuite {
       (7L, null.asInstanceOf[String], 4L), (8L, null.asInstanceOf[String], 7L),
       (9L, null.asInstanceOf[String], 6L)
     ).toDF("doc_id", "source", "s")
+      // a NULL-scored doc is EXCLUDED (documented contract) — even when it
+      // would otherwise take a slot in an under-full group
+      .unionByName(Seq((10L, "b")).toDF("doc_id", "source")
+        .withColumn("s", lit(null).cast("long")))
     val out = TextOps.capPerGroup(rows, n = 2, groupCol = "source", scoreCol = col("s"))
     val got = out.collect()
       .map(r => (Option(r.getString(0)).getOrElse("<null>"), r.getLong(1), r.getInt(2)))
