@@ -971,6 +971,37 @@ object SparkEntry {
 
   /** Semantic object search with metadata join (reference object_index
     * query path, rows-only — embedding is engine-internal). */
+  /** ColPali-style late-interaction object search: [[graft.objects
+    * .SplitHalvesEmbedding]] emits two unit vectors per chunk and per
+    * query, an INNER_PRODUCT index stores both under the chunk's external
+    * id (the reference's multi-vector layout, colpali_embedding.py
+    * :88-104), and the maxsim fusion mode scores Σᵢ maxⱼ ⟨qᵢ, dⱼ⟩ over
+    * the surfaced candidates. The oracle replays chunking, both
+    * half-embeddings, the per-query-vector shortlist, and the max/sum
+    * fold — per-half normalization cancels into cosine exactly as the
+    * object_search replay. Ids-and-rank output. */
+  private def objectMaxsimIndex(spark: SparkSession, dir: String): graft.objects.ObjectIndex = {
+    val uri = cachedIndex("obj_maxsim", dir) { u =>
+      graft.objects.ObjectIndex.create(spark, u,
+        new graft.objects.DocumentsTableReader(dir),
+        new graft.objects.SplitHalvesEmbedding(64),
+        metric = DistanceMetric.InnerProduct, timestamp = 1000L)
+    }
+    new graft.objects.ObjectIndex(spark, uri,
+      new graft.objects.DocumentsTableReader(dir),
+      new graft.objects.SplitHalvesEmbedding(64))
+  }
+
+  private def objectSearchMaxsim(spark: SparkSession, dir: String): DataFrame = {
+    val queries = docs(spark, dir).where(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"), col("text"))
+    objectMaxsimIndex(spark, dir)
+      .query(queries, k = K2obj, nprobe = 1 << 30,
+        fusionMode = graft.objects.ObjectIndex.FusionMaxSim)
+      .select(col("qid"), col("rank"), col("external_id"))
+      .orderBy("qid", "rank")
+  }
+
   private def objectSearch(spark: SparkSession, dir: String): DataFrame = {
     val queries = docs(spark, dir).where(col("doc_id") < 5)
       .select(col("doc_id").as("qid"), col("text"))
@@ -1671,6 +1702,7 @@ object SparkEntry {
     "knn_lsh" -> (knnLsh _),
     "knn_binary_hamming" -> (knnBinaryHamming _),
     "object_maxsim_topk" -> (objectMaxsimTopk _),
+    "object_search_maxsim" -> (objectSearchMaxsim _),
     "object_search" -> (objectSearch _),
     "object_search_filtered" -> (objectSearchFiltered _),
     "object_search_prefiltered" -> (objectSearchPrefiltered _),
@@ -1977,6 +2009,58 @@ object SparkEntry {
     // external_id) tie-break, and the doc-level metadata join. The single
     // embedding per query makes the reciprocal fusion rank-preserving, so
     // the oracle ranks by similarity directly.
+    // ColPali-style maxsim replay: same chunking, but each chunk and each
+    // query embeds BOTH text halves (seq 0/1); per-(query, half) top-K2obj
+    // shortlist by (sim desc, id), then max-per-half × sum-across-halves.
+    // Per-half normalization cancels into cosine (the object_search trick),
+    // so the raw-hash-vector cosine IS the normalized dot the IP index ranks.
+    "object_search_maxsim" ->
+      s"""WITH chunks AS (
+         |  SELECT doc_id * 1000 + i AS external_id, doc_id, ch AS text
+         |  FROM (
+         |    SELECT doc_id, unnest(chs) AS ch, generate_subscripts(chs, 1) - 1 AS i
+         |    FROM (
+         |      SELECT doc_id,
+         |        CASE WHEN length(text) <= 1000 THEN [text]
+         |             ELSE list_transform(range(0, length(text), 900), s -> substr(text, s+1, 1000))
+         |        END AS chs
+         |      FROM documents)
+         |  )
+         |),
+         |halves AS (SELECT unnest([0, 1]) AS seq),
+         |dh AS (
+         |  SELECT external_id, h.seq,
+         |    list_transform(regexp_split_to_array(trim(CASE WHEN h.seq = 0
+         |      THEN substr(text, 1, length(text) // 2)
+         |      ELSE substr(text, length(text) // 2 + 1) END), '\\s+'),
+         |      t -> ${fnvSql("t")}) AS hs
+         |  FROM chunks CROSS JOIN halves h),
+         |dv AS (SELECT external_id, seq, $hashEmbeddingSql AS v FROM dh),
+         |qh AS (
+         |  SELECT doc_id AS qid, h.seq,
+         |    list_transform(regexp_split_to_array(trim(CASE WHEN h.seq = 0
+         |      THEN substr(text, 1, length(text) // 2)
+         |      ELSE substr(text, length(text) // 2 + 1) END), '\\s+'),
+         |      t -> ${fnvSql("t")}) AS hs
+         |  FROM documents CROSS JOIN halves h WHERE doc_id < 5),
+         |qv AS (SELECT qid, seq, $hashEmbeddingSql AS v FROM qh),
+         |sc AS (
+         |  SELECT q.qid, q.seq, d.external_id,
+         |    list_cosine_similarity(q.v, d.v) AS sim
+         |  FROM qv q CROSS JOIN dv d),
+         |sl AS (SELECT * FROM sc
+         |  QUALIFY row_number() OVER (PARTITION BY qid, seq
+         |    ORDER BY sim DESC, external_id) <= $K2obj),
+         |fused AS (
+         |  SELECT qid, external_id, sum(m) AS score FROM (
+         |    SELECT qid, seq, external_id, max(sim) AS m FROM sl GROUP BY 1, 2, 3)
+         |  GROUP BY 1, 2)
+         |SELECT qid,
+         |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, external_id)::INT AS rank,
+         |  external_id
+         |FROM fused
+         |QUALIFY rank <= $K2obj
+         |ORDER BY qid, rank""".stripMargin,
     "object_search" ->
       s"""$objectSearchScoredCte,
          |ranked AS (

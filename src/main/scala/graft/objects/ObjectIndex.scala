@@ -42,8 +42,11 @@ class ObjectIndex(
     *        (distance-aware, the default), "rank" = position scoring
     *        1 − rank/fetch_k per embedding run (distance-scale-free — the
     *        reference's mode for mixing embeddings whose distance ranges
-    *        differ). Both MAX over duplicate hits within one embedding and
-    *        SUM across the query's embeddings.
+    *        differ), "maxsim" = late-interaction raw-dot scoring for
+    *        multi-vector models (ColPali; INNER_PRODUCT index required).
+    *        All MAX over duplicate hits within one embedding and
+    *        SUM across the query's embeddings — which for "maxsim" is
+    *        exactly Σᵢ maxⱼ ⟨qᵢ, dⱼ⟩ over the surfaced candidates.
     * @param filterMode how `metadataCond` is applied.
     *        [[ObjectIndex.FilterPost]] (default) = the reference's
     *        strategy (object_index.py:451-453): fetch fetchFactor×k
@@ -67,9 +70,14 @@ class ObjectIndex(
       filterMode: String = ObjectIndex.FilterPost): DataFrame = {
     import spark.implicits._
     require(fusionMode == ObjectIndex.FusionReciprocal ||
-        fusionMode == ObjectIndex.FusionRank,
-      s"graft: fusionMode must be ${ObjectIndex.FusionReciprocal} or " +
-        s"${ObjectIndex.FusionRank}, got $fusionMode")
+        fusionMode == ObjectIndex.FusionRank ||
+        fusionMode == ObjectIndex.FusionMaxSim,
+      s"graft: fusionMode must be ${ObjectIndex.FusionReciprocal}, " +
+        s"${ObjectIndex.FusionRank} or ${ObjectIndex.FusionMaxSim}, got $fusionMode")
+    require(fusionMode != ObjectIndex.FusionMaxSim ||
+        index.metric == graft.operators.DistanceMetric.InnerProduct,
+      s"graft: ${ObjectIndex.FusionMaxSim} fusion needs an INNER_PRODUCT " +
+        s"index (dot is the late-interaction score), got ${index.metric}")
     require(filterMode == ObjectIndex.FilterPost ||
         filterMode == ObjectIndex.FilterPre,
       s"graft: filterMode must be ${ObjectIndex.FilterPost} or " +
@@ -111,6 +119,17 @@ class ObjectIndex(
           .orderBy(col("distance").asc, col("external_id"))
         hits.withColumn("score",
           lit(1.0) - (row_number().over(we) - lit(1)).cast("double") / lit(fetchK.toDouble))
+      case ObjectIndex.FusionMaxSim =>
+        // late interaction: the per-hit score IS the raw dot, recovered
+        // from the IP reported distance 1/dot (0-dot sentinel → 0). The
+        // existing max-over-duplicate-hits × sum-across-embeddings fold
+        // below then computes Σᵢ maxⱼ ⟨qᵢ, dⱼ⟩ over surfaced candidates.
+        // The 1/(1/dot) float round trip can wobble one ulp — ranking
+        // noise only; the exact-contract MaxSim path is
+        // [[graft.operators.MaxSim]] over the raw vector table.
+        hits.withColumn("score",
+          when(col("distance") === lit(Float.MaxValue), lit(0.0))
+            .otherwise(lit(1.0) / col("distance").cast("double")))
       case _ =>
         hits.withColumn("score",
           lit(1.0) / (lit(1.0) + col("distance").cast("double")))
@@ -169,9 +188,16 @@ object ObjectIndex {
     * per query object). */
   val SeqStride = 1000L
 
-  /** Fusion modes (reference: object_index.py:561-635). */
+  /** Fusion modes (reference: object_index.py:561-635). [[FusionMaxSim]]
+    * is the late-interaction scoring the reference's ColPali embeddings
+    * are trained for (colpali_embedding.py:88-104 stores several vectors
+    * per external id): raw dot per hit, so max-over-duplicate-hits ×
+    * sum-across-query-embeddings computes
+    * Σᵢ maxⱼ ⟨qᵢ, dⱼ⟩ over the surfaced candidates — requires an
+    * INNER_PRODUCT index. */
   val FusionReciprocal = "reciprocal"
   val FusionRank = "rank"
+  val FusionMaxSim = "maxsim"
   val FilterPost = "postfilter"
   val FilterPre = "prefilter"
 

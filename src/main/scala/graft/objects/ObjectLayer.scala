@@ -92,6 +92,25 @@ class HashTextEmbedding(val dimensions: Int = 64) extends ObjectEmbedding {
     }
 }
 
+/** Multi-vector text embedding — the deterministic stand-in for the
+  * reference's ColPali model (reference: apis/python/src/tiledb/
+  * vector_search/embeddings/colpali_embedding.py:88-104, which emits one
+  * vector per image patch / token under a shared external id): the two
+  * halves of the text embed independently through [[HashTextEmbedding]],
+  * so every object and query carries TWO unit vectors. Pair with
+  * [[ObjectIndex.FusionMaxSim]] on an INNER_PRODUCT index for
+  * late-interaction retrieval. */
+class SplitHalvesEmbedding(dim: Int = 64) extends ObjectEmbedding {
+  private val inner = new HashTextEmbedding(dim)
+  override def dimensions: Int = dim
+  override def embed(objects: Iterator[(Long, String)]): Iterator[(Long, Int, Array[Float])] =
+    objects.flatMap { case (id, text) =>
+      val half = text.length / 2
+      inner.embed(Iterator((id, text.take(half)))).map { case (i, _, v) => (i, 0, v) } ++
+        inner.embed(Iterator((id, text.drop(half)))).map { case (i, _, v) => (i, 1, v) }
+    }
+}
+
 /** Image embedding whose decode slot is [[graft.multimodal.Multimodal.stubDecode]]
   * — the container ships no codecs, so features are deterministic byte-level
   * statistics; a model-backed deployment (reference resnet/ColPali,

@@ -160,6 +160,54 @@ class ObjectSpec extends AnyFunSuite {
     }
   }
 
+  test("maxsim fusion: late-interaction dot scoring over a multi-vector IP index") {
+    import spark.implicits._
+    import graft.operators.DistanceMetric
+    // same ColPali-style 2-embedding shape as the fusion tests above
+    class TwoVec extends HashTextEmbedding(64) {
+      override def embed(objects: Iterator[(Long, String)]) =
+        objects.flatMap { case (id, text) =>
+          val half = text.length / 2
+          super.embed(Iterator((id, text.take(half)))).map { case (i, _, v) => (i, 0, v) } ++
+            super.embed(Iterator((id, text.drop(half)))).map { case (i, _, v) => (i, 1, v) }
+        }
+    }
+    val emb = new TwoVec
+    val idx = ObjectIndex.create(spark, tmp(), reader, emb,
+      metric = DistanceMetric.InnerProduct, timestamp = 1000L)
+    val qText = spark.read.parquet(s"$sf0001/documents.parquet")
+      .where(col("doc_id") === 7).select(col("text")).head().getString(0)
+    val queries = Seq((7L, qText)).toDF("qid", "text")
+    val k = 5
+    val hits = idx.query(queries, k, nprobe = 1 << 30,
+      fusionMode = ObjectIndex.FusionMaxSim)
+    assert(hits.count() === k)
+    val top = hits.where(col("rank") === 1)
+      .select(col("external_id"), col("score")).head()
+    assert(top.getLong(0) / 1000 === 7L, "own doc's chunk must rank first")
+    // quantitative semantics: the reported score is Σ over the query's 2
+    // embeddings of the max dot against the winning object's 2 vectors,
+    // recomputed driver-side from the deterministic embedding (tolerance
+    // covers the index's 1/(1/dot) float round trip)
+    val winText = reader.readObjects(spark)
+      .where(col("external_id") === top.getLong(0))
+      .select(col("text")).head().getString(0)
+    def vecsOf(id: Long, text: String) =
+      emb.embed(Iterator((id, text))).map(_._3).toSeq
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    val want = vecsOf(0L, qText)
+      .map(q => vecsOf(1L, winText).map(d => dot(q, d)).max).sum
+    assert(math.abs(top.getDouble(1) - want) < 1e-3,
+      s"maxsim score ${top.getDouble(1)} != driver replay $want")
+    // a non-IP index refuses the mode with a named error
+    val cosIdx = objIndex // shared Cosine fixture
+    val e = intercept[IllegalArgumentException] {
+      cosIdx.query(queries, k, fusionMode = ObjectIndex.FusionMaxSim)
+    }
+    assert(e.getMessage.contains("INNER_PRODUCT"), e.getMessage)
+  }
+
   test("parquet 1-D table reader: documents table as a direct object source") {
     import spark.implicits._
     val reader = new graft.objects.ParquetTableReader(
