@@ -90,6 +90,71 @@ object IndexDoctor {
     out.toSeq
   }
 
+  /** Object-layer fsck: every vector-index check plus the coherence of the
+    * `object_metadata` table object queries join each hit against
+    * ([[graft.objects.ObjectIndex]]; reference: object_index.py:524-544
+    * metadata materialization). Same discipline — bounded aggregates
+    * (anti-join COUNTS, never id collects), safe at any corpus size.
+    *
+    *  - duplicate metadata rows per external_id → '''error''' (the
+    *    fused-results inner join would multiply every hit of that object)
+    *  - an indexed id with no metadata row → '''error''' (the inner join
+    *    silently DROPS that object from results — a hit the vector index
+    *    earns disappears)
+    *  - a metadata row whose id is not in the latest base → '''warn'''
+    *    (pre-registered object; joins ignore it) */
+  def checkObjectIndex(spark: SparkSession, uri: String): Seq[Finding] = {
+    val out = mutable.Buffer.empty[Finding]
+    out ++= check(spark, uri)
+    val metaDir = s"$uri/object_metadata"
+    if (!Storage.nonEmptyDir(metaDir)) {
+      out += Finding("error", "object_metadata",
+        "object_metadata table missing/empty — object queries inner-join " +
+          "every hit against it, so ALL results vanish")
+      return out.toSeq
+    }
+    val md =
+      try spark.read.parquet(metaDir)
+      catch {
+        case e: Exception =>
+          out += Finding("error", "object_metadata",
+            s"unreadable: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          return out.toSeq
+      }
+    if (!md.columns.contains("external_id")) {
+      out += Finding("error", "object_metadata",
+        s"schema ${md.columns.toSeq.sorted.mkString(", ")} lacks external_id")
+      return out.toSeq
+    }
+    val dups = md.groupBy(col("external_id")).count()
+      .where(col("count") > 1).count()
+    if (dups > 0)
+      out += Finding("error", "object_metadata",
+        s"$dups external_ids carry duplicate metadata rows — the " +
+          "metadata join multiplies every hit of those objects")
+    try {
+      val t = IndexMeta.read(uri).ingestionTimestamps.last
+      val base = spark.read.parquet(s"$uri/base/v=$t")
+        .select(col("external_id")).distinct()
+      val mdIds = md.select(col("external_id")).distinct()
+      val missingMeta = base.join(mdIds, Seq("external_id"), "left_anti").count()
+      if (missingMeta > 0)
+        out += Finding("error", "object_metadata",
+          s"$missingMeta indexed external_ids have NO metadata row — " +
+            "their hits silently drop from object query results")
+      val orphans = mdIds.join(base, Seq("external_id"), "left_anti").count()
+      if (orphans > 0)
+        out += Finding("warn", "object_metadata",
+          s"$orphans metadata external_ids are absent from base v=$t " +
+            "(pre-registered or stale objects; joins ignore them)")
+    } catch {
+      case e: Exception =>
+        out += Finding("error", "object_metadata",
+          s"coverage check failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
+    }
+    out.toSeq
+  }
+
   /** All artifact checks for one base version (throwing variants surface
     * as a single per-version finding in [[check]]). */
   private def checkVersion(

@@ -211,6 +211,49 @@ class IndexDoctorSpec extends AnyFunSuite {
       .write.mode("overwrite").parquet(path)
   }
 
+  test("object-layer doctor: healthy index clean; seeded metadata corruptions named") {
+    val uri = tmp()
+    graft.objects.ObjectIndex.create(spark, uri,
+      new graft.objects.DocumentsTableReader(sf0001),
+      new graft.objects.HashTextEmbedding(64), timestamp = 1000L)
+    assert(IndexDoctor.checkObjectIndex(spark, uri).isEmpty)
+
+    val metaPath = s"$uri/object_metadata"
+    val original = spark.read.parquet(metaPath).collect().toSeq
+
+    // drop two objects' metadata -> their hits would silently vanish: error
+    rewrite(metaPath)(rows => rows.filterNot { r =>
+      val id = r.getAs[Long]("external_id"); id == 0L || id == 1000L
+    })
+    val missing = IndexDoctor.checkObjectIndex(spark, uri)
+    assert(missing.exists(f => f.severity == "error" &&
+      f.check == "object_metadata" && f.detail.contains("NO metadata row")),
+      missing.toString)
+
+    // duplicate a metadata row -> hit multiplication: error
+    rewrite(metaPath)(_ => original ++ original.take(1))
+    val dup = IndexDoctor.checkObjectIndex(spark, uri)
+    assert(dup.exists(f => f.severity == "error" &&
+      f.detail.contains("duplicate metadata rows")), dup.toString)
+
+    // orphan metadata id (absent from base) -> warn only
+    val schema = spark.read.parquet(metaPath).schema
+    val orphan = new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+      original.head.toSeq.updated(
+        schema.fieldIndex("external_id"), 999999999L).toArray, schema)
+    rewrite(metaPath)(_ => original :+ orphan)
+    val warned = IndexDoctor.checkObjectIndex(spark, uri)
+    assert(warned.exists(f => f.severity == "warn" &&
+      f.detail.contains("absent from base")), warned.toString)
+    assert(!warned.exists(_.severity == "error"), warned.toString)
+
+    // missing table entirely -> error naming total result loss
+    graft.index.Storage.deleteRecursively(metaPath)
+    val gone = IndexDoctor.checkObjectIndex(spark, uri)
+    assert(gone.exists(f => f.severity == "error" &&
+      f.detail.contains("missing/empty")), gone.toString)
+  }
+
   test("healthy BM25 / LM / DSIR models report no findings") {
     import graft.text.{Bm25, Dsir, LangModel, TextDoctor}
     val b = tmp(); Bm25.fit(docs, b)

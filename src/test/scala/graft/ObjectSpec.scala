@@ -206,6 +206,12 @@ class ObjectSpec extends AnyFunSuite {
       cosIdx.query(queries, k, fusionMode = ObjectIndex.FusionMaxSim)
     }
     assert(e.getMessage.contains("INNER_PRODUCT"), e.getMessage)
+    // the mode composes with metadata filtering through the generic
+    // fetch-inflate/repack path: every result satisfies the condition
+    val filtered = idx.query(queries, k, metadataCond = Some("lang = 'en'"),
+      nprobe = 1 << 30, fusionMode = ObjectIndex.FusionMaxSim)
+    assert(filtered.count() > 0)
+    assert(filtered.where(col("lang") =!= "en").count() === 0)
   }
 
   test("parquet 1-D table reader: documents table as a direct object source") {
