@@ -269,6 +269,27 @@ object KernelProperties extends Properties("graft.kernels") {
         rows.map(_._1).distinct.length == rows.length
     }
 
+  private val pairedFloatVecsGen: Gen[(Array[Float], Array[Float])] = for {
+    n <- Gen.chooseNum(0, 200)
+    a <- Gen.containerOfN[Array, Float](n, Gen.chooseNum(-100.0f, 100.0f))
+    b <- Gen.containerOfN[Array, Float](n, Gen.chooseNum(-100.0f, 100.0f))
+  } yield (a, b)
+
+  property("dotStrict == independent left-to-right double fold, and is symmetric") =
+    forAll(pairedFloatVecsGen) { case (a, b) =>
+      def ad(x: Array[Float]) = new GenericArrayData(x.map(_.asInstanceOf[Any]))
+      val got = graft.functions.VecKernels.dotStrict(ad(a), ad(b))
+      var want = 0.0
+      var i = 0
+      while (i < a.length) { want += a(i).toDouble * b(i).toDouble; i += 1 }
+      // bit equality on BOTH checks: the sequential double fold IS the
+      // value-pinned oracle contract (MaxSim floor-micro scores), and
+      // per-element commutativity makes the fold exactly symmetric
+      java.lang.Double.doubleToLongBits(got) == java.lang.Double.doubleToLongBits(want) &&
+        java.lang.Double.doubleToLongBits(got) == java.lang.Double.doubleToLongBits(
+          graft.functions.VecKernels.dotStrict(ad(b), ad(a)))
+    }
+
   property("WordPieceCounts covers every substring <= maxLen exactly once per occurrence") =
     forAll(asciiTextGen, Gen.chooseNum(1, 6)) { (text, maxLen) =>
       val e = graft.text.WordPieceCounts(
