@@ -969,8 +969,6 @@ object SparkEntry {
       .orderBy("qid", "rank")
   }
 
-  /** Semantic object search with metadata join (reference object_index
-    * query path, rows-only — embedding is engine-internal). */
   /** ColPali-style late-interaction object search: [[graft.objects
     * .SplitHalvesEmbedding]] emits two unit vectors per chunk and per
     * query, an INNER_PRODUCT index stores both under the chunk's external
@@ -1002,6 +1000,8 @@ object SparkEntry {
       .orderBy("qid", "rank")
   }
 
+  /** Semantic object search with metadata join (reference object_index
+    * query path, rows-only — embedding is engine-internal). */
   private def objectSearch(spark: SparkSession, dir: String): DataFrame = {
     val queries = docs(spark, dir).where(col("doc_id") < 5)
       .select(col("doc_id").as("qid"), col("text"))

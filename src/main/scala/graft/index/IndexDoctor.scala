@@ -106,6 +106,12 @@ object IndexDoctor {
   def checkObjectIndex(spark: SparkSession, uri: String): Seq[Finding] = {
     val out = mutable.Buffer.empty[Finding]
     out ++= check(spark, uri)
+    // one root cause, one finding: an unreadable metadata document already
+    // surfaced from check() above, and every coverage check below would
+    // just re-throw the same parse failure
+    val indexMeta =
+      try IndexMeta.read(uri)
+      catch { case _: Exception => return out.toSeq }
     val metaDir = s"$uri/object_metadata"
     if (!Storage.nonEmptyDir(metaDir)) {
       out += Finding("error", "object_metadata",
@@ -133,7 +139,7 @@ object IndexDoctor {
         s"$dups external_ids carry duplicate metadata rows — the " +
           "metadata join multiplies every hit of those objects")
     try {
-      val t = IndexMeta.read(uri).ingestionTimestamps.last
+      val t = indexMeta.ingestionTimestamps.last
       val base = spark.read.parquet(s"$uri/base/v=$t")
         .select(col("external_id")).distinct()
       val mdIds = md.select(col("external_id")).distinct()
@@ -182,14 +188,23 @@ object IndexDoctor {
     // the logical corpus is DISTINCT ids: boundary-replicated VAMANA
     // builds store each vector in several shards (+ portal copies from
     // the neighbor exchange), so raw row count legitimately exceeds the
-    // recorded size there — but duplicate rows in any OTHER layout are
-    // corruption
-    if (meta.baseSizes.lift(i).exists(_ != n))
-      out += Finding("error", s"base.v=$t",
-        s"distinct id count $n != recorded baseSize ${meta.baseSizes(i)}")
-    if (meta.shardReplicas <= 1 && rows != n)
-      out += Finding("error", s"base.v=$t",
-        s"${rows - n} duplicate external_id rows in an unreplicated layout")
+    // recorded size there; multi-vector object layouts (meta.multiVector —
+    // ColPali-style models stacking several vectors per external id)
+    // record baseSizes as ROW counts and id multiplicity IS the layout.
+    // Duplicate rows in any other layout are corruption.
+    if (meta.multiVector) {
+      if (meta.baseSizes.lift(i).exists(_ != rows))
+        out += Finding("error", s"base.v=$t",
+          s"row count $rows != recorded baseSize ${meta.baseSizes(i)} " +
+            "(multi-vector layout records rows)")
+    } else {
+      if (meta.baseSizes.lift(i).exists(_ != n))
+        out += Finding("error", s"base.v=$t",
+          s"distinct id count $n != recorded baseSize ${meta.baseSizes(i)}")
+      if (meta.shardReplicas <= 1 && rows != n)
+        out += Finding("error", s"base.v=$t",
+          s"${rows - n} duplicate external_id rows in an unreplicated layout")
+    }
     // replicated layouts hold copies ACROSS shards, but within one shard
     // (shard_id, external_id) is still unique — portals are only imported
     // where the point is NOT resident — so a double-written file is

@@ -43,7 +43,14 @@ case class IndexMeta(
     // have the weaker round-5 routed recall, so autoNprobeShards must not
     // apply the post-exchange sweep to a legacy persisted index — the
     // flag is what distinguishes them (absent in old index.json → false).
-    boundaryExchanged: Boolean = false) {
+    boundaryExchanged: Boolean = false,
+    // true when the ingested source legitimately carries SEVERAL vectors
+    // per external_id (multi-vector object models like ColPali — the
+    // reference stacks per-patch embeddings under one id,
+    // colpali_embedding.py:88-104). Recorded so IndexDoctor treats id
+    // multiplicity as the layout, not corruption; baseSizes stay ROW
+    // counts either way. Absent in old index.json → false.
+    multiVector: Boolean = false) {
 
   def metric: DistanceMetric = DistanceMetric.fromId(distanceMetric)
 
@@ -103,7 +110,8 @@ object IndexMeta {
       "l_build" -> meta.lBuild,
       "r_max_degree" -> meta.rMaxDegree,
       "shard_replicas" -> meta.shardReplicas,
-      "boundary_exchanged" -> meta.boundaryExchanged))
+      "boundary_exchanged" -> meta.boundaryExchanged,
+      "multi_vector" -> meta.multiVector))
     val out = fs.create(p, true)
     try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
   }
@@ -136,7 +144,8 @@ object IndexMeta {
       lBuild = (j \ "l_build").extractOrElse[Int](0),
       rMaxDegree = (j \ "r_max_degree").extractOrElse[Int](0),
       shardReplicas = (j \ "shard_replicas").extractOrElse[Int](1),
-      boundaryExchanged = (j \ "boundary_exchanged").extractOrElse[Boolean](false))
+      boundaryExchanged = (j \ "boundary_exchanged").extractOrElse[Boolean](false),
+      multiVector = (j \ "multi_vector").extractOrElse[Boolean](false))
   }
 
   def exists(rootDir: String): Boolean = {

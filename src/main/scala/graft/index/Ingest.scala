@@ -190,7 +190,8 @@ object Ingest {
       appendMeta: Boolean = false,
       normalizeDone: Boolean = false,
       presetCentroids: Option[Array[Array[Float]]] = None,
-      stageInputs: Boolean = false): VectorIndex = {
+      stageInputs: Boolean = false,
+      multiVector: Boolean = false): VectorIndex = {
 
     graft.functions.Simd.syncOnce(spark) // no-op unless spark.graft.simd is set
     val prior: Option[IndexMeta] =
@@ -464,7 +465,10 @@ object Ingest {
       lBuild = vamanaLBuild,
       rMaxDegree = vamanaRMaxDegree,
       shardReplicas = vamanaShardReplicas,
-      boundaryExchanged = vamanaShardReplicas > 1)
+      boundaryExchanged = vamanaShardReplicas > 1,
+      // sticky across appends/consolidation: once a version held
+      // multi-vector rows, the layout contract is multi-vector
+      multiVector = multiVector || prior.exists(_.multiVector))
     IndexMeta.write(uri, meta)
     // staging copy served its purpose once the partitioned base is written
     if (stageInputs)

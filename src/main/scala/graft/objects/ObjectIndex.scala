@@ -219,7 +219,8 @@ object ObjectIndex {
     // chunk + embed is the expensive part of the plan — stage it so the
     // embedding runs ONCE instead of once per ingestion pass
     Ingest.ingest(spark, uri, vectors, indexType, metric,
-      timestamp = timestamp, partitions = partitions, stageInputs = true)
+      timestamp = timestamp, partitions = partitions, stageInputs = true,
+      multiVector = embedding.multiVector)
     reader.readMetadata(spark)
       .write.mode("overwrite").parquet(s"$uri/object_metadata")
     new ObjectIndex(spark, uri, reader, embedding)

@@ -43,6 +43,11 @@ trait ObjectEmbedding extends Serializable {
   def init(): Unit = ()
   /** Column of `readObjects()` holding the embeddable content. */
   def contentColumn: String = "text"
+  /** Declare true when the model emits SEVERAL vectors per object
+    * (ColPali-style): recorded into the index metadata so the integrity
+    * doctor treats external_id multiplicity as the layout, not
+    * corruption. */
+  def multiVector: Boolean = false
   /** (external_id, text) → embeddings; emit one or more per object. */
   def embed(objects: Iterator[(Long, String)]): Iterator[(Long, Int, Array[Float])] =
     throw new UnsupportedOperationException(
@@ -103,6 +108,7 @@ class HashTextEmbedding(val dimensions: Int = 64) extends ObjectEmbedding {
 class SplitHalvesEmbedding(dim: Int = 64) extends ObjectEmbedding {
   private val inner = new HashTextEmbedding(dim)
   override def dimensions: Int = dim
+  override def multiVector: Boolean = true
   override def embed(objects: Iterator[(Long, String)]): Iterator[(Long, Int, Array[Float])] =
     objects.flatMap { case (id, text) =>
       val half = text.length / 2

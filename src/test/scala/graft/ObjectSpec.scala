@@ -163,18 +163,16 @@ class ObjectSpec extends AnyFunSuite {
   test("maxsim fusion: late-interaction dot scoring over a multi-vector IP index") {
     import spark.implicits._
     import graft.operators.DistanceMetric
-    // same ColPali-style 2-embedding shape as the fusion tests above
-    class TwoVec extends HashTextEmbedding(64) {
-      override def embed(objects: Iterator[(Long, String)]) =
-        objects.flatMap { case (id, text) =>
-          val half = text.length / 2
-          super.embed(Iterator((id, text.take(half)))).map { case (i, _, v) => (i, 0, v) } ++
-            super.embed(Iterator((id, text.drop(half)))).map { case (i, _, v) => (i, 1, v) }
-        }
-    }
-    val emb = new TwoVec
-    val idx = ObjectIndex.create(spark, tmp(), reader, emb,
+    // the PRODUCTION multi-vector model (the ColPali stand-in the driver
+    // query indexes with), not a local twin
+    val emb = new graft.objects.SplitHalvesEmbedding(64)
+    val uriMs = tmp()
+    val idx = ObjectIndex.create(spark, uriMs, reader, emb,
       metric = DistanceMetric.InnerProduct, timestamp = 1000L)
+    // a healthy multi-vector index is CLEAN under the fsck: id
+    // multiplicity is the declared layout (meta.multiVector), and the
+    // object-layer coverage checks hold
+    assert(graft.index.IndexDoctor.checkObjectIndex(spark, uriMs).isEmpty)
     val qText = spark.read.parquet(s"$sf0001/documents.parquet")
       .where(col("doc_id") === 7).select(col("text")).head().getString(0)
     val queries = Seq((7L, qText)).toDF("qid", "text")
