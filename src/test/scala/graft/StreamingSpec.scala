@@ -94,6 +94,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed === batch)
   }
 
+  test("streaming per-source cap equals batch (complete-mode heap aggregate)") {
+    val docsDir = Files.createTempDirectory("graft_stream_cap")
+    spark.read.parquet(s"$sf0001/documents.parquet").limit(60)
+      .write.mode("overwrite").parquet(docsDir.toString)
+    val schema = spark.read.parquet(docsDir.toString).schema
+    val stream = spark.readStream.schema(schema).parquet(docsDir.toString)
+    // capPerGroup is one grouped MinTopKLong aggregate + explode —
+    // complete-mode output re-emits the per-group heap each batch, so the
+    // curation cap runs on a live corpus feed unchanged
+    val q = graft.text.TextOps.capPerGroup(stream, n = 3,
+        groupCol = "source", scoreCol = col("n_chars"))
+      .writeStream.format("memory").queryName("cap_stream")
+      .outputMode("complete").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("cap_stream")
+      .orderBy("source", "cap_rank").collect().toSeq
+    val batch = graft.text.TextOps.capPerGroup(
+        spark.read.parquet(docsDir.toString), n = 3,
+        groupCol = "source", scoreCol = col("n_chars"))
+      .orderBy("source", "cap_rank").collect().toSeq
+    assert(streamed.nonEmpty && streamed === batch)
+  }
+
   test("streaming windowed counts equal the batch plan") {
     val events = EventOps.loadEvents(spark, sf0001)
     val batch = events
