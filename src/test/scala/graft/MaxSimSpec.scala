@@ -108,6 +108,26 @@ class MaxSimSpec extends AnyFunSuite {
     assert(viaIndex == viaScan)
   }
 
+  test("edges: k past the candidate pool under-fills, empty queries empty, bad k named") {
+    // k larger than the object count: every object returns, ranked — no
+    // padding rows, no failure
+    val all = MaxSim.topK(vecs, qs, k = 1000, shortlistK = 120)
+      .groupBy("qid").count().collect()
+    all.foreach(r => assert(r.getLong(1) == 30L, r.toString))
+    // an empty query batch is an empty result, not a crashed plan
+    assert(MaxSim.topK(vecs, qs.where(col("qid") < 0), k = 5, shortlistK = 8)
+      .count() == 0L)
+    // invalid knobs fail with named errors
+    val e1 = intercept[IllegalArgumentException] {
+      MaxSim.topK(vecs, qs, k = 0, shortlistK = 8)
+    }
+    assert(e1.getMessage.contains("k must be positive"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      MaxSim.topK(vecs, qs, k = 5, shortlistK = 0)
+    }
+    assert(e2.getMessage.contains("shortlistK must be positive"), e2.getMessage)
+  }
+
   test("plan posture: no Window anywhere in the MaxSim plan") {
     val plan = MaxSim.topK(vecs, qs, k = 8, shortlistK = 4)
       .queryExecution.executedPlan.toString
