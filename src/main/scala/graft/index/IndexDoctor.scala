@@ -51,6 +51,13 @@ object IndexDoctor {
           s"(known: ${knownTypes.toSeq.sorted.mkString(", ")})")
     if (!Set("float32", "uint8", "int8").contains(meta.dtype))
       out += Finding("error", "meta.dtype", s"unrecognized dtype '${meta.dtype}'")
+    // ingest refuses this combination (graph nodes key by external_id);
+    // a hand-rolled meta claiming it gets a named finding, not a silent
+    // pass through the relaxed multi-vector row arithmetic below
+    if (meta.multiVector && meta.indexType == "VAMANA")
+      out += Finding("error", "meta.multiVector",
+        "VAMANA cannot carry multi-vector layouts (graph keyed by " +
+          "external_id); ingest refuses this combination")
 
     // ---- per-version artifacts ----
     // each version checks inside its own guard: a truncated parquet footer
@@ -106,12 +113,13 @@ object IndexDoctor {
   def checkObjectIndex(spark: SparkSession, uri: String): Seq[Finding] = {
     val out = mutable.Buffer.empty[Finding]
     out ++= check(spark, uri)
-    // one root cause, one finding: an unreadable metadata document already
-    // surfaced from check() above, and every coverage check below would
-    // just re-throw the same parse failure
-    val indexMeta =
-      try IndexMeta.read(uri)
-      catch { case _: Exception => return out.toSeq }
+    // the table-local checks below (presence, schema, duplicates) never
+    // touch the metadata document, so they run even when it is unreadable;
+    // only the base-coverage anti-joins need the parsed meta, and an
+    // unreadable document already surfaced ONE finding from check() above
+    val indexMeta: Option[IndexMeta] =
+      try Some(IndexMeta.read(uri))
+      catch { case _: Exception => None }
     val metaDir = s"$uri/object_metadata"
     if (!Storage.nonEmptyDir(metaDir)) {
       out += Finding("error", "object_metadata",
@@ -138,25 +146,27 @@ object IndexDoctor {
       out += Finding("error", "object_metadata",
         s"$dups external_ids carry duplicate metadata rows — the " +
           "metadata join multiplies every hit of those objects")
-    try {
-      val t = indexMeta.ingestionTimestamps.last
-      val base = spark.read.parquet(s"$uri/base/v=$t")
-        .select(col("external_id")).distinct()
-      val mdIds = md.select(col("external_id")).distinct()
-      val missingMeta = base.join(mdIds, Seq("external_id"), "left_anti").count()
-      if (missingMeta > 0)
-        out += Finding("error", "object_metadata",
-          s"$missingMeta indexed external_ids have NO metadata row — " +
-            "their hits silently drop from object query results")
-      val orphans = mdIds.join(base, Seq("external_id"), "left_anti").count()
-      if (orphans > 0)
-        out += Finding("warn", "object_metadata",
-          s"$orphans metadata external_ids are absent from base v=$t " +
-            "(pre-registered or stale objects; joins ignore them)")
-    } catch {
-      case e: Exception =>
-        out += Finding("error", "object_metadata",
-          s"coverage check failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
+    indexMeta.foreach { im =>
+      try {
+        val t = im.ingestionTimestamps.last
+        val base = spark.read.parquet(s"$uri/base/v=$t")
+          .select(col("external_id")).distinct()
+        val mdIds = md.select(col("external_id")).distinct()
+        val missingMeta = base.join(mdIds, Seq("external_id"), "left_anti").count()
+        if (missingMeta > 0)
+          out += Finding("error", "object_metadata",
+            s"$missingMeta indexed external_ids have NO metadata row — " +
+              "their hits silently drop from object query results")
+        val orphans = mdIds.join(base, Seq("external_id"), "left_anti").count()
+        if (orphans > 0)
+          out += Finding("warn", "object_metadata",
+            s"$orphans metadata external_ids are absent from base v=$t " +
+              "(pre-registered or stale objects; joins ignore them)")
+      } catch {
+        case e: Exception =>
+          out += Finding("error", "object_metadata",
+            s"coverage check failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
     }
     out.toSeq
   }
@@ -304,8 +314,12 @@ object IndexDoctor {
         else {
           val sk = spark.read.parquet(sPath)
           val sn = sk.count()
-          if (sn != n)
-            out += Finding("error", s"sketch.v=$t", s"sketch rows $sn != base rows $n")
+          // one sketch row per base ROW (multi-vector layouts included);
+          // distinct-id comparison would false-positive on multiplicity
+          val expectSketch = if (meta.multiVector) rows else n
+          if (sn != expectSketch)
+            out += Finding("error", s"sketch.v=$t",
+              s"sketch rows $sn != base rows $expectSketch")
           val words = (meta.dimensions + 63) / 64
           val bad = sk.where(size(col("bits")) =!= words).count()
           if (bad > 0)

@@ -365,6 +365,13 @@ object Ingest {
         // search). `partitions` doubles as the shard count.
         require(metric != DistanceMetric.InnerProduct,
           "VAMANA supports SOS/L2/COSINE (reference vamana_index.py:173-180)")
+        // graph nodes (adjacency rows, medoids, consolidation arithmetic)
+        // are keyed by external_id — several vectors under one id would
+        // collide in the per-shard graph; route multi-vector layouts to
+        // FLAT / IVF_FLAT / IVF_PQ / BINARY instead
+        require(!multiVector,
+          "VAMANA keys graph nodes by external_id; multi-vector layouts " +
+            "need FLAT/IVF_FLAT/IVF_PQ/BINARY")
         import spark.implicits._
         // default: auto-shard by size so large builds never serialize into
         // one executor task (partitions=Some(1) = exact reference behavior)

@@ -254,6 +254,34 @@ class IndexDoctorSpec extends AnyFunSuite {
       f.detail.contains("missing/empty")), gone.toString)
   }
 
+  test("multi-vector layouts: BINARY/IVF healthy under the fsck, VAMANA refused at ingest") {
+    // two vectors per external id, declared via multiVector
+    val multi = emb.limit(40).unionByName(
+      emb.limit(40).withColumn("vector", reverse(col("vector"))))
+    for ((t, parts) <- Seq("BINARY" -> None, "IVF_FLAT" -> Some(4))) {
+      val uri = tmp()
+      Ingest.ingest(spark, uri, multi, t, DistanceMetric.L2,
+        timestamp = 1000L, partitions = parts, multiVector = true)
+      val findings = IndexDoctor.check(spark, uri)
+      assert(findings.isEmpty, s"$t multi-vector: $findings")
+    }
+    // VAMANA graphs key nodes by external_id — refused with a named error
+    val e = intercept[IllegalArgumentException] {
+      Ingest.ingest(spark, tmp(), multi, "VAMANA", DistanceMetric.L2,
+        timestamp = 1000L, partitions = Some(2), multiVector = true)
+    }
+    assert(e.getMessage.contains("multi-vector"), e.getMessage)
+    // a hand-rolled meta claiming the combination is itself a finding
+    val uriV = tmp()
+    Ingest.ingest(spark, uriV, emb.limit(40), "VAMANA", DistanceMetric.L2,
+      timestamp = 1000L, partitions = Some(2))
+    val m = IndexMeta.read(uriV)
+    IndexMeta.write(uriV, m.copy(multiVector = true))
+    val vf = IndexDoctor.check(spark, uriV)
+    assert(vf.exists(f => f.severity == "error" &&
+      f.check == "meta.multiVector"), vf.toString)
+  }
+
   test("healthy BM25 / LM / DSIR models report no findings") {
     import graft.text.{Bm25, Dsir, LangModel, TextDoctor}
     val b = tmp(); Bm25.fit(docs, b)

@@ -113,6 +113,7 @@ class MaxSimSpec extends AnyFunSuite {
     // padding rows, no failure
     val all = MaxSim.topK(vecs, qs, k = 1000, shortlistK = 120)
       .groupBy("qid").count().collect()
+    assert(all.length == 5, s"every query must answer: ${all.toSeq}")
     all.foreach(r => assert(r.getLong(1) == 30L, r.toString))
     // an empty query batch is an empty result, not a crashed plan
     assert(MaxSim.topK(vecs, qs.where(col("qid") < 0), k = 5, shortlistK = 8)
