@@ -258,7 +258,8 @@ class IndexDoctorSpec extends AnyFunSuite {
     // two vectors per external id, declared via multiVector
     val multi = emb.limit(40).unionByName(
       emb.limit(40).withColumn("vector", reverse(col("vector"))))
-    for ((t, parts) <- Seq("BINARY" -> None, "IVF_FLAT" -> Some(4))) {
+    for ((t, parts) <- Seq("BINARY" -> None, "IVF_FLAT" -> Some(4),
+        "IVF_PQ" -> Some(4), "FLAT" -> None)) {
       val uri = tmp()
       Ingest.ingest(spark, uri, multi, t, DistanceMetric.L2,
         timestamp = 1000L, partitions = parts, multiVector = true)

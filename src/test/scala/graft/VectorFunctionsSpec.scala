@@ -48,6 +48,32 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(math.abs(row.getFloat(3) - (1.0 - cos)) < 1e-6)
   }
 
+  test("dot_product_strict: codegen'd column bit-equals the sequential double fold") {
+    import spark.implicits._
+    // real 64-dim fixture rows through the EXPRESSION (whole-stage codegen
+    // path), checked bit-for-bit against a plain Scala fold — the
+    // value-replay contract MaxSim's floor-micro oracle pins
+    val rows = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .limit(8).collect().map(_.getSeq[Float](1).toArray)
+    val df = rows.sliding(2, 2).map(p => (p(0), p(1))).toSeq.toDF("a", "b")
+    val got = df.select(dot_product_strict($"a", $"b")).collect().map(_.getDouble(0))
+    val want = rows.sliding(2, 2).map { p =>
+      var s = 0.0; var i = 0
+      while (i < p(0).length) { s += p(0)(i).toDouble * p(1)(i).toDouble; i += 1 }
+      s
+    }.toArray
+    got.zip(want).foreach { case (g, w) =>
+      assert(java.lang.Double.doubleToLongBits(g) ==
+        java.lang.Double.doubleToLongBits(w), s"$g != $w")
+    }
+    // type gate names the expression
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
+        .select(dot_product_strict($"a", $"b")).collect()
+    }
+    assert(e.getMessage.contains("dot_product_strict"), e.getMessage)
+  }
+
   test("normalize yields unit norm; zero vector passes through") {
     import spark.implicits._
     val norms = sampled.select($"id", vector_norm(vector_normalize($"vec")).as("n"))
