@@ -1239,6 +1239,32 @@ object SparkEntry {
     graft.text.TextOps.chunkTokenWindows(docs(spark, dir))
       .orderBy("doc_id", "chunk_idx")
 
+  /** Corpus-wide boilerplate line removal
+    * ([[graft.text.Dedup.dedupBoilerplateLines]] — the C4 §2.2 /
+    * RefinedWeb line-wise filter): a line recurring across ≥ 3 distinct
+    * documents is dropped everywhere and each document reassembles from
+    * its surviving lines. The fixture's documents are single-line, so the
+    * query first derives a deterministic multi-line frame — tokens
+    * regrouped into 3-token lines joined by '\n' — replayed list-op for
+    * list-op in the oracle; the frequency count, the ≥ 2-char candidate
+    * guard, the anti join, and the in-order reassembly are all
+    * oracle-checked (two fixture docs empty out entirely, pinning the
+    * all-boilerplate path). */
+  private def textLineDedup(spark: SparkSession, dir: String): DataFrame = {
+    val ts = TextOps.tokens(col("text"))
+    val seg = docs(spark, dir).select(col("doc_id"),
+      array_join(
+        transform(
+          sequence(lit(0), floor((size(ts) - lit(1)) / lit(3.0)).cast("int")),
+          i => array_join(slice(ts, i * lit(3) + lit(1), lit(3)), " ")),
+        "\n").as("text"))
+    Dedup.dedupBoilerplateLines(seg, minDocFreq = 3, minLineChars = 2,
+        idCol = "doc_id")
+      .select(col("id").as("doc_id"), col("clean_text"), col("n_lines"),
+        col("removed_lines"))
+      .orderBy("doc_id")
+  }
+
   /** BM25 lexical top-k ([[graft.text.Bm25]]): idf fit once to integer
     * micro-nats + exact persisted avgdl; query-time scoring is one pinned
     * double expression floored per (query, doc, term) and integer-summed,
@@ -1732,6 +1758,7 @@ object SparkEntry {
     "text_quality" -> (textQuality _),
     "text_fingerprint" -> (textFingerprint _),
     "text_langid" -> (textLangId _),
+    "text_line_dedup" -> (textLineDedup _),
     "text_winnow" -> (textWinnow _),
     "text_repetition" -> (textRepetition _),
     "text_redact_pii" -> (textRedactPii _),
@@ -2128,6 +2155,37 @@ object SparkEntry {
         |    {'score': len(list_filter(toks, x -> list_contains(['o','a','os','as','e','é','um','uma','de','para'], x))), 'lang': 'pt'}
         |  ]) AS best FROM t
         |)
+        |ORDER BY doc_id""".stripMargin,
+    //
+    // Boilerplate line removal replayed exactly: the same 3-token line
+    // derivation (list_slice grouping), corpus-wide distinct-doc line
+    // frequency over >= 2-char candidates, df >= 3 drop set, anti join
+    // (LEFT JOIN ... IS NULL — short lines can't be in the drop set so
+    // the single predicate covers the guard too), and in-order
+    // string_agg reassembly; fully-emptied docs survive as '' through
+    // the outer coalesce.
+    "text_line_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts FROM documents),
+        |seg AS (
+        |  SELECT doc_id, list_transform(range(0, ((len(ts)-1)//3)+1),
+        |    i -> array_to_string(list_slice(ts, i*3+1, i*3+3), ' ')) AS lines
+        |  FROM t),
+        |l AS (
+        |  SELECT doc_id, unnest(lines) AS line, generate_subscripts(lines, 1) AS pos FROM seg),
+        |f AS (
+        |  SELECT line, count(DISTINCT doc_id) AS df FROM l WHERE length(line) >= 2 GROUP BY line),
+        |b AS (SELECT line FROM f WHERE df >= 3),
+        |kept AS (
+        |  SELECT l.doc_id, l.pos, l.line FROM l LEFT JOIN b ON l.line = b.line
+        |  WHERE b.line IS NULL),
+        |o AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+        |         count(*) AS kept FROM kept GROUP BY doc_id)
+        |SELECT s.doc_id, coalesce(o.clean_text, '') AS clean_text,
+        |       len(s.lines)::BIGINT AS n_lines,
+        |       (len(s.lines) - coalesce(o.kept, 0))::BIGINT AS removed_lines
+        |FROM seg s LEFT JOIN o USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
     //
     // SimHash (Charikar) replayed exactly: FNV-1a per whitespace token,

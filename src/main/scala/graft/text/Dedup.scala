@@ -572,4 +572,74 @@ object Dedup {
         sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
       .withColumn("dup_permille", expr("n_shared * 1000 DIV n_shingles"))
   }
+
+  /** Corpus-wide boilerplate LINE removal (the C4 §2.2 / RefinedWeb
+    * line-wise filter): a line of text that recurs across at least
+    * `minDocFreq` DISTINCT documents is boilerplate (navigation chrome,
+    * cookie banners, license footers) — every occurrence is dropped and
+    * each document is reassembled from its surviving lines in original
+    * order. Sub-document granularity distinguishes this from the
+    * whole-document dedup family above and from [[dedupSpans]]' pairwise
+    * span containment: the signal here is corpus-wide line frequency, not
+    * any document pair.
+    *
+    * Lines shorter than `minLineChars` characters never participate —
+    * neither counted nor dropped (they reassemble untouched). That is both
+    * the C4 semantic (short fragments aren't boilerplate evidence) and the
+    * hot-key guard: empty/one-char lines are the corpus's most frequent
+    * keys and would otherwise dominate the frequency shuffle.
+    *
+    * Scale shape (100 TB): (1) one posexplode over documents; (2) distinct
+    * (line, doc) pairs then a line-keyed count — both hash aggregates with
+    * map-side partial combine, shuffle volume ≈ the distinct-line text
+    * once; (3) the boilerplate set (df ≥ minDocFreq, cardinality bounded
+    * by total_lines / minDocFreq) anti-joins the exploded lines under the
+    * engine-wide broadcast gate ([[graft.gatedSmallSide]] — shuffle
+    * fallback past it, where AQE's skew split handles a pathological hot
+    * line); (4) per-document reassembly is a bounded collect_list +
+    * sort_array, per-doc line counts only — no global order, no window
+    * anywhere. A document whose every line is boilerplate survives as an
+    * empty string (callers drop empties with their own length filter, as
+    * C4 does).
+    *
+    * Output: `(id, clean_text, n_lines, removed_lines)`. */
+  def dedupBoilerplateLines(
+      docs: DataFrame,
+      minDocFreq: Int,
+      minLineChars: Int = 2,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(minDocFreq >= 2,
+      s"graft: dedupBoilerplateLines minDocFreq must be >= 2 (a line is " +
+        s"boilerplate only when SHARED across documents), got $minDocFreq")
+    require(minLineChars >= 0,
+      s"graft: dedupBoilerplateLines minLineChars must be >= 0, got $minLineChars")
+    val base = docs.select(col(idCol).cast("long").as("__id"), col(textCol).as("__text"))
+    val lines = base.select(col("__id"),
+      posexplode(split(col("__text"), "\n", -1)).as(Seq("__pos", "__line")))
+    // candidates vs guarded-short split happens ONCE here so the short/hot
+    // keys bypass the anti join entirely, not just the frequency count
+    val isCand = length(col("__line")) >= minLineChars
+    val freq = lines.where(isCand)
+      .select("__line", "__id").distinct()
+      .groupBy("__line").agg(count(lit(1)).as("__df"))
+    val boiler = freq.where(col("__df") >= minDocFreq).select("__line")
+    val kept = lines.where(isCand)
+      .join(graft.gatedSmallSide(boiler), Seq("__line"), "left_anti")
+      .unionByName(lines.where(!isCand))
+    val rebuilt = kept
+      .groupBy("__id")
+      .agg(sort_array(collect_list(struct(col("__pos"), col("__line")))).as("__sl"))
+      .select(col("__id"),
+        array_join(transform(col("__sl"), s => s.getField("__line")), "\n")
+          .as("clean_text"),
+        size(col("__sl")).cast("long").as("__kept"))
+    base
+      .select(col("__id"), size(split(col("__text"), "\n", -1)).cast("long").as("n_lines"))
+      .join(rebuilt, Seq("__id"), "left")
+      .select(col("__id").as("id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_lines"),
+        (col("n_lines") - coalesce(col("__kept"), lit(0L))).as("removed_lines"))
+  }
 }

@@ -109,6 +109,23 @@ class ScalePostureSpec extends AnyFunSuite {
     }
   }
 
+  test("boilerplate line dedup: no window, gated anti join, partial line-frequency agg") {
+    val multi = docs.select(col("doc_id"),
+      regexp_replace(col("text"), " ", "\n").as("text"))
+    val df = graft.text.Dedup.dedupBoilerplateLines(multi, minDocFreq = 3)
+    val plan = df.queryExecution.executedPlan.toString
+    // reassembly must be the bounded per-doc sort_array(collect_list),
+    // never a global or per-doc ORDER BY window over the exploded lines
+    assert(!plan.contains("Window"),
+      s"line dedup must reassemble without a window:\n$plan")
+    // the drop set rides the engine-wide broadcast gate at fixture size
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"boilerplate drop set should broadcast-anti-join under the gate:\n$plan")
+    // corpus-wide line frequency combines map-side before the line shuffle
+    assert(plan.contains("partial_count") || plan.contains("partial count"),
+      s"line-frequency aggregate should run partial:\n$plan")
+  }
+
   test("MaxSim re-rank joins ride the broadcast gate and the shortlist aggregates partially") {
     val vecs = spark.read.parquet(s"$sf0001/embeddings.parquet")
       .select(expr("vec_id DIV 4").as("obj"), col("vec_id").as("vid"),

@@ -570,6 +570,33 @@ class TextSpec extends AnyFunSuite {
     assert(r._3 == 0L && r._4 == 0L)
   }
 
+  test("boilerplate line dedup: corpus-frequent lines drop, order holds, short guard") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "intro one\ncookie banner\nok\nbody a"),
+      (2L, "cookie banner\nok\nbody b\ncookie banner"), // twice in ONE doc
+      (3L, "ok\ncookie banner\nbody c"),
+      (4L, "cookie banner") // nothing but boilerplate
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupBoilerplateLines(corpus, minDocFreq = 3, minLineChars = 3)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // "cookie banner": 4 distinct docs >= 3 -> dropped everywhere, BOTH
+    // copies in doc 2 (df counts docs once; removal hits occurrences).
+    // "ok" is in 3 docs too but under minLineChars -> never a candidate.
+    assert(out(1L)._2 == "intro one\nok\nbody a")
+    assert(out(1L)._3 == 4L && out(1L)._4 == 1L)
+    assert(out(2L)._2 == "ok\nbody b" && out(2L)._4 == 2L)
+    assert(out(3L)._2 == "ok\nbody c")
+    // every line boilerplate -> the document SURVIVES as an empty string
+    assert(out(4L)._2 == "" && out(4L)._3 == 1L && out(4L)._4 == 1L)
+    // below-threshold corpus is a no-op (df=4 < 5)
+    val untouched = Dedup.dedupBoilerplateLines(corpus, minDocFreq = 5)
+    assert(untouched.where(col("removed_lines") > 0).count() == 0L)
+    // minDocFreq < 2 can only mean "drop every line" - refuse it
+    intercept[IllegalArgumentException](
+      Dedup.dedupBoilerplateLines(corpus, minDocFreq = 1))
+  }
+
   test("vocab seed: substring pieces, ## continuations, frequency ranking") {
     import spark.implicits._
     val corpus = Seq((1L, "aba ab"), (2L, "ab")).toDF("doc_id", "text")
