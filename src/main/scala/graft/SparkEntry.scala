@@ -1244,20 +1244,19 @@ object SparkEntry {
     * RefinedWeb line-wise filter): a line recurring across ≥ 3 distinct
     * documents is dropped everywhere and each document reassembles from
     * its surviving lines. The fixture's documents are single-line, so the
-    * query first derives a deterministic multi-line frame — tokens
-    * regrouped into 3-token lines joined by '\n' — replayed list-op for
-    * list-op in the oracle; the frequency count, the ≥ 2-char candidate
-    * guard, the anti join, and the in-order reassembly are all
+    * query first derives a deterministic multi-line frame — a newline
+    * after every 3rd token, ONE global regexp_replace (an earlier
+    * tokens→transform→slice derivation was semantically identical but
+    * dominated the query's cost: the big nested-HOF expression is
+    * re-codegen'd and re-evaluated in each of the pipeline's corpus
+    * branches; the single regex is cheap everywhere) — mirrored with the
+    * same pattern + 'g' in the oracle; the frequency count, the ≥ 2-char
+    * candidate guard, the anti join, and the in-order reassembly are all
     * oracle-checked (two fixture docs empty out entirely, pinning the
     * all-boilerplate path). */
   private def textLineDedup(spark: SparkSession, dir: String): DataFrame = {
-    val ts = TextOps.tokens(col("text"))
     val seg = docs(spark, dir).select(col("doc_id"),
-      array_join(
-        transform(
-          sequence(lit(0), floor((size(ts) - lit(1)) / lit(3.0)).cast("int")),
-          i => array_join(slice(ts, i * lit(3) + lit(1), lit(3)), " ")),
-        "\n").as("text"))
+      regexp_replace(trim(col("text")), "(\\S+ \\S+ \\S+) ", "$1\n").as("text"))
     Dedup.dedupBoilerplateLines(seg, minDocFreq = 3, minLineChars = 2,
         idCol = "doc_id")
       .select(col("id").as("doc_id"), col("clean_text"), col("n_lines"),
@@ -2158,19 +2157,19 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
     //
     // Boilerplate line removal replayed exactly: the same 3-token line
-    // derivation (list_slice grouping), corpus-wide distinct-doc line
-    // frequency over >= 2-char candidates, df >= 3 drop set, anti join
-    // (LEFT JOIN ... IS NULL — short lines can't be in the drop set so
-    // the single predicate covers the guard too), and in-order
-    // string_agg reassembly; fully-emptied docs survive as '' through
-    // the outer coalesce.
+    // derivation (newline after every 3rd token — one global regex with
+    // identical non-overlapping left-to-right semantics in RE2 and Java),
+    // corpus-wide distinct-doc line frequency over >= 2-char candidates,
+    // df >= 3 drop set, anti join (LEFT JOIN ... IS NULL — short lines
+    // can't be in the drop set so the single predicate covers the guard
+    // too), and in-order string_agg reassembly; fully-emptied docs
+    // survive as '' through the outer coalesce.
     "text_line_dedup" ->
-      """WITH t AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts FROM documents),
-        |seg AS (
-        |  SELECT doc_id, list_transform(range(0, ((len(ts)-1)//3)+1),
-        |    i -> array_to_string(list_slice(ts, i*3+1, i*3+3), ' ')) AS lines
-        |  FROM t),
+      """WITH seg AS (
+        |  SELECT doc_id, string_split(
+        |    regexp_replace(trim(text), '(\S+ \S+ \S+) ', '\1' || chr(10), 'g'),
+        |    chr(10)) AS lines
+        |  FROM documents),
         |l AS (
         |  SELECT doc_id, unnest(lines) AS line, generate_subscripts(lines, 1) AS pos FROM seg),
         |f AS (
