@@ -1264,6 +1264,22 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Training-shard export manifest ([[graft.text.ShardExport]]): the
+    * corpus materialized as 8 deterministic id-hash shards; the returned
+    * manifest is recomputed from the WRITTEN files (n_docs / token totals /
+    * per-shard XOR of FNV-1a text hashes / id range), so the oracle —
+    * which re-derives every shard assignment and every signature from the
+    * documents table in HUGEINT arithmetic — transitively checks that the
+    * export wrote exactly the corpus, no row dropped or duplicated. */
+  private def shardExportUri(spark: SparkSession, dir: String): String =
+    cachedIndex("shard_export", dir) { u =>
+      graft.text.ShardExport.write(docs(spark, dir), u, numShards = 8)
+    }
+
+  private def textExportManifest(spark: SparkSession, dir: String): DataFrame =
+    graft.text.ShardExport.manifest(spark, shardExportUri(spark, dir))
+      .orderBy("shard")
+
   /** BM25 lexical top-k ([[graft.text.Bm25]]): idf fit once to integer
     * micro-nats + exact persisted avgdl; query-time scoring is one pinned
     * double expression floored per (query, doc, term) and integer-summed,
@@ -1779,6 +1795,7 @@ object SparkEntry {
     "text_corpus_profile" -> (textCorpusProfile _),
     "text_vocab_seed" -> (textVocabSeed _),
     "text_dup_score" -> (textDupScore _),
+    "text_export_manifest" -> (textExportManifest _),
     "embedding_cluster_outliers" -> (embeddingClusterOutliers _),
     "pipeline_curation_funnel" -> (pipelineCurationFunnel _),
     "text_top_quantile" -> (textTopQuantile _),
@@ -2343,6 +2360,33 @@ object SparkEntry {
          |SELECT doc_id, n_shingles, n_shared,
          |  (n_shared * 1000 // n_shingles)::BIGINT AS dup_permille
          |FROM a ORDER BY doc_id""".stripMargin,
+    // shard-export manifest replay: shard = unsigned FNV-1a(doc_id) % 8
+    // (the engine's split-mod trick IS unsigned mod — hash_split lesson),
+    // content_sig = bit_xor of the SIGNED per-doc text hash (HUGEINT FNV
+    // converted to two's-complement BIGINT first), token totals from the
+    // same whitespace split. Matching the manifest the engine recomputed
+    // from its written files proves the export wrote exactly the corpus.
+    "text_export_manifest" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_concat([14695981039346656037::HUGEINT],
+        |        list_transform(split(doc_id::VARCHAR, ''), c -> unicode(c)::HUGEINT)),
+        |    (h, x) -> ((h - (h % 256) + xor((h % 256)::BIGINT, x::BIGINT)::HUGEINT)
+        |               * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT) % 8 AS shard,
+        |    list_reduce(list_concat([14695981039346656037::HUGEINT],
+        |        list_transform(split(text, ''), c -> unicode(c)::HUGEINT)),
+        |    (h, x) -> ((h - (h % 256) + xor((h % 256)::BIGINT, x::BIGINT)::HUGEINT)
+        |               * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT) AS sigu,
+        |    len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS nt
+        |  FROM documents)
+        |SELECT shard::INT AS shard,
+        |  count(*)::BIGINT AS n_docs,
+        |  sum(nt)::BIGINT AS n_tokens,
+        |  bit_xor((CASE WHEN sigu >= 9223372036854775808::HUGEINT
+        |        THEN sigu - 18446744073709551616::HUGEINT ELSE sigu END)::BIGINT) AS content_sig,
+        |  min(doc_id)::BIGINT AS id_lo,
+        |  max(doc_id)::BIGINT AS id_hi
+        |FROM h GROUP BY shard ORDER BY shard""".stripMargin,
     // seed-vocabulary replay: every ≤6-char substring of every lowercased
     // token ("##" marks continuations), global counts, top-500 by
     // (cnt desc, piece)

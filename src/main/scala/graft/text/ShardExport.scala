@@ -1,0 +1,147 @@
+package graft.text
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic training-shard materialization with an integrity
+  * manifest — the EXPORT end of the curation pipeline (the step after
+  * filter → dedup → mix → pack: hand the corpus to dataloaders as N
+  * independent streams and be able to PROVE, later, that what the
+  * trainer read is what the pipeline wrote).
+  *
+  * Shard routing is [[TextOps.hashBucket]] over the document id —
+  * content-independent and append-stable, so re-exports and incremental
+  * corpus versions route every id identically (the same contract
+  * [[TextOps.packSequences]] and `hashSplit` build on). `numShards` ≈
+  * dataloader/reader parallelism at the target scale; shards are
+  * disk-partitioned so a reader opens exactly its own files.
+  *
+  * The manifest is recomputed FROM THE WRITTEN FILES, never from the
+  * input lineage: a write that silently dropped or duplicated rows is
+  * visible as a manifest/recount mismatch the moment [[fsck]] runs.
+  * `content_sig` is the bit-XOR of each document's FNV-1a text hash —
+  * order-independent (shard file order is not meaningful) and
+  * overflow-free, recomputable by any engine from the shard files alone.
+  *
+  * Scale shape (100 TB): the export is one column projection + one
+  * disk-partitioned write (shuffle keyed by shard only); the manifest is
+  * one map-side-combined aggregate over the written table with one tiny
+  * output row per shard; [[fsck]] runs the same bounded aggregates —
+  * counts, hashes, min/max — and never collects documents.
+  */
+object ShardExport {
+
+  /** severity: "error" = the export does not match its manifest; reading
+    * it as training data risks silent corpus drift. */
+  case class Finding(severity: String, check: String, detail: String)
+
+  /** Write `docs` as `numShards` deterministic shards under
+    * `uri/shards` (parquet, disk-partitioned by `shard`), plus
+    * `uri/manifest` — one row per non-empty shard:
+    * `(shard, n_docs, n_tokens, content_sig, id_lo, id_hi)` — and
+    * `uri/meta` (num_shards, salt), which lets [[fsck]] re-derive every
+    * document's OWN shard assignment and catch misplaced rows. */
+  def write(
+      docs: DataFrame,
+      uri: String,
+      numShards: Int,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      salt: String = ""): Unit = {
+    require(numShards > 0, s"graft: ShardExport numShards must be positive, got $numShards")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .withColumn("shard",
+        TextOps.hashBucket(col(idCol).cast("string"), numShards, salt).cast("int"))
+      .write.mode("overwrite").partitionBy("shard").parquet(s"$uri/shards")
+    manifestOf(spark.read.parquet(s"$uri/shards"), textCol, idCol)
+      .repartition(1).write.mode("overwrite").parquet(s"$uri/manifest")
+    Seq((numShards, salt)).toDF("num_shards", "salt")
+      .repartition(1).write.mode("overwrite").parquet(s"$uri/meta")
+  }
+
+  /** The persisted manifest, one row per non-empty shard. */
+  def manifest(spark: SparkSession, uri: String): DataFrame =
+    spark.read.parquet(s"$uri/manifest")
+
+  /** The manifest aggregate both [[write]] and [[fsck]] evaluate — ONE
+    * shared plan so they cannot drift. */
+  private def manifestOf(shards: DataFrame, textCol: String, idCol: String): DataFrame =
+    shards.select(col("shard").cast("int").as("shard"),
+        col(idCol).cast("long").as("__id"),
+        TextOps.tokenCount(col(textCol)).cast("long").as("__nt"),
+        TextOps.fnv64(col(textCol)).as("__sig"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__nt")).as("n_tokens"),
+        expr("bit_xor(__sig)").as("content_sig"),
+        min(col("__id")).as("id_lo"),
+        max(col("__id")).as("id_hi"))
+
+  /** Integrity check of an export: recompute the manifest from the shard
+    * files and diff it against the persisted one (any drift — dropped,
+    * duplicated, or altered documents — shows up in n_docs / n_tokens /
+    * content_sig), then re-derive each document's own shard from
+    * (id, num_shards, salt) and count misrouted rows (a corrupted or
+    * hand-moved partition directory). Bounded driver aggregates only
+    * ([[graft.index.IndexDoctor]]'s contract) — documents never leave
+    * the executors. Empty result = healthy. */
+  def fsck(
+      spark: SparkSession,
+      uri: String,
+      textCol: String = "text",
+      idCol: String = "doc_id"): Seq[Finding] = {
+    val out = mutable.Buffer.empty[Finding]
+    val meta =
+      try spark.read.parquet(s"$uri/meta").select("num_shards", "salt").head()
+      catch {
+        case e: Exception =>
+          return Seq(Finding("error", "meta", s"meta unreadable: ${e.getMessage}"))
+      }
+    val numShards = meta.getInt(0)
+    val salt = meta.getString(1)
+    val shards =
+      try spark.read.parquet(s"$uri/shards")
+      catch {
+        case e: Exception =>
+          return Seq(Finding("error", "shards", s"shard table unreadable: ${e.getMessage}"))
+      }
+    val recomputed = manifestOf(shards, textCol, idCol)
+    val persisted = manifest(spark, uri)
+    val cols = Seq("n_docs", "n_tokens", "content_sig", "id_lo", "id_hi")
+    // one row per shard on either side — the join result is bounded by
+    // numShards, so the collect is safe at any corpus size
+    val diff = recomputed.as("r")
+      .join(persisted.as("p"), col("r.shard") === col("p.shard"), "full_outer")
+      .where(col("r.shard").isNull || col("p.shard").isNull ||
+        cols.map(c => !(col(s"r.$c") <=> col(s"p.$c"))).reduce(_ || _))
+      .select(coalesce(col("r.shard"), col("p.shard")).as("shard"),
+        col("r.shard").isNull.as("only_manifest"),
+        col("p.shard").isNull.as("only_files"))
+      .collect()
+    diff.foreach { r =>
+      val shard = r.getInt(0)
+      if (r.getBoolean(1))
+        out += Finding("error", s"shard=$shard",
+          "manifest row has no shard files (shard lost after export)")
+      else if (r.getBoolean(2))
+        out += Finding("error", s"shard=$shard",
+          "shard files present but absent from the manifest (unrecorded write)")
+      else
+        out += Finding("error", s"shard=$shard",
+          "shard stats drifted from the manifest (docs dropped, duplicated, or altered)")
+    }
+    val misrouted = shards
+      .where(TextOps.hashBucket(col(idCol).cast("string"), numShards, salt)
+        .cast("int") =!= col("shard"))
+      .count()
+    if (misrouted > 0)
+      out += Finding("error", "routing",
+        s"$misrouted document(s) sit in a shard their id does not hash to " +
+          s"(num_shards=$numShards, salt='$salt')")
+    out.toSeq
+  }
+}
