@@ -67,6 +67,69 @@ object ShardExport {
   def manifest(spark: SparkSession, uri: String): DataFrame =
     spark.read.parquet(s"$uri/manifest")
 
+  /** Incrementally export `newDocs` into an existing shard set: the
+    * persisted (num_shards, salt) route the batch — so an id added later
+    * lands in the same shard a full re-export would put it in — the batch
+    * appends as new parquet files inside its shard directories, and the
+    * manifest COMBINES the persisted per-shard stats with the batch's
+    * (counts add, id ranges min/max, content_sig XORs — every manifest
+    * column is associative, the [[graft.text.Bm25.append]] lesson: never
+    * re-derive corpus-wide state the persisted record already carries).
+    * `write(A); append(B)` therefore serves a manifest IDENTICAL to
+    * `write(A ∪ B)` — XOR and the other combines are order-independent —
+    * and the byte-level audit of the appended files stays [[fsck]]'s job
+    * (run it after an append to prove the written bytes match the
+    * combined manifest). A batch repeating an id — within itself or vs
+    * the export — is REFUSED up front: duplicate ids double-count docs
+    * and XOR-cancel signatures. Empty batch is a no-op. The corpus is
+    * never re-read. */
+  def append(
+      newDocs: DataFrame,
+      uri: String,
+      textCol: String = "text",
+      idCol: String = "doc_id"): Unit = {
+    val spark = newDocs.sparkSession
+    val meta = spark.read.parquet(s"$uri/meta").select("num_shards", "salt").head()
+    val numShards = meta.getInt(0)
+    val salt = meta.getString(1)
+    val batchIds = newDocs.select(col(idCol).cast("long").as("__id"))
+      .groupBy("__id").agg(count(lit(1)).as("__c"))
+    val innerDup = batchIds.where(col("__c") > 1).limit(1).collect()
+    require(innerDup.isEmpty,
+      s"graft: ShardExport append batch repeats id" +
+        s"${if (innerDup.nonEmpty) s"=${innerDup.head.getLong(0)}" else ""} " +
+        "within itself — de-duplicate the batch")
+    val dup = batchIds.select("__id")
+      .join(spark.read.parquet(s"$uri/shards")
+          .select(col(idCol).cast("long").as("__id")),
+        Seq("__id"), "left_semi")
+      .limit(1).collect()
+    require(dup.isEmpty,
+      s"graft: ShardExport append batch contains ids already exported (e.g. id=" +
+        s"${if (dup.nonEmpty) dup.head.getLong(0) else -1L}) — re-export, or " +
+        "de-duplicate the batch")
+    if (newDocs.limit(1).isEmpty) return
+    val routed = newDocs.withColumn("shard",
+      TextOps.hashBucket(col(idCol).cast("string"), numShards, salt).cast("int"))
+    routed.write.mode("append").partitionBy("shard").parquet(s"$uri/shards")
+    val batchStats = manifestOf(routed, textCol, idCol)
+    val combined = manifest(spark, uri).as("o")
+      .join(batchStats.as("b"), col("o.shard") === col("b.shard"), "full_outer")
+      .select(
+        coalesce(col("o.shard"), col("b.shard")).as("shard"),
+        (coalesce(col("o.n_docs"), lit(0L)) + coalesce(col("b.n_docs"), lit(0L)))
+          .as("n_docs"),
+        (coalesce(col("o.n_tokens"), lit(0L)) + coalesce(col("b.n_tokens"), lit(0L)))
+          .as("n_tokens"),
+        // XOR with 0 is identity, so a one-sided shard passes through
+        coalesce(col("o.content_sig"), lit(0L))
+          .bitwiseXOR(coalesce(col("b.content_sig"), lit(0L))).as("content_sig"),
+        least(col("o.id_lo"), col("b.id_lo")).as("id_lo"),
+        greatest(col("o.id_hi"), col("b.id_hi")).as("id_hi"))
+      .localCheckpoint() // sever from the manifest files about to be replaced
+    combined.repartition(1).write.mode("overwrite").parquet(s"$uri/manifest")
+  }
+
   /** The manifest aggregate both [[write]] and [[fsck]] evaluate — ONE
     * shared plan so they cannot drift. */
   private def manifestOf(shards: DataFrame, textCol: String, idCol: String): DataFrame =

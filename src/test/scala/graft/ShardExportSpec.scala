@@ -40,6 +40,37 @@ class ShardExportSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("append: write(A); append(B) serves the manifest of write(A ∪ B), fsck clean") {
+    import spark.implicits._
+    val a = docs.where(col("doc_id") % 2 === 0)
+    val b = docs.where(col("doc_id") % 2 === 1)
+    val incUri = Files.createTempDirectory("graft_shard_append").toString
+    ShardExport.write(a, incUri, 4)
+    ShardExport.append(b, incUri)
+    val full = ShardExport.manifest(spark, export())
+      .as[(Int, Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val inc = ShardExport.manifest(spark, incUri)
+      .as[(Int, Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(inc == full, "combined manifest must be bit-identical to a full export's")
+    // the byte-level audit: appended files agree with the combined stats
+    assert(ShardExport.fsck(spark, incUri).isEmpty)
+    // empty batch: a no-op, manifest untouched
+    ShardExport.append(b.where(lit(false)), incUri)
+    assert(ShardExport.manifest(spark, incUri)
+      .as[(Int, Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq == full)
+  }
+
+  test("append refuses duplicate ids — within the batch and vs the export") {
+    import spark.implicits._
+    val uri = export()
+    val vsExport = intercept[IllegalArgumentException](
+      ShardExport.append(docs.limit(1), uri))
+    assert(vsExport.getMessage.contains("already exported"))
+    val inner = Seq((900001L, "x y"), (900001L, "z w")).toDF("doc_id", "text")
+    val within = intercept[IllegalArgumentException](ShardExport.append(inner, uri))
+    assert(within.getMessage.contains("within itself"))
+  }
+
   test("fsck reports a shard directory lost after export") {
     val uri = export()
     val dir = Paths.get(uri, "shards", "shard=0")
