@@ -133,6 +133,41 @@ object EventOps {
       .start()
   }
 
+  /** Stream a document feed into a manifest-checked shard export
+    * ([[graft.text.ShardExport]], which a batch [[graft.text.ShardExport.write]]
+    * must have initialized): each micro-batch routes and appends through
+    * `ShardExport.append`, so the manifest combines per-shard stats and
+    * stays bit-identical to a batch export of everything seen. Effectively
+    * exactly-once across restart: foreachBatch can REDELIVER a batch id
+    * after a failure, so the sink records committed ids in `uri/commits`
+    * and skips redeliveries (the standard idempotent-foreachBatch
+    * pattern). The append→commit pair is not atomic — a crash between the
+    * two replays the batch into `append`'s duplicate-id refusal, which
+    * fails the restarted query LOUDLY instead of double-counting silently;
+    * recovery is recording the orphaned batch id by hand after an fsck. */
+  def streamDocsIntoShards(
+      docs: DataFrame,
+      exportUri: String,
+      queryName: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val commitsPath = s"$exportUri/commits"
+        val done =
+          try spark.read.parquet(commitsPath)
+            .where(col("batch_id") === batchId).limit(1).count() > 0
+          catch { case _: Exception => false } // no commits table yet
+        if (!done) {
+          graft.text.ShardExport.append(batch, exportUri)
+          Seq(batchId).toDF("batch_id").write.mode("append").parquet(commitsPath)
+        }
+      }
+      .start()
+
   /** Streaming updates sink (U1/U2 as a stream): each micro-batch of
     * (external_id, vector, ts) rows appends to the index's updates log via
     * foreachBatch — identical semantics to `updateBatch` per batch, and the

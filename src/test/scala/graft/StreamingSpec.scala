@@ -278,4 +278,34 @@ class StreamingSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().toSet
     assert(got === Set((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
   }
+
+  test("streaming shard export equals batch and skips redelivered batches") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text")
+    val a = docs.where(col("doc_id") % 2 === 0)
+    val b = docs.where(col("doc_id") % 2 === 1)
+    val uri = Files.createTempDirectory("graft_stream_shards").toString
+    graft.text.ShardExport.write(a, uri, numShards = 4)
+    val bDir = Files.createTempDirectory("graft_stream_shards_feed")
+    b.write.mode("overwrite").parquet(bDir.toString)
+    val schema = spark.read.parquet(bDir.toString).schema
+    val q = EventOps.streamDocsIntoShards(
+      spark.readStream.schema(schema).parquet(bDir.toString), uri, "shard_stream")
+    try q.processAllAvailable() finally q.stop()
+    // streamed export serves the manifest of a batch export over A ∪ B
+    val fullUri = Files.createTempDirectory("graft_stream_shards_full").toString
+    graft.text.ShardExport.write(docs, fullUri, numShards = 4)
+    def m(u: String) = graft.text.ShardExport.manifest(spark, u)
+      .as[(Int, Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(m(uri) == m(fullUri))
+    assert(graft.text.ShardExport.fsck(spark, uri).isEmpty)
+    // redelivery: a fresh stream over the SAME feed restarts at batch 0,
+    // which uri/commits already records — the sink must skip it (without
+    // the commit log, append's duplicate-id refusal would fail the query)
+    val q2 = EventOps.streamDocsIntoShards(
+      spark.readStream.schema(schema).parquet(bDir.toString), uri, "shard_stream2")
+    try q2.processAllAvailable() finally q2.stop()
+    assert(m(uri) == m(fullUri), "redelivered batch must be a no-op")
+  }
 }
