@@ -92,6 +92,17 @@ object ShardExport {
     val meta = spark.read.parquet(s"$uri/meta").select("num_shards", "salt").head()
     val numShards = meta.getInt(0)
     val salt = meta.getString(1)
+    // schema guard: parquet append with a different column set OR type
+    // would mix schemas inside the shard directories, and a later plain
+    // read resolves ONE of them — silently dropping or re-typing the
+    // other's columns
+    val existingSchema = spark.read.parquet(s"$uri/shards").schema
+      .filterNot(_.name == "shard").map(f => f.name -> f.dataType).toMap
+    val batchSchema = newDocs.schema.map(f => f.name -> f.dataType).toMap
+    require(batchSchema == existingSchema,
+      s"graft: ShardExport append batch schema ${batchSchema.toSeq.sortBy(_._1).mkString("[", ",", "]")} " +
+        s"differs from the export's ${existingSchema.toSeq.sortBy(_._1).mkString("[", ",", "]")} — " +
+        "appending would mix schemas inside the shard files")
     val batchIds = newDocs.select(col(idCol).cast("long").as("__id"))
       .groupBy("__id").agg(count(lit(1)).as("__c"))
     val innerDup = batchIds.where(col("__c") > 1).limit(1).collect()

@@ -66,9 +66,26 @@ class ShardExportSpec extends AnyFunSuite {
     val vsExport = intercept[IllegalArgumentException](
       ShardExport.append(docs.limit(1), uri))
     assert(vsExport.getMessage.contains("already exported"))
-    val inner = Seq((900001L, "x y"), (900001L, "z w")).toDF("doc_id", "text")
+    // fixture mirrors the export's full schema — the schema guard runs first
+    val inner = Seq(
+      (900001L, "x y", "en", "web", 3L),
+      (900001L, "z w", "en", "web", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
     val within = intercept[IllegalArgumentException](ShardExport.append(inner, uri))
     assert(within.getMessage.contains("within itself"))
+  }
+
+  test("append refuses a batch whose schema differs from the export's") {
+    import spark.implicits._
+    val uri = export()
+    val narrow = Seq((900001L, "x y")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException](ShardExport.append(narrow, uri))
+    assert(e.getMessage.contains("mix schemas"))
+    // same names, different type (n_chars int vs the export's long)
+    val retyped = Seq((900002L, "x y", "en", "web", 3))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val e2 = intercept[IllegalArgumentException](ShardExport.append(retyped, uri))
+    assert(e2.getMessage.contains("mix schemas"))
   }
 
   test("fsck reports a shard directory lost after export") {
