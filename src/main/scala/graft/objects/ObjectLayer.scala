@@ -478,6 +478,41 @@ class TiffPyramidReader(
     }.toDF("external_id", "image_id", "path", "level", "tile_x", "tile_y",
       "level_width", "level_height")
   }
+
+  /** Image-level OME metadata, one row per FILE: the OME-XML block an
+    * OME-TIFF carries in its first ImageDescription tag, parsed into the
+    * axis extents / physical pixel sizes / channel names the reference's
+    * bioimage reader plans with (bioimage_reader.py reads the same
+    * geometry via tifffile). Plain TIFFs (no OME block) row out with
+    * `is_ome = false` and the pyramid's own page-0 dimensions, so the
+    * frame is total over the directory. IFD/metadata reads only — no
+    * raster decompresses. Joins the tile tables on `image_id`. */
+  def readOmeMetadata(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val files = graft.index.Ingest.withSyntheticIds(
+      spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(dir)
+        .select(col("path"), col("content")),
+      "path")
+      .select(col("external_id").as("image_id"), col("path"), col("content"))
+    files.as[(Long, String, Array[Byte])].map { case (imageId, path, content) =>
+      TiffPyramidReader.withReader(content) { (reader, _) =>
+        val ome = TiffPyramidReader.imageDescription(reader)
+          .flatMap(TiffPyramidReader.parseOmeXml)
+        ome match {
+          case Some(o) =>
+            (imageId, path, true, o.sizeX, o.sizeY, o.sizeC, o.sizeZ, o.sizeT,
+              o.physicalSizeX.getOrElse(Double.NaN),
+              o.physicalSizeY.getOrElse(Double.NaN), o.channels)
+          case None =>
+            (imageId, path, false, reader.getWidth(0), reader.getHeight(0),
+              1, 1, 1, Double.NaN, Double.NaN, Seq.empty[String])
+        }
+      }
+    }.toDF("image_id", "path", "is_ome", "size_x", "size_y", "size_c",
+      "size_z", "size_t", "physical_size_x", "physical_size_y", "channels")
+  }
 }
 
 object TiffPyramidReader {
@@ -497,8 +532,13 @@ object TiffPyramidReader {
   }
 
   /** Encode `pages` as one multi-page TIFF with the JDK TIFF writer —
-    * the pyramid fixture generator for specs (page l = level l). */
-  def writePyramidTiff(pages: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+    * the pyramid fixture generator for specs (page l = level l).
+    * `imageDescription` lands in the FIRST page's ImageDescription tag
+    * (TIFF 270) — where OME-TIFF stores its OME-XML block, so specs can
+    * mint real OME-TIFFs. */
+  def writePyramidTiff(
+      pages: Seq[java.awt.image.BufferedImage],
+      imageDescription: Option[String] = None): Array[Byte] = {
     require(pages.nonEmpty, "graft: pyramid needs at least one page")
     val writers = javax.imageio.ImageIO.getImageWritersByFormatName("tiff")
     require(writers.hasNext, "graft: JDK TIFF writer missing")
@@ -508,10 +548,98 @@ object TiffPyramidReader {
     try {
       writer.setOutput(ios)
       writer.prepareWriteSequence(null)
-      pages.foreach(p =>
-        writer.writeToSequence(new javax.imageio.IIOImage(p, null, null), null))
+      pages.zipWithIndex.foreach { case (p, i) =>
+        val meta = imageDescription.filter(_ => i == 0).map { desc =>
+          val m = writer.getDefaultImageMetadata(
+            javax.imageio.ImageTypeSpecifier.createFromRenderedImage(p),
+            writer.getDefaultWriteParam)
+          val fmt = "javax_imageio_tiff_image_1.0"
+          val root = new javax.imageio.metadata.IIOMetadataNode(fmt)
+          val ifd = new javax.imageio.metadata.IIOMetadataNode("TIFFIFD")
+          val field = new javax.imageio.metadata.IIOMetadataNode("TIFFField")
+          field.setAttribute("number", "270")
+          field.setAttribute("name", "ImageDescription")
+          val asciis = new javax.imageio.metadata.IIOMetadataNode("TIFFAsciis")
+          val ascii = new javax.imageio.metadata.IIOMetadataNode("TIFFAscii")
+          ascii.setAttribute("value", desc)
+          asciis.appendChild(ascii); field.appendChild(asciis)
+          ifd.appendChild(field); root.appendChild(ifd)
+          m.mergeTree(fmt, root)
+          m
+        }.orNull
+        writer.writeToSequence(new javax.imageio.IIOImage(p, null, meta), null)
+      }
       writer.endWriteSequence()
     } finally { writer.dispose(); ios.close() }
     out.toByteArray
+  }
+
+  /** The first page's ImageDescription tag (TIFF 270) — an IFD/metadata
+    * read, no raster decompression. OME-TIFF keeps its OME-XML here. */
+  def imageDescription(reader: javax.imageio.ImageReader): Option[String] = {
+    val fmt = "javax_imageio_tiff_image_1.0"
+    val meta = reader.getImageMetadata(0)
+    if (meta == null || !meta.getMetadataFormatNames.contains(fmt)) return None
+    val root = meta.getAsTree(fmt)
+    def descendants(n: org.w3c.dom.Node): Iterator[org.w3c.dom.Node] = {
+      val kids = n.getChildNodes
+      (0 until kids.getLength).iterator.map(kids.item)
+        .flatMap(k => Iterator(k) ++ descendants(k))
+    }
+    descendants(root)
+      .find(n => n.getNodeName == "TIFFField" &&
+        n.getAttributes != null &&
+        Option(n.getAttributes.getNamedItem("number")).exists(_.getNodeValue == "270"))
+      .flatMap(f => descendants(f).find(_.getNodeName == "TIFFAscii"))
+      .flatMap(a => Option(a.getAttributes.getNamedItem("value")).map(_.getNodeValue))
+  }
+
+  /** Parsed OME-XML image geometry (the fields the reference's bioimage
+    * reader consumes to plan its reads): pixel extents along all five OME
+    * axes, optional physical pixel sizes, and channel names. */
+  case class OmeInfo(
+      sizeX: Int, sizeY: Int, sizeC: Int, sizeZ: Int, sizeT: Int,
+      physicalSizeX: Option[Double], physicalSizeY: Option[Double],
+      channels: Seq[String])
+
+  /** Parse an OME-XML block (the ImageDescription payload of an
+    * OME-TIFF). Returns None when the text isn't OME-XML. The parser is
+    * hardened for untrusted payloads: DTDs are refused outright, so XXE /
+    * entity-expansion content cannot execute — a hostile description is
+    * just "not OME". */
+  def parseOmeXml(xml: String): Option[OmeInfo] = {
+    if (xml == null || !xml.contains("OME")) return None
+    val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    dbf.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+    dbf.setXIncludeAware(false)
+    dbf.setExpandEntityReferences(false)
+    val doc =
+      try dbf.newDocumentBuilder().parse(
+        new java.io.ByteArrayInputStream(xml.getBytes("UTF-8")))
+      catch { case _: Exception => return None }
+    val rootName = doc.getDocumentElement.getNodeName
+    if (rootName != "OME" && !rootName.endsWith(":OME")) return None
+    // tag lookup by LOCAL name so prefixed and default-namespace OME both
+    // resolve (getElementsByTagName matches qualified names only)
+    def byLocal(name: String): Seq[org.w3c.dom.Element] = {
+      val all = doc.getElementsByTagName("*")
+      (0 until all.getLength).map(all.item(_).asInstanceOf[org.w3c.dom.Element])
+        .filter(e => e.getNodeName == name || e.getNodeName.endsWith(s":$name"))
+    }
+    byLocal("Pixels").headOption.map { px =>
+      def intAttr(a: String, dflt: Int) = {
+        val v = px.getAttribute(a); if (v.isEmpty) dflt else v.toInt
+      }
+      def dblAttr(a: String) = {
+        val v = px.getAttribute(a)
+        if (v.isEmpty) None else Some(v.toDouble)
+      }
+      OmeInfo(
+        intAttr("SizeX", 0), intAttr("SizeY", 0), intAttr("SizeC", 1),
+        intAttr("SizeZ", 1), intAttr("SizeT", 1),
+        dblAttr("PhysicalSizeX"), dblAttr("PhysicalSizeY"),
+        byLocal("Channel").map(c =>
+          Option(c.getAttribute("Name")).filter(_.nonEmpty).getOrElse("")))
+    }
   }
 }

@@ -719,6 +719,56 @@ class ObjectSpec extends AnyFunSuite {
     (0L until 3L).foreach(q => assert(top1(q) === q, s"tile $q should retrieve itself"))
   }
 
+  test("OME-TIFF metadata: real OME-XML block written, read back, parsed; non-OME total") {
+    import spark.implicits._
+    import graft.objects.TiffPyramidReader
+    val dir = Files.createTempDirectory("graft_ome_tiffs")
+    val omeXml =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<OME xmlns="http://www.openmicroscopy.org/Schemas/OME/2016-06">
+        | <Image ID="Image:0" Name="well_a1">
+        |  <Pixels ID="Pixels:0" DimensionOrder="XYCZT" Type="uint8"
+        |          SizeX="40" SizeY="24" SizeC="2" SizeZ="3" SizeT="1"
+        |          PhysicalSizeX="0.25" PhysicalSizeY="0.25">
+        |   <Channel ID="Channel:0:0" Name="DAPI" SamplesPerPixel="1"/>
+        |   <Channel ID="Channel:0:1" Name="GFP" SamplesPerPixel="1"/>
+        |  </Pixels>
+        | </Image>
+        |</OME>""".stripMargin
+    val pages = (0 until 2).map(l => Multimodal.testCardImage(0, 40 >> l, 24 >> l))
+    Files.write(dir.resolve("a_ome.tif"),
+      TiffPyramidReader.writePyramidTiff(pages, Some(omeXml)))
+    Files.write(dir.resolve("b_plain.tif"),
+      TiffPyramidReader.writePyramidTiff(pages))
+    val reader = new TiffPyramidReader(dir.toString, "*.tif")
+    val rows = reader.readOmeMetadata(spark)
+      .orderBy("path").collect()
+    assert(rows.length === 2)
+    val ome = rows(0); val plain = rows(1)
+    assert(ome.getBoolean(2), "a_ome.tif must parse as OME")
+    assert(ome.getInt(3) === 40 && ome.getInt(4) === 24)
+    assert(ome.getInt(5) === 2 && ome.getInt(6) === 3 && ome.getInt(7) === 1)
+    assert(ome.getDouble(8) === 0.25 && ome.getDouble(9) === 0.25)
+    assert(ome.getSeq[String](10) === Seq("DAPI", "GFP"))
+    // plain TIFF: total frame, geometry from the page-0 header
+    assert(!plain.getBoolean(2))
+    assert(plain.getInt(3) === 40 && plain.getInt(4) === 24)
+    assert(plain.getSeq[String](10).isEmpty)
+    // the OME block survives alongside REAL pixel decode (same file
+    // serves tiles through the rect-read path)
+    val tiles = new TiffPyramidReader(dir.toString, "a_ome.tif", level = 1, tileSize = 8)
+      .readObjects(spark).collect()
+    assert(tiles.length === 3 * 2 &&
+      tiles.forall(r => Multimodal.isDecodableImage(r.getAs[Array[Byte]](8))))
+    // hostile description: a DTD-carrying payload is refused as not-OME
+    // (the hardened parser never resolves it), not an exception
+    assert(TiffPyramidReader.parseOmeXml(
+      """<?xml version="1.0"?><!DOCTYPE OME [<!ENTITY x SYSTEM "file:///etc/passwd">]>
+        |<OME><Image><Pixels SizeX="1" SizeY="1">&x;</Pixels></Image></OME>"""
+        .stripMargin).isEmpty)
+    assert(TiffPyramidReader.parseOmeXml("just a comment, not xml").isEmpty)
+  }
+
   test("multimodal: frame sampling emits every Nth frame") {
     import spark.implicits._
     val payload = Array.tabulate[Byte](1024)(i => (i % 127).toByte)
