@@ -60,11 +60,21 @@ object SparkEntry {
     * multi-vector-per-external-id layout (reference:
     * apis/python/src/tiledb/vector_search/embeddings/colpali_embedding.py
     * :88-104 stacks per-patch vectors under one external id); the first
-    * [[MaxSimQObjs]] objects are the query batch. Exact per-query-vector
-    * shortlist ([[MaxSimShortlist]] hits each) + integer-micro MaxSim
-    * re-rank ([[graft.operators.MaxSim]]) — the oracle replays BOTH stages,
-    * so the two-stage decomposition itself is hash-checked. Ids-only
-    * output (floats never compared). */
+    * [[MaxSimQObjs]] objects are the query batch. The shortlist is served
+    * THROUGH THE PRODUCTION SEAM — an IVF_FLAT InnerProduct [[VectorIndex]]
+    * over the per-vector table, probed exhaustively ([[MaxSimShortlist]]
+    * hits per query vector; probe-all ≡ the exact scan, MaxSimSpec proves
+    * the rerank bit-identical either way) — then the integer-micro MaxSim
+    * re-rank ([[graft.operators.MaxSim.rerank]]). The oracle replays BOTH
+    * stages, so the two-stage decomposition itself is hash-checked. Ids-only
+    * output (floats never compared).
+    *
+    * SIMD caveat: the shortlist BOUNDARY rides float dot values computed
+    * independently by the index kernel and DuckDB's list_inner_product; a
+    * reassociated SIMD kernel (`spark.graft.simd`) could wobble a
+    * near-boundary candidate in or out, changing the surfaced set. Driver
+    * runs leave SIMD at its default (off), and the re-rank itself is
+    * strict-fold bit-pinned regardless. */
   private val MaxSimQObjs = 8
   private val MaxSimShortlist = 16
   private def objectMaxsimTopk(spark: SparkSession, dir: String): DataFrame = {
@@ -74,7 +84,16 @@ object SparkEntry {
       col("embedding").as("vector"))
     val qs = vecs.where(col("obj") < MaxSimQObjs).select(
       col("obj").as("qid"), col("vid").as("qvid"), col("vector").as("qvec"))
-    MaxSim.topK(vecs, qs, K, MaxSimShortlist)
+    val uri = cachedIndex("maxsim_ivf_ip", dir) { u =>
+      Ingest.ingest(spark, u,
+        vecs.select(col("vid").as("external_id"), col("vector")),
+        "IVF_FLAT", DistanceMetric.InnerProduct, timestamp = 1000L)
+    }
+    val hits = VectorIndex.open(spark, uri)
+      .query(qs.select(col("qvid").as("qid"), col("qvec")),
+        MaxSimShortlist, nprobe = 1 << 30)
+      .select(col("qid").as("qvid"), col("id").as("vid"))
+    MaxSim.rerank(vecs, qs, hits, K)
       .select(col("qid"), col("obj").as("neighbor_obj"))
       .orderBy("qid", "neighbor_obj")
   }

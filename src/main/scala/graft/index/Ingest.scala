@@ -399,8 +399,13 @@ object Ingest {
           else base.withColumn("shard_id",
             toColumn(NearestCentroid(toExpression(col("vector")), shardCentroids)))
         } else base.withColumn("shard_id", lit(0))
-        // graph build consumes the float view; only stored base is packed
-        packVector(sharded).write.mode("overwrite").partitionBy("shard_id")
+        // graph build consumes the float view; only stored base is packed.
+        // `imported=false` marks residents: the boundary exchange appends
+        // search-only portal copies as imported=true, and logical-base
+        // readers (SQL view registration, consolidation) filter on the flag
+        // instead of paying a replica-dedup pass over the portal rows too.
+        packVector(sharded).withColumn("imported", lit(false))
+          .write.mode("overwrite").partitionBy("shard_id")
           .parquet(s"$uri/base/v=$timestamp")
         val lb = lBuild.getOrElse(VamanaIndex.DefaultLBuild)
         val rd = rMaxDegree.getOrElse(VamanaIndex.DefaultRMaxDegree)
@@ -447,7 +452,8 @@ object Ingest {
             VamanaIndex.exchangeBoundaryEdges(spark, writtenFloat, gWritten, rd)
           gx.write.mode("overwrite").partitionBy("shard_id")
             .parquet(s"$uri/graph/v=$timestamp")
-          packVector(portalBase).write.mode("append").partitionBy("shard_id")
+          packVector(portalBase).withColumn("imported", lit(true))
+            .write.mode("append").partitionBy("shard_id")
             .parquet(s"$uri/base/v=$timestamp")
           Storage.deleteRecursively(gTmp)
         } else {

@@ -209,12 +209,23 @@ class VamanaIndex(spark: SparkSession, uri: String, meta: IndexMeta, ts: Long,
 
   override def baseVectors(): DataFrame = {
     if (historyIdx < 0) return new FlatIndex(spark, uri, meta, ts).baseVectors()
-    val b = spark.read.parquet(s"$uri/base/v=$baseTimestamp")
+    val b = residentRows(spark.read.parquet(s"$uri/base/v=$baseTimestamp"))
       .select("external_id", "vector")
     // boundary-replicated builds store each vector in several shards; the
     // logical base is one row per id (copies are bit-identical)
     if (meta.shardReplicas > 1) b.dropDuplicates("external_id") else b
   }
+
+  /** Drop the boundary exchange's search-only portal copies
+    * (`imported = true`) from a base read — every portal id is resident in
+    * at least one other shard, so the logical base loses nothing and the
+    * replica dedup stops scanning rows it would discard anyway. Versions
+    * written before the flag existed (or whose files mix presence after an
+    * old-format consolidation) read the column as absent/null → resident. */
+  private def residentRows(df: DataFrame): DataFrame =
+    if (df.columns.contains("imported"))
+      df.where(!coalesce(col("imported"), lit(false)))
+    else df
 
   /** Replica-deduped base whose vector column IS the scan's own attribute,
     * for SQL view registration: [[baseVectors]]'s dropDuplicates compiles
@@ -228,7 +239,7 @@ class VamanaIndex(spark: SparkSession, uri: String, meta: IndexMeta, ts: Long,
     if (historyIdx < 0 || meta.shardReplicas <= 1) return baseVectors()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("external_id")).orderBy(col("shard_id"))
-    spark.read.parquet(s"$uri/base/v=$baseTimestamp")
+    residentRows(spark.read.parquet(s"$uri/base/v=$baseTimestamp"))
       .select("external_id", "vector", "shard_id")
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1)
@@ -329,8 +340,17 @@ class VamanaIndex(spark: SparkSession, uri: String, meta: IndexMeta, ts: Long,
     val byteDtype = meta.dtype == "uint8" || meta.dtype == "int8"
     val latest = latestUpdatePerId(upd.get)
     val touchedIds = latest.select("external_id").cache()
-    val oldBase = spark.read.parquet(s"$uri/base/v=$baseTimestamp")
-      .select("shard_id", "external_id", "vector")
+    // carry the portal flag through when the active version has it — the
+    // affected-shard rewrite must keep every file's schema identical to the
+    // byte-copied untouched shards' (a mixed-presence column is resolved
+    // from whichever footer Spark samples, i.e. nondeterministically)
+    val oldBaseRaw = spark.read.parquet(s"$uri/base/v=$baseTimestamp")
+    val hasImportedCol = oldBaseRaw.columns.contains("imported")
+    val oldBase =
+      if (hasImportedCol)
+        oldBaseRaw.select(col("shard_id"), col("external_id"), col("vector"),
+          coalesce(col("imported"), lit(false)).as("imported"))
+      else oldBaseRaw.select("shard_id", "external_id", "vector")
 
     // additions: raw update vectors, normalized for COSINE (the stored base
     // is normalized), assigned to their shardReplicas nearest shards
@@ -387,8 +407,13 @@ class VamanaIndex(spark: SparkSession, uri: String, meta: IndexMeta, ts: Long,
             toColumn(graft.functions.PackBytes(toExpression(col("vector")),
               signed = meta.dtype == "int8")))
         else addsAssigned
-      val newAffected = keptOld.select("shard_id", "external_id", "vector")
-        .unionByName(addsStored.select("shard_id", "external_id", "vector"))
+      val baseCols =
+        if (hasImportedCol) Seq("shard_id", "external_id", "vector", "imported")
+        else Seq("shard_id", "external_id", "vector")
+      val newAffected = keptOld.select(baseCols.head, baseCols.tail: _*)
+        .unionByName(
+          (if (hasImportedCol) addsStored.withColumn("imported", lit(false))
+           else addsStored).select(baseCols.head, baseCols.tail: _*))
       newAffected.write.mode("append").partitionBy("shard_id")
         .parquet(s"$uri/base/v=$newTs")
 

@@ -627,13 +627,12 @@ object TiffPyramidReader {
         .filter(e => e.getNodeName == name || e.getNodeName.endsWith(s":$name"))
     }
     byLocal("Pixels").headOption.map { px =>
-      def intAttr(a: String, dflt: Int) = {
-        val v = px.getAttribute(a); if (v.isEmpty) dflt else v.toInt
-      }
-      def dblAttr(a: String) = {
-        val v = px.getAttribute(a)
-        if (v.isEmpty) None else Some(v.toDouble)
-      }
+      // toIntOption/toDoubleOption, not toInt/toDouble: attribute VALUES are
+      // as untrusted as the XML structure, and SizeX="abc" must degrade to
+      // the default like any other non-OME noise, not throw in the executor
+      def intAttr(a: String, dflt: Int) =
+        px.getAttribute(a).toIntOption.getOrElse(dflt)
+      def dblAttr(a: String) = px.getAttribute(a).toDoubleOption
       OmeInfo(
         intAttr("SizeX", 0), intAttr("SizeY", 0), intAttr("SizeC", 1),
         intAttr("SizeZ", 1), intAttr("SizeT", 1),

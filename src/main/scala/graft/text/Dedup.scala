@@ -614,7 +614,11 @@ object Dedup {
         s"boilerplate only when SHARED across documents), got $minDocFreq")
     require(minLineChars >= 0,
       s"graft: dedupBoilerplateLines minLineChars must be >= 0, got $minLineChars")
-    val base = docs.select(col(idCol).cast("long").as("__id"), col(textCol).as("__text"))
+    // NULL text coalesces to '' (the empty-document contract): split(NULL)
+    // is NULL, which would otherwise emit NULL n_lines/removed_lines that
+    // silently poison downstream counter arithmetic
+    val base = docs.select(col(idCol).cast("long").as("__id"),
+      coalesce(col(textCol), lit("")).as("__text"))
     val lines = base.select(col("__id"),
       posexplode(split(col("__text"), "\n", -1)).as(Seq("__pos", "__line")))
     // candidates vs guarded-short split happens ONCE here so the short/hot

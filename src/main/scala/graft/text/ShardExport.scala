@@ -51,6 +51,9 @@ object ShardExport {
       idCol: String = "doc_id",
       salt: String = ""): Unit = {
     require(numShards > 0, s"graft: ShardExport numShards must be positive, got $numShards")
+    require(!docs.columns.contains("shard"),
+      "graft: ShardExport input already has a 'shard' column — the export " +
+        "would silently overwrite it with its own routing; rename or drop it first")
     val spark = docs.sparkSession
     import spark.implicits._
     docs
@@ -82,7 +85,10 @@ object ShardExport {
     * combined manifest). A batch repeating an id — within itself or vs
     * the export — is REFUSED up front: duplicate ids double-count docs
     * and XOR-cancel signatures. Empty batch is a no-op. The corpus is
-    * never re-read. */
+    * never re-read. The batch is `localCheckpoint`ed before anything reads
+    * it, so the rows the parquet write persists and the rows the manifest
+    * stats aggregate are THE SAME materialization — the written-bytes
+    * contract holds even for a non-deterministic batch plan. */
   def append(
       newDocs: DataFrame,
       uri: String,
@@ -103,7 +109,20 @@ object ShardExport {
       s"graft: ShardExport append batch schema ${batchSchema.toSeq.sortBy(_._1).mkString("[", ",", "]")} " +
         s"differs from the export's ${existingSchema.toSeq.sortBy(_._1).mkString("[", ",", "]")} — " +
         "appending would mix schemas inside the shard files")
-    val batchIds = newDocs.select(col(idCol).cast("long").as("__id"))
+    require(!newDocs.columns.contains("shard"),
+      "graft: ShardExport append batch already has a 'shard' column — the " +
+        "export would silently overwrite it with its own routing; rename or drop it first")
+    // Pin ONE materialization of the routed batch before anything reads it:
+    // the same rows back the duplicate checks, the parquet write, AND the
+    // manifest stats. Without this, a non-deterministic batch plan (or a
+    // source mutated mid-append) could write one row set and record stats
+    // for another — violating the module's "manifest matches the written
+    // bytes" contract until an fsck catches it. localCheckpoint is
+    // batch-bounded (appends are incremental by design), not corpus-sized.
+    val routed = newDocs.withColumn("shard",
+        TextOps.hashBucket(col(idCol).cast("string"), numShards, salt).cast("int"))
+      .localCheckpoint()
+    val batchIds = routed.select(col(idCol).cast("long").as("__id"))
       .groupBy("__id").agg(count(lit(1)).as("__c"))
     val innerDup = batchIds.where(col("__c") > 1).limit(1).collect()
     require(innerDup.isEmpty,
@@ -119,9 +138,7 @@ object ShardExport {
       s"graft: ShardExport append batch contains ids already exported (e.g. id=" +
         s"${if (dup.nonEmpty) dup.head.getLong(0) else -1L}) — re-export, or " +
         "de-duplicate the batch")
-    if (newDocs.limit(1).isEmpty) return
-    val routed = newDocs.withColumn("shard",
-      TextOps.hashBucket(col(idCol).cast("string"), numShards, salt).cast("int"))
+    if (routed.limit(1).isEmpty) return
     routed.write.mode("append").partitionBy("shard").parquet(s"$uri/shards")
     val batchStats = manifestOf(routed, textCol, idCol)
     val combined = manifest(spark, uri).as("o")
