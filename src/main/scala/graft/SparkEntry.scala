@@ -1061,6 +1061,34 @@ object SparkEntry {
       .orderBy("qid", "external_id")
   }
 
+  /** Incremental object-index maintenance (reference object_index.py:736-881
+    * `update_index` + embeddings_ingestion.py): the index is CREATED on the
+    * even documents only, then [[graft.objects.ObjectIndex
+    * .updateIndexFromReader]] with the full reader embeds just the odd
+    * documents' chunks into the vector updates log and appends their
+    * metadata rows to the metadata log — the existing corpus is never
+    * re-embedded. The query merges base + additions and joins the MERGED
+    * metadata view. FLAT raw-store base keeps every distance bit-identical
+    * to a full-corpus build, so the oracle is the full-corpus replay —
+    * hash-checking that create-half + add-half ≡ build-everything. */
+  private def objectSearchIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val full = new graft.objects.DocumentsTableReader(dir)
+    val embedding = new graft.objects.HashTextEmbedding(64)
+    val uri = cachedIndex("obj_incr", dir) { u =>
+      graft.objects.ObjectIndex.create(spark, u,
+        new graft.objects.FilteredObjectReader(full, "doc_id % 2 = 0"),
+        embedding, indexType = "FLAT", timestamp = 1000L)
+      new graft.objects.ObjectIndex(spark, u, full, embedding)
+        .updateIndexFromReader(ts = 2000L)
+    }
+    val idx = new graft.objects.ObjectIndex(spark, uri, full, embedding)
+    val queries = docs(spark, dir).where(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"), col("text"))
+    idx.query(queries, k = K2obj, nprobe = 1 << 30)
+      .select(col("qid"), col("rank"), col("external_id"), col("lang"), col("source"))
+      .orderBy("qid", "rank")
+  }
+
   /** Multimodal binary-column pipeline: documents' bytes as payloads →
     * batch feature extraction (decode stubbed, plumbing real). */
   private def multimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
@@ -1764,6 +1792,7 @@ object SparkEntry {
     "object_maxsim_topk" -> (objectMaxsimTopk _),
     "object_search_maxsim" -> (objectSearchMaxsim _),
     "object_search" -> (objectSearch _),
+    "object_search_incremental" -> (objectSearchIncremental _),
     "object_search_filtered" -> (objectSearchFiltered _),
     "object_search_prefiltered" -> (objectSearchPrefiltered _),
     "object_search_image" -> (objectSearchImage _),
@@ -2124,6 +2153,20 @@ object SparkEntry {
          |QUALIFY rank <= $K2obj
          |ORDER BY qid, rank""".stripMargin,
     "object_search" ->
+      s"""$objectSearchScoredCte,
+         |ranked AS (
+         |  SELECT qid, external_id, doc_id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, external_id) AS rank
+         |  FROM scored
+         |)
+         |SELECT r.qid, r.rank::INT AS rank, r.external_id, d.lang, d.source
+         |FROM ranked r JOIN documents d ON r.doc_id = d.doc_id
+         |WHERE r.rank <= $K2obj
+         |ORDER BY qid, rank""".stripMargin,
+    // incremental maintenance: create-half + add-half must equal the
+    // full-corpus build bit-for-bit (FLAT raw store both sides), so the
+    // oracle IS the full-corpus replay — identical to object_search's
+    "object_search_incremental" ->
       s"""$objectSearchScoredCte,
          |ranked AS (
          |  SELECT qid, external_id, doc_id,

@@ -127,8 +127,31 @@ object IndexDoctor {
           "every hit against it, so ALL results vanish")
       return out.toSeq
     }
+    // the maintenance-log schema gate runs on the RAW log (the merged view
+    // would just throw on a drifted union); everything else checks the
+    // MERGED view — the table object queries actually join against
+    val mdUpdPath = graft.objects.ObjectIndex.metadataUpdatesPath(uri)
+    if (Storage.nonEmptyDir(mdUpdPath)) {
+      try {
+        val baseCols = spark.read.parquet(metaDir).schema
+          .map(f => f.name -> f.dataType).toSet
+        val internal = Set(graft.objects.ObjectIndex.MetaTsCol,
+          graft.objects.ObjectIndex.MetaDeletedCol)
+        val updCols = spark.read.parquet(mdUpdPath).schema
+          .filterNot(f => internal(f.name)).map(f => f.name -> f.dataType).toSet
+        if (updCols != baseCols)
+          out += Finding("error", "object_metadata_updates",
+            s"log attrs ${updCols.toSeq.sortBy(_._1).mkString(", ")} drifted " +
+              s"from the base table's ${baseCols.toSeq.sortBy(_._1).mkString(", ")} — " +
+              "merged reads union NULLs into the divergent columns")
+      } catch {
+        case e: Exception =>
+          out += Finding("error", "object_metadata_updates",
+            s"unreadable: ${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
+    }
     val md =
-      try spark.read.parquet(metaDir)
+      try graft.objects.ObjectIndex.mergedMetadata(spark, uri)
       catch {
         case e: Exception =>
           out += Finding("error", "object_metadata",
@@ -149,19 +172,37 @@ object IndexDoctor {
     indexMeta.foreach { im =>
       try {
         val t = im.ingestionTimestamps.last
-        val base = spark.read.parquet(s"$uri/base/v=$t")
+        // LIVE indexed ids = latest base ∪ updates-log additions, minus ids
+        // whose latest log entry is a tombstone — exactly the id set a
+        // query can surface between consolidations, so metadata coverage
+        // stays a hard invariant through the incremental path
+        val baseIds = spark.read.parquet(s"$uri/base/v=$t")
           .select(col("external_id")).distinct()
+        val updPath = s"$uri/updates"
+        val live =
+          if (Storage.nonEmptyDir(updPath)) {
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(col("external_id")).orderBy(col("ts").desc)
+            val latest = spark.read.parquet(updPath)
+              .withColumn("__rn", row_number().over(w))
+              .where(col("__rn") === 1)
+            baseIds.unionByName(latest.select("external_id"))
+              .distinct()
+              .join(latest.where(col("vector").isNull).select("external_id"),
+                Seq("external_id"), "left_anti")
+          } else baseIds
         val mdIds = md.select(col("external_id")).distinct()
-        val missingMeta = base.join(mdIds, Seq("external_id"), "left_anti").count()
+        val missingMeta = live.join(mdIds, Seq("external_id"), "left_anti").count()
         if (missingMeta > 0)
           out += Finding("error", "object_metadata",
-            s"$missingMeta indexed external_ids have NO metadata row — " +
+            s"$missingMeta live indexed external_ids have NO metadata row — " +
               "their hits silently drop from object query results")
-        val orphans = mdIds.join(base, Seq("external_id"), "left_anti").count()
+        val orphans = mdIds.join(live, Seq("external_id"), "left_anti").count()
         if (orphans > 0)
           out += Finding("warn", "object_metadata",
-            s"$orphans metadata external_ids are absent from base v=$t " +
-              "(pre-registered or stale objects; joins ignore them)")
+            s"$orphans metadata external_ids are not live in the index " +
+              s"(absent from base v=$t and the updates log, or tombstoned; " +
+              "joins ignore them)")
       } catch {
         case e: Exception =>
           out += Finding("error", "object_metadata",

@@ -30,7 +30,14 @@ class ObjectIndex(
     val embedding: ObjectEmbedding) {
 
   lazy val index: VectorIndex = VectorIndex.open(spark, uri)
-  lazy val metadata: DataFrame = spark.read.parquet(s"$uri/object_metadata")
+
+  /** Live object metadata: the `object_metadata` base merged with the
+    * incremental-maintenance updates log (last write per external_id wins,
+    * tombstones drop — [[ObjectIndex.mergedMetadata]]). A def, not a lazy
+    * val, for the same reason [[VectorIndex.query]] re-reads its updates
+    * log: a handle must see [[updateIndex]]/[[deleteObjects]] writes made
+    * through itself or any other handle without re-opening. */
+  def metadata: DataFrame = ObjectIndex.mergedMetadata(spark, uri)
 
   private lazy val indexSize: Long = index.meta.baseSizes.lastOption.getOrElse(0L)
 
@@ -153,6 +160,105 @@ class ObjectIndex(
       .where(col("rank") <= k)
   }
 
+  // ----- incremental maintenance (reference: object_index.py:736-881
+  // update_index + embeddings_ingestion.py:7-604 — embed only the NEW or
+  // CHANGED objects and fold them through the updates array instead of
+  // re-embedding the corpus) -----
+
+  /** Upsert a batch of objects: embed ONLY `objects` (rows in the reader's
+    * schema — `external_id` + the embedding's content column) and write the
+    * vectors through the vector index's updates log
+    * ([[graft.index.VectorIndex.updateBatch]] — the reference's
+    * use_updates_array=True path); `metadataRows` (same schema as
+    * `object_metadata`) append to a sibling metadata updates log with
+    * last-write-wins semantics. Queries see the batch immediately — the
+    * vector side merges base + additions per query, the metadata side reads
+    * the merged view — and [[consolidate]] later folds both logs into fresh
+    * base tables.
+    *
+    * Multi-vector embeddings are refused: the updates log is keyed one
+    * vector per external_id (its last-write-wins overwrite would corrupt a
+    * ColPali-style several-rows-per-id layout) — re-[[ObjectIndex.create]]
+    * instead, the reference's own use_updates_array=False fallback. */
+  def updateIndex(objects: DataFrame, metadataRows: DataFrame, ts: Long): Unit = {
+    require(!embedding.multiVector,
+      "graft: incremental updateIndex rides the one-vector-per-external_id " +
+        "updates log; multi-vector layouts must re-create the index " +
+        "(the reference's use_updates_array=False path)")
+    val vecs = ObjectIndex.embedContent(objects, "external_id", embedding)
+      .toDF("external_id", "embedding_seq", "vector")
+      .select(col("external_id"), col("vector").cast("array<float>").as("vector"))
+    index.updateBatch(vecs, ts)
+    appendMetadata(metadataRows, ts, deleted = false)
+  }
+
+  /** Delete objects: tombstone their vectors in the updates log
+    * ([[graft.index.VectorIndex.deleteBatch]]) and their metadata rows in
+    * the metadata log (all-attribute-NULL rows flagged deleted). */
+  def deleteObjects(ids: DataFrame, ts: Long): Unit = {
+    index.deleteBatch(ids.select(col("external_id")), ts)
+    val baseSchema = spark.read.parquet(s"$uri/object_metadata").schema
+    val tomb = baseSchema.filter(_.name != "external_id")
+      .foldLeft(ids.select(col("external_id").cast("long").as("external_id"))) {
+        (df, f) => df.withColumn(f.name, lit(null).cast(f.dataType))
+      }
+    appendMetadata(tomb, ts, deleted = true)
+  }
+
+  /** Reader-diff convenience (the reference's update_index() called after
+    * the source grew, object_index.py:736-760): ids the reader now yields
+    * that the index has never seen are embedded and upserted; everything
+    * already indexed is untouched — ONE anti-join decides the diff, no
+    * re-embedding of the existing corpus. Content CHANGES under an existing
+    * id are invisible to the diff (ids are the identity); push those
+    * through [[updateIndex]] explicitly. No-op when nothing is new. */
+  def updateIndexFromReader(ts: Long): Unit = {
+    val existing = metadata.select(col("external_id"))
+    val fresh = reader.readObjects(spark)
+      .join(existing, Seq("external_id"), "left_anti")
+    if (fresh.limit(1).isEmpty) return
+    val freshMeta = reader.readMetadata(spark)
+      .join(existing, Seq("external_id"), "left_anti")
+    updateIndex(fresh, freshMeta, ts)
+  }
+
+  /** Fold both maintenance logs into fresh base tables: the vector side
+    * re-ingests through [[graft.index.VectorIndex.consolidateUpdates]], the
+    * metadata side compacts the merged view into a new `object_metadata`
+    * and drops its updates log. The metadata swap is staged (write aside,
+    * move into place) — a crash between the moves leaves the staged
+    * directory on disk with the full merged table, recoverable by hand or
+    * by re-running a consolidation. */
+  def consolidate(newTs: Long, partitions: Option[Int] = None): ObjectIndex = {
+    index.consolidateUpdates(newTs, partitions)
+    val updPath = ObjectIndex.metadataUpdatesPath(uri)
+    if (graft.index.Storage.nonEmptyDir(updPath)) {
+      val stage = s"$uri/object_metadata_stage_$newTs"
+      ObjectIndex.mergedMetadata(spark, uri)
+        .write.mode("overwrite").parquet(stage)
+      graft.index.Storage.deleteRecursively(s"$uri/object_metadata")
+      graft.index.Storage.move(stage, s"$uri/object_metadata")
+      graft.index.Storage.deleteRecursively(updPath)
+    }
+    new ObjectIndex(spark, uri, reader, embedding)
+  }
+
+  /** Append rows to the metadata updates log after validating they carry
+    * exactly the base table's columns and types — a drifted attr set would
+    * otherwise union NULLs into every later merged read. */
+  private def appendMetadata(rows: DataFrame, ts: Long, deleted: Boolean): Unit = {
+    val baseSchema = spark.read.parquet(s"$uri/object_metadata").schema
+    val want = baseSchema.map(f => f.name -> f.dataType).toMap
+    val got = rows.schema.map(f => f.name -> f.dataType).toMap
+    require(got == want,
+      s"graft: metadata batch schema ${got.toSeq.sortBy(_._1).mkString("[", ",", "]")} " +
+        s"differs from object_metadata's ${want.toSeq.sortBy(_._1).mkString("[", ",", "]")}")
+    rows.select(baseSchema.map(f => col(f.name)): _*)
+      .withColumn(ObjectIndex.MetaTsCol, lit(ts))
+      .withColumn(ObjectIndex.MetaDeletedCol, lit(deleted))
+      .write.mode("append").parquet(ObjectIndex.metadataUpdatesPath(uri))
+  }
+
   /** Materialize original objects for a result set (J12). A semi-join
     * against the reader keeps this distributed for arbitrarily large result
     * sets (top-k results are small and auto-broadcast; a full-corpus result
@@ -200,6 +306,34 @@ object ObjectIndex {
   val FusionMaxSim = "maxsim"
   val FilterPost = "postfilter"
   val FilterPre = "prefilter"
+
+  /** Internal columns of the metadata updates log. */
+  private[graft] val MetaTsCol = "__meta_ts"
+  private[graft] val MetaDeletedCol = "__meta_deleted"
+
+  private[graft] def metadataUpdatesPath(uri: String): String =
+    s"$uri/object_metadata_updates"
+
+  /** `object_metadata` merged with its incremental updates log: the latest
+    * write per external_id wins (base rows count as ts=0) and tombstones
+    * drop. The window is per-key over at most one base row plus the id's
+    * log entries — the [[graft.index.VectorIndex.latestUpdatePerId]] shape,
+    * no corpus-wide ordering. Reads the base table alone (no window at
+    * all) when no log exists. */
+  def mergedMetadata(spark: SparkSession, uri: String): DataFrame = {
+    val base = spark.read.parquet(s"$uri/object_metadata")
+    val updPath = metadataUpdatesPath(uri)
+    if (!graft.index.Storage.nonEmptyDir(updPath)) return base
+    val upd = spark.read.parquet(updPath)
+    val all = base
+      .withColumn(MetaTsCol, lit(0L))
+      .withColumn(MetaDeletedCol, lit(false))
+      .unionByName(upd)
+    val w = Window.partitionBy(col("external_id")).orderBy(col(MetaTsCol).desc)
+    all.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1 && !col(MetaDeletedCol))
+      .drop("__rn", MetaTsCol, MetaDeletedCol)
+  }
 
   /** Build the object index: embed all objects and ingest
     * (reference: object_index.py:736-881 update_index → two-stage DAG). */

@@ -26,6 +26,20 @@ trait ObjectReader extends Serializable {
     readObjects(spark).where(col("external_id").isin(ids: _*))
 }
 
+/** A reader restricted by a SQL predicate over the inner reader's columns —
+  * the Spark-native form of the reference's partition subsetting
+  * (object_reader.py `get_partitions`/`object_partitions` let ingestion
+  * address a subset of the source; a Catalyst predicate is the declarative
+  * equivalent and pushes into the inner scan). Useful for staged builds:
+  * create on one slice, [[ObjectIndex.updateIndexFromReader]] with the full
+  * reader picks up the rest. */
+class FilteredObjectReader(inner: ObjectReader, cond: String) extends ObjectReader {
+  override def readObjects(spark: SparkSession): DataFrame =
+    inner.readObjects(spark).where(expr(cond))
+  override def readMetadata(spark: SparkSession): DataFrame =
+    inner.readMetadata(spark).where(expr(cond))
+}
+
 /** Embedding function applied per partition with once-per-executor lazy
   * init (reference: object_embedding.py `load()` once per worker; our
   * `init()` is called lazily inside mapPartitions). May emit MULTIPLE

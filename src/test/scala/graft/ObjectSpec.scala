@@ -212,6 +212,92 @@ class ObjectSpec extends AnyFunSuite {
     assert(filtered.where(col("lang") =!= "en").count() === 0)
   }
 
+  test("incremental maintenance: add/update/delete fold through the logs, doctor stays clean") {
+    import spark.implicits._
+    val full = new DocumentsTableReader(sf0001)
+    val emb = new HashTextEmbedding(64)
+    val uri = tmp()
+    // create on the EVEN docs only, then the reader diff adds the odds —
+    // the reference's update_index() flow (object_index.py:736-881)
+    ObjectIndex.create(spark, uri,
+      new graft.objects.FilteredObjectReader(full, "doc_id % 2 = 0"),
+      emb, indexType = "FLAT", timestamp = 1000L)
+    val idx = new ObjectIndex(spark, uri, full, emb)
+    assert(idx.metadata.where(col("doc_id") % 2 === 1).count() === 0)
+    idx.updateIndexFromReader(ts = 2000L)
+    val fullCount = full.readMetadata(spark).count()
+    assert(idx.metadata.count() === fullCount)
+    // a second diff pass is a no-op, not a duplicate append
+    idx.updateIndexFromReader(ts = 2100L)
+    assert(idx.metadata.count() === fullCount)
+    // incremental build answers EXACTLY like a from-scratch full build
+    // (FLAT raw store: same bits, base+additions merge is exact)
+    val fullIdx = ObjectIndex.create(spark, tmp(), full, emb,
+      indexType = "FLAT", timestamp = 1000L)
+    val queries = spark.read.parquet(s"$sf0001/documents.parquet")
+      .where(col("doc_id") < 5).select(col("doc_id").as("qid"), col("text"))
+    def snap(i: ObjectIndex) = i.query(queries, k = 5, nprobe = 1 << 30)
+      .select("qid", "rank", "external_id")
+      .as[(Long, Int, Long)].collect().sorted.toSeq
+    assert(snap(idx) === snap(fullIdx))
+    // metadata coverage holds THROUGH the incremental path
+    assert(graft.index.IndexDoctor.checkObjectIndex(spark, uri).isEmpty)
+
+    // UPDATE an existing object: new content re-embeds, metadata overwrites
+    val newText = "volcanic turnip cartography " * 20
+    idx.updateIndex(
+      Seq((0L, 0L, newText)).toDF("external_id", "doc_id", "text"),
+      full.readMetadata(spark).where(col("external_id") === 0L)
+        .withColumn("lang", lit("xx")),
+      ts = 3000L)
+    assert(idx.metadata.where(col("external_id") === 0L)
+      .select("lang").head().getString(0) === "xx")
+    // DELETE: vector tombstone + metadata tombstone
+    // chunk 0 of doc 2 (ids are doc_id*1000 + i, so 2000 always exists)
+    idx.deleteObjects(Seq(2000L).toDF("external_id"), ts = 4000L)
+    assert(idx.metadata.where(col("external_id") === 2000L).count() === 0)
+    val deep = idx.query(queries, k = 50, nprobe = 1 << 30)
+    assert(deep.where(col("external_id") === 2000L).count() === 0,
+      "a deleted object must never surface")
+    assert(graft.index.IndexDoctor.checkObjectIndex(spark, uri).isEmpty,
+      "update+delete logs must stay doctor-clean")
+
+    // CONSOLIDATE folds both logs into fresh bases; answers unchanged
+    val before = idx.query(queries, k = 5, nprobe = 1 << 30)
+      .select("qid", "rank", "external_id").as[(Long, Int, Long)].collect().sorted.toSeq
+    val idx2 = idx.consolidate(5000L)
+    // the vector updates log persists (its entries are WINDOWED OUT of the
+    // new version — VectorIndex semantics); the metadata log compacts away
+    assert(!graft.index.Storage.nonEmptyDir(
+      ObjectIndex.metadataUpdatesPath(uri)))
+    assert(idx2.index.meta.ingestionTimestamps.last === 5000L)
+    assert(idx2.metadata.count() === fullCount - 1)
+    assert(idx2.metadata.where(col("external_id") === 0L)
+      .select("lang").head().getString(0) === "xx")
+    val after = idx2.query(queries, k = 5, nprobe = 1 << 30)
+      .select("qid", "rank", "external_id").as[(Long, Int, Long)].collect().sorted.toSeq
+    assert(after === before)
+    assert(graft.index.IndexDoctor.checkObjectIndex(spark, uri).isEmpty)
+
+    // drifted metadata batch schema is refused with a named error
+    val e = intercept[IllegalArgumentException] {
+      idx2.updateIndex(
+        Seq((0L, 0L, "x")).toDF("external_id", "doc_id", "text"),
+        full.readMetadata(spark).where(col("external_id") === 0L).drop("lang"),
+        ts = 6000L)
+    }
+    assert(e.getMessage.contains("metadata batch schema"), e.getMessage)
+    // multi-vector embeddings refuse the updates-log path outright
+    val e2 = intercept[IllegalArgumentException] {
+      new ObjectIndex(spark, uri, full, new graft.objects.SplitHalvesEmbedding(64))
+        .updateIndex(
+          Seq((0L, 0L, "x")).toDF("external_id", "doc_id", "text"),
+          full.readMetadata(spark).where(col("external_id") === 0L),
+          ts = 6000L)
+    }
+    assert(e2.getMessage.contains("multi-vector"), e2.getMessage)
+  }
+
   test("parquet 1-D table reader: documents table as a direct object source") {
     import spark.implicits._
     val reader = new graft.objects.ParquetTableReader(
