@@ -267,7 +267,24 @@ object Bm25 {
     val p = postings.select(col("term"), col("id"),
       col("tf").cast("double").as("tf"), col("dl").cast("double").as("dl"))
     val dfCap = graft.Conf.long(spark, MaxScoreDfCapKey, DefaultMaxScoreDfCap)
-    val out = if (dfCap > 0) rankMaxScore(p, q, k, uri, dfCap) else rank(p, q, k, uri)
+    // Engage the max-score bound only when the batch actually HAS a hot
+    // term: with every query term's posting run under dfCap the bound can
+    // prune nothing, and its candidate distinct + double semi-join
+    // machinery is pure overhead on top of the exact expansion (measured
+    // ~3x the plain path at sf0.1, where the synthetic vocabulary keeps
+    // all dfs far below the cap). The term list is already on the driver
+    // when the pushdown gate held, so the hotness probe is one filtered
+    // read of the ≤|terms| idf rows; past the gate the term set is unknown
+    // driver-side — assume hot and keep the bound (the gate only
+    // overflows on huge batches, exactly where the bound earns its cost).
+    val anyHot = dfCap > 0 && {
+      if (terms.length <= cap && terms.length.toLong <= maxTerms)
+        spark.read.parquet(s"$uri/idf")
+          .where(col("term").isin(terms.toIndexedSeq: _*) && col("df") > dfCap)
+          .limit(1).collect().nonEmpty
+      else true
+    }
+    val out = if (anyHot) rankMaxScore(p, q, k, uri, dfCap) else rank(p, q, k, uri)
     q.unpersist()
     out
   }
