@@ -34,7 +34,7 @@ object IvfSweepBench {
     val reps = args.lift(1).map(_.toInt).getOrElse(500)
     val nq = args.lift(2).map(_.toInt).getOrElse(100)
     val jitter = args.lift(3).map(_.toDouble).getOrElse(0.5)
-    val mode = args.lift(4).getOrElse("all") // all | flat | pq
+    val mode = args.lift(4).getOrElse("all") // all | flat | pq | sqrtn
     val spark = SparkSession.builder()
       .appName("graft-ivf-sweep").master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -61,17 +61,25 @@ object IvfSweepBench {
     println(s"SWEEP_EXACT queries=${exact.size} k=$k")
 
     // the reference sweep's partition counts, plus √N (the reference
-    // ingestion default at this corpus size)
+    // ingestion default at this corpus size). Mode "sqrtn" runs ONLY the
+    // reference-default geometry — the 10M-scale run, where the full
+    // partition grid would cost hours for information the 1M grid already
+    // recorded (PERF.md) and the open question is how the √N build and the
+    // driver-side probe bookkeeping scale with the partition count.
     val sqrtN = math.sqrt(n.toDouble).toInt
-    for (parts <- Seq(20, 50, 100, 200, sqrtN) if mode != "pq") {
+    val partsGrid =
+      if (mode == "sqrtn") Seq(sqrtN) else Seq(20, 50, 100, 200, sqrtN)
+    for (parts <- partsGrid if mode != "pq") {
       val uri = java.nio.file.Files.createTempDirectory(s"ivf_sweep_p$parts").toString
       val t0 = System.nanoTime()
       Ingest.ingest(spark, uri, big, "IVF_FLAT", DistanceMetric.L2,
         timestamp = 1000L, partitions = Some(parts))
       val buildS = (System.nanoTime() - t0) / 1e9
       val idx = VectorIndex.open(spark, uri)
+      val sqrtParts = math.max(1, math.sqrt(parts.toDouble).toInt)
       val probes =
-        if (parts == sqrtN) Seq(0, 1, 2, 4, 8, 16, 31) // 0 = the √parts default
+        if (mode == "sqrtn") Seq(1, 4, 16, sqrtParts, 0) // 0 = the √parts default
+        else if (parts == sqrtN) Seq(0, 1, 2, 4, 8, 16, 31)
         else (1 to 20)
       for (nprobe <- probes) {
         val t1 = System.nanoTime()
@@ -84,7 +92,9 @@ object IvfSweepBench {
       graft.index.Storage.deleteRecursively(uri)
     }
 
-    if (mode == "flat") { graft.index.Storage.deleteRecursively(corpusPath); return }
+    if (mode == "flat" || mode == "sqrtn") {
+      graft.index.Storage.deleteRecursively(corpusPath); return
+    }
     // IVF_PQ at the √N geometry: k_factor (exact-re-rank candidate
     // inflation) × nprobe, the reference's PQ accuracy/latency curve
     // (local-benchmarks.py PQ sweeps; k_factor: ivf_pq_index.py:40-45)

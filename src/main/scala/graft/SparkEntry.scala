@@ -1126,6 +1126,37 @@ object SparkEntry {
       .orderBy("obj_id", "cell")
   }
 
+  /** REAL OME-Zarr decode through the full Spark pipeline
+    * ([[graft.objects.OmeZarrReader]] — the NGFF store the reference's
+    * bioimage reader serves via tiledb.bioimg): three zlib-compressed
+    * zarr pyramids whose pixels follow the test-card red formula are
+    * minted on disk, their level-0 chunks read back through the one-scan
+    * binaryFile path, inflated, decoded and re-encoded as tile PNGs, and
+    * the per-tile pixel sums re-aggregated from the DECODED rasters. The
+    * DuckDB oracle replays the sums from the formula alone — chunk-grid
+    * layout, zlib inflate, C-order plane slice, edge cropping, and the
+    * PNG round trip all sit inside the hash. */
+  private val ZarrN = 3
+  private def multimodalZarrDecode(spark: SparkSession, dir: String): DataFrame = {
+    val root = cachedIndex("zarr_store", dir) { u =>
+      for (i <- 0 until ZarrN) {
+        graft.objects.OmeZarrReader.writeTestZarr(
+          java.nio.file.Paths.get(u, f"img_$i%02d.zarr"),
+          width = 40, height = 24, levels = 3, chunkY = 8, chunkX = 16,
+          pixel = (x, y) => (3 * x + 5 * y + 7 * i) % 256, zlib = true)
+      }
+    }
+    val tiles = new graft.objects.OmeZarrReader(root, "*.zarr", level = 0)
+      .readObjects(spark)
+    graft.multimodal.Multimodal.decodeImageStats(
+        tiles.select(
+          (col("image_id") * 100 + col("tile_y") * 10 + col("tile_x")).as("obj_id"),
+          col("payload")), grid = 1)
+      .select(col("obj_id").as("tile_id"), col("width"), col("height"),
+        col("r_sum").as("pix_sum"))
+      .orderBy("tile_id")
+  }
+
   /** REAL WAV decode through the full Spark pipeline — the audio twin of
     * [[multimodalImageDecode]]: fixtures are
     * [[graft.multimodal.Multimodal.testToneWav]] formula tones encoded by
@@ -1799,6 +1830,7 @@ object SparkEntry {
     "object_search_w2v" -> (objectSearchW2v _),
     "multimodal_features" -> (multimodalFeatures _),
     "multimodal_image_decode" -> (multimodalImageDecode _),
+    "multimodal_zarr_decode" -> (multimodalZarrDecode _),
     "multimodal_audio_decode" -> (multimodalAudioDecode _),
     "multimodal_video_decode" -> (multimodalVideoDecode _),
     "q1_agg" -> (q1Agg _),
@@ -2704,6 +2736,28 @@ object SparkEntry {
          |  sum(r)::BIGINT AS r_sum, sum(g)::BIGINT AS g_sum, sum(b)::BIGINT AS b_sum
          |FROM px GROUP BY obj_id, cell
          |ORDER BY obj_id, cell""".stripMargin,
+    // Real-OME-Zarr replay: regenerate the red-channel formula over each
+    // image's 8x16 chunk grid (3 cols x 3 rows at 40x24) and re-aggregate
+    // the per-tile pixel sums — the engine's numbers come from
+    // zlib-inflated zarr chunk buffers re-encoded and decoded through
+    // lossless PNG, so equality proves the chunk-grid walk, the inflate,
+    // the C-order plane slice, and the edge cropping.
+    "multimodal_zarr_decode" ->
+      s"""WITH tiles AS (
+         |  SELECT i::BIGINT AS img, gy::BIGINT AS gy, gx::BIGINT AS gx,
+         |    least(16, 40 - gx * 16)::INT AS w, least(8, 24 - gy * 8)::INT AS h
+         |  FROM range(0, $ZarrN) t(i)
+         |  CROSS JOIN range(0, 3) ty(gy) CROSS JOIN range(0, 3) tx(gx)),
+         |px AS (
+         |  SELECT img, gy, gx, w, h,
+         |    (3 * (gx * 16 + x) + 5 * (gy * 8 + y) + 7 * img) % 256 AS v
+         |  FROM tiles
+         |  CROSS JOIN range(0, 16) rx(x) CROSS JOIN range(0, 8) ry(y)
+         |  WHERE x < w AND y < h)
+         |SELECT (img * 100 + gy * 10 + gx) AS tile_id,
+         |  max(w) AS width, max(h) AS height, sum(v)::BIGINT AS pix_sum
+         |FROM px GROUP BY img, gy, gx
+         |ORDER BY tile_id""".stripMargin,
     // Real-WAV replay: regenerate the tone formula and re-aggregate the
     // per-window |sample| sums — the engine's numbers come from
     // javax.sound.sampled-decoded PCM of real WAV bytes, so equality

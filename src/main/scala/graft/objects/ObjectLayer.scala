@@ -418,9 +418,10 @@ class DocumentsTableReader(
   * embeddings ([[ImageStatsEmbedding]]) run on real pixels.
   *
   * [[BioimageDirectoryReader]] remains the honest STUB for the formats
-  * this container truly cannot decode (OME-zarr, proprietary scanners);
-  * same id scheme (`image_id · tileStride + tile`), same schema, so the
-  * two are drop-in interchangeable. */
+  * this container truly cannot decode (proprietary scanner formats;
+  * OME-Zarr is REAL as of round 11 — [[OmeZarrReader]]); same id scheme
+  * (`image_id · tileStride + tile`), same schema, so the readers are
+  * drop-in interchangeable. */
 class TiffPyramidReader(
     dir: String,
     glob: String = "*.tif*",

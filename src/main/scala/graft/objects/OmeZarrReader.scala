@@ -1,0 +1,346 @@
+package graft.objects
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** REAL OME-Zarr (OME-NGFF) pyramid reader — the storage format the
+  * reference's bioimage reader serves through tiledb.bioimg
+  * (reference: apis/python/src/tiledb/vector_search/object_readers/
+  * bioimage_reader.py — level selection + per-tile crops over a
+  * multiscale image; OME-NGFF is its zarr-backed on-disk layout).
+  *
+  * Zarr v2 needs no native codec for the common cases: metadata is plain
+  * JSON (`.zattrs` multiscales → dataset path per level; `.zarray` shape/
+  * chunks/dtype/compressor) and chunks are C-order sample buffers, either
+  * raw or zlib-deflated (java.util.zip). Supported here: uint8 (`|u1`),
+  * little-endian uint16 (`<u2`) and float32 (`<f4`) samples, `compressor`
+  * null or `{"id":"zlib"}`, both `.` and `/` dimension separators, and
+  * ≥2-D arrays whose LAST TWO axes are (y, x) — the NGFF axis convention;
+  * leading axes (t, c, z) read at index 0. Blosc/zstd-compressed stores
+  * are refused with a named error (those codecs genuinely do not exist in
+  * this JVM) — the refusal is the honest boundary, everything else is a
+  * real pixel path.
+  *
+  * Spark shape: ONE `binaryFile` scan under the search root covers every
+  * image's chunk files (Spark's hidden-file filter drops the `.z*` JSON
+  * sidecars automatically); the tiny per-image array params ride the
+  * closure, and each task decodes only its own chunk bytes. The natural
+  * tile IS the zarr chunk — no re-tiling shuffle. Tiles surface as
+  * grayscale PNGs of the chunk's (y, x) plane, so the downstream
+  * embedding/index path is byte-compatible with [[TiffPyramidReader]]'s
+  * (same id scheme `image_id · tileStride + tile`, same join columns). */
+class OmeZarrReader(
+    dir: String,
+    glob: String = "*",
+    level: Int = 0,
+    tileStride: Long = 100000L) extends ObjectReader {
+  require(level >= 0, s"graft: OmeZarrReader level must be >= 0, got $level")
+
+  override def readObjects(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val images = OmeZarrReader.discover(spark, dir, glob, level)
+    if (images.isEmpty) return emptyTiles(spark, withPayload = true)
+    val byArray = images.map(i => i.arrayPath -> i).toMap
+    val stride = tileStride
+    images.foreach { i =>
+      require(i.tilesX.toLong * i.tilesY < stride,
+        s"graft: ${i.groupPath} yields ${i.tilesX * i.tilesY} chunks at " +
+          s"level $level >= tileStride $stride — raise tileStride or read " +
+          "a higher pyramid level")
+    }
+    spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, content) =>
+        OmeZarrReader.chunkOf(path, byArray).flatMap { case (img, gy, gx) =>
+          OmeZarrReader.decodeChunkPng(img, gy, gx, content).map { case (w, h, png) =>
+            val t = gy * img.tilesX + gx
+            (img.imageId * stride + t, img.imageId, img.groupPath, level,
+              gx, gy, img.width, img.height, w, h, png)
+          }
+        }.iterator
+      }
+      .toDF("external_id", "image_id", "path", "level", "tile_x", "tile_y",
+        "level_width", "level_height", "tile_width", "tile_height", "payload")
+  }
+
+  /** Geometry pass: `.zarray` JSON only — the tile grid is fully
+    * determined by (shape, chunks), so no chunk bytes are read. */
+  override def readMetadata(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val images = OmeZarrReader.discover(spark, dir, glob, level)
+    if (images.isEmpty) return emptyTiles(spark, withPayload = false)
+    val stride = tileStride
+    val rows = images.flatMap { i =>
+      require(i.tilesX.toLong * i.tilesY < stride,
+        s"graft: ${i.groupPath} yields ${i.tilesX * i.tilesY} chunks at " +
+          s"level $level >= tileStride $stride")
+      for (gy <- 0 until i.tilesY; gx <- 0 until i.tilesX) yield {
+        val t = gy * i.tilesX + gx
+        (i.imageId * stride + t, i.imageId, i.groupPath, level, gx, gy,
+          i.width, i.height,
+          math.min(i.chunkX, i.width - gx * i.chunkX),
+          math.min(i.chunkY, i.height - gy * i.chunkY))
+      }
+    }
+    spark.createDataset(rows)
+      .toDF("external_id", "image_id", "path", "level", "tile_x", "tile_y",
+        "level_width", "level_height", "tile_width", "tile_height")
+  }
+
+  private def emptyTiles(spark: SparkSession, withPayload: Boolean): DataFrame = {
+    import org.apache.spark.sql.types._
+    val base = Seq(
+      StructField("external_id", LongType), StructField("image_id", LongType),
+      StructField("path", StringType), StructField("level", IntegerType),
+      StructField("tile_x", IntegerType), StructField("tile_y", IntegerType),
+      StructField("level_width", IntegerType), StructField("level_height", IntegerType),
+      StructField("tile_width", IntegerType), StructField("tile_height", IntegerType))
+    val fields = if (withPayload) base :+ StructField("payload", BinaryType) else base
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], StructType(fields))
+  }
+}
+
+object OmeZarrReader {
+
+  /** Per-image array parameters, resolved once on the driver (the JSON
+    * sidecars are a few hundred bytes each) and shipped in the closure. */
+  private[objects] case class ZarrImage(
+      imageId: Long,
+      groupPath: String,
+      arrayPath: String,
+      dtype: String,
+      zlib: Boolean,
+      shape: Seq[Int],
+      chunks: Seq[Int]) {
+    def height: Int = shape(shape.length - 2)
+    def width: Int = shape(shape.length - 1)
+    def chunkY: Int = chunks(chunks.length - 2)
+    def chunkX: Int = chunks(chunks.length - 1)
+    def tilesY: Int = (height + chunkY - 1) / chunkY
+    def tilesX: Int = (width + chunkX - 1) / chunkX
+  }
+
+  private def fs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def readSmall(spark: SparkSession, p: String): Option[String] = {
+    val path = new org.apache.hadoop.fs.Path(p)
+    val f = fs(spark, path)
+    if (!f.exists(path)) None
+    else {
+      val in = f.open(path)
+      try Some(new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally in.close()
+    }
+  }
+
+  /** Find zarr groups under `dir` matching `glob` and resolve `level`'s
+    * array parameters. A group = a directory whose `.zattrs` declares
+    * `multiscales` (the OME-NGFF marker); its datasets list maps the
+    * level to an array subdirectory. */
+  private[objects] def discover(
+      spark: SparkSession, dir: String, glob: String, level: Int): Seq[ZarrImage] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val f = fs(spark, root)
+    if (!f.exists(root)) return Seq.empty
+    val groups = f.globStatus(new org.apache.hadoop.fs.Path(root, glob))
+      .filter(_.isDirectory).map(_.getPath).sortBy(_.toString)
+    groups.toSeq.flatMap { g =>
+      readSmall(spark, s"$g/.zattrs").flatMap { attrsJson =>
+        val attrs = mapper.readTree(attrsJson)
+        val ms = attrs.path("multiscales")
+        if (!ms.isArray || ms.isEmpty) None
+        else {
+          val datasets = ms.get(0).path("datasets")
+          require(datasets.isArray && level < datasets.size,
+            s"graft: $g has ${datasets.size} multiscale levels, level $level requested")
+          val dsPath = datasets.get(level).path("path").asText()
+          Some((g, dsPath))
+        }
+      }.map { case (g, dsPath) =>
+        val arrayDir = s"$g/$dsPath"
+        val za = readSmall(spark, s"$arrayDir/.zarray").getOrElse(
+          throw new IllegalArgumentException(
+            s"graft: $arrayDir/.zarray missing — not a zarr v2 array"))
+        val n = mapper.readTree(za)
+        require(n.path("zarr_format").asInt() == 2,
+          s"graft: $arrayDir zarr_format ${n.path("zarr_format").asInt()} unsupported (v2 only)")
+        require(n.path("order").asText("C") == "C",
+          s"graft: $arrayDir order '${n.path("order").asText()}' unsupported (C only)")
+        val dtype = n.path("dtype").asText()
+        require(Set("|u1", "<u2", "<f4").contains(dtype),
+          s"graft: $arrayDir dtype '$dtype' unsupported (|u1, <u2, <f4)")
+        val comp = n.path("compressor")
+        val zlib =
+          if (comp.isNull || comp.isMissingNode) false
+          else comp.path("id").asText() match {
+            case "zlib" => true
+            case other => throw new IllegalArgumentException(
+              s"graft: $arrayDir compressor '$other' needs a codec this JVM " +
+                "does not ship (blosc/zstd) — re-encode raw or zlib")
+          }
+        val shape = (0 until n.path("shape").size)
+          .map(i => n.path("shape").get(i).asInt())
+        val chunks = (0 until n.path("chunks").size)
+          .map(i => n.path("chunks").get(i).asInt())
+        require(shape.length >= 2 && shape.length == chunks.length,
+          s"graft: $arrayDir needs >= 2 dims with matching chunk rank")
+        (g.toString, arrayDir, dtype, zlib, shape, chunks)
+      }
+    }.zipWithIndex.map { case ((g, arrayDir, dtype, zlib, shape, chunks), i) =>
+      ZarrImage(i.toLong, g, arrayDir, dtype, zlib, shape, chunks)
+    }
+  }
+
+  /** Map a scanned file path to its owning image + chunk grid position.
+    * Non-chunk files (other levels, stray content) return None. Accepts
+    * both `.`-separated chunk names (`0.1.2`) and nested `/` layouts
+    * (`0/1/2`). Only chunks whose LEADING indices are all zero become
+    * tiles (the t=c=z=0 plane — the same slice the TIFF reader serves). */
+  private[objects] def chunkOf(
+      path: String, byArray: Map[String, ZarrImage]): Option[(ZarrImage, Int, Int)] = {
+    // binaryFile reports scheme-qualified URIs; discover() may have built
+    // scheme-less local paths — compare both normalized
+    val norm = path.stripPrefix("file:")
+    byArray.collectFirst {
+      case (arrayPath, img)
+          if norm.startsWith(arrayPath.stripPrefix("file:") + "/") =>
+        (img, norm.substring(arrayPath.stripPrefix("file:").length + 1))
+    }.flatMap { case (img, rel) =>
+      val parts = rel.replace('/', '.').split('.')
+      if (parts.length != img.shape.length || parts.exists(p => !p.forall(_.isDigit)))
+        None
+      else {
+        val idx = parts.map(_.toInt)
+        if (idx.dropRight(2).exists(_ != 0)) None
+        else Some((img, idx(idx.length - 2), idx(idx.length - 1)))
+      }
+    }
+  }
+
+  /** Decode one chunk's (y, x) plane to a grayscale PNG, cropped to the
+    * array bounds (zarr pads edge chunks to full chunk shape). Returns
+    * None for a chunk wholly outside the array (defensive; zarr does not
+    * write those). */
+  private[objects] def decodeChunkPng(
+      img: ZarrImage, gy: Int, gx: Int, raw: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    val w = math.min(img.chunkX, img.width - gx * img.chunkX)
+    val h = math.min(img.chunkY, img.height - gy * img.chunkY)
+    if (w <= 0 || h <= 0) return None
+    val bytes = if (img.zlib) inflate(raw) else raw
+    val elemSize = img.dtype match {
+      case "|u1" => 1
+      case "<u2" => 2
+      case "<f4" => 4
+    }
+    val expected = img.chunks.map(_.toLong).product * elemSize
+    require(bytes.length == expected,
+      s"graft: ${img.arrayPath} chunk ($gy,$gx) holds ${bytes.length} bytes, " +
+        s"expected $expected — corrupt store or codec mismatch")
+    // C-order with all leading intra-chunk indices 0: the (y, x) plane is
+    // the buffer's first chunkY*chunkX elements
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    // RGB with r=g=b=v, NOT TYPE_BYTE_GRAY: the gray color model is
+    // linear-light, so a consumer's getRGB would gamma-map the stored
+    // sample (95 → 164) — RGB keeps sample values exact end-to-end, and
+    // matches the TiffPyramidReader payload convention
+    val out = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h) {
+      for (x <- 0 until w) {
+        val flat = y * img.chunkX + x
+        val v = img.dtype match {
+          case "|u1" => bytes(flat) & 0xFF
+          case "<u2" => (bb.getShort(flat * 2) & 0xFFFF) >>> 8
+          case "<f4" =>
+            val fv = bb.getFloat(flat * 4)
+            math.max(0, math.min(255, math.round(fv * 255f)))
+        }
+        out.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+    }
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(out, "png", buf)
+    Some((w, h, buf.toByteArray))
+  }
+
+  private def inflate(raw: Array[Byte]): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(raw)
+    val out = new java.io.ByteArrayOutputStream(raw.length * 4)
+    val buf = new Array[Byte](8192)
+    while (!inf.finished()) {
+      val n = inf.inflate(buf)
+      require(n > 0 || inf.finished() || !inf.needsInput(),
+        "graft: truncated zlib chunk")
+      out.write(buf, 0, n)
+    }
+    inf.end()
+    out.toByteArray
+  }
+
+  /** Mint a minimal OME-NGFF store for specs: `levels` grayscale planes
+    * (level l downsampled by 2^l from `pixel(x, y)`), chunked
+    * `chunkY`×`chunkX`, raw or zlib, `.`-separated chunk names. */
+  def writeTestZarr(
+      groupDir: java.nio.file.Path,
+      width: Int,
+      height: Int,
+      levels: Int,
+      chunkY: Int,
+      chunkX: Int,
+      pixel: (Int, Int) => Int,
+      zlib: Boolean = false,
+      separator: String = "."): Unit = {
+    java.nio.file.Files.createDirectories(groupDir)
+    val datasets = (0 until levels)
+      .map(l => s"""{"path":"$l"}""").mkString("[", ",", "]")
+    java.nio.file.Files.write(groupDir.resolve(".zgroup"),
+      """{"zarr_format":2}""".getBytes("UTF-8"))
+    java.nio.file.Files.write(groupDir.resolve(".zattrs"),
+      s"""{"multiscales":[{"version":"0.4","axes":[{"name":"y"},{"name":"x"}],"datasets":$datasets}]}"""
+        .getBytes("UTF-8"))
+    for (l <- 0 until levels) {
+      val w = width >> l; val h = height >> l
+      val aDir = groupDir.resolve(l.toString)
+      java.nio.file.Files.createDirectories(aDir)
+      val comp = if (zlib) """{"id":"zlib","level":6}""" else "null"
+      java.nio.file.Files.write(aDir.resolve(".zarray"),
+        s"""{"zarr_format":2,"shape":[$h,$w],"chunks":[$chunkY,$chunkX],
+           |"dtype":"|u1","compressor":$comp,"fill_value":0,"order":"C",
+           |"filters":null,"dimension_separator":"$separator"}"""
+          .stripMargin.replace("\n", "").getBytes("UTF-8"))
+      val tilesY = (h + chunkY - 1) / chunkY
+      val tilesX = (w + chunkX - 1) / chunkX
+      for (gy <- 0 until tilesY; gx <- 0 until tilesX) {
+        val buf = new Array[Byte](chunkY * chunkX)
+        for (y <- 0 until chunkY; x <- 0 until chunkX) {
+          val (py, px) = (gy * chunkY + y, gx * chunkX + x)
+          // level-l pixel = pixel formula at the downsampled coordinate
+          if (py < h && px < w)
+            buf(y * chunkX + x) = (pixel(px << l, py << l) & 0xFF).toByte
+        }
+        val payload = if (zlib) {
+          val d = new java.util.zip.Deflater()
+          d.setInput(buf); d.finish()
+          val out = new java.io.ByteArrayOutputStream()
+          val tmp = new Array[Byte](8192)
+          while (!d.finished()) out.write(tmp, 0, d.deflate(tmp))
+          d.end(); out.toByteArray
+        } else buf
+        val name = Seq(gy, gx).mkString(separator)
+        val target = aDir.resolve(name)
+        java.nio.file.Files.createDirectories(target.getParent)
+        java.nio.file.Files.write(target, payload)
+      }
+    }
+  }
+}
