@@ -47,7 +47,7 @@ class IvfPqIndex(spark: SparkSession, uri: String, meta: IndexMeta, ts: Long)
 
   override def baseVectors(): DataFrame =
     if (historyIdx < 0) new FlatIndex(spark, uri, meta, ts).baseVectors()
-    else spark.read.parquet(s"$uri/base/v=$baseTimestamp")
+    else readVersioned(s"$uri/base/v=$baseTimestamp")
       .select("external_id", "vector", "codes", "partition_id")
 
   override protected def queryBase(queries: DataFrame, k: Int, nprobe0: Int,

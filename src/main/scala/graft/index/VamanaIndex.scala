@@ -209,7 +209,7 @@ class VamanaIndex(spark: SparkSession, uri: String, meta: IndexMeta, ts: Long,
 
   override def baseVectors(): DataFrame = {
     if (historyIdx < 0) return new FlatIndex(spark, uri, meta, ts).baseVectors()
-    val b = residentRows(spark.read.parquet(s"$uri/base/v=$baseTimestamp"))
+    val b = residentRows(readVersioned(s"$uri/base/v=$baseTimestamp"))
       .select("external_id", "vector")
     // boundary-replicated builds store each vector in several shards; the
     // logical base is one row per id (copies are bit-identical)
@@ -239,7 +239,7 @@ class VamanaIndex(spark: SparkSession, uri: String, meta: IndexMeta, ts: Long,
     if (historyIdx < 0 || meta.shardReplicas <= 1) return baseVectors()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("external_id")).orderBy(col("shard_id"))
-    residentRows(spark.read.parquet(s"$uri/base/v=$baseTimestamp"))
+    residentRows(readVersioned(s"$uri/base/v=$baseTimestamp"))
       .select("external_id", "vector", "shard_id")
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1)
@@ -536,7 +536,7 @@ class VamanaIndex(spark: SparkSession, uri: String, meta: IndexMeta, ts: Long,
     // per-shard search: one task per shard holds only that shard's graph.
     // Byte dtypes widen the packed base back to float for the in-task
     // kernels (distances on widened values = the asymmetric byte metric).
-    val baseRaw = pruneShards(spark.read.parquet(s"$uri/base/v=$baseTimestamp"))
+    val baseRaw = pruneShards(readVersioned(s"$uri/base/v=$baseTimestamp"))
     val baseFloat =
       if (meta.dtype == "uint8" || meta.dtype == "int8") {
         import org.apache.spark.sql.graftshim.{toColumn, toExpression}
@@ -545,7 +545,7 @@ class VamanaIndex(spark: SparkSession, uri: String, meta: IndexMeta, ts: Long,
             signed = meta.dtype == "int8")))
       } else baseRaw
     val graph = baseFloat
-      .join(pruneShards(spark.read.parquet(s"$uri/graph/v=$baseTimestamp")),
+      .join(pruneShards(readVersioned(s"$uri/graph/v=$baseTimestamp")),
         Seq("shard_id", "external_id"))
       .select(col("shard_id"), col("external_id"), col("vector"),
         col("neighbors"), col("is_medoid"))

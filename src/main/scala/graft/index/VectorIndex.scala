@@ -203,6 +203,20 @@ abstract class VectorIndex(
     case _ => distance.cast("float")
   }
 
+  /** Memoized parquet reads of this handle's IMMUTABLE version artifacts
+    * (`base/v=<ts>`, `graph/v=<ts>`, `sketch/v=<ts>` — a version directory
+    * never changes after its meta commit; mutations write NEW versions).
+    * Re-creating the relation per query call re-runs partition discovery
+    * over the version tree, a planner cost that grows with the partition
+    * count and dominated probe-pruned batches at reference scale (10M ×
+    * 3162 partitions, PERF.md) — caching the analyzed DataFrame pays the
+    * listing once per handle. NEVER use for the updates log: it mutates
+    * in place between queries. */
+  private val versionReads =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  protected def readVersioned(path: String): DataFrame =
+    versionReads.getOrElseUpdate(path, spark.read.parquet(path))
+
   /** Empty (id: Long, vector: array<float>) frame — the additions side of a
     * windowed read whose updates log has no in-window rows. */
   private def emptyAdditions(): DataFrame = {
@@ -665,7 +679,7 @@ class FlatIndex(spark: SparkSession, uri: String, meta: IndexMeta, ts: Long)
             org.apache.spark.sql.types.LongType),
           org.apache.spark.sql.types.StructField("vector",
             org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)))))
-    } else spark.read.parquet(s"$uri/base/v=$baseTimestamp")
+    } else readVersioned(s"$uri/base/v=$baseTimestamp")
       .select("external_id", "vector")
 
   override protected def queryBase(queries: DataFrame, k: Int, nprobe: Int,
@@ -700,7 +714,7 @@ class BinaryIndex(spark: SparkSession, uri: String, meta: IndexMeta, ts: Long)
     extends VectorIndex(spark, uri, meta, ts) {
 
   private def sketch(): DataFrame =
-    spark.read.parquet(s"$uri/sketch/v=$baseTimestamp")
+    readVersioned(s"$uri/sketch/v=$baseTimestamp")
 
   override def baseVectors(): DataFrame =
     new FlatIndex(spark, uri, meta, ts).baseVectors()
@@ -754,7 +768,7 @@ class IvfFlatIndex(spark: SparkSession, uri: String, meta: IndexMeta, ts: Long)
 
   override def baseVectors(): DataFrame =
     if (historyIdx < 0) new FlatIndex(spark, uri, meta, ts).baseVectors()
-    else spark.read.parquet(s"$uri/base/v=$baseTimestamp")
+    else readVersioned(s"$uri/base/v=$baseTimestamp")
       .select("external_id", "vector", "partition_id")
 
   /** The probe metric runs on normalized vectors for COSINE. */

@@ -168,6 +168,49 @@ object EventOps {
       }
       .start()
 
+  /** Stream NEW OBJECTS into an existing [[graft.objects.ObjectIndex]] —
+    * the streaming form of its incremental maintenance (reference:
+    * object_index.py:736-881 `update_index` run per arrival instead of per
+    * campaign). Each micro-batch embeds ONLY its own rows through
+    * [[graft.objects.ObjectIndex.updateIndex]] (vector updates log +
+    * metadata log); queries pick the batch up immediately via the
+    * read-merge path and a later `consolidate` folds the logs. Batch rows
+    * must carry `external_id`, the embedding's content column, and
+    * exactly the `object_metadata` attribute columns (the metadata rows
+    * are the batch minus the content column — updateIndex refuses drift).
+    * Effectively exactly-once across restart via the same idempotent
+    * commit-log pattern as [[streamDocsIntoShards]]: redelivered batch ids
+    * are skipped, and the log write at the batch's event-time `ts` =
+    * `batchTs(batchId)` keeps replays deterministic. */
+  def streamObjectsIntoIndex(
+      objects: DataFrame, // streaming frame: external_id + content + metadata attrs
+      index: graft.objects.ObjectIndex,
+      queryName: String,
+      batchTs: Long => Long = 1000000L + _): org.apache.spark.sql.streaming.StreamingQuery = {
+    val contentCol = index.embedding.contentColumn
+    objects.writeStream
+      .outputMode("append")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val commitsPath = s"${index.uri}/stream_commits"
+        val done =
+          try spark.read.parquet(commitsPath)
+            .where(col("batch_id") === batchId).limit(1).count() > 0
+          catch { case _: Exception => false } // no commits table yet
+        if (!done && !batch.isEmpty) {
+          index.updateIndex(
+            batch.select(col("external_id"), col(contentCol)),
+            batch.drop(contentCol),
+            ts = batchTs(batchId))
+          Seq(batchId).toDF("batch_id").write.mode("append").parquet(commitsPath)
+        }
+      }
+      .start()
+  }
+
   /** Streaming updates sink (U1/U2 as a stream): each micro-batch of
     * (external_id, vector, ts) rows appends to the index's updates log via
     * foreachBatch — identical semantics to `updateBatch` per batch, and the

@@ -279,6 +279,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === Set((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
   }
 
+  test("streaming object arrivals fold into the index and skip redelivered batches") {
+    import spark.implicits._
+    val docsPath = s"$sf0001/documents.parquet"
+    val full = new graft.objects.ParquetTableReader(
+      docsPath, idCol = "doc_id", contentCol = "text")
+    val emb = new graft.objects.HashTextEmbedding(64)
+    // index created on the EVEN objects; the odd ones ARRIVE as a stream
+    val uri = Files.createTempDirectory("graft_stream_objidx").toString
+    graft.objects.ObjectIndex.create(spark, uri,
+      new graft.objects.FilteredObjectReader(full, "external_id % 2 = 0"),
+      emb, indexType = "FLAT", timestamp = 1000L)
+    val idx = new graft.objects.ObjectIndex(spark, uri, full, emb)
+    val feedDir = Files.createTempDirectory("graft_stream_objfeed").toString
+    full.readObjects(spark).where(col("external_id") % 2 === 1)
+      .write.mode("overwrite").parquet(feedDir)
+    val schema = spark.read.parquet(feedDir).schema
+    val q = EventOps.streamObjectsIntoIndex(
+      spark.readStream.schema(schema).parquet(feedDir), idx, "obj_idx_stream")
+    try q.processAllAvailable() finally q.stop()
+    // the streamed index answers EXACTLY like a from-scratch full build
+    // (FLAT raw store, base+additions merge is exact)
+    val fullIdx = graft.objects.ObjectIndex.create(spark,
+      Files.createTempDirectory("graft_stream_objfull").toString,
+      full, emb, indexType = "FLAT", timestamp = 1000L)
+    val queries = spark.read.parquet(docsPath).where(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"), col("text"))
+    def snap(i: graft.objects.ObjectIndex) = i.query(queries, k = 5)
+      .select("qid", "rank", "external_id")
+      .as[(Long, Int, Long)].collect().sorted.toSeq
+    assert(snap(idx) === snap(fullIdx))
+    val nAll = full.readMetadata(spark).count()
+    assert(idx.metadata.count() === nAll)
+    assert(graft.index.IndexDoctor.checkObjectIndex(spark, uri).isEmpty)
+    // redelivery: a fresh stream over the same feed restarts at batch 0,
+    // which uri/stream_commits records — the sink must skip it (a replay
+    // would double-append identical log rows at the same ts)
+    val q2 = EventOps.streamObjectsIntoIndex(
+      spark.readStream.schema(schema).parquet(feedDir), idx, "obj_idx_stream2")
+    try q2.processAllAvailable() finally q2.stop()
+    assert(idx.metadata.count() === nAll, "redelivered batch must be a no-op")
+    assert(snap(idx) === snap(fullIdx))
+  }
+
   test("streaming shard export equals batch and skips redelivered batches") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
