@@ -149,8 +149,13 @@ class ObjectIndex(
 
     // metadata pushdown filter (F4): plain Catalyst predicate on the
     // metadata table, joined (broadcast — results are small) to survivors.
+    // The merged view is RESTRICTED to the candidate ids before its
+    // last-write-wins window, so a maintenance log never turns the hit
+    // join into a corpus-sized metadata shuffle.
+    val candMeta = ObjectIndex.mergedMetadata(spark, uri,
+      Some(fused.select("external_id")))
     val withMeta = fused.join(
-      metadataCond.map(c => metadata.where(expr(c))).getOrElse(metadata),
+      metadataCond.map(c => candMeta.where(expr(c))).getOrElse(candMeta),
       Seq("external_id"))
 
     // post-filter repack: first k survivors per query (F6)
@@ -320,11 +325,26 @@ object ObjectIndex {
     * log entries — the [[graft.index.VectorIndex.latestUpdatePerId]] shape,
     * no corpus-wide ordering. Reads the base table alone (no window at
     * all) when no log exists. */
-  def mergedMetadata(spark: SparkSession, uri: String): DataFrame = {
-    val base = spark.read.parquet(s"$uri/object_metadata")
+  def mergedMetadata(spark: SparkSession, uri: String): DataFrame =
+    mergedMetadata(spark, uri, keys = None)
+
+  /** As above, optionally restricted to `keys` (single `external_id`
+    * column) BEFORE the merge: the last-write-wins window partitions by
+    * external_id, so restricting both sources first is exact — and turns
+    * the per-query hit join from "window the whole metadata table" into
+    * "window the ≤ batch×k candidate rows". */
+  private[graft] def mergedMetadata(
+      spark: SparkSession, uri: String, keys: Option[DataFrame]): DataFrame = {
+    def restrict(df: DataFrame): DataFrame = keys match {
+      case Some(ks) => df.join(graft.gatedSmallSide(
+        ks.select(col(ks.columns.head).cast("long").as("external_id"))),
+        Seq("external_id"), "left_semi")
+      case None => df
+    }
+    val base = restrict(spark.read.parquet(s"$uri/object_metadata"))
     val updPath = metadataUpdatesPath(uri)
     if (!graft.index.Storage.nonEmptyDir(updPath)) return base
-    val upd = spark.read.parquet(updPath)
+    val upd = restrict(spark.read.parquet(updPath))
     val all = base
       .withColumn(MetaTsCol, lit(0L))
       .withColumn(MetaDeletedCol, lit(false))
