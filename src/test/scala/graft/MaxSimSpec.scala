@@ -101,6 +101,13 @@ class MaxSimSpec extends AnyFunSuite {
     val hits = VectorIndex.open(spark, uri)
       .query(qs.select(col("qvid").as("qid"), col("qvec")), k = 12, nprobe = 4)
       .select(col("qid").as("qvid"), col("id").as("vid"))
+    // the shortlist scan must PRUNE PHYSICALLY: the probe's partition ids
+    // reach the parquet scan as PartitionFilters (the driver query serves
+    // through this exact seam)
+    val physical = hits.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*partition_id[^\\]]*\\]".r
+      .findFirstIn(physical).isDefined,
+      s"expected partition_id PartitionFilters on the shortlist scan:\n${physical.take(2500)}")
     val viaIndex = MaxSim.rerank(vecs, qs, hits, k = 8)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).sorted.toSeq
     val viaScan = MaxSim.topK(vecs, qs, k = 8, shortlistK = 12)
