@@ -495,6 +495,122 @@ class ObjectSpec extends AnyFunSuite {
     // the real parity check
   }
 
+  test("MLP: a real trained neural net embeds via its hidden layer, forward pass pinned, python parity") {
+    import spark.implicits._
+    val docsDf = spark.read.parquet(s"$sf0001/documents.parquet")
+    val t = graft.objects.MlpTextEmbedding.train(docsDf,
+      featureDim = 64, hidden = 16, maxIter = 300)
+
+    // 1. the weight-layout parse is LOAD-BEARING: a manual forward (hidden
+    // sigmoid + output softmax) from the extracted matrices must match
+    // MLlib's own predictProbability — any column-major/offset slip fails here
+    val sample = docsDf.limit(20).select("text").as[String].collect()
+    sample.foreach { text =>
+      val x = t.embedding.features(text)
+      val h = t.embedding.hidden(x)
+      val logits: Array[Double] = t.w2.zip(t.b2).map { case (row, bias) =>
+        var s = bias.toDouble
+        var i = 0
+        while (i < row.length) { s += row(i).toDouble * h(i); i += 1 }
+        s
+      }
+      val m = logits.max
+      val ex = logits.map(l => math.exp(l - m)); val z = ex.sum
+      val probs = ex.map(_ / z)
+      val mlProbs = t.model.predictProbability(
+        org.apache.spark.ml.linalg.Vectors.dense(x.map(_.toDouble))).toArray
+      probs.zip(mlProbs).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-6, s"forward-pass drift: $a vs $b") }
+    }
+
+    // 2. the network actually LEARNED the task (not a random projection):
+    // train accuracy beats the majority-class baseline with margin
+    val labeled = docsDf.select(col("text").cast("string"), col("lang").cast("string"))
+      .as[(String, String)].collect()
+    val correct = labeled.count { case (text, lang) =>
+      val x = t.embedding.features(text)
+      val pred = t.model.predict(
+        org.apache.spark.ml.linalg.Vectors.dense(x.map(_.toDouble))).toInt
+      t.labels(pred) == lang
+    }
+    val majority = labeled.groupBy(_._2).values.map(_.length).max
+    assert(correct > majority + labeled.length / 10,
+      s"MLP must beat majority class: $correct correct vs majority $majority of ${labeled.length}")
+
+    // 3. e2e: the hidden-layer embeddings index and serve through the
+    // object layer; every query's own chunk surfaces at ~zero distance
+    // (identical text ⇒ identical activations; other docs may saturate
+    // nearby, so the contract is self-hit presence, not rank-1)
+    val uri = tmp()
+    val idx = ObjectIndex.create(spark, uri, reader, t.embedding,
+      indexType = "FLAT", metric = graft.operators.DistanceMetric.Cosine,
+      timestamp = 1000L)
+    val queries = docsDf.where(col("doc_id") < 3)
+      .select(col("doc_id").as("qid"), col("text"))
+    val hits = idx.query(queries, k = 10)
+      .select(col("qid"), col("external_id")).as[(Long, Long)].collect()
+    (0L until 3L).foreach { q =>
+      assert(hits.exists { case (qid, id) => qid == q && id / 1000 == q },
+        s"query $q's own chunk must surface in its top-10")
+    }
+
+    // 4. the SAME neural weights through a LIVE python process: hashed
+    // bag-of-words (FNV-1a 64) + sigmoid(W·x + b) recomputed outside the
+    // JVM, stored vectors compared — the SubprocessEmbedding contract on
+    // genuine trained-network weights
+    val wDir = Files.createTempDirectory("graft_mlp")
+    val tsv = wDir.resolve("mlp.tsv")
+    graft.objects.MlpTextEmbedding.exportTsv(t.embedding, tsv)
+    val script =
+      """import sys, base64, math
+        |with open(sys.argv[1]) as f:
+        |    fd, hid = map(int, f.readline().split())
+        |    b1 = [float(v) for v in f.readline().split()]
+        |    w1 = [[float(v) for v in f.readline().split()] for _ in range(hid)]
+        |MASK = (1 << 64) - 1
+        |def fnv(tok):
+        |    h = 0xcbf29ce484222325
+        |    for byt in tok.encode('utf-8'):
+        |        h = ((h ^ byt) * 0x100000001b3) & MASK
+        |    return h - (1 << 64) if h >= (1 << 63) else h
+        |for line in sys.stdin:
+        |    text = base64.b64decode(line.strip()).decode('utf-8')
+        |    x = [0.0] * fd
+        |    for tok in text.strip().split():
+        |        h = fnv(tok)
+        |        sign = 1.0 if ((h >> 32) & 1) == 0 else -1.0
+        |        x[h % fd] += sign
+        |    n = math.sqrt(sum(v * v for v in x))
+        |    if n > 0:
+        |        x = [v / n for v in x]
+        |    out = []
+        |    for o in range(hid):
+        |        s = b1[o] + sum(w1[o][i] * x[i] for i in range(fd))
+        |        out.append(1.0 / (1.0 + math.exp(-s)))
+        |    print(' '.join(repr(v) for v in out))
+        |    sys.stdout.flush()
+        |""".stripMargin
+    val sub = new graft.objects.SubprocessEmbedding(
+      Seq("python3", "-u", "-c", script, tsv.toString), dimensions = 16)
+    val uriSub = tmp()
+    ObjectIndex.create(spark, uriSub, reader, sub,
+      indexType = "FLAT", metric = graft.operators.DistanceMetric.Cosine,
+      timestamp = 1000L)
+    val jvmVecs = graft.index.VectorIndex.open(spark, uri).baseVectors()
+      .select("external_id", "vector").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val subVecs = graft.index.VectorIndex.open(spark, uriSub).baseVectors()
+      .select("external_id", "vector").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    assert(subVecs.keySet === jvmVecs.keySet)
+    subVecs.foreach { case (id, sv) =>
+      sv.zip(jvmVecs(id)).foreach { case (a, b) =>
+        assert(math.abs(a - b) <= 1e-4f,
+          s"python vs JVM neural forward diverged for id=$id: $a vs $b")
+      }
+    }
+  }
+
   test("subprocess embedding: external encoder process drives the pipeline") {
     import spark.implicits._
     // stdlib-only deterministic "model": md5 over the text, digest bytes
