@@ -214,17 +214,40 @@ class ObjectIndex(
     * the source grew, object_index.py:736-760): ids the reader now yields
     * that the index has never seen are embedded and upserted; everything
     * already indexed is untouched — ONE anti-join decides the diff, no
-    * re-embedding of the existing corpus. Content CHANGES under an existing
-    * id are invisible to the diff (ids are the identity); push those
-    * through [[updateIndex]] explicitly. No-op when nothing is new. */
-  def updateIndexFromReader(ts: Long): Unit = {
+    * re-embedding of the existing corpus.
+    *
+    * Content CHANGES under an existing id are invisible to the plain diff
+    * (ids are the identity). When the reader's metadata carries a content
+    * fingerprint column, pass it as `contentHashCol`: ids whose CURRENT
+    * fingerprint differs from the STORED metadata's re-embed too — the
+    * join compares two metadata projections (id, hash), never document
+    * payloads, so the change scan stays two-column at any corpus size.
+    * No-op when nothing is new or changed. */
+  def updateIndexFromReader(ts: Long, contentHashCol: Option[String] = None): Unit = {
     val existing = metadata.select(col("external_id"))
-    val fresh = reader.readObjects(spark)
+    val current = reader.readMetadata(spark)
+    val newIds = current.select("external_id")
       .join(existing, Seq("external_id"), "left_anti")
-    if (fresh.limit(1).isEmpty) return
-    val freshMeta = reader.readMetadata(spark)
-      .join(existing, Seq("external_id"), "left_anti")
-    updateIndex(fresh, freshMeta, ts)
+    val changedIds = contentHashCol match {
+      case Some(hc) =>
+        require(current.columns.contains(hc),
+          s"graft: contentHashCol '$hc' not in the reader's metadata " +
+            s"columns ${current.columns.sorted.mkString(", ")}")
+        require(metadata.columns.contains(hc),
+          s"graft: contentHashCol '$hc' not in the stored object_metadata " +
+            "— the index was created without a fingerprint column")
+        current.select(col("external_id"), col(hc).as("__h_now"))
+          .join(metadata.select(col("external_id"), col(hc).as("__h_idx")),
+            Seq("external_id"))
+          .where(!(col("__h_now") <=> col("__h_idx")))
+          .select("external_id")
+      case None => spark.emptyDataFrame.select(lit(0L).as("external_id")).limit(0)
+    }
+    val touched = newIds.unionByName(changedIds)
+    if (touched.limit(1).isEmpty) return
+    val objs = reader.readObjects(spark)
+      .join(touched, Seq("external_id"), "left_semi")
+    updateIndex(objs, current.join(touched, Seq("external_id"), "left_semi"), ts)
   }
 
   /** Fold both maintenance logs into fresh base tables: the vector side

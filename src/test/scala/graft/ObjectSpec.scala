@@ -298,6 +298,55 @@ class ObjectSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("multi-vector"), e2.getMessage)
   }
 
+  test("reader diff with a content fingerprint re-embeds changed objects only") {
+    import spark.implicits._
+    // source table with a fingerprint column; the reader points at a temp
+    // dir so rewriting it simulates the source mutating under the index
+    val src = Files.createTempDirectory("graft_incr_src").toString
+    def srcDf(mutateId: Option[Long]) = {
+      val base = spark.read.parquet(s"$sf0001/documents.parquet")
+        .select(col("doc_id"), col("text"), col("lang"))
+      val mutated = mutateId match {
+        case Some(id) => base.withColumn("text",
+          when(col("doc_id") === id, lit("entirely rewritten content " * 10))
+            .otherwise(col("text")))
+        case None => base
+      }
+      mutated.withColumn("text_fp", xxhash64(col("text")))
+    }
+    srcDf(None).write.mode("overwrite").parquet(s"$src/docs")
+    val reader = new graft.objects.ParquetTableReader(
+      s"$src/docs", idCol = "doc_id", contentCol = "text")
+    val emb = new HashTextEmbedding(64)
+    val uri = tmp()
+    ObjectIndex.create(spark, uri, reader, emb, indexType = "FLAT", timestamp = 1000L)
+    val idx = new ObjectIndex(spark, uri, reader, emb)
+    // no change → no-op even with the fingerprint diff enabled
+    idx.updateIndexFromReader(1500L, contentHashCol = Some("text_fp"))
+    assert(!graft.index.Storage.nonEmptyDir(s"$uri/updates"))
+    // mutate doc 3's text at the source; the fingerprint diff must
+    // re-embed EXACTLY that object
+    srcDf(Some(3L)).write.mode("overwrite").parquet(s"$src/docs")
+    idx.updateIndexFromReader(2000L, contentHashCol = Some("text_fp"))
+    val logIds = spark.read.parquet(s"$uri/updates")
+      .select("external_id").distinct().as[Long].collect().toSeq
+    assert(logIds === Seq(3L), s"only the changed object may re-embed, got $logIds")
+    // stored metadata carries the new fingerprint; the new text now
+    // retrieves doc 3 first
+    val newFp = srcDf(Some(3L)).where(col("doc_id") === 3)
+      .select("text_fp").head().getLong(0)
+    assert(idx.metadata.where(col("external_id") === 3)
+      .select("text_fp").head().getLong(0) === newFp)
+    val q = Seq((99L, "entirely rewritten content " * 10)).toDF("qid", "text")
+    val top = idx.query(q, k = 1).select("external_id").head().getLong(0)
+    assert(top === 3L, s"updated content must serve the new vector, got $top")
+    // a fingerprint column the metadata does not carry is a named error
+    val e = intercept[IllegalArgumentException] {
+      idx.updateIndexFromReader(3000L, contentHashCol = Some("nope"))
+    }
+    assert(e.getMessage.contains("contentHashCol"), e.getMessage)
+  }
+
   test("parquet 1-D table reader: documents table as a direct object source") {
     import spark.implicits._
     val reader = new graft.objects.ParquetTableReader(
