@@ -95,6 +95,28 @@ object IvfSweepBench {
     if (mode == "flat" || mode == "sqrtn") {
       graft.index.Storage.deleteRecursively(corpusPath); return
     }
+    // mode "pq10m": ONLY the PQ reference-default geometry (the 10M-scale
+    // run — the full k_factor grid is the 1M sweep's job)
+    if (mode == "pq10m") {
+      val uriPq = java.nio.file.Files.createTempDirectory("ivf_sweep_pq10m").toString
+      val t0 = System.nanoTime()
+      Ingest.ingest(spark, uriPq, big, "IVF_PQ", DistanceMetric.L2,
+        timestamp = 1000L, partitions = Some(sqrtN))
+      val buildPqS = (System.nanoTime() - t0) / 1e9
+      val pq = VectorIndex.open(spark, uriPq).asInstanceOf[graft.index.IvfPqIndex]
+      val sqrtParts = math.max(1, math.sqrt(sqrtN.toDouble).toInt)
+      for (kf <- Seq(4.0f); nprobe <- Seq(8, sqrtParts)) {
+        val t1 = System.nanoTime()
+        val got = SweepFixture.groundTruth(pq.queryBase(queries, k, nprobe, kf, None))
+        val queryS = (System.nanoTime() - t1) / 1e9
+        val recall = SweepFixture.recall(exact, got, k)
+        println(f"SWEEP_PQ {partitions: $sqrtN, nprobe: $nprobe, k_factor: $kf%.0f, " +
+          f"recall: $recall%.4f, query_s: $queryS%.2f, build_s: $buildPqS%.1f}")
+      }
+      graft.index.Storage.deleteRecursively(uriPq)
+      graft.index.Storage.deleteRecursively(corpusPath)
+      return
+    }
     // IVF_PQ at the √N geometry: k_factor (exact-re-rank candidate
     // inflation) × nprobe, the reference's PQ accuracy/latency curve
     // (local-benchmarks.py PQ sweeps; k_factor: ivf_pq_index.py:40-45)

@@ -477,9 +477,11 @@ object SparkEntry {
       |                ELSE 0 END))::DOUBLE)""".stripMargin
 
   /** Chunking (1000/100, ids doc_id*1000+i) + hash embeddings + cosine
-    * scoring of the doc_id<5 query batch — the shared head of the two
-    * object-search oracles. */
-  private val objectSearchScoredCte: String =
+    * scoring of the doc_id<5 query batch — the shared head of the
+    * object-search oracles. `docsSrc` is the chunked CORPUS source (a
+    * table name or inline subquery yielding (doc_id, text)); the QUERY
+    * batch always reads the original documents table. */
+  private def objectSearchScoredCteFrom(docsSrc: String): String =
     s"""WITH chunks AS (
        |  SELECT doc_id * 1000 + i AS external_id, doc_id, ch AS text
        |  FROM (
@@ -489,7 +491,7 @@ object SparkEntry {
        |        CASE WHEN length(text) <= 1000 THEN [text]
        |             ELSE list_transform(range(0, length(text), 900), s -> substr(text, s+1, 1000))
        |        END AS chs
-       |      FROM documents)
+       |      FROM $docsSrc)
        |  )
        |),
        |ch AS (SELECT external_id, doc_id,
@@ -505,6 +507,9 @@ object SparkEntry {
        |    list_cosine_similarity(q.v, c.v) AS sim
        |  FROM qv q CROSS JOIN cv c
        |)""".stripMargin
+
+  private val objectSearchScoredCte: String =
+    objectSearchScoredCteFrom("documents")
 
   /** Brute-force oracle of every single-constant `ORDER BY dist LIMIT k`
     * SQL-surface query (exact at probe-all registration, any index type). */
@@ -1086,6 +1091,45 @@ object SparkEntry {
       .select(col("doc_id").as("qid"), col("text"))
     idx.query(queries, k = K2obj, nprobe = 1 << 30)
       .select(col("qid"), col("rank"), col("external_id"), col("lang"), col("source"))
+      .orderBy("qid", "rank")
+  }
+
+  /** Update + delete + consolidate through the OBJECT layer, hash-gated
+    * (the rest of the reference's `update_index` lifecycle,
+    * object_index.py:736-881 + index.py:418-577, composed at the object
+    * level): the full corpus indexes, documents 490–499 delete, document
+    * 0's content is REPLACED (its original chunks tombstone, one new chunk
+    * upserts), and `consolidate` folds both the vector and metadata logs
+    * into fresh base tables before the query runs. The oracle replays the
+    * search over the MODIFIED corpus (docs minus the deleted range, doc 0
+    * rewritten) — create+mutate+consolidate must answer exactly like
+    * building from the edited corpus directly. */
+  private val UpsertText = "the quantum cartography of turnips is " +
+    "entirely rewritten content for the upsert row"
+  private def objectSearchUpserted(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val full = new graft.objects.DocumentsTableReader(dir)
+    val embU = new graft.objects.HashTextEmbedding(64)
+    val uri = cachedIndex("obj_upsert", dir) { u =>
+      graft.objects.ObjectIndex.create(spark, u, full, embU,
+        indexType = "FLAT", timestamp = 1000L)
+      val idx = new graft.objects.ObjectIndex(spark, u, full, embU)
+      // tombstone the deleted docs' chunks AND doc 0's original chunks
+      // (the replacement text re-chunks to a single chunk id 0)
+      idx.deleteObjects(
+        idx.metadata.where(col("doc_id").between(490, 499) || col("doc_id") === 0)
+          .select("external_id"), ts = 2000L)
+      idx.updateIndex(
+        Seq((0L, 0L, UpsertText)).toDF("external_id", "doc_id", "text"),
+        full.readMetadata(spark).where(col("external_id") === 0), ts = 3000L)
+      idx.consolidate(4000L)
+      ()
+    }
+    val idx = new graft.objects.ObjectIndex(spark, uri, full, embU)
+    val queries = docs(spark, dir).where(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"), col("text"))
+    idx.query(queries, k = K2obj, nprobe = 1 << 30)
+      .select(col("qid"), col("rank"), col("external_id"))
       .orderBy("qid", "rank")
   }
 
@@ -1824,6 +1868,7 @@ object SparkEntry {
     "object_search_maxsim" -> (objectSearchMaxsim _),
     "object_search" -> (objectSearch _),
     "object_search_incremental" -> (objectSearchIncremental _),
+    "object_search_upserted" -> (objectSearchUpserted _),
     "object_search_filtered" -> (objectSearchFiltered _),
     "object_search_prefiltered" -> (objectSearchPrefiltered _),
     "object_search_image" -> (objectSearchImage _),
@@ -2194,6 +2239,21 @@ object SparkEntry {
          |SELECT r.qid, r.rank::INT AS rank, r.external_id, d.lang, d.source
          |FROM ranked r JOIN documents d ON r.doc_id = d.doc_id
          |WHERE r.rank <= $K2obj
+         |ORDER BY qid, rank""".stripMargin,
+    // update+delete+consolidate lifecycle: the oracle replays the search
+    // over the EDITED corpus (docs 490-499 removed, doc 0's text replaced)
+    // — create+mutate+consolidate must answer exactly like building from
+    // the edited corpus directly. Queries stay the ORIGINAL doc_id<5 texts
+    // (qid 0 queries with its old text against its new content).
+    "object_search_upserted" ->
+      s"""${objectSearchScoredCteFrom(
+             s"(SELECT doc_id, CASE WHEN doc_id = 0 THEN '$UpsertText' ELSE text END AS text " +
+               "FROM documents WHERE doc_id NOT BETWEEN 490 AND 499)")}
+         |SELECT qid,
+         |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, external_id)::INT AS rank,
+         |  external_id
+         |FROM scored
+         |QUALIFY rank <= $K2obj
          |ORDER BY qid, rank""".stripMargin,
     // incremental maintenance: create-half + add-half must equal the
     // full-corpus build bit-for-bit (FLAT raw store both sides), so the
