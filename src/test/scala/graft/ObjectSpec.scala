@@ -298,6 +298,30 @@ class ObjectSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("multi-vector"), e2.getMessage)
   }
 
+  test("candidate-restricted metadata merge keeps the semi joins under the window") {
+    import spark.implicits._
+    val uri = tmp()
+    Seq((1L, "en"), (2L, "de")).toDF("external_id", "lang")
+      .write.parquet(s"$uri/object_metadata")
+    Seq((2L, "fr", 5L, false), (1L, null.asInstanceOf[String], 6L, true))
+      .toDF("external_id", "lang", "__meta_ts", "__meta_deleted")
+      .write.parquet(s"$uri/object_metadata_updates")
+    // semantics: restricted view == merged view filtered to the keys
+    // (2 overwritten to fr; 1 tombstoned so even if keyed it yields nothing)
+    val got = ObjectIndex.mergedMetadata(spark, uri, Some(Seq(1L, 2L).toDF("external_id")))
+      .as[(Long, String)].collect().toSeq.sorted
+    assert(got === Seq((2L, "fr")))
+    // posture: both sources restrict BELOW the last-write-wins window, so
+    // a per-query hit join never windows the whole metadata table
+    val plan = ObjectIndex.mergedMetadata(spark, uri, Some(Seq(2L).toDF("external_id")))
+      .queryExecution.optimizedPlan.toString
+    val wi = plan.indexOf("Window")
+    assert(wi >= 0, s"expected a window in the merged plan:\n$plan")
+    val semis = "LeftSemi".r.findAllMatchIn(plan).map(_.start).toSeq
+    assert(semis.size === 2 && semis.forall(_ > wi),
+      s"expected BOTH sources key-restricted under the window:\n$plan")
+  }
+
   test("reader diff with a content fingerprint re-embeds changed objects only") {
     import spark.implicits._
     // source table with a fingerprint column; the reader points at a temp
