@@ -67,9 +67,12 @@ object IvfSweepBench {
     // recorded (PERF.md) and the open question is how the √N build and the
     // driver-side probe bookkeeping scale with the partition count.
     val sqrtN = math.sqrt(n.toDouble).toInt
-    val partsGrid =
-      if (mode == "sqrtn") Seq(sqrtN) else Seq(20, 50, 100, 200, sqrtN)
-    for (parts <- partsGrid if mode != "pq") {
+    val partsGrid = mode match {
+      case "sqrtn" => Seq(sqrtN)
+      case "pq" | "pq10m" => Seq.empty // PQ-only modes skip the FLAT grid
+      case _ => Seq(20, 50, 100, 200, sqrtN)
+    }
+    for (parts <- partsGrid) {
       val uri = java.nio.file.Files.createTempDirectory(s"ivf_sweep_p$parts").toString
       val t0 = System.nanoTime()
       Ingest.ingest(spark, uri, big, "IVF_FLAT", DistanceMetric.L2,

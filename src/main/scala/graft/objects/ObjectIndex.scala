@@ -226,7 +226,9 @@ class ObjectIndex(
   def updateIndexFromReader(ts: Long, contentHashCol: Option[String] = None): Unit = {
     val existing = metadata.select(col("external_id"))
     val current = reader.readMetadata(spark)
-    val newIds = current.select("external_id")
+    // ids normalized to long on both union branches — a reader declaring
+    // int ids must not fail the unionByName below
+    val newIds = current.select(col("external_id").cast("long").as("external_id"))
       .join(existing, Seq("external_id"), "left_anti")
     val changedIds = contentHashCol match {
       case Some(hc) =>
@@ -236,9 +238,10 @@ class ObjectIndex(
         require(metadata.columns.contains(hc),
           s"graft: contentHashCol '$hc' not in the stored object_metadata " +
             "— the index was created without a fingerprint column")
-        current.select(col("external_id"), col(hc).as("__h_now"))
-          .join(metadata.select(col("external_id"), col(hc).as("__h_idx")),
-            Seq("external_id"))
+        current.select(col("external_id").cast("long").as("external_id"),
+            col(hc).as("__h_now"))
+          .join(metadata.select(col("external_id").cast("long").as("external_id"),
+            col(hc).as("__h_idx")), Seq("external_id"))
           .where(!(col("__h_now") <=> col("__h_idx")))
           .select("external_id")
       case None => spark.emptyDataFrame.select(lit(0L).as("external_id")).limit(0)
@@ -257,8 +260,11 @@ class ObjectIndex(
     * move into place) — a crash between the moves leaves the staged
     * directory on disk with the full merged table, recoverable by hand or
     * by re-running a consolidation. */
-  def consolidate(newTs: Long, partitions: Option[Int] = None): ObjectIndex = {
-    index.consolidateUpdates(newTs, partitions)
+  def consolidate(
+      newTs: Long,
+      partitions: Option[Int] = None,
+      reuseCentroids: Boolean = false): ObjectIndex = {
+    index.consolidateUpdates(newTs, partitions, reuseCentroids)
     val updPath = ObjectIndex.metadataUpdatesPath(uri)
     if (graft.index.Storage.nonEmptyDir(updPath)) {
       val stage = s"$uri/object_metadata_stage_$newTs"
