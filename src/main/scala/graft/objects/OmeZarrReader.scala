@@ -42,7 +42,8 @@ class OmeZarrReader(
     import spark.implicits._
     val images = OmeZarrReader.discover(spark, dir, glob, level)
     if (images.isEmpty) return emptyTiles(spark, withPayload = true)
-    val byArray = images.map(i => i.arrayPath -> i).toMap
+    // keys normalized once here — chunkOf runs per scanned file
+    val byArray = images.map(i => i.arrayPath.stripPrefix("file:") -> i).toMap
     val stride = tileStride
     images.foreach { i =>
       require(i.tilesX.toLong * i.tilesY < stride,
@@ -151,7 +152,10 @@ object OmeZarrReader {
     val root = new org.apache.hadoop.fs.Path(dir)
     val f = fs(spark, root)
     if (!f.exists(root)) return Seq.empty
-    val groups = f.globStatus(new org.apache.hadoop.fs.Path(root, glob))
+    // globStatus contract: null (not empty) when the PATTERN matches no
+    // path on some filesystems — guard both shapes
+    val groups = Option(f.globStatus(new org.apache.hadoop.fs.Path(root, glob)))
+      .getOrElse(Array.empty)
       .filter(_.isDirectory).map(_.getPath).sortBy(_.toString)
     groups.toSeq.flatMap { g =>
       readSmall(spark, s"$g/.zattrs").flatMap { attrsJson =>
@@ -208,13 +212,22 @@ object OmeZarrReader {
   private[objects] def chunkOf(
       path: String, byArray: Map[String, ZarrImage]): Option[(ZarrImage, Int, Int)] = {
     // binaryFile reports scheme-qualified URIs; discover() may have built
-    // scheme-less local paths — compare both normalized
+    // scheme-less local paths — compare both normalized. The owning array
+    // dir is found by walking the file's ANCESTORS against the (tiny)
+    // params map — O(path depth) per chunk file, not O(images), so a
+    // many-image store scans without a per-file linear probe.
     val norm = path.stripPrefix("file:")
-    byArray.collectFirst {
-      case (arrayPath, img)
-          if norm.startsWith(arrayPath.stripPrefix("file:") + "/") =>
-        (img, norm.substring(arrayPath.stripPrefix("file:").length + 1))
-    }.flatMap { case (img, rel) =>
+    def walk(d: String, rel: String): Option[(ZarrImage, String)] =
+      byArray.get(d) match {
+        case Some(img) => Some((img, rel))
+        case None =>
+          val cut = d.lastIndexOf('/')
+          if (cut <= 0) None
+          else walk(d.take(cut), d.drop(cut + 1) + "/" + rel)
+      }
+    val cut0 = norm.lastIndexOf('/')
+    (if (cut0 <= 0) None else walk(norm.take(cut0), norm.drop(cut0 + 1)))
+      .flatMap { case (img, rel) =>
       val parts = rel.replace('/', '.').split('.')
       if (parts.length != img.shape.length || parts.exists(p => !p.forall(_.isDigit)))
         None
