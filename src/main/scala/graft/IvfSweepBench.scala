@@ -108,7 +108,7 @@ object IvfSweepBench {
       val buildPqS = (System.nanoTime() - t0) / 1e9
       val pq = VectorIndex.open(spark, uriPq).asInstanceOf[graft.index.IvfPqIndex]
       val sqrtParts = math.max(1, math.sqrt(sqrtN.toDouble).toInt)
-      for (kf <- Seq(4.0f); nprobe <- Seq(8, sqrtParts)) {
+      for (kf <- Seq(4.0f, 16.0f, 32.0f); nprobe <- Seq(sqrtParts)) {
         val t1 = System.nanoTime()
         val got = SweepFixture.groundTruth(pq.queryBase(queries, k, nprobe, kf, None))
         val queryS = (System.nanoTime() - t1) / 1e9

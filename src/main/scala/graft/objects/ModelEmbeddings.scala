@@ -135,11 +135,12 @@ class MlpTextEmbedding(
     "graft: MLP hidden layer shape mismatch")
   override def dimensions: Int = b1.length
 
-  private[graft] def features(text: String): Array[Float] = {
+  // one stateless hasher per embedding instance, not per row
+  private val hasher = new HashTextEmbedding(featureDim)
+
+  private[graft] def features(text: String): Array[Float] =
     // the SAME hashed bag-of-words the training features used
-    val it = new HashTextEmbedding(featureDim).embed(Iterator((0L, text)))
-    it.next()._3
-  }
+    hasher.embed(Iterator((0L, text))).next()._3
 
   private[graft] def hidden(x: Array[Float]): Array[Float] = {
     val h = new Array[Float](b1.length)
