@@ -65,7 +65,16 @@ class ObjectIndex(
     *        per-embedding list holds k allowed hits with no inflation —
     *        no reference counterpart; arbitrarily selective conditions
     *        stay exact at exhaustive probes.
-    * @return (qid, rank, external_id, score, metadata attrs...)
+    * @param returnMetadata when false, results carry no metadata attrs and
+    *        — absent a `metadataCond` — the metadata table is never even
+    *        scanned (the reference's `return_metadata=False`,
+    *        object_index.py:289,528). A condition still applies (as a
+    *        semi join), it just doesn't project attrs. Note the
+    *        attrs-returning default also acts as an existence filter: a
+    *        hit with no metadata row drops (the doctor flags such
+    *        indexes); with `returnMetadata=false` and no condition it
+    *        survives.
+    * @return (qid, rank, external_id, score[, metadata attrs...])
     */
   def query(
       queryObjects: DataFrame,
@@ -74,7 +83,8 @@ class ObjectIndex(
       nprobe: Int = 0,
       fetchFactor: Int = 50,
       fusionMode: String = ObjectIndex.FusionReciprocal,
-      filterMode: String = ObjectIndex.FilterPost): DataFrame = {
+      filterMode: String = ObjectIndex.FilterPost,
+      returnMetadata: Boolean = true): DataFrame = {
     import spark.implicits._
     require(fusionMode == ObjectIndex.FusionReciprocal ||
         fusionMode == ObjectIndex.FusionRank ||
@@ -151,12 +161,21 @@ class ObjectIndex(
     // metadata table, joined (broadcast — results are small) to survivors.
     // The merged view is RESTRICTED to the candidate ids before its
     // last-write-wins window, so a maintenance log never turns the hit
-    // join into a corpus-sized metadata shuffle.
-    val candMeta = ObjectIndex.mergedMetadata(spark, uri,
+    // join into a corpus-sized metadata shuffle. returnMetadata=false
+    // skips the metadata scan entirely when no condition needs it, and
+    // degrades the join to a semi when one does.
+    lazy val candMeta = ObjectIndex.mergedMetadata(spark, uri,
       Some(fused.select("external_id")))
-    val withMeta = fused.join(
-      metadataCond.map(c => candMeta.where(expr(c))).getOrElse(candMeta),
-      Seq("external_id"))
+    val withMeta =
+      if (returnMetadata)
+        fused.join(
+          metadataCond.map(c => candMeta.where(expr(c))).getOrElse(candMeta),
+          Seq("external_id"))
+      else metadataCond match {
+        case Some(c) => fused.join(candMeta.where(expr(c)).select("external_id"),
+          Seq("external_id"), "left_semi")
+        case None => fused
+      }
 
     // post-filter repack: first k survivors per query (F6)
     val w = Window.partitionBy(col("qid"))

@@ -298,6 +298,29 @@ class ObjectSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("multi-vector"), e2.getMessage)
   }
 
+  test("returnMetadata=false skips attrs and the metadata scan without changing ranking") {
+    import spark.implicits._
+    val queries = spark.read.parquet(s"$sf0001/documents.parquet")
+      .where(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"), col("text"))
+    val withM = objIndex.query(queries, k = 5, nprobe = 1 << 30)
+    val noM = objIndex.query(queries, k = 5, nprobe = 1 << 30, returnMetadata = false)
+    assert(!noM.columns.contains("lang") && !noM.columns.contains("source"))
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "rank", "external_id").as[(Long, Int, Long)].collect().sorted.toSeq
+    assert(ids(noM) === ids(withM))
+    // without a condition the metadata table never enters the plan
+    assert(!noM.queryExecution.executedPlan.toString.contains("object_metadata"),
+      "returnMetadata=false must not scan the metadata table")
+    // a condition still applies — as a semi join — and agrees with the
+    // attrs-returning filter on the survivor set
+    val cond = objIndex.query(queries, k = 5, metadataCond = Some("lang = 'en'"),
+      nprobe = 1 << 30, returnMetadata = false)
+    val condM = objIndex.query(queries, k = 5, metadataCond = Some("lang = 'en'"),
+      nprobe = 1 << 30)
+    assert(ids(cond) === ids(condM))
+  }
+
   test("candidate-restricted metadata merge keeps the semi joins under the window") {
     import spark.implicits._
     val uri = tmp()
