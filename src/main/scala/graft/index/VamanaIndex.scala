@@ -61,6 +61,13 @@ object VamanaKernels {
       start: Int,
       q: Array[Float],
       L: Int): (Array[(Float, Int)], Array[Int]) = {
+    // frontier capacity in LONG arithmetic: 2 * (1 << 30) overflows Int to
+    // a NEGATIVE bound, making `size > bound` always true and the trim
+    // loop spin on an empty frontier forever — the probe-all idiom
+    // (lSearch = 1 << 30) reached exactly that. A beam can also never
+    // usefully exceed the point count, so clamp there first.
+    val lEff = math.min(L.toLong, math.max(1L, points.length.toLong)).toInt
+    val cap = math.min(2L * lEff, Int.MaxValue.toLong).toInt
     val seen = new java.util.HashSet[Integer]()
     val visited = mutable.ArrayBuffer.empty[Int]
     // candidate frontier ordered by (dist, id)
@@ -80,7 +87,7 @@ object VamanaKernels {
       var next: (Float, Int) = null
       val it = frontier.iterator()
       var rank = 0
-      while (next == null && it.hasNext && rank < L) {
+      while (next == null && it.hasNext && rank < lEff) {
         val c = it.next()
         if (!expanded.contains(c._2)) next = c
         rank += 1
@@ -95,15 +102,15 @@ object VamanaKernels {
           if (!seen.contains(nb)) {
             seen.add(nb)
             frontier.add((sos(points(nb), q), nb))
-            if (frontier.size() > 2 * L) frontier.pollLast()
+            if (frontier.size() > cap) frontier.pollLast()
           }
         }
-        while (frontier.size() > 2 * L) frontier.pollLast()
+        while (frontier.size() > cap) frontier.pollLast()
       }
     }
     val top = frontier.iterator()
     val out = mutable.ArrayBuffer.empty[(Float, Int)]
-    while (top.hasNext && out.size < L) out += top.next()
+    while (top.hasNext && out.size < lEff) out += top.next()
     (out.toArray, visited.toArray)
   }
 

@@ -60,14 +60,17 @@ class ReferenceBytesSpec extends AnyFunSuite {
     assert(rows.forall(_._2.forall(v => v >= 0f && v <= 255f)))
   }
 
-  test("reference compat contract: FLAT and IVF_FLAT self-retrieve the query subset exactly") {
+  test("reference compat contract: every index type self-retrieves the query subset exactly") {
     need(siftmicro)
     import spark.implicits._
     val base = VecsIO.readFvecs(spark, siftmicro)
       .select(col("row_id").as("external_id"), col("vector"))
     val queries = base.where(col("external_id").isin(QueryIndices: _*))
       .select(col("external_id").as("qid"), col("vector").as("qvec"))
-    for (indexType <- Seq("FLAT", "IVF_FLAT")) {
+    // the reference's compat suite runs flat / ivf_flat / vamana / ivf_pq
+    // (test_backwards_compatibility.py:60-69); BINARY is the port's own
+    // extra type on the same lifecycle contract
+    for (indexType <- Seq("FLAT", "IVF_FLAT", "VAMANA", "IVF_PQ", "BINARY")) {
       val uri = Files.createTempDirectory(s"graft_refbytes_$indexType").toString
       Ingest.ingest(spark, uri, base, indexType, DistanceMetric.L2,
         timestamp = 1000L)
@@ -78,7 +81,7 @@ class ReferenceBytesSpec extends AnyFunSuite {
       // test_backwards_compatibility.py:72-74: ids == the query subset,
       // distances all zero (accuracy 1.0 on the reference's own bytes)
       assert(hits.map(_._2).toSeq === QueryIndices.sorted,
-        s"$indexType self-retrieval ids")
+        s"$indexType self-retrieval ids: ${hits.map(_._2).toSeq}")
       assert(hits.forall(_._3 === 0.0f), s"$indexType self-distances must be 0")
     }
   }
