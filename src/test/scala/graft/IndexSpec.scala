@@ -316,6 +316,16 @@ class IndexSpec extends AnyFunSuite {
     val maxDeg = spark.read.parquet(s"$uri/graph/v=1000")
       .select(max(size(col("neighbors")))).head().getInt(0)
     assert(maxDeg <= graft.index.VamanaIndex.DefaultRMaxDegree + 1)
+    // regression: the probe-all idiom (lSearch = 1 << 30) must TERMINATE —
+    // the frontier cap used to compute 2*L in Int, overflow negative, and
+    // spin the executor forever on an empty frontier. With the beam
+    // covering the whole connected graph the search is exhaustive
+    // (recall 1.0 up to float tie noise at the k boundary).
+    val allGot = gotIds(idx.query(queries10, 10, nprobe = 1 << 30))
+    val allRecall = exact.keys.toSeq.map { q =>
+      allGot.getOrElse(q, Seq.empty).toSet.intersect(exact(q).toSet).size.toDouble / 10.0
+    }.sum / exact.size
+    assert(allRecall >= 0.99, s"probe-all beam must be exhaustive, recall $allRecall")
   }
 
   test("VAMANA sharded: 4-shard build + merged search clears the recall gate") {
