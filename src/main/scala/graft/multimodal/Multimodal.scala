@@ -80,6 +80,7 @@ object Multimodal {
     * at 100 TB this is the unit a codec/model would be loaded per-executor
     * for, exactly like ObjectEmbedding.init(). */
   def extractFeatures(media: DataFrame, dim: Int = 64): DataFrame = {
+    require(dim > 0, s"graft: extractFeatures dim must be positive, got $dim")
     import media.sparkSession.implicits._
     media.select(col("obj_id"), col("modality"), col("payload"))
       .as[(Long, String, Array[Byte])]
@@ -195,6 +196,10 @@ object Multimodal {
     * stride, color space) breaks the hash. Undecodable payloads are
     * dropped (count them upstream if loss matters). */
   def decodeImageStats(media: DataFrame, grid: Int = 4): DataFrame = {
+    // grid*grid cells must fit an Int: a huge grid would overflow negative
+    // and silently emit ZERO rows per image instead of failing
+    require(grid > 0 && grid <= 4096,
+      s"graft: decodeImageStats grid must be in [1, 4096], got $grid")
     import media.sparkSession.implicits._
     media.select(col("obj_id"), col("payload"))
       .as[(Long, Array[Byte])]
@@ -297,6 +302,8 @@ object Multimodal {
     * PCM — the audio twin of [[decodeImageStats]], oracle-checkable when
     * fixtures are [[testToneWav]] formula tones (WAV PCM is lossless). */
   def decodeAudioStats(media: DataFrame, windows: Int = 16): DataFrame = {
+    require(windows > 0,
+      s"graft: decodeAudioStats windows must be positive, got $windows")
     import media.sparkSession.implicits._
     media.select(col("obj_id"), col("payload"))
       .as[(Long, Array[Byte])]
@@ -477,6 +484,8 @@ object Multimodal {
     * Frames that fail to decode are dropped per-frame (the index stays
     * the CONTAINER frame index, so a dropped frame is visible as a gap). */
   def decodeVideoStats(media: DataFrame, grid: Int = 2): DataFrame = {
+    require(grid > 0 && grid <= 4096,
+      s"graft: decodeVideoStats grid must be in [1, 4096], got $grid")
     import media.sparkSession.implicits._
     media.select(col("obj_id"), col("payload"))
       .as[(Long, Array[Byte])]
@@ -583,6 +592,8 @@ object Multimodal {
     * documented byte-window stub (`frameBytes`) until their codecs exist
     * in the environment. */
   def sampleFrames(media: DataFrame, everyN: Int, frameBytes: Int = 256): DataFrame = {
+    require(everyN > 0 && frameBytes > 0,
+      s"graft: sampleFrames needs positive everyN/frameBytes, got $everyN/$frameBytes")
     import media.sparkSession.implicits._
     media.where(col("modality") === "video")
       .select(col("obj_id"), col("payload"))
