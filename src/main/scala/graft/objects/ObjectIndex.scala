@@ -212,8 +212,12 @@ class ObjectIndex(
     val vecs = ObjectIndex.embedContent(objects, "external_id", embedding)
       .toDF("external_id", "embedding_seq", "vector")
       .select(col("external_id"), col("vector").cast("array<float>").as("vector"))
-    index.updateBatch(vecs, ts)
+    // metadata FIRST: a crash between the two appends then leaves an
+    // orphan metadata row (doctor WARN, joins ignore it) instead of a
+    // vector whose hits silently drop from every result (doctor ERROR) —
+    // the recoverable side of the non-atomic pair
     appendMetadata(metadataRows, ts, deleted = false)
+    index.updateBatch(vecs, ts)
   }
 
   /** Delete objects: tombstone their vectors in the updates log
