@@ -32,7 +32,9 @@ trait ObjectReader extends Serializable {
   * address a subset of the source; a Catalyst predicate is the declarative
   * equivalent and pushes into the inner scan). Useful for staged builds:
   * create on one slice, [[ObjectIndex.updateIndexFromReader]] with the full
-  * reader picks up the rest. */
+  * reader picks up the rest. The predicate applies to BOTH readObjects and
+  * readMetadata, so reference only columns present in both frames (ids and
+  * shared metadata attrs — not the content column). */
 class FilteredObjectReader(inner: ObjectReader, cond: String) extends ObjectReader {
   override def readObjects(spark: SparkSession): DataFrame =
     inner.readObjects(spark).where(expr(cond))
