@@ -1671,6 +1671,18 @@ object SparkEntry {
     Dedup.dedupAssignments(docs(spark, dir), 0.8)
       .select(col("doc_id"), col("component")).orderBy("doc_id")
 
+  /** Quality-canonical dedup: same LSH-pair components as dedup_components,
+    * but the cluster survivor is the highest-quality member (integer
+    * quality = distinct-token count, ties to min id) instead of the min id.
+    * The oracle replays the closure CTE plus an exact per-component argmax. */
+  private def dedupCanonicalQuality(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val assigns = Dedup.dedupAssignments(d, 0.8).select(col("doc_id"), col("component"))
+    val qual = d.select(col("doc_id"),
+      size(TextOps.distinctTokens(col("text"))).cast("long").as("quality"))
+    Dedup.canonicalByQuality(assigns, qual).orderBy("doc_id")
+  }
+
   /** Semantic corpus dedup (SemDeDup shape): centroid-blocked cosine pairs
     * -> components -> canonical. Hash-checked end-to-end: the oracle
     * replays the blocking from the persisted centroids and closes the pair
@@ -1931,6 +1943,7 @@ object SparkEntry {
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
     "dedup_embedding_cosine_ann" -> (dedupEmbeddingCosineAnn _),
     "dedup_components" -> (dedupComponents _),
+    "dedup_canonical_quality" -> (dedupCanonicalQuality _),
     "dedup_semantic" -> (dedupSemantic _),
     "dedup_spans" -> (dedupSpans _),
     "text_hash_split" -> (textHashSplit _),
@@ -2662,6 +2675,37 @@ object SparkEntry {
          |comp AS (SELECT d.doc_id, least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS component
          |         FROM documents d LEFT JOIN reach r ON d.doc_id = r.a GROUP BY d.doc_id)
          |SELECT doc_id, component FROM comp ORDER BY doc_id""".stripMargin,
+    // Same transitive closure as dedup_components, then an exact
+    // per-component argmax on the integer quality (max quality, tie -> min
+    // id) — replayed as max-join-min, the window-free SQL equivalent of the
+    // engine's max(struct(q, -id)) aggregate.
+    "dedup_canonical_quality" ->
+      s"""WITH RECURSIVE
+         |t AS (SELECT doc_id, text,
+         |        regexp_split_to_array(trim(text), '\\s+') toks FROM documents),
+         |sh_s AS (SELECT doc_id,
+         |        CASE WHEN len(toks) < 3 THEN [trim(text)]
+         |             ELSE list_distinct(list_transform(range(1, len(toks)-1),
+         |                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END sh
+         |      FROM t),
+         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |          FROM sh_s a JOIN sh_s b ON a.doc_id < b.doc_id
+         |          WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+         |reach(a, b) AS (SELECT a, b FROM edges
+         |                UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |comp AS (SELECT d.doc_id, least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS component
+         |         FROM documents d LEFT JOIN reach r ON d.doc_id = r.a GROUP BY d.doc_id),
+         |q AS (SELECT doc_id, len(list_distinct(regexp_split_to_array(trim(text), '\\s+')))::BIGINT AS quality
+         |      FROM documents),
+         |j AS (SELECT c.doc_id, c.component, q.quality FROM comp c JOIN q USING (doc_id)),
+         |m AS (SELECT component, max(quality) AS canonical_quality FROM j GROUP BY 1),
+         |canon AS (SELECT j.component, min(j.doc_id) AS canonical_id, m.canonical_quality
+         |          FROM j JOIN m ON j.component = m.component AND j.quality = m.canonical_quality
+         |          GROUP BY j.component, m.canonical_quality)
+         |SELECT j.doc_id, j.component, c.canonical_id, c.canonical_quality,
+         |       j.doc_id = c.canonical_id AS is_canonical
+         |FROM j JOIN canon c ON j.component = c.component ORDER BY j.doc_id""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum((l_quantity::DECIMAL(18,2) * 100)::BIGINT)::BIGINT AS sum_qty_c,

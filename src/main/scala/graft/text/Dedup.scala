@@ -646,4 +646,59 @@ object Dedup {
         col("n_lines"),
         (col("n_lines") - coalesce(col("__kept"), lit(0L))).as("removed_lines"))
   }
+
+  /** Quality-canonical selection over duplicate clusters: instead of the
+    * min-id convention [[dedupAssignments]] uses, the surviving member of
+    * each component is its HIGHEST-quality document (ties break to the
+    * smallest id). This is what production corpus dedup actually wants —
+    * when a page was crawled five times, keep the cleanest capture, not the
+    * one with the lowest crawl id (the convention SemDeDup/CCNet pipelines
+    * follow when a quality score is available).
+    *
+    * `quality` must be integer-valued (enforced) and cover every id in
+    * `assignments` — ids without a quality row drop out of the result (the
+    * join is inner; run the scorer over the full corpus first). Float
+    * qualities are refused: they put the argmax on an engine-dependent
+    * tie boundary, the same trap the integer-micro pinning elsewhere in
+    * this codebase avoids — quantize upstream.
+    *
+    * Scale: one map-side-combinable `max(struct(quality, -id))` aggregate
+    * per component — no window, no self-join. The canonical table the join
+    * adds back is one row per component and rides the size-gated broadcast
+    * helper, shuffle fallback included.
+    *
+    * @param assignments (idCol, component) as produced by
+    *                    [[dedupAssignments]] / [[dedupAssignmentsEmbedding]]
+    * @param quality     (idCol, qualityCol) integer-valued score, higher =
+    *                    better
+    * @return (idCol, component, canonical_id, canonical_quality,
+    *         is_canonical) for every input id
+    */
+  def canonicalByQuality(
+      assignments: DataFrame,
+      quality: DataFrame,
+      idCol: String = "doc_id",
+      qualityCol: String = "quality"): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val qType = quality.schema(qualityCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(qType),
+      s"graft: canonicalByQuality requires an integer-valued $qualityCol " +
+        s"(got $qType) — float scores make the per-component argmax an " +
+        "engine-dependent tie; quantize upstream (e.g. round(q * 1e6))")
+    val j = assignments
+      .select(col(idCol).cast("long").as("__id"), col("component"))
+      .join(quality.select(col(idCol).cast("long").as("__id"),
+        col(qualityCol).cast("long").as("__q")), Seq("__id"))
+    // max over (quality, -id): highest quality, then smallest id — one
+    // struct-ordered aggregate, partial on the map side like any max
+    val canon = j.groupBy(col("component"))
+      .agg(max(struct(col("__q"), (-col("__id")).as("__nid"))).as("__best"))
+      .select(col("component"),
+        (-col("__best.__nid")).as("canonical_id"),
+        col("__best.__q").as("canonical_quality"))
+    j.join(graft.gatedSmallSide(canon), Seq("component"))
+      .select(col("__id").as(idCol), col("component"), col("canonical_id"),
+        col("canonical_quality"),
+        (col("__id") === col("canonical_id")).as("is_canonical"))
+  }
 }

@@ -758,6 +758,46 @@ class TextSpec extends AnyFunSuite {
       s"cap should ride the partial top-k heap:\n$plan")
   }
 
+  test("canonicalByQuality picks max quality then min id, one canonical per component, windowless") {
+    import spark.implicits._
+    val assigns = Seq(
+      // component 10: quality tie 7/7 between ids 11 and 12 -> canonical 11
+      (10L, 10L), (11L, 10L), (12L, 10L),
+      // component 20: clear winner 22
+      (20L, 20L), (22L, 20L),
+      // singleton component: its own canonical
+      (30L, 30L)
+    ).toDF("doc_id", "component")
+    val qual = Seq(
+      (10L, 3L), (11L, 7L), (12L, 7L), (20L, 1L), (22L, 9L), (30L, 0L)
+    ).toDF("doc_id", "quality")
+    val out = Dedup.canonicalByQuality(assigns, qual)
+    val rows = out.as[(Long, Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(10L, 11L, 12L, 20L, 22L, 30L))
+    val byComp = rows.groupBy(_._2)
+    assert(byComp(10L).forall(r => r._3 === 11L && r._4 === 7L))
+    assert(byComp(20L).forall(r => r._3 === 22L && r._4 === 9L))
+    assert(byComp(30L).forall(r => r._3 === 30L && r._4 === 0L))
+    byComp.values.foreach(ms => assert(ms.count(_._5) === 1, "exactly one canonical"))
+    assert(rows.filter(_._5).map(_._1).toSet === Set(11L, 22L, 30L))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"argmax must be an aggregate, not a window:\n$plan")
+    // an id with no quality row drops out (documented inner-join contract)
+    val missing = Dedup.canonicalByQuality(assigns, qual.where(col("doc_id") =!= 12L))
+    assert(missing.count() === 5L)
+  }
+
+  test("canonicalByQuality refuses a float quality column by name") {
+    import spark.implicits._
+    val assigns = Seq((1L, 1L)).toDF("doc_id", "component")
+    val qual = Seq((1L, 0.5)).toDF("doc_id", "quality")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.canonicalByQuality(assigns, qual)
+    }
+    assert(e.getMessage.contains("integer-valued"), e.getMessage)
+    assert(e.getMessage.contains("quality"), e.getMessage)
+  }
+
   test("a malformed graft conf fails naming the key and value, not as a bare NumberFormatException") {
     spark.conf.set(Dedup.MaxNgramBlockRowsKey, "not-a-number")
     try {
