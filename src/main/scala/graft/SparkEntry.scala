@@ -638,6 +638,29 @@ object SparkEntry {
       idsOnly(VectorIndex.open(spark, uri).query(idxQueries(spark, dir), K)))
   }
 
+  /** VAMANA served over PQ codes (the DiskANN memory layout,
+    * [[graft.index.VamanaIndex.withPqTraversal]]): the beam walks m-int
+    * codes (16x smaller task state than the float path), and the merged
+    * k x kFactor candidates re-rank EXACTLY from the full vectors. Same
+    * recall-frame emission as vamana_knn — the reference's 0.85 accuracy
+    * gate vs the exact twin, hash-checked by the DuckDB oracle. Shares the
+    * vamana build; codes train+attach once per version (idempotent). */
+  private def vamanaKnnPq(spark: SparkSession, dir: String): DataFrame = {
+    val uri = cachedIndex("vamana", dir) { u =>
+      Ingest.ingest(spark, u, embAsIndexInput(spark, dir), "VAMANA",
+        DistanceMetric.L2, timestamp = 1000L)
+    }
+    // codebook training + encode is build work: account it like a build
+    // (cachedIndex's temp dir is unused — the codes attach to the vamana uri)
+    cachedIndex("vamana_pq", dir) { _ =>
+      VectorIndex.open(spark, uri).asInstanceOf[graft.index.VamanaIndex]
+        .buildPqCodes()
+    }
+    vamanaRecallFrame(spark, dir, uri, "results_pq",
+      idsOnly(VectorIndex.open(spark, uri).asInstanceOf[graft.index.VamanaIndex]
+        .withPqTraversal().query(idxQueries(spark, dir), K)))
+  }
+
   /** Shard-ROUTED VAMANA search at the PERF.md sweep-validated config
     * (16 shards × 3 boundary replicas; S=5 probes here — S=4 measured
     * 0.927 on the n=10k audit fixture but 0.84 on this NQ=10 driver set,
@@ -1861,6 +1884,7 @@ object SparkEntry {
     "ivf_pq_exact_rerank" -> (ivfPqExactRerank _),
     "vamana_knn" -> (vamanaKnn _),
     "vamana_knn_routed" -> (vamanaKnnRouted _),
+    "vamana_knn_pq" -> (vamanaKnnPq _),
     "fvecs_roundtrip_knn" -> (fvecsRoundtripKnn _),
     "vecs_dsv2_range_knn" -> (vecsDsv2RangeKnn _),
     "source_ingest_autodetect" -> (sourceIngestAutodetect _),
@@ -3028,7 +3052,8 @@ object SparkEntry {
     lmReplayOracle ++ dsirReplayOracle ++ bm25ReplayOracle ++
     qualityClfReplayOracle ++ pipelineFunnelOracle ++ pcaReplayOracle ++
     vamanaRecallOracle("vamana", "results_knn", "vamana_knn") ++
-    vamanaRecallOracle("vamana_routed", "results_routed", "vamana_knn_routed")
+    vamanaRecallOracle("vamana_routed", "results_routed", "vamana_knn_routed") ++
+    vamanaRecallOracle("vamana", "results_pq", "vamana_knn_pq")
 
   /** DuckDB verification of the VAMANA recall frames: recompute the exact
     * top-k twin from `embeddings` directly, intersect with the PERSISTED

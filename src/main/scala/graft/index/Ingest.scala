@@ -725,7 +725,7 @@ object Ingest {
     out
   }
 
-  private def writePqCodebooks(spark: SparkSession, uri: String, ts: Long,
+  private[index] def writePqCodebooks(spark: SparkSession, uri: String, ts: Long,
       cb: Array[Array[Array[Float]]]): Unit = {
     import spark.implicits._
     (for (s <- cb.indices; c <- cb(s).indices) yield (s, c, cb(s)(c).toSeq))

@@ -60,13 +60,25 @@ object VamanaKernels {
       adj: Int => Iterable[Int],
       start: Int,
       q: Array[Float],
+      L: Int): (Array[(Float, Int)], Array[Int]) =
+    greedySearchDist(points.length, i => sos(points(i), q), adj, start, L)
+
+  /** Distance-accessor variant: the walk only ever needs d(node, query), so
+    * an index->distance function generalizes the kernel to compressed
+    * representations (PQ asymmetric lookups in [[searchShardPq]]) without
+    * touching the float hot path's semantics. */
+  def greedySearchDist(
+      n: Int,
+      dist: Int => Float,
+      adj: Int => Iterable[Int],
+      start: Int,
       L: Int): (Array[(Float, Int)], Array[Int]) = {
     // frontier capacity in LONG arithmetic: 2 * (1 << 30) overflows Int to
     // a NEGATIVE bound, making `size > bound` always true and the trim
     // loop spin on an empty frontier forever — the probe-all idiom
     // (lSearch = 1 << 30) reached exactly that. A beam can also never
     // usefully exceed the point count, so clamp there first.
-    val lEff = math.min(L.toLong, math.max(1L, points.length.toLong)).toInt
+    val lEff = math.min(L.toLong, math.max(1L, n.toLong)).toInt
     val cap = math.min(2L * lEff, Int.MaxValue.toLong).toInt
     val seen = new java.util.HashSet[Integer]()
     val visited = mutable.ArrayBuffer.empty[Int]
@@ -79,7 +91,7 @@ object VamanaKernels {
         }
       })
     val expanded = new java.util.HashSet[Integer]()
-    frontier.add((sos(points(start), q), start))
+    frontier.add((dist(start), start))
     seen.add(start)
     var done = false
     while (!done) {
@@ -101,7 +113,7 @@ object VamanaKernels {
           val nb = it2.next()
           if (!seen.contains(nb)) {
             seen.add(nb)
-            frontier.add((sos(points(nb), q), nb))
+            frontier.add((dist(nb), nb))
             if (frontier.size() > cap) frontier.pollLast()
           }
         }
@@ -196,6 +208,37 @@ object VamanaKernels {
       top.take(k).map { case (score, p) => (qid, ids(p), score) }
     }
   }
+
+  /** PQ-compressed per-shard beam search (the DiskANN §3 memory layout:
+    * graph walk over m-byte codes, exactness restored by the caller's
+    * full-vector re-rank). `rows` carry PQ codes instead of float vectors
+    * and `queries` carry the per-query asymmetric distance TABLE (flattened
+    * m x codesPer, as [[graft.functions.PqDistanceTable]] emits), so a beam
+    * step costs m array lookups instead of a dims-float subtraction — and a
+    * shard task holds dims/m-fold less vector data than [[searchShard]],
+    * the lever that fits 100 TB of graph in executor memory. */
+  def searchShardPq(
+      rows: Array[(Long, Array[Int], Array[Long], Boolean)],
+      queries: Array[(Long, Array[Float])],
+      codesPer: Int,
+      lSearch: Int,
+      k: Int): Iterator[(Long, Long, Float)] = {
+    if (rows.isEmpty) return Iterator.empty
+    val ids = rows.map(_._1)
+    val pos = ids.zipWithIndex.toMap
+    val codes = rows.map(_._2)
+    val adj = rows.map(_._3.flatMap(l => pos.get(l)))
+    val med = rows.indexWhere(_._4) match { case -1 => 0; case m => m }
+    queries.iterator.flatMap { case (qid, dtable) =>
+      val adc = (i: Int) => {
+        val c = codes(i); var s = 0.0f; var j = 0
+        while (j < c.length) { s += dtable(j * codesPer + c(j)); j += 1 }
+        s
+      }
+      val (top, _) = greedySearchDist(rows.length, adc, i => adj(i), med, lSearch)
+      top.take(k).map { case (score, p) => (qid, ids(p), score) }
+    }
+  }
 }
 
 /** VAMANA index (reference:
@@ -211,7 +254,7 @@ object VamanaKernels {
   * merge — each task holds one shard's graph only; queries broadcast).
   */
 class VamanaIndex(spark: SparkSession, uri: String, meta: IndexMeta, ts: Long,
-    val nprobeShards: Int = 0)
+    val nprobeShards: Int = 0, val pqKFactor: Float = 0f)
     extends VectorIndex(spark, uri, meta, ts) {
 
   override def baseVectors(): DataFrame = {
@@ -273,8 +316,28 @@ class VamanaIndex(spark: SparkSession, uri: String, meta: IndexMeta, ts: Long,
 
   /** Same index, queries routed to the top-`s` shards per query. */
   def withNprobeShards(s: Int): VamanaIndex = {
-    val idx = new VamanaIndex(spark, uri, meta, readTimestamp, s)
+    val idx = new VamanaIndex(spark, uri, meta, readTimestamp, s, pqKFactor)
     // carry the read window: a range-opened handle must stay windowed
+    idx.updateWindow = updateWindow
+    idx.queryBaseArray = queryBaseArray
+    idx
+  }
+
+  /** Same index, base searches traversing PQ CODES instead of float
+    * vectors (DiskANN's memory layout — Subramanya et al., NeurIPS'19 §3:
+    * walk on compressed codes, exact re-rank of the merged candidates from
+    * the full vectors). A shard task then holds m ints per vector instead
+    * of dims floats, the lever that keeps a 100 TB graph's search tasks
+    * inside executor memory; the full vectors are read once at the end for
+    * only the k x kFactor merged candidates per query. Requires
+    * [[buildPqCodes]] to have attached codes to this version (checked at
+    * query time with a named error). Composes with shard routing
+    * ([[withNprobeShards]]) and with the standard updates-merge/masking in
+    * [[VectorIndex.query]], which rides on top of queryBase unchanged. */
+  def withPqTraversal(kFactor: Float = VamanaIndex.DefaultPqKFactor): VamanaIndex = {
+    require(kFactor >= 1f,
+      s"graft: withPqTraversal kFactor must be >= 1 (got $kFactor)")
+    val idx = new VamanaIndex(spark, uri, meta, readTimestamp, nprobeShards, kFactor)
     idx.updateWindow = updateWindow
     idx.queryBaseArray = queryBaseArray
     idx
@@ -305,6 +368,56 @@ class VamanaIndex(spark: SparkSession, uri: String, meta: IndexMeta, ts: Long,
     * builds (which write no centroids). Existence checked through the
     * Hadoop FS API — a java.nio check would silently disable routing and
     * incremental consolidation for non-local index URIs. */
+  /** Attach PQ codes to this base version (the [[withPqTraversal]]
+    * prerequisite): train per-subspace codebooks on the stored base (the
+    * shared central/distributed k-means dispatch,
+    * [[Ingest.trainPqCodebooks]]), encode every base row — INCLUDING
+    * boundary-exchange portal copies, which participate in beam distances —
+    * and write `pq/v=<ts>` partitioned by shard_id (so routed queries prune
+    * code files exactly like base/graph files) plus `pq_codebooks/v=<ts>`
+    * in the IVF_PQ layout. Idempotent per version; float dtypes only (byte
+    * bases are already 4x packed — compressing a compressed base is the
+    * IVF_PQ u8 path's job). */
+  def buildPqCodes(mSubspaces: Int = 0): Unit = {
+    require(historyIdx >= 0,
+      "graft: buildPqCodes needs an ingested base at this timestamp")
+    require(meta.dtype == "float32",
+      s"graft: buildPqCodes supports float32 bases (got ${meta.dtype})")
+    // 0 = auto: dims/4 subspaces, the IVF_PQ ingest default (ingestion.py
+    // num_subspaces) — 16x smaller traversal vectors
+    val mSub = if (mSubspaces > 0) mSubspaces else math.max(1, meta.dimensions / 4)
+    require(meta.dimensions % mSub == 0,
+      s"graft: buildPqCodes mSubspaces=$mSub must divide " +
+        s"dimensions=${meta.dimensions}")
+    if (Storage.exists(s"$uri/pq/v=$baseTimestamp")) return
+    val base = readVersioned(s"$uri/base/v=$baseTimestamp")
+    val n = meta.baseSizes(historyIdx)
+    val subDim = meta.dimensions / mSub
+    val cbs = Ingest.trainPqCodebooks(base.select("vector"), mSub, subDim,
+      Ingest.autoTrainingSize(n, 256), totalRows = n)
+    Ingest.writePqCodebooks(spark, uri, baseTimestamp, cbs)
+    val flatCb = Ingest.flattenCodebooks(cbs, subDim)
+    import org.apache.spark.sql.graftshim.{toColumn, toExpression}
+    base.select(col("shard_id"), col("external_id"),
+        toColumn(graft.functions.PqEncode(toExpression(col("vector")), flatCb,
+          mSub, cbs(0).length, subDim)).as("codes"))
+      .write.mode("overwrite").partitionBy("shard_id")
+      .parquet(s"$uri/pq/v=$baseTimestamp")
+  }
+
+  /** PQ codebooks attached to this version by [[buildPqCodes]];
+    * codebooks(subspace)(code) = sub-centroid. Empty when none exist. */
+  lazy val pqCodebooks: Array[Array[Array[Float]]] =
+    if (historyIdx < 0 || !Storage.exists(s"$uri/pq_codebooks/v=$baseTimestamp"))
+      Array.empty
+    else {
+      val rows = spark.read.parquet(s"$uri/pq_codebooks/v=$baseTimestamp")
+        .orderBy("subspace", "code").collect()
+      rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (_, rs) =>
+        rs.sortBy(_.getInt(1)).map(r => r.getSeq[Float](2).toArray).toArray
+      }.toArray
+    }
+
   lazy val shardCentroids: Array[Array[Float]] =
     if (historyIdx < 0 || !Storage.exists(s"$uri/centroids/v=$baseTimestamp"))
       Array.empty
@@ -476,6 +589,7 @@ class VamanaIndex(spark: SparkSession, uri: String, meta: IndexMeta, ts: Long,
       return Knn.bruteForce(restrictTo(baseVectors(), allow), queries, k, metric,
         idCol = "external_id", vecCol = "vector")
     }
+    if (pqKFactor > 0f) return queryBasePq(queries, k, lSearch0, allow)
     // Filtered graph search = overfetch-then-filter (the reference object
     // layer's fetch_k strategy, object_index.py): constraining the greedy
     // traversal itself to allowed nodes could disconnect the graph, so the
@@ -588,12 +702,138 @@ class VamanaIndex(spark: SparkSession, uri: String, meta: IndexMeta, ts: Long,
     merged.select(col("qid"), col("rank"), col("id"),
       VamanaIndex.reportDistance(m, col("distance")).as("distance"))
   }
+
+  /** PQ-traversal base search ([[withPqTraversal]]): the same
+    * route/prune/cogroup skeleton as [[queryBase]], but each shard task
+    * walks the graph over `pq/v=<ts>` CODES with the query's asymmetric
+    * distance table (computed as an expression on the replicated query
+    * rows, exactly like [[IvfPqIndex]]'s pairs — arbitrarily large batches
+    * never build tables on the driver), and the float vectors are touched
+    * only by the final exact re-rank of the k x kFactor merged candidates.
+    * Approximation is two-layered (beam + ADC), compensated by lSearch and
+    * kFactor; the re-rank makes reported distances exact and the result
+    * gate is the same 0.85 recall floor the float path carries. */
+  private def queryBasePq(queries: DataFrame, k: Int, lSearch0: Int,
+      allow: Option[DataFrame]): DataFrame = {
+    require(pqCodebooks.nonEmpty,
+      s"graft: PQ traversal requested but no codes exist at v=$baseTimestamp " +
+        "— run buildPqCodes() on this version first")
+    require(Storage.exists(s"$uri/pq/v=$baseTimestamp"),
+      s"graft: pq_codebooks exist but pq codes are missing at v=$baseTimestamp " +
+        "(partial buildPqCodes write?) — re-run buildPqCodes()")
+    val mSub = pqCodebooks.length
+    val codesPer = pqCodebooks(0).length
+    val subDim = meta.dimensions / mSub
+    val lSearch = math.max(if (lSearch0 <= 0) VamanaIndex.DefaultLSearch else lSearch0,
+      if (allow.isDefined) 4 * k else k)
+    val kCand = math.min(meta.baseSizes(historyIdx),
+      math.max(k.toLong, math.ceil(k.toDouble * pqKFactor).toLong)).toInt
+
+    import spark.implicits._
+    import org.apache.spark.sql.graftshim.{toColumn, toExpression}
+    val qn0 = queries.select(col("qid").cast("long").as("qid"),
+      col("qvec").cast("array<float>").as("qvec"))
+    val qn = metric match {
+      case DistanceMetric.Cosine => qn0.select(col("qid"),
+        graft.functions.vector_normalize(col("qvec")).as("qvec"))
+      case _ => qn0
+    }
+    val shardIds = spark.read.parquet(s"$uri/graph/v=$baseTimestamp")
+      .select("shard_id").distinct().as[Int].collect().sorted.toSeq
+    val effProbe =
+      if (nprobeShards > 0) nprobeShards
+      else if (nprobeShards < 0) 0
+      else graft.Conf.int(spark, VamanaIndex.NprobeShardsKey, 0)
+    val routed = effProbe > 0 && shardCentroids.length > 1 && effProbe < shardIds.length
+    val flatCb = Ingest.flattenCodebooks(pqCodebooks, subDim)
+    // query replication frame with the per-query table attached; always
+    // checkpointed — it feeds the active-shard collect, the cogroup AND the
+    // re-rank's qvecs, and must pin a nondeterministic query source
+    val pairs = (if (routed) {
+      qn.select(col("qid"), col("qvec"),
+        explode(toColumn(graft.functions.NearestCentroids(
+          toExpression(col("qvec")), shardCentroids, effProbe))).as("shard_id"))
+    } else {
+      qn.withColumn("shard_id", explode(typedlit(shardIds)))
+    }).select(col("shard_id"), col("qid"), col("qvec"),
+        toColumn(graft.functions.PqDistanceTable(
+          toExpression(col("qvec")), flatCb, mSub, codesPer, subDim)).as("dtable"))
+      .localCheckpoint()
+
+    val activeShards: Option[Seq[Int]] =
+      if (routed)
+        Some(pairs.select("shard_id").distinct().as[Int].collect().sorted.toSeq)
+      else None
+    def pruneShards(df: DataFrame): DataFrame =
+      activeShards.map(s => df.where(col("shard_id").isin(s: _*))).getOrElse(df)
+
+    // shard task input: codes + adjacency — no float vectors
+    val graph = pruneShards(readVersioned(s"$uri/pq/v=$baseTimestamp"))
+      .join(pruneShards(readVersioned(s"$uri/graph/v=$baseTimestamp")),
+        Seq("shard_id", "external_id"))
+      .select(col("shard_id"), col("external_id"), col("codes"),
+        col("neighbors"), col("is_medoid"))
+      .as[(Int, Long, Array[Int], Array[Long], Boolean)]
+    val qRep = pairs.select(col("shard_id"), col("qid"), col("dtable"))
+      .as[(Int, Long, Array[Float])]
+    // per-shard candidate count: kCand suffices for the global top-kCand
+    // (top-kCand global is contained in the union of per-shard top-kCand);
+    // filtered queries keep the full beam for the post-filter repack
+    val kLocal = math.max(math.min(kCand, lSearch),
+      if (allow.isDefined) lSearch else 0)
+    val perShard = graph
+      .groupByKey(_._1)
+      .cogroup(qRep.groupByKey(_._1)) { (_, git, qit) =>
+        val qs = qit.map { case (_, qid, dt) => (qid, dt) }.toArray
+        if (qs.isEmpty) Iterator.empty
+        else {
+          val rows = git.map { case (_, id, cs, nbs, med) => (id, cs, nbs, med) }.toArray
+          VamanaKernels.searchShardPq(rows, qs, codesPer, lSearch, kLocal)
+        }
+      }
+      .toDF("qid", "id", "__adc")
+
+    val scored0 = perShard.select(col("qid").as("__qid"), col("id").as("__id"),
+      col("__adc").as("__score"))
+    val scored = if (meta.shardReplicas > 1)
+      scored0.groupBy("__qid", "__id").agg(min("__score").as("__score"))
+    else scored0
+    val candidates = Knn.topKFromScores(
+        restrictTo(scored, allow, idCol = "__id"), kCand, DistanceMetric.SumOfSquares)
+      .select(col("qid"), col("id"))
+
+    // exact re-rank from the full vectors, pruned to the probed shards
+    // (every candidate id has a copy — resident or portal — in a probed
+    // shard, so the pruned read covers it; duplicate copies collapse in the
+    // min aggregate, scores being bit-identical)
+    val nq = math.max(1L, pairs.select("qid").distinct().count())
+    val rerankBase = pruneShards(readVersioned(s"$uri/base/v=$baseTimestamp"))
+      .select("external_id", "vector")
+    val qvecs = pairs.select("qid", "qvec").dropDuplicates("qid")
+    val candBytes = nq * kCand * 24L
+    val qvecsBytes = nq * (24L + 4L * meta.dimensions)
+    val rescored = rerankBase
+      .join(VectorIndex.sizedJoinSide(spark, candidates, candBytes),
+        rerankBase("external_id") === candidates("id"))
+      .join(VectorIndex.sizedJoinSide(spark, qvecs, qvecsBytes), Seq("qid"))
+      .select(col("qid").as("__qid"), col("external_id").as("__id"),
+        DistanceMetric.score(DistanceMetric.SumOfSquares)(
+          col("vector"), col("qvec")).as("__score"))
+      .groupBy("__qid", "__id").agg(min("__score").as("__score"))
+    val merged = Knn.topKFromScores(rescored, k, DistanceMetric.SumOfSquares)
+    merged.select(col("qid"), col("rank"), col("id"),
+      VamanaIndex.reportDistance(metric, col("distance")).as("distance"))
+  }
 }
 
 object VamanaIndex {
   val DefaultLBuild = 100 // reference: vamana_index.py:30-32
   val DefaultRMaxDegree = 64
   val DefaultLSearch = 100
+  /** Candidate inflation before the exact re-rank; the IVF_PQ sweep showed
+    * k_factor 4-8 recovering the quantization loss to the IVF ceiling
+    * (PERF.md), and the graph path inherits that geometry. */
+  val DefaultPqKFactor = 4.0f
 
   /** Cross-shard neighbor exchange for boundary-replicated builds (the
     * sharded sibling of the reference's single-graph merge,

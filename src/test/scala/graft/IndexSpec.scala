@@ -344,6 +344,51 @@ class IndexSpec extends AnyFunSuite {
     assert(shards === 4)
   }
 
+  test("VAMANA PQ traversal: codes-only beam + exact re-rank clears the gate; probe-all = brute force") {
+    val uri = tmp()
+    val idx0 = Ingest.ingest(spark, uri, emb, "VAMANA", DistanceMetric.L2,
+      timestamp = 1000L, partitions = Some(4)).asInstanceOf[graft.index.VamanaIndex]
+    // PQ traversal without codes fails naming the missing build step
+    val e = intercept[IllegalArgumentException](
+      idx0.withPqTraversal().query(queries10, 10).collect())
+    assert(e.getMessage.contains("buildPqCodes"), e.getMessage)
+    idx0.buildPqCodes()
+    idx0.buildPqCodes() // idempotent per version
+    // codes live beside the graph, partitioned by shard for routed pruning
+    val codeShards = spark.read.parquet(s"$uri/pq/v=1000")
+      .select("shard_id").distinct().count()
+    assert(codeShards === 4)
+    // a fresh handle sees the persisted codes
+    val idx = graft.index.VectorIndex.open(spark, uri)
+      .asInstanceOf[graft.index.VamanaIndex].withPqTraversal()
+    assert(idx.pqCodebooks.length === 16, "auto subspaces = dims/4 at 64 dims")
+    val exact = exactIds(emb, 10)
+    val got = gotIds(idx.query(queries10, 10))
+    val recall = exact.keys.toSeq.map { q =>
+      got.getOrElse(q, Seq.empty).toSet.intersect(exact(q).toSet).size.toDouble / 10.0
+    }.sum / exact.size
+    assert(recall >= 0.85, s"PQ-traversal recall $recall below the reference gate")
+    // probe-all beam + corpus-covering kFactor: candidates = the whole
+    // graph, so the exact re-rank REPRODUCES brute force (the exactness
+    // seam the IVF_PQ path carries, here through the graph walk)
+    val allGot = gotIds(idx.withPqTraversal(kFactor = 1e9f)
+      .query(queries10, 10, nprobe = 1 << 30))
+    val allRecall = exact.keys.toSeq.map { q =>
+      allGot.getOrElse(q, Seq.empty).toSet.intersect(exact(q).toSet).size.toDouble / 10.0
+    }.sum / exact.size
+    assert(allRecall >= 0.99, s"probe-all PQ + full re-rank must be exhaustive, got $allRecall")
+    // reported distances are exact (re-ranked from full vectors): rank-1
+    // self-queries land on themselves at distance 0
+    val self = idx.query(queries10, 10).where(col("rank") === 1)
+    assert(self.where(col("qid") === col("id") && col("distance") === 0f).count() === 10)
+    // composes with shard routing: arity holds and the pq scan prunes
+    val routed = idx.queryLSearch(queries10, 10, lSearch = 100, nprobeShards = 2)
+    assert(routed.groupBy("qid").count().where(col("count") =!= 10).count() === 0)
+    val physical = routed.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*shard_id[^\\]]*\\]".r.findFirstIn(physical).isDefined,
+      s"expected shard_id PartitionFilters on the PQ scan:\n${physical.take(2500)}")
+  }
+
   test("VAMANA shard routing: top-S shard probe clears the recall gate") {
     // The raw 500-vector fixture makes 4 shards of ~125 rows, so a query's
     // true top-10 genuinely spans >2 shards and routed recall is
