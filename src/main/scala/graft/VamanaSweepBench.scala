@@ -15,11 +15,12 @@ import graft.operators.{DistanceMetric, Knn}
   * per-query constants) dominate.
   *
   * Usage: `runMain graft.VamanaSweepBench [sfDir] [reps] [nq] [jitter]
-  * [shardReplicas] [shards]` (defaults /root/testdata/sf0.1, 125 →
+  * [shardReplicas] [shards] [pq]` (defaults /root/testdata/sf0.1, 125 →
   * 250,000 vectors, 100 queries, jitter parameter 0.5 → ±0.25/lane,
   * 2 replicas, auto shards — pass `shards` explicitly at large reps:
   * the sequential per-shard build is the unit of work, so shard size,
-  * not corpus size, sets wall-clock).
+  * not corpus size, sets wall-clock; `pq=1` adds the PQ-traversal arm
+  * ([[VamanaIndex.withPqTraversal]]) next to every float cell).
   * Prints one `VSWEEP {...}` line per cell, for PERF.md. Maintenance
   * benchmark, not wired into Bench.
   */
@@ -32,18 +33,20 @@ object VamanaSweepBench {
     val jitter = args.lift(3).map(_.toDouble).getOrElse(0.5)
     val replicas = args.lift(4).map(_.toInt).getOrElse(2)
     val shardsOpt = args.lift(5).map(_.toInt)
+    val pq = args.lift(6).exists(_ == "1")
     val spark = SparkSession.builder()
       .appName("graft-vamana-sweep").master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try run(spark, sfDir, reps, nq, jitter, replicas, shardsOpt)
+    try run(spark, sfDir, reps, nq, jitter, replicas, shardsOpt, pq)
     finally spark.stop()
   }
 
   def run(spark: SparkSession, sfDir: String, reps: Int, nq: Int,
-      jitter: Double, replicas: Int, shardsOpt: Option[Int] = None): Unit = {
+      jitter: Double, replicas: Int, shardsOpt: Option[Int] = None,
+      pq: Boolean = false): Unit = {
     val (corpusPath, big, n) = SweepFixture.replicatedCorpus(spark, sfDir, reps, jitter)
     println(s"VSWEEP_CORPUS n=$n dims=64 reps=$reps replicas=$replicas")
 
@@ -65,6 +68,13 @@ object VamanaSweepBench {
     val shards = graft.index.IndexMeta.read(uri).partitionHistory.last
     println(f"VSWEEP_BUILD shards=$shards build_s=$buildS%.1f")
 
+    val pqIdx = if (pq) {
+      val t2 = System.nanoTime()
+      idx.buildPqCodes()
+      println(f"VSWEEP_PQ_BUILD codes_s=${(System.nanoTime() - t2) / 1e9}%.1f")
+      Some(idx.withPqTraversal())
+    } else None
+
     for (s <- Seq(2, 4, 8, 0); ls <- Seq(50, 100, 200)) {
       if (s == 0 || s < shards) {
         val t1 = System.nanoTime()
@@ -75,6 +85,15 @@ object VamanaSweepBench {
         val sLabel = if (s == 0) "all" else s.toString
         println(f"VSWEEP {shards: $shards, S: $sLabel%s, l_search: $ls, " +
           f"recall: $recall%.4f, query_s: $queryS%.2f}")
+        pqIdx.foreach { pidx =>
+          val t2 = System.nanoTime()
+          val gotPq = SweepFixture.groundTruth(
+            pidx.queryLSearch(queries, k, ls, nprobeShards = s))
+          val pqS = (System.nanoTime() - t2) / 1e9
+          val recallPq = SweepFixture.recall(exact, gotPq, k)
+          println(f"VSWEEP_PQ {shards: $shards, S: $sLabel%s, l_search: $ls, " +
+            f"recall: $recallPq%.4f, query_s: $pqS%.2f}")
+        }
       }
     }
     graft.index.Storage.deleteRecursively(uri)

@@ -188,4 +188,32 @@ object PqDistanceTable {
     }
     out
   }
+
+  /** Plain-array twin of [[table]] for kernel-side construction (the VAMANA
+    * PQ walk builds each query's table inside the shard task — shipping the
+    * dims-float query through the shuffle instead of the m x codes-float
+    * table). Same loop, same float arithmetic, bit-identical output. */
+  def table(q: Array[Float], cb: Array[Float], m: Int, codes: Int, subDim: Int): Array[Float] = {
+    if (q.length != m * subDim) throw new IllegalArgumentException(
+      s"graft: pq table dims ${q.length} != $m x $subDim")
+    val out = new Array[Float](m * codes)
+    var s = 0
+    while (s < m) {
+      var c = 0
+      while (c < codes) {
+        val off = (s * codes + c) * subDim
+        var d = 0.0f
+        var j = 0
+        while (j < subDim) {
+          val diff = q(s * subDim + j) - cb(off + j)
+          d += diff * diff
+          j += 1
+        }
+        out(s * codes + c) = d
+        c += 1
+      }
+      s += 1
+    }
+    out
+  }
 }

@@ -210,17 +210,22 @@ object VamanaKernels {
   }
 
   /** PQ-compressed per-shard beam search (the DiskANN §3 memory layout:
-    * graph walk over m-byte codes, exactness restored by the caller's
-    * full-vector re-rank). `rows` carry PQ codes instead of float vectors
-    * and `queries` carry the per-query asymmetric distance TABLE (flattened
-    * m x codesPer, as [[graft.functions.PqDistanceTable]] emits), so a beam
-    * step costs m array lookups instead of a dims-float subtraction — and a
+    * graph walk over m-int codes, exactness restored by the caller's
+    * full-vector re-rank). `rows` carry PQ codes instead of float vectors;
+    * each query's asymmetric distance TABLE is built INSIDE the task from
+    * the (dims-float) query vector and the closure-shipped flat codebook —
+    * the table is m x codesPer floats, so shipping the query instead of the
+    * table cuts the replicated-query shuffle by that ratio. A beam step
+    * then costs m array lookups instead of a dims-float subtraction, and a
     * shard task holds dims/m-fold less vector data than [[searchShard]],
     * the lever that fits 100 TB of graph in executor memory. */
   def searchShardPq(
       rows: Array[(Long, Array[Int], Array[Long], Boolean)],
       queries: Array[(Long, Array[Float])],
+      flatCb: Array[Float],
+      mSub: Int,
       codesPer: Int,
+      subDim: Int,
       lSearch: Int,
       k: Int): Iterator[(Long, Long, Float)] = {
     if (rows.isEmpty) return Iterator.empty
@@ -229,7 +234,8 @@ object VamanaKernels {
     val codes = rows.map(_._2)
     val adj = rows.map(_._3.flatMap(l => pos.get(l)))
     val med = rows.indexWhere(_._4) match { case -1 => 0; case m => m }
-    queries.iterator.flatMap { case (qid, dtable) =>
+    queries.iterator.flatMap { case (qid, qv) =>
+      val dtable = graft.functions.PqDistanceTable.table(qv, flatCb, mSub, codesPer, subDim)
       val adc = (i: Int) => {
         val c = codes(i); var s = 0.0f; var j = 0
         while (j < c.length) { s += dtable(j * codesPer + c(j)); j += 1 }
@@ -746,18 +752,17 @@ class VamanaIndex(spark: SparkSession, uri: String, meta: IndexMeta, ts: Long,
       else graft.Conf.int(spark, VamanaIndex.NprobeShardsKey, 0)
     val routed = effProbe > 0 && shardCentroids.length > 1 && effProbe < shardIds.length
     val flatCb = Ingest.flattenCodebooks(pqCodebooks, subDim)
-    // query replication frame with the per-query table attached; always
-    // checkpointed — it feeds the active-shard collect, the cogroup AND the
-    // re-rank's qvecs, and must pin a nondeterministic query source
+    // query replication frame, dims-float per row (the ADC tables build
+    // inside the shard tasks — see searchShardPq); always checkpointed: it
+    // feeds the active-shard collect, the cogroup AND the re-rank's qvecs,
+    // and must pin a nondeterministic query source
     val pairs = (if (routed) {
       qn.select(col("qid"), col("qvec"),
         explode(toColumn(graft.functions.NearestCentroids(
           toExpression(col("qvec")), shardCentroids, effProbe))).as("shard_id"))
     } else {
       qn.withColumn("shard_id", explode(typedlit(shardIds)))
-    }).select(col("shard_id"), col("qid"), col("qvec"),
-        toColumn(graft.functions.PqDistanceTable(
-          toExpression(col("qvec")), flatCb, mSub, codesPer, subDim)).as("dtable"))
+    }).select(col("shard_id"), col("qid"), col("qvec"))
       .localCheckpoint()
 
     val activeShards: Option[Seq[Int]] =
@@ -774,7 +779,7 @@ class VamanaIndex(spark: SparkSession, uri: String, meta: IndexMeta, ts: Long,
       .select(col("shard_id"), col("external_id"), col("codes"),
         col("neighbors"), col("is_medoid"))
       .as[(Int, Long, Array[Int], Array[Long], Boolean)]
-    val qRep = pairs.select(col("shard_id"), col("qid"), col("dtable"))
+    val qRep = pairs.select(col("shard_id"), col("qid"), col("qvec"))
       .as[(Int, Long, Array[Float])]
     // per-shard candidate count: kCand suffices for the global top-kCand
     // (top-kCand global is contained in the union of per-shard top-kCand);
@@ -784,11 +789,12 @@ class VamanaIndex(spark: SparkSession, uri: String, meta: IndexMeta, ts: Long,
     val perShard = graph
       .groupByKey(_._1)
       .cogroup(qRep.groupByKey(_._1)) { (_, git, qit) =>
-        val qs = qit.map { case (_, qid, dt) => (qid, dt) }.toArray
+        val qs = qit.map { case (_, qid, qv) => (qid, qv) }.toArray
         if (qs.isEmpty) Iterator.empty
         else {
           val rows = git.map { case (_, id, cs, nbs, med) => (id, cs, nbs, med) }.toArray
-          VamanaKernels.searchShardPq(rows, qs, codesPer, lSearch, kLocal)
+          VamanaKernels.searchShardPq(rows, qs, flatCb, mSub, codesPer, subDim,
+            lSearch, kLocal)
         }
       }
       .toDF("qid", "id", "__adc")
