@@ -347,6 +347,45 @@ object IndexDoctor {
               out += Finding("error", s"centroids.v=$t",
                 s"$c shard centroids != recorded shard count ${meta.partitionHistory(i)}")
           }
+          // OPTIONAL PQ attachment (VamanaIndex.buildPqCodes): codes and
+          // codebooks ship together, and the PQ walk assembles rows by the
+          // same (shard_id, external_id) inner join as the float path — so
+          // a half-written attachment or a coverage gap silently shrinks
+          // the searchable graph. Bounded aggregates only.
+          val hasPqCodes = Storage.nonEmptyDir(s"$uri/pq/v=$t")
+          val hasPqCb = Storage.nonEmptyDir(s"$uri/pq_codebooks/v=$t")
+          if (hasPqCodes != hasPqCb)
+            out += Finding("error", s"pq.v=$t",
+              if (hasPqCodes) "pq codes present but pq_codebooks missing " +
+                "(partial buildPqCodes write)"
+              else "pq_codebooks present but pq codes missing " +
+                "(partial buildPqCodes write)")
+          if (hasPqCodes && hasPqCb) {
+            val cb = spark.read.parquet(s"$uri/pq_codebooks/v=$t")
+              .agg(countDistinct(col("subspace")).as("m"),
+                min(size(col("centroid"))).as("lo"),
+                max(size(col("centroid"))).as("hi")).head()
+            val mSub = cb.getLong(0)
+            if (mSub == 0 || meta.dimensions % mSub != 0)
+              out += Finding("error", s"pq_codebooks.v=$t",
+                s"$mSub subspaces do not divide dimensions ${meta.dimensions}")
+            else if (cb.getInt(1) != meta.dimensions / mSub ||
+                cb.getInt(2) != meta.dimensions / mSub)
+              out += Finding("error", s"pq_codebooks.v=$t",
+                s"sub-centroid length range [${cb.getInt(1)}, ${cb.getInt(2)}] " +
+                  s"!= dimensions/m = ${meta.dimensions / mSub}")
+            val pq = spark.read.parquet(s"$uri/pq/v=$t")
+            val pqStats = pq.agg(count(lit(1)).as("rows"),
+              sum(when(size(col("codes")) =!= mSub.toInt, 1L).otherwise(0L))
+                .as("badLen")).head()
+            if (pqStats.getLong(0) != rows)
+              out += Finding("error", s"pq.v=$t",
+                s"${pqStats.getLong(0)} code rows != $rows base rows — " +
+                  "uncoded points are invisible to PQ traversal")
+            if (pqStats.getLong(1) > 0)
+              out += Finding("error", s"pq.v=$t",
+                s"${pqStats.getLong(1)} code rows whose length != $mSub subspaces")
+          }
         }
       case "BINARY" =>
         val sPath = s"$uri/sketch/v=$t"

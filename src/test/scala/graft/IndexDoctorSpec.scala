@@ -136,6 +136,40 @@ class IndexDoctorSpec extends AnyFunSuite {
       x.detail.contains("shards have any rows")), f5.toString)
   }
 
+  test("VAMANA PQ attachment: healthy is clean; partial writes and coverage gaps are named errors") {
+    val uri = tmp()
+    val idx = Ingest.ingest(spark, uri, emb, "VAMANA", DistanceMetric.L2,
+      timestamp = 1000L, partitions = Some(2))
+      .asInstanceOf[graft.index.VamanaIndex]
+    idx.buildPqCodes()
+    assert(IndexDoctor.check(spark, uri).isEmpty,
+      "healthy PQ attachment must report nothing")
+
+    // a code row deleted: the point is invisible to PQ traversal
+    val keep = spark.read.parquet(s"$uri/pq/v=1000")
+    val victim = keep.head().getLong(keep.schema.fieldIndex("external_id"))
+    val kept = keep.where(col("external_id") =!= victim).collect()
+    spark.createDataFrame(spark.sparkContext.parallelize(kept.toSeq), keep.schema)
+      .write.mode("overwrite").partitionBy("shard_id").parquet(s"$uri/pq/v=1000")
+    val f = IndexDoctor.check(spark, uri)
+    assert(f.exists(x => x.severity == "error" && x.check == "pq.v=1000" &&
+      x.detail.contains("invisible to PQ traversal")), f.toString)
+
+    // codebooks without codes: partial buildPqCodes write
+    val uri2 = tmp()
+    val idx2 = Ingest.ingest(spark, uri2, emb, "VAMANA", DistanceMetric.L2,
+      timestamp = 1000L, partitions = Some(2))
+      .asInstanceOf[graft.index.VamanaIndex]
+    idx2.buildPqCodes()
+    def rmAll(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmAll)); f.delete(); ()
+    }
+    rmAll(new java.io.File(s"$uri2/pq/v=1000"))
+    val f2 = IndexDoctor.check(spark, uri2)
+    assert(f2.exists(x => x.severity == "error" && x.check == "pq.v=1000" &&
+      x.detail.contains("partial buildPqCodes write")), f2.toString)
+  }
+
   test("an index with a consistent updates log stays clean; a stale flag warns") {
     val uri = tmp()
     val idx = Ingest.ingest(spark, uri, emb, "FLAT", DistanceMetric.L2,
