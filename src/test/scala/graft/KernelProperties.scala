@@ -310,4 +310,22 @@ object KernelProperties extends Properties("graft.kernels") {
       }
       got == naive.toMap
     }
+
+  property("PqDistanceTable plain-array twin is bit-identical to the ArrayData form") =
+    forAll(
+      Gen.chooseNum(1, 4),  // subspaces
+      Gen.chooseNum(1, 5),  // subDim
+      Gen.chooseNum(1, 6)   // codes per subspace
+    ) { (m, subDim, codes) =>
+      val rnd = new scala.util.Random(m * 611 + subDim * 31 + codes)
+      val q = Array.fill(m * subDim)(rnd.nextFloat() * 4 - 2)
+      val cb = Array.fill(m * codes * subDim)(rnd.nextFloat() * 4 - 2)
+      val viaArrayData = graft.functions.PqDistanceTable
+        .table(new GenericArrayData(q.map(_.asInstanceOf[Any])), cb, m, codes, subDim)
+      val viaPlain = graft.functions.PqDistanceTable.table(q, cb, m, codes, subDim)
+      // bit-identical, not approximately equal: the VAMANA PQ walk builds
+      // tables with the plain twin and must score like the expression path
+      viaArrayData.toSeq.map(java.lang.Float.floatToRawIntBits) ==
+        viaPlain.toSeq.map(java.lang.Float.floatToRawIntBits)
+    }
 }
