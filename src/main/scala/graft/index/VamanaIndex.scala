@@ -836,10 +836,14 @@ object VamanaIndex {
   val DefaultLBuild = 100 // reference: vamana_index.py:30-32
   val DefaultRMaxDegree = 64
   val DefaultLSearch = 100
-  /** Candidate inflation before the exact re-rank; the IVF_PQ sweep showed
-    * k_factor 4-8 recovering the quantization loss to the IVF ceiling
-    * (PERF.md), and the graph path inherits that geometry. */
-  val DefaultPqKFactor = 4.0f
+  /** Candidate inflation before the exact re-rank. The 250k kFactor audit
+    * (PERF.md, `VamanaPqKFactorAudit`) measured the PQ-traversal arm
+    * matching the float beam at routed fan-out from kFactor 8 and exact
+    * at probe-all from 16, with query wall-clock FLAT across 4→32 (the
+    * re-rank joins k×kFactor rows per probed shard — noise next to the
+    * traversal); 16 is the measured knee, and per-shard re-rank breadth
+    * is capped at lSearch anyway so the default can't outgrow the beam. */
+  val DefaultPqKFactor = 16.0f
 
   /** Cross-shard neighbor exchange for boundary-replicated builds (the
     * sharded sibling of the reference's single-graph merge,
