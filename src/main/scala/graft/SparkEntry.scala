@@ -55,6 +55,82 @@ object SparkEntry {
       .orderBy("qid", "neighbor_id")
   }
 
+  /** MMR diversified top-k ([[graft.operators.MmrDiversify]]): exact
+    * inner-product shortlist of [[MmrCand]], then the λ=0.7 greedy
+    * re-rank on integer-micro strict-dot scores. The DuckDB oracle
+    * UNROLLS the greedy chain — one CTE per selection step, each
+    * replaying the λ·rel − (1−λ)·maxSim argmax in the same integer
+    * arithmetic — so every pick, not just the final set, is
+    * hash-checked. */
+  private val MmrK = 5
+  private val MmrCand = 25
+  private val MmrLambdaPpm = 700000L
+  private def knnMmrDiversify(spark: SparkSession, dir: String): DataFrame = {
+    val db = emb(spark, dir)
+    val queries = db.where(col("vec_id") < NQ)
+    graft.operators.MmrDiversify.rerank(db, queries, MmrK, MmrCand, MmrLambdaPpm,
+        idCol = "vec_id", vecCol = "embedding", qidCol = "vec_id", qvecCol = "embedding")
+      .select(col("qid"), col("rank"), col("id").as("neighbor_id"))
+      .orderBy("qid", "rank")
+  }
+
+  private def mmrOracle: String = {
+    val lam1 = 1000000L - MmrLambdaPpm
+    def strict(a: String, b: String) =
+      s"CAST(floor(list_sum(list_transform(list_zip($a::DOUBLE[], $b::DOUBLE[]), " +
+        s"s -> s[1] * s[2])) * 1000000.0) AS BIGINT)"
+    val cand =
+      s"""cand AS (
+         |  SELECT q.vec_id AS qid, n.vec_id AS id, n.embedding AS emb,
+         |         ${strict("n.embedding", "q.embedding")} AS rel
+         |  FROM (SELECT * FROM embeddings WHERE vec_id < $NQ) q
+         |  CROSS JOIN embeddings n
+         |  QUALIFY row_number() OVER (PARTITION BY q.vec_id
+         |    ORDER BY list_inner_product(n.embedding, q.embedding) DESC, n.vec_id) <= $MmrCand)""".stripMargin
+    val s1 =
+      s"""s1 AS (
+         |  SELECT qid, id FROM cand
+         |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY rel DESC, id) = 1)""".stripMargin
+    val steps = (2 to MmrK).map { t =>
+      val prev = (1 until t).map(i => s"SELECT qid, id FROM s$i").mkString(" UNION ALL ")
+      s"""s$t AS (
+         |  SELECT qid, id FROM (
+         |    SELECT c.qid, c.id,
+         |      $MmrLambdaPpm * c.rel - $lam1 * max(${strict("c.emb", "p.emb")}) AS mmr
+         |    FROM cand c
+         |    JOIN (SELECT pp.qid, pp.id, cc.emb FROM ($prev) pp
+         |          JOIN cand cc ON cc.qid = pp.qid AND cc.id = pp.id) p
+         |      ON p.qid = c.qid
+         |    WHERE NOT EXISTS (SELECT 1 FROM ($prev) x
+         |                      WHERE x.qid = c.qid AND x.id = c.id)
+         |    GROUP BY c.qid, c.id, c.rel)
+         |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY mmr DESC, id) = 1)""".stripMargin
+    }
+    val union = (1 to MmrK)
+      .map(t => s"SELECT qid, $t AS rank, id AS neighbor_id FROM s$t")
+      .mkString(" UNION ALL ")
+    (Seq(cand, s1) ++ steps).mkString("WITH ", ",\n", "\n") +
+      s"SELECT qid, rank, neighbor_id FROM ($union) ORDER BY qid, rank"
+  }
+
+  /** Matryoshka (MRL) two-stage retrieval ([[Knn.matryoshka]]): shortlist
+    * by cosine over the leading [[MatPrefixDims]] of 64 dimensions, exact
+    * full-dimension re-rank of the [[MatShortlist]] candidates. The DuckDB
+    * oracle replays BOTH stages (prefix slice, shortlist cut, re-rank), so
+    * the two-stage decomposition itself is hash-checked — same float
+    * boundary contract as the flat knn oracles. */
+  private val MatPrefixDims = 16
+  private val MatShortlist = 30
+  private def knnMatryoshka(spark: SparkSession, dir: String): DataFrame = {
+    val db = emb(spark, dir)
+    val queries = db.where(col("vec_id") < NQ)
+    Knn.matryoshka(db, queries, K, MatShortlist, MatPrefixDims,
+        DistanceMetric.Cosine,
+        idCol = "vec_id", vecCol = "embedding", qidCol = "vec_id", qvecCol = "embedding")
+      .select(col("qid"), col("id").as("neighbor_id"))
+      .orderBy("qid", "neighbor_id")
+  }
+
   /** ColPali-style late-interaction (MaxSim) retrieval: embeddings grouped
     * four per object (`vec_id DIV 4`) play the reference's
     * multi-vector-per-external-id layout (reference:
@@ -1195,22 +1271,27 @@ object SparkEntry {
 
   /** REAL OME-Zarr decode through the full Spark pipeline
     * ([[graft.objects.OmeZarrReader]] — the NGFF store the reference's
-    * bioimage reader serves via tiledb.bioimg): three zlib-compressed
-    * zarr pyramids whose pixels follow the test-card red formula are
-    * minted on disk, their level-0 chunks read back through the one-scan
-    * binaryFile path, inflated, decoded and re-encoded as tile PNGs, and
-    * the per-tile pixel sums re-aggregated from the DECODED rasters. The
-    * DuckDB oracle replays the sums from the formula alone — chunk-grid
-    * layout, zlib inflate, C-order plane slice, edge cropping, and the
+    * bioimage reader serves via tiledb.bioimg): three zarr pyramids
+    * whose pixels follow the test-card red formula are minted on disk
+    * with a DIFFERENT chunk compressor each — zlib, blosc/lz4
+    * (numcodecs' real-world default, decoded by [[graft.objects.BloscCodec]]
+    * through Spark's bundled lz4-java), and zstd (zstd-jni) — their
+    * level-0 chunks read back through the one-scan binaryFile path,
+    * decompressed, decoded and re-encoded as tile PNGs, and the per-tile
+    * pixel sums re-aggregated from the DECODED rasters. The DuckDB
+    * oracle replays the sums from the formula alone — chunk-grid layout,
+    * all three codec paths, C-order plane slice, edge cropping, and the
     * PNG round trip all sit inside the hash. */
   private val ZarrN = 3
   private def multimodalZarrDecode(spark: SparkSession, dir: String): DataFrame = {
+    val zarrCodecs = Seq("zlib", "blosc-lz4", "zstd")
     val root = cachedIndex("zarr_store", dir) { u =>
       for (i <- 0 until ZarrN) {
         graft.objects.OmeZarrReader.writeTestZarr(
           java.nio.file.Paths.get(u, f"img_$i%02d.zarr"),
           width = 40, height = 24, levels = 3, chunkY = 8, chunkX = 16,
-          pixel = (x, y) => (3 * x + 5 * y + 7 * i) % 256, zlib = true)
+          pixel = (x, y) => (3 * x + 5 * y + 7 * i) % 256,
+          codec = zarrCodecs(i % zarrCodecs.length))
       }
     }
     val tiles = new graft.objects.OmeZarrReader(root, "*.zarr", level = 0)
@@ -1871,6 +1952,8 @@ object SparkEntry {
     "knn_flat_sos" -> (knnFlat(DistanceMetric.SumOfSquares) _),
     "knn_flat_cosine" -> (knnFlat(DistanceMetric.Cosine) _),
     "knn_flat_ip" -> (knnFlat(DistanceMetric.InnerProduct) _),
+    "knn_matryoshka" -> (knnMatryoshka _),
+    "knn_mmr_diversify" -> (knnMmrDiversify _),
     "ivf_flat_probe_all" -> (ivfProbeAll _),
     "ivf_flat_filtered" -> (ivfFiltered _),
     "sql_index_topk" -> (sqlIndexTopk _),
@@ -2009,6 +2092,22 @@ object SparkEntry {
     "knn_flat_sos" -> knnOracle("list_distance(n.embedding, q.embedding)"),
     "knn_flat_cosine" -> knnOracle("list_cosine_similarity(n.embedding, q.embedding) DESC"),
     "knn_flat_ip" -> knnOracle("list_inner_product(n.embedding, q.embedding) DESC"),
+    "knn_matryoshka" ->
+      s"""WITH cand AS (
+         |  SELECT q.vec_id AS qid, n.vec_id AS id,
+         |         q.embedding AS qemb, n.embedding AS nemb
+         |  FROM (SELECT * FROM embeddings WHERE vec_id < $NQ) q
+         |  CROSS JOIN embeddings n
+         |  QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |    list_cosine_similarity(n.embedding[1:$MatPrefixDims],
+         |                           q.embedding[1:$MatPrefixDims]) DESC,
+         |    n.vec_id) <= $MatShortlist
+         |)
+         |SELECT qid, id AS neighbor_id FROM cand
+         |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY
+         |  list_cosine_similarity(nemb, qemb) DESC, id) <= $K
+         |ORDER BY qid, neighbor_id""".stripMargin,
+    "knn_mmr_diversify" -> mmrOracle,
     "ivf_flat_probe_all" -> knnOracle("list_distance(n.embedding, q.embedding)"),
     // filtered ANN is exact at probe-all: brute force over the allowed set
     "ivf_flat_filtered" ->

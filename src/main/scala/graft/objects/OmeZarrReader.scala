@@ -13,15 +13,18 @@ import org.apache.spark.sql.functions._
   *
   * Zarr v2 needs no native codec for the common cases: metadata is plain
   * JSON (`.zattrs` multiscales → dataset path per level; `.zarray` shape/
-  * chunks/dtype/compressor) and chunks are C-order sample buffers, either
-  * raw or zlib-deflated (java.util.zip). Supported here: uint8 (`|u1`),
-  * little-endian uint16 (`<u2`) and float32 (`<f4`) samples, `compressor`
-  * null or `{"id":"zlib"}`, both `.` and `/` dimension separators, and
-  * ≥2-D arrays whose LAST TWO axes are (y, x) — the NGFF axis convention;
-  * leading axes (t, c, z) read at index 0. Blosc/zstd-compressed stores
-  * are refused with a named error (those codecs genuinely do not exist in
-  * this JVM) — the refusal is the honest boundary, everything else is a
-  * real pixel path.
+  * chunks/dtype/compressor) and chunks are C-order sample buffers.
+  * Supported here: uint8 (`|u1`), little-endian uint16 (`<u2`) and
+  * float32 (`<f4`) samples; `compressor` null, `{"id":"zlib"}`,
+  * `{"id":"zstd"}` (plain zstd frame, via Spark's bundled zstd-jni), or
+  * `{"id":"blosc"}` with any lz4/lz4hc/zstd/snappy/zlib inner codec
+  * ([[BloscCodec]] — numcodecs' DEFAULT chunk encoding is blosc/lz4/
+  * byte-shuffle, so this is the path real-world NGFF stores take); both
+  * `.` and `/` dimension separators; and ≥2-D arrays whose LAST TWO axes
+  * are (y, x) — the NGFF axis convention; leading axes (t, c, z) read at
+  * index 0. Only blosc's private blosclz inner codec and bit-shuffle
+  * filter are refused with named errors (those genuinely do not exist in
+  * this JVM) — everything else is a real pixel path.
   *
   * Spark shape: ONE `binaryFile` scan under the search root covers every
   * image's chunk files (Spark's hidden-file filter drops the `.z*` JSON
@@ -116,7 +119,7 @@ object OmeZarrReader {
       groupPath: String,
       arrayPath: String,
       dtype: String,
-      zlib: Boolean,
+      codec: String, // "raw" | "zlib" | "zstd" | "blosc"
       shape: Seq[Int],
       chunks: Seq[Int]) {
     def height: Int = shape(shape.length - 2)
@@ -183,13 +186,23 @@ object OmeZarrReader {
         require(Set("|u1", "<u2", "<f4").contains(dtype),
           s"graft: $arrayDir dtype '$dtype' unsupported (|u1, <u2, <f4)")
         val comp = n.path("compressor")
-        val zlib =
-          if (comp.isNull || comp.isMissingNode) false
+        val codec =
+          if (comp.isNull || comp.isMissingNode) "raw"
           else comp.path("id").asText() match {
-            case "zlib" => true
+            case "zlib" => "zlib"
+            case "zstd" => "zstd"
+            case "blosc" =>
+              // the frame self-describes its inner codec, but refusing a
+              // blosclz store HERE names the array instead of failing
+              // per-chunk inside the scan
+              val cname = comp.path("cname").asText("lz4")
+              require(BloscCodec.supportedCnames.contains(cname),
+                s"graft: $arrayDir blosc cname '$cname' needs a codec this JVM " +
+                  s"does not ship — re-encode with ${BloscCodec.supportedCnames.mkString("/")}")
+              "blosc"
             case other => throw new IllegalArgumentException(
               s"graft: $arrayDir compressor '$other' needs a codec this JVM " +
-                "does not ship (blosc/zstd) — re-encode raw or zlib")
+                "does not ship — re-encode raw, zlib, zstd, or blosc")
           }
         val shape = (0 until n.path("shape").size)
           .map(i => n.path("shape").get(i).asInt())
@@ -197,10 +210,10 @@ object OmeZarrReader {
           .map(i => n.path("chunks").get(i).asInt())
         require(shape.length >= 2 && shape.length == chunks.length,
           s"graft: $arrayDir needs >= 2 dims with matching chunk rank")
-        (g.toString, arrayDir, dtype, zlib, shape, chunks)
+        (g.toString, arrayDir, dtype, codec, shape, chunks)
       }
-    }.zipWithIndex.map { case ((g, arrayDir, dtype, zlib, shape, chunks), i) =>
-      ZarrImage(i.toLong, g, arrayDir, dtype, zlib, shape, chunks)
+    }.zipWithIndex.map { case ((g, arrayDir, dtype, codec, shape, chunks), i) =>
+      ZarrImage(i.toLong, g, arrayDir, dtype, codec, shape, chunks)
     }
   }
 
@@ -248,13 +261,18 @@ object OmeZarrReader {
     val w = math.min(img.chunkX, img.width - gx * img.chunkX)
     val h = math.min(img.chunkY, img.height - gy * img.chunkY)
     if (w <= 0 || h <= 0) return None
-    val bytes = if (img.zlib) inflate(raw) else raw
     val elemSize = img.dtype match {
       case "|u1" => 1
       case "<u2" => 2
       case "<f4" => 4
     }
     val expected = img.chunks.map(_.toLong).product * elemSize
+    val bytes = img.codec match {
+      case "raw" => raw
+      case "zlib" => inflate(raw)
+      case "zstd" => com.github.luben.zstd.Zstd.decompress(raw, expected.toInt)
+      case "blosc" => BloscCodec.decompress(raw, expected.toInt)
+    }
     require(bytes.length == expected,
       s"graft: ${img.arrayPath} chunk ($gy,$gx) holds ${bytes.length} bytes, " +
         s"expected $expected — corrupt store or codec mismatch")
@@ -302,7 +320,8 @@ object OmeZarrReader {
 
   /** Mint a minimal OME-NGFF store for specs: `levels` grayscale planes
     * (level l downsampled by 2^l from `pixel(x, y)`), chunked
-    * `chunkY`×`chunkX`, raw or zlib, `.`-separated chunk names. */
+    * `chunkY`×`chunkX`, chunk payloads raw / zlib / zstd / blosc
+    * (`blosc-<cname>`, e.g. `blosc-lz4`), `.`-separated chunk names. */
   def writeTestZarr(
       groupDir: java.nio.file.Path,
       width: Int,
@@ -311,8 +330,14 @@ object OmeZarrReader {
       chunkY: Int,
       chunkX: Int,
       pixel: (Int, Int) => Int,
-      zlib: Boolean = false,
+      codec: String = "raw", // raw | zlib | zstd | blosc-<cname>[-noshuffle]
       separator: String = "."): Unit = {
+    val bloscCname = codec match {
+      case s if s.startsWith("blosc-") =>
+        Some(s.stripPrefix("blosc-").stripSuffix("-noshuffle"))
+      case _ => None
+    }
+    val bloscShuffle = !codec.endsWith("-noshuffle")
     java.nio.file.Files.createDirectories(groupDir)
     val datasets = (0 until levels)
       .map(l => s"""{"path":"$l"}""").mkString("[", ",", "]")
@@ -325,7 +350,14 @@ object OmeZarrReader {
       val w = width >> l; val h = height >> l
       val aDir = groupDir.resolve(l.toString)
       java.nio.file.Files.createDirectories(aDir)
-      val comp = if (zlib) """{"id":"zlib","level":6}""" else "null"
+      val comp = codec match {
+        case "raw" => "null"
+        case "zlib" => """{"id":"zlib","level":6}"""
+        case "zstd" => """{"id":"zstd","level":3}"""
+        case _ =>
+          val shuf = if (bloscShuffle) 1 else 0
+          s"""{"id":"blosc","cname":"${bloscCname.get}","clevel":5,"shuffle":$shuf,"blocksize":0}"""
+      }
       java.nio.file.Files.write(aDir.resolve(".zarray"),
         s"""{"zarr_format":2,"shape":[$h,$w],"chunks":[$chunkY,$chunkX],
            |"dtype":"|u1","compressor":$comp,"fill_value":0,"order":"C",
@@ -341,14 +373,22 @@ object OmeZarrReader {
           if (py < h && px < w)
             buf(y * chunkX + x) = (pixel(px << l, py << l) & 0xFF).toByte
         }
-        val payload = if (zlib) {
-          val d = new java.util.zip.Deflater()
-          d.setInput(buf); d.finish()
-          val out = new java.io.ByteArrayOutputStream()
-          val tmp = new Array[Byte](8192)
-          while (!d.finished()) out.write(tmp, 0, d.deflate(tmp))
-          d.end(); out.toByteArray
-        } else buf
+        val payload = codec match {
+          case "raw" => buf
+          case "zlib" =>
+            val d = new java.util.zip.Deflater()
+            d.setInput(buf); d.finish()
+            val out = new java.io.ByteArrayOutputStream()
+            val tmp = new Array[Byte](8192)
+            while (!d.finished()) out.write(tmp, 0, d.deflate(tmp))
+            d.end(); out.toByteArray
+          case "zstd" => com.github.luben.zstd.Zstd.compress(buf, 3)
+          case _ =>
+            // small blocksize so multi-block frames (bstarts table, split
+            // streams) are exercised, not just the single-block case
+            BloscCodec.compress(buf, typesize = 1, cname = bloscCname.get,
+              doShuffle = bloscShuffle, blocksizeHint = 64)
+        }
         val name = Seq(gy, gx).mkString(separator)
         val target = aDir.resolve(name)
         java.nio.file.Files.createDirectories(target.getParent)

@@ -206,6 +206,53 @@ object Knn {
       .select(col("qid"), col("id"))
   }
 
+  /** Matryoshka (MRL-style) two-stage search: shortlist by distance over
+    * the leading `prefixDims` dimensions, then exact full-dimension
+    * re-rank of the candidates — the serving pattern for
+    * matryoshka-trained embeddings (Kusupati et al. 2022), where the
+    * prefix is itself a valid low-rank embedding. At `shortlist = |db|`
+    * the result is exactly [[bruteForce]].
+    *
+    * Scale shape: stage 1 is the [[bruteForce]] plan over `prefixDims`-
+    * sized slices (at 100 TB a user materializes the prefix as its own
+    * stored column/index so the shortlist SCAN also shrinks
+    * `prefixDims/dims`×; the in-plan `slice` here keeps the semantics
+    * identical while reading the one demo table). Stage 2 touches only
+    * `nq × shortlist` candidate rows: the candidate list is
+    * bounded by construction, so it broadcasts to prune the full-vector
+    * fetch join, and the final reduction is the same partial→final
+    * [[graft.functions.MinTopK]] heap — no window, no corpus sort. */
+  def matryoshka(
+      db: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      shortlist: Int,
+      prefixDims: Int,
+      metric: DistanceMetric = DistanceMetric.Cosine,
+      idCol: String = "id",
+      vecCol: String = "vector",
+      qidCol: String = "qid",
+      qvecCol: String = "qvec"): DataFrame = {
+    require(shortlist >= k,
+      s"graft: matryoshka shortlist $shortlist must be >= k $k")
+    require(prefixDims >= 1,
+      s"graft: matryoshka prefixDims must be >= 1, got $prefixDims")
+    val q = queries.select(col(qidCol).cast("long").as("__qid"), col(qvecCol).as("__qvec"))
+    val d = db.select(col(idCol).cast("long").as("__id"), col(vecCol).as("__vec"))
+    val cand = bruteForce(
+        d.select(col("__id"), slice(col("__vec"), 1, prefixDims).as("__pre")),
+        q.select(col("__qid"), slice(col("__qvec"), 1, prefixDims).as("__qpre")),
+        shortlist, metric,
+        idCol = "__id", vecCol = "__pre", qidCol = "__qid", qvecCol = "__qpre")
+      .select(col("qid").as("__qid"), col("id").as("__id"))
+    val rescored = d
+      .join(broadcast(cand), Seq("__id"))
+      .join(sizedQuerySide(q, "__qvec"), Seq("__qid"))
+      .select(col("__qid"), col("__id"),
+        DistanceMetric.score(metric)(col("__vec"), col("__qvec")).as("__score"))
+    topKFromScores(rescored, k, metric)
+  }
+
   /** Final top-k reduction over pre-scored (qid, id, score) candidates. */
   def topKFromScores(scored: DataFrame, k: Int, metric: DistanceMetric): DataFrame = {
     scored

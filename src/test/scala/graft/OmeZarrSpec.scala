@@ -14,18 +14,18 @@ class OmeZarrSpec extends AnyFunSuite {
   // the test-card red-channel formula the other multimodal fixtures use
   private def pix(i: Int)(x: Int, y: Int): Int = (3 * x + 5 * y + 7 * i) % 256
 
-  private def mintStore(zlib: Boolean, separator: String = "."): String = {
+  private def mintStore(codec: String, separator: String = "."): String = {
     val root = Files.createTempDirectory("graft_zarr")
     for (i <- 0 until 3) {
       OmeZarrReader.writeTestZarr(root.resolve(f"img_$i%02d.zarr"),
         width = 40, height = 24, levels = 3, chunkY = 8, chunkX = 16,
-        pixel = pix(i), zlib = zlib, separator = separator)
+        pixel = pix(i), codec = codec, separator = separator)
     }
     root.toString
   }
 
   test("zarr chunks decode to exact formula pixels; edge chunks crop") {
-    val dir = mintStore(zlib = false)
+    val dir = mintStore("raw")
     val reader = new OmeZarrReader(dir, "*.zarr", level = 0)
     val tiles = reader.readObjects(spark).orderBy("external_id").collect()
     // 40x24 at 8x16 chunks = 3 cols x 3 rows per image
@@ -51,17 +51,17 @@ class OmeZarrSpec extends AnyFunSuite {
   }
 
   test("multiscale levels halve geometry; zlib chunks and / separator decode identically") {
-    val raw = new OmeZarrReader(mintStore(zlib = false), "*.zarr", level = 1)
+    val raw = new OmeZarrReader(mintStore("raw"), "*.zarr", level = 1)
       .readObjects(spark).orderBy("external_id").collect()
     // level 1 = 20x12 at 8x16 chunks = 2 cols x 2 rows per image
     assert(raw.length === 3 * 4)
     assert(raw.forall(r => r.getInt(6) === 20 && r.getInt(7) === 12))
-    val zl = new OmeZarrReader(mintStore(zlib = true), "*.zarr", level = 1)
+    val zl = new OmeZarrReader(mintStore("zlib"), "*.zarr", level = 1)
       .readObjects(spark).orderBy("external_id").collect()
     assert(zl.map(_.getAs[Array[Byte]](10).toSeq) ===
       raw.map(_.getAs[Array[Byte]](10).toSeq),
       "zlib and raw stores must decode byte-identically")
-    val nested = new OmeZarrReader(mintStore(zlib = false, separator = "/"),
+    val nested = new OmeZarrReader(mintStore("raw", separator = "/"),
       "*.zarr", level = 1).readObjects(spark).orderBy("external_id").collect()
     assert(nested.map(_.getAs[Array[Byte]](10).toSeq) ===
       raw.map(_.getAs[Array[Byte]](10).toSeq),
@@ -70,7 +70,7 @@ class OmeZarrSpec extends AnyFunSuite {
 
   test("zarr tiles index and self-retrieve through the object layer") {
     import spark.implicits._
-    val reader = new OmeZarrReader(mintStore(zlib = true), "*.zarr", level = 0)
+    val reader = new OmeZarrReader(mintStore("zlib"), "*.zarr", level = 0)
     val idx = ObjectIndex.create(spark,
       Files.createTempDirectory("graft_zarr_idx").toString,
       reader, new ImageStatsEmbedding(48),
@@ -83,19 +83,34 @@ class OmeZarrSpec extends AnyFunSuite {
     (0L until 3L).foreach(q => assert(top1(q) === q, s"tile $q should retrieve itself"))
   }
 
+  test("zstd and blosc stores decode byte-identically to raw") {
+    val raw = new OmeZarrReader(mintStore("raw"), "*.zarr", level = 0)
+      .readObjects(spark).orderBy("external_id").collect()
+      .map(_.getAs[Array[Byte]](10).toSeq)
+    // every codec the wild writes: plain zstd frames, plus blosc over each
+    // JVM-available inner codec (lz4 = numcodecs' default), shuffle on/off
+    for (codec <- Seq("zstd", "blosc-lz4", "blosc-zstd", "blosc-snappy",
+        "blosc-zlib", "blosc-lz4-noshuffle")) {
+      val got = new OmeZarrReader(mintStore(codec), "*.zarr", level = 0)
+        .readObjects(spark).orderBy("external_id").collect()
+        .map(_.getAs[Array[Byte]](10).toSeq)
+      assert(got === raw, s"$codec store must decode byte-identically to raw")
+    }
+  }
+
   test("unsupported stores fail with named errors; empty dir is empty, not a crash") {
     val root = Files.createTempDirectory("graft_zarr_bad")
     OmeZarrReader.writeTestZarr(root.resolve("ok.zarr"), 16, 16, 1, 8, 8, pix(0))
-    // blosc compressor: refused at discovery with the codec named
+    // blosclz inner codec: refused at discovery with the codec named
     val bloscDir = root.resolve("blosc.zarr")
     OmeZarrReader.writeTestZarr(bloscDir, 16, 16, 1, 8, 8, pix(0))
     val za = bloscDir.resolve("0/.zarray")
     Files.write(za, new String(Files.readAllBytes(za), "UTF-8")
-      .replace("null", """{"id":"blosc","cname":"lz4"}""").getBytes("UTF-8"))
+      .replace("null", """{"id":"blosc","cname":"blosclz"}""").getBytes("UTF-8"))
     val e = intercept[IllegalArgumentException] {
       new OmeZarrReader(root.toString, "*.zarr").readObjects(spark).collect()
     }
-    assert(e.getMessage.contains("blosc"), e.getMessage)
+    assert(e.getMessage.contains("blosclz"), e.getMessage)
     // a level past the pyramid is a named error
     val e2 = intercept[IllegalArgumentException] {
       new OmeZarrReader(root.toString, "ok.zarr", level = 5)
