@@ -1644,6 +1644,86 @@ object SparkEntry {
         TextOps.bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"))
       .orderBy("doc_id")
 
+  /** BPE tokenizer TRAINING ([[graft.text.BpeTrainer]], Sennrich 2016):
+    * learn [[BpeMergeCount]] merges from the corpus's lowercase-word
+    * frequencies and emit the merge table itself. The DuckDB oracle
+    * re-learns the merges — one CTE per training step replaying the
+    * pair-count argmax and the leftmost-replace application with the
+    * same (count desc, pair asc) tie-break — so the TRAINING ALGORITHM,
+    * not just an output artifact, is hash-checked. The fitted table is
+    * persisted once per session (cachedIndex) and shared with
+    * [[textBpeEncode]]. */
+  private val BpeMergeCount = 8
+  private def bpeModelUri(spark: SparkSession, dir: String): String =
+    cachedIndex("bpe_model", dir) { u =>
+      graft.text.BpeTrainer.train(docs(spark, dir), BpeMergeCount)
+        .repartition(1).write.parquet(s"$u/merges")
+    }
+
+  private def textBpeTrain(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"${bpeModelUri(spark, dir)}/merges").orderBy("rank")
+
+  /** Per-document token counts under the learned merges — the encode
+    * half: a pure codegen'd replace chain ([[graft.text.BpeTrainer
+    * .encodeExpr]], merges as plan literals, no UDF/join). The oracle
+    * re-learns the merges AND re-encodes every document. */
+  private def textBpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val merges = spark.read.parquet(s"${bpeModelUri(spark, dir)}/merges")
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    graft.text.BpeTrainer.encodeTokenCounts(docs(spark, dir), merges)
+      .orderBy("doc_id")
+  }
+
+  /** The training CTE chain shared by both BPE oracles: words → spaced
+    * segmentations → [[BpeMergeCount]] × (pair counts, argmax, apply). */
+  private def bpeOracleSteps: String = {
+    val words =
+      // AS MATERIALIZED is load-bearing: every step reads w(t-1) twice
+      // (pair counts + apply), so inlined CTEs re-derive the chain
+      // exponentially — materialization makes the replay linear in steps
+      """words AS MATERIALIZED (
+        |  SELECT word, count(*)::BIGINT AS f
+        |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        |        FROM documents)
+        |  GROUP BY 1),
+        |w0 AS MATERIALIZED (SELECT rtrim(regexp_replace(word, '(.)', '\1 ', 'g')) AS w, f FROM words)""".stripMargin
+    val steps = (1 to BpeMergeCount).map { t =>
+      s"""p$t AS MATERIALIZED (
+         |  SELECT pr AS pair, sum(f) AS c FROM (
+         |    SELECT unnest(list_transform(range(1, len(s)), i -> s[i] || ' ' || s[i+1])) AS pr, f
+         |    FROM (SELECT string_split(w, ' ') AS s, f FROM w${t - 1}))
+         |  GROUP BY 1),
+         |m$t AS MATERIALIZED (SELECT pair FROM p$t ORDER BY c DESC, pair LIMIT 1),
+         |w$t AS MATERIALIZED (SELECT replace(w, (SELECT pair FROM m$t),
+         |                       replace((SELECT pair FROM m$t), ' ', '')) AS w, f
+         |        FROM w${t - 1})""".stripMargin
+    }
+    (Seq(words) ++ steps).mkString(",\n")
+  }
+
+  private def bpeTrainOracle: String = {
+    val union = (1 to BpeMergeCount)
+      .map(t => s"SELECT $t AS rank, pair FROM m$t").mkString(" UNION ALL ")
+    s"""WITH $bpeOracleSteps
+       |SELECT rank, pair, replace(pair, ' ', '') AS merged
+       |FROM ($union) ORDER BY rank""".stripMargin
+  }
+
+  private def bpeEncodeOracle: String = {
+    val chain = (1 to BpeMergeCount).foldLeft(
+        "rtrim(regexp_replace(word, '(.)', '\\1 ', 'g'))") { (c, t) =>
+      s"replace($c, (SELECT pair FROM m$t), (SELECT replace(pair, ' ', '') FROM m$t))"
+    }
+    s"""WITH $bpeOracleSteps,
+       |enc AS (
+       |  SELECT doc_id, $chain AS w
+       |  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+       |        FROM documents))
+       |SELECT doc_id, sum(len(string_split(w, ' ')))::BIGINT AS n_bpe_tokens
+       |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** Top-30%-per-language cut by token count — exact window ranks,
     * integer score so the oracle replays the ordering bit-for-bit. */
   private def textTopQuantile(spark: SparkSession, dir: String): DataFrame =
@@ -2045,6 +2125,8 @@ object SparkEntry {
     "text_top_quantile" -> (textTopQuantile _),
     "text_source_cap" -> (textSourceCap _),
     "text_bpe_token_count" -> (textBpeTokenCount _),
+    "text_bpe_train" -> (textBpeTrain _),
+    "text_bpe_encode" -> (textBpeEncode _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
@@ -2745,6 +2827,8 @@ object SparkEntry {
         |  len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_ws_tokens,
         |  len(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))::BIGINT AS n_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_bpe_train" -> bpeTrainOracle,
+    "text_bpe_encode" -> bpeEncodeOracle,
     // exact per-group quantile cut replay: same rank/ceil-div integers
     "text_top_quantile" ->
       """SELECT doc_id, lang, grp_rank, grp_size,

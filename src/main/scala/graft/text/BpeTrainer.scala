@@ -1,0 +1,155 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding TOKENIZER TRAINING over a document corpus — the
+  * "learn the vocabulary" step of a training-data pipeline (the sibling
+  * of [[TextOps]]' token COUNTING, which assumes a tokenizer already
+  * exists). The algorithm is Sennrich et al. 2016 subword BPE: iterate
+  * "most frequent adjacent symbol pair merges into a new symbol".
+  *
+  * Scale decomposition (the SentencePiece/HF trainer shape):
+  *
+  *   1. '''Corpus pass''' (the only corpus-sized stage): word
+  *      frequencies via explode → map-side-combined count. What crosses
+  *      the shuffle is one row per DISTINCT word per input partition —
+  *      vocabulary-sized, not corpus-sized.
+  *   2. '''Merge loop''' (driver-local over the vocab): BPE training
+  *      state is the word-frequency table, which is vocab-sized BY
+  *      CONSTRUCTION — so after a size-GATED collect
+  *      (`spark.graft.maxBpeVocab`, named error past it; cap with
+  *      [[trainTopV]] to bound any corpus) the merge loop runs locally,
+  *      like every other model fit here (centroids, PQ codebooks, LM).
+  *
+  * Engine-neutral determinism (the oracle contract): words are
+  * lowercase `[a-z]+` runs; a word's segmentation is its symbols joined
+  * by single spaces; pair selection breaks ties by (count desc, then
+  * the "left right" pair STRING ascending — binary order, safe because
+  * symbols are pure ASCII); a merge applies as leftmost
+  * non-overlapping string replacement of `"l r"` by `"lr"` — the exact
+  * semantics of SQL `replace`, so a SQL engine replays every training
+  * step and [[encodeExpr]]'s replace chain bit-identically.
+  */
+object BpeTrainer {
+
+  val MaxVocabKey = "spark.graft.maxBpeVocab"
+  val DefaultMaxVocab = 4000000L
+
+  /** Lowercase `[a-z]+` word frequencies — stage 1, the corpus pass. */
+  def wordFrequencies(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .select(explode(regexp_extract_all(lower(col(textCol)),
+        lit("[a-z]+"), lit(0))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** Learn `numMerges` BPE merges. Returns (rank, pair, merged) with
+    * rank 1-based in learning order; stops early (fewer rows) when no
+    * adjacent pair remains. `maxVocab` guards the driver collect —
+    * use [[trainTopV]] to bound an unbounded-vocabulary corpus first. */
+  def train(
+      docs: DataFrame,
+      numMerges: Int,
+      textCol: String = "text"): DataFrame =
+    trainFromFrequencies(wordFrequencies(docs, textCol), numMerges)
+
+  /** [[train]] over the `topV` most frequent words only (ties broken by
+    * word ascending, so the kept set is deterministic and replayable) —
+    * the bound that makes training state fixed-size at ANY corpus size.
+    * The cut rides a [[graft.functions.MinTopK]]-style heap via top-k
+    * aggregation, not a global sort. */
+  def trainTopV(
+      docs: DataFrame,
+      numMerges: Int,
+      topV: Int,
+      textCol: String = "text"): DataFrame = {
+    val wf = wordFrequencies(docs, textCol)
+    // (-freq, word) ascending == (freq desc, word asc); the pair count is
+    // vocab-sized already, so a bounded sort-limit here is driver-cheap
+    // and engine-replayable
+    val kept = wf.orderBy(col("freq").desc, col("word")).limit(topV)
+    trainFromFrequencies(kept, numMerges)
+  }
+
+  private[text] def trainFromFrequencies(wordFreq: DataFrame, numMerges: Int): DataFrame = {
+    require(numMerges >= 1, s"graft: BPE numMerges must be >= 1, got $numMerges")
+    val spark = wordFreq.sparkSession
+    import spark.implicits._
+    val maxVocab = graft.Conf.long(spark, MaxVocabKey, DefaultMaxVocab)
+    val n = wordFreq.limit(math.min(maxVocab + 1, Int.MaxValue.toLong).toInt).count()
+    require(n <= maxVocab,
+      s"graft: BPE vocabulary exceeds $MaxVocabKey=$maxVocab words — cap the " +
+        "corpus with trainTopV or raise the gate")
+    // vocab-sized by the gate above: the standard trainer shape (the merge
+    // loop needs every word's evolving segmentation — per-iteration Spark
+    // jobs over a model-sized table would be pure scheduling overhead)
+    val words = wordFreq.select(col("word").cast("string"), col("freq").cast("long"))
+      .as[(String, Long)].collect()
+    val spaced = words.map { case (w, f) => (w.toCharArray.mkString(" "), f) }
+    val merges = Seq.newBuilder[(Int, String, String)]
+    var cur = spaced
+    var rank = 1
+    var done = false
+    while (rank <= numMerges && !done) {
+      // count every adjacent occurrence (overlaps included), like the
+      // reference BPE formulation
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      cur.foreach { case (w, f) =>
+        val syms = w.split(' ')
+        var i = 0
+        while (i < syms.length - 1) {
+          val pair = syms(i) + " " + syms(i + 1)
+          counts.update(pair, counts.getOrElse(pair, 0L) + f)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        var bestPair: String = null
+        var bestCount = Long.MinValue
+        counts.foreach { case (pair, c) =>
+          if (c > bestCount || (c == bestCount && pair.compareTo(bestPair) < 0)) {
+            bestPair = pair; bestCount = c
+          }
+        }
+        val merged = bestPair.replace(" ", "")
+        merges += ((rank, bestPair, merged))
+        // String.replace = leftmost non-overlapping, the SQL replace contract
+        cur = cur.map { case (w, f) => (w.replace(bestPair, merged), f) }
+        rank += 1
+      }
+    }
+    merges.result().toDF("rank", "pair", "merged")
+  }
+
+  /** Token count of `textCol` under a learned merge table, as a pure
+    * codegen'd Column: space out the word's characters, apply each merge
+    * in rank order as a `replace` (Sennrich's apply-in-learning-order
+    * encoding — for merges learned by [[train]] this reproduces the
+    * training segmentation), count space-separated segments. The merge
+    * table is MODEL-sized and rides the plan as literals — no UDF, no
+    * join, whole-stage codegen keeps the chain in one pass per row. */
+  def encodeExpr(word: Column, merges: Seq[(String, String)]): Column = {
+    val spaced = rtrim(regexp_replace(word, "(.)", "$1 "))
+    merges.foldLeft(spaced) { case (c, (pair, merged)) =>
+      call_function("replace", c, lit(pair), lit(merged))
+    }
+  }
+
+  /** Per-document BPE token counts under `merges` (rank-ordered pairs):
+    * (idCol, n_bpe_tokens). Documents with no `[a-z]+` word drop out —
+    * the same contract as the oracle's word explode. */
+  def encodeTokenCounts(
+      docs: DataFrame,
+      merges: Seq[(String, String)],
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol),
+        explode(regexp_extract_all(lower(col(textCol)), lit("[a-z]+"), lit(0)))
+          .as("__word"))
+      .select(col(idCol),
+        size(split(encodeExpr(col("__word"), merges), " ")).cast("long").as("__nt"))
+      .groupBy(idCol)
+      .agg(sum(col("__nt")).as("n_bpe_tokens"))
+}

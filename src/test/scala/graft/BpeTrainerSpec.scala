@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.text.BpeTrainer
+
+class BpeTrainerSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  test("merge chain on a hand-derived corpus, with early stop when no pairs remain") {
+    // words: aaab x2, ab x1. Pair counts round 1: (a a)=4, (a b)=3
+    // -> merge "a a"; round 2: (a b)=3 beats (aa a)=2 -> "a b";
+    // round 3: (aa ab)=2 -> "aa ab"; round 4: single symbols only -> stop.
+    val docsDf = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
+    val merges = BpeTrainer.train(docsDf, numMerges = 10)
+      .orderBy("rank").as[(Int, String, String)].collect().toSeq
+    assert(merges === Seq(
+      (1, "a a", "aa"), (2, "a b", "ab"), (3, "aa ab", "aaab")))
+  }
+
+  test("leftmost non-overlapping application: aaa segments as [aa, a]") {
+    val docsDf = Seq((1L, "aaa aaa aa")).toDF("doc_id", "text")
+    val merges = BpeTrainer.train(docsDf, numMerges = 1)
+      .as[(Int, String, String)].collect()
+    assert(merges.head._2 === "a a")
+    val counts = BpeTrainer.encodeTokenCounts(docsDf, Seq(("a a", "aa")))
+      .as[(Long, Long)].collect().toMap
+    // aaa -> "aa a" (2 tokens) x2, aa -> "aa" (1 token): 5 total
+    assert(counts(1L) === 5L)
+  }
+
+  test("training is case-folding, [a-z]-scoped, and deterministic under repartition") {
+    val docsDf = spark.read.parquet(s"$sf0001/documents.parquet")
+    val a = BpeTrainer.train(docsDf, 6).orderBy("rank")
+      .as[(Int, String, String)].collect().toSeq
+    val b = BpeTrainer.train(docsDf.repartition(13), 6).orderBy("rank")
+      .as[(Int, String, String)].collect().toSeq
+    assert(a === b, "merge chain must not depend on physical partitioning")
+    assert(a.length === 6)
+    a.foreach { case (_, pair, merged) =>
+      assert(pair.matches("[a-z]+ [a-z]+"), s"symbols stay lowercase ascii: '$pair'")
+      assert(merged === pair.replace(" ", ""))
+    }
+  }
+
+  test("encode reproduces the training segmentation and shrinks with more merges") {
+    val docsDf = spark.read.parquet(s"$sf0001/documents.parquet").limit(50).cache()
+    val merges = BpeTrainer.train(docsDf, 12).orderBy("rank")
+      .as[(Int, String, String)].collect().map(m => (m._2, m._3)).toSeq
+    val few = BpeTrainer.encodeTokenCounts(docsDf, merges.take(2))
+      .agg(sum("n_bpe_tokens")).as[Long].head()
+    val many = BpeTrainer.encodeTokenCounts(docsDf, merges)
+      .agg(sum("n_bpe_tokens")).as[Long].head()
+    assert(many <= few, s"more merges cannot grow the token count ($few -> $many)")
+    // character upper bound: zero merges = one token per character
+    val chars = docsDf
+      .select(explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))))
+      .select(sum(length(col("col")))).as[Long].head()
+    assert(few <= chars)
+  }
+
+  test("vocabulary gate refuses an over-budget corpus with a named error") {
+    val docsDf = Seq((1L, "one two three four five six")).toDF("doc_id", "text")
+    spark.conf.set(BpeTrainer.MaxVocabKey, "3")
+    try {
+      val e = intercept[IllegalArgumentException](BpeTrainer.train(docsDf, 2))
+      assert(e.getMessage.contains(BpeTrainer.MaxVocabKey))
+    } finally spark.conf.unset(BpeTrainer.MaxVocabKey)
+  }
+
+  test("trainTopV bounds the training vocabulary deterministically") {
+    // 'zz' appears 3x, 'ab' 2x, 'cd' 1x: topV=2 trains on {zz, ab} only,
+    // so the first merge must come from those words
+    val docsDf = Seq((1L, "zz zz zz ab ab cd")).toDF("doc_id", "text")
+    val merges = BpeTrainer.trainTopV(docsDf, numMerges = 2, topV = 2)
+      .as[(Int, String, String)].collect().toSeq
+    assert(merges.map(_._2).toSet === Set("z z", "a b"))
+    assert(merges.head._2 === "z z", "most frequent pair merges first")
+  }
+
+  test("encode plan is a codegen'd expression chain: no UDF, no join, no window") {
+    val docsDf = spark.read.parquet(s"$sf0001/documents.parquet")
+    val plan = BpeTrainer.encodeTokenCounts(docsDf,
+        Seq(("e r", "er"), ("t h", "th"))).queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      "encode must not plan a UDF")
+    assert(!plan.contains("Window"))
+    assert(!plan.contains("Join"), "merges ride the plan as literals, not a join")
+    // the chain is inline codegen'd expressions (AQE prints the pre-final
+    // plan without its WholeStageCodegen spans, so assert the shape)
+    assert(plan.contains("replace(replace(rtrim(regexp_replace"),
+      "merges must compile to an inline replace chain")
+    assert(plan.contains("partial_sum"), "token counts partial-aggregate map-side")
+  }
+}
