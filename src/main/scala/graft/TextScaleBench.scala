@@ -85,5 +85,21 @@ object TextScaleBench {
       require(findings.isEmpty, s"fsck found: $findings")
       "findings=0"
     }
+
+    // BPE training: the corpus pass is the scale story (word-freq explode,
+    // map-side combined); the merge loop runs on the top-V capped vocab
+    var merges: Seq[(String, String)] = Seq.empty
+    timed("bpe_train") {
+      merges = graft.text.BpeTrainer
+        .trainTopV(corpus, numMerges = 64, topV = 50000)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      s"merges=${merges.length} topV=50000"
+    }
+    timed("bpe_encode") {
+      val r = graft.text.BpeTrainer.encodeTokenCounts(corpus, merges)
+        .agg(count(lit(1)), sum("n_bpe_tokens")).head()
+      s"docs=${r.getLong(0)} tokens=${r.getLong(1)} (64-replace codegen chain)"
+    }
   }
 }
