@@ -1687,16 +1687,17 @@ object SparkEntry {
         |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
         |        FROM documents)
         |  GROUP BY 1),
-        |w0 AS MATERIALIZED (SELECT rtrim(regexp_replace(word, '(.)', '\1 ', 'g')) AS w, f FROM words)""".stripMargin
+        |w0 AS MATERIALIZED (SELECT ' ' || regexp_replace(word, '(.)', '\1 ', 'g') AS w, f FROM words)""".stripMargin
     val steps = (1 to BpeMergeCount).map { t =>
       s"""p$t AS MATERIALIZED (
          |  SELECT pr AS pair, sum(f) AS c FROM (
          |    SELECT unnest(list_transform(range(1, len(s)), i -> s[i] || ' ' || s[i+1])) AS pr, f
-         |    FROM (SELECT string_split(w, ' ') AS s, f FROM w${t - 1}))
+         |    FROM (SELECT string_split(trim(w), ' ') AS s, f FROM w${t - 1}))
          |  GROUP BY 1),
          |m$t AS MATERIALIZED (SELECT pair FROM p$t ORDER BY c DESC, pair LIMIT 1),
-         |w$t AS MATERIALIZED (SELECT replace(w, (SELECT pair FROM m$t),
-         |                       replace((SELECT pair FROM m$t), ' ', '')) AS w, f
+         |w$t AS MATERIALIZED (SELECT
+         |          replace(w, ' ' || (SELECT pair FROM m$t) || ' ',
+         |                  ' ' || replace((SELECT pair FROM m$t), ' ', '') || ' ') AS w, f
          |        FROM w${t - 1})""".stripMargin
     }
     (Seq(words) ++ steps).mkString(",\n")
@@ -1712,15 +1713,16 @@ object SparkEntry {
 
   private def bpeEncodeOracle: String = {
     val chain = (1 to BpeMergeCount).foldLeft(
-        "rtrim(regexp_replace(word, '(.)', '\\1 ', 'g'))") { (c, t) =>
-      s"replace($c, (SELECT pair FROM m$t), (SELECT replace(pair, ' ', '') FROM m$t))"
+        "' ' || regexp_replace(word, '(.)', '\\1 ', 'g')") { (c, t) =>
+      s"replace($c, (SELECT ' ' || pair || ' ' FROM m$t), " +
+        s"(SELECT ' ' || replace(pair, ' ', '') || ' ' FROM m$t))"
     }
     s"""WITH $bpeOracleSteps,
        |enc AS (
        |  SELECT doc_id, $chain AS w
        |  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
        |        FROM documents))
-       |SELECT doc_id, sum(len(string_split(w, ' ')))::BIGINT AS n_bpe_tokens
+       |SELECT doc_id, sum(len(string_split(trim(w), ' ')))::BIGINT AS n_bpe_tokens
        |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 

@@ -101,5 +101,24 @@ object TextScaleBench {
         .agg(count(lit(1)), sum("n_bpe_tokens")).head()
       s"docs=${r.getLong(0)} tokens=${r.getLong(1)} (64-replace codegen chain)"
     }
+    timed("bpe_encode_kern") {
+      val r = graft.text.BpeTrainer.encodeTokenCountsFast(corpus, merges)
+        .agg(count(lit(1)), sum("n_bpe_tokens")).head()
+      s"docs=${r.getLong(0)} tokens=${r.getLong(1)} (rank-greedy kernel, same 64 merges)"
+    }
+    // vocabulary-scale arm: a merge table the chain form could not codegen
+    var deep: Seq[(String, String)] = Seq.empty
+    timed("bpe_train_deep") {
+      deep = graft.text.BpeTrainer
+        .trainTopV(corpus, numMerges = 2048, topV = 50000)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      s"merges=${deep.size} topV=50000"
+    }
+    timed("bpe_encode_deep") {
+      val r = graft.text.BpeTrainer.encodeTokenCountsFast(corpus, deep)
+        .agg(count(lit(1)), sum("n_bpe_tokens")).head()
+      s"docs=${r.getLong(0)} tokens=${r.getLong(1)} (kernel, ${deep.size} merges)"
+    }
   }
 }

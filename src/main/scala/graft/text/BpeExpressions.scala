@@ -1,0 +1,143 @@
+package graft.text
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** BPE token count under a trained merge table, as ONE codegen'd kernel
+  * call — the production-scale sibling of [[BpeTrainer.encodeExpr]]'s
+  * replace chain. The chain form is perfect for model-sized demos and
+  * for the SQL oracle that replays it, but it is one codegen'd `replace`
+  * pass PER MERGE: a real 32k-merge vocabulary would blow past codegen
+  * method limits and scan each word 32k times. This expression instead
+  * applies the standard rank-greedy algorithm per word (repeatedly merge
+  * the lowest-rank pair present — only pairs that OCCUR in the word are
+  * ever looked up), with the merge table riding the generated code as a
+  * reference object (the [[graft.functions.NearestCentroid]] pattern).
+  *
+  * Equivalence: for merges learned in rank order, a merged pair can
+  * never re-form from later merges (later merges only create longer
+  * symbols), so rank-greedy-to-exhaustion produces exactly the
+  * replace-chain segmentation — property-pinned in BpeTrainerSpec.
+  *
+  * Tokenization contract matches [[BpeTrainer]]: words are `[a-z]+` runs
+  * of the LOWERCASED text (UTF8String lowering, identical to Spark's
+  * `lower`), tokens sum over words. */
+case class BpeTokenCount(child: Expression, merges: Array[String])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bpe_token_count requires a string argument, got ${child.dataType.catalogString}")
+  }
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bpe_token_count"
+
+  /** pair ("l r") → rank; compiled once, shared by eval and codegen. */
+  private lazy val ranks: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.length * 2)
+    var i = 0
+    while (i < merges.length) { m.put(merges(i), Integer.valueOf(i)); i += 1 }
+    m
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    BpeKernel.countTokens(v.asInstanceOf[UTF8String], ranks)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ranksRef = ctx.addReferenceObj("bpeRanks", ranks, "java.util.HashMap")
+    nullSafeCodeGen(ctx, ev, s => {
+      s"${ev.value} = graft.text.BpeKernel.countTokens($s, $ranksRef);"
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object BpeKernel {
+
+  /** Sum of per-word BPE segment counts over the `[a-z]+` runs of the
+    * lowercased text. */
+  def countTokens(text: UTF8String, ranks: java.util.HashMap[String, Integer]): Long = {
+    // UTF8String lowering = Spark's lower(): the [a-z] runs extracted
+    // below then match BpeTrainer's lower + regexp contract exactly
+    val s = text.toLowerCase.toString
+    var total = 0L
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c >= 'a' && c <= 'z') {
+        var j = i + 1
+        while (j < n && s.charAt(j) >= 'a' && s.charAt(j) <= 'z') j += 1
+        total += encodeWordSegments(s, i, j, ranks)
+        i = j
+      } else i += 1
+    }
+    total
+  }
+
+  /** Rank-greedy BPE segment count for word = s[from, until). */
+  private[text] def encodeWordSegments(
+      s: String, from: Int, until: Int,
+      ranks: java.util.HashMap[String, Integer]): Int = {
+    val len = until - from
+    if (len <= 1) return len
+    // symbols as (start, end) half-open spans over s — merging is span
+    // concatenation, no string building until a rank lookup needs one
+    val starts = new Array[Int](len)
+    val ends = new Array[Int](len)
+    var k = 0
+    while (k < len) { starts(k) = from + k; ends(k) = from + k + 1; k += 1 }
+    var count = len
+    var continueLoop = true
+    while (continueLoop && count > 1) {
+      // lowest-rank adjacent pair present
+      var best = Int.MaxValue
+      var i = 0
+      while (i < count - 1) {
+        val r = ranks.get(pairKey(s, starts, ends, i))
+        if (r != null && r.intValue() < best) best = r.intValue()
+        i += 1
+      }
+      if (best == Int.MaxValue) continueLoop = false
+      else {
+        // merge ALL occurrences of the best pair, left to right (the
+        // non-overlapping replace contract: a just-merged symbol is not
+        // re-paired with the following one in the same pass)
+        var w = 0 // write index
+        var r2 = 0 // read index
+        while (r2 < count) {
+          if (r2 < count - 1 && rankOf(s, starts, ends, r2, ranks) == best) {
+            starts(w) = starts(r2); ends(w) = ends(r2 + 1)
+            r2 += 2
+          } else {
+            starts(w) = starts(r2); ends(w) = ends(r2)
+            r2 += 1
+          }
+          w += 1
+        }
+        count = w
+      }
+    }
+    count
+  }
+
+  private def rankOf(
+      s: String, starts: Array[Int], ends: Array[Int], i: Int,
+      ranks: java.util.HashMap[String, Integer]): Int = {
+    val r = ranks.get(pairKey(s, starts, ends, i))
+    if (r == null) Int.MaxValue else r.intValue()
+  }
+
+  private def pairKey(s: String, starts: Array[Int], ends: Array[Int], i: Int): String = {
+    val sb = new java.lang.StringBuilder(
+      (ends(i) - starts(i)) + (ends(i + 1) - starts(i + 1)) + 1)
+    sb.append(s, starts(i), ends(i)).append(' ').append(s, starts(i + 1), ends(i + 1))
+    sb.toString
+  }
+}

