@@ -1273,26 +1273,36 @@ object SparkEntry {
     * ([[graft.objects.OmeZarrReader]] — the NGFF store the reference's
     * bioimage reader serves via tiledb.bioimg): three zarr pyramids
     * whose pixels follow the test-card red formula are minted on disk
-    * with a DIFFERENT chunk compressor each — zlib, blosc/lz4
-    * (numcodecs' real-world default, decoded by [[graft.objects.BloscCodec]]
-    * through Spark's bundled lz4-java), and zstd (zstd-jni) — their
-    * level-0 chunks read back through the one-scan binaryFile path,
-    * decompressed, decoded and re-encoded as tile PNGs, and the per-tile
-    * pixel sums re-aggregated from the DECODED rasters. The DuckDB
-    * oracle replays the sums from the formula alone — chunk-grid layout,
-    * all three codec paths, C-order plane slice, edge cropping, and the
+    * with a DIFFERENT on-disk dialect each — zarr v2 + zlib, v2 +
+    * blosc/lz4 (numcodecs' real-world default, decoded by
+    * [[graft.objects.BloscCodec]] through Spark's bundled lz4-java), and
+    * zarr V3 (NGFF 0.5: zarr.json metadata, c/-prefixed chunk keys) +
+    * zstd + per-chunk crc32c — their level-0 chunks read back through
+    * the one-scan binaryFile path, decompressed (checksums verified),
+    * decoded and re-encoded as tile PNGs, and the per-tile pixel sums
+    * re-aggregated from the DECODED rasters. The DuckDB oracle replays
+    * the sums from the formula alone — chunk-grid layout, all three
+    * dialect/codec paths, C-order plane slice, edge cropping, and the
     * PNG round trip all sit inside the hash. */
   private val ZarrN = 3
   private def multimodalZarrDecode(spark: SparkSession, dir: String): DataFrame = {
-    val zarrCodecs = Seq("zlib", "blosc-lz4", "zstd")
     val root = cachedIndex("zarr_store", dir) { u =>
-      for (i <- 0 until ZarrN) {
-        graft.objects.OmeZarrReader.writeTestZarr(
-          java.nio.file.Paths.get(u, f"img_$i%02d.zarr"),
-          width = 40, height = 24, levels = 3, chunkY = 8, chunkX = 16,
-          pixel = (x, y) => (3 * x + 5 * y + 7 * i) % 256,
-          codec = zarrCodecs(i % zarrCodecs.length))
-      }
+      // one store per on-disk dialect/codec the wild writes: v2+zlib,
+      // v2+blosc/lz4 (numcodecs' default), and a zarr V3 (NGFF 0.5)
+      // zstd store with per-chunk crc32c — all inside one hash oracle
+      graft.objects.OmeZarrReader.writeTestZarr(
+        java.nio.file.Paths.get(u, "img_00.zarr"),
+        width = 40, height = 24, levels = 3, chunkY = 8, chunkX = 16,
+        pixel = (x, y) => (3 * x + 5 * y) % 256, codec = "zlib")
+      graft.objects.OmeZarrReader.writeTestZarr(
+        java.nio.file.Paths.get(u, "img_01.zarr"),
+        width = 40, height = 24, levels = 3, chunkY = 8, chunkX = 16,
+        pixel = (x, y) => (3 * x + 5 * y + 7) % 256, codec = "blosc-lz4")
+      graft.objects.OmeZarrReader.writeTestZarrV3(
+        java.nio.file.Paths.get(u, "img_02.zarr"),
+        width = 40, height = 24, levels = 3, chunkY = 8, chunkX = 16,
+        pixel = (x, y) => (3 * x + 5 * y + 14) % 256,
+        codec = "zstd", crc32c = true)
     }
     val tiles = new graft.objects.OmeZarrReader(root, "*.zarr", level = 0)
       .readObjects(spark)

@@ -11,20 +11,23 @@ import org.apache.spark.sql.functions._
   * bioimage_reader.py — level selection + per-tile crops over a
   * multiscale image; OME-NGFF is its zarr-backed on-disk layout).
   *
-  * Zarr v2 needs no native codec for the common cases: metadata is plain
-  * JSON (`.zattrs` multiscales → dataset path per level; `.zarray` shape/
-  * chunks/dtype/compressor) and chunks are C-order sample buffers.
-  * Supported here: uint8 (`|u1`), little-endian uint16 (`<u2`) and
-  * float32 (`<f4`) samples; `compressor` null, `{"id":"zlib"}`,
-  * `{"id":"zstd"}` (plain zstd frame, via Spark's bundled zstd-jni), or
-  * `{"id":"blosc"}` with any lz4/lz4hc/zstd/snappy/zlib inner codec
-  * ([[BloscCodec]] — numcodecs' DEFAULT chunk encoding is blosc/lz4/
-  * byte-shuffle, so this is the path real-world NGFF stores take); both
-  * `.` and `/` dimension separators; and ≥2-D arrays whose LAST TWO axes
-  * are (y, x) — the NGFF axis convention; leading axes (t, c, z) read at
-  * index 0. Only blosc's private blosclz inner codec and bit-shuffle
-  * filter are refused with named errors (those genuinely do not exist in
-  * this JVM) — everything else is a real pixel path.
+  * Zarr needs no native codec for the common cases: metadata is plain
+  * JSON and chunks are C-order sample buffers. BOTH on-disk dialects
+  * read here: '''v2''' (`.zattrs` multiscales + `.zarray`
+  * shape/chunks/dtype/compressor — NGFF ≤0.4) and '''v3''' (`zarr.json`
+  * group + array documents with named data_types, regular chunk grids,
+  * `c/`-prefixed chunk keys, and codec CHAINS — NGFF 0.5). Supported:
+  * uint8 / little-endian uint16 / float32 samples; v2 compressors null,
+  * zlib, zstd (zstd-jni), blosc ([[BloscCodec]] — numcodecs' DEFAULT is
+  * blosc/lz4/byte-shuffle, the path real-world NGFF stores take); v3
+  * codec chains `[bytes(le)]` + optional gzip / zstd / blosc + optional
+  * trailing crc32c (verified per chunk, java.util.zip.CRC32C); both `.`
+  * and `/` separators and both v3 chunk-key encodings; ≥2-D arrays
+  * whose LAST TWO axes are (y, x) — the NGFF axis convention; leading
+  * axes (t, c, z) read at index 0. Only blosc's private blosclz codec,
+  * bit-shuffle, and v3 sharding/transpose are refused with named errors
+  * (those genuinely do not exist in this JVM) — everything else is a
+  * real pixel path.
   *
   * Spark shape: ONE `binaryFile` scan under the search root covers every
   * image's chunk files (Spark's hidden-file filter drops the `.z*` JSON
@@ -118,10 +121,12 @@ object OmeZarrReader {
       imageId: Long,
       groupPath: String,
       arrayPath: String,
-      dtype: String,
-      codec: String, // "raw" | "zlib" | "zstd" | "blosc"
+      dtype: String, // normalized to the v2 codes: |u1, <u2, <f4
+      codec: String, // "raw" | "zlib" | "gzip" | "zstd" | "blosc"
       shape: Seq[Int],
-      chunks: Seq[Int]) {
+      chunks: Seq[Int],
+      crc32c: Boolean = false, // v3 crc32c codec: verify + strip 4-byte suffix
+      keyPrefix: Boolean = false) { // v3 default chunk-key encoding: "c/0/0"
     def height: Int = shape(shape.length - 2)
     def width: Int = shape(shape.length - 1)
     def chunkY: Int = chunks(chunks.length - 2)
@@ -146,9 +151,11 @@ object OmeZarrReader {
   }
 
   /** Find zarr groups under `dir` matching `glob` and resolve `level`'s
-    * array parameters. A group = a directory whose `.zattrs` declares
-    * `multiscales` (the OME-NGFF marker); its datasets list maps the
-    * level to an array subdirectory. */
+    * array parameters. A group = a directory whose metadata declares
+    * `multiscales` (the OME-NGFF marker) — v2 stores keep it in
+    * `.zattrs` (NGFF ≤0.4), v3 stores in `zarr.json` group attributes
+    * (NGFF 0.5 nests it under an `ome` key). Mixed stores discover per
+    * group; both metadata dialects resolve to the same [[ZarrImage]]. */
   private[objects] def discover(
       spark: SparkSession, dir: String, glob: String, level: Int): Seq[ZarrImage] = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -161,60 +168,142 @@ object OmeZarrReader {
       .getOrElse(Array.empty)
       .filter(_.isDirectory).map(_.getPath).sortBy(_.toString)
     groups.toSeq.flatMap { g =>
-      readSmall(spark, s"$g/.zattrs").flatMap { attrsJson =>
-        val attrs = mapper.readTree(attrsJson)
-        val ms = attrs.path("multiscales")
-        if (!ms.isArray || ms.isEmpty) None
-        else {
-          val datasets = ms.get(0).path("datasets")
-          require(datasets.isArray && level < datasets.size,
-            s"graft: $g has ${datasets.size} multiscale levels, level $level requested")
-          val dsPath = datasets.get(level).path("path").asText()
-          Some((g, dsPath))
+      val v2Attrs = readSmall(spark, s"$g/.zattrs").map(mapper.readTree)
+      val v3Group = readSmall(spark, s"$g/zarr.json").map(mapper.readTree)
+        .filter(n => n.path("node_type").asText() == "group")
+      val ms = v2Attrs.map(_.path("multiscales"))
+        .orElse(v3Group.map { n =>
+          // NGFF 0.5 nests under attributes.ome; accept a bare
+          // attributes.multiscales too (transitional stores write both)
+          val a = n.path("attributes")
+          val under = a.path("ome").path("multiscales")
+          if (under.isArray) under else a.path("multiscales")
+        })
+        .filter(m => m.isArray && !m.isEmpty)
+      ms.map { m =>
+        val datasets = m.get(0).path("datasets")
+        require(datasets.isArray && level < datasets.size,
+          s"graft: $g has ${datasets.size} multiscale levels, level $level requested")
+        val arrayDir = s"$g/${datasets.get(level).path("path").asText()}"
+        readSmall(spark, s"$arrayDir/.zarray") match {
+          case Some(za) => parseV2Array(mapper.readTree(za), g.toString, arrayDir)
+          case None =>
+            val zj = readSmall(spark, s"$arrayDir/zarr.json").getOrElse(
+              throw new IllegalArgumentException(
+                s"graft: $arrayDir has neither .zarray (v2) nor zarr.json (v3)"))
+            parseV3Array(mapper.readTree(zj), g.toString, arrayDir)
         }
-      }.map { case (g, dsPath) =>
-        val arrayDir = s"$g/$dsPath"
-        val za = readSmall(spark, s"$arrayDir/.zarray").getOrElse(
-          throw new IllegalArgumentException(
-            s"graft: $arrayDir/.zarray missing — not a zarr v2 array"))
-        val n = mapper.readTree(za)
-        require(n.path("zarr_format").asInt() == 2,
-          s"graft: $arrayDir zarr_format ${n.path("zarr_format").asInt()} unsupported (v2 only)")
-        require(n.path("order").asText("C") == "C",
-          s"graft: $arrayDir order '${n.path("order").asText()}' unsupported (C only)")
-        val dtype = n.path("dtype").asText()
-        require(Set("|u1", "<u2", "<f4").contains(dtype),
-          s"graft: $arrayDir dtype '$dtype' unsupported (|u1, <u2, <f4)")
-        val comp = n.path("compressor")
-        val codec =
-          if (comp.isNull || comp.isMissingNode) "raw"
-          else comp.path("id").asText() match {
-            case "zlib" => "zlib"
-            case "zstd" => "zstd"
-            case "blosc" =>
-              // the frame self-describes its inner codec, but refusing a
-              // blosclz store HERE names the array instead of failing
-              // per-chunk inside the scan
-              val cname = comp.path("cname").asText("lz4")
-              require(BloscCodec.supportedCnames.contains(cname),
-                s"graft: $arrayDir blosc cname '$cname' needs a codec this JVM " +
-                  s"does not ship — re-encode with ${BloscCodec.supportedCnames.mkString("/")}")
-              "blosc"
-            case other => throw new IllegalArgumentException(
-              s"graft: $arrayDir compressor '$other' needs a codec this JVM " +
-                "does not ship — re-encode raw, zlib, zstd, or blosc")
-          }
-        val shape = (0 until n.path("shape").size)
-          .map(i => n.path("shape").get(i).asInt())
-        val chunks = (0 until n.path("chunks").size)
-          .map(i => n.path("chunks").get(i).asInt())
-        require(shape.length >= 2 && shape.length == chunks.length,
-          s"graft: $arrayDir needs >= 2 dims with matching chunk rank")
-        (g.toString, arrayDir, dtype, codec, shape, chunks)
       }
-    }.zipWithIndex.map { case ((g, arrayDir, dtype, codec, shape, chunks), i) =>
-      ZarrImage(i.toLong, g, arrayDir, dtype, codec, shape, chunks)
+    }.zipWithIndex.map { case (img, i) => img.copy(imageId = i.toLong) }
+  }
+
+  private def parseV2Array(
+      n: com.fasterxml.jackson.databind.JsonNode,
+      group: String, arrayDir: String): ZarrImage = {
+    require(n.path("zarr_format").asInt() == 2,
+      s"graft: $arrayDir zarr_format ${n.path("zarr_format").asInt()} unsupported (2 or 3)")
+    require(n.path("order").asText("C") == "C",
+      s"graft: $arrayDir order '${n.path("order").asText()}' unsupported (C only)")
+    val dtype = n.path("dtype").asText()
+    require(Set("|u1", "<u2", "<f4").contains(dtype),
+      s"graft: $arrayDir dtype '$dtype' unsupported (|u1, <u2, <f4)")
+    val comp = n.path("compressor")
+    val codec =
+      if (comp.isNull || comp.isMissingNode) "raw"
+      else comp.path("id").asText() match {
+        case "zlib" => "zlib"
+        case "zstd" => "zstd"
+        case "blosc" =>
+          // the frame self-describes its inner codec, but refusing a
+          // blosclz store HERE names the array instead of failing
+          // per-chunk inside the scan
+          val cname = comp.path("cname").asText("lz4")
+          require(BloscCodec.supportedCnames.contains(cname),
+            s"graft: $arrayDir blosc cname '$cname' needs a codec this JVM " +
+              s"does not ship — re-encode with ${BloscCodec.supportedCnames.mkString("/")}")
+          "blosc"
+        case other => throw new IllegalArgumentException(
+          s"graft: $arrayDir compressor '$other' needs a codec this JVM " +
+            "does not ship — re-encode raw, zlib, zstd, or blosc")
+      }
+    val shape = (0 until n.path("shape").size).map(i => n.path("shape").get(i).asInt())
+    val chunks = (0 until n.path("chunks").size).map(i => n.path("chunks").get(i).asInt())
+    require(shape.length >= 2 && shape.length == chunks.length,
+      s"graft: $arrayDir needs >= 2 dims with matching chunk rank")
+    ZarrImage(0L, group, arrayDir, dtype, codec, shape, chunks)
+  }
+
+  /** Zarr v3 array metadata (`zarr.json`): same geometry, different
+    * spellings — named data_types, a regular chunk_grid, a chunk-key
+    * encoding (the default one prefixes keys with `c/`), and a CODEC
+    * CHAIN instead of one compressor: exactly one array→bytes codec
+    * (`bytes`, little-endian), at most one bytes→bytes compressor
+    * (gzip / zstd / blosc — all JVM-decodable here), and optionally a
+    * trailing `crc32c` checksum (verified and stripped per chunk).
+    * `sharding_indexed` / `transpose` are refused with named errors. */
+  private def parseV3Array(
+      n: com.fasterxml.jackson.databind.JsonNode,
+      group: String, arrayDir: String): ZarrImage = {
+    require(n.path("zarr_format").asInt() == 3,
+      s"graft: $arrayDir zarr_format ${n.path("zarr_format").asInt()} unsupported (2 or 3)")
+    require(n.path("node_type").asText() == "array",
+      s"graft: $arrayDir zarr.json node_type '${n.path("node_type").asText()}' is not an array")
+    val dtype = n.path("data_type").asText() match {
+      case "uint8" => "|u1"
+      case "uint16" => "<u2"
+      case "float32" => "<f4"
+      case other => throw new IllegalArgumentException(
+        s"graft: $arrayDir data_type '$other' unsupported (uint8, uint16, float32)")
     }
+    val grid = n.path("chunk_grid")
+    require(grid.path("name").asText() == "regular",
+      s"graft: $arrayDir chunk_grid '${grid.path("name").asText()}' unsupported (regular only)")
+    val chunkShape = grid.path("configuration").path("chunk_shape")
+    val shape = (0 until n.path("shape").size).map(i => n.path("shape").get(i).asInt())
+    val chunks = (0 until chunkShape.size).map(i => chunkShape.get(i).asInt())
+    require(shape.length >= 2 && shape.length == chunks.length,
+      s"graft: $arrayDir needs >= 2 dims with matching chunk rank")
+    val keyEnc = n.path("chunk_key_encoding")
+    val keyPrefix = keyEnc.path("name").asText("default") match {
+      case "default" => true // keys are c/0/0 (or c.0.0)
+      case "v2" => false // keys are 0.0 (or 0/0), like zarr v2
+      case other => throw new IllegalArgumentException(
+        s"graft: $arrayDir chunk_key_encoding '$other' unsupported (default, v2)")
+    }
+    val codecs = n.path("codecs")
+    require(codecs.isArray && codecs.size >= 1,
+      s"graft: $arrayDir zarr.json needs a codecs chain")
+    var codec = "raw"
+    var crc = false
+    var sawBytes = false
+    (0 until codecs.size).foreach { i =>
+      val c = codecs.get(i)
+      c.path("name").asText() match {
+        case "bytes" | "endian" =>
+          val endian = c.path("configuration").path("endian").asText("little")
+          require(endian == "little" || dtype == "|u1",
+            s"graft: $arrayDir big-endian samples unsupported — re-encode little-endian")
+          sawBytes = true
+        case "gzip" => codec = "gzip"
+        case "zstd" => codec = "zstd"
+        case "blosc" =>
+          val cname = c.path("configuration").path("cname").asText("lz4")
+          require(BloscCodec.supportedCnames.contains(cname),
+            s"graft: $arrayDir blosc cname '$cname' needs a codec this JVM " +
+              s"does not ship — re-encode with ${BloscCodec.supportedCnames.mkString("/")}")
+          require(c.path("configuration").path("shuffle").asText("shuffle") != "bitshuffle",
+            s"graft: $arrayDir blosc bit-shuffle unsupported — re-encode with shuffle/noshuffle")
+          codec = "blosc"
+        case "crc32c" => crc = true
+        case other => throw new IllegalArgumentException(
+          s"graft: $arrayDir v3 codec '$other' unsupported " +
+            "(bytes, gzip, zstd, blosc, crc32c) — resharded/transposed " +
+            "stores need a re-encode")
+      }
+    }
+    require(sawBytes, s"graft: $arrayDir v3 codec chain lacks the bytes codec")
+    ZarrImage(0L, group, arrayDir, dtype, codec, shape, chunks,
+      crc32c = crc, keyPrefix = keyPrefix)
   }
 
   /** Map a scanned file path to its owning image + chunk grid position.
@@ -241,7 +330,12 @@ object OmeZarrReader {
     val cut0 = norm.lastIndexOf('/')
     (if (cut0 <= 0) None else walk(norm.take(cut0), norm.drop(cut0 + 1)))
       .flatMap { case (img, rel) =>
-      val parts = rel.replace('/', '.').split('.')
+      val all = rel.replace('/', '.').split('.')
+      // v3 default chunk-key encoding prefixes every key with a "c"
+      // segment (c/0/0 or c.0.0); v2 (and the v3 "v2" encoding) does not
+      val parts =
+        if (img.keyPrefix) { if (all.headOption.contains("c")) all.drop(1) else Array.empty[String] }
+        else all
       if (parts.length != img.shape.length || parts.exists(p => !p.forall(_.isDigit)))
         None
       else {
@@ -267,11 +361,29 @@ object OmeZarrReader {
       case "<f4" => 4
     }
     val expected = img.chunks.map(_.toLong).product * elemSize
+    // v3 crc32c codec: little-endian uint32 checksum appended per chunk —
+    // verify, then strip before the compressor stage
+    val body = if (img.crc32c) {
+      require(raw.length >= 4, s"graft: ${img.arrayPath} chunk ($gy,$gx) shorter than its crc32c")
+      val stored = java.lang.Integer.toUnsignedLong(
+        ByteBuffer.wrap(raw, raw.length - 4, 4).order(ByteOrder.LITTLE_ENDIAN).getInt)
+      val crc = new java.util.zip.CRC32C()
+      crc.update(raw, 0, raw.length - 4)
+      require(crc.getValue == stored,
+        s"graft: ${img.arrayPath} chunk ($gy,$gx) fails its crc32c — corrupt store")
+      java.util.Arrays.copyOf(raw, raw.length - 4)
+    } else raw
     val bytes = img.codec match {
-      case "raw" => raw
-      case "zlib" => inflate(raw)
-      case "zstd" => com.github.luben.zstd.Zstd.decompress(raw, expected.toInt)
-      case "blosc" => BloscCodec.decompress(raw, expected.toInt)
+      case "raw" => body
+      case "zlib" => inflate(body)
+      case "gzip" =>
+        val in = new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(body))
+        try org.apache.hadoop.io.IOUtils.readFullyToByteArray(
+          new java.io.DataInputStream(in))
+        finally in.close()
+      case "zstd" => com.github.luben.zstd.Zstd.decompress(body, expected.toInt)
+      case "blosc" => BloscCodec.decompress(body, expected.toInt)
     }
     require(bytes.length == expected,
       s"graft: ${img.arrayPath} chunk ($gy,$gx) holds ${bytes.length} bytes, " +
@@ -316,6 +428,91 @@ object OmeZarrReader {
     }
     inf.end()
     out.toByteArray
+  }
+
+  /** Mint a minimal zarr V3 OME-NGFF 0.5 store for specs: `zarr.json`
+    * group + array metadata, codec chains ([bytes] + optional
+    * gzip/zstd/blosc + optional crc32c), default or v2 chunk-key
+    * encoding. Pixel formula and geometry match [[writeTestZarr]], so
+    * v2 and v3 stores decode byte-identically. */
+  def writeTestZarrV3(
+      groupDir: java.nio.file.Path,
+      width: Int,
+      height: Int,
+      levels: Int,
+      chunkY: Int,
+      chunkX: Int,
+      pixel: (Int, Int) => Int,
+      codec: String = "raw", // raw | gzip | zstd | blosc-<cname>[-noshuffle]
+      crc32c: Boolean = false,
+      keyEncoding: String = "default"): Unit = {
+    require(Set("default", "v2").contains(keyEncoding),
+      s"graft: v3 keyEncoding '$keyEncoding' must be default or v2")
+    val bloscCname = if (codec.startsWith("blosc-"))
+      Some(codec.stripPrefix("blosc-").stripSuffix("-noshuffle")) else None
+    val bloscShuffle = !codec.endsWith("-noshuffle")
+    java.nio.file.Files.createDirectories(groupDir)
+    val datasets = (0 until levels)
+      .map(l => s"""{"path":"$l","coordinateTransformations":[{"type":"scale","scale":[${1 << l},${1 << l}]}]}""")
+      .mkString("[", ",", "]")
+    java.nio.file.Files.write(groupDir.resolve("zarr.json"),
+      s"""{"zarr_format":3,"node_type":"group","attributes":{"ome":{"version":"0.5",
+         |"multiscales":[{"axes":[{"name":"y","type":"space"},{"name":"x","type":"space"}],
+         |"datasets":$datasets}]}}}""".stripMargin.replace("\n", "").getBytes("UTF-8"))
+    for (l <- 0 until levels) {
+      val w = width >> l; val h = height >> l
+      val aDir = groupDir.resolve(l.toString)
+      java.nio.file.Files.createDirectories(aDir)
+      val compCodec = codec match {
+        case "raw" => ""
+        case "gzip" => """,{"name":"gzip","configuration":{"level":5}}"""
+        case "zstd" => """,{"name":"zstd","configuration":{"level":3,"checksum":false}}"""
+        case _ =>
+          val shuf = if (bloscShuffle) "shuffle" else "noshuffle"
+          s""",{"name":"blosc","configuration":{"cname":"${bloscCname.get}","clevel":5,"shuffle":"$shuf","typesize":1,"blocksize":0}}"""
+      }
+      val crcCodec = if (crc32c) """,{"name":"crc32c"}""" else ""
+      java.nio.file.Files.write(aDir.resolve("zarr.json"),
+        s"""{"zarr_format":3,"node_type":"array","shape":[$h,$w],"data_type":"uint8",
+           |"chunk_grid":{"name":"regular","configuration":{"chunk_shape":[$chunkY,$chunkX]}},
+           |"chunk_key_encoding":{"name":"$keyEncoding","configuration":{"separator":"${if (keyEncoding == "default") "/" else "."}"}},
+           |"fill_value":0,
+           |"codecs":[{"name":"bytes","configuration":{"endian":"little"}}$compCodec$crcCodec],
+           |"dimension_names":["y","x"]}""".stripMargin.replace("\n", "").getBytes("UTF-8"))
+      val tilesY = (h + chunkY - 1) / chunkY
+      val tilesX = (w + chunkX - 1) / chunkX
+      for (gy <- 0 until tilesY; gx <- 0 until tilesX) {
+        val buf = new Array[Byte](chunkY * chunkX)
+        for (y <- 0 until chunkY; x <- 0 until chunkX) {
+          val (py, px) = (gy * chunkY + y, gx * chunkX + x)
+          if (py < h && px < w)
+            buf(y * chunkX + x) = (pixel(px << l, py << l) & 0xFF).toByte
+        }
+        val comp = codec match {
+          case "raw" => buf
+          case "gzip" =>
+            val bos = new java.io.ByteArrayOutputStream()
+            val gz = new java.util.zip.GZIPOutputStream(bos)
+            gz.write(buf); gz.close(); bos.toByteArray
+          case "zstd" => com.github.luben.zstd.Zstd.compress(buf, 3)
+          case _ =>
+            BloscCodec.compress(buf, typesize = 1, cname = bloscCname.get,
+              doShuffle = bloscShuffle, blocksizeHint = 64)
+        }
+        val payload = if (crc32c) {
+          val crc = new java.util.zip.CRC32C()
+          crc.update(comp, 0, comp.length)
+          val out = ByteBuffer.allocate(comp.length + 4).order(ByteOrder.LITTLE_ENDIAN)
+          out.put(comp).putInt(crc.getValue.toInt)
+          out.array()
+        } else comp
+        val target =
+          if (keyEncoding == "default") aDir.resolve("c").resolve(gy.toString).resolve(gx.toString)
+          else aDir.resolve(s"$gy.$gx")
+        java.nio.file.Files.createDirectories(target.getParent)
+        java.nio.file.Files.write(target, payload)
+      }
+    }
   }
 
   /** Mint a minimal OME-NGFF store for specs: `levels` grayscale planes

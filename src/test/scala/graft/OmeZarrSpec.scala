@@ -98,6 +98,74 @@ class OmeZarrSpec extends AnyFunSuite {
     }
   }
 
+  test("zarr v3 stores (NGFF 0.5) decode byte-identically to v2, all codec chains") {
+    val raw = new OmeZarrReader(mintStore("raw"), "*.zarr", level = 0)
+      .readObjects(spark).orderBy("external_id").collect()
+      .map(_.getAs[Array[Byte]](10).toSeq)
+    def mintV3(codec: String, crc: Boolean, keyEnc: String = "default"): String = {
+      val root = Files.createTempDirectory("graft_zarr3")
+      for (i <- 0 until 3) {
+        OmeZarrReader.writeTestZarrV3(root.resolve(f"img_$i%02d.zarr"),
+          width = 40, height = 24, levels = 3, chunkY = 8, chunkX = 16,
+          pixel = pix(i), codec = codec, crc32c = crc, keyEncoding = keyEnc)
+      }
+      root.toString
+    }
+    for ((codec, crc) <- Seq(("raw", false), ("gzip", false), ("zstd", true),
+        ("blosc-lz4", true), ("raw", true))) {
+      val got = new OmeZarrReader(mintV3(codec, crc), "*.zarr", level = 0)
+        .readObjects(spark).orderBy("external_id").collect()
+        .map(_.getAs[Array[Byte]](10).toSeq)
+      assert(got === raw, s"v3 $codec crc32c=$crc must decode like v2 raw")
+    }
+    // the v3 "v2" chunk-key encoding (no c/ prefix, dot separator)
+    val v2keys = new OmeZarrReader(mintV3("gzip", crc = false, keyEnc = "v2"),
+        "*.zarr", level = 0).readObjects(spark).orderBy("external_id").collect()
+      .map(_.getAs[Array[Byte]](10).toSeq)
+    assert(v2keys === raw, "v3 with v2 chunk keys must decode like v2 raw")
+    // level selection reads v3 pyramids too
+    val l1 = new OmeZarrReader(mintV3("zstd", crc = false), "*.zarr", level = 1)
+      .readObjects(spark).collect()
+    assert(l1.length === 3 * 4 && l1.forall(_.getInt(6) === 20))
+    // a MIXED root (v2 and v3 groups side by side) discovers both
+    val mixed = Files.createTempDirectory("graft_zarr_mixed")
+    OmeZarrReader.writeTestZarr(mixed.resolve("a.zarr"), 16, 16, 1, 8, 8, pix(0))
+    OmeZarrReader.writeTestZarrV3(mixed.resolve("b.zarr"), 16, 16, 1, 8, 8, pix(1),
+      codec = "zstd")
+    val both = new OmeZarrReader(mixed.toString, "*.zarr", level = 0)
+      .readObjects(spark).select("image_id").distinct().count()
+    assert(both === 2L, "v2 and v3 groups under one root must both discover")
+  }
+
+  test("v3 refusals are named: corrupt crc32c, sharding codec") {
+    val root = Files.createTempDirectory("graft_zarr3_bad")
+    val g = root.resolve("img.zarr")
+    OmeZarrReader.writeTestZarrV3(g, 16, 16, 1, 8, 8, pix(0), codec = "gzip", crc32c = true)
+    // flip one byte inside a chunk: the crc must catch it loudly
+    val chunk = g.resolve("0/c/0/0")
+    val bytes = Files.readAllBytes(chunk)
+    bytes(2) = (bytes(2) ^ 0x7).toByte
+    Files.write(chunk, bytes)
+    val e = intercept[Exception] {
+      new OmeZarrReader(root.toString, "*.zarr").readObjects(spark).collect()
+    }
+    // Spark wraps task failures: search the cause chain for the named error
+    val messages = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(messages.contains("crc32c"), s"corrupt chunk must name the crc: $messages")
+    // sharding_indexed: refused at discovery with the codec named
+    val shardDir = root.resolve("shard.zarr")
+    OmeZarrReader.writeTestZarrV3(shardDir, 16, 16, 1, 8, 8, pix(0))
+    val zj = shardDir.resolve("0/zarr.json")
+    Files.write(zj, new String(Files.readAllBytes(zj), "UTF-8")
+      .replace("""{"name":"bytes","configuration":{"endian":"little"}}""",
+        """{"name":"sharding_indexed","configuration":{}}""").getBytes("UTF-8"))
+    val e2 = intercept[IllegalArgumentException] {
+      new OmeZarrReader(root.toString, "shard.zarr").readObjects(spark).collect()
+    }
+    assert(e2.getMessage.contains("sharding_indexed"), e2.getMessage)
+  }
+
   test("unsupported stores fail with named errors; empty dir is empty, not a crash") {
     val root = Files.createTempDirectory("graft_zarr_bad")
     OmeZarrReader.writeTestZarr(root.resolve("ok.zarr"), 16, 16, 1, 8, 8, pix(0))
