@@ -244,7 +244,31 @@ object Knn {
         q.select(col("__qid"), slice(col("__qvec"), 1, prefixDims).as("__qpre")),
         shortlist, metric,
         idCol = "__id", vecCol = "__pre", qidCol = "__qid", qvecCol = "__qpre")
-      .select(col("qid").as("__qid"), col("id").as("__id"))
+      .select(col("qid"), col("id"))
+    matryoshkaRerank(cand, db, queries, k, metric, idCol, vecCol, qidCol, qvecCol)
+  }
+
+  /** Matryoshka stage 2 alone, over an EXTERNAL (qid, id) candidate
+    * list — the production seam: at 100 TB the prefix shortlist comes
+    * from an index built over the materialized prefix column (an IVF /
+    * Vamana probe through [[graft.index.VectorIndex]]), not an in-plan
+    * slice scan. The re-rank recomputes full-dimension distances from
+    * the raw vectors, so for the same candidate set the result is
+    * bit-identical to [[matryoshka]] (spec-pinned). */
+  def matryoshkaRerank(
+      candidates: DataFrame,
+      db: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      metric: DistanceMetric = DistanceMetric.Cosine,
+      idCol: String = "id",
+      vecCol: String = "vector",
+      qidCol: String = "qid",
+      qvecCol: String = "qvec"): DataFrame = {
+    val q = queries.select(col(qidCol).cast("long").as("__qid"), col(qvecCol).as("__qvec"))
+    val d = db.select(col(idCol).cast("long").as("__id"), col(vecCol).as("__vec"))
+    val cand = candidates.select(
+      col("qid").cast("long").as("__qid"), col("id").cast("long").as("__id"))
     val rescored = d
       .join(broadcast(cand), Seq("__id"))
       .join(sizedQuerySide(q, "__qvec"), Seq("__qid"))

@@ -66,7 +66,37 @@ object MmrDiversify {
     val d = db.select(col(idCol).cast("long").as("__id"), col(vecCol).as("__vec"))
     val cand = Knn.bruteForce(d, q, candidates, DistanceMetric.InnerProduct,
         idCol = "__id", vecCol = "__vec", qidCol = "__qid", qvecCol = "__qvec")
-      .select(col("qid").as("__qid"), col("id").as("__id"))
+      .select(col("qid"), col("id"))
+    rerankCandidates(cand, db, queries, k, lambdaPpm,
+      idCol, vecCol, qidCol, qvecCol)
+  }
+
+  /** The greedy stage alone, over an EXTERNAL candidate list — the
+    * production seam: at 100 TB the shortlist comes from an index probe
+    * ([[graft.index.VectorIndex]] IP query → (qid, id) pairs), not an
+    * exact scan. Candidates must carry (qid, id); at probe-all the
+    * result is bit-identical to [[rerank]] (spec-pinned), because the
+    * greedy chain depends only on the candidate SET — relevance and
+    * pairwise scores are recomputed here from the raw vectors. */
+  def rerankCandidates(
+      candidates: DataFrame,
+      db: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      lambdaPpm: Long = 700000L,
+      idCol: String = "id",
+      vecCol: String = "vector",
+      qidCol: String = "qid",
+      qvecCol: String = "qvec"): DataFrame = {
+    require(k >= 1, s"graft: MMR k must be >= 1, got $k")
+    require(lambdaPpm >= 0L && lambdaPpm <= 1000000L,
+      s"graft: MMR lambdaPpm must sit in [0, 1000000], got $lambdaPpm")
+    val spark = db.sparkSession
+    import spark.implicits._
+    val q = queries.select(col(qidCol).cast("long").as("__qid"), col(qvecCol).as("__qvec"))
+    val d = db.select(col(idCol).cast("long").as("__id"), col(vecCol).as("__vec"))
+    val cand = candidates.select(
+      col("qid").cast("long").as("__qid"), col("id").cast("long").as("__id"))
     val lam = lambdaPpm
     val kk = k
     d.join(broadcast(cand), Seq("__id"))

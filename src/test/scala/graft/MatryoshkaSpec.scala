@@ -76,6 +76,30 @@ class MatryoshkaSpec extends AnyFunSuite {
     }
   }
 
+  test("prefix-INDEX-served shortlist at probe-all equals the slice form (the 100 TB seam)") {
+    // the deployment shape: the 16-dim prefix MATERIALIZED as its own
+    // IVF index (the scan shrinks dims/prefix x on top of the pruning),
+    // probed for the shortlist, full vectors only touched by the re-rank
+    val uri = java.nio.file.Files.createTempDirectory("graft_mat_ivf").toString
+    graft.index.Ingest.ingest(spark, uri,
+      emb.select(col("vec_id").as("external_id"),
+        org.apache.spark.sql.functions.slice(col("embedding"), 1, 16).as("vector")),
+      "IVF_FLAT", DistanceMetric.Cosine, timestamp = 1000L, partitions = Some(4))
+    val qs = queries.select(col("vec_id").as("qid"),
+      org.apache.spark.sql.functions.slice(col("embedding"), 1, 16).as("qvec"))
+    val hits = graft.index.VectorIndex.open(spark, uri)
+      .query(qs, k = 30, nprobe = 4)
+      .select("qid", "id")
+    val viaIndex = ids(Knn.matryoshkaRerank(hits, emb, queries, 10,
+      metric = DistanceMetric.Cosine,
+      idCol = "vec_id", vecCol = "embedding", qidCol = "vec_id", qvecCol = "embedding"))
+    val viaSlice = ids(Knn.matryoshka(emb, queries, 10, shortlist = 30, prefixDims = 16,
+      metric = DistanceMetric.Cosine,
+      idCol = "vec_id", vecCol = "embedding", qidCol = "vec_id", qvecCol = "embedding"))
+    assert(viaIndex === viaSlice,
+      "probe-all prefix-index shortlist must reproduce the in-plan slice shortlist")
+  }
+
   test("plan posture: no Window; heap aggregates; broadcast candidate fetch") {
     val plan = Knn.matryoshka(emb, queries, 10, shortlist = 30, prefixDims = 16,
         metric = DistanceMetric.Cosine,

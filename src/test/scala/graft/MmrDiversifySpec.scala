@@ -81,6 +81,33 @@ class MmrDiversifySpec extends AnyFunSuite {
       "the bounded candidate list should broadcast into the vector fetch")
   }
 
+  test("IVF-served candidates at probe-all reproduce the exact-scan MMR bit-identically") {
+    val uri = java.nio.file.Files.createTempDirectory("graft_mmr_ivf").toString
+    graft.index.Ingest.ingest(spark, uri,
+      emb.select(col("vec_id").as("external_id"), col("embedding").as("vector")),
+      "IVF_FLAT", DistanceMetric.InnerProduct, timestamp = 1000L, partitions = Some(4))
+    val qs = queries.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val hits = graft.index.VectorIndex.open(spark, uri)
+      .query(qs, k = 25, nprobe = 4)
+      .select("qid", "id")
+    // the production path: shortlist physically pruned by the probe...
+    val physical = hits.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*partition_id[^\\]]*\\]".r
+      .findFirstIn(physical).isDefined,
+      s"expected partition_id PartitionFilters on the shortlist scan:\n${physical.take(2000)}")
+    // ...then the greedy stage over those candidates — at probe-all the
+    // candidate SET equals the exact scan's, so picks are bit-identical
+    val viaIndex = graft.operators.MmrDiversify.rerankCandidates(
+        hits, emb, queries, k = 6,
+        idCol = "vec_id", vecCol = "embedding", qidCol = "vec_id", qvecCol = "embedding")
+      .orderBy("qid", "rank").collect().map(_.toSeq).toSeq
+    val viaScan = graft.operators.MmrDiversify.rerank(
+        emb, queries, k = 6, candidates = 25,
+        idCol = "vec_id", vecCol = "embedding", qidCol = "vec_id", qvecCol = "embedding")
+      .orderBy("qid", "rank").collect().map(_.toSeq).toSeq
+    assert(viaIndex === viaScan)
+  }
+
   test("rank-1 objective is lambda*rel; penalties only lower later picks") {
     val out = MmrDiversify.rerank(emb, queries, 5, candidates = 25,
         lambdaPpm = 700000L,
