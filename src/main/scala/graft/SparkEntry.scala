@@ -55,8 +55,9 @@ object SparkEntry {
       .orderBy("qid", "neighbor_id")
   }
 
-  /** MMR diversified top-k ([[graft.operators.MmrDiversify]]): exact
-    * inner-product shortlist of [[MmrCand]], then the λ=0.7 greedy
+  /** MMR diversified top-k ([[graft.operators.MmrDiversify]]):
+    * [[MmrCand]] candidates served through an IVF probe at probe-all
+    * (≡ the exact inner-product shortlist), then the λ=0.7 greedy
     * re-rank on integer-micro strict-dot scores. The DuckDB oracle
     * UNROLLS the greedy chain — one CTE per selection step, each
     * replaying the λ·rel − (1−λ)·maxSim argmax in the same integer
@@ -68,7 +69,20 @@ object SparkEntry {
   private def knnMmrDiversify(spark: SparkSession, dir: String): DataFrame = {
     val db = emb(spark, dir)
     val queries = db.where(col("vec_id") < NQ)
-    graft.operators.MmrDiversify.rerank(db, queries, MmrK, MmrCand, MmrLambdaPpm,
+    // candidates come THROUGH THE PRODUCTION SEAM — an IVF InnerProduct
+    // probe at probe-all (≡ the exact scan; MmrDiversifySpec proves the
+    // greedy stage bit-identical either way) — so the driver exercises
+    // the 100 TB path end-to-end while the oracle replays the scan form
+    val uri = cachedIndex("mmr_ivf_ip", dir) { u =>
+      Ingest.ingest(spark, u,
+        db.select(col("vec_id").as("external_id"), col("embedding").as("vector")),
+        "IVF_FLAT", DistanceMetric.InnerProduct, timestamp = 1000L)
+    }
+    val cand = VectorIndex.open(spark, uri)
+      .query(queries.select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        MmrCand, nprobe = 1 << 30)
+      .select("qid", "id")
+    graft.operators.MmrDiversify.rerankCandidates(cand, db, queries, MmrK, MmrLambdaPpm,
         idCol = "vec_id", vecCol = "embedding", qidCol = "vec_id", qvecCol = "embedding")
       .select(col("qid"), col("rank"), col("id").as("neighbor_id"))
       .orderBy("qid", "rank")
@@ -113,8 +127,10 @@ object SparkEntry {
       s"SELECT qid, rank, neighbor_id FROM ($union) ORDER BY qid, rank"
   }
 
-  /** Matryoshka (MRL) two-stage retrieval ([[Knn.matryoshka]]): shortlist
-    * by cosine over the leading [[MatPrefixDims]] of 64 dimensions, exact
+  /** Matryoshka (MRL) two-stage retrieval ([[Knn.matryoshka]] /
+    * [[Knn.matryoshkaRerank]]): shortlist by cosine over the leading
+    * [[MatPrefixDims]] of 64 dimensions — served from an IVF index BUILT
+    * ON THE MATERIALIZED PREFIX, probed at probe-all — then exact
     * full-dimension re-rank of the [[MatShortlist]] candidates. The DuckDB
     * oracle replays BOTH stages (prefix slice, shortlist cut, re-rank), so
     * the two-stage decomposition itself is hash-checked — same float
@@ -124,8 +140,23 @@ object SparkEntry {
   private def knnMatryoshka(spark: SparkSession, dir: String): DataFrame = {
     val db = emb(spark, dir)
     val queries = db.where(col("vec_id") < NQ)
-    Knn.matryoshka(db, queries, K, MatShortlist, MatPrefixDims,
-        DistanceMetric.Cosine,
+    // the deployment shape end-to-end: the 16-dim PREFIX materialized as
+    // its own IVF index (the shortlist scan shrinks dims/prefix× on top
+    // of partition pruning), probed at probe-all (≡ the slice scan,
+    // MatryoshkaSpec pins the seam), full vectors touched only by the
+    // exact re-rank; the oracle replays the slice form
+    val uri = cachedIndex("mat_prefix_ivf", dir) { u =>
+      Ingest.ingest(spark, u,
+        db.select(col("vec_id").as("external_id"),
+          slice(col("embedding"), 1, MatPrefixDims).as("vector")),
+        "IVF_FLAT", DistanceMetric.Cosine, timestamp = 1000L)
+    }
+    val cand = VectorIndex.open(spark, uri)
+      .query(queries.select(col("vec_id").as("qid"),
+          slice(col("embedding"), 1, MatPrefixDims).as("qvec")),
+        MatShortlist, nprobe = 1 << 30)
+      .select("qid", "id")
+    Knn.matryoshkaRerank(cand, db, queries, K, DistanceMetric.Cosine,
         idCol = "vec_id", vecCol = "embedding", qidCol = "vec_id", qvecCol = "embedding")
       .select(col("qid"), col("id").as("neighbor_id"))
       .orderBy("qid", "neighbor_id")
