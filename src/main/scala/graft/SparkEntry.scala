@@ -1767,6 +1767,43 @@ object SparkEntry {
        |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** Canonical text normalization ([[TextOps.normalizeText]]): each doc
+    * is deterministically DIRTIED first — a decomposed accent (e +
+    * U+0301), a zero-width space, stray tab/CR LF — so the row proves
+    * NFC composition, invisible-char stripping, newline unification,
+    * and whitespace collapse, not an identity map over the clean
+    * synthetic corpus. The oracle replays the dirtying and the full
+    * normalize chain (`nfc_normalize` + RE2 `regexp_replace`) and the
+    * normalized STRINGS themselves sit inside the hash. */
+  private def textNormalize(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"),
+        concat(lit("e\u0301\u200B \t"), col("text"), lit(" \r\nx")).as("__dirty"))
+      .select(col("doc_id"),
+        length(col("__dirty")).cast("long").as("n_raw"),
+        TextOps.normalizeText(col("__dirty")).as("norm_text"))
+      .select(col("doc_id"), col("n_raw"),
+        length(col("norm_text")).cast("long").as("n_norm"), col("norm_text"))
+      .orderBy("doc_id")
+
+  private def textNormalizeOracle: String = {
+    // chr(769)=U+0301 combining acute, chr(8203)=U+200B ZWSP
+    val dirty = "'e' || chr(769) || chr(8203) || ' ' || chr(9) || text || " +
+      "' ' || chr(13) || chr(10) || 'x'"
+    val norm = "regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+      "nfc_normalize(__dirty), " +
+      """'[\x{200B}\x{200C}\x{200D}\x{FEFF}]', '', 'g'), """ +
+      """'[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'), """ +
+      """'\r\n?', chr(10), 'g'), """ +
+      """'[ \t]+', ' ', 'g'), """ +
+      """'^[ \n]+|[ \n]+$', '', 'g')"""
+    s"""SELECT doc_id, length(__dirty)::BIGINT AS n_raw,
+       |  length(norm_text)::BIGINT AS n_norm, norm_text
+       |FROM (SELECT doc_id, __dirty, $norm AS norm_text
+       |      FROM (SELECT doc_id, $dirty AS __dirty FROM documents))
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Top-30%-per-language cut by token count — exact window ranks,
     * integer score so the oracle replays the ordering bit-for-bit. */
   private def textTopQuantile(spark: SparkSession, dir: String): DataFrame =
@@ -2137,6 +2174,7 @@ object SparkEntry {
     "timetravel_knn" -> (timetravelKnn _),
     "timetravel_range_knn" -> (timetravelRangeKnn _),
     "text_token_count" -> (textTokenCount _),
+    "text_normalize" -> (textNormalize _),
     "text_quality" -> (textQuality _),
     "text_fingerprint" -> (textFingerprint _),
     "text_langid" -> (textLangId _),
@@ -2870,6 +2908,7 @@ object SparkEntry {
         |  len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_ws_tokens,
         |  len(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))::BIGINT AS n_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_normalize" -> textNormalizeOracle,
     "text_bpe_train" -> bpeTrainOracle,
     "text_bpe_encode" -> bpeEncodeOracle,
     // exact per-group quantile cut replay: same rank/ceil-div integers

@@ -498,3 +498,36 @@ case class WordPieceCounts(child: Expression, maxLen: Int)
   override protected def withNewChildInternal(newChild: Expression): WordPieceCounts =
     copy(child = newChild)
 }
+
+/** Unicode NFC normalization (UAX #15, java.text.Normalizer) — the
+  * canonical-composition pass every text pipeline runs before hashing or
+  * deduplicating: visually-identical strings with different codepoint
+  * sequences ("e" + COMBINING ACUTE vs the precomposed "é") collapse to
+  * one byte form, so downstream fingerprints, dedup keys, and tokenizers
+  * see one document, not two. Both the JDK and DuckDB's utf8proc
+  * implement the same published algorithm, so the oracle replays it with
+  * `nfc_normalize` exactly. */
+case class NfcNormalize(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"nfc_normalize requires string, got ${other.catalogString}")
+    }
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "nfc_normalize"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    // the common case (already-NFC ascii/CJK) short-circuits without
+    // allocating a normalized copy
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) v
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

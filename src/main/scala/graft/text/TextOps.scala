@@ -21,6 +21,27 @@ object TextOps {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Canonical text normalization — the pass a pipeline runs BEFORE any
+    * hashing, dedup, or tokenization so byte-different spellings of the
+    * same text collapse: Unicode NFC ([[NfcNormalize]]; "e"+combining
+    * acute ≡ precomposed "é"), zero-width characters stripped
+    * (ZWSP/ZWNJ/ZWJ/BOM — invisible dedup poison), C0 controls stripped
+    * (tab/newline kept), line endings unified to \n, horizontal
+    * whitespace runs collapsed to one space, ends trimmed. Every stage
+    * is RE2-compatible regex or UAX#15, so DuckDB replays the whole
+    * chain (`nfc_normalize` + `regexp_replace`) byte-for-byte. */
+  def normalizeText(text: Column): Column = {
+    import org.apache.spark.sql.graftshim.{toColumn, toExpression}
+    val nfc = toColumn(NfcNormalize(toExpression(text)))
+    val noZw = regexp_replace(nfc, "[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]", "")
+    val noCtl = regexp_replace(noZw, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+    val unixNl = regexp_replace(noCtl, "\\r\\n?", "\n")
+    val collapsed = regexp_replace(unixNl, "[ \\t]+", " ")
+    // trim() strips spaces only in both engines; the ends may also hold
+    // newlines after unification, so trim by regex over both classes
+    regexp_replace(collapsed, "^[ \\n]+|[ \\n]+$", "")
+  }
+
   /** GPT-2-style pretokenizer pattern: contraction suffixes, space-prefixed
     * letter runs, digit runs, punctuation runs, residual whitespace.
     * Deliberately the RE2-COMPATIBLE subset — the real GPT-2 pattern's

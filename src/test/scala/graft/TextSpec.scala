@@ -10,6 +10,34 @@ class TextSpec extends AnyFunSuite {
 
   private lazy val docs = spark.read.parquet(s"$sf0001/documents.parquet").cache()
 
+  test("normalizeText: NFC composes, invisibles strip, newlines unify, whitespace collapses") {
+    import spark.implicits._
+    val in = Seq(
+      (1L, "cafe\u0301"),                       // decomposed -> precomposed
+      (2L, "a\u200Bb\u200Cc\u200Dd\uFEFFe"), // zero-widths vanish
+      (3L, "x\u0000y\u0007z"),                 // C0 controls vanish
+      (4L, "line1\r\nline2\rline3\n"),       // CRLF and CR -> LF
+      (5L, "  a \t\t b\tc  "),                // runs collapse, ends trim
+      (6L, "\uAC00 \u1100\u1161"),            // Hangul jamo compose to a syllable
+      (7L, null.asInstanceOf[String]))
+    val out = in.toDF("id", "t")
+      .select(col("id"), graft.text.TextOps.normalizeText(col("t")).as("n"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(out(1L) === "caf\u00E9")
+    assert(out(2L) === "abcde")
+    assert(out(3L) === "xyz")
+    assert(out(4L) === "line1\nline2\nline3")
+    assert(out(5L) === "a b c")
+    assert(out(6L) === "\uAC00 \uAC00", "decomposed jamo must compose to the same syllable")
+    assert(out(7L) === null, "null text stays null")
+    // idempotence: normalize(normalize(x)) == normalize(x)
+    val once = in.toDF("id", "t")
+      .select(col("id"), graft.text.TextOps.normalizeText(col("t")).as("n"))
+    val twice = once.select(col("id"),
+      graft.text.TextOps.normalizeText(col("n")).as("n"))
+    assert(once.collect().map(_.toSeq).toSeq === twice.collect().map(_.toSeq).toSeq)
+  }
+
   test("minhash LSH finds exactly the exact-jaccard pairs at tau=0.8") {
     import spark.implicits._
     val viaLsh = Dedup.minhashLshPairs(docs, 0.8)
