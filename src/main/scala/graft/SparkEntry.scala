@@ -1752,12 +1752,17 @@ object SparkEntry {
        |FROM ($union) ORDER BY rank""".stripMargin
   }
 
-  private def bpeEncodeOracle: String = {
-    val chain = (1 to BpeMergeCount).foldLeft(
-        "' ' || regexp_replace(word, '(.)', '\\1 ', 'g')") { (c, t) =>
+  /** The sentinel-anchored encode chain over a word-valued SQL expr —
+    * shared by the BPE encode oracles. */
+  private def bpeChainSql(wordExpr: String): String =
+    (1 to BpeMergeCount).foldLeft(
+        s"' ' || regexp_replace($wordExpr, '(.)', '\\1 ', 'g')") { (c, t) =>
       s"replace($c, (SELECT ' ' || pair || ' ' FROM m$t), " +
         s"(SELECT ' ' || replace(pair, ' ', '') || ' ' FROM m$t))"
     }
+
+  private def bpeEncodeOracle: String = {
+    val chain = bpeChainSql("word")
     s"""WITH $bpeOracleSteps,
        |enc AS (
        |  SELECT doc_id, $chain AS w
@@ -1765,6 +1770,51 @@ object SparkEntry {
        |        FROM documents))
        |SELECT doc_id, sum(len(string_split(trim(w), ' ')))::BIGINT AS n_bpe_tokens
        |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** Token-ID export under the learned merges ([[graft.text.BpeTrainer
+    * .encodeIds]] → the rank-greedy [[graft.text.BpeTokenIds]] kernel):
+    * (doc_id, pos, token_id) rows, ids 0–25 = a–z, 26+i = merge i's
+    * output. The oracle RE-LEARNS the merges, RE-DERIVES the vocabulary
+    * from them, re-encodes every word via the sentinel chain, and
+    * re-numbers positions — the whole tokenizer, training through id
+    * space, sits inside one hash. Bounded to [[BpeIdsDocs]] docs. */
+  private val BpeIdsDocs = 40
+  private def textBpeEncodeIds(spark: SparkSession, dir: String): DataFrame = {
+    val merges = spark.read.parquet(s"${bpeModelUri(spark, dir)}/merges")
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    graft.text.BpeTrainer.encodeIds(
+        docs(spark, dir).where(col("doc_id") < BpeIdsDocs), merges)
+      .orderBy("doc_id", "pos")
+  }
+
+  private def bpeEncodeIdsOracle: String = {
+    val union = (1 to BpeMergeCount)
+      .map(t => s"SELECT $t AS rank, pair FROM m$t").mkString(" UNION ALL ")
+    s"""WITH $bpeOracleSteps,
+       |vocab AS MATERIALIZED (
+       |  SELECT replace(pair, ' ', '') AS sym, 26 + rank - 1 AS id FROM ($union)),
+       |dw AS MATERIALIZED (
+       |  SELECT doc_id, wpos, words[wpos] AS word FROM (
+       |    SELECT doc_id, unnest(generate_series(1, len(words))) AS wpos, words
+       |    FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS words
+       |          FROM documents WHERE doc_id < $BpeIdsDocs))),
+       |encw AS MATERIALIZED (
+       |  SELECT doc_id, wpos, string_split(trim(${bpeChainSql("word")}), ' ') AS syms
+       |  FROM dw),
+       |toks AS (
+       |  SELECT doc_id, wpos, spos, syms[spos] AS sym FROM (
+       |    SELECT doc_id, wpos, unnest(generate_series(1, len(syms))) AS spos, syms
+       |    FROM encw)),
+       |ids AS (
+       |  SELECT t.doc_id, t.wpos, t.spos,
+       |    CASE WHEN length(t.sym) = 1 THEN ascii(t.sym) - 97 ELSE v.id END AS token_id
+       |  FROM toks t LEFT JOIN vocab v ON v.sym = t.sym)
+       |SELECT doc_id,
+       |  (row_number() OVER (PARTITION BY doc_id ORDER BY wpos, spos) - 1)::INT AS pos,
+       |  token_id::INT AS token_id
+       |FROM ids ORDER BY doc_id, pos""".stripMargin
   }
 
   /** Canonical text normalization ([[TextOps.normalizeText]]): each doc
@@ -2208,6 +2258,7 @@ object SparkEntry {
     "text_bpe_token_count" -> (textBpeTokenCount _),
     "text_bpe_train" -> (textBpeTrain _),
     "text_bpe_encode" -> (textBpeEncode _),
+    "text_bpe_encode_ids" -> (textBpeEncodeIds _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
@@ -2911,6 +2962,7 @@ object SparkEntry {
     "text_normalize" -> textNormalizeOracle,
     "text_bpe_train" -> bpeTrainOracle,
     "text_bpe_encode" -> bpeEncodeOracle,
+    "text_bpe_encode_ids" -> bpeEncodeIdsOracle,
     // exact per-group quantile cut replay: same rank/ceil-div integers
     "text_top_quantile" ->
       """SELECT doc_id, lang, grp_rank, grp_size,

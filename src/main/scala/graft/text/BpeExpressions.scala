@@ -58,6 +58,65 @@ case class BpeTokenCount(child: Expression, merges: Array[String])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** BPE token IDS under a trained merge table — the export form a
+  * training pipeline actually ships to dataloaders. Same rank-greedy
+  * kernel and tokenization contract as [[BpeTokenCount]]; the
+  * vocabulary is DERIVED from the merge table (ids 0–25 = a–z, 26+i =
+  * the output of merge index i), so the id space is reproducible by any
+  * engine holding the same merges — the SQL oracle re-learns the merges
+  * and re-derives the mapping. Duplicate merge outputs are refused at
+  * construction: two merges producing one string would make ids
+  * ambiguous (train() cannot emit such a table). */
+case class BpeTokenIds(child: Expression, merges: Array[String])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bpe_token_ids requires a string argument, got ${child.dataType.catalogString}")
+  }
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bpe_token_ids"
+
+  private lazy val ranks: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.length * 2)
+    var i = 0
+    while (i < merges.length) { m.put(merges(i), Integer.valueOf(i)); i += 1 }
+    m
+  }
+
+  private lazy val mergedIds: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.length * 2)
+    var i = 0
+    while (i < merges.length) {
+      val sym = merges(i).replace(" ", "")
+      require(m.put(sym, Integer.valueOf(26 + i)) == null,
+        s"graft: two merges output '$sym' — ambiguous vocabulary (not a train() table)")
+      i += 1
+    }
+    m
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      BpeKernel.tokenIds(v.asInstanceOf[UTF8String], ranks, mergedIds))
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ranksRef = ctx.addReferenceObj("bpeRanks", ranks, "java.util.HashMap")
+    val idsRef = ctx.addReferenceObj("bpeMergedIds", mergedIds, "java.util.HashMap")
+    nullSafeCodeGen(ctx, ev, s => {
+      s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.text.BpeKernel.tokenIds($s, $ranksRef, $idsRef));"
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object BpeKernel {
 
   /** Sum of per-word BPE segment counts over the `[a-z]+` runs of the
@@ -81,16 +140,66 @@ object BpeKernel {
     total
   }
 
+  /** Token IDS over the `[a-z]+` runs of the lowercased text, words
+    * concatenated in document order. Vocabulary contract: ids 0–25 are
+    * the single characters a–z; 26 + r is the symbol created by the
+    * merge of (1-based) rank r+1 — i.e. merge index r in learning
+    * order. `mergedIds` maps each merge's OUTPUT string to its id. */
+  def tokenIds(
+      text: UTF8String,
+      ranks: java.util.HashMap[String, Integer],
+      mergedIds: java.util.HashMap[String, Integer]): Array[Int] = {
+    val s = text.toLowerCase.toString
+    val out = new scala.collection.mutable.ArrayBuffer[Int](64)
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c >= 'a' && c <= 'z') {
+        var j = i + 1
+        while (j < n && s.charAt(j) >= 'a' && s.charAt(j) <= 'z') j += 1
+        val (starts, ends, count) = encodeWordSpans(s, i, j, ranks)
+        var k = 0
+        while (k < count) {
+          val len = ends(k) - starts(k)
+          if (len == 1) out += (s.charAt(starts(k)) - 'a')
+          else {
+            val sym = s.substring(starts(k), ends(k))
+            val id = mergedIds.get(sym)
+            if (id == null) throw new IllegalStateException(
+              s"graft: BPE segment '$sym' is not any merge's output — " +
+                "the merge table is not self-consistent (not produced by train())")
+            out += id.intValue()
+          }
+          k += 1
+        }
+        i = j
+      } else i += 1
+    }
+    out.toArray
+  }
+
   /** Rank-greedy BPE segment count for word = s[from, until). */
   private[text] def encodeWordSegments(
       s: String, from: Int, until: Int,
       ranks: java.util.HashMap[String, Integer]): Int = {
+    val (_, _, count) = encodeWordSpans(s, from, until, ranks)
+    count
+  }
+
+  /** Rank-greedy BPE segmentation spans for word = s[from, until). */
+  private def encodeWordSpans(
+      s: String, from: Int, until: Int,
+      ranks: java.util.HashMap[String, Integer]): (Array[Int], Array[Int], Int) = {
     val len = until - from
-    if (len <= 1) return len
     // symbols as (start, end) half-open spans over s — merging is span
     // concatenation, no string building until a rank lookup needs one
-    val starts = new Array[Int](len)
-    val ends = new Array[Int](len)
+    val starts = new Array[Int](math.max(len, 1))
+    val ends = new Array[Int](math.max(len, 1))
+    if (len <= 1) {
+      if (len == 1) { starts(0) = from; ends(0) = until }
+      return (starts, ends, len)
+    }
     var k = 0
     while (k < len) { starts(k) = from + k; ends(k) = from + k + 1; k += 1 }
     var count = len
@@ -124,7 +233,7 @@ object BpeKernel {
         count = w
       }
     }
-    count
+    (starts, ends, count)
   }
 
   private def rankOf(

@@ -166,6 +166,22 @@ object BpeTrainer {
         .as("n_bpe_tokens"))
   }
 
+  /** Token-ID export ([[BpeTokenIds]]): one (idCol, pos, token_id) row
+    * per token, pos 0-based across the document's concatenated words —
+    * the form a dataloader consumes. Wordless documents emit no rows. */
+  def encodeIds(
+      docs: DataFrame,
+      merges: Seq[(String, String)],
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.graftshim.{toColumn, toExpression}
+    docs
+      .select(col(idCol),
+        toColumn(BpeTokenIds(toExpression(col(textCol)), merges.map(_._1).toArray))
+          .as("__ids"))
+      .select(col(idCol), posexplode(col("__ids")).as(Seq("pos", "token_id")))
+  }
+
   /** Per-document BPE token counts under `merges` (rank-ordered pairs):
     * (idCol, n_bpe_tokens). Documents with no `[a-z]+` word drop out —
     * the same contract as the oracle's word explode. */

@@ -125,6 +125,46 @@ class BpeTrainerSpec extends AnyFunSuite {
       s"256 merges must compress below the per-char count ($total vs $chars)")
   }
 
+  test("token-id export: ids agree with segment counts and the vocabulary contract") {
+    val docsDf = spark.read.parquet(s"$sf0001/documents.parquet").limit(80).cache()
+    val merges = BpeTrainer.train(docsDf, 16).orderBy("rank")
+      .as[(Int, String, String)].collect().map(m => (m._2, m._3)).toSeq
+    val ids = BpeTrainer.encodeIds(docsDf, merges).cache()
+    // per-doc id count == the kernel's token count
+    val byDoc = ids.groupBy("doc_id").count()
+    val counts = BpeTrainer.encodeTokenCountsFast(docsDf, merges)
+      .where(col("n_bpe_tokens") > 0)
+    val joined = byDoc.join(counts, "doc_id")
+      .where(col("count") =!= col("n_bpe_tokens")).count()
+    assert(joined === 0L, "id-count must equal token-count per document")
+    // id space: 0..25 are chars, 26..26+merges-1 are merge outputs; every
+    // merge that fires appears, nothing outside the vocab does
+    val distinctIds = ids.select("token_id").distinct().as[Int].collect().toSet
+    assert(distinctIds.forall(id => id >= 0 && id < 26 + merges.length))
+    // positions are dense 0..n-1 per doc
+    val posOk = ids.groupBy("doc_id")
+      .agg(min("pos").as("mn"), max("pos").as("mx"), count(lit(1)).as("n"))
+      .where(col("mn") =!= 0 || col("mx") =!= col("n") - 1).count()
+    assert(posOk === 0L, "positions must be dense per document")
+    // decode roundtrip: ids map back to symbol strings whose concatenation
+    // is the doc's lowercase [a-z] mass, order preserved
+    val vocab = (('a' to 'z').map(_.toString) ++ merges.map(_._2)).toArray
+    val rebuilt = ids.orderBy("doc_id", "pos").collect()
+      .groupBy(_.getLong(0))
+      .map { case (d, rs) => d -> rs.map(r => vocab(r.getInt(2))).mkString }
+    val expect = docsDf.select(col("doc_id"),
+        concat_ws("", regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    rebuilt.foreach { case (d, s) =>
+      assert(s === expect(d), s"doc $d must decode back to its letter mass")
+    }
+    // ambiguous vocabularies are refused at construction
+    val e = intercept[IllegalArgumentException] {
+      BpeTrainer.encodeIds(docsDf, Seq(("a b", "ab"), ("ab", "ab"))).collect()
+    }
+    assert(e.getMessage.contains("ambiguous"), e.getMessage)
+  }
+
   test("encode plan is a codegen'd expression chain: no UDF, no join, no window") {
     val docsDf = spark.read.parquet(s"$sf0001/documents.parquet")
     val plan = BpeTrainer.encodeTokenCounts(docsDf,
