@@ -1817,6 +1817,79 @@ object SparkEntry {
        |FROM ids ORDER BY doc_id, pos""".stripMargin
   }
 
+  /** The tokenizer's LAST MILE — packed training sequences of real token
+    * ids: BPE ids ([[textBpeEncodeIds]]'s kernel) laid into fixed-length
+    * sequences under the deterministic shard/cumsum layout of
+    * [[TextOps.packSequences]], emitting (shard, seq_id, seq_pos,
+    * token_id) — the materialized batch a dataloader reads. The oracle
+    * composes its two proven halves: re-learn merges → re-derive ids →
+    * replay the id-hash shard routing and the per-shard running-total
+    * packing. Windowed only per shard (the packSequences contract). */
+  private val PackIdsSeqLen = 64
+  private val PackIdsShards = 4
+  private def textPackIds(spark: SparkSession, dir: String): DataFrame = {
+    val merges = spark.read.parquet(s"${bpeModelUri(spark, dir)}/merges")
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val d40 = docs(spark, dir).where(col("doc_id") < BpeIdsDocs)
+    val ids = graft.text.BpeTrainer.encodeIds(d40, merges)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val assign = ids.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+      .withColumn("shard",
+        TextOps.hashBucket(col("doc_id").cast("string"), PackIdsShards, "packids"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+    ids.join(assign, "doc_id")
+      .select(col("shard").cast("long").as("shard"),
+        ((col("cum_before") + col("pos")) / PackIdsSeqLen).cast("long").as("seq_id"),
+        ((col("cum_before") + col("pos")) % PackIdsSeqLen).cast("long").as("seq_pos"),
+        col("token_id"))
+      .orderBy("shard", "seq_id", "seq_pos")
+  }
+
+  private def textPackIdsOracle: String = {
+    val union = (1 to BpeMergeCount)
+      .map(t => s"SELECT $t AS rank, pair FROM m$t").mkString(" UNION ALL ")
+    s"""WITH $bpeOracleSteps,
+       |vocab AS MATERIALIZED (
+       |  SELECT replace(pair, ' ', '') AS sym, 26 + rank - 1 AS id FROM ($union)),
+       |dw AS MATERIALIZED (
+       |  SELECT doc_id, wpos, words[wpos] AS word FROM (
+       |    SELECT doc_id, unnest(generate_series(1, len(words))) AS wpos, words
+       |    FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS words
+       |          FROM documents WHERE doc_id < $BpeIdsDocs))),
+       |encw AS MATERIALIZED (
+       |  SELECT doc_id, wpos, string_split(trim(${bpeChainSql("word")}), ' ') AS syms
+       |  FROM dw),
+       |toks AS (
+       |  SELECT doc_id, wpos, spos, syms[spos] AS sym FROM (
+       |    SELECT doc_id, wpos, unnest(generate_series(1, len(syms))) AS spos, syms
+       |    FROM encw)),
+       |tids AS (
+       |  SELECT t.doc_id, t.wpos, t.spos,
+       |    CASE WHEN length(t.sym) = 1 THEN ascii(t.sym) - 97 ELSE v.id END AS token_id
+       |  FROM toks t LEFT JOIN vocab v ON v.sym = t.sym),
+       |pos AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    (row_number() OVER (PARTITION BY doc_id ORDER BY wpos, spos) - 1)::BIGINT AS pos,
+       |    token_id
+       |  FROM tids),
+       |cnt AS (SELECT doc_id, count(*)::BIGINT AS n_tokens FROM pos GROUP BY doc_id),
+       |asg AS (SELECT doc_id, n_tokens,
+       |  ${fnvSql("doc_id::VARCHAR || ':packids'")} % $PackIdsShards AS shard FROM cnt),
+       |cum AS (SELECT doc_id, shard,
+       |  coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |  FROM asg)
+       |SELECT c.shard::BIGINT AS shard,
+       |  ((c.cum_before + p.pos) // $PackIdsSeqLen)::BIGINT AS seq_id,
+       |  ((c.cum_before + p.pos) % $PackIdsSeqLen)::BIGINT AS seq_pos,
+       |  p.token_id::INT AS token_id
+       |FROM pos p JOIN cum c USING (doc_id)
+       |ORDER BY shard, seq_id, seq_pos""".stripMargin
+  }
+
   /** Canonical text normalization ([[TextOps.normalizeText]]): each doc
     * is deterministically DIRTIED first — a decomposed accent (e +
     * U+0301), a zero-width space, stray tab/CR LF — so the row proves
@@ -2259,6 +2332,7 @@ object SparkEntry {
     "text_bpe_train" -> (textBpeTrain _),
     "text_bpe_encode" -> (textBpeEncode _),
     "text_bpe_encode_ids" -> (textBpeEncodeIds _),
+    "text_pack_ids" -> (textPackIds _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
@@ -2963,6 +3037,7 @@ object SparkEntry {
     "text_bpe_train" -> bpeTrainOracle,
     "text_bpe_encode" -> bpeEncodeOracle,
     "text_bpe_encode_ids" -> bpeEncodeIdsOracle,
+    "text_pack_ids" -> textPackIdsOracle,
     // exact per-group quantile cut replay: same rank/ceil-div integers
     "text_top_quantile" ->
       """SELECT doc_id, lang, grp_rank, grp_size,
