@@ -94,6 +94,8 @@ object BloscCodec {
     for (j <- 0 until nblocks) {
       val neblock = if (j == nblocks - 1 && leftover > 0) leftover else blocksize
       val start = bstarts(j)
+      require(start >= 16 + 4 * nblocks && start <= cbytes,
+        s"graft: blosc block $j claims start $start outside the frame body")
       val end = sorted.indexOf(start) match {
         case i if i < nblocks - 1 => sorted(i + 1)
         case _ => cbytes

@@ -167,9 +167,17 @@ object OmeZarrReader {
     val groups = Option(f.globStatus(new org.apache.hadoop.fs.Path(root, glob)))
       .getOrElse(Array.empty)
       .filter(_.isDirectory).map(_.getPath).sortBy(_.toString)
+    // malformed JSON metadata fails with the FILE named, not a bare
+    // Jackson parse error from deep inside the discovery loop
+    def parse(path: String, json: String): com.fasterxml.jackson.databind.JsonNode =
+      try mapper.readTree(json)
+      catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"graft: $path is not valid JSON (${e.getMessage}) — corrupt zarr metadata")
+      }
     groups.toSeq.flatMap { g =>
-      val v2Attrs = readSmall(spark, s"$g/.zattrs").map(mapper.readTree)
-      val v3Group = readSmall(spark, s"$g/zarr.json").map(mapper.readTree)
+      val v2Attrs = readSmall(spark, s"$g/.zattrs").map(parse(s"$g/.zattrs", _))
+      val v3Group = readSmall(spark, s"$g/zarr.json").map(parse(s"$g/zarr.json", _))
         .filter(n => n.path("node_type").asText() == "group")
       val ms = v2Attrs.map(_.path("multiscales"))
         .orElse(v3Group.map { n =>
@@ -186,12 +194,12 @@ object OmeZarrReader {
           s"graft: $g has ${datasets.size} multiscale levels, level $level requested")
         val arrayDir = s"$g/${datasets.get(level).path("path").asText()}"
         readSmall(spark, s"$arrayDir/.zarray") match {
-          case Some(za) => parseV2Array(mapper.readTree(za), g.toString, arrayDir)
+          case Some(za) => parseV2Array(parse(s"$arrayDir/.zarray", za), g.toString, arrayDir)
           case None =>
             val zj = readSmall(spark, s"$arrayDir/zarr.json").getOrElse(
               throw new IllegalArgumentException(
                 s"graft: $arrayDir has neither .zarray (v2) nor zarr.json (v3)"))
-            parseV3Array(mapper.readTree(zj), g.toString, arrayDir)
+            parseV3Array(parse(s"$arrayDir/zarr.json", zj), g.toString, arrayDir)
         }
       }
     }.zipWithIndex.map { case (img, i) => img.copy(imageId = i.toLong) }

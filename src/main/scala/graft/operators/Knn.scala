@@ -267,8 +267,10 @@ object Knn {
       qvecCol: String = "qvec"): DataFrame = {
     val q = queries.select(col(qidCol).cast("long").as("__qid"), col(qvecCol).as("__qvec"))
     val d = db.select(col(idCol).cast("long").as("__id"), col(vecCol).as("__vec"))
+    // distinct: a duplicated (qid, id) candidate row would score twice
+    // and could occupy two top-k slots with one id
     val cand = candidates.select(
-      col("qid").cast("long").as("__qid"), col("id").cast("long").as("__id"))
+      col("qid").cast("long").as("__qid"), col("id").cast("long").as("__id")).distinct()
     val rescored = d
       .join(broadcast(cand), Seq("__id"))
       .join(sizedQuerySide(q, "__qvec"), Seq("__qid"))

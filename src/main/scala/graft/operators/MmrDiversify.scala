@@ -95,8 +95,11 @@ object MmrDiversify {
     import spark.implicits._
     val q = queries.select(col(qidCol).cast("long").as("__qid"), col(qvecCol).as("__qvec"))
     val d = db.select(col(idCol).cast("long").as("__id"), col(vecCol).as("__vec"))
+    // distinct: a duplicated (qid, id) candidate row would enter the
+    // greedy twice and surface the same id at two ranks — candidate
+    // frames are bounded, so the dedup is batch-sized
     val cand = candidates.select(
-      col("qid").cast("long").as("__qid"), col("id").cast("long").as("__id"))
+      col("qid").cast("long").as("__qid"), col("id").cast("long").as("__id")).distinct()
     val lam = lambdaPpm
     val kk = k
     d.join(broadcast(cand), Seq("__id"))

@@ -100,6 +100,18 @@ class MatryoshkaSpec extends AnyFunSuite {
       "probe-all prefix-index shortlist must reproduce the in-plan slice shortlist")
   }
 
+  test("duplicated candidate rows cannot occupy two top-k slots with one id") {
+    import spark.implicits._
+    val dup = queries.select(col("vec_id").as("qid"), col("vec_id").as("id"))
+      .union(queries.select(col("vec_id").as("qid"), col("vec_id").as("id")))
+    val out = Knn.matryoshkaRerank(dup, emb, queries, k = 5,
+      metric = DistanceMetric.Cosine,
+      idCol = "vec_id", vecCol = "embedding", qidCol = "vec_id", qvecCol = "embedding")
+    val perQuery = out.groupBy("qid").count().as[(Long, Long)].collect().toMap
+    assert(perQuery.values.forall(_ == 1L),
+      s"one distinct candidate -> one row per query: $perQuery")
+  }
+
   test("plan posture: no Window; heap aggregates; broadcast candidate fetch") {
     val plan = Knn.matryoshka(emb, queries, 10, shortlist = 30, prefixDims = 16,
         metric = DistanceMetric.Cosine,

@@ -108,6 +108,18 @@ class MmrDiversifySpec extends AnyFunSuite {
     assert(viaIndex === viaScan)
   }
 
+  test("duplicated candidate rows cannot surface one id at two ranks") {
+    val db = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f))).toDF("id", "vector")
+    val q = Seq((7L, Array(1.0f, 0.2f))).toDF("qid", "qvec")
+    val dupCand = Seq((7L, 0L), (7L, 0L), (7L, 1L), (7L, 2L), (7L, 1L))
+      .toDF("qid", "id")
+    val picks = graft.operators.MmrDiversify.rerankCandidates(dupCand, db, q, k = 3)
+      .select("id").as[Long].collect().toSeq
+    assert(picks.sorted === Seq(0L, 1L, 2L),
+      s"each candidate id must appear exactly once: $picks")
+  }
+
   test("rank-1 objective is lambda*rel; penalties only lower later picks") {
     val out = MmrDiversify.rerank(emb, queries, 5, candidates = 25,
         lambdaPpm = 700000L,

@@ -179,6 +179,15 @@ class OmeZarrSpec extends AnyFunSuite {
       new OmeZarrReader(root.toString, "*.zarr").readObjects(spark).collect()
     }
     assert(e.getMessage.contains("blosclz"), e.getMessage)
+    // corrupt metadata JSON names the file, not a bare parser trace
+    val badJson = root.resolve("badjson.zarr")
+    OmeZarrReader.writeTestZarr(badJson, 16, 16, 1, 8, 8, pix(0))
+    Files.write(badJson.resolve(".zattrs"), "{not json".getBytes("UTF-8"))
+    val e3 = intercept[IllegalArgumentException] {
+      new OmeZarrReader(root.toString, "badjson.zarr").readObjects(spark).collect()
+    }
+    assert(e3.getMessage.contains(".zattrs") && e3.getMessage.contains("JSON"),
+      e3.getMessage)
     // a level past the pyramid is a named error
     val e2 = intercept[IllegalArgumentException] {
       new OmeZarrReader(root.toString, "ok.zarr", level = 5)
