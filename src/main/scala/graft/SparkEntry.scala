@@ -1909,17 +1909,56 @@ object SparkEntry {
         length(col("norm_text")).cast("long").as("n_norm"), col("norm_text"))
       .orderBy("doc_id")
 
-  private def textNormalizeOracle: String = {
-    // chr(769)=U+0301 combining acute, chr(8203)=U+200B ZWSP
-    val dirty = "'e' || chr(769) || chr(8203) || ' ' || chr(9) || text || " +
-      "' ' || chr(13) || chr(10) || 'x'"
-    val norm = "regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
-      "nfc_normalize(__dirty), " +
+  /** Exact dedup BEFORE vs AFTER normalization — the composition that
+    * motivates [[TextOps.normalizeText]]: every document gets an
+    * equivalence-preserving dirty twin (ZWSP prefix, doubled spaces,
+    * CRLF tail — byte-different, content-identical), and the query
+    * counts each doc's distinct dedup keys over the raw text (2: raw
+    * exact-dedup misses the twin) and over the normalized text (1: the
+    * twin collapses). The oracle replays the dirtying and the full
+    * normalize chain; distinct STRINGS are the keys, so no hash
+    * function needs cross-engine agreement. */
+  private def dedupExactNormalized(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir).select(col("doc_id"), col("text"))
+    val dirty = base.select(col("doc_id"),
+      concat(lit("\u200B"), regexp_replace(col("text"), " ", "  "), lit(" \r\n"))
+        .as("text"))
+    base.unionByName(dirty)
+      .select(col("doc_id"), col("text"),
+        TextOps.normalizeText(col("text")).as("__norm"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("text")).as("n_raw_keys"),
+        countDistinct(col("__norm")).as("n_norm_keys"))
+      .orderBy("doc_id")
+  }
+
+  private def dedupExactNormalizedOracle: String =
+    s"""WITH v AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id, chr(8203) || replace(text, ' ', '  ') || ' ' || chr(13) || chr(10)
+       |  FROM documents)
+       |SELECT doc_id,
+       |  count(DISTINCT text)::BIGINT AS n_raw_keys,
+       |  count(DISTINCT ${normalizeSql("text")})::BIGINT AS n_norm_keys
+       |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** [[TextOps.normalizeText]] replayed over a SQL expression — shared
+    * by every oracle that normalizes. */
+  private def normalizeSql(e: String): String =
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+      s"nfc_normalize($e), " +
       """'[\x{200B}\x{200C}\x{200D}\x{FEFF}]', '', 'g'), """ +
       """'[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'), """ +
       """'\r\n?', chr(10), 'g'), """ +
       """'[ \t]+', ' ', 'g'), """ +
       """'^[ \n]+|[ \n]+$', '', 'g')"""
+
+  private def textNormalizeOracle: String = {
+    // chr(769)=U+0301 combining acute, chr(8203)=U+200B ZWSP
+    val dirty = "'e' || chr(769) || chr(8203) || ' ' || chr(9) || text || " +
+      "' ' || chr(13) || chr(10) || 'x'"
+    val norm = normalizeSql("__dirty")
     s"""SELECT doc_id, length(__dirty)::BIGINT AS n_raw,
        |  length(norm_text)::BIGINT AS n_norm, norm_text
        |FROM (SELECT doc_id, __dirty, $norm AS norm_text
@@ -2298,6 +2337,7 @@ object SparkEntry {
     "timetravel_range_knn" -> (timetravelRangeKnn _),
     "text_token_count" -> (textTokenCount _),
     "text_normalize" -> (textNormalize _),
+    "dedup_exact_normalized" -> (dedupExactNormalized _),
     "text_quality" -> (textQuality _),
     "text_fingerprint" -> (textFingerprint _),
     "text_langid" -> (textLangId _),
@@ -3034,6 +3074,7 @@ object SparkEntry {
         |  len(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))::BIGINT AS n_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_normalize" -> textNormalizeOracle,
+    "dedup_exact_normalized" -> dedupExactNormalizedOracle,
     "text_bpe_train" -> bpeTrainOracle,
     "text_bpe_encode" -> bpeEncodeOracle,
     "text_bpe_encode_ids" -> bpeEncodeIdsOracle,
