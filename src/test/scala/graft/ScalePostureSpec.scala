@@ -24,6 +24,35 @@ class ScalePostureSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"labeling should not shuffle:\n$plan")
   }
 
+  test("text normalization is a pure scan+project: no shuffle, no window, no UDF") {
+    val plan = docs
+      .select(col("doc_id"), graft.text.TextOps.normalizeText(col("text")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"normalize must not shuffle:\n$plan")
+    assert(!plan.contains("Window"))
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"))
+  }
+
+  test("BPE training's corpus pass partial-aggregates before the word shuffle") {
+    val plan = graft.text.BpeTrainer.wordFrequencies(docs)
+      .queryExecution.executedPlan.toString
+    // what crosses the shuffle is one row per DISTINCT word per input
+    // partition, not one per occurrence
+    assert(plan.contains("partial_count") || plan.contains("partial"),
+      s"word counts must map-side combine:\n$plan")
+    assert(!plan.contains("Window"))
+  }
+
+  test("BPE id export: one kernel call per doc, merges as plan constants, no join") {
+    val merges = Seq(("e r", "er"), ("t h", "th"), ("a n", "an"))
+    val plan = graft.text.BpeTrainer.encodeIds(docs, merges)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"the merge table rides the plan, not a join:\n$plan")
+    assert(!plan.contains("Window"))
+    assert(plan.contains("bpe_token_ids") || plan.contains("BpeTokenIds"),
+      s"the rank-greedy kernel expression must plan inline:\n$plan")
+  }
+
   test("LM model joins broadcast under the gate, shuffle-hash above it") {
     val uri = Files.createTempDirectory("graft_posture_lm").toString
     LangModel.trainCharTrigram(docs.where(col("lang") === "en"), uri)
