@@ -1302,25 +1302,31 @@ object SparkEntry {
 
   /** REAL OME-Zarr decode through the full Spark pipeline
     * ([[graft.objects.OmeZarrReader]] — the NGFF store the reference's
-    * bioimage reader serves via tiledb.bioimg): three zarr pyramids
+    * bioimage reader serves via tiledb.bioimg): five zarr pyramids
     * whose pixels follow the test-card red formula are minted on disk
     * with a DIFFERENT on-disk dialect each — zarr v2 + zlib, v2 +
     * blosc/lz4 (numcodecs' real-world default, decoded by
-    * [[graft.objects.BloscCodec]] through Spark's bundled lz4-java), and
+    * [[graft.objects.BloscCodec]] through Spark's bundled lz4-java),
     * zarr V3 (NGFF 0.5: zarr.json metadata, c/-prefixed chunk keys) +
-    * zstd + per-chunk crc32c — their level-0 chunks read back through
-    * the one-scan binaryFile path, decompressed (checksums verified),
-    * decoded and re-encoded as tile PNGs, and the per-tile pixel sums
-    * re-aggregated from the DECODED rasters. The DuckDB oracle replays
-    * the sums from the formula alone — chunk-grid layout, all three
-    * dialect/codec paths, C-order plane slice, edge cropping, and the
-    * PNG round trip all sit inside the hash. */
-  private val ZarrN = 3
+    * zstd + per-chunk crc32c, v2 + blosc/lz4 with BIT-shuffle
+    * ([[graft.objects.BloscCodec.bitShuffle]] — the published bitshuffle
+    * transposition in pure JVM), and a V3 `sharding_indexed` store
+    * (shard files of 2×2 inner chunks behind a crc32c-protected binary
+    * index, inner chunks gzip'd) — their level-0 chunks read back
+    * through the one-scan binaryFile path, decompressed (checksums
+    * verified), decoded and re-encoded as tile PNGs, and the per-tile
+    * pixel sums re-aggregated from the DECODED rasters. The DuckDB
+    * oracle replays the sums from the formula alone — chunk-grid
+    * layout, all five dialect/codec paths, shard-index walk, C-order
+    * plane slice, edge cropping, and the PNG round trip all sit inside
+    * the hash. */
+  private val ZarrN = 5
   private def multimodalZarrDecode(spark: SparkSession, dir: String): DataFrame = {
     val root = cachedIndex("zarr_store", dir) { u =>
       // one store per on-disk dialect/codec the wild writes: v2+zlib,
-      // v2+blosc/lz4 (numcodecs' default), and a zarr V3 (NGFF 0.5)
-      // zstd store with per-chunk crc32c — all inside one hash oracle
+      // v2+blosc/lz4 (numcodecs' default), a zarr V3 (NGFF 0.5) zstd
+      // store with per-chunk crc32c, a v2 blosc BIT-shuffle store, and
+      // a V3 sharded store — all inside one hash oracle
       graft.objects.OmeZarrReader.writeTestZarr(
         java.nio.file.Paths.get(u, "img_00.zarr"),
         width = 40, height = 24, levels = 3, chunkY = 8, chunkX = 16,
@@ -1334,6 +1340,15 @@ object SparkEntry {
         width = 40, height = 24, levels = 3, chunkY = 8, chunkX = 16,
         pixel = (x, y) => (3 * x + 5 * y + 14) % 256,
         codec = "zstd", crc32c = true)
+      graft.objects.OmeZarrReader.writeTestZarr(
+        java.nio.file.Paths.get(u, "img_03.zarr"),
+        width = 40, height = 24, levels = 3, chunkY = 8, chunkX = 16,
+        pixel = (x, y) => (3 * x + 5 * y + 21) % 256, codec = "blosc-lz4-bitshuffle")
+      graft.objects.OmeZarrReader.writeTestZarrV3(
+        java.nio.file.Paths.get(u, "img_04.zarr"),
+        width = 40, height = 24, levels = 3, chunkY = 8, chunkX = 16,
+        pixel = (x, y) => (3 * x + 5 * y + 28) % 256,
+        codec = "gzip", shardTiles = Some((2, 2)))
     }
     val tiles = new graft.objects.OmeZarrReader(root, "*.zarr", level = 0)
       .readObjects(spark)
@@ -3299,10 +3314,11 @@ object SparkEntry {
          |ORDER BY obj_id, cell""".stripMargin,
     // Real-OME-Zarr replay: regenerate the red-channel formula over each
     // image's 8x16 chunk grid (3 cols x 3 rows at 40x24) and re-aggregate
-    // the per-tile pixel sums — the engine's numbers come from
-    // zlib-inflated zarr chunk buffers re-encoded and decoded through
-    // lossless PNG, so equality proves the chunk-grid walk, the inflate,
-    // the C-order plane slice, and the edge cropping.
+    // the per-tile pixel sums — the engine's numbers come from zarr chunk
+    // buffers (zlib / blosc byte- and BIT-shuffle / zstd+crc32c /
+    // sharding_indexed dialects) re-encoded and decoded through lossless
+    // PNG, so equality proves the chunk-grid walk, every codec path, the
+    // shard-index walk, the C-order plane slice, and the edge cropping.
     "multimodal_zarr_decode" ->
       s"""WITH tiles AS (
          |  SELECT i::BIGINT AS img, gy::BIGINT AS gy, gx::BIGINT AS gx,

@@ -17,7 +17,10 @@ import java.nio.{ByteBuffer, ByteOrder}
   * `/opt/spark/jars`: lz4 (lz4-java, raw block format), zstd (zstd-jni),
   * snappy (snappy-java, raw block format), and zlib (java.util.zip) —
   * so no native codec is missing; only blosclz (blosc's private LZ77)
-  * and bit-shuffle remain refused with named errors.
+  * remains refused with a named error. BOTH shuffle filters are real:
+  * byte-shuffle (plane transpose) and BIT-shuffle ([[bitShuffle]] — the
+  * published bitshuffle transform: bit j of byte p of element e groups
+  * into row p·8+j, a pure bit transposition needing no native library).
   *
   * One c-blosc wrinkle is handled structurally instead of by version
   * sniffing: whether a block was SPLIT into one stream per byte-plane is
@@ -65,9 +68,6 @@ object BloscCodec {
       s"graft: blosc frame declares $nbytes plaintext bytes, caller expects $expected")
     require(cbytes <= frame.length,
       s"graft: blosc frame declares $cbytes compressed bytes but only ${frame.length} present")
-    require((flags & FlagBitShuffle) == 0,
-      "graft: blosc frame uses BIT-shuffle — only byte-shuffle is implemented; " +
-        "re-encode with shuffle=SHUFFLE")
     if ((flags & FlagMemcpy) != 0) {
       // pure store: nbytes of the original (unshuffled) buffer follow the header
       require(frame.length >= 16 + nbytes, "graft: truncated memcpy blosc frame")
@@ -79,11 +79,17 @@ object BloscCodec {
         "ship — re-encode with cname lz4/zstd/snappy/zlib")
     require(Set(CodecLz4, CodecSnappy, CodecZlib, CodecZstd).contains(codec),
       s"graft: blosc frame names unknown inner codec id $codec")
-    val shuffled = (flags & FlagShuffle) != 0 && typesize > 1
+    // bit-shuffle transposes BITS and is non-identity even at typesize 1;
+    // byte-shuffle at typesize 1 is the identity (skip it)
+    val bitShuffled = (flags & FlagBitShuffle) != 0
+    val shuffled = !bitShuffled && (flags & FlagShuffle) != 0 && typesize > 1
+    // checked BEFORE the division: a crafted blocksize=0 frame must fail
+    // with the named error, not a bare ArithmeticException
+    require(blocksize > 0, "graft: blosc frame has a zero block grid")
     val fullBlocks = nbytes / blocksize
     val leftover = nbytes % blocksize
     val nblocks = fullBlocks + (if (leftover > 0) 1 else 0)
-    require(blocksize > 0 && nblocks > 0, "graft: blosc frame has a zero block grid")
+    require(nblocks > 0, "graft: blosc frame has a zero block grid")
     require(frame.length >= 16 + 4 * nblocks,
       s"graft: blosc frame truncated inside its $nblocks-entry block table")
     val bstarts = (0 until nblocks).map(j => bb.getInt(16 + 4 * j))
@@ -100,8 +106,14 @@ object BloscCodec {
         case i if i < nblocks - 1 => sorted(i + 1)
         case _ => cbytes
       }
-      val block = decodeBlock(frame, start, end, neblock, typesize, codec, shuffled)
-      val res = if (shuffled) unshuffle(block, typesize) else block
+      // either shuffle mode may have been split into byte-plane streams
+      // by the writer; the adaptive parser settles which layout was used
+      val block = decodeBlock(frame, start, end, neblock, typesize, codec,
+        shuffled || bitShuffled)
+      val res =
+        if (bitShuffled) bitUnshuffle(block, typesize)
+        else if (shuffled) unshuffle(block, typesize)
+        else block
       System.arraycopy(res, 0, out, j * blocksize, neblock)
     }
     out
@@ -169,7 +181,13 @@ object BloscCodec {
       src: Array[Byte], srcOff: Int, srcLen: Int,
       dst: Array[Byte], dstOff: Int, dstLen: Int, codec: Int): Int = codec match {
     case CodecLz4 =>
-      lz4Decompressor.decompress(src, srcOff, dst, dstOff, dstLen)
+      // the fast decompressor is sized by OUTPUT; its return value is the
+      // compressed bytes it consumed — anything but exactly csize means
+      // the stream ran past (or short of) its [pos, pos+csize) extent and
+      // the "right-sized output" is garbage read from adjacent frame bytes
+      val consumed = lz4Decompressor.decompress(src, srcOff, dst, dstOff, dstLen)
+      if (consumed != srcLen) throw new IllegalArgumentException(
+        s"lz4 stream consumed $consumed of its $srcLen compressed bytes")
       dstLen
     case CodecZstd =>
       val slice = java.util.Arrays.copyOfRange(src, srcOff, srcOff + srcLen)
@@ -218,6 +236,74 @@ object BloscCodec {
     out
   }
 
+  /** BIT-shuffle `block` — the published bitshuffle transform (Masui's
+    * bitshuffle library, what c-blosc's BLOSC_BITSHUFFLE applies per
+    * block before compressing). Net layout after the library's
+    * trans_byte_elem → trans_bit_byte → trans_bitrow_eight composition:
+    * with N8 = the largest multiple of 8 ≤ len/typesize elements and
+    * R = N8/8 bytes per bit-row, output row (p·8 + j) holds bit j of
+    * byte p of every element — byte k of the row packs elements
+    * 8k..8k+7, element 8k+m at bit m. The tail past N8·typesize bytes
+    * is copied verbatim (c-blosc's leftover rule). Unlike byte-shuffle,
+    * this is non-identity even at typesize 1. */
+  private[graft] def bitShuffle(block: Array[Byte], typesize: Int): Array[Byte] = {
+    val len = block.length
+    val n8 = ((len / typesize) / 8) * 8
+    val rowBytes = n8 / 8
+    val out = new Array[Byte](len)
+    var p = 0
+    while (p < typesize) {
+      var j = 0
+      while (j < 8) {
+        val rowOff = (p * 8 + j) * rowBytes
+        var k = 0
+        while (k < rowBytes) {
+          var b = 0
+          var m = 0
+          while (m < 8) {
+            b |= ((block((8 * k + m) * typesize + p) >> j) & 1) << m
+            m += 1
+          }
+          out(rowOff + k) = b.toByte
+          k += 1
+        }
+        j += 1
+      }
+      p += 1
+    }
+    System.arraycopy(block, n8 * typesize, out, n8 * typesize, len - n8 * typesize)
+    out
+  }
+
+  private[graft] def bitUnshuffle(block: Array[Byte], typesize: Int): Array[Byte] = {
+    val len = block.length
+    val n8 = ((len / typesize) / 8) * 8
+    val rowBytes = n8 / 8
+    val out = new Array[Byte](len)
+    var p = 0
+    while (p < typesize) {
+      var j = 0
+      while (j < 8) {
+        val rowOff = (p * 8 + j) * rowBytes
+        var k = 0
+        while (k < rowBytes) {
+          val b = block(rowOff + k) & 0xFF
+          var m = 0
+          while (m < 8) {
+            val e = (8 * k + m) * typesize + p
+            out(e) = (out(e) | (((b >> m) & 1) << j)).toByte
+            m += 1
+          }
+          k += 1
+        }
+        j += 1
+      }
+      p += 1
+    }
+    System.arraycopy(block, n8 * typesize, out, n8 * typesize, len - n8 * typesize)
+    out
+  }
+
   private[graft] def unshuffle(block: Array[Byte], typesize: Int): Array[Byte] = {
     val len = block.length
     val elems = len / typesize
@@ -238,16 +324,20 @@ object BloscCodec {
   /** Compress `data` into a blosc1 frame (the write path, and the spec
     * fixture mint). Split policy mirrors modern c-blosc — lz4 with
     * 1 < typesize ≤ 16 and ≥ 128 elements per block splits into
-    * byte-plane streams; zstd/snappy/zlib never split; the leftover
-    * block never splits — but any policy round-trips through the
-    * adaptive decoder. Falls back to memcpy mode when compression does
-    * not pay, exactly like c-blosc. */
+    * byte-plane streams; zstd/snappy/zlib never split; bit-shuffled and
+    * leftover blocks never split — but any policy round-trips through
+    * the adaptive decoder. Falls back to memcpy mode when compression
+    * does not pay, exactly like c-blosc. `doBitShuffle` selects the
+    * BIT-shuffle filter instead of byte-shuffle (mutually exclusive;
+    * bit-shuffle wins when both are set, mirroring c-blosc's
+    * doshuffle enum being a single mode). */
   def compress(
       data: Array[Byte],
       typesize: Int,
       cname: String,
       doShuffle: Boolean = true,
-      blocksizeHint: Int = 0): Array[Byte] = {
+      blocksizeHint: Int = 0,
+      doBitShuffle: Boolean = false): Array[Byte] = {
     require(typesize >= 1 && typesize <= 255, s"graft: blosc typesize $typesize out of range")
     val codec = cname match {
       case "lz4" | "lz4hc" => CodecLz4
@@ -264,7 +354,7 @@ object BloscCodec {
       header.putInt(nbytes).putInt(0).putInt(16)
       return header.array()
     }
-    val shuffled = doShuffle && typesize > 1
+    val shuffled = !doBitShuffle && doShuffle && typesize > 1
     val blocksize = {
       val raw = if (blocksizeHint > 0) blocksizeHint else math.min(nbytes, 64 * 1024)
       // keep whole elements per block so byte-planes stay aligned
@@ -280,7 +370,10 @@ object BloscCodec {
       val neblock = if (j == nblocks - 1 && leftover > 0) leftover else blocksize
       val isLeftover = neblock != blocksize
       val plain0 = java.util.Arrays.copyOfRange(data, j * blocksize, j * blocksize + neblock)
-      val plain = if (shuffled) shuffle(plain0, typesize) else plain0
+      val plain =
+        if (doBitShuffle) bitShuffle(plain0, typesize)
+        else if (shuffled) shuffle(plain0, typesize)
+        else plain0
       val split = codec == CodecLz4 && shuffled && typesize <= 16 &&
         !isLeftover && neblock % typesize == 0 && neblock / typesize >= 128
       val nstreams = if (split) typesize else 1
@@ -306,7 +399,8 @@ object BloscCodec {
       out.put(data)
       return out.array()
     }
-    val flags = (if (shuffled) FlagShuffle else 0) | (codec << 5)
+    val flags = (if (doBitShuffle) FlagBitShuffle else if (shuffled) FlagShuffle else 0) |
+      (codec << 5)
     val out = ByteBuffer.allocate(compressedTotal).order(ByteOrder.LITTLE_ENDIAN)
     out.put(2.toByte).put(1.toByte).put(flags.toByte).put(typesize.toByte)
     out.putInt(nbytes).putInt(blocksize).putInt(compressedTotal)

@@ -21,13 +21,16 @@ import org.apache.spark.sql.functions._
   * zlib, zstd (zstd-jni), blosc ([[BloscCodec]] — numcodecs' DEFAULT is
   * blosc/lz4/byte-shuffle, the path real-world NGFF stores take); v3
   * codec chains `[bytes(le)]` + optional gzip / zstd / blosc + optional
-  * trailing crc32c (verified per chunk, java.util.zip.CRC32C); both `.`
-  * and `/` separators and both v3 chunk-key encodings; ≥2-D arrays
-  * whose LAST TWO axes are (y, x) — the NGFF axis convention; leading
-  * axes (t, c, z) read at index 0. Only blosc's private blosclz codec,
-  * bit-shuffle, and v3 sharding/transpose are refused with named errors
-  * (those genuinely do not exist in this JVM) — everything else is a
-  * real pixel path.
+  * trailing crc32c (verified per chunk, java.util.zip.CRC32C), with the
+  * chain SHAPE validated (one bytes codec first, one compressor, crc32c
+  * trailing only); v3 `sharding_indexed` (shard files holding inner
+  * chunks behind a fixed-size binary index — [[decodeShardPngs]]); both
+  * blosc shuffle filters incl. BIT-shuffle ([[BloscCodec.bitShuffle]]);
+  * both `.` and `/` separators and both v3 chunk-key encodings; ≥2-D
+  * arrays whose LAST TWO axes are (y, x) — the NGFF axis convention;
+  * leading axes (t, c, z) read at index 0. Only blosc's private blosclz
+  * codec and v3 transpose are refused with named errors — everything
+  * else is a real pixel path.
   *
   * Spark shape: ONE `binaryFile` scan under the search root covers every
   * image's chunk files (Spark's hidden-file filter drops the `.z*` JSON
@@ -63,13 +66,23 @@ class OmeZarrReader(
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (path, content) =>
-        OmeZarrReader.chunkOf(path, byArray).flatMap { case (img, gy, gx) =>
-          OmeZarrReader.decodeChunkPng(img, gy, gx, content).map { case (w, h, png) =>
-            val t = gy * img.tilesX + gx
-            (img.imageId * stride + t, img.imageId, img.groupPath, level,
-              gx, gy, img.width, img.height, w, h, png)
+        OmeZarrReader.chunkOf(path, byArray).iterator.flatMap { case (img, gy, gx) =>
+          // sharded v3 arrays: the scanned file is a SHARD at grid
+          // (gy, gx) holding many inner chunks — each becomes a tile at
+          // its own global position; everything else is one chunk = one
+          // tile
+          val tiles = img.shard match {
+            case Some(_) => OmeZarrReader.decodeShardPngs(img, gy, gx, content)
+            case None =>
+              OmeZarrReader.decodeChunkPng(img, gy, gx, content)
+                .map { case (w, h, png) => (gy, gx, w, h, png) }.toSeq
           }
-        }.iterator
+          tiles.map { case (ty, tx, w, h, png) =>
+            val t = ty * img.tilesX + tx
+            (img.imageId * stride + t, img.imageId, img.groupPath, level,
+              tx, ty, img.width, img.height, w, h, png)
+          }.iterator
+        }
       }
       .toDF("external_id", "image_id", "path", "level", "tile_x", "tile_y",
         "level_width", "level_height", "tile_width", "tile_height", "payload")
@@ -115,8 +128,23 @@ class OmeZarrReader(
 
 object OmeZarrReader {
 
+  /** v3 `sharding_indexed` parameters: a chunk FILE is a shard holding
+    * `shardShape/chunks` inner chunks plus a binary index of
+    * (offset, nbytes) uint64-le pairs, row-major over the shard's inner
+    * grid (missing chunk = both fields 0xFF…FF), at the shard's start or
+    * end, optionally crc32c-protected — a pure layout over the same
+    * inner codec chains, no native library involved. */
+  private[objects] case class ShardParams(
+      shardShape: Seq[Int], // the chunk_grid shape = one shard FILE's extent
+      innerCodec: String, // inner chunks' compressor, parseV3Chain domain
+      innerCrc: Boolean, // inner chunks carry their own crc32c suffix
+      indexCrc: Boolean, // the shard index carries a crc32c suffix
+      indexAtEnd: Boolean) // index_location end (default) vs start
+
   /** Per-image array parameters, resolved once on the driver (the JSON
-    * sidecars are a few hundred bytes each) and shipped in the closure. */
+    * sidecars are a few hundred bytes each) and shipped in the closure.
+    * For sharded v3 arrays, `chunks` is the INNER chunk shape (the tile
+    * grid the reader serves) and `shard` carries the file-level layout. */
   private[objects] case class ZarrImage(
       imageId: Long,
       groupPath: String,
@@ -126,7 +154,8 @@ object OmeZarrReader {
       shape: Seq[Int],
       chunks: Seq[Int],
       crc32c: Boolean = false, // v3 crc32c codec: verify + strip 4-byte suffix
-      keyPrefix: Boolean = false) { // v3 default chunk-key encoding: "c/0/0"
+      keyPrefix: Boolean = false, // v3 default chunk-key encoding: "c/0/0"
+      shard: Option[ShardParams] = None) {
     def height: Int = shape(shape.length - 2)
     def width: Int = shape(shape.length - 1)
     def chunkY: Int = chunks(chunks.length - 2)
@@ -247,8 +276,10 @@ object OmeZarrReader {
     * CHAIN instead of one compressor: exactly one array→bytes codec
     * (`bytes`, little-endian), at most one bytes→bytes compressor
     * (gzip / zstd / blosc — all JVM-decodable here), and optionally a
-    * trailing `crc32c` checksum (verified and stripped per chunk).
-    * `sharding_indexed` / `transpose` are refused with named errors. */
+    * trailing `crc32c` checksum (verified and stripped per chunk) — the
+    * shape enforced by [[parseV3Chain]]. A chain led by
+    * `sharding_indexed` nests an inner chain per inner chunk plus an
+    * index chain; `transpose` is refused with a named error. */
   private def parseV3Array(
       n: com.fasterxml.jackson.databind.JsonNode,
       group: String, arrayDir: String): ZarrImage = {
@@ -281,37 +312,99 @@ object OmeZarrReader {
     val codecs = n.path("codecs")
     require(codecs.isArray && codecs.size >= 1,
       s"graft: $arrayDir zarr.json needs a codecs chain")
+    val nodes = (0 until codecs.size).map(codecs.get)
+    if (nodes.head.path("name").asText() == "sharding_indexed") {
+      // sharding is itself the (sole) array->bytes codec; its config
+      // nests the inner chunks' chain and the index's chain
+      require(nodes.size == 1,
+        s"graft: $arrayDir codecs after sharding_indexed unsupported — " +
+          "wrap per-shard codecs inside the sharding configuration")
+      val cfg = nodes.head.path("configuration")
+      val innerShape = cfg.path("chunk_shape")
+      require(innerShape.isArray && innerShape.size == chunks.length,
+        s"graft: $arrayDir sharding chunk_shape rank must match the chunk grid")
+      val inner = (0 until innerShape.size).map(i => innerShape.get(i).asInt())
+      inner.zip(chunks).zipWithIndex.foreach { case ((ic, sc), d) =>
+        require(ic > 0 && sc % ic == 0,
+          s"graft: $arrayDir shard dim $d ($sc) is not a multiple of its " +
+            s"inner chunk ($ic) — malformed sharding_indexed configuration")
+      }
+      val (innerCodec, innerCrc) = parseV3Chain(cfg.path("codecs"), arrayDir, dtype)
+      // the index chain is bytes(le) + optional crc32c — never compressed
+      // (the spec fixes its size so readers can locate it blind)
+      val (idxCodec, idxCrc) = parseV3Chain(cfg.path("index_codecs"), arrayDir, dtype)
+      require(idxCodec == "raw",
+        s"graft: $arrayDir compressed shard indexes unsupported — " +
+          "index_codecs must be bytes (+ crc32c)")
+      val atEnd = cfg.path("index_location").asText("end") match {
+        case "end" => true
+        case "start" => false
+        case other => throw new IllegalArgumentException(
+          s"graft: $arrayDir index_location '$other' unsupported (start, end)")
+      }
+      // chunks = the INNER shape (tile geometry); the outer grid moves
+      // into ShardParams (keys index shard files)
+      ZarrImage(0L, group, arrayDir, dtype, innerCodec, shape, inner,
+        crc32c = false, keyPrefix = keyPrefix,
+        shard = Some(ShardParams(chunks, innerCodec, innerCrc, idxCrc, atEnd)))
+    } else {
+      val (codec, crc) = parseV3Chain(codecs, arrayDir, dtype)
+      ZarrImage(0L, group, arrayDir, dtype, codec, shape, chunks,
+        crc32c = crc, keyPrefix = keyPrefix)
+    }
+  }
+
+  /** Validate + resolve a v3 codec chain: exactly one `bytes` codec
+    * FIRST (little-endian unless samples are single-byte), at most one
+    * bytes→bytes compressor (gzip / zstd / blosc) after it, and
+    * optionally a `crc32c` in TRAILING position only. Any other shape —
+    * duplicate bytes codecs, two compressors, a codec after crc32c —
+    * is refused with a named error rather than silently decoding with
+    * the wrong stage order (a chain like [bytes, crc32c, gzip] would
+    * otherwise verify the checksum over the wrong bytes and report a
+    * spurious corruption on a valid store). */
+  private def parseV3Chain(
+      codecs: com.fasterxml.jackson.databind.JsonNode,
+      arrayDir: String, dtype: String): (String, Boolean) = {
+    require(codecs.isArray && codecs.size >= 1,
+      s"graft: $arrayDir v3 codec chain is missing or empty")
+    val head = codecs.get(0)
+    require(Set("bytes", "endian").contains(head.path("name").asText()),
+      s"graft: $arrayDir v3 codec chain must start with the bytes codec, " +
+        s"got '${head.path("name").asText()}'")
+    val endian = head.path("configuration").path("endian").asText("little")
+    require(endian == "little" || dtype == "|u1",
+      s"graft: $arrayDir big-endian samples unsupported — re-encode little-endian")
     var codec = "raw"
     var crc = false
-    var sawBytes = false
-    (0 until codecs.size).foreach { i =>
+    (1 until codecs.size).foreach { i =>
       val c = codecs.get(i)
-      c.path("name").asText() match {
-        case "bytes" | "endian" =>
-          val endian = c.path("configuration").path("endian").asText("little")
-          require(endian == "little" || dtype == "|u1",
-            s"graft: $arrayDir big-endian samples unsupported — re-encode little-endian")
-          sawBytes = true
-        case "gzip" => codec = "gzip"
-        case "zstd" => codec = "zstd"
-        case "blosc" =>
-          val cname = c.path("configuration").path("cname").asText("lz4")
-          require(BloscCodec.supportedCnames.contains(cname),
-            s"graft: $arrayDir blosc cname '$cname' needs a codec this JVM " +
-              s"does not ship — re-encode with ${BloscCodec.supportedCnames.mkString("/")}")
-          require(c.path("configuration").path("shuffle").asText("shuffle") != "bitshuffle",
-            s"graft: $arrayDir blosc bit-shuffle unsupported — re-encode with shuffle/noshuffle")
-          codec = "blosc"
+      val name = c.path("name").asText()
+      require(!crc,
+        s"graft: $arrayDir v3 codec '$name' follows crc32c — crc32c must " +
+          "be the trailing codec")
+      name match {
+        case "bytes" | "endian" => throw new IllegalArgumentException(
+          s"graft: $arrayDir v3 codec chain holds a second bytes codec")
+        case "gzip" | "zstd" | "blosc" =>
+          require(codec == "raw",
+            s"graft: $arrayDir v3 codec chain stacks two compressors " +
+              s"($codec then $name) — unsupported")
+          if (name == "blosc") {
+            val cname = c.path("configuration").path("cname").asText("lz4")
+            require(BloscCodec.supportedCnames.contains(cname),
+              s"graft: $arrayDir blosc cname '$cname' needs a codec this JVM " +
+                s"does not ship — re-encode with ${BloscCodec.supportedCnames.mkString("/")}")
+          }
+          codec = name
         case "crc32c" => crc = true
         case other => throw new IllegalArgumentException(
           s"graft: $arrayDir v3 codec '$other' unsupported " +
-            "(bytes, gzip, zstd, blosc, crc32c) — resharded/transposed " +
-            "stores need a re-encode")
+            "(bytes, gzip, zstd, blosc, crc32c, sharding_indexed-first) — " +
+            "transposed stores need a re-encode")
       }
     }
-    require(sawBytes, s"graft: $arrayDir v3 codec chain lacks the bytes codec")
-    ZarrImage(0L, group, arrayDir, dtype, codec, shape, chunks,
-      crc32c = crc, keyPrefix = keyPrefix)
+    (codec, crc)
   }
 
   /** Map a scanned file path to its owning image + chunk grid position.
@@ -360,28 +453,88 @@ object OmeZarrReader {
     * write those). */
   private[objects] def decodeChunkPng(
       img: ZarrImage, gy: Int, gx: Int, raw: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
-    val w = math.min(img.chunkX, img.width - gx * img.chunkX)
-    val h = math.min(img.chunkY, img.height - gy * img.chunkY)
-    if (w <= 0 || h <= 0) return None
-    val elemSize = img.dtype match {
-      case "|u1" => 1
-      case "<u2" => 2
-      case "<f4" => 4
-    }
-    val expected = img.chunks.map(_.toLong).product * elemSize
-    // v3 crc32c codec: little-endian uint32 checksum appended per chunk —
-    // verify, then strip before the compressor stage
-    val body = if (img.crc32c) {
-      require(raw.length >= 4, s"graft: ${img.arrayPath} chunk ($gy,$gx) shorter than its crc32c")
-      val stored = java.lang.Integer.toUnsignedLong(
-        ByteBuffer.wrap(raw, raw.length - 4, 4).order(ByteOrder.LITTLE_ENDIAN).getInt)
+    val body = if (img.crc32c) stripCrc32c(img, gy, gx, raw) else raw
+    val bytes = decodeBody(img, gy, gx, body, img.codec)
+    planeToPng(img, gy, gx, bytes)
+  }
+
+  /** Decode every in-bounds inner chunk of shard file (sy, sx) — the v3
+    * `sharding_indexed` path: locate the fixed-size binary index, slice
+    * each present inner chunk's byte range, run it through the inner
+    * codec chain, and serve one tile per inner chunk at its GLOBAL grid
+    * position. Missing inner chunks (index fields all-ones) emit no tile,
+    * matching how an absent chunk FILE behaves in an unsharded store. */
+  private[objects] def decodeShardPngs(
+      img: ZarrImage, sy: Int, sx: Int,
+      raw: Array[Byte]): Seq[(Int, Int, Int, Int, Array[Byte])] = {
+    val sp = img.shard.get
+    val subY = sp.shardShape(sp.shardShape.length - 2) / img.chunkY
+    val subX = sp.shardShape.last / img.chunkX
+    // the index is row-major over the FULL inner grid (leading dims
+    // included); leading-zero inner chunks flatten to iy*subX + ix
+    val nInner = sp.shardShape.zip(img.chunks).map { case (s, c) => (s / c).toLong }.product
+    val indexSize = nInner * 16 + (if (sp.indexCrc) 4L else 0L)
+    require(raw.length >= indexSize,
+      s"graft: ${img.arrayPath} shard ($sy,$sx) holds ${raw.length} bytes — " +
+        s"shorter than its $indexSize-byte index")
+    val idxOff = if (sp.indexAtEnd) raw.length - indexSize.toInt else 0
+    if (sp.indexCrc) {
+      val stored = java.lang.Integer.toUnsignedLong(ByteBuffer
+        .wrap(raw, idxOff + indexSize.toInt - 4, 4).order(ByteOrder.LITTLE_ENDIAN).getInt)
       val crc = new java.util.zip.CRC32C()
-      crc.update(raw, 0, raw.length - 4)
+      crc.update(raw, idxOff, indexSize.toInt - 4)
       require(crc.getValue == stored,
-        s"graft: ${img.arrayPath} chunk ($gy,$gx) fails its crc32c — corrupt store")
-      java.util.Arrays.copyOf(raw, raw.length - 4)
-    } else raw
-    val bytes = img.codec match {
+        s"graft: ${img.arrayPath} shard ($sy,$sx) fails its index crc32c — corrupt store")
+    }
+    val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+    val out = Seq.newBuilder[(Int, Int, Int, Int, Array[Byte])]
+    for (iy <- 0 until subY; ix <- 0 until subX) {
+      val gy = sy * subY + iy
+      val gx = sx * subX + ix
+      if (gy < img.tilesY && gx < img.tilesX) {
+        val e = idxOff + 16 * (iy * subX + ix)
+        val offset = bb.getLong(e)
+        val nbytes = bb.getLong(e + 8)
+        if (offset != -1L || nbytes != -1L) { // all-ones = missing chunk
+          require(offset >= 0 && nbytes >= 0 && offset + nbytes <= raw.length,
+            s"graft: ${img.arrayPath} shard ($sy,$sx) inner chunk ($iy,$ix) " +
+              s"claims [$offset, ${offset + nbytes}) outside the shard file")
+          val slice = java.util.Arrays.copyOfRange(
+            raw, offset.toInt, (offset + nbytes).toInt)
+          val body = if (sp.innerCrc) stripCrc32c(img, gy, gx, slice) else slice
+          planeToPng(img, gy, gx, decodeBody(img, gy, gx, body, sp.innerCodec))
+            .foreach { case (w, h, png) => out += ((gy, gx, w, h, png)) }
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** Verify and strip a chunk's trailing 4-byte little-endian crc32c. */
+  private def stripCrc32c(
+      img: ZarrImage, gy: Int, gx: Int, raw: Array[Byte]): Array[Byte] = {
+    require(raw.length >= 4, s"graft: ${img.arrayPath} chunk ($gy,$gx) shorter than its crc32c")
+    val stored = java.lang.Integer.toUnsignedLong(
+      ByteBuffer.wrap(raw, raw.length - 4, 4).order(ByteOrder.LITTLE_ENDIAN).getInt)
+    val crc = new java.util.zip.CRC32C()
+    crc.update(raw, 0, raw.length - 4)
+    require(crc.getValue == stored,
+      s"graft: ${img.arrayPath} chunk ($gy,$gx) fails its crc32c — corrupt store")
+    java.util.Arrays.copyOf(raw, raw.length - 4)
+  }
+
+  private def elemSizeOf(img: ZarrImage): Int = img.dtype match {
+    case "|u1" => 1
+    case "<u2" => 2
+    case "<f4" => 4
+  }
+
+  /** Run one chunk's compressed body through `codec` and length-check
+    * the plaintext against the chunk's element count. */
+  private def decodeBody(
+      img: ZarrImage, gy: Int, gx: Int, body: Array[Byte], codec: String): Array[Byte] = {
+    val expected = img.chunks.map(_.toLong).product * elemSizeOf(img)
+    val bytes = codec match {
       case "raw" => body
       case "zlib" => inflate(body)
       case "gzip" =>
@@ -396,6 +549,17 @@ object OmeZarrReader {
     require(bytes.length == expected,
       s"graft: ${img.arrayPath} chunk ($gy,$gx) holds ${bytes.length} bytes, " +
         s"expected $expected — corrupt store or codec mismatch")
+    bytes
+  }
+
+  /** Crop chunk plaintext to the array bounds and encode the (y, x)
+    * plane as a grayscale PNG. */
+  private def planeToPng(
+      img: ZarrImage, gy: Int, gx: Int,
+      bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    val w = math.min(img.chunkX, img.width - gx * img.chunkX)
+    val h = math.min(img.chunkY, img.height - gy * img.chunkY)
+    if (w <= 0 || h <= 0) return None
     // C-order with all leading intra-chunk indices 0: the (y, x) plane is
     // the buffer's first chunkY*chunkX elements
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
@@ -441,8 +605,11 @@ object OmeZarrReader {
   /** Mint a minimal zarr V3 OME-NGFF 0.5 store for specs: `zarr.json`
     * group + array metadata, codec chains ([bytes] + optional
     * gzip/zstd/blosc + optional crc32c), default or v2 chunk-key
-    * encoding. Pixel formula and geometry match [[writeTestZarr]], so
-    * v2 and v3 stores decode byte-identically. */
+    * encoding, and — with `shardTiles = Some((sy, sx))` — a
+    * `sharding_indexed` store whose chunk files each pack sy×sx inner
+    * chunks behind an end-located, crc32c-protected binary index (the
+    * spec's default index chain). Pixel formula and geometry match
+    * [[writeTestZarr]], so v2 and v3 stores decode byte-identically. */
   def writeTestZarrV3(
       groupDir: java.nio.file.Path,
       width: Int,
@@ -451,14 +618,17 @@ object OmeZarrReader {
       chunkY: Int,
       chunkX: Int,
       pixel: (Int, Int) => Int,
-      codec: String = "raw", // raw | gzip | zstd | blosc-<cname>[-noshuffle]
+      codec: String = "raw", // raw | gzip | zstd | blosc-<cname>[-noshuffle|-bitshuffle]
       crc32c: Boolean = false,
-      keyEncoding: String = "default"): Unit = {
+      keyEncoding: String = "default",
+      shardTiles: Option[(Int, Int)] = None): Unit = {
     require(Set("default", "v2").contains(keyEncoding),
       s"graft: v3 keyEncoding '$keyEncoding' must be default or v2")
     val bloscCname = if (codec.startsWith("blosc-"))
-      Some(codec.stripPrefix("blosc-").stripSuffix("-noshuffle")) else None
-    val bloscShuffle = !codec.endsWith("-noshuffle")
+      Some(codec.stripPrefix("blosc-")
+        .stripSuffix("-noshuffle").stripSuffix("-bitshuffle")) else None
+    val bloscBitShuffle = codec.endsWith("-bitshuffle")
+    val bloscShuffle = !codec.endsWith("-noshuffle") && !bloscBitShuffle
     java.nio.file.Files.createDirectories(groupDir)
     val datasets = (0 until levels)
       .map(l => s"""{"path":"$l","coordinateTransformations":[{"type":"scale","scale":[${1 << l},${1 << l}]}]}""")
@@ -476,20 +646,31 @@ object OmeZarrReader {
         case "gzip" => """,{"name":"gzip","configuration":{"level":5}}"""
         case "zstd" => """,{"name":"zstd","configuration":{"level":3,"checksum":false}}"""
         case _ =>
-          val shuf = if (bloscShuffle) "shuffle" else "noshuffle"
+          val shuf = if (bloscBitShuffle) "bitshuffle"
+            else if (bloscShuffle) "shuffle" else "noshuffle"
           s""",{"name":"blosc","configuration":{"cname":"${bloscCname.get}","clevel":5,"shuffle":"$shuf","typesize":1,"blocksize":0}}"""
       }
       val crcCodec = if (crc32c) """,{"name":"crc32c"}""" else ""
+      val innerChain =
+        s"""[{"name":"bytes","configuration":{"endian":"little"}}$compCodec$crcCodec]"""
+      val (gridY, gridX, codecsJson) = shardTiles match {
+        case None => (chunkY, chunkX, innerChain)
+        case Some((sy, sx)) =>
+          (chunkY * sy, chunkX * sx,
+            s"""[{"name":"sharding_indexed","configuration":{
+               |"chunk_shape":[$chunkY,$chunkX],"codecs":$innerChain,
+               |"index_codecs":[{"name":"bytes","configuration":{"endian":"little"}},{"name":"crc32c"}],
+               |"index_location":"end"}}]""".stripMargin.replace("\n", ""))
+      }
       java.nio.file.Files.write(aDir.resolve("zarr.json"),
         s"""{"zarr_format":3,"node_type":"array","shape":[$h,$w],"data_type":"uint8",
-           |"chunk_grid":{"name":"regular","configuration":{"chunk_shape":[$chunkY,$chunkX]}},
+           |"chunk_grid":{"name":"regular","configuration":{"chunk_shape":[$gridY,$gridX]}},
            |"chunk_key_encoding":{"name":"$keyEncoding","configuration":{"separator":"${if (keyEncoding == "default") "/" else "."}"}},
            |"fill_value":0,
-           |"codecs":[{"name":"bytes","configuration":{"endian":"little"}}$compCodec$crcCodec],
+           |"codecs":$codecsJson,
            |"dimension_names":["y","x"]}""".stripMargin.replace("\n", "").getBytes("UTF-8"))
-      val tilesY = (h + chunkY - 1) / chunkY
-      val tilesX = (w + chunkX - 1) / chunkX
-      for (gy <- 0 until tilesY; gx <- 0 until tilesX) {
+      // one INNER chunk's payload through the inner chain (+ inner crc)
+      def innerPayload(gy: Int, gx: Int): Array[Byte] = {
         val buf = new Array[Byte](chunkY * chunkX)
         for (y <- 0 until chunkY; x <- 0 until chunkX) {
           val (py, px) = (gy * chunkY + y, gx * chunkX + x)
@@ -505,20 +686,53 @@ object OmeZarrReader {
           case "zstd" => com.github.luben.zstd.Zstd.compress(buf, 3)
           case _ =>
             BloscCodec.compress(buf, typesize = 1, cname = bloscCname.get,
-              doShuffle = bloscShuffle, blocksizeHint = 64)
+              doShuffle = bloscShuffle, blocksizeHint = 64,
+              doBitShuffle = bloscBitShuffle)
         }
-        val payload = if (crc32c) {
+        if (crc32c) {
           val crc = new java.util.zip.CRC32C()
           crc.update(comp, 0, comp.length)
           val out = ByteBuffer.allocate(comp.length + 4).order(ByteOrder.LITTLE_ENDIAN)
           out.put(comp).putInt(crc.getValue.toInt)
           out.array()
         } else comp
+      }
+      def writeKey(ky: Int, kx: Int, payload: Array[Byte]): Unit = {
         val target =
-          if (keyEncoding == "default") aDir.resolve("c").resolve(gy.toString).resolve(gx.toString)
-          else aDir.resolve(s"$gy.$gx")
+          if (keyEncoding == "default") aDir.resolve("c").resolve(ky.toString).resolve(kx.toString)
+          else aDir.resolve(s"$ky.$kx")
         java.nio.file.Files.createDirectories(target.getParent)
         java.nio.file.Files.write(target, payload)
+      }
+      val tilesY = (h + chunkY - 1) / chunkY
+      val tilesX = (w + chunkX - 1) / chunkX
+      shardTiles match {
+        case None =>
+          for (gy <- 0 until tilesY; gx <- 0 until tilesX)
+            writeKey(gy, gx, innerPayload(gy, gx))
+        case Some((sy, sx)) =>
+          val shY = (h + gridY - 1) / gridY
+          val shX = (w + gridX - 1) / gridX
+          for (ky <- 0 until shY; kx <- 0 until shX) {
+            val body = new java.io.ByteArrayOutputStream()
+            val index = ByteBuffer.allocate(sy * sx * 16 + 4)
+              .order(ByteOrder.LITTLE_ENDIAN)
+            for (iy <- 0 until sy; ix <- 0 until sx) {
+              val (gy, gx) = (ky * sy + iy, kx * sx + ix)
+              if (gy < tilesY && gx < tilesX) {
+                val p = innerPayload(gy, gx)
+                index.putLong(body.size().toLong).putLong(p.length.toLong)
+                body.write(p)
+              } else index.putLong(-1L).putLong(-1L) // missing inner chunk
+            }
+            val crc = new java.util.zip.CRC32C()
+            crc.update(index.array(), 0, sy * sx * 16)
+            index.putInt(crc.getValue.toInt)
+            val shardFile = new java.io.ByteArrayOutputStream()
+            body.writeTo(shardFile)
+            shardFile.write(index.array())
+            writeKey(ky, kx, shardFile.toByteArray)
+          }
       }
     }
   }
@@ -535,14 +749,15 @@ object OmeZarrReader {
       chunkY: Int,
       chunkX: Int,
       pixel: (Int, Int) => Int,
-      codec: String = "raw", // raw | zlib | zstd | blosc-<cname>[-noshuffle]
+      codec: String = "raw", // raw | zlib | zstd | blosc-<cname>[-noshuffle|-bitshuffle]
       separator: String = "."): Unit = {
     val bloscCname = codec match {
       case s if s.startsWith("blosc-") =>
-        Some(s.stripPrefix("blosc-").stripSuffix("-noshuffle"))
+        Some(s.stripPrefix("blosc-").stripSuffix("-noshuffle").stripSuffix("-bitshuffle"))
       case _ => None
     }
-    val bloscShuffle = !codec.endsWith("-noshuffle")
+    val bloscBitShuffle = codec.endsWith("-bitshuffle")
+    val bloscShuffle = !codec.endsWith("-noshuffle") && !bloscBitShuffle
     java.nio.file.Files.createDirectories(groupDir)
     val datasets = (0 until levels)
       .map(l => s"""{"path":"$l"}""").mkString("[", ",", "]")
@@ -560,7 +775,8 @@ object OmeZarrReader {
         case "zlib" => """{"id":"zlib","level":6}"""
         case "zstd" => """{"id":"zstd","level":3}"""
         case _ =>
-          val shuf = if (bloscShuffle) 1 else 0
+          // numcodecs shuffle enum: 0 = none, 1 = byte, 2 = bit
+          val shuf = if (bloscBitShuffle) 2 else if (bloscShuffle) 1 else 0
           s"""{"id":"blosc","cname":"${bloscCname.get}","clevel":5,"shuffle":$shuf,"blocksize":0}"""
       }
       java.nio.file.Files.write(aDir.resolve(".zarray"),
@@ -592,7 +808,8 @@ object OmeZarrReader {
             // small blocksize so multi-block frames (bstarts table, split
             // streams) are exercised, not just the single-block case
             BloscCodec.compress(buf, typesize = 1, cname = bloscCname.get,
-              doShuffle = bloscShuffle, blocksizeHint = 64)
+              doShuffle = bloscShuffle, blocksizeHint = 64,
+              doBitShuffle = bloscBitShuffle)
         }
         val name = Seq(gy, gx).mkString(separator)
         val target = aDir.resolve(name)

@@ -116,8 +116,12 @@ object MmrDiversify {
         val cs = it.toArray.sortBy(_._2)
         val n = cs.length
         val picked = new Array[Boolean](n)
-        // running max_{s in selected} sim(c, s), pinned to micros
-        val maxSim = new Array[Long](n)
+        // running max_{s in selected} sim(c, s), pinned to micros.
+        // Long.MinValue sentinel: the FIRST computed similarity must
+        // replace it even when negative (unnormalized inner products go
+        // negative routinely) — a zero init would clamp the true max and
+        // diverge from the oracle's plain max()
+        val maxSim = Array.fill(n)(Long.MinValue)
         val out = Seq.newBuilder[(Long, Int, Long, Long)]
         var rank = 1
         var last = -1

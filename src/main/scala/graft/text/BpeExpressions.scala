@@ -11,15 +11,22 @@ import org.apache.spark.unsafe.types.UTF8String
   * for the SQL oracle that replays it, but it is one codegen'd `replace`
   * pass PER MERGE: a real 32k-merge vocabulary would blow past codegen
   * method limits and scan each word 32k times. This expression instead
-  * applies the standard rank-greedy algorithm per word (repeatedly merge
-  * the lowest-rank pair present — only pairs that OCCUR in the word are
-  * ever looked up), with the merge table riding the generated code as a
-  * reference object (the [[graft.functions.NearestCentroid]] pattern).
+  * visits only the merge ranks whose pair actually OCCURS in the word
+  * (one symbol-array pass per such rank, in increasing rank order), with
+  * the merge table riding the generated code as a reference object (the
+  * [[graft.functions.NearestCentroid]] pattern).
   *
-  * Equivalence: for merges learned in rank order, a merged pair can
-  * never re-form from later merges (later merges only create longer
-  * symbols), so rank-greedy-to-exhaustion produces exactly the
-  * replace-chain segmentation — property-pinned in BpeTrainerSpec.
+  * Equivalence (chain-faithful, property-pinned in BpeTrainerSpec incl.
+  * repeat-pair words like "banana"/"aaaa"): the chain applies each merge
+  * rank exactly ONCE as a `String.replace` pass, whose matches live in
+  * the PRE-pass string and consume the shared boundary space — so after
+  * merging symbols (i, i+1), the earliest next match in the same pass
+  * starts at pre-merge symbol i+3 (the space before symbol i+2 was
+  * consumed), and leftover/re-formed occurrences of an already-applied
+  * rank are never revisited. The kernel replicates exactly that: each
+  * pass merges with the i+3 resume rule, and the next pass is the
+  * minimum PRESENT rank STRICTLY GREATER than the last applied one
+  * (skipping absent ranks is a no-op in the chain too).
   *
   * Tokenization contract matches [[BpeTrainer]]: words are `[a-z]+` runs
   * of the LOWERCASED text (UTF8String lowering, identical to Spark's
@@ -59,14 +66,17 @@ case class BpeTokenCount(child: Expression, merges: Array[String])
 }
 
 /** BPE token IDS under a trained merge table — the export form a
-  * training pipeline actually ships to dataloaders. Same rank-greedy
+  * training pipeline actually ships to dataloaders. Same chain-faithful
   * kernel and tokenization contract as [[BpeTokenCount]]; the
   * vocabulary is DERIVED from the merge table (ids 0–25 = a–z, 26+i =
   * the output of merge index i), so the id space is reproducible by any
   * engine holding the same merges — the SQL oracle re-learns the merges
   * and re-derives the mapping. Duplicate merge outputs are refused at
   * construction: two merges producing one string would make ids
-  * ambiguous (train() cannot emit such a table). */
+  * ambiguous. (Consumed-boundary training CAN in principle re-pick a
+  * leftover pair at a later rank and emit such a duplicate — refusing
+  * loudly here beats silently choosing one of two valid ids the oracle
+  * might derive differently.) */
 case class BpeTokenIds(child: Expression, merges: Array[String])
     extends UnaryExpression {
 
@@ -179,7 +189,7 @@ object BpeKernel {
     out.toArray
   }
 
-  /** Rank-greedy BPE segment count for word = s[from, until). */
+  /** Chain-faithful BPE segment count for word = s[from, until). */
   private[text] def encodeWordSegments(
       s: String, from: Int, until: Int,
       ranks: java.util.HashMap[String, Integer]): Int = {
@@ -187,7 +197,13 @@ object BpeKernel {
     count
   }
 
-  /** Rank-greedy BPE segmentation spans for word = s[from, until). */
+  /** Chain-faithful BPE segmentation spans for word = s[from, until).
+    * Replays [[BpeTrainer.encodeExpr]]'s replace chain in symbol space:
+    * ranks are applied in strictly increasing order, each exactly once,
+    * and within a pass a merge at (i, i+1) consumes the boundary space
+    * after symbol i+1, so the next in-pass match cannot START before
+    * pre-merge symbol i+3 (see the class doc; "banana" with merge "a n"
+    * stays [b, an, a, n, a], never [b, an, an, a]). */
   private def encodeWordSpans(
       s: String, from: Int, until: Int,
       ranks: java.util.HashMap[String, Integer]): (Array[Int], Array[Int], Int) = {
@@ -203,34 +219,46 @@ object BpeKernel {
     var k = 0
     while (k < len) { starts(k) = from + k; ends(k) = from + k + 1; k += 1 }
     var count = len
+    var lastRank = -1
     var continueLoop = true
     while (continueLoop && count > 1) {
-      // lowest-rank adjacent pair present
+      // minimum present rank the chain has not yet reached: the chain
+      // applies every rank once in 1..V order, so ranks <= lastRank are
+      // behind it (their leftovers are final), and absent ranks between
+      // lastRank and `best` would have been no-op passes
       var best = Int.MaxValue
       var i = 0
       while (i < count - 1) {
         val r = ranks.get(pairKey(s, starts, ends, i))
-        if (r != null && r.intValue() < best) best = r.intValue()
+        if (r != null && r.intValue() > lastRank && r.intValue() < best)
+          best = r.intValue()
         i += 1
       }
       if (best == Int.MaxValue) continueLoop = false
       else {
-        // merge ALL occurrences of the best pair, left to right (the
-        // non-overlapping replace contract: a just-merged symbol is not
-        // re-paired with the following one in the same pass)
+        // ONE replace pass for rank `best` over the pre-pass symbols:
+        // leftmost matches, and a merge at (r2, r2+1) consumes the
+        // boundary space after r2+1, so symbol r2+2 is copied verbatim
+        // (it cannot start the next match) and matching resumes at r2+3
         var w = 0 // write index
         var r2 = 0 // read index
         while (r2 < count) {
           if (r2 < count - 1 && rankOf(s, starts, ends, r2, ranks) == best) {
             starts(w) = starts(r2); ends(w) = ends(r2 + 1)
-            r2 += 2
+            w += 1
+            if (r2 + 2 < count) {
+              starts(w) = starts(r2 + 2); ends(w) = ends(r2 + 2)
+              w += 1
+            }
+            r2 += 3
           } else {
             starts(w) = starts(r2); ends(w) = ends(r2)
             r2 += 1
+            w += 1
           }
-          w += 1
         }
         count = w
+        lastRank = best
       }
     }
     (starts, ends, count)

@@ -149,12 +149,14 @@ object BpeTrainer {
     }
   }
 
-  /** [[encodeTokenCounts]] through the rank-greedy kernel expression
+  /** [[encodeTokenCounts]] through the chain-faithful kernel expression
     * ([[BpeTokenCount]]) — ONE codegen'd call per document instead of a
     * replace pass per merge, the form that scales to real 32k-merge
-    * vocabularies. Segmentation-identical to the chain for trained
-    * merges (property-pinned); no explode, no shuffle beyond the final
-    * per-doc projection (the kernel sums words internally). */
+    * vocabularies. Segmentation-identical to the chain for ANY merge
+    * table (one consumed-boundary pass per rank, in rank order —
+    * property-pinned incl. repeat-pair words); no explode, no shuffle
+    * beyond the final per-doc projection (the kernel sums words
+    * internally). */
   def encodeTokenCountsFast(
       docs: DataFrame,
       merges: Seq[(String, String)],

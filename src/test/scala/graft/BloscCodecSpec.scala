@@ -108,15 +108,11 @@ class BloscCodecSpec extends AnyFunSuite {
     assert(BloscCodec.decompress(frame.array(), 32).toSeq === data.toSeq)
   }
 
-  test("bit-shuffle, blosclz, truncation, and size mismatch are named errors") {
+  test("blosclz, truncation, zero block grid, and size mismatch are named errors") {
     // strongly compressible so the frame is NOT memcpy mode (the codec
     // checks below only run on compressed frames)
     val ok = BloscCodec.compress(Array.tabulate(256)(i => (i % 8).toByte), 4, "lz4")
     assert((ok(2) & 0x2) === 0, "fixture frame must be compressed, not memcpy")
-    val bitshuf = ok.clone(); bitshuf(2) = (bitshuf(2) | 0x4).toByte
-    assert(intercept[IllegalArgumentException] {
-      BloscCodec.decompress(bitshuf, 256)
-    }.getMessage.contains("BIT-shuffle"))
     val blosclz = ok.clone(); blosclz(2) = (blosclz(2) & 0x1F).toByte // codec id 0
     assert(intercept[IllegalArgumentException] {
       BloscCodec.decompress(blosclz, 256)
@@ -127,6 +123,13 @@ class BloscCodecSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException] {
       BloscCodec.decompress(ok, 999)
     }.getMessage.contains("expects 999"))
+    // a crafted non-memcpy frame declaring blocksize=0 must hit the named
+    // error, not an ArithmeticException from the block-grid division
+    val zeroBlock = ok.clone()
+    ByteBuffer.wrap(zeroBlock).order(ByteOrder.LITTLE_ENDIAN).putInt(8, 0)
+    assert(intercept[IllegalArgumentException] {
+      BloscCodec.decompress(zeroBlock, 256)
+    }.getMessage.contains("zero block grid"))
     // corrupt the first stream's size prefix: every candidate layout
     // fails structurally and the parser names the block
     val corrupt = ok.clone()
@@ -136,6 +139,77 @@ class BloscCodecSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException] {
       BloscCodec.decompress(corrupt, 256)
     }.getMessage.contains("does not parse"))
+  }
+
+  test("lz4 stream that under-consumes its declared extent is rejected, not misread") {
+    // hand-build a frame whose single lz4 stream is padded with 4 junk
+    // bytes INSIDE its declared csize: the size prefixes still tile the
+    // block extent exactly, and the fast decompressor happily produces
+    // 16 output bytes from the first complen compressed bytes — only the
+    // consumed-vs-csize check can catch the mismatch
+    val data = patterned(16)
+    val lz4 = net.jpountz.lz4.LZ4Factory.fastestInstance().fastCompressor()
+    val comp = {
+      val buf = new Array[Byte](lz4.maxCompressedLength(16))
+      val n = lz4.compress(data, 0, 16, buf, 0, buf.length)
+      java.util.Arrays.copyOf(buf, n)
+    }
+    assume(comp.length + 4 != 16, "padded stream must not hit the verbatim marker")
+    val total = 16 + 4 + 4 + comp.length + 4
+    val frame = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+    frame.put(2.toByte).put(1.toByte)
+    frame.put((1 << 5).toByte) // codec id 1 = lz4, no shuffle
+    frame.put(1.toByte)
+    frame.putInt(16).putInt(16).putInt(total)
+    frame.putInt(20)                 // bstarts[0]
+    frame.putInt(comp.length + 4)    // csize LIES: 4 junk bytes included
+    frame.put(comp).putInt(0xDEAD)   // the junk
+    val e = intercept[IllegalArgumentException] {
+      BloscCodec.decompress(frame.array(), 16)
+    }
+    assert(e.getMessage.contains("consumed"), e.getMessage)
+  }
+
+  test("bit-shuffle round trips across codecs, typesizes, and block counts") {
+    for {
+      cname <- Seq("lz4", "zstd", "zlib")
+      typesize <- Seq(1, 2, 4)
+      n <- Seq(100, 4096, 10000)
+    } {
+      val data = patterned(n)
+      val frame = BloscCodec.compress(data, typesize, cname,
+        blocksizeHint = 4096, doBitShuffle = true)
+      assert((frame(2) & 0x4) != 0 || (frame(2) & 0x2) != 0,
+        s"frame must carry the bit-shuffle flag (or fall back to memcpy)")
+      val back = BloscCodec.decompress(frame, n)
+      assert(back.toSeq === data.toSeq, s"cname=$cname typesize=$typesize n=$n")
+    }
+  }
+
+  test("bit-shuffle kernel matches the published layout and inverts exactly") {
+    // typesize 1, 8 elements: output row j holds bit j of every element,
+    // element m at bit m of the row's single byte
+    val one = new Array[Byte](8); one(0) = 1
+    assert(BloscCodec.bitShuffle(one, 1).toSeq === Seq[Byte](1, 0, 0, 0, 0, 0, 0, 0))
+    val two = new Array[Byte](8); two(0) = 2 // bit 1 of element 0 -> row 1, bit 0
+    assert(BloscCodec.bitShuffle(two, 1).toSeq === Seq[Byte](0, 1, 0, 0, 0, 0, 0, 0))
+    val e3 = new Array[Byte](8); e3(3) = 0xFF.toByte // all bits of element 3
+    assert(BloscCodec.bitShuffle(e3, 1).toSeq === Seq.fill(8)(8.toByte))
+    // typesize 2: byte p of the element selects row block p*8..p*8+7
+    val t2 = new Array[Byte](16); t2(2 * 5 + 1) = 1 // bit 0, byte 1, element 5
+    val sh2 = BloscCodec.bitShuffle(t2, 2)
+    assert(sh2(8) === (1 << 5).toByte, "row p*8+j = 8, element 5 at bit 5")
+    assert(sh2.zipWithIndex.filter(_._1 != 0).map(_._2).toSeq === Seq(8))
+    // inverse property incl. a non-multiple-of-8 element tail (copied verbatim)
+    for (typesize <- Seq(1, 2, 4, 8); n <- Seq(8, 24, 103, 1000)) {
+      val data = patterned(n)
+      val rt = BloscCodec.bitUnshuffle(BloscCodec.bitShuffle(data, typesize), typesize)
+      assert(rt.toSeq === data.toSeq, s"typesize=$typesize n=$n")
+    }
+    // tail rule: 103 bytes at typesize 4 = 25 elems -> 24 shuffled, the
+    // last element + 3 trailing bytes (96..102) stay verbatim
+    val d = patterned(103)
+    assert(BloscCodec.bitShuffle(d, 4).slice(96, 103).toSeq === d.slice(96, 103).toSeq)
   }
 
   test("shuffle/unshuffle invert each other and leave the tail verbatim") {

@@ -82,9 +82,9 @@ class BpeTrainerSpec extends AnyFunSuite {
 
   test("rank-greedy kernel expression segments exactly like the replace chain") {
     // the production path (one codegen'd call, scales to 32k merges) must
-    // reproduce the chain form for TRAINED merges — the equivalence only
-    // holds when every pair's constituent symbols come from lower ranks,
-    // which train() guarantees by construction
+    // reproduce the chain form: one consumed-boundary pass per rank, in
+    // rank order, never revisiting an applied rank (repeat-pair cases are
+    // pinned by the dedicated test below)
     val docsDf = spark.read.parquet(s"$sf0001/documents.parquet").cache()
     val merges = BpeTrainer.train(docsDf, 24).orderBy("rank")
       .as[(Int, String, String)].collect().map(m => (m._2, m._3)).toSeq
@@ -105,6 +105,33 @@ class BpeTrainerSpec extends AnyFunSuite {
     val interp = BpeTrainer.encodeTokenCountsFast(one, merges)
       .where(expr("n_bpe_tokens IS NOT NULL")).collect().map(_.getLong(1)).sorted.toSeq
     assert(interp.nonEmpty)
+  }
+
+  test("kernel replicates chain semantics on repeat-pair words (consumed boundary)") {
+    // String.replace consumes the shared boundary space: adjacent repeats
+    // of a merged pair merge only once per pass and an already-applied
+    // rank is never revisited. These words are exactly where a greedy
+    // merge-to-exhaustion kernel would diverge from the chain:
+    //   banana + (a n):       " b an a n a "  -> 5 tokens, NOT [b,an,an,a]
+    //   papa   + (p a):       " pa p a "      -> 3 tokens, NOT [pa,pa]
+    //   aaaa   + (a a):       " aa a a "      -> 3 tokens, NOT [aa,aa]
+    //   banana + (a n)(an a): " b ana n a "   -> 4 tokens (rank 2 builds
+    //                         on rank 1's output, leftovers still final)
+    val cases = Seq(
+      ("banana", Seq(("a n", "an")), 5L),
+      ("papa", Seq(("p a", "pa")), 3L),
+      ("aaaa", Seq(("a a", "aa")), 3L),
+      ("banana", Seq(("a n", "an"), ("an a", "ana")), 4L))
+    cases.zipWithIndex.foreach { case ((word, merges, want), i) =>
+      val one = Seq((i.toLong, word)).toDF("doc_id", "text")
+      val chain = BpeTrainer.encodeTokenCounts(one, merges).as[(Long, Long)].head()._2
+      val fast = BpeTrainer.encodeTokenCountsFast(one, merges).as[(Long, Long)].head()._2
+      assert(chain === want, s"'$word' chain: got $chain, want $want")
+      assert(fast === want, s"'$word' kernel: got $fast, want chain's $want")
+      // and the id export segments identically (ids sum to the same count)
+      val nIds = BpeTrainer.encodeIds(one, merges).count()
+      assert(nIds === want, s"'$word' id export: got $nIds ids, want $want")
+    }
   }
 
   test("rank-greedy kernel at a vocabulary scale the chain cannot codegen") {

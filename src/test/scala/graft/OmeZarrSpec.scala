@@ -90,7 +90,8 @@ class OmeZarrSpec extends AnyFunSuite {
     // every codec the wild writes: plain zstd frames, plus blosc over each
     // JVM-available inner codec (lz4 = numcodecs' default), shuffle on/off
     for (codec <- Seq("zstd", "blosc-lz4", "blosc-zstd", "blosc-snappy",
-        "blosc-zlib", "blosc-lz4-noshuffle")) {
+        "blosc-zlib", "blosc-lz4-noshuffle", "blosc-lz4-bitshuffle",
+        "blosc-zstd-bitshuffle")) {
       val got = new OmeZarrReader(mintStore(codec), "*.zarr", level = 0)
         .readObjects(spark).orderBy("external_id").collect()
         .map(_.getAs[Array[Byte]](10).toSeq)
@@ -112,7 +113,7 @@ class OmeZarrSpec extends AnyFunSuite {
       root.toString
     }
     for ((codec, crc) <- Seq(("raw", false), ("gzip", false), ("zstd", true),
-        ("blosc-lz4", true), ("raw", true))) {
+        ("blosc-lz4", true), ("blosc-lz4-bitshuffle", true), ("raw", true))) {
       val got = new OmeZarrReader(mintV3(codec, crc), "*.zarr", level = 0)
         .readObjects(spark).orderBy("external_id").collect()
         .map(_.getAs[Array[Byte]](10).toSeq)
@@ -137,7 +138,48 @@ class OmeZarrSpec extends AnyFunSuite {
     assert(both === 2L, "v2 and v3 groups under one root must both discover")
   }
 
-  test("v3 refusals are named: corrupt crc32c, sharding codec") {
+  test("v3 sharding_indexed stores decode byte-identically, tiling per INNER chunk") {
+    val raw = new OmeZarrReader(mintStore("raw"), "*.zarr", level = 0)
+      .readObjects(spark).orderBy("external_id").collect()
+    val rawPngs = raw.map(_.getAs[Array[Byte]](10).toSeq)
+    // shard files of 2x2 inner chunks: a 3x3 inner-tile grid packs into a
+    // 2x2 shard grid whose edge shards carry MISSING index entries — the
+    // full sharded read must still serve the same 9 tiles per image
+    for ((codec, crc) <- Seq(("raw", false), ("gzip", true), ("blosc-lz4", false))) {
+      val root = Files.createTempDirectory("graft_zarr3_shard")
+      for (i <- 0 until 3) {
+        OmeZarrReader.writeTestZarrV3(root.resolve(f"img_$i%02d.zarr"),
+          width = 40, height = 24, levels = 3, chunkY = 8, chunkX = 16,
+          pixel = pix(i), codec = codec, crc32c = crc,
+          shardTiles = Some((2, 2)))
+      }
+      val reader = new OmeZarrReader(root.toString, "*.zarr", level = 0)
+      val got = reader.readObjects(spark).orderBy("external_id").collect()
+      assert(got.map(_.getAs[Array[Byte]](10).toSeq).toSeq === rawPngs.toSeq,
+        s"sharded v3 ($codec, innerCrc=$crc) must decode like unsharded raw")
+      assert(got.map(r => (r.getLong(0), r.getInt(4), r.getInt(5))).toSeq ===
+        raw.map(r => (r.getLong(0), r.getInt(4), r.getInt(5))).toSeq,
+        "tile ids and grid positions must be the INNER-chunk grid")
+      // metadata (JSON-only) agrees with the decoded tile set
+      assert(reader.readMetadata(spark).count() === got.length.toLong)
+    }
+    // a corrupted shard INDEX fails its crc32c loudly
+    val root = Files.createTempDirectory("graft_zarr3_shardbad")
+    OmeZarrReader.writeTestZarrV3(root.resolve("img.zarr"), 32, 16, 1, 8, 16,
+      pix(0), shardTiles = Some((2, 2)))
+    val shardFile = root.resolve("img.zarr/0/c/0/0")
+    val bytes = Files.readAllBytes(shardFile)
+    bytes(bytes.length - 6) = (bytes(bytes.length - 6) ^ 0x3).toByte // inside the index
+    Files.write(shardFile, bytes)
+    val e = intercept[Exception] {
+      new OmeZarrReader(root.toString, "*.zarr").readObjects(spark).collect()
+    }
+    val messages = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(messages.contains("crc32c"), s"corrupt shard index must name the crc: $messages")
+  }
+
+  test("v3 refusals are named: corrupt crc32c, malformed codec chains") {
     val root = Files.createTempDirectory("graft_zarr3_bad")
     val g = root.resolve("img.zarr")
     OmeZarrReader.writeTestZarrV3(g, 16, 16, 1, 8, 8, pix(0), codec = "gzip", crc32c = true)
@@ -153,17 +195,44 @@ class OmeZarrSpec extends AnyFunSuite {
     val messages = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
       .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
     assert(messages.contains("crc32c"), s"corrupt chunk must name the crc: $messages")
-    // sharding_indexed: refused at discovery with the codec named
-    val shardDir = root.resolve("shard.zarr")
-    OmeZarrReader.writeTestZarrV3(shardDir, 16, 16, 1, 8, 8, pix(0))
-    val zj = shardDir.resolve("0/zarr.json")
-    Files.write(zj, new String(Files.readAllBytes(zj), "UTF-8")
-      .replace("""{"name":"bytes","configuration":{"endian":"little"}}""",
-        """{"name":"sharding_indexed","configuration":{}}""").getBytes("UTF-8"))
-    val e2 = intercept[IllegalArgumentException] {
-      new OmeZarrReader(root.toString, "shard.zarr").readObjects(spark).collect()
+    // chain-shape validation: each malformed chain is refused at
+    // discovery with a named error instead of decoding stages in the
+    // wrong order (a [bytes, crc32c, gzip] chain would otherwise verify
+    // the checksum over the wrong bytes)
+    def mintWithChain(name: String, chain: String): String = {
+      val d = root.resolve(name)
+      OmeZarrReader.writeTestZarrV3(d, 16, 16, 1, 8, 8, pix(0))
+      val zj = d.resolve("0/zarr.json")
+      Files.write(zj, new String(Files.readAllBytes(zj), "UTF-8")
+        .replace("""[{"name":"bytes","configuration":{"endian":"little"}}]""", chain)
+        .getBytes("UTF-8"))
+      name
     }
-    assert(e2.getMessage.contains("sharding_indexed"), e2.getMessage)
+    val cases = Seq(
+      (mintWithChain("crcmid.zarr",
+        """[{"name":"bytes","configuration":{"endian":"little"}},{"name":"crc32c"},{"name":"gzip","configuration":{"level":5}}]"""),
+        "follows crc32c"),
+      (mintWithChain("twocomp.zarr",
+        """[{"name":"bytes","configuration":{"endian":"little"}},{"name":"gzip","configuration":{"level":5}},{"name":"zstd","configuration":{"level":3}}]"""),
+        "two compressors"),
+      (mintWithChain("nobytes.zarr",
+        """[{"name":"gzip","configuration":{"level":5}}]"""),
+        "must start with the bytes codec"),
+      (mintWithChain("twobytes.zarr",
+        """[{"name":"bytes","configuration":{"endian":"little"}},{"name":"bytes","configuration":{"endian":"little"}}]"""),
+        "second bytes codec"),
+      (mintWithChain("transpose.zarr",
+        """[{"name":"bytes","configuration":{"endian":"little"}},{"name":"transpose","configuration":{"order":[1,0]}}]"""),
+        "transpose"),
+      (mintWithChain("shardtail.zarr",
+        """[{"name":"bytes","configuration":{"endian":"little"}},{"name":"sharding_indexed","configuration":{}}]"""),
+        "sharding_indexed"))
+    for ((name, expect) <- cases) {
+      val err = intercept[IllegalArgumentException] {
+        new OmeZarrReader(root.toString, name).readObjects(spark).collect()
+      }
+      assert(err.getMessage.contains(expect), s"$name: ${err.getMessage}")
+    }
   }
 
   test("unsupported stores fail with named errors; empty dir is empty, not a crash") {
