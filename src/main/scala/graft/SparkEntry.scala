@@ -1731,20 +1731,12 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
-  /** The training CTE chain shared by both BPE oracles: words → spaced
-    * segmentations → [[BpeMergeCount]] × (pair counts, argmax, apply). */
-  private def bpeOracleSteps: String = {
-    val words =
-      // AS MATERIALIZED is load-bearing: every step reads w(t-1) twice
-      // (pair counts + apply), so inlined CTEs re-derive the chain
-      // exponentially — materialization makes the replay linear in steps
-      """words AS MATERIALIZED (
-        |  SELECT word, count(*)::BIGINT AS f
-        |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
-        |        FROM documents)
-        |  GROUP BY 1),
-        |w0 AS MATERIALIZED (SELECT ' ' || regexp_replace(word, '(.)', '\1 ', 'g') AS w, f FROM words)""".stripMargin
-    val steps = (1 to BpeMergeCount).map { t =>
+  /** The training CTE chain shared by the BPE oracles: `head` derives
+    * (word freqs → spaced segmentations w0), then `count` × (pair
+    * counts, argmax, apply) steps — alphabet-agnostic (letter symbols
+    * and byte-mode hex pairs ride the same replay). */
+  private def bpeStepsFrom(head: String, count: Int): String = {
+    val steps = (1 to count).map { t =>
       s"""p$t AS MATERIALIZED (
          |  SELECT pr AS pair, sum(f) AS c FROM (
          |    SELECT unnest(list_transform(range(1, len(s)), i -> s[i] || ' ' || s[i+1])) AS pr, f
@@ -1756,8 +1748,22 @@ object SparkEntry {
          |                  ' ' || replace((SELECT pair FROM m$t), ' ', '') || ' ') AS w, f
          |        FROM w${t - 1})""".stripMargin
     }
-    (Seq(words) ++ steps).mkString(",\n")
+    (Seq(head) ++ steps).mkString(",\n")
   }
+
+  /** Letter-mode head + [[BpeMergeCount]] steps. */
+  private def bpeOracleSteps: String =
+    bpeStepsFrom(
+      // AS MATERIALIZED is load-bearing: every step reads w(t-1) twice
+      // (pair counts + apply), so inlined CTEs re-derive the chain
+      // exponentially — materialization makes the replay linear in steps
+      """words AS MATERIALIZED (
+        |  SELECT word, count(*)::BIGINT AS f
+        |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        |        FROM documents)
+        |  GROUP BY 1),
+        |w0 AS MATERIALIZED (SELECT ' ' || regexp_replace(word, '(.)', '\1 ', 'g') AS w, f FROM words)""".stripMargin,
+      BpeMergeCount)
 
   private def bpeTrainOracle: String = {
     val union = (1 to BpeMergeCount)
@@ -1903,6 +1909,129 @@ object SparkEntry {
        |  p.token_id::INT AS token_id
        |FROM pos p JOIN cum c USING (doc_id)
        |ORDER BY shard, seq_id, seq_pos""".stripMargin
+  }
+
+  /** BYTE-level BPE training ([[graft.text.BpeTrainer.trainBytes]] —
+    * the GPT-2-class tokenizer real pipelines train): pretokens come
+    * from the RE2-safe GPT-2-style regex (contractions, ` ?letters`,
+    * ` ?digits`, ` ?punct`, whitespace runs; case PRESERVED), symbols
+    * are UTF-8 bytes as uppercase hex pairs, so non-ASCII text trains
+    * as its real byte sequences. The corpus is deterministically
+    * unicode-SALTED (the synthetic text is pure ASCII) with accented
+    * Latin, CJK, and ß — multi-byte UTF-8 actually flows through
+    * training. The DuckDB oracle re-learns every merge over
+    * `hex(encode(word))` segmentations — pretokenizer, byte
+    * decomposition, pair argmax, tie-break, and leftmost replace all
+    * sit inside the hash. */
+  private val BpeByteMergeCount = 8
+  private val BpeByteDocs = 40
+
+  /** The unicode salt, Spark side. EXPLICIT \\u escapes only — a pasted
+    * glyph precomposes silently and breaks byte-level parity. */
+  private def byteSalted(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 5 === 0, lit(" caf\u00e9 na\u00efve"))
+          .when(col("doc_id") % 5 === 1, lit(" \u65e5\u672c\u8a9e"))
+          .when(col("doc_id") % 5 === 2, lit(" \u00fcber stra\u00dfe"))
+          .otherwise(lit(""))).as("text"))
+
+  /** The same salt in DuckDB, characters built by code point (chr) so
+    * no literal glyph rides the SQL. */
+  private def byteSaltSql: String =
+    "text || CASE WHEN doc_id % 5 = 0 THEN ' caf' || chr(233) || ' na' || chr(239) || 've' " +
+      "WHEN doc_id % 5 = 1 THEN ' ' || chr(26085) || chr(26412) || chr(35486) " +
+      "WHEN doc_id % 5 = 2 THEN ' ' || chr(252) || 'ber stra' || chr(223) || 'e' " +
+      "ELSE '' END"
+
+  /** [[graft.text.BpeTrainer.BytePretokenRegex]] with SQL-quoted
+    * apostrophes (the contraction alternatives). */
+  private def byteRegexSql: String =
+    "''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^ \\t\\n\\r\\f\\p{L}\\p{N}]+|[ \\t\\n\\r\\f]+"
+
+  private def bpeByteModelUri(spark: SparkSession, dir: String): String =
+    cachedIndex("bpe_bytes_model", dir) { u =>
+      graft.text.BpeTrainer.trainBytes(byteSalted(spark, dir), BpeByteMergeCount)
+        .repartition(1).write.parquet(s"$u/merges")
+    }
+
+  private def textBpeTrainBytes(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"${bpeByteModelUri(spark, dir)}/merges").orderBy("rank")
+
+  /** Byte-mode head: GPT-2-style pretokens of the SALTED text →
+    * hex-pair segmentations. */
+  private def bpeByteOracleSteps: String =
+    bpeStepsFrom(
+      s"""words AS MATERIALIZED (
+         |  SELECT word, count(*)::BIGINT AS f
+         |  FROM (SELECT unnest(regexp_extract_all($byteSaltSql, '$byteRegexSql')) AS word
+         |        FROM documents)
+         |  GROUP BY 1),
+         |w0 AS MATERIALIZED (SELECT ' ' || regexp_replace(hex(encode(word)), '(..)', '\\1 ', 'g') AS w, f FROM words)""".stripMargin,
+      BpeByteMergeCount)
+
+  private def bpeTrainBytesOracle: String = {
+    val union = (1 to BpeByteMergeCount)
+      .map(t => s"SELECT $t AS rank, pair FROM m$t").mkString(" UNION ALL ")
+    s"""WITH $bpeByteOracleSteps
+       |SELECT rank, pair, replace(pair, ' ', '') AS merged
+       |FROM ($union) ORDER BY rank""".stripMargin
+  }
+
+  /** BYTE-level token-ID export ([[graft.text.BpeTrainer.encodeIdsBytes]]
+    * → the chain-faithful [[graft.text.BpeByteTokenIds]] kernel): ids
+    * 0–255 = raw bytes, 256+i = merge i's output, positions dense per
+    * document over the pretoken stream. The oracle RE-LEARNS the merges,
+    * re-encodes every pretoken through the hex-symbol replace chain, and
+    * converts hex pairs back to byte values — training through id space
+    * in one hash, multi-byte UTF-8 included. */
+  private def textBpeEncodeIdsBytes(spark: SparkSession, dir: String): DataFrame = {
+    val merges = spark.read.parquet(s"${bpeByteModelUri(spark, dir)}/merges")
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    graft.text.BpeTrainer.encodeIdsBytes(
+        byteSalted(spark, dir).where(col("doc_id") < BpeByteDocs), merges)
+      .orderBy("doc_id", "pos")
+  }
+
+  /** The sentinel-anchored byte-mode encode chain over a word-valued
+    * SQL expr: hex-pair spacing, then the learned replaces. */
+  private def bpeByteChainSql(wordExpr: String): String =
+    (1 to BpeByteMergeCount).foldLeft(
+        s"' ' || regexp_replace(hex(encode($wordExpr)), '(..)', '\\1 ', 'g')") { (c, t) =>
+      s"replace($c, (SELECT ' ' || pair || ' ' FROM m$t), " +
+        s"(SELECT ' ' || replace(pair, ' ', '') || ' ' FROM m$t))"
+    }
+
+  private def bpeEncodeIdsBytesOracle: String = {
+    val union = (1 to BpeByteMergeCount)
+      .map(t => s"SELECT $t AS rank, pair FROM m$t").mkString(" UNION ALL ")
+    s"""WITH $bpeByteOracleSteps,
+       |vocab AS MATERIALIZED (
+       |  SELECT replace(pair, ' ', '') AS sym, 256 + rank - 1 AS id FROM ($union)),
+       |dw AS MATERIALIZED (
+       |  SELECT doc_id, wpos, words[wpos] AS word FROM (
+       |    SELECT doc_id, unnest(generate_series(1, len(words))) AS wpos, words
+       |    FROM (SELECT doc_id, regexp_extract_all($byteSaltSql, '$byteRegexSql') AS words
+       |          FROM documents WHERE doc_id < $BpeByteDocs))),
+       |encw AS MATERIALIZED (
+       |  SELECT doc_id, wpos, string_split(trim(${bpeByteChainSql("word")}), ' ') AS syms
+       |  FROM dw),
+       |toks AS (
+       |  SELECT doc_id, wpos, spos, syms[spos] AS sym FROM (
+       |    SELECT doc_id, wpos, unnest(generate_series(1, len(syms))) AS spos, syms
+       |    FROM encw)),
+       |ids AS (
+       |  SELECT t.doc_id, t.wpos, t.spos,
+       |    CASE WHEN length(t.sym) = 2
+       |      THEN (instr('0123456789ABCDEF', t.sym[1]) - 1) * 16
+       |           + (instr('0123456789ABCDEF', t.sym[2]) - 1)
+       |      ELSE v.id END AS token_id
+       |  FROM toks t LEFT JOIN vocab v ON v.sym = t.sym)
+       |SELECT doc_id,
+       |  (row_number() OVER (PARTITION BY doc_id ORDER BY wpos, spos) - 1)::INT AS pos,
+       |  token_id::INT AS token_id
+       |FROM ids ORDER BY doc_id, pos""".stripMargin
   }
 
   /** Canonical text normalization ([[TextOps.normalizeText]]): each doc
@@ -2385,6 +2514,8 @@ object SparkEntry {
     "text_source_cap" -> (textSourceCap _),
     "text_bpe_token_count" -> (textBpeTokenCount _),
     "text_bpe_train" -> (textBpeTrain _),
+    "text_bpe_train_bytes" -> (textBpeTrainBytes _),
+    "text_bpe_encode_ids_bytes" -> (textBpeEncodeIdsBytes _),
     "text_bpe_encode" -> (textBpeEncode _),
     "text_bpe_encode_ids" -> (textBpeEncodeIds _),
     "text_pack_ids" -> (textPackIds _),
@@ -3091,6 +3222,8 @@ object SparkEntry {
     "text_normalize" -> textNormalizeOracle,
     "dedup_exact_normalized" -> dedupExactNormalizedOracle,
     "text_bpe_train" -> bpeTrainOracle,
+    "text_bpe_train_bytes" -> bpeTrainBytesOracle,
+    "text_bpe_encode_ids_bytes" -> bpeEncodeIdsBytesOracle,
     "text_bpe_encode" -> bpeEncodeOracle,
     "text_bpe_encode_ids" -> bpeEncodeIdsOracle,
     "text_pack_ids" -> textPackIdsOracle,

@@ -120,5 +120,21 @@ object TextScaleBench {
         .agg(count(lit(1)), sum("n_bpe_tokens")).head()
       s"docs=${r.getLong(0)} tokens=${r.getLong(1)} (kernel, ${deep.size} merges)"
     }
+    // BYTE-level arm: GPT-2-style pretokens, hex-pair symbols — the
+    // pretoken vocabulary is larger (case preserved, punctuation and
+    // whitespace tokens), so topV caps the training state the same way
+    var byteMerges: Seq[(String, String)] = Seq.empty
+    timed("bpe_train_bytes") {
+      byteMerges = graft.text.BpeTrainer
+        .trainBytesTopV(corpus, numMerges = 2048, topV = 50000)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      s"merges=${byteMerges.size} topV=50000"
+    }
+    timed("bpe_encode_bytes") {
+      val r = graft.text.BpeTrainer.encodeTokenCountsBytes(corpus, byteMerges)
+        .agg(count(lit(1)), sum("n_bpe_tokens")).head()
+      s"docs=${r.getLong(0)} tokens=${r.getLong(1)} (byte kernel, ${byteMerges.size} merges)"
+    }
   }
 }

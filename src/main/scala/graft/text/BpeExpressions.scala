@@ -127,7 +127,166 @@ case class BpeTokenIds(child: Expression, merges: Array[String])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** BYTE-level BPE token count — [[BpeTokenCount]]'s sibling for merge
+  * tables trained by [[BpeTrainer.trainBytes]]: pretokens come from the
+  * GPT-2-style [[BpeTrainer.BytePretokenRegex]] (case preserved, every
+  * character covered), symbols are UTF-8 bytes rendered as uppercase
+  * hex pairs, and the same chain-faithful pass/resume contract applies
+  * in hex-symbol space. */
+case class BpeByteTokenCount(child: Expression, merges: Array[String])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bpe_byte_token_count requires a string argument, got ${child.dataType.catalogString}")
+  }
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bpe_byte_token_count"
+
+  private lazy val ranks: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.length * 2)
+    var i = 0
+    while (i < merges.length) { m.put(merges(i), Integer.valueOf(i)); i += 1 }
+    m
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    BpeKernel.byteCountTokens(v.asInstanceOf[UTF8String], ranks)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ranksRef = ctx.addReferenceObj("bpeByteRanks", ranks, "java.util.HashMap")
+    nullSafeCodeGen(ctx, ev, s => {
+      s"${ev.value} = graft.text.BpeKernel.byteCountTokens($s, $ranksRef);"
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** BYTE-level BPE token IDS — [[BpeTokenIds]]'s byte-mode sibling: ids
+  * 0–255 are the raw bytes, 256 + i is the output of merge index i
+  * (hex-pair symbols decode to their byte value). Duplicate merge
+  * outputs refused, same as letter mode. */
+case class BpeByteTokenIds(child: Expression, merges: Array[String])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bpe_byte_token_ids requires a string argument, got ${child.dataType.catalogString}")
+  }
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bpe_byte_token_ids"
+
+  private lazy val ranks: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.length * 2)
+    var i = 0
+    while (i < merges.length) { m.put(merges(i), Integer.valueOf(i)); i += 1 }
+    m
+  }
+
+  private lazy val mergedIds: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.length * 2)
+    var i = 0
+    while (i < merges.length) {
+      val sym = merges(i).replace(" ", "")
+      require(m.put(sym, Integer.valueOf(256 + i)) == null,
+        s"graft: two merges output '$sym' — ambiguous vocabulary")
+      i += 1
+    }
+    m
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      BpeKernel.byteTokenIds(v.asInstanceOf[UTF8String], ranks, mergedIds))
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ranksRef = ctx.addReferenceObj("bpeByteRanks", ranks, "java.util.HashMap")
+    val idsRef = ctx.addReferenceObj("bpeByteMergedIds", mergedIds, "java.util.HashMap")
+    nullSafeCodeGen(ctx, ev, s => {
+      s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.text.BpeKernel.byteTokenIds($s, $ranksRef, $idsRef));"
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object BpeKernel {
+
+  /** [[BpeTrainer.BytePretokenRegex]], compiled once per JVM; Pattern is
+    * thread-safe (each call mints its own matcher). */
+  private lazy val bytePretokenPattern =
+    java.util.regex.Pattern.compile(BpeTrainer.BytePretokenRegex)
+
+  /** Sum of per-pretoken BPE segment counts over the GPT-2-style
+    * pretokens of the raw text (byte mode: case preserved). */
+  def byteCountTokens(text: UTF8String, ranks: java.util.HashMap[String, Integer]): Long = {
+    val s = text.toString
+    val m = bytePretokenPattern.matcher(s)
+    var total = 0L
+    while (m.find()) {
+      val hx = toHex(s.substring(m.start, m.end))
+      val (_, _, count) = encodeSpans(hx, 0, hx.length, 2, ranks)
+      total += count
+    }
+    total
+  }
+
+  /** Byte-mode token IDS: pretokens in document order, each segmented in
+    * hex-symbol space; a 2-char segment is its byte value (0–255), a
+    * longer one is a merge output resolved through `mergedIds`. */
+  def byteTokenIds(
+      text: UTF8String,
+      ranks: java.util.HashMap[String, Integer],
+      mergedIds: java.util.HashMap[String, Integer]): Array[Int] = {
+    val s = text.toString
+    val m = bytePretokenPattern.matcher(s)
+    val out = new scala.collection.mutable.ArrayBuffer[Int](64)
+    while (m.find()) {
+      val hx = toHex(s.substring(m.start, m.end))
+      val (starts, ends, count) = encodeSpans(hx, 0, hx.length, 2, ranks)
+      var k = 0
+      while (k < count) {
+        val len = ends(k) - starts(k)
+        if (len == 2) out += hexVal(hx.charAt(starts(k))) * 16 + hexVal(hx.charAt(starts(k) + 1))
+        else {
+          val sym = hx.substring(starts(k), ends(k))
+          val id = mergedIds.get(sym)
+          if (id == null) throw new IllegalStateException(
+            s"graft: BPE segment '$sym' is not any merge's output — " +
+              "the merge table is not self-consistent")
+          out += id.intValue()
+        }
+        k += 1
+      }
+    }
+    out.toArray
+  }
+
+  /** UPPERCASE hex of a string's UTF-8 bytes ([[BpeTrainer.hexSpaced]]'s
+    * alphabet without the spacing — spans carry the boundaries). */
+  private def toHex(w: String): String = {
+    val bytes = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val sb = new java.lang.StringBuilder(bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      val v = bytes(i) & 0xFF
+      sb.append(BpeTrainer.HexDigits(v >> 4)).append(BpeTrainer.HexDigits(v & 0xF))
+      i += 1
+    }
+    sb.toString
+  }
+
+  private def hexVal(c: Char): Int = if (c <= '9') c - '0' else c - 'A' + 10
 
   /** Sum of per-word BPE segment counts over the `[a-z]+` runs of the
     * lowercased text. */
@@ -206,8 +365,17 @@ object BpeKernel {
     * stays [b, an, a, n, a], never [b, an, an, a]). */
   private def encodeWordSpans(
       s: String, from: Int, until: Int,
+      ranks: java.util.HashMap[String, Integer]): (Array[Int], Array[Int], Int) =
+    encodeSpans(s, from, until, 1, ranks)
+
+  /** The span encoder behind both alphabets: initial symbols are
+    * `symWidth`-char slices of s[from, until) (1 = letter mode, 2 =
+    * byte-mode hex pairs); the merge loop is width-agnostic (spans
+    * concatenate, pair keys substring). */
+  private def encodeSpans(
+      s: String, from: Int, until: Int, symWidth: Int,
       ranks: java.util.HashMap[String, Integer]): (Array[Int], Array[Int], Int) = {
-    val len = until - from
+    val len = (until - from) / symWidth
     // symbols as (start, end) half-open spans over s — merging is span
     // concatenation, no string building until a rank lookup needs one
     val starts = new Array[Int](math.max(len, 1))
@@ -217,7 +385,10 @@ object BpeKernel {
       return (starts, ends, len)
     }
     var k = 0
-    while (k < len) { starts(k) = from + k; ends(k) = from + k + 1; k += 1 }
+    while (k < len) {
+      starts(k) = from + k * symWidth; ends(k) = from + (k + 1) * symWidth
+      k += 1
+    }
     var count = len
     var lastRank = -1
     var continueLoop = true

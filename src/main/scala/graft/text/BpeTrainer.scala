@@ -43,12 +43,54 @@ object BpeTrainer {
   val MaxVocabKey = "spark.graft.maxBpeVocab"
   val DefaultMaxVocab = 4000000L
 
+  /** GPT-2-style pretokenizer for BYTE-level training — the RE2-safe
+    * subset, so Spark (Java regex) and the DuckDB oracle (RE2) split
+    * text identically. Two documented deviations from the exact GPT-2
+    * pattern: (1) the trailing-whitespace lookahead `\s+(?!\S)` is not
+    * RE2-expressible, so a run of 2+ whitespace characters absorbs
+    * greedily instead of donating its last space to the next word
+    * (single inter-word spaces still attach to words — the common case
+    * is identical); (2) `\s` is spelled as an explicit ASCII class
+    * because Java's `\s` includes `\x0B` and RE2's does not. Case is
+    * PRESERVED (byte-level BPE sees the raw text), unlike the
+    * lowercase letter-mode trainer. */
+  val BytePretokenRegex: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^ \\t\\n\\r\\f\\p{L}\\p{N}]+|[ \\t\\n\\r\\f]+"
+
   /** Lowercase `[a-z]+` word frequencies — stage 1, the corpus pass. */
   def wordFrequencies(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs
       .select(explode(regexp_extract_all(lower(col(textCol)),
         lit("[a-z]+"), lit(0))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** [[BytePretokenRegex]] pretoken frequencies — the byte-mode corpus
+    * pass (case preserved, every character covered incl. non-ASCII). */
+  def byteWordFrequencies(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .select(explode(regexp_extract_all(col(textCol),
+        lit(BytePretokenRegex), lit(0))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** A pretoken's UTF-8 bytes as sentinel-spaced UPPERCASE-hex symbols
+    * (`" 48 65 "` for "He") — the byte-mode segmentation alphabet. Hex
+    * pairs keep symbols ASCII and space-free, so the sentinel-anchored
+    * replace contract and the (count desc, pair asc) binary tie-break
+    * carry over unchanged, and a SQL engine derives the same spacing as
+    * `' ' || regexp_replace(hex(encode(word)), '(..)', '\\1 ', 'g')`. */
+  private[text] def hexSpaced(w: String): String = {
+    val bytes = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val sb = new java.lang.StringBuilder(bytes.length * 3 + 1)
+    sb.append(' ')
+    var i = 0
+    while (i < bytes.length) {
+      val v = bytes(i) & 0xFF
+      sb.append(HexDigits(v >> 4)).append(HexDigits(v & 0xF)).append(' ')
+      i += 1
+    }
+    sb.toString
+  }
+  private[text] val HexDigits = "0123456789ABCDEF"
 
   /** Learn `numMerges` BPE merges. Returns (rank, pair, merged) with
     * rank 1-based in learning order; stops early (fewer rows) when no
@@ -78,7 +120,35 @@ object BpeTrainer {
     trainFromFrequencies(kept, numMerges)
   }
 
-  private[text] def trainFromFrequencies(wordFreq: DataFrame, numMerges: Int): DataFrame = {
+  /** [[train]] at the BYTE level: GPT-2-style pretokens
+    * ([[BytePretokenRegex]]), symbols = UTF-8 bytes as hex pairs
+    * ([[hexSpaced]]) — non-ASCII text trains as its real byte
+    * sequences. Same shape as [[train]]: one corpus pass, vocab-gated
+    * driver merge loop, SQL-replayable contract. */
+  def trainBytes(
+      docs: DataFrame,
+      numMerges: Int,
+      textCol: String = "text"): DataFrame =
+    trainFromFrequencies(byteWordFrequencies(docs, textCol), numMerges,
+      spacer = hexSpaced)
+
+  /** [[trainBytes]] over the `topV` most frequent pretokens only. */
+  def trainBytesTopV(
+      docs: DataFrame,
+      numMerges: Int,
+      topV: Int,
+      textCol: String = "text"): DataFrame = {
+    val wf = byteWordFrequencies(docs, textCol)
+    val kept = wf.orderBy(col("freq").desc, col("word")).limit(topV)
+    trainFromFrequencies(kept, numMerges, spacer = hexSpaced)
+  }
+
+  private[text] def charSpaced(w: String): String =
+    " " + w.toCharArray.mkString(" ") + " "
+
+  private[text] def trainFromFrequencies(
+      wordFreq: DataFrame, numMerges: Int,
+      spacer: String => String = charSpaced): DataFrame = {
     require(numMerges >= 1, s"graft: BPE numMerges must be >= 1, got $numMerges")
     val spark = wordFreq.sparkSession
     import spark.implicits._
@@ -92,9 +162,10 @@ object BpeTrainer {
     // jobs over a model-sized table would be pure scheduling overhead)
     val words = wordFreq.select(col("word").cast("string"), col("freq").cast("long"))
       .as[(String, Long)].collect()
-    // sentinel-spaced segmentation: " f a s t " (see class doc — the
-    // flanking spaces keep replaces anchored at symbol boundaries)
-    val spaced = words.map { case (w, f) => (" " + w.toCharArray.mkString(" ") + " ", f) }
+    // sentinel-spaced segmentation: " f a s t " letter-mode, " 48 65 "
+    // byte-mode (see class doc — the flanking spaces keep replaces
+    // anchored at symbol boundaries)
+    val spaced = words.map { case (w, f) => (spacer(w), f) }
     val merges = Seq.newBuilder[(Int, String, String)]
     var cur = spaced
     var rank = 1
@@ -180,6 +251,36 @@ object BpeTrainer {
     docs
       .select(col(idCol),
         toColumn(BpeTokenIds(toExpression(col(textCol)), merges.map(_._1).toArray))
+          .as("__ids"))
+      .select(col(idCol), posexplode(col("__ids")).as(Seq("pos", "token_id")))
+  }
+
+  /** BYTE-level token counts under a [[trainBytes]] merge table — one
+    * codegen'd [[BpeByteTokenCount]] call per document. */
+  def encodeTokenCountsBytes(
+      docs: DataFrame,
+      merges: Seq[(String, String)],
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.graftshim.{toColumn, toExpression}
+    docs.select(col(idCol),
+      toColumn(BpeByteTokenCount(toExpression(col(textCol)), merges.map(_._1).toArray))
+        .as("n_bpe_tokens"))
+  }
+
+  /** BYTE-level token-ID export under a [[trainBytes]] merge table
+    * ([[BpeByteTokenIds]]): (idCol, pos, token_id), ids 0–255 = raw
+    * bytes, 256+i = merge i's output; pos 0-based across the document's
+    * pretokens. Empty documents emit no rows. */
+  def encodeIdsBytes(
+      docs: DataFrame,
+      merges: Seq[(String, String)],
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.graftshim.{toColumn, toExpression}
+    docs
+      .select(col(idCol),
+        toColumn(BpeByteTokenIds(toExpression(col(textCol)), merges.map(_._1).toArray))
           .as("__ids"))
       .select(col(idCol), posexplode(col("__ids")).as(Seq("pos", "token_id")))
   }

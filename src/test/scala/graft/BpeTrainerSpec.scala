@@ -192,6 +192,65 @@ class BpeTrainerSpec extends AnyFunSuite {
     assert(e.getMessage.contains("ambiguous"), e.getMessage)
   }
 
+  test("byte-level trainer: GPT-2-style pretokens, UTF-8 hex symbols, non-ASCII real") {
+    // "aa aa aa" pretokenizes to ["aa", " aa", " aa"] (leading space
+    // attaches to words): pairs over hex symbols — ("61","61") appears
+    // 3x inside the a-a boundary of each token, ("20","61") 2x.
+    // First merge must be "61 61" (0x61 = 'a').
+    val docsDf = Seq((1L, "aa aa aa")).toDF("doc_id", "text")
+    val merges = graft.text.BpeTrainer.trainBytes(docsDf, 1)
+      .as[(Int, String, String)].collect()
+    assert(merges.head._2 === "61 61", merges.head.toString)
+    // non-ASCII: ß = UTF-8 C3 9F; three times over makes (C3,9F) the
+    // top pair — multi-byte characters train as their real bytes
+    val uml = Seq((1L, "ß ß ß")).toDF("doc_id", "text")
+    val m2 = graft.text.BpeTrainer.trainBytes(uml, 1).as[(Int, String, String)].collect()
+    assert(m2.head._2 === "C3 9F", m2.head.toString)
+    // case is preserved (byte mode sees raw text): "AB ab" yields
+    // distinct pretokens, so byte 0x41 ('A') appears in the id stream
+    val cased = Seq((1L, "AB AB AB ab")).toDF("doc_id", "text")
+    val m3 = graft.text.BpeTrainer.trainBytes(cased, 1).as[(Int, String, String)].collect()
+    assert(m3.head._2 === "41 42", m3.head.toString)
+  }
+
+  test("byte-level ids decode back to the exact original text, non-ASCII included") {
+    val texts = Seq(
+      (0L, "Hello, world! It's 42 degrees."),
+      (1L, "café naïve 日本語 straße"),
+      (2L, "  double  spaces\tand\nnewlines  "),
+      (3L, "banana papa aaaa")) // repeat-pair words in byte space too
+    val docsDf = texts.toDF("doc_id", "text")
+    val merges = graft.text.BpeTrainer.trainBytes(docsDf, 12)
+      .orderBy("rank").as[(Int, String, String)].collect()
+      .map(m => (m._2, m._3)).toSeq
+    val ids = graft.text.BpeTrainer.encodeIdsBytes(docsDf, merges)
+      .orderBy("doc_id", "pos").as[(Long, Int, Int)].collect()
+    // vocabulary: 0-255 raw bytes, 256+i = merge i's output hex
+    val mergedBytes = merges.map { case (_, out) =>
+      out.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray }
+    val rebuilt = ids.groupBy(_._1).map { case (d, rs) =>
+      val bytes = rs.sortBy(_._2).flatMap { case (_, _, id) =>
+        if (id < 256) Array(id.toByte) else mergedBytes(id - 256) }
+      d -> new String(bytes.toArray, java.nio.charset.StandardCharsets.UTF_8)
+    }
+    texts.foreach { case (d, t) =>
+      assert(rebuilt(d) === t, s"doc $d must decode back byte-exactly")
+    }
+    // the pretokenizer covers EVERY character (nothing dropped): id
+    // count bytes == utf-8 length per doc after merges are expanded
+    val posDense = graft.text.BpeTrainer.encodeIdsBytes(docsDf, merges)
+      .groupBy("doc_id")
+      .agg(min("pos").as("mn"), max("pos").as("mx"), count(lit(1)).as("n"))
+      .where(col("mn") =!= 0 || col("mx") =!= col("n") - 1).count()
+    assert(posDense === 0L)
+    // counts kernel agrees with the id stream length
+    val counts = graft.text.BpeTrainer.encodeTokenCountsBytes(docsDf, merges)
+      .as[(Long, Long)].collect().toMap
+    ids.groupBy(_._1).foreach { case (d, rs) =>
+      assert(counts(d) === rs.length.toLong, s"doc $d count vs ids")
+    }
+  }
+
   test("encode plan is a codegen'd expression chain: no UDF, no join, no window") {
     val docsDf = spark.read.parquet(s"$sf0001/documents.parquet")
     val plan = BpeTrainer.encodeTokenCounts(docsDf,
