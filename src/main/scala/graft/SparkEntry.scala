@@ -1224,6 +1224,39 @@ object SparkEntry {
       .orderBy("qid", "rank")
   }
 
+  /** PARTITION-granular incremental maintenance ([[graft.objects
+    * .ObjectIndex.updateIndexFromReaderPartitions]] — the reference's
+    * per-partition embeddings_ingestion fan-out): the index is created
+    * on a corpus whose `src3` partition is missing half its documents
+    * (ids ≡ 3 mod 40), then the reader moves to the current corpus
+    * (full minus doc 23, itself a src3 member) and the partition diff
+    * runs with partitionCol="source": ONLY src3's signature moved, so
+    * its current documents re-embed (upsert) and doc 23's chunks
+    * tombstone, while the other 19 partitions are never touched
+    * (work ∝ 1/20 — spec-asserted with a counting embedding). FLAT raw
+    * store keeps everything bit-identical to building on the current
+    * corpus directly, so the oracle is the full replay minus doc 23. */
+  private def objectSearchPartitionIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val embP = new graft.objects.HashTextEmbedding(64)
+    val v2 = new graft.objects.FilteredObjectReader(
+      new graft.objects.DocumentsTableReader(dir), "doc_id != 23")
+    val uri = cachedIndex("obj_part_incr", dir) { u =>
+      graft.objects.ObjectIndex.create(spark, u,
+        new graft.objects.FilteredObjectReader(
+          new graft.objects.DocumentsTableReader(dir), "NOT (doc_id % 40 = 3)"),
+        embP, indexType = "FLAT", timestamp = 1000L)
+      new graft.objects.ObjectIndex(spark, u, v2, embP)
+        .updateIndexFromReaderPartitions(ts = 2000L, partitionCol = "source",
+          contentHashCol = Some("n_chars"))
+    }
+    val idx = new graft.objects.ObjectIndex(spark, uri, v2, embP)
+    val queries = docs(spark, dir).where(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"), col("text"))
+    idx.query(queries, k = K2obj, nprobe = 1 << 30)
+      .select(col("qid"), col("rank"), col("external_id"))
+      .orderBy("qid", "rank")
+  }
+
   /** Update + delete + consolidate through the OBJECT layer, hash-gated
     * (the rest of the reference's `update_index` lifecycle,
     * object_index.py:736-881 + index.py:418-577, composed at the object
@@ -2453,6 +2486,7 @@ object SparkEntry {
     "object_search_maxsim" -> (objectSearchMaxsim _),
     "object_search" -> (objectSearch _),
     "object_search_incremental" -> (objectSearchIncremental _),
+    "object_search_partition_incremental" -> (objectSearchPartitionIncremental _),
     "object_search_upserted" -> (objectSearchUpserted _),
     "object_search_filtered" -> (objectSearchFiltered _),
     "object_search_prefiltered" -> (objectSearchPrefiltered _),
@@ -2878,6 +2912,19 @@ object SparkEntry {
          |SELECT r.qid, r.rank::INT AS rank, r.external_id, d.lang, d.source
          |FROM ranked r JOIN documents d ON r.doc_id = d.doc_id
          |WHERE r.rank <= $K2obj
+         |ORDER BY qid, rank""".stripMargin,
+    // partition-granular maintenance: V1-create (src3 half-missing) +
+    // partition diff to V2 (full minus doc 23) must equal building on V2
+    // directly bit-for-bit — src3 re-embeds deterministically, doc 23's
+    // chunks tombstone, every other partition rides its V1 base vectors
+    "object_search_partition_incremental" ->
+      s"""${objectSearchScoredCteFrom(
+             "(SELECT doc_id, text FROM documents WHERE doc_id != 23)")}
+         |SELECT qid,
+         |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, external_id)::INT AS rank,
+         |  external_id
+         |FROM scored
+         |QUALIFY rank <= $K2obj
          |ORDER BY qid, rank""".stripMargin,
     // fetch_k inflation (50×k candidates) then the metadata filter and the
     // order-preserving repack, emitted as the survivor SET (see the Spark

@@ -276,6 +276,79 @@ class ObjectIndex(
     updateIndex(objs, current.join(touched, Seq("external_id"), "left_semi"), ts)
   }
 
+  /** PARTITION-granular reader diff — the reference's per-partition
+    * maintenance fan-out (embeddings_ingestion.py:201-343 embeds one
+    * reader partition per task; update_index re-runs only the partitions
+    * whose source changed). Spark-native form: `partitionCol` names the
+    * reader-metadata column that identifies a source partition (a
+    * directory, a file, a source bucket); a per-partition SIGNATURE —
+    * row count + an order-insensitive xor-fold of per-row xxhash64 over
+    * (external_id[, contentHashCol]) — is aggregated on BOTH sides (two
+    * narrow scans, never a payload read), and only partitions whose
+    * signatures differ are touched: every CURRENT member of a changed
+    * partition re-embeds (upsert), and ids that left a changed partition
+    * without reappearing anywhere tombstone. Embedding work is therefore
+    * proportional to changed-partitions/total (spec-asserted with a
+    * counting embedding), not corpus size.
+    *
+    * Use [[updateIndexFromReader]] when per-ROW identity/fingerprints
+    * are reliable (strictly less re-embedding); use this when the change
+    * signal is naturally partition-level — in-partition edits, adds AND
+    * deletes are all caught from the metadata alone. Without
+    * `contentHashCol`, only membership changes are visible (an in-place
+    * edit that keeps ids needs a fingerprint column). No-op when no
+    * signature moved. */
+  def updateIndexFromReaderPartitions(
+      ts: Long,
+      partitionCol: String,
+      contentHashCol: Option[String] = None): Unit = {
+    val current = reader.readMetadata(spark)
+    require(current.columns.contains(partitionCol),
+      s"graft: partitionCol '$partitionCol' not in the reader's metadata " +
+        s"columns ${current.columns.sorted.mkString(", ")}")
+    require(metadata.columns.contains(partitionCol),
+      s"graft: partitionCol '$partitionCol' not in the stored object_metadata")
+    contentHashCol.foreach { hc =>
+      require(current.columns.contains(hc) && metadata.columns.contains(hc),
+        s"graft: contentHashCol '$hc' must exist in both the reader's " +
+          "metadata and the stored object_metadata")
+    }
+    def sig(df: DataFrame): DataFrame = {
+      val h = contentHashCol match {
+        case Some(hc) => xxhash64(col("external_id").cast("long"), col(hc))
+        case None => xxhash64(col("external_id").cast("long"))
+      }
+      // bit_xor, not sum: order-insensitive like sum but immune to ANSI
+      // long overflow; duplicate-row cancellation is impossible because
+      // external_id is unique within a partition
+      df.select(col(partitionCol).cast("string").as("__part"), h.as("__h"))
+        .groupBy("__part")
+        .agg(count(lit(1)).as("__n"), expr("bit_xor(__h)").as("__sig"))
+    }
+    val changed = sig(current).as("n")
+      .join(sig(metadata).as("s"), Seq("__part"), "full_outer")
+      .where(!(col("n.__n") <=> col("s.__n")) || !(col("n.__sig") <=> col("s.__sig")))
+      .select(col("__part"))
+    if (changed.limit(1).isEmpty) return
+    val curKeyed = current.select(
+      col(partitionCol).cast("string").as("__part"),
+      col("external_id").cast("long").as("external_id"))
+    // ids that left a changed partition and appear NOWHERE current —
+    // an id that merely MOVED partitions re-embeds under its new home
+    // (its new partition's signature changed too), never tombstones
+    val gone = metadata.select(
+        col(partitionCol).cast("string").as("__part"),
+        col("external_id").cast("long").as("external_id"))
+      .join(changed, Seq("__part"), "left_semi")
+      .select("external_id")
+      .join(curKeyed.select("external_id"), Seq("external_id"), "left_anti")
+    if (!gone.limit(1).isEmpty) deleteObjects(gone, ts)
+    val touched = curKeyed.join(changed, Seq("__part"), "left_semi")
+      .select("external_id")
+    val objs = reader.readObjects(spark).join(touched, Seq("external_id"), "left_semi")
+    updateIndex(objs, current.join(touched, Seq("external_id"), "left_semi"), ts)
+  }
+
   /** Fold both maintenance logs into fresh base tables: the vector side
     * re-ingests through [[graft.index.VectorIndex.consolidateUpdates]], the
     * metadata side compacts the merged view into a new `object_metadata`

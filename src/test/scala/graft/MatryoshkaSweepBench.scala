@@ -55,6 +55,36 @@ object MatryoshkaSweepBench {
         val r = SweepFixture.recall(exact, got, k)
         println(f"MATSWEEP prefix=$prefix%3d shortlist=$shortlist%5d recall@10=$r%6.4f wall=$t%6.2f s")
       }
+      // PRODUCTION-SEAM arms: the prefix shortlist served by an IVF_FLAT
+      // index over the materialized 16-dim prefix (the driver row's
+      // deployment shape, knn_matryoshka) probed at REAL nprobe values —
+      // the recall/latency trade actually shipped at scale, not just the
+      // probe-all correctness point. Recall decomposes as (prefix
+      // information loss) × (partition pruning loss); the probe-all row
+      // isolates the former, the √P rows add the latter.
+      val prefix = 16
+      val shortlist = 100 * k
+      val parts = math.max(1, math.sqrt(n.toDouble).toInt) // the ingest default, pinned
+      val uri = java.nio.file.Files.createTempDirectory("graft_mat_ivf").toString
+      graft.index.Ingest.ingest(spark, uri,
+        corpus.select(col("external_id"),
+          slice(col("vector"), 1, prefix).as("vector")),
+        "IVF_FLAT", DistanceMetric.Cosine, timestamp = 1000L,
+        partitions = Some(parts))
+      val idx = graft.index.VectorIndex.open(spark, uri)
+      val sqrtP = math.max(1, math.round(math.sqrt(parts.toDouble)).toInt)
+      val qPre = qs.select(col("qid"), slice(col("qvec"), 1, prefix).as("qvec"))
+      for (nprobe <- Seq(1, sqrtP, 2 * sqrtP, parts).distinct) {
+        val (got, t) = timed {
+          val cand = idx.query(qPre, shortlist, nprobe).select("qid", "id")
+          SweepFixture.groundTruth(
+            Knn.matryoshkaRerank(cand, corpus, qs, k, DistanceMetric.Cosine,
+              idCol = "external_id", vecCol = "vector"))
+        }
+        val r = SweepFixture.recall(exact, got, k)
+        println(f"MATSWEEP ivf prefix=$prefix%3d shortlist=$shortlist%5d parts=$parts%4d " +
+          f"nprobe=$nprobe%4d recall@10=$r%6.4f wall=$t%6.2f s")
+      }
     } finally {
       org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
         .delete(new org.apache.hadoop.fs.Path(corpusPath), true)

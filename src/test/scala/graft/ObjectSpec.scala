@@ -8,6 +8,13 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.multimodal.Multimodal
 import graft.objects.{DirectoryImageReader, DocumentsTableReader, HashTextEmbedding, ImageStatsEmbedding, ObjectIndex, StubImageEmbedding}
 
+/** Per-JVM embed-call counter for the partition-granularity assertion —
+  * local-mode executors share the JVM, so a static AtomicLong sees every
+  * task's increments. */
+object ObjectSpecCounters {
+  val embedded = new java.util.concurrent.atomic.AtomicLong(0L)
+}
+
 class ObjectSpec extends AnyFunSuite {
   import SparkTestSession._
 
@@ -392,6 +399,68 @@ class ObjectSpec extends AnyFunSuite {
       idx.updateIndexFromReader(3000L, contentHashCol = Some("nope"))
     }
     assert(e.getMessage.contains("contentHashCol"), e.getMessage)
+  }
+
+  test("partition-granular reader diff: only changed partitions re-embed; removals tombstone") {
+    import spark.implicits._
+    val src = tmp()
+    // 40 docs in 4 partitions p0..p3 (doc_id % 4), per-row fingerprints
+    def srcDf(drop: Set[Long], mutate: Set[Long]) =
+      spark.range(40).toDF("doc_id")
+        .where(if (drop.isEmpty) lit(true) else !col("doc_id").isin(drop.toSeq: _*))
+        .select(col("doc_id"),
+          concat(lit("part doc body "), col("doc_id"),
+            if (mutate.isEmpty) lit("")
+            else when(col("doc_id").isin(mutate.toSeq: _*), lit(" MUTATED"))
+              .otherwise(lit(""))).as("text"),
+          concat(lit("p"), col("doc_id") % 4).as("part"))
+        .withColumn("text_fp", xxhash64(col("text")))
+    srcDf(Set.empty, Set.empty).write.mode("overwrite").parquet(s"$src/docs")
+    val rdr = new graft.objects.ParquetTableReader(
+      s"$src/docs", idCol = "doc_id", contentCol = "text")
+    // counting embedding: every object that reaches embed() increments
+    class CountingEmbedding extends HashTextEmbedding(32) {
+      override def embed(objects: Iterator[(Long, String)]): Iterator[(Long, Int, Array[Float])] =
+        super.embed(objects.map { o => ObjectSpecCounters.embedded.incrementAndGet(); o })
+    }
+    val emb = new CountingEmbedding
+    val uri = tmp()
+    ObjectIndex.create(spark, uri, rdr, emb, indexType = "FLAT", timestamp = 1000L)
+    val idx = new ObjectIndex(spark, uri, rdr, emb)
+    // unchanged source → signatures equal on all 4 partitions → no-op
+    ObjectSpecCounters.embedded.set(0L)
+    idx.updateIndexFromReaderPartitions(1500L, "part", Some("text_fp"))
+    assert(ObjectSpecCounters.embedded.get() === 0L, "no-op must embed nothing")
+    assert(!graft.index.Storage.nonEmptyDir(s"$uri/updates"))
+    // mutate doc 5 and remove doc 9 — both in partition p1; the diff must
+    // re-embed EXACTLY p1's 9 current docs (work = 1/4 of the corpus, not
+    // 40) and tombstone doc 9
+    srcDf(Set(9L), Set(5L)).write.mode("overwrite").parquet(s"$src/docs")
+    ObjectSpecCounters.embedded.set(0L)
+    idx.updateIndexFromReaderPartitions(2000L, "part", Some("text_fp"))
+    assert(ObjectSpecCounters.embedded.get() === 9L,
+      s"only p1's 9 current docs may re-embed, got ${ObjectSpecCounters.embedded.get()}")
+    val logIds = spark.read.parquet(s"$uri/updates")
+      .select("external_id").distinct().as[Long].collect().toSet
+    assert(logIds === (1L until 40L by 4).toSet,
+      s"updates log must hold exactly p1's ids (upserts + doc 9's tombstone): $logIds")
+    // serving: the mutated content retrieves doc 5; doc 9 is gone
+    val qTop = idx.query(Seq((99L, "part doc body 5 MUTATED")).toDF("qid", "text"), k = 1)
+      .select("external_id").head().getLong(0)
+    assert(qTop === 5L, s"mutated content must serve the new vector, got $qTop")
+    val nine = idx.query(Seq((99L, "part doc body 9")).toDF("qid", "text"), k = 40)
+      .where(col("external_id") === 9L).count()
+    assert(nine === 0L, "removed doc must not surface")
+    // metadata merged view reflects the move: doc 9 gone, doc 5's new fp
+    assert(idx.metadata.where(col("external_id") === 9L).isEmpty)
+    val fp5 = srcDf(Set(9L), Set(5L)).where(col("doc_id") === 5).select("text_fp").head().getLong(0)
+    assert(idx.metadata.where(col("external_id") === 5L)
+      .select("text_fp").head().getLong(0) === fp5)
+    // a partition column the metadata does not carry is a named error
+    val e = intercept[IllegalArgumentException] {
+      idx.updateIndexFromReaderPartitions(3000L, "nope")
+    }
+    assert(e.getMessage.contains("partitionCol"), e.getMessage)
   }
 
   test("parquet 1-D table reader: documents table as a direct object source") {
