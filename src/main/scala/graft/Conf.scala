@@ -26,6 +26,13 @@ object Conf {
   def intOption(spark: SparkSession, key: String): Option[Int] =
     spark.conf.getOption(key).map(parseInt(key, _))
 
+  def double(spark: SparkSession, key: String, default: Double): Double =
+    spark.conf.getOption(key).map(parseDouble(key, _)).getOrElse(default)
+
+  def parseDouble(key: String, v: String): Double =
+    v.trim.toDoubleOption.getOrElse(throw new IllegalArgumentException(
+      s"graft: malformed value '$v' for $key (expected a number)"))
+
   def parseLong(key: String, v: String): Long =
     try v.trim.toLong
     catch {

@@ -698,6 +698,55 @@ object SparkEntry {
     idsOnly(VectorIndex.open(spark, uri).query(idxQueries(spark, dir), K))
   }
 
+  /** IVF_SQ8 at probe-all with a candidate-covering kFactor: the 1-byte/dim
+    * scalar-quantized scan shortlists the whole base and the exact float
+    * re-rank makes the result brute-force-identical — validates the
+    * quantize/store/probe/re-rank plumbing hash-exactly
+    * ([[graft.index.IvfSq8Index]]). */
+  private def ivfSq8ExactRerank(spark: SparkSession, dir: String): DataFrame = {
+    val uri = cachedIndex("ivf_sq8", dir) { u =>
+      Ingest.ingest(spark, u, embAsIndexInput(spark, dir), "IVF_SQ8",
+        DistanceMetric.L2, timestamp = 1000L)
+    }
+    val idx = VectorIndex.open(spark, uri).asInstanceOf[graft.index.IvfSq8Index]
+    idsOnly(idx.queryBase(idxQueries(spark, dir), K, nprobe0 = 1 << 30,
+      kFactor = 1e9f / K))
+  }
+
+  /** IVF_SQ8 at defaults (nprobe=√partitions, kFactor=4): genuinely
+    * approximate — the DuckDB oracle replays the probe, the asymmetric
+    * dequantized scoring over the PERSISTED codes/quantizer, the k·kFactor
+    * shortlist, and the exact re-rank ([[ivfSq8DefaultReplayOracle]]). */
+  private def ivfSq8Default(spark: SparkSession, dir: String): DataFrame = {
+    val uri = cachedIndex("ivf_sq8", dir) { u =>
+      Ingest.ingest(spark, u, embAsIndexInput(spark, dir), "IVF_SQ8",
+        DistanceMetric.L2, timestamp = 1000L)
+    }
+    idsOnly(VectorIndex.open(spark, uri).query(idxQueries(spark, dir), K))
+  }
+
+  /** U1–U3 on IVF_SQ8: the SAME updates script as the FLAT/BINARY updates
+    * rows, queried at probe-all with the session kFactor override pinned
+    * candidate-covering — the log-merged result is exact, so the shared
+    * updates oracle applies verbatim (proves the quantized base and the
+    * raw-vector updates log merge on the shared lifecycle machinery). */
+  private def ivfSq8UpdatesKnn(spark: SparkSession, dir: String): DataFrame = {
+    val uri = cachedIndex("sq8_upd", dir) { u =>
+      val base = embAsIndexInput(spark, dir)
+      applyUpdatesScript(
+        Ingest.ingest(spark, u, base, "IVF_SQ8", DistanceMetric.L2, timestamp = 1000L),
+        base)
+    }
+    val prior = spark.conf.getOption(graft.index.IvfSq8Index.KFactorKey)
+    spark.conf.set(graft.index.IvfSq8Index.KFactorKey, (1e9 / K).toString)
+    try idsOnly(VectorIndex.open(spark, uri)
+      .query(idxQueries(spark, dir), K, nprobe = 1 << 30))
+    finally prior match {
+      case Some(v) => spark.conf.set(graft.index.IvfSq8Index.KFactorKey, v)
+      case None => spark.conf.unset(graft.index.IvfSq8Index.KFactorKey)
+    }
+  }
+
   /** Shared recall-emitting shape of the two VAMANA queries. Beam search is
     * not SQL-replayable, so the driver row is made hash-checkable the way
     * the reference itself gates Vamana — accuracy vs exact brute force
@@ -2505,6 +2554,9 @@ object SparkEntry {
     "events_asof_join" -> (eventsAsofJoin _),
     "events_band_join" -> (eventsBandJoin _),
     "ivf_pq_default" -> (ivfPqDefault _),
+    "ivf_sq8_exact_rerank" -> (ivfSq8ExactRerank _),
+    "ivf_sq8_default" -> (ivfSq8Default _),
+    "ivf_sq8_updates_knn" -> (ivfSq8UpdatesKnn _),
     "updates_knn" -> (updatesKnn _),
     "binary_idx_updates_knn" -> (binaryIdxUpdatesKnn _),
     "consolidated_updates_knn" -> (consolidatedUpdatesKnn _),
@@ -2778,6 +2830,10 @@ object SparkEntry {
     "updates_knn" -> updatesOracle,
     // exact at probe-all over the identical merged state
     "binary_idx_updates_knn" -> updatesOracle,
+    // SQ8 probe-all + covering kFactor re-ranks exactly → brute force
+    "ivf_sq8_exact_rerank" -> knnOracle("list_distance(n.embedding, q.embedding)"),
+    // same updates script, probe-all + covering kFactor → exact merge
+    "ivf_sq8_updates_knn" -> updatesOracle,
     // a consolidated fold must serve the identical merged state
     "consolidated_updates_knn" -> updatesOracle,
     // after clear_history the surviving full version is plain brute force
@@ -3677,6 +3733,7 @@ object SparkEntry {
         |ORDER BY doc_id, rank""".stripMargin,
   ) ++ w2vReplayOracle ++
     ivfNprobeReplayOracle ++ ivfHistogramReplayOracle ++ ivfPqDefaultReplayOracle ++
+    ivfSq8DefaultReplayOracle ++
     knnGraphAnnReplayOracle ++ annDedupReplayOracles ++ lshReplayOracle ++
     lmReplayOracle ++ dsirReplayOracle ++ bm25ReplayOracle ++
     qualityClfReplayOracle ++ pipelineFunnelOracle ++ pcaReplayOracle ++
@@ -4186,6 +4243,51 @@ object SparkEntry {
              |  SELECT qid, external_id FROM adc
              |  QUALIFY row_number() OVER (PARTITION BY qid
              |      ORDER BY adist, external_id) <= 2 * $K)
+             |SELECT c.qid AS qid, b.external_id AS neighbor_id
+             |FROM cand c JOIN base b USING (external_id) JOIN q ON q.qid = c.qid
+             |QUALIFY row_number() OVER (PARTITION BY c.qid
+             |    ORDER BY list_distance(b.vector, q.embedding), b.external_id) <= $K
+             |ORDER BY 1, 2""".stripMargin
+      }.toMap
+
+  /** DuckDB replay of the DEFAULT IVF_SQ8 query against the persisted
+    * index: nprobe = √partitions probe (ties as in the IVF replay),
+    * asymmetric scoring = squared L2 between the exact query and the
+    * DEQUANTIZED stored codes (`min_d + scale_d · code_d`, each code byte
+    * parsed out of the BLOB's hex form), top k·kFactor=40 candidates per
+    * query, exact re-rank to top-k. Same float32-vs-double caveat and
+    * kFactor boundary buffer as [[ivfPqDefaultReplayOracle]]; same
+    * dump-order contract (present only once the ivf_sq8 fixture exists). */
+  private def ivfSq8DefaultReplayOracle: Map[String, String] =
+    indexCache.collectFirst { case (k, uri) if k.startsWith("ivf_sq8|") => uri }
+      .map { uri =>
+        "ivf_sq8_default" ->
+          s"""WITH cents AS (
+             |  SELECT partition_id::INT AS partition_id, centroid
+             |  FROM read_parquet('$uri/centroids/v=1000/*.parquet')),
+             |sqp AS (SELECT mins, scales FROM read_parquet('$uri/sq_params/v=1000/*.parquet')),
+             |q AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < $NQ),
+             |probes AS (
+             |  SELECT q.qid, c.partition_id
+             |  FROM q CROSS JOIN cents c
+             |  QUALIFY row_number() OVER (PARTITION BY q.qid
+             |      ORDER BY list_distance(c.centroid, q.embedding), c.partition_id)
+             |    <= (SELECT greatest(1, floor(sqrt(count(*)))::INT) FROM cents)),
+             |base AS (
+             |  SELECT external_id, vector, sq, partition_id::INT AS partition_id
+             |  FROM read_parquet('$uri/base/v=1000/*/*.parquet', hive_partitioning=true)),
+             |dims AS (SELECT unnest(range(len(mins))) AS j FROM sqp),
+             |scored AS (
+             |  SELECT p.qid, b.external_id,
+             |    sum((q.embedding[d.j + 1] - (s.mins[d.j + 1] + s.scales[d.j + 1] *
+             |        ('0x' || substr(hex(b.sq), 2 * d.j + 1, 2))::INT)) ^ 2) AS adist
+             |  FROM probes p JOIN base b USING (partition_id) JOIN q USING (qid)
+             |  CROSS JOIN dims d CROSS JOIN sqp s
+             |  GROUP BY p.qid, b.external_id),
+             |cand AS (
+             |  SELECT qid, external_id FROM scored
+             |  QUALIFY row_number() OVER (PARTITION BY qid
+             |      ORDER BY adist, external_id) <= 4 * $K)
              |SELECT c.qid AS qid, b.external_id AS neighbor_id
              |FROM cand c JOIN base b USING (external_id) JOIN q ON q.qid = c.qid
              |QUALIFY row_number() OVER (PARTITION BY c.qid

@@ -34,19 +34,27 @@ object VamanaSweepBench {
     val replicas = args.lift(4).map(_.toInt).getOrElse(2)
     val shardsOpt = args.lift(5).map(_.toInt)
     val pq = args.lift(6).exists(_ == "1")
+    // Optional grid overrides (comma lists; S=0 means all-shard) — the
+    // default grid scans 12 cells, too many at 10M where each all-shard
+    // cell is a full-corpus graph traversal.
+    val sList = args.lift(7).map(_.split(",").map(_.toInt).toSeq)
+      .getOrElse(Seq(2, 4, 8, 0))
+    val lsList = args.lift(8).map(_.split(",").map(_.toInt).toSeq)
+      .getOrElse(Seq(50, 100, 200))
     val spark = SparkSession.builder()
       .appName("graft-vamana-sweep").master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try run(spark, sfDir, reps, nq, jitter, replicas, shardsOpt, pq)
+    try run(spark, sfDir, reps, nq, jitter, replicas, shardsOpt, pq, sList, lsList)
     finally spark.stop()
   }
 
   def run(spark: SparkSession, sfDir: String, reps: Int, nq: Int,
       jitter: Double, replicas: Int, shardsOpt: Option[Int] = None,
-      pq: Boolean = false): Unit = {
+      pq: Boolean = false, sList: Seq[Int] = Seq(2, 4, 8, 0),
+      lsList: Seq[Int] = Seq(50, 100, 200)): Unit = {
     val (corpusPath, big, n) = SweepFixture.replicatedCorpus(spark, sfDir, reps, jitter)
     println(s"VSWEEP_CORPUS n=$n dims=64 reps=$reps replicas=$replicas")
 
@@ -75,7 +83,7 @@ object VamanaSweepBench {
       Some(idx.withPqTraversal())
     } else None
 
-    for (s <- Seq(2, 4, 8, 0); ls <- Seq(50, 100, 200)) {
+    for (s <- sList; ls <- lsList) {
       if (s == 0 || s < shards) {
         val t1 = System.nanoTime()
         val got = SweepFixture.groundTruth(

@@ -310,6 +310,47 @@ object Ingest {
         packVector(assigned).write.mode("overwrite")
           .partitionBy("partition_id")
           .parquet(s"$uri/base/v=$timestamp")
+      case "IVF_SQ8" =>
+        // Scalar-quantized IVF: the IVF_FLAT layout plus a one-byte-per-dim
+        // `sq` codes column stored BESIDE the raw vectors in the same
+        // parquet — parquet is columnar, so the candidate scan reads only
+        // (external_id, sq) at 1 byte/dim (4x less IO than floats) while
+        // the exact re-rank fetches the float column for candidate rows
+        // only. The reference's lossy-scan story is IVF_PQ
+        // (src/include/index/ivf_pq_index.h); SQ8 is the higher-fidelity
+        // 1-byte/dim point on the same candidate-then-re-rank curve.
+        require(metric != DistanceMetric.InnerProduct,
+          "IVF_SQ8 supports SOS/L2/COSINE (per-dim affine codes cannot " +
+            "order INNER_PRODUCT against the trained range); use FLAT/IVF_FLAT")
+        require(!byteDtype,
+          s"IVF_SQ8 requires dtype float32, got $dtype (byte inputs are " +
+            "already 1 byte/dim — quantization buys nothing)")
+        val trainDfSq = trainingSource.map(_.select(
+          col("vector").cast("array<float>").as("vector"))).getOrElse(base)
+        val sqCentroids = presetCentroids.getOrElse(trainCentroids(trainDfSq, numParts,
+          trainingSampleSize.getOrElse(autoTrainingSize(count, numParts)),
+          totalRows = if (trainingSource.isEmpty) count else -1L))
+        writeCentroids(spark, uri, timestamp, sqCentroids)
+        // per-dim (min, max) over the FULL base in ONE pass: the posexplode
+        // rows never shuffle — partial aggregation reduces each task to
+        // `dims` keys before the exchange, so the driver collects dims rows
+        val ranges = base
+          .select(posexplode(col("vector")).as(Seq("dim", "x")))
+          .groupBy("dim").agg(min("x").as("lo"), max("x").as("hi"))
+          .collect().map(r => (r.getInt(0), r.getFloat(1), r.getFloat(2)))
+          .sortBy(_._1)
+        val sqMins = ranges.map(_._2)
+        val sqScales = ranges.map { case (_, lo, hi) => (hi - lo) / 255.0f }
+        writeSqParams(spark, uri, timestamp, sqMins, sqScales)
+        val assignedSq = base
+          .withColumn("partition_id",
+            toColumn(NearestCentroid(toExpression(col("vector")), sqCentroids)))
+          .withColumn("sq",
+            toColumn(graft.functions.Sq8Encode(
+              toExpression(col("vector")), sqMins, sqScales)))
+        assignedSq.write.mode("overwrite")
+          .partitionBy("partition_id")
+          .parquet(s"$uri/base/v=$timestamp")
       case "IVF_PQ" =>
         // reference default num_subspaces = dims/4 in its test config
         // (test_ingestion.py:219-274); codebooks are per-subspace k-means
@@ -733,6 +774,18 @@ object Ingest {
       .select(col("subspace"), col("code"), col("centroid").cast("array<float>").as("centroid"))
       .repartition(1)
       .write.mode("overwrite").parquet(s"$uri/pq_codebooks/v=$ts")
+  }
+
+  /** SQ8 quantizer parameters: one row, two dims-length arrays. Versioned
+    * like centroids so time travel reopens the matching quantizer. */
+  private[index] def writeSqParams(spark: SparkSession, uri: String, ts: Long,
+      mins: Array[Float], scales: Array[Float]): Unit = {
+    import spark.implicits._
+    Seq((mins.toSeq, scales.toSeq)).toDF("mins", "scales")
+      .select(col("mins").cast("array<float>").as("mins"),
+        col("scales").cast("array<float>").as("scales"))
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$uri/sq_params/v=$ts")
   }
 
   private def writeCentroids(

@@ -323,6 +323,7 @@ abstract class VectorIndex(
     // version's centroids instead of re-training k-means.
     val preset = if (reuseCentroids) this match {
       case ivf: IvfFlatIndex => Some(ivf.centroids)
+      case sq: IvfSq8Index => Some(sq.centroids)
       case _ => None
     } else None
     // VAMANA re-ingests with the SAME build shape as the active version
@@ -503,6 +504,7 @@ abstract class VectorIndex(
       Storage.deleteRecursively(s"$uri/graph/v=$t") // VAMANA adjacency
       Storage.deleteRecursively(s"$uri/pq_codebooks/v=$t") // IVF_PQ codebooks
       Storage.deleteRecursively(s"$uri/sketch/v=$t") // BINARY sign sketch
+      Storage.deleteRecursively(s"$uri/sq_params/v=$t") // IVF_SQ8 quantizer
     }
     val keepIdx = keep.map(_._2).toSet
     IndexMeta.write(uri, meta.copy(
@@ -544,6 +546,7 @@ object VectorIndex {
       case "FLAT" => new FlatIndex(spark, uri, meta, ts)
       case "BINARY" => new BinaryIndex(spark, uri, meta, ts)
       case "IVF_FLAT" => new IvfFlatIndex(spark, uri, meta, ts)
+      case "IVF_SQ8" => new IvfSq8Index(spark, uri, meta, ts)
       case "IVF_PQ" => new IvfPqIndex(spark, uri, meta, ts)
       case "VAMANA" => new VamanaIndex(spark, uri, meta, ts)
       case other => throw new IllegalArgumentException(s"unsupported index_type $other")
