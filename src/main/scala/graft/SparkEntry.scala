@@ -1392,9 +1392,12 @@ object SparkEntry {
     * zarr V3 (NGFF 0.5: zarr.json metadata, c/-prefixed chunk keys) +
     * zstd + per-chunk crc32c, v2 + blosc/lz4 with BIT-shuffle
     * ([[graft.objects.BloscCodec.bitShuffle]] — the published bitshuffle
-    * transposition in pure JVM), and a V3 `sharding_indexed` store
+    * transposition in pure JVM), a V3 `sharding_indexed` store
     * (shard files of 2×2 inner chunks behind a crc32c-protected binary
-    * index, inner chunks gzip'd) — their level-0 chunks read back
+    * index, inner chunks gzip'd), and a V3 `transpose` store (chunks
+    * stored x-major behind a leading array→array transpose codec,
+    * un-permuted by [[graft.objects.OmeZarrReader]]'s stride remap,
+    * composed with zstd + crc32c) — their level-0 chunks read back
     * through the one-scan binaryFile path, decompressed (checksums
     * verified), decoded and re-encoded as tile PNGs, and the per-tile
     * pixel sums re-aggregated from the DECODED rasters. The DuckDB
@@ -1402,13 +1405,14 @@ object SparkEntry {
     * layout, all five dialect/codec paths, shard-index walk, C-order
     * plane slice, edge cropping, and the PNG round trip all sit inside
     * the hash. */
-  private val ZarrN = 5
+  private val ZarrN = 6
   private def multimodalZarrDecode(spark: SparkSession, dir: String): DataFrame = {
     val root = cachedIndex("zarr_store", dir) { u =>
       // one store per on-disk dialect/codec the wild writes: v2+zlib,
       // v2+blosc/lz4 (numcodecs' default), a zarr V3 (NGFF 0.5) zstd
-      // store with per-chunk crc32c, a v2 blosc BIT-shuffle store, and
-      // a V3 sharded store — all inside one hash oracle
+      // store with per-chunk crc32c, a v2 blosc BIT-shuffle store, a
+      // V3 sharded store, and a V3 transposed store — all inside one
+      // hash oracle
       graft.objects.OmeZarrReader.writeTestZarr(
         java.nio.file.Paths.get(u, "img_00.zarr"),
         width = 40, height = 24, levels = 3, chunkY = 8, chunkX = 16,
@@ -1431,6 +1435,11 @@ object SparkEntry {
         width = 40, height = 24, levels = 3, chunkY = 8, chunkX = 16,
         pixel = (x, y) => (3 * x + 5 * y + 28) % 256,
         codec = "gzip", shardTiles = Some((2, 2)))
+      graft.objects.OmeZarrReader.writeTestZarrV3(
+        java.nio.file.Paths.get(u, "img_05.zarr"),
+        width = 40, height = 24, levels = 3, chunkY = 8, chunkX = 16,
+        pixel = (x, y) => (3 * x + 5 * y + 35) % 256,
+        codec = "zstd", crc32c = true, transpose = true)
     }
     val tiles = new graft.objects.OmeZarrReader(root, "*.zarr", level = 0)
       .readObjects(spark)
@@ -3552,9 +3561,10 @@ object SparkEntry {
     // image's 8x16 chunk grid (3 cols x 3 rows at 40x24) and re-aggregate
     // the per-tile pixel sums — the engine's numbers come from zarr chunk
     // buffers (zlib / blosc byte- and BIT-shuffle / zstd+crc32c /
-    // sharding_indexed dialects) re-encoded and decoded through lossless
-    // PNG, so equality proves the chunk-grid walk, every codec path, the
-    // shard-index walk, the C-order plane slice, and the edge cropping.
+    // sharding_indexed / transpose dialects) re-encoded and decoded
+    // through lossless PNG, so equality proves the chunk-grid walk, every
+    // codec path, the shard-index walk, the (possibly transposed) C-order
+    // plane slice, and the edge cropping.
     "multimodal_zarr_decode" ->
       s"""WITH tiles AS (
          |  SELECT i::BIGINT AS img, gy::BIGINT AS gy, gx::BIGINT AS gx,

@@ -26,11 +26,14 @@ import org.apache.spark.sql.functions._
   * trailing only); v3 `sharding_indexed` (shard files holding inner
   * chunks behind a fixed-size binary index — [[decodeShardPngs]]); both
   * blosc shuffle filters incl. BIT-shuffle ([[BloscCodec.bitShuffle]]);
-  * both `.` and `/` separators and both v3 chunk-key encodings; ≥2-D
-  * arrays whose LAST TWO axes are (y, x) — the NGFF axis convention;
-  * leading axes (t, c, z) read at index 0. Only blosc's private blosclz
-  * codec and v3 transpose are refused with named errors — everything
-  * else is a real pixel path.
+  * both `.` and `/` separators and both v3 chunk-key encodings; the v3
+  * `transpose` array→array codec (a pure stride remap at the plane
+  * slice — see [[planeToPng]]); ≥2-D arrays whose LAST TWO axes are
+  * (y, x) — the NGFF axis convention; leading axes (t, c, z) read at
+  * index 0. Only blosc's private blosclz codec (no JVM producer exists
+  * to validate a from-scratch decoder against) and transpose-over-
+  * sharding are refused with named errors — everything else is a real
+  * pixel path.
   *
   * Spark shape: ONE `binaryFile` scan under the search root covers every
   * image's chunk files (Spark's hidden-file filter drops the `.z*` JSON
@@ -155,7 +158,10 @@ object OmeZarrReader {
       chunks: Seq[Int],
       crc32c: Boolean = false, // v3 crc32c codec: verify + strip 4-byte suffix
       keyPrefix: Boolean = false, // v3 default chunk-key encoding: "c/0/0"
-      shard: Option[ShardParams] = None) {
+      shard: Option[ShardParams] = None,
+      // v3 `transpose` codec: the stored chunk buffer is the C-order of
+      // the PERMUTED chunk shape (stored axis k = original axis order(k))
+      transposeOrder: Option[Seq[Int]] = None) {
     def height: Int = shape(shape.length - 2)
     def width: Int = shape(shape.length - 1)
     def chunkY: Int = chunks(chunks.length - 2)
@@ -279,7 +285,8 @@ object OmeZarrReader {
     * trailing `crc32c` checksum (verified and stripped per chunk) — the
     * shape enforced by [[parseV3Chain]]. A chain led by
     * `sharding_indexed` nests an inner chain per inner chunk plus an
-    * index chain; `transpose` is refused with a named error. */
+    * index chain; a LEADING `transpose` (array→array) is decoded via a
+    * stride remap, but transpose over sharding is refused. */
   private def parseV3Array(
       n: com.fasterxml.jackson.databind.JsonNode,
       group: String, arrayDir: String): ZarrImage = {
@@ -313,7 +320,29 @@ object OmeZarrReader {
     require(codecs.isArray && codecs.size >= 1,
       s"graft: $arrayDir zarr.json needs a codecs chain")
     val nodes = (0 until codecs.size).map(codecs.get)
-    if (nodes.head.path("name").asText() == "sharding_indexed") {
+    // v3 `transpose` is an array->array codec, so the spec places it
+    // BEFORE the bytes codec: the stored chunk buffer is the C-order of
+    // the permuted chunk shape. Decode-side it costs only a stride
+    // remap in the (y, x) plane slice — see planeToPng.
+    val (transposeOrder, skip) =
+      if (nodes.head.path("name").asText() == "transpose") {
+        val ord = nodes.head.path("configuration").path("order")
+        require(ord.isArray && ord.size == chunks.length,
+          s"graft: $arrayDir transpose order rank ${ord.size} != " +
+            s"chunk rank ${chunks.length}")
+        val o = (0 until ord.size).map(i => ord.get(i).asInt())
+        require(o.sorted == chunks.indices.toSeq,
+          s"graft: $arrayDir transpose order ${o.mkString("[", ",", "]")} " +
+            "is not a permutation of the axes")
+        require(nodes.size >= 2,
+          s"graft: $arrayDir codec chain ends after transpose — needs a bytes codec")
+        require(nodes(1).path("name").asText() != "sharding_indexed",
+          s"graft: $arrayDir transpose over sharding_indexed unsupported — " +
+            "move the transpose inside the shard or re-encode unsharded")
+        // identity permutation is a no-op: skip the remap entirely
+        (Some(o).filter(_ != chunks.indices.toSeq), 1)
+      } else (None, 0)
+    if (nodes(skip).path("name").asText() == "sharding_indexed") {
       // sharding is itself the (sole) array->bytes codec; its config
       // nests the inner chunks' chain and the index's chain
       require(nodes.size == 1,
@@ -348,9 +377,9 @@ object OmeZarrReader {
         crc32c = false, keyPrefix = keyPrefix,
         shard = Some(ShardParams(chunks, innerCodec, innerCrc, idxCrc, atEnd)))
     } else {
-      val (codec, crc) = parseV3Chain(codecs, arrayDir, dtype)
+      val (codec, crc) = parseV3Chain(codecs, arrayDir, dtype, skip)
       ZarrImage(0L, group, arrayDir, dtype, codec, shape, chunks,
-        crc32c = crc, keyPrefix = keyPrefix)
+        crc32c = crc, keyPrefix = keyPrefix, transposeOrder = transposeOrder)
     }
   }
 
@@ -365,10 +394,10 @@ object OmeZarrReader {
     * spurious corruption on a valid store). */
   private def parseV3Chain(
       codecs: com.fasterxml.jackson.databind.JsonNode,
-      arrayDir: String, dtype: String): (String, Boolean) = {
-    require(codecs.isArray && codecs.size >= 1,
+      arrayDir: String, dtype: String, skip: Int = 0): (String, Boolean) = {
+    require(codecs.isArray && codecs.size >= 1 + skip,
       s"graft: $arrayDir v3 codec chain is missing or empty")
-    val head = codecs.get(0)
+    val head = codecs.get(skip)
     require(Set("bytes", "endian").contains(head.path("name").asText()),
       s"graft: $arrayDir v3 codec chain must start with the bytes codec, " +
         s"got '${head.path("name").asText()}'")
@@ -377,7 +406,7 @@ object OmeZarrReader {
       s"graft: $arrayDir big-endian samples unsupported — re-encode little-endian")
     var codec = "raw"
     var crc = false
-    (1 until codecs.size).foreach { i =>
+    (skip + 1 until codecs.size).foreach { i =>
       val c = codecs.get(i)
       val name = c.path("name").asText()
       require(!crc,
@@ -400,8 +429,8 @@ object OmeZarrReader {
         case "crc32c" => crc = true
         case other => throw new IllegalArgumentException(
           s"graft: $arrayDir v3 codec '$other' unsupported " +
-            "(bytes, gzip, zstd, blosc, crc32c, sharding_indexed-first) — " +
-            "transposed stores need a re-encode")
+            "(bytes, gzip, zstd, blosc, crc32c, sharding_indexed-first; " +
+            "transpose only as the LEADING codec of an unsharded chain)")
       }
     }
     (codec, crc)
@@ -561,7 +590,16 @@ object OmeZarrReader {
     val h = math.min(img.chunkY, img.height - gy * img.chunkY)
     if (w <= 0 || h <= 0) return None
     // C-order with all leading intra-chunk indices 0: the (y, x) plane is
-    // the buffer's first chunkY*chunkX elements
+    // the buffer's first chunkY*chunkX elements. With a v3 transpose the
+    // buffer is the C-order of the PERMUTED chunk shape; since every
+    // leading original index is 0, the plane slice reduces to two stride
+    // lookups — the stored strides of the original y and x axes.
+    val rank = img.chunks.length
+    val order = img.transposeOrder.getOrElse(img.chunks.indices.toSeq)
+    val storedShape = order.map(img.chunks(_))
+    val storedStrides = storedShape.scanRight(1)(_ * _).tail
+    val yStride = storedStrides(order.indexOf(rank - 2))
+    val xStride = storedStrides(order.indexOf(rank - 1))
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     // RGB with r=g=b=v, NOT TYPE_BYTE_GRAY: the gray color model is
     // linear-light, so a consumer's getRGB would gamma-map the stored
@@ -571,7 +609,7 @@ object OmeZarrReader {
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     for (y <- 0 until h) {
       for (x <- 0 until w) {
-        val flat = y * img.chunkX + x
+        val flat = y * yStride + x * xStride
         val v = img.dtype match {
           case "|u1" => bytes(flat) & 0xFF
           case "<u2" => (bb.getShort(flat * 2) & 0xFFFF) >>> 8
@@ -621,9 +659,12 @@ object OmeZarrReader {
       codec: String = "raw", // raw | gzip | zstd | blosc-<cname>[-noshuffle|-bitshuffle]
       crc32c: Boolean = false,
       keyEncoding: String = "default",
-      shardTiles: Option[(Int, Int)] = None): Unit = {
+      shardTiles: Option[(Int, Int)] = None,
+      transpose: Boolean = false): Unit = { // leading transpose codec, order [1,0]
     require(Set("default", "v2").contains(keyEncoding),
       s"graft: v3 keyEncoding '$keyEncoding' must be default or v2")
+    require(!(transpose && shardTiles.isDefined),
+      "graft: test writer does not mint transpose-over-sharding stores")
     val bloscCname = if (codec.startsWith("blosc-"))
       Some(codec.stripPrefix("blosc-")
         .stripSuffix("-noshuffle").stripSuffix("-bitshuffle")) else None
@@ -651,8 +692,10 @@ object OmeZarrReader {
           s""",{"name":"blosc","configuration":{"cname":"${bloscCname.get}","clevel":5,"shuffle":"$shuf","typesize":1,"blocksize":0}}"""
       }
       val crcCodec = if (crc32c) """,{"name":"crc32c"}""" else ""
+      val transCodec = if (transpose)
+        """{"name":"transpose","configuration":{"order":[1,0]}},""" else ""
       val innerChain =
-        s"""[{"name":"bytes","configuration":{"endian":"little"}}$compCodec$crcCodec]"""
+        s"""[$transCodec{"name":"bytes","configuration":{"endian":"little"}}$compCodec$crcCodec]"""
       val (gridY, gridX, codecsJson) = shardTiles match {
         case None => (chunkY, chunkX, innerChain)
         case Some((sy, sx)) =>
@@ -674,8 +717,10 @@ object OmeZarrReader {
         val buf = new Array[Byte](chunkY * chunkX)
         for (y <- 0 until chunkY; x <- 0 until chunkX) {
           val (py, px) = (gy * chunkY + y, gx * chunkX + x)
+          // transpose order [1,0]: the stored buffer is x-major
+          val flat = if (transpose) x * chunkY + y else y * chunkX + x
           if (py < h && px < w)
-            buf(y * chunkX + x) = (pixel(px << l, py << l) & 0xFF).toByte
+            buf(flat) = (pixel(px << l, py << l) & 0xFF).toByte
         }
         val comp = codec match {
           case "raw" => buf

@@ -138,6 +138,41 @@ class OmeZarrSpec extends AnyFunSuite {
     assert(both === 2L, "v2 and v3 groups under one root must both discover")
   }
 
+  test("v3 transpose stores decode byte-identically via the stride remap") {
+    val raw = new OmeZarrReader(mintStore("raw"), "*.zarr", level = 0)
+      .readObjects(spark).orderBy("external_id").collect()
+      .map(_.getAs[Array[Byte]](10).toSeq)
+    // order [1,0]: chunks stored x-major — composed with a compressor
+    // and a crc so the transpose sits in a REAL chain, not alone
+    for (codec <- Seq("raw", "gzip", "blosc-lz4")) {
+      val root = Files.createTempDirectory("graft_zarr_t")
+      for (i <- 0 until 3) {
+        OmeZarrReader.writeTestZarrV3(root.resolve(f"img_$i%02d.zarr"),
+          width = 40, height = 24, levels = 3, chunkY = 8, chunkX = 16,
+          pixel = pix(i), codec = codec, crc32c = codec != "raw",
+          transpose = true)
+      }
+      val got = new OmeZarrReader(root.toString, "*.zarr", level = 0)
+        .readObjects(spark).orderBy("external_id").collect()
+        .map(_.getAs[Array[Byte]](10).toSeq)
+      assert(got === raw, s"v3 transpose + $codec must decode like v2 raw")
+    }
+    // edge chunks crop identically under the remap (covered above: the
+    // 40x24 grid's right/bottom tiles are ragged) — and the identity
+    // permutation is accepted as a no-op
+    val ident = Files.createTempDirectory("graft_zarr_ti")
+    OmeZarrReader.writeTestZarrV3(ident.resolve("a.zarr"), 16, 16, 1, 8, 8,
+      pix(0), codec = "raw")
+    val aJson = ident.resolve("a.zarr/0/zarr.json")
+    val patched = new String(Files.readAllBytes(aJson), "UTF-8").replace(
+      """"codecs":[{"name":"bytes"""",
+      """"codecs":[{"name":"transpose","configuration":{"order":[0,1]}},{"name":"bytes"""")
+    Files.write(aJson, patched.getBytes("UTF-8"))
+    val identGot = new OmeZarrReader(ident.toString, "*.zarr", level = 0)
+      .readObjects(spark).count()
+    assert(identGot === 4L, "identity transpose must read as a no-op")
+  }
+
   test("v3 sharding_indexed stores decode byte-identically, tiling per INNER chunk") {
     val raw = new OmeZarrReader(mintStore("raw"), "*.zarr", level = 0)
       .readObjects(spark).orderBy("external_id").collect()
@@ -226,7 +261,13 @@ class OmeZarrSpec extends AnyFunSuite {
         "transpose"),
       (mintWithChain("shardtail.zarr",
         """[{"name":"bytes","configuration":{"endian":"little"}},{"name":"sharding_indexed","configuration":{}}]"""),
-        "sharding_indexed"))
+        "sharding_indexed"),
+      (mintWithChain("badorder.zarr",
+        """[{"name":"transpose","configuration":{"order":[1,1]}},{"name":"bytes","configuration":{"endian":"little"}}]"""),
+        "not a permutation"),
+      (mintWithChain("transshard.zarr",
+        """[{"name":"transpose","configuration":{"order":[1,0]}},{"name":"sharding_indexed","configuration":{}}]"""),
+        "transpose over sharding_indexed"))
     for ((name, expect) <- cases) {
       val err = intercept[IllegalArgumentException] {
         new OmeZarrReader(root.toString, name).readObjects(spark).collect()
