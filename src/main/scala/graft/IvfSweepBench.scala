@@ -34,7 +34,7 @@ object IvfSweepBench {
     val reps = args.lift(1).map(_.toInt).getOrElse(500)
     val nq = args.lift(2).map(_.toInt).getOrElse(100)
     val jitter = args.lift(3).map(_.toDouble).getOrElse(0.5)
-    val mode = args.lift(4).getOrElse("all") // all | flat | pq | sqrtn
+    val mode = args.lift(4).getOrElse("all") // all | flat | pq | pq10m | sq8 | sqrtn
     val spark = SparkSession.builder()
       .appName("graft-ivf-sweep").master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -69,7 +69,7 @@ object IvfSweepBench {
     val sqrtN = math.sqrt(n.toDouble).toInt
     val partsGrid = mode match {
       case "sqrtn" => Seq(sqrtN)
-      case "pq" | "pq10m" => Seq.empty // PQ-only modes skip the FLAT grid
+      case "pq" | "pq10m" | "sq8" => Seq.empty // type-only modes skip the FLAT grid
       case _ => Seq(20, 50, 100, 200, sqrtN)
     }
     for (parts <- partsGrid) {
@@ -117,6 +117,30 @@ object IvfSweepBench {
           f"recall: $recall%.4f, query_s: $queryS%.2f, build_s: $buildPqS%.1f}")
       }
       graft.index.Storage.deleteRecursively(uriPq)
+      graft.index.Storage.deleteRecursively(corpusPath)
+      return
+    }
+    // mode "sq8": IVF_SQ8 at the √N geometry — k_factor × nprobe recall
+    // for the scalar-quantized candidate scan. Expectation (and the
+    // reason SQ8 exists next to PQ): per-dim rounding error is tiny vs
+    // PQ's 256-cell subspace collapse, so the curve should sit at the
+    // IVF_FLAT ceiling from small k_factor even where PQ needs 16–32.
+    if (mode == "sq8") {
+      val uriSq = java.nio.file.Files.createTempDirectory("ivf_sweep_sq8").toString
+      val t0 = System.nanoTime()
+      Ingest.ingest(spark, uriSq, big, "IVF_SQ8", DistanceMetric.L2,
+        timestamp = 1000L, partitions = Some(sqrtN))
+      val buildSqS = (System.nanoTime() - t0) / 1e9
+      val sq = VectorIndex.open(spark, uriSq).asInstanceOf[graft.index.IvfSq8Index]
+      for (kf <- Seq(1.0f, 2.0f, 4.0f); nprobe <- Seq(8, 31)) {
+        val t1 = System.nanoTime()
+        val got = SweepFixture.groundTruth(sq.queryBase(queries, k, nprobe, kf, None))
+        val queryS = (System.nanoTime() - t1) / 1e9
+        val recall = SweepFixture.recall(exact, got, k)
+        println(f"SWEEP_SQ8 {partitions: $sqrtN, nprobe: $nprobe, k_factor: $kf%.0f, " +
+          f"recall: $recall%.4f, query_s: $queryS%.2f, build_s: $buildSqS%.1f}")
+      }
+      graft.index.Storage.deleteRecursively(uriSq)
       graft.index.Storage.deleteRecursively(corpusPath)
       return
     }
