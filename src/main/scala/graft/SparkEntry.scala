@@ -383,6 +383,18 @@ object SparkEntry {
         DistanceMetric.L2, timestamp = 1000L)
     }
 
+  /** SQL surface over an IVF_SQ8-backed table (shares the `ivf_sq8`
+    * cached build): the rewrite prunes partition_id on the quantizer
+    * index's coarse centroids and the SQL scan reads the ORIGINAL float
+    * vectors stored beside the codes (columnar pruning skips the `sq`
+    * bytes entirely for a float-distance query) — at probe-all
+    * registration this is exact (brute-force oracle). */
+  private def sqlIndexTopkSq8(spark: SparkSession, dir: String): DataFrame =
+    sqlTopkOverIndex(spark, dir, "ivf_sq8", "graft_vecs_sq8") { u =>
+      Ingest.ingest(spark, u, embAsIndexInput(spark, dir), "IVF_SQ8",
+        DistanceMetric.L2, timestamp = 1000L)
+    }
+
   /** SQL surface over a sharded VAMANA-backed table: the rewrite prunes
     * shard_id on the shard centroids (the routed search's candidate
     * narrowing, exact scan inside the probed shards) — at probe-all
@@ -2516,6 +2528,7 @@ object SparkEntry {
     "sql_index_topk" -> (sqlIndexTopk _),
     "sql_index_topk_filtered" -> (sqlIndexTopkFiltered _),
     "sql_index_topk_pq" -> (sqlIndexTopkPq _),
+    "sql_index_topk_sq8" -> (sqlIndexTopkSq8 _),
     "sql_index_topk_vamana" -> (sqlIndexTopkVamana _),
     "sql_index_topk_batch" -> (sqlIndexTopkBatch _),
     "ivf_flat_cosine_probe_all" -> (ivfCosineProbeAll _),
@@ -2745,6 +2758,7 @@ object SparkEntry {
     // PQ/VAMANA-backed SQL tables at probe-all registration: exact top-k,
     // same brute-force oracle as the IVF_FLAT single-constant form
     "sql_index_topk_pq" -> sqlTopkSingleOracle,
+    "sql_index_topk_sq8" -> sqlTopkSingleOracle,
     "sql_index_topk_vamana" -> sqlTopkSingleOracle,
     "ivf_flat_cosine_probe_all" -> knnOracle("list_cosine_similarity(n.embedding, q.embedding) DESC"),
     // ivf_flat_nprobe: oracle appended dynamically (ivfNprobeReplayOracle) —
