@@ -103,11 +103,12 @@ object GraftSql {
     }
     viewDf.createOrReplaceTempView(name)
     registered.put((spark, name), (uri, nprobe))
-    // (centroids for the probe rewrite, physical partition column): IVF_FLAT
-    // and IVF_PQ bases prune partition_id on the k-means centroids (the PQ
-    // base stores the ORIGINAL vectors beside the codes, so the pruned SQL
-    // scan computes exact distances — the index's nprobe answer at
-    // k_factor=∞); sharded VAMANA bases prune shard_id on the shard
+    // (centroids for the probe rewrite, physical partition column):
+    // IVF_FLAT, IVF_PQ, and IVF_SQ8 bases prune partition_id on the
+    // k-means centroids (the PQ/SQ8 bases store the ORIGINAL vectors
+    // beside the codes, so the pruned SQL scan computes exact distances —
+    // the index's nprobe answer at k_factor=∞, with the code columns
+    // pruned out of the scan); sharded VAMANA bases prune shard_id on the shard
     // centroids (the routed-search candidate narrowing). Unsharded VAMANA /
     // FLAT have nothing to prune — the view still works as an exact scan.
     val probeSide: Option[(Array[Array[Float]], String)] = idx match {
@@ -115,6 +116,8 @@ object GraftSql {
         Some((ivf.centroids, "partition_id"))
       case pq: IvfPqIndex if pq.centroids.nonEmpty =>
         Some((pq.centroids, "partition_id"))
+      case sq: graft.index.IvfSq8Index if sq.centroids.nonEmpty =>
+        Some((sq.centroids, "partition_id"))
       case vam: VamanaIndex if vam.shardCentroids.nonEmpty =>
         Some((vam.shardCentroids, "shard_id"))
       case _ => None

@@ -91,6 +91,41 @@ class SqlApiSpec extends AnyFunSuite {
     }
   }
 
+  test("an IVF_SQ8 index registers on the SQL surface: pruned scan, sq column skipped") {
+    graft.functions.registerAll(spark)
+    val hadRule = spark.experimental.extraOptimizations.contains(graft.plans.IndexProbeRewrite)
+    if (!hadRule)
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.IndexProbeRewrite
+    try {
+      val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+        .select(col("vec_id").as("external_id"), col("embedding").as("vector"))
+      val uri = java.nio.file.Files.createTempDirectory("graft_sqlapi_sq8").toString
+      graft.index.Ingest.ingest(spark, uri, emb, "IVF_SQ8",
+        DistanceMetric.L2, timestamp = 1000L, partitions = Some(16))
+      graft.plans.GraftSql.registerIndexTable(spark, "plain_vecs_sq8", uri, nprobe = 4)
+      val qv = emb.where(col("external_id") === 1).select("vector")
+        .head().getSeq[Float](0)
+      val qlit = "cast(array(" + qv.map(x => String.format(java.util.Locale.ROOT, "%.9e", Float.box(x))).mkString(",") + ") as array<float>)"
+      val df = spark.sql(
+        s"SELECT external_id FROM plain_vecs_sq8 ORDER BY dist_l2(vector, $qlit) LIMIT 5")
+      val physical = df.queryExecution.executedPlan.toString
+      // the quantizer index's coarse centroids drive the same nprobe pruning
+      assert("PartitionFilters: \\[[^\\]]*partition_id[^\\]]*\\]".r
+        .findFirstIn(physical).isDefined,
+        s"expected partition_id PartitionFilters:\n${physical.take(3000)}")
+      // a float-distance SQL query must not read the sq codes column —
+      // columnar pruning keeps the 1-byte/dim bytes out of the scan
+      val readSchemas = "ReadSchema: [^\\n]*".r.findAllIn(physical).toList
+      assert(readSchemas.nonEmpty && readSchemas.forall(!_.contains("sq")),
+        s"sq column must be pruned from the SQL scan:\n${readSchemas.mkString("\n")}")
+      assert(df.collect().map(_.getLong(0)).contains(1L))
+    } finally if (!hadRule) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == graft.plans.IndexProbeRewrite)
+    }
+  }
+
   test("a BINARY index registers on the SQL surface with exact-scan semantics") {
     graft.functions.registerAll(spark)
     val hadRule = spark.experimental.extraOptimizations.contains(graft.plans.IndexProbeRewrite)
