@@ -173,6 +173,46 @@ class OmeZarrSpec extends AnyFunSuite {
     assert(identGot === 4L, "identity transpose must read as a no-op")
   }
 
+  test("v3 transpose un-permutes a RANK-3 chunk (leading axis at index 0)") {
+    // order [2,0,1] over chunks [2,8,8]: stored shape [8,2,8], stored
+    // flat index = x*16 + z*8 + y — exercises the general stride remap
+    // beyond the 2-D swap (and the leading-axis-0 plane slice under it)
+    val root = Files.createTempDirectory("graft_zarr_t3")
+    val g = root.resolve("vol.zarr"); Files.createDirectories(g)
+    Files.write(g.resolve("zarr.json"),
+      ("""{"zarr_format":3,"node_type":"group","attributes":{"ome":{"version":"0.5",
+         |"multiscales":[{"axes":[{"name":"z","type":"space"},{"name":"y","type":"space"},{"name":"x","type":"space"}],
+         |"datasets":[{"path":"0","coordinateTransformations":[{"type":"scale","scale":[1,1,1]}]}]}]}}}"""
+        ).stripMargin.replace("\n", "").getBytes("UTF-8"))
+    val a = g.resolve("0"); Files.createDirectories(a)
+    Files.write(a.resolve("zarr.json"),
+      ("""{"zarr_format":3,"node_type":"array","shape":[2,16,16],"data_type":"uint8",
+         |"chunk_grid":{"name":"regular","configuration":{"chunk_shape":[2,8,8]}},
+         |"chunk_key_encoding":{"name":"default","configuration":{"separator":"/"}},
+         |"fill_value":0,
+         |"codecs":[{"name":"transpose","configuration":{"order":[2,0,1]}},{"name":"bytes","configuration":{"endian":"little"}}],
+         |"dimension_names":["z","y","x"]}""").stripMargin.replace("\n", "").getBytes("UTF-8"))
+    def vox(z: Int, py: Int, px: Int): Int = (11 * z + 3 * px + 5 * py) % 256
+    for (gy <- 0 until 2; gx <- 0 until 2) {
+      val buf = new Array[Byte](2 * 8 * 8)
+      for (z <- 0 until 2; y <- 0 until 8; x <- 0 until 8)
+        buf(x * 16 + z * 8 + y) = (vox(z, gy * 8 + y, gx * 8 + x) & 0xFF).toByte
+      val target = a.resolve("c").resolve("0").resolve(gy.toString).resolve(gx.toString)
+      Files.createDirectories(target.getParent)
+      Files.write(target, buf)
+    }
+    val tiles = new OmeZarrReader(root.toString, "*.zarr", level = 0)
+      .readObjects(spark).orderBy("external_id").collect()
+    assert(tiles.length === 4, "2x2 (y,x) tiles at z=0")
+    for (t <- tiles) {
+      val (gy, gx) = (t.getInt(5), t.getInt(4)) // tile_y, tile_x
+      val img = Multimodal.decodeImage(t.getAs[Array[Byte]](10)).get
+      for (y <- 0 until 8; x <- 0 until 8)
+        assert((img.getRGB(x, y) & 0xff) === vox(0, gy * 8 + y, gx * 8 + x),
+          s"voxel z=0 (${gy * 8 + y},${gx * 8 + x})")
+    }
+  }
+
   test("v3 sharding_indexed stores decode byte-identically, tiling per INNER chunk") {
     val raw = new OmeZarrReader(mintStore("raw"), "*.zarr", level = 0)
       .readObjects(spark).orderBy("external_id").collect()
