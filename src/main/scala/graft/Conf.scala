@@ -30,8 +30,12 @@ object Conf {
     spark.conf.getOption(key).map(parseDouble(key, _)).getOrElse(default)
 
   def parseDouble(key: String, v: String): Double =
-    v.trim.toDoubleOption.getOrElse(throw new IllegalArgumentException(
-      s"graft: malformed value '$v' for $key (expected a number)"))
+    // toDoubleOption parses 'NaN'/'Infinity'; a non-finite knob must fail
+    // loudly here, not collapse silently downstream (ceil(k * NaN).toLong
+    // is 0 — a NaN kFactor would quietly disable the re-rank pool)
+    v.trim.toDoubleOption.filter(d => !d.isNaN && !d.isInfinity)
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft: malformed value '$v' for $key (expected a finite number)"))
 
   def parseLong(key: String, v: String): Long =
     try v.trim.toLong

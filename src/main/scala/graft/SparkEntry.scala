@@ -734,6 +734,12 @@ object SparkEntry {
       Ingest.ingest(spark, u, embAsIndexInput(spark, dir), "IVF_SQ8",
         DistanceMetric.L2, timestamp = 1000L)
     }
+    // the oracle replays the DEFAULT kFactor ([[sq8DefaultCand]]); a session
+    // override leaked from an earlier query would silently desynchronize the
+    // engine's shortlist from the replayed one — fail loudly instead
+    require(spark.conf.getOption(graft.index.IvfSq8Index.KFactorKey).isEmpty,
+      s"graft: ${graft.index.IvfSq8Index.KFactorKey} must be unset when " +
+        "dumping ivf_sq8_default (its oracle replays the default kFactor)")
     idsOnly(VectorIndex.open(spark, uri).query(idxQueries(spark, dir), K))
   }
 
@@ -1396,7 +1402,7 @@ object SparkEntry {
 
   /** REAL OME-Zarr decode through the full Spark pipeline
     * ([[graft.objects.OmeZarrReader]] — the NGFF store the reference's
-    * bioimage reader serves via tiledb.bioimg): five zarr pyramids
+    * bioimage reader serves via tiledb.bioimg): seven zarr pyramids
     * whose pixels follow the test-card red formula are minted on disk
     * with a DIFFERENT on-disk dialect each — zarr v2 + zlib, v2 +
     * blosc/lz4 (numcodecs' real-world default, decoded by
@@ -1409,15 +1415,17 @@ object SparkEntry {
     * index, inner chunks gzip'd), and a V3 `transpose` store (chunks
     * stored x-major behind a leading array→array transpose codec,
     * un-permuted by [[graft.objects.OmeZarrReader]]'s stride remap,
-    * composed with zstd + crc32c) — their level-0 chunks read back
+    * composed with zstd + crc32c), plus the COMPOSITION — a V3 sharded
+    * store whose INNER chain leads with the transpose (the per-inner-
+    * chunk stride remap) — their level-0 chunks read back
     * through the one-scan binaryFile path, decompressed (checksums
     * verified), decoded and re-encoded as tile PNGs, and the per-tile
     * pixel sums re-aggregated from the DECODED rasters. The DuckDB
     * oracle replays the sums from the formula alone — chunk-grid
-    * layout, all five dialect/codec paths, shard-index walk, C-order
+    * layout, all seven dialect/codec paths, shard-index walk, C-order
     * plane slice, edge cropping, and the PNG round trip all sit inside
     * the hash. */
-  private val ZarrN = 6
+  private val ZarrN = 7
   private def multimodalZarrDecode(spark: SparkSession, dir: String): DataFrame = {
     val root = cachedIndex("zarr_store", dir) { u =>
       // one store per on-disk dialect/codec the wild writes: v2+zlib,
@@ -1452,6 +1460,13 @@ object SparkEntry {
         width = 40, height = 24, levels = 3, chunkY = 8, chunkX = 16,
         pixel = (x, y) => (3 * x + 5 * y + 35) % 256,
         codec = "zstd", crc32c = true, transpose = true)
+      // the transpose-INSIDE-sharding composition: shard files of 2x2
+      // inner chunks whose inner chain leads with transpose [1,0]
+      graft.objects.OmeZarrReader.writeTestZarrV3(
+        java.nio.file.Paths.get(u, "img_06.zarr"),
+        width = 40, height = 24, levels = 3, chunkY = 8, chunkX = 16,
+        pixel = (x, y) => (3 * x + 5 * y + 42) % 256,
+        codec = "gzip", shardTiles = Some((2, 2)), transpose = true)
     }
     val tiles = new graft.objects.OmeZarrReader(root, "*.zarr", level = 0)
       .readObjects(spark)
@@ -4274,14 +4289,23 @@ object SparkEntry {
              |ORDER BY 1, 2""".stripMargin
       }.toMap
 
+  /** The default-query candidate cutoff the SQ8 replay interpolates:
+    * derived from [[graft.index.IvfSq8Index.DefaultKFactor]] exactly as the
+    * engine derives kCand, so a constant change cannot desynchronize the
+    * oracle (the session-override leak is guarded at dump time in
+    * [[ivfSq8Default]] instead — `oracleSql` has no session to consult). */
+  private def sq8DefaultCand: Long =
+    math.ceil(K * graft.index.IvfSq8Index.DefaultKFactor.toDouble).toLong
+
   /** DuckDB replay of the DEFAULT IVF_SQ8 query against the persisted
     * index: nprobe = √partitions probe (ties as in the IVF replay),
     * asymmetric scoring = squared L2 between the exact query and the
     * DEQUANTIZED stored codes (`min_d + scale_d · code_d`, each code byte
-    * parsed out of the BLOB's hex form), top k·kFactor=40 candidates per
-    * query, exact re-rank to top-k. Same float32-vs-double caveat and
-    * kFactor boundary buffer as [[ivfPqDefaultReplayOracle]]; same
-    * dump-order contract (present only once the ivf_sq8 fixture exists). */
+    * parsed out of the BLOB's hex form), top k·[[sq8DefaultCand]]
+    * candidates per query, exact re-rank to top-k. Same float32-vs-double
+    * caveat and kFactor boundary buffer as [[ivfPqDefaultReplayOracle]];
+    * same dump-order contract (present only once the ivf_sq8 fixture
+    * exists). */
   private def ivfSq8DefaultReplayOracle: Map[String, String] =
     indexCache.collectFirst { case (k, uri) if k.startsWith("ivf_sq8|") => uri }
       .map { uri =>
@@ -4311,7 +4335,7 @@ object SparkEntry {
              |cand AS (
              |  SELECT qid, external_id FROM scored
              |  QUALIFY row_number() OVER (PARTITION BY qid
-             |      ORDER BY adist, external_id) <= 4 * $K)
+             |      ORDER BY adist, external_id) <= $sq8DefaultCand)
              |SELECT c.qid AS qid, b.external_id AS neighbor_id
              |FROM cand c JOIN base b USING (external_id) JOIN q ON q.qid = c.qid
              |QUALIFY row_number() OVER (PARTITION BY c.qid

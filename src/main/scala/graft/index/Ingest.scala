@@ -22,6 +22,12 @@ import graft.operators.DistanceMetric
   */
 object Ingest {
 
+  /** IVF_SQ8 quantizer-range quantile, q in (0.5, 1.0]: 1.0 (default)
+    * trains exact per-dim min/max; q < 1.0 clips the range to the
+    * [1-q, q] quantiles so a single outlier per dim cannot stretch the
+    * scale for everyone (outliers saturate at code 0/255 instead). */
+  val Sq8RangeQuantileKey = "spark.graft.sq8RangeQuantile"
+
   /** Attach synthesized consecutive external ids to a vector-only source
     * (reference: read_external_ids synthesizes arange when absent,
     * ingestion.py:809-877). Ordering follows the given sort columns.
@@ -333,10 +339,31 @@ object Ingest {
         writeCentroids(spark, uri, timestamp, sqCentroids)
         // per-dim (min, max) over the FULL base in ONE pass: the posexplode
         // rows never shuffle — partial aggregation reduces each task to
-        // `dims` keys before the exchange, so the driver collects dims rows
-        val ranges = base
-          .select(posexplode(col("vector")).as(Seq("dim", "x")))
-          .groupBy("dim").agg(min("x").as("lo"), max("x").as("hi"))
+        // `dims` keys before the exchange, so the driver collects dims rows.
+        // Unlike the coarse centroids (trainable on `trainingSource`), the
+        // quantizer range is DELIBERATELY computed over the base itself:
+        // a range must cover the stored vectors (a training-sample range
+        // would clip every base value outside it), and the one-pass min/max
+        // costs a scan the ingest already pays. The exact range is
+        // single-outlier-sensitive — one extreme value per dim stretches
+        // scale_d and coarsens resolution for every other vector — so
+        // `spark.graft.sq8RangeQuantile` (q in (0.5, 1.0], default 1.0 =
+        // exact) optionally clips to the [1-q, q] per-dim quantiles;
+        // out-of-range values saturate at code 0/255 ([[graft.functions.Sq8Encode]]
+        // clamps), trading their accuracy for finer codes everywhere else.
+        val rangeQ = graft.Conf.double(spark, Ingest.Sq8RangeQuantileKey, 1.0)
+        require(rangeQ > 0.5 && rangeQ <= 1.0,
+          s"graft: ${Ingest.Sq8RangeQuantileKey} must be in (0.5, 1.0], got $rangeQ")
+        val dimStats = base.select(posexplode(col("vector")).as(Seq("dim", "x")))
+        val ranges = (if (rangeQ >= 1.0)
+          dimStats.groupBy("dim").agg(
+            min("x").cast("float").as("lo"), max("x").cast("float").as("hi"))
+        else
+          dimStats.groupBy("dim").agg(
+            percentile_approx(col("x"), lit(1.0 - rangeQ), lit(10000))
+              .cast("float").as("lo"),
+            percentile_approx(col("x"), lit(rangeQ), lit(10000))
+              .cast("float").as("hi")))
           .collect().map(r => (r.getInt(0), r.getFloat(1), r.getFloat(2)))
           .sortBy(_._1)
         val sqMins = ranges.map(_._2)

@@ -28,12 +28,14 @@ import org.apache.spark.sql.functions._
   * blosc shuffle filters incl. BIT-shuffle ([[BloscCodec.bitShuffle]]);
   * both `.` and `/` separators and both v3 chunk-key encodings; the v3
   * `transpose` array→array codec (a pure stride remap at the plane
-  * slice — see [[planeToPng]]); ≥2-D arrays whose LAST TWO axes are
+  * slice — see [[planeToPng]]), leading either the array's chain or a
+  * shard's INNER chain (each inner chunk stores the C-order of its
+  * permuted inner shape); ≥2-D arrays whose LAST TWO axes are
   * (y, x) — the NGFF axis convention; leading axes (t, c, z) read at
   * index 0. Only blosc's private blosclz codec (no JVM producer exists
-  * to validate a from-scratch decoder against) and transpose-over-
-  * sharding are refused with named errors — everything else is a real
-  * pixel path.
+  * to validate a from-scratch decoder against) and a transpose OUTSIDE
+  * the sharding codec (permuting the shard grid itself) are refused
+  * with named errors — everything else is a real pixel path.
   *
   * Spark shape: ONE `binaryFile` scan under the search root covers every
   * image's chunk files (Spark's hidden-file filter drops the `.z*` JSON
@@ -324,24 +326,12 @@ object OmeZarrReader {
     // BEFORE the bytes codec: the stored chunk buffer is the C-order of
     // the permuted chunk shape. Decode-side it costs only a stride
     // remap in the (y, x) plane slice — see planeToPng.
-    val (transposeOrder, skip) =
-      if (nodes.head.path("name").asText() == "transpose") {
-        val ord = nodes.head.path("configuration").path("order")
-        require(ord.isArray && ord.size == chunks.length,
-          s"graft: $arrayDir transpose order rank ${ord.size} != " +
-            s"chunk rank ${chunks.length}")
-        val o = (0 until ord.size).map(i => ord.get(i).asInt())
-        require(o.sorted == chunks.indices.toSeq,
-          s"graft: $arrayDir transpose order ${o.mkString("[", ",", "]")} " +
-            "is not a permutation of the axes")
-        require(nodes.size >= 2,
-          s"graft: $arrayDir codec chain ends after transpose — needs a bytes codec")
-        require(nodes(1).path("name").asText() != "sharding_indexed",
-          s"graft: $arrayDir transpose over sharding_indexed unsupported — " +
-            "move the transpose inside the shard or re-encode unsharded")
-        // identity permutation is a no-op: skip the remap entirely
-        (Some(o).filter(_ != chunks.indices.toSeq), 1)
-      } else (None, 0)
+    val (transposeOrder, skip) = parseLeadingTranspose(nodes, chunks, arrayDir)
+    if (skip == 1)
+      require(nodes(1).path("name").asText() != "sharding_indexed",
+        s"graft: $arrayDir transpose over sharding_indexed unsupported — " +
+          "move the transpose inside the shard's codec chain (supported) " +
+          "or re-encode unsharded")
     if (nodes(skip).path("name").asText() == "sharding_indexed") {
       // sharding is itself the (sole) array->bytes codec; its config
       // nests the inner chunks' chain and the index's chain
@@ -358,7 +348,19 @@ object OmeZarrReader {
           s"graft: $arrayDir shard dim $d ($sc) is not a multiple of its " +
             s"inner chunk ($ic) — malformed sharding_indexed configuration")
       }
-      val (innerCodec, innerCrc) = parseV3Chain(cfg.path("codecs"), arrayDir, dtype)
+      // the INNER chain may itself lead with a transpose (each inner
+      // chunk's buffer is then the C-order of the permuted INNER shape) —
+      // the same per-tile stride remap as the unsharded case, because the
+      // reader's tile unit IS the inner chunk ([[decodeShardPngs]] feeds
+      // each inner chunk through [[planeToPng]] with `chunks` = inner)
+      val innerNodesJson = cfg.path("codecs")
+      require(innerNodesJson.isArray && innerNodesJson.size >= 1,
+        s"graft: $arrayDir sharding_indexed needs an inner codecs chain")
+      val innerNodes = (0 until innerNodesJson.size).map(innerNodesJson.get)
+      val (innerTranspose, innerSkip) =
+        parseLeadingTranspose(innerNodes, inner, arrayDir)
+      val (innerCodec, innerCrc) =
+        parseV3Chain(innerNodesJson, arrayDir, dtype, innerSkip)
       // the index chain is bytes(le) + optional crc32c — never compressed
       // (the spec fixes its size so readers can locate it blind)
       val (idxCodec, idxCrc) = parseV3Chain(cfg.path("index_codecs"), arrayDir, dtype)
@@ -375,13 +377,38 @@ object OmeZarrReader {
       // into ShardParams (keys index shard files)
       ZarrImage(0L, group, arrayDir, dtype, innerCodec, shape, inner,
         crc32c = false, keyPrefix = keyPrefix,
-        shard = Some(ShardParams(chunks, innerCodec, innerCrc, idxCrc, atEnd)))
+        shard = Some(ShardParams(chunks, innerCodec, innerCrc, idxCrc, atEnd)),
+        transposeOrder = innerTranspose)
     } else {
       val (codec, crc) = parseV3Chain(codecs, arrayDir, dtype, skip)
       ZarrImage(0L, group, arrayDir, dtype, codec, shape, chunks,
         crc32c = crc, keyPrefix = keyPrefix, transposeOrder = transposeOrder)
     }
   }
+
+  /** Parse an optional LEADING `transpose` codec off a chain (the only
+    * position the v3 spec allows an array→array codec): validates the
+    * order is a full-rank permutation of `chunkShape`'s axes and that a
+    * bytes codec follows, returning the order (None for the identity —
+    * a no-op remap is skipped entirely) and how many nodes to skip.
+    * Shared by the array's outer chain and a shard's inner chain. */
+  private def parseLeadingTranspose(
+      nodes: Seq[com.fasterxml.jackson.databind.JsonNode],
+      chunkShape: Seq[Int], arrayDir: String): (Option[Seq[Int]], Int) =
+    if (nodes.head.path("name").asText() == "transpose") {
+      val ord = nodes.head.path("configuration").path("order")
+      require(ord.isArray && ord.size == chunkShape.length,
+        s"graft: $arrayDir transpose order rank ${ord.size} != " +
+          s"chunk rank ${chunkShape.length}")
+      val o = (0 until ord.size).map(i => ord.get(i).asInt())
+      require(o.sorted == chunkShape.indices.toSeq,
+        s"graft: $arrayDir transpose order ${o.mkString("[", ",", "]")} " +
+          "is not a permutation of the axes")
+      require(nodes.size >= 2,
+        s"graft: $arrayDir codec chain ends after transpose — needs a bytes codec")
+      // identity permutation is a no-op: skip the remap entirely
+      (Some(o).filter(_ != chunkShape.indices.toSeq), 1)
+    } else (None, 0)
 
   /** Validate + resolve a v3 codec chain: exactly one `bytes` codec
     * FIRST (little-endian unless samples are single-byte), at most one
@@ -391,13 +418,19 @@ object OmeZarrReader {
     * is refused with a named error rather than silently decoding with
     * the wrong stage order (a chain like [bytes, crc32c, gzip] would
     * otherwise verify the checksum over the wrong bytes and report a
-    * spurious corruption on a valid store). */
+    * spurious corruption on a valid store). A transpose reaching this
+    * head check sits somewhere transposes are not defined (the index
+    * chain, or after the caller already consumed the leading slot) —
+    * named rather than falling through to the generic bytes message. */
   private def parseV3Chain(
       codecs: com.fasterxml.jackson.databind.JsonNode,
       arrayDir: String, dtype: String, skip: Int = 0): (String, Boolean) = {
     require(codecs.isArray && codecs.size >= 1 + skip,
       s"graft: $arrayDir v3 codec chain is missing or empty")
     val head = codecs.get(skip)
+    require(head.path("name").asText() != "transpose",
+      s"graft: $arrayDir transpose codec unsupported here — it may only " +
+        "LEAD the array's codec chain or a shard's inner chain")
     require(Set("bytes", "endian").contains(head.path("name").asText()),
       s"graft: $arrayDir v3 codec chain must start with the bytes codec, " +
         s"got '${head.path("name").asText()}'")
@@ -430,7 +463,7 @@ object OmeZarrReader {
         case other => throw new IllegalArgumentException(
           s"graft: $arrayDir v3 codec '$other' unsupported " +
             "(bytes, gzip, zstd, blosc, crc32c, sharding_indexed-first; " +
-            "transpose only as the LEADING codec of an unsharded chain)")
+            "transpose only LEADING the array or shard-inner chain)")
       }
     }
     (codec, crc)
@@ -663,8 +696,8 @@ object OmeZarrReader {
       transpose: Boolean = false): Unit = { // leading transpose codec, order [1,0]
     require(Set("default", "v2").contains(keyEncoding),
       s"graft: v3 keyEncoding '$keyEncoding' must be default or v2")
-    require(!(transpose && shardTiles.isDefined),
-      "graft: test writer does not mint transpose-over-sharding stores")
+    // transpose + shardTiles composes: the transpose codec lands in the
+    // shard's INNER chain (innerChain below feeds the sharding config)
     val bloscCname = if (codec.startsWith("blosc-"))
       Some(codec.stripPrefix("blosc-")
         .stripSuffix("-noshuffle").stripSuffix("-bitshuffle")) else None

@@ -254,6 +254,46 @@ class OmeZarrSpec extends AnyFunSuite {
     assert(messages.contains("crc32c"), s"corrupt shard index must name the crc: $messages")
   }
 
+  test("v3 transpose INSIDE a shard's inner chain decodes byte-identically") {
+    val raw = new OmeZarrReader(mintStore("raw"), "*.zarr", level = 0)
+      .readObjects(spark).orderBy("external_id").collect()
+    val rawPngs = raw.map(_.getAs[Array[Byte]](10).toSeq)
+    // the seventh dialect: sharding_indexed whose inner chain leads with
+    // transpose [1,0] — each inner chunk stores the C-order of its
+    // permuted inner shape, un-permuted by the same stride remap the
+    // unsharded transpose path uses (per tile = per inner chunk)
+    for ((codec, crc) <- Seq(("raw", false), ("gzip", true))) {
+      val root = Files.createTempDirectory("graft_zarr3_shard_t")
+      for (i <- 0 until 3) {
+        OmeZarrReader.writeTestZarrV3(root.resolve(f"img_$i%02d.zarr"),
+          width = 40, height = 24, levels = 3, chunkY = 8, chunkX = 16,
+          pixel = pix(i), codec = codec, crc32c = crc,
+          shardTiles = Some((2, 2)), transpose = true)
+      }
+      val got = new OmeZarrReader(root.toString, "*.zarr", level = 0)
+        .readObjects(spark).orderBy("external_id").collect()
+      assert(got.map(_.getAs[Array[Byte]](10).toSeq).toSeq === rawPngs.toSeq,
+        s"sharded+inner-transpose v3 ($codec) must decode like unsharded raw")
+      assert(got.map(r => (r.getLong(0), r.getInt(4), r.getInt(5))).toSeq ===
+        raw.map(r => (r.getLong(0), r.getInt(4), r.getInt(5))).toSeq,
+        "tile ids and grid positions must stay the INNER-chunk grid")
+    }
+    // a transpose in the INDEX chain stays refused, with the named error
+    val bad = Files.createTempDirectory("graft_zarr3_shard_tb")
+    OmeZarrReader.writeTestZarrV3(bad.resolve("img.zarr"), 32, 16, 1, 8, 16,
+      pix(0), shardTiles = Some((2, 2)))
+    val zj = bad.resolve("img.zarr/0/zarr.json")
+    Files.write(zj, new String(Files.readAllBytes(zj), "UTF-8").replace(
+      """"index_codecs":[{"name":"bytes","configuration":{"endian":"little"}}""",
+      """"index_codecs":[{"name":"transpose","configuration":{"order":[1,0]}},{"name":"bytes","configuration":{"endian":"little"}}""")
+      .getBytes("UTF-8"))
+    val err = intercept[IllegalArgumentException] {
+      new OmeZarrReader(bad.toString, "*.zarr").readObjects(spark).collect()
+    }
+    assert(err.getMessage.contains("transpose codec unsupported here"),
+      s"index-chain transpose must name its position: ${err.getMessage}")
+  }
+
   test("v3 refusals are named: corrupt crc32c, malformed codec chains") {
     val root = Files.createTempDirectory("graft_zarr3_bad")
     val g = root.resolve("img.zarr")
