@@ -509,6 +509,46 @@ object SparkEntry {
     idsOnly(VectorIndex.open(spark, uri).query(idxQueries(spark, dir), K))
   }
 
+  /** U5+U6 oracle-visible: the SAME logical updates as
+    * [[applyUpdatesScript]], applied as 15 separate log writes (each
+    * %100-band of deletes / re-vectors / additions its own fragment pile,
+    * far past the reference's >10-fragment auto-consolidation threshold,
+    * index.py:837-858), then [[graft.index.VectorIndex.consolidateUpdatesLog]]
+    * compacts the pile into ~128 MB files and
+    * [[graft.index.VectorIndex.vacuum]] (index.py:579-598) sweeps the
+    * remainder — the compacted+vacuumed log must serve exactly what the
+    * fragment pile served, so the shared updates oracle applies verbatim. */
+  private def lifecycleCompactedKnn(spark: SparkSession, dir: String): DataFrame = {
+    val uri = cachedIndex("flat_compact", dir) { u =>
+      val base = embAsIndexInput(spark, dir)
+      val idx = Ingest.ingest(spark, u, base, "FLAT", DistanceMetric.L2,
+        timestamp = 1000L)
+      // %20==0 ids are %100 in {0,20,..,80}; %20==1 ids in {1,21,..,81}:
+      // five disjoint bands each — no id is written twice, so latest-per-id
+      // resolution equals the 3-batch script's
+      for (b <- 0 until 5) {
+        idx.deleteBatch(base.where(col("external_id") % 100 === 20 * b), ts = 1100L)
+        idx.updateBatch(base.where(col("external_id") % 100 === 20 * b + 1)
+          .select(col("external_id"), reverse(col("vector")).as("vector")), ts = 1100L)
+        idx.updateBatch(base.where(col("external_id") < 50 && col("external_id") % 5 === b)
+          .select((col("external_id") + 1000000L).as("external_id"),
+            reverse(col("vector")).as("vector")), ts = 1100L)
+      }
+      def fragments = graft.index.Storage.listFiles(s"$u/updates")
+        .count(_._1.endsWith(".parquet"))
+      val before = fragments
+      require(before > 10,
+        s"graft: lifecycle fixture wrote only $before fragments — below the threshold")
+      require(VectorIndex.open(spark, u).consolidateUpdatesLog(),
+        "graft: the >10-fragment log must trigger compaction")
+      val compacted = fragments
+      require(compacted < before,
+        s"graft: compaction left $compacted fragments (was $before)")
+      VectorIndex.open(spark, u).vacuum()
+    }
+    idsOnly(VectorIndex.open(spark, uri).query(idxQueries(spark, dir), K))
+  }
+
   /** U8 oracle-visible: clear_history drops the v1000 base (reference
     * index.py:626-735); the surviving v2000 full corpus must serve exact
     * brute force. */
@@ -743,6 +783,23 @@ object SparkEntry {
     idsOnly(VectorIndex.open(spark, uri).query(idxQueries(spark, dir), K))
   }
 
+  /** IVF_SQ8 COSINE (normalize-at-ingest — the quantizer trains on unit
+    * vectors — L2 kernels over the normalized store, distances reported
+    * as sos/2, [[graft.index.IvfSq8Index]]): probe-all with a
+    * candidate-covering kFactor makes the exact re-rank reproduce cosine
+    * brute force, validating the normalized quantizer, the COSINE probe
+    * mapping, and the report path hash-exactly — the cosine sibling of
+    * ivf_flat_cosine_probe_all. */
+  private def ivfSq8Cosine(spark: SparkSession, dir: String): DataFrame = {
+    val uri = cachedIndex("ivf_sq8_cos", dir) { u =>
+      Ingest.ingest(spark, u, embAsIndexInput(spark, dir), "IVF_SQ8",
+        DistanceMetric.Cosine, timestamp = 1000L)
+    }
+    val idx = VectorIndex.open(spark, uri).asInstanceOf[graft.index.IvfSq8Index]
+    idsOnly(idx.queryBase(idxQueries(spark, dir), K, nprobe0 = 1 << 30,
+      kFactor = 1e9f / K))
+  }
+
   /** U1–U3 on IVF_SQ8: the SAME updates script as the FLAT/BINARY updates
     * rows, queried at probe-all with the session kFactor override pinned
     * candidate-covering — the log-merged result is exact, so the shared
@@ -777,12 +834,14 @@ object SparkEntry {
     * recall regression fails the query rather than just flipping a flag. */
   private def vamanaRecallFrame(
       spark: SparkSession, dir: String, uri: String, sub: String,
-      beams: DataFrame): DataFrame = {
+      beams: DataFrame, corpus: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
     beams.write.mode("overwrite").parquet(s"$uri/$sub")
     val persisted = spark.read.parquet(s"$uri/$sub")
     val db = emb(spark, dir)
-    val exact = Knn.bruteForce(db, db.where(col("vec_id") < NQ), K,
+    // the exact twin scans `corpus` when given (e.g. the post-updates
+    // merged set) but always takes the ORIGINAL first-NQ query batch
+    val exact = Knn.bruteForce(corpus.getOrElse(db), db.where(col("vec_id") < NQ), K,
         DistanceMetric.L2, idCol = "vec_id", vecCol = "embedding",
         qidCol = "vec_id", qvecCol = "embedding")
       .select(col("qid"), col("id").as("neighbor_id"))
@@ -854,6 +913,44 @@ object SparkEntry {
       idsOnly(VectorIndex.open(spark, uri).asInstanceOf[graft.index.VamanaIndex]
         .queryLSearch(idxQueries(spark, dir), K,
           lSearch = graft.index.VamanaIndex.DefaultLSearch, nprobeShards = 5)))
+  }
+
+  /** Shard-granular VAMANA consolidation, oracle-visible: a 16-shard
+    * graph build takes the SAME updates script as the FLAT lifecycle
+    * rows, then [[graft.index.VamanaIndex.consolidateUpdates]] folds the
+    * log by rebuilding ONLY the touched shards' graphs (untouched shards
+    * byte-copy — the incremental path, spec-gated in IndexSpec; the 100 TB
+    * lever that makes graph maintenance cost O(touched), not a full
+    * rebuild). The folded index is queried all-shard and emitted as
+    * per-query recall vs the exact twin of the MERGED corpus — the same
+    * 0.85-gate recall frame as vamana_knn, with the updates algebra
+    * inside both the engine result and the DuckDB replay. */
+  private def vamanaConsolidatedKnn(spark: SparkSession, dir: String): DataFrame = {
+    val uri = cachedIndex("vamana_consol", dir) { u =>
+      val base = embAsIndexInput(spark, dir)
+      applyUpdatesScript(
+        Ingest.ingest(spark, u, base, "VAMANA", DistanceMetric.L2,
+          timestamp = 1000L, partitions = Some(16)),
+        base)
+      val folded = VectorIndex.open(spark, u).consolidateUpdates(newTs = 3000L)
+      // the row certifies the INCREMENTAL path priced for 100 TB: a silent
+      // fall-through to the full re-ingest (gate regression) must fail the
+      // build, not quietly pass the recall check at full-rebuild cost
+      require(folded.asInstanceOf[graft.index.VamanaIndex]
+          .shardCentroids.length == 16,
+        "graft: vamana consolidation must preserve the 16-shard geometry")
+    }
+    val db = emb(spark, dir)
+    val merged = db.where(col("vec_id") % 20 =!= 0 && col("vec_id") % 20 =!= 1)
+      .select(col("vec_id"), col("embedding"))
+      .unionAll(db.where(col("vec_id") % 20 === 1)
+        .select(col("vec_id"), reverse(col("embedding")).as("embedding")))
+      .unionAll(db.where(col("vec_id") < 50)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          reverse(col("embedding")).as("embedding")))
+    vamanaRecallFrame(spark, dir, uri, "results_consol",
+      idsOnly(VectorIndex.open(spark, uri).query(idxQueries(spark, dir), K)),
+      corpus = Some(merged))
   }
 
   /** Shared fvecs fixture, exported through the DSv2 write path (executor
@@ -2593,10 +2690,13 @@ object SparkEntry {
     "ivf_pq_default" -> (ivfPqDefault _),
     "ivf_sq8_exact_rerank" -> (ivfSq8ExactRerank _),
     "ivf_sq8_default" -> (ivfSq8Default _),
+    "ivf_sq8_cosine" -> (ivfSq8Cosine _),
     "ivf_sq8_updates_knn" -> (ivfSq8UpdatesKnn _),
     "updates_knn" -> (updatesKnn _),
     "binary_idx_updates_knn" -> (binaryIdxUpdatesKnn _),
     "consolidated_updates_knn" -> (consolidatedUpdatesKnn _),
+    "lifecycle_compacted_knn" -> (lifecycleCompactedKnn _),
+    "vamana_consolidated_knn" -> (vamanaConsolidatedKnn _),
     "cleared_history_knn" -> (clearedHistoryKnn _),
     "vecs_source_metadata" -> (vecsSourceMetadata _),
     "emb_medoid" -> (embMedoid _),
@@ -2874,6 +2974,10 @@ object SparkEntry {
     "ivf_sq8_updates_knn" -> updatesOracle,
     // a consolidated fold must serve the identical merged state
     "consolidated_updates_knn" -> updatesOracle,
+    // SQ8 cosine: probe-all + covering kFactor → exact cosine brute force
+    "ivf_sq8_cosine" -> knnOracle("list_cosine_similarity(n.embedding, q.embedding) DESC"),
+    // 15 fragments → compacted → vacuumed log serves the same merge
+    "lifecycle_compacted_knn" -> updatesOracle,
     // after clear_history the surviving full version is plain brute force
     "cleared_history_knn" -> knnOracle("list_distance(n.embedding, q.embedding)"),
     // header-only fvecs metadata == source table statistics
@@ -3778,7 +3882,8 @@ object SparkEntry {
     qualityClfReplayOracle ++ pipelineFunnelOracle ++ pcaReplayOracle ++
     vamanaRecallOracle("vamana", "results_knn", "vamana_knn") ++
     vamanaRecallOracle("vamana_routed", "results_routed", "vamana_knn_routed") ++
-    vamanaRecallOracle("vamana", "results_pq", "vamana_knn_pq")
+    vamanaRecallOracle("vamana", "results_pq", "vamana_knn_pq") ++
+    vamanaConsolRecallOracle
 
   /** DuckDB verification of the VAMANA recall frames: recompute the exact
     * top-k twin from `embeddings` directly, intersect with the PERSISTED
@@ -3801,6 +3906,40 @@ object SparkEntry {
              |  SELECT q.vec_id AS qid, n.vec_id AS neighbor_id
              |  FROM (SELECT * FROM embeddings WHERE vec_id < $NQ) q
              |  CROSS JOIN embeddings n
+             |  QUALIFY row_number() OVER (PARTITION BY q.vec_id
+             |      ORDER BY list_distance(n.embedding, q.embedding), n.vec_id) <= $K),
+             |hits AS (
+             |  SELECT e.qid, count(b.neighbor_id)::BIGINT AS hits
+             |  FROM exact e LEFT JOIN beams b USING (qid, neighbor_id)
+             |  GROUP BY e.qid)
+             |SELECT qid, hits,
+             |  (SELECT sum(hits) * 100 >= 85 * $NQ * $K FROM hits) AS meets_gate
+             |FROM hits ORDER BY qid""".stripMargin
+      }.toMap
+
+  /** [[vamanaRecallOracle]]'s shape with the exact twin computed over the
+    * post-consolidation MERGED corpus (the updatesOracle algebra: deletes
+    * %20==0, re-vectors %20==1 reversed, +1000000 additions) — DuckDB
+    * independently re-derives both the merged ground truth and the
+    * per-query hit counts against the engine's persisted beams, so the
+    * incremental shard-rebuild consolidation sits inside the hash. */
+  private def vamanaConsolRecallOracle: Map[String, String] =
+    indexCache.collectFirst { case (k, uri) if k.startsWith("vamana_consol|") => uri }
+      .map { uri =>
+        "vamana_consolidated_knn" ->
+          s"""WITH beams AS (
+             |  SELECT qid, neighbor_id FROM read_parquet('$uri/results_consol/*.parquet')),
+             |merged AS (
+             |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 NOT IN (0, 1)
+             |  UNION ALL
+             |  SELECT vec_id, list_reverse(embedding) FROM embeddings WHERE vec_id % 20 = 1
+             |  UNION ALL
+             |  SELECT vec_id + 1000000, list_reverse(embedding) FROM embeddings WHERE vec_id < 50
+             |),
+             |exact AS (
+             |  SELECT q.vec_id AS qid, n.vec_id AS neighbor_id
+             |  FROM (SELECT * FROM embeddings WHERE vec_id < $NQ) q
+             |  CROSS JOIN merged n
              |  QUALIFY row_number() OVER (PARTITION BY q.vec_id
              |      ORDER BY list_distance(n.embedding, q.embedding), n.vec_id) <= $K),
              |hits AS (
