@@ -29,6 +29,12 @@ object Conf {
   def double(spark: SparkSession, key: String, default: Double): Double =
     spark.conf.getOption(key).map(parseDouble(key, _)).getOrElse(default)
 
+  def bool(spark: SparkSession, key: String, default: Boolean): Boolean =
+    spark.conf.getOption(key).map(_.trim.toBooleanOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"graft: malformed value for $key (expected true/false)")))
+      .getOrElse(default)
+
   def parseDouble(key: String, v: String): Double =
     // toDoubleOption parses 'NaN'/'Infinity'; a non-finite knob must fail
     // loudly here, not collapse silently downstream (ceil(k * NaN).toLong

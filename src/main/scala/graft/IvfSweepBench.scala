@@ -34,7 +34,7 @@ object IvfSweepBench {
     val reps = args.lift(1).map(_.toInt).getOrElse(500)
     val nq = args.lift(2).map(_.toInt).getOrElse(100)
     val jitter = args.lift(3).map(_.toDouble).getOrElse(0.5)
-    val mode = args.lift(4).getOrElse("all") // all | flat | pq | pq10m | sq8 | sqrtn
+    val mode = args.lift(4).getOrElse("all") // all | flat | pq | pq10m | sq8 | sqrtn | pqauto
     val spark = SparkSession.builder()
       .appName("graft-ivf-sweep").master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -69,7 +69,7 @@ object IvfSweepBench {
     val sqrtN = math.sqrt(n.toDouble).toInt
     val partsGrid = mode match {
       case "sqrtn" => Seq(sqrtN)
-      case "pq" | "pq10m" | "sq8" => Seq.empty // type-only modes skip the FLAT grid
+      case "pq" | "pq10m" | "sq8" | "pqauto" => Seq.empty // type-only modes skip the FLAT grid
       case _ => Seq(20, 50, 100, 200, sqrtN)
     }
     for (parts <- partsGrid) {
@@ -117,6 +117,65 @@ object IvfSweepBench {
           f"recall: $recall%.4f, query_s: $queryS%.2f, build_s: $buildPqS%.1f}")
       }
       graft.index.Storage.deleteRecursively(uriPq)
+      graft.index.Storage.deleteRecursively(corpusPath)
+      return
+    }
+    // mode "pqauto": the k_factor CALIBRATION audit — build IVF_PQ (and
+    // IVF_SQ8) at the √N geometry, run the build-time auto-calibration
+    // (graft.index.KFactorCalibration: saturated-pool agreement at the
+    // default nprobe), then sweep the full grid against EXACT ground truth
+    // and report where the measured knee sits. AUTO is validated when it
+    // lands within one grid step of the knee — at 1M AND 10M, where the
+    // measured knees differ by a decade (PQ 4 vs 32, PERF.md).
+    if (mode == "pqauto") {
+      val uriPq = java.nio.file.Files.createTempDirectory("ivf_sweep_pqauto").toString
+      val t0b = System.nanoTime()
+      Ingest.ingest(spark, uriPq, big, "IVF_PQ", DistanceMetric.L2,
+        timestamp = 1000L, partitions = Some(sqrtN))
+      val buildPqS = (System.nanoTime() - t0b) / 1e9
+      val pq = VectorIndex.open(spark, uriPq).asInstanceOf[graft.index.IvfPqIndex]
+      val tCal = System.nanoTime()
+      val autoPq = pq.calibrateKFactor(k = k)
+      println(f"SWEEP_PQ_AUTO {partitions: $sqrtN, auto_k_factor: $autoPq%.0f, " +
+        f"calib_s: ${(System.nanoTime() - tCal) / 1e9}%.1f, build_s: $buildPqS%.1f}")
+      val grid = graft.index.KFactorCalibration.Grid
+      val recalls = grid.map { kf =>
+        val t1 = System.nanoTime()
+        val got = SweepFixture.groundTruth(pq.queryBase(queries, k, 0, kf, None))
+        val queryS = (System.nanoTime() - t1) / 1e9
+        val recall = SweepFixture.recall(exact, got, k)
+        println(f"SWEEP_PQ {partitions: $sqrtN, nprobe: 0, k_factor: $kf%.0f, " +
+          f"recall: $recall%.4f, query_s: $queryS%.2f}")
+        kf -> recall
+      }
+      val maxR = recalls.map(_._2).max
+      val knee = recalls.find(_._2 >= 0.95 * maxR).map(_._1).getOrElse(grid.max)
+      println(f"SWEEP_PQ_KNEE {measured_knee: $knee%.0f, auto: $autoPq%.0f, " +
+        f"within_one_step: ${autoPq >= knee / 2 && autoPq <= knee * 2}}")
+      graft.index.Storage.deleteRecursively(uriPq)
+
+      val uriSq = java.nio.file.Files.createTempDirectory("ivf_sweep_sq8auto").toString
+      val t0s = System.nanoTime()
+      Ingest.ingest(spark, uriSq, big, "IVF_SQ8", DistanceMetric.L2,
+        timestamp = 1000L, partitions = Some(sqrtN))
+      val buildSqS = (System.nanoTime() - t0s) / 1e9
+      val sq = VectorIndex.open(spark, uriSq).asInstanceOf[graft.index.IvfSq8Index]
+      val tCal2 = System.nanoTime()
+      val autoSq = sq.calibrateKFactor(k = k)
+      println(f"SWEEP_SQ8_AUTO {partitions: $sqrtN, auto_k_factor: $autoSq%.0f, " +
+        f"calib_s: ${(System.nanoTime() - tCal2) / 1e9}%.1f, build_s: $buildSqS%.1f}")
+      val recallsSq = Seq(1.0f, 2.0f, 4.0f, 8.0f).map { kf =>
+        val got = SweepFixture.groundTruth(sq.queryBase(queries, k, 0, kf, None))
+        val recall = SweepFixture.recall(exact, got, k)
+        println(f"SWEEP_SQ8 {partitions: $sqrtN, nprobe: 0, k_factor: $kf%.0f, " +
+          f"recall: $recall%.4f}")
+        kf -> recall
+      }
+      val maxRs = recallsSq.map(_._2).max
+      val kneeSq = recallsSq.find(_._2 >= 0.95 * maxRs).map(_._1).getOrElse(8.0f)
+      println(f"SWEEP_SQ8_KNEE {measured_knee: $kneeSq%.0f, auto: $autoSq%.0f, " +
+        f"within_one_step: ${autoSq >= kneeSq / 2 && autoSq <= kneeSq * 2}}")
+      graft.index.Storage.deleteRecursively(uriSq)
       graft.index.Storage.deleteRecursively(corpusPath)
       return
     }

@@ -30,14 +30,122 @@ object TextScaleBench {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val reps = args.lift(1).map(_.toInt).getOrElse(20)
     val numShards = args.lift(2).map(_.toInt).getOrElse(64)
+    val mode = args.lift(3).getOrElse("all") // all | dedup
     val spark = SparkSession.builder()
       .appName("graft-text-scale").master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try run(spark, sfDir, reps, numShards)
-    finally spark.stop()
+    try {
+      if (mode == "dedup") runDedup(spark, sfDir, reps)
+      else run(spark, sfDir, reps, numShards)
+    } finally spark.stop()
+  }
+
+  /** The dedup-family scale arm (MinHash-LSH → components → canonical,
+    * plus SemDeDup embedding dedup): the vector-index family has 10M
+    * evidence, the text dedup family's deepest prior point was 500k docs
+    * and only for line-dedup — this arm runs the THREE pair-generating
+    * pipelines on a corpus with CONTROLLED duplicate structure, so the
+    * work per doc stays constant as `reps` grows and any superlinear
+    * stage shows as a scaling ratio > reps ratio.
+    *
+    * Corpus: every base doc spawns `reps` replicas organized into
+    * NEAR-DUP TRIOS — a group token is interleaved every 4 tokens
+    * (shared within a trio, distinct across trios, so cross-trio
+    * 3-shingle Jaccard lands ~0.25, far under the 0.8 threshold) and a
+    * member token is appended (trio members differ only by it, Jaccard
+    * > 0.9). Expected components ≈ docs/3 regardless of scale — dup
+    * structure, bucket sizes, and union-find fan-in are all
+    * scale-invariant by construction. Base docs shorter than the
+    * interleave stride are excluded (their replicas cannot diverge, and
+    * a reps-sized identical group is a dup-BOMB stress, not a linearity
+    * measurement).
+    *
+    * Embedding arm: trio-grouped jittered vectors (unit base + ±0.5/lane
+    * group jitter decorrelates trios; a 5e-4 member epsilon keeps trio
+    * cosine ≈ 1), blocked on SAMPLED pivots (SPANN-style: for dedup
+    * blocking, pivots only need balance, not optimality — sampling costs
+    * O(k) where training k-means with k ∝ n would dominate the whole
+    * job; this keeps BLOCK SIZE constant as n grows, the lever that
+    * holds the pair join at O(n·blockSize) instead of n^1.5).
+    *
+    * Usage: `runMain graft.TextScaleBench <sfDir> <reps> - dedup`
+    * (reps=100 → 500k docs at sf0.1, reps=1000 → 5M). */
+  def runDedup(spark: SparkSession, sfDir: String, reps: Int): Unit = {
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .where(length(col("text")) >= 120)
+    val nBase = base.count()
+    val corpusPath = Files.createTempDirectory("graft_dedupscale").toString
+    base.select(col("doc_id"), col("text"))
+      .withColumn("rep", explode(sequence(lit(0), lit(reps - 1))))
+      .select((col("doc_id") * reps + col("rep")).as("doc_id"),
+        concat(
+          regexp_replace(trim(col("text")), lit("(\\S+ \\S+ \\S+ \\S+) "),
+            concat(lit("$1 g"), floor(col("rep") / 3).cast("string"), lit(" "))),
+          lit(" m"), (col("rep") % 3).cast("string")).as("text"))
+      .write.mode("overwrite").parquet(corpusPath)
+    val corpus = spark.read.parquet(corpusPath)
+    val n = corpus.count()
+    println(s"DEDUPSCALE_CORPUS docs=$n (reps=$reps x $nBase, trio groups)")
+
+    def timed(op: String)(f: => String): Unit = {
+      val t0 = System.nanoTime()
+      val detail = f
+      println(f"DEDUPSCALE op=$op%-16s wall=${(System.nanoTime() - t0) / 1e9}%7.2f s  $detail")
+    }
+
+    var assigns: org.apache.spark.sql.DataFrame = null
+    timed("minhash_cc") {
+      assigns = Dedup.dedupAssignments(corpus, 0.8).cache()
+      val r = assigns.agg(count(lit(1)),
+        count_distinct(col("component")),
+        sum(col("is_canonical").cast("long"))).head()
+      s"docs=${r.getLong(0)} components=${r.getLong(1)} canonical=${r.getLong(2)}"
+    }
+    timed("canonical_quality") {
+      val qual = corpus.select(col("doc_id"),
+        graft.text.TextOps.tokenCount(col("text")).cast("long").as("quality"))
+      val r = Dedup.canonicalByQuality(assigns, qual)
+        .agg(count(lit(1)), sum(col("is_canonical").cast("long"))).head()
+      s"docs=${r.getLong(0)} canonical=${r.getLong(1)}"
+    }
+    assigns.unpersist()
+
+    // embedding arm: 2.5 vectors per doc keeps the two corpora the same
+    // order of magnitude (sf0.1 embeddings = 2000 rows vs 5000 docs)
+    val vreps = math.max(3, (n / 2000L).toInt)
+    val vecPath = Files.createTempDirectory("graft_dedupscale_vec").toString
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .withColumn("rep", explode(sequence(lit(0), lit(vreps - 1))))
+      .select((col("vec_id") * vreps + col("rep")).as("vid"),
+        expr("transform(embedding, (x, i) -> float(x + " +
+          "(pmod(hash(vec_id, int(rep / 3), i), 1001) - 500) / 1000.0 + " +
+          "(rep % 3) * 5.0e-4))").as("embedding"))
+      .select(col("vid").as("vec_id"), col("embedding"))
+      .write.mode("overwrite").parquet(vecPath)
+    val vec = spark.read.parquet(vecPath)
+    val vn = vec.count()
+    // sampled-pivot blocking: k ∝ n pins the expected block size at ~500
+    // (×probes=2 → ~1000 rows/block), so the block-join pair count grows
+    // linearly with n instead of n^1.5 under √n blocking
+    val k = math.max(64, (vn / 500L).toInt)
+    val pivots = vec.select(col("vec_id"),
+        graft.functions.vector_normalize(col("embedding")).as("v"))
+      .orderBy(xxhash64(col("vec_id"))).limit(k)
+      .collect().map(_.getSeq[Float](1).toArray)
+    println(s"DEDUPSCALE_VECTORS n=$vn pivots=$k (sampled, not trained)")
+    timed("semantic_cc") {
+      val r = Dedup.dedupAssignmentsEmbedding(vec, 0.5,
+          presetCentroids = Some(pivots))
+        .agg(count(lit(1)), count_distinct(col("component")),
+          sum(col("is_canonical").cast("long"))).head()
+      s"vectors=${r.getLong(0)} components=${r.getLong(1)} canonical=${r.getLong(2)}"
+    }
+
+    graft.index.Storage.deleteRecursively(corpusPath)
+    graft.index.Storage.deleteRecursively(vecPath)
   }
 
   def run(spark: SparkSession, sfDir: String, reps: Int, numShards: Int): Unit = {

@@ -83,6 +83,20 @@ object VamanaSweepBench {
       Some(idx.withPqTraversal())
     } else None
 
+    // the calibration audit: per routing width S, the AUTO k_factor the
+    // build-time calibration would pick (graft.index.KFactorCalibration —
+    // saturated-pool agreement at that S), printed next to the grid cells
+    // so PERF.md can place AUTO against the measured knee. persist=false:
+    // every S calibrates against the same on-disk index.
+    if (pq) for (s <- sList; if s == 0 || s < shards) {
+      val tc = System.nanoTime()
+      val auto = idx.withNprobeShards(s).calibratePqKFactor(
+        k = k, lSearch = lsList.max, persist = false)
+      val sLabel = if (s == 0) "all" else s.toString
+      println(f"VSWEEP_PQ_AUTO {shards: $shards, S: $sLabel%s, " +
+        f"auto_k_factor: $auto%.0f, calib_s: ${(System.nanoTime() - tc) / 1e9}%.1f}")
+    }
+
     for (s <- sList; ls <- lsList) {
       if (s == 0 || s < shards) {
         val t1 = System.nanoTime()

@@ -50,7 +50,16 @@ case class IndexMeta(
     // colpali_embedding.py:88-104). Recorded so IndexDoctor treats id
     // multiplicity as the layout, not corruption; baseSizes stay ROW
     // counts either way. Absent in old index.json → false.
-    multiVector: Boolean = false) {
+    multiVector: Boolean = false,
+    // Calibrated exact-re-rank candidate inflation for lossy-code queries
+    // (IVF_PQ's `k_factor`, ivf_pq_index.py:40-45; also Vamana PQ
+    // traversal): written by [[KFactorCalibration]] as the measured knee
+    // of the recall-vs-pool-size curve at THIS corpus's density — the 10M
+    // sweeps showed the right value is density-dependent (PQ needed 32
+    // where 1M needed 4), so a fixed constant cannot serve both. 0 =
+    // uncalibrated → the type's compiled default; an explicit query-time
+    // kFactor always wins. Absent in old index.json → 0.
+    pqKFactor: Float = 0f) {
 
   def metric: DistanceMetric = DistanceMetric.fromId(distanceMetric)
 
@@ -111,7 +120,8 @@ object IndexMeta {
       "r_max_degree" -> meta.rMaxDegree,
       "shard_replicas" -> meta.shardReplicas,
       "boundary_exchanged" -> meta.boundaryExchanged,
-      "multi_vector" -> meta.multiVector))
+      "multi_vector" -> meta.multiVector,
+      "pq_k_factor" -> meta.pqKFactor))
     val out = fs.create(p, true)
     try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
   }
@@ -145,7 +155,8 @@ object IndexMeta {
       rMaxDegree = (j \ "r_max_degree").extractOrElse[Int](0),
       shardReplicas = (j \ "shard_replicas").extractOrElse[Int](1),
       boundaryExchanged = (j \ "boundary_exchanged").extractOrElse[Boolean](false),
-      multiVector = (j \ "multi_vector").extractOrElse[Boolean](false))
+      multiVector = (j \ "multi_vector").extractOrElse[Boolean](false),
+      pqKFactor = (j \ "pq_k_factor").extractOrElse[Double](0.0).toFloat)
   }
 
   def exists(rootDir: String): Boolean = {

@@ -28,6 +28,11 @@ object Ingest {
     * scale for everyone (outliers saturate at code 0/255 instead). */
   val Sq8RangeQuantileKey = "spark.graft.sq8RangeQuantile"
 
+  /** When true, IVF_PQ / IVF_SQ8 ingests finish with a density-aware
+    * k_factor calibration ([[KFactorCalibration]]) and persist the
+    * measured knee as the index's query default. */
+  val AutoKFactorKey = "spark.graft.pq.autoKFactor"
+
   /** Attach synthesized consecutive external ids to a vector-only source
     * (reference: read_external_ids synthesizes arange when absent,
     * ingestion.py:809-877). Ordering follows the given sort columns.
@@ -549,11 +554,25 @@ object Ingest {
       boundaryExchanged = vamanaShardReplicas > 1,
       // sticky across appends/consolidation: once a version held
       // multi-vector rows, the layout contract is multi-vector
-      multiVector = multiVector || prior.exists(_.multiVector))
+      multiVector = multiVector || prior.exists(_.multiVector),
+      // a previously-calibrated re-rank knee carries across appends (the
+      // corpus density it measured barely moves under incremental folds);
+      // auto-calibration below re-measures when enabled
+      pqKFactor = prior.map(_.pqKFactor).getOrElse(0f))
     IndexMeta.write(uri, meta)
     // staging copy served its purpose once the partitioned base is written
     if (stageInputs)
       Storage.deleteRecursively(s"$uri/input_vectors/v=$timestamp")
+    // Opt-in density-aware k_factor calibration for the lossy-code types
+    // ([[KFactorCalibration]] — the measured knee becomes the query
+    // default in meta, |grid|+1 small-batch probes of the fresh index)
+    if (graft.Conf.bool(spark, Ingest.AutoKFactorKey, default = false)) {
+      VectorIndex.open(spark, uri) match {
+        case pq: IvfPqIndex => pq.calibrateKFactor()
+        case sq: IvfSq8Index => sq.calibrateKFactor()
+        case _ => () // FLAT/BINARY/IVF_FLAT/VAMANA-float re-rank exactly
+      }
+    }
     // Open at latest (not at `timestamp`) so subsequently-appended updates
     // are visible through the returned handle, matching the reference's
     // `return index.open(...)` at current time (ingestion.py:3418).

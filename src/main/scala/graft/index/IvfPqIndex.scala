@@ -50,9 +50,39 @@ class IvfPqIndex(spark: SparkSession, uri: String, meta: IndexMeta, ts: Long)
     else readVersioned(s"$uri/base/v=$baseTimestamp")
       .select("external_id", "vector", "codes", "partition_id")
 
+  /** Serving default for the re-rank pool: the density-calibrated knee
+    * when the build measured one ([[calibrateKFactor]] → meta), else the
+    * compiled constant. An explicit queryBase(kFactor) always wins. */
+  def defaultKFactor: Float =
+    if (meta.pqKFactor > 0f) meta.pqKFactor else IvfPqIndex.DefaultKFactor
+
   override protected def queryBase(queries: DataFrame, k: Int, nprobe0: Int,
       allow: Option[DataFrame]): DataFrame =
-    queryBase(queries, k, nprobe0, kFactor = IvfPqIndex.DefaultKFactor, allow)
+    queryBase(queries, k, nprobe0, kFactor = defaultKFactor, allow)
+
+  /** Measure the k_factor knee for THIS corpus and persist it as the
+    * query default ([[KFactorCalibration]] — smallest grid step whose
+    * top-k matches the saturated-pool result at ≥ 95%): nq held-out base
+    * vectors query the index's own serving path (default nprobe) per grid
+    * step. Returns the chosen factor; call after ingest (or set
+    * `spark.graft.pq.autoKFactor` to run it inside ingest). */
+  def calibrateKFactor(k: Int = 100, nq: Int = KFactorCalibration.DefaultNq,
+      persist: Boolean = true): Float = {
+    require(historyIdx >= 0, "graft: calibrateKFactor needs an ingested base")
+    // deterministic held-out batch: the nq smallest ids (self-matches are
+    // fine — the knee is about pool size, not absolute recall)
+    val qs = baseVectors().select(col("external_id").as("qid"),
+        col("vector").as("qvec"))
+      .orderBy("qid").limit(nq).localCheckpoint()
+    val kEff = math.min(k.toLong, meta.baseSizes(historyIdx)).toInt
+    val kf = KFactorCalibration.calibrate(
+      g => queryBase(qs, kEff, nprobe0 = 0, kFactor = g, allow = None))
+    if (persist) {
+      IndexMeta.write(uri, IndexMeta.read(uri).copy(pqKFactor = kf))
+      graft.plans.GraftSql.onIndexMutated(spark, uri)
+    }
+    kf
+  }
 
   /** @param kFactor candidate inflation before exact re-rank
     *                (reference: ivf_pq_index.py:40-45 `k_factor`). */

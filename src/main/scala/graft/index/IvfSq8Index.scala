@@ -61,13 +61,38 @@ class IvfSq8Index(spark: SparkSession, uri: String, meta: IndexMeta, ts: Long)
 
   override protected def queryBase(queries: DataFrame, k: Int, nprobe0: Int,
       allow: Option[DataFrame]): DataFrame =
-    // conf fallback so the shared lifecycle paths (updates merge, filtered
-    // queries, SQL registration) can tune the re-rank budget without a
-    // type-specific signature: explicit queryBase(kFactor) still wins
+    // precedence: session conf (explicit user action) > build-time
+    // calibrated knee (meta.pqKFactor, [[KFactorCalibration]]) > compiled
+    // constant — the conf fallback lets the shared lifecycle paths
+    // (updates merge, filtered queries, SQL registration) tune the re-rank
+    // budget without a type-specific signature; explicit queryBase(kFactor)
+    // still wins over all three
     queryBase(queries, k, nprobe0,
       kFactor = graft.Conf.double(spark, IvfSq8Index.KFactorKey,
-        IvfSq8Index.DefaultKFactor.toDouble).toFloat,
+        (if (meta.pqKFactor > 0f) meta.pqKFactor
+         else IvfSq8Index.DefaultKFactor).toDouble).toFloat,
       allow)
+
+  /** Measure the k_factor knee for THIS corpus and persist it as the
+    * query default (the SQ8 twin of [[IvfPqIndex.calibrateKFactor]]; the
+    * 10M sweep measured SQ8's knee density-INsensitive at 2 where PQ's
+    * moved 4→32, so the expected outcome is a small constant — the
+    * calibration certifies that rather than assuming it). */
+  def calibrateKFactor(k: Int = 100, nq: Int = KFactorCalibration.DefaultNq,
+      persist: Boolean = true): Float = {
+    require(historyIdx >= 0, "graft: calibrateKFactor needs an ingested base")
+    val qs = baseVectors().select(col("external_id").as("qid"),
+        col("vector").as("qvec"))
+      .orderBy("qid").limit(nq).localCheckpoint()
+    val kEff = math.min(k.toLong, meta.baseSizes(historyIdx)).toInt
+    val kf = KFactorCalibration.calibrate(
+      g => queryBase(qs, kEff, nprobe0 = 0, kFactor = g, allow = None))
+    if (persist) {
+      IndexMeta.write(uri, IndexMeta.read(uri).copy(pqKFactor = kf))
+      graft.plans.GraftSql.onIndexMutated(spark, uri)
+    }
+    kf
+  }
 
   /** @param kFactor candidate inflation before exact re-rank (the IVF_PQ
     *                `k_factor` knob, ivf_pq_index.py:40-45 — SQ8 needs far

@@ -340,13 +340,46 @@ class VamanaIndex(spark: SparkSession, uri: String, meta: IndexMeta, ts: Long,
     * query time with a named error). Composes with shard routing
     * ([[withNprobeShards]]) and with the standard updates-merge/masking in
     * [[VectorIndex.query]], which rides on top of queryBase unchanged. */
-  def withPqTraversal(kFactor: Float = VamanaIndex.DefaultPqKFactor): VamanaIndex = {
-    require(kFactor >= 1f,
-      s"graft: withPqTraversal kFactor must be >= 1 (got $kFactor)")
-    val idx = new VamanaIndex(spark, uri, meta, readTimestamp, nprobeShards, kFactor)
+  def withPqTraversal(kFactor: Float = 0f): VamanaIndex = {
+    // 0 = resolve the default: the build-time calibrated knee when one is
+    // persisted ([[calibratePqKFactor]] → meta.pqKFactor), else the
+    // compiled constant; an explicit kFactor always wins
+    val kf = if (kFactor > 0f) kFactor
+      else if (meta.pqKFactor > 0f) meta.pqKFactor
+      else VamanaIndex.DefaultPqKFactor
+    require(kf >= 1f,
+      s"graft: withPqTraversal kFactor must be >= 1 (got $kf)")
+    val idx = new VamanaIndex(spark, uri, meta, readTimestamp, nprobeShards, kf)
     idx.updateWindow = updateWindow
     idx.queryBaseArray = queryBaseArray
     idx
+  }
+
+  /** Measure the PQ-traversal k_factor knee for THIS corpus at THIS
+    * handle's routing config and persist it as the traversal default
+    * ([[KFactorCalibration]]): nq held-out base vectors run the PQ beam
+    * per grid step against the saturated-pool twin — at routed fan-out S
+    * the knee captures exactly the pool-saturation effect the 10M sweep
+    * measured (recall falling as S widens at fixed k×kFactor). Call on a
+    * handle configured like the serving path (e.g.
+    * `withNprobeShards(s).calibratePqKFactor()`), after [[buildPqCodes]]. */
+  def calibratePqKFactor(k: Int = 100, nq: Int = KFactorCalibration.DefaultNq,
+      lSearch: Int = VamanaIndex.DefaultLSearch,
+      persist: Boolean = true): Float = {
+    require(historyIdx >= 0, "graft: calibratePqKFactor needs an ingested base")
+    require(pqCodebooks.nonEmpty,
+      "graft: calibratePqKFactor needs PQ codes — run buildPqCodes() first")
+    val qs = baseVectors().select(col("external_id").as("qid"),
+        col("vector").as("qvec"))
+      .orderBy("qid").limit(nq).localCheckpoint()
+    val kEff = math.min(k.toLong, meta.baseSizes(historyIdx)).toInt
+    val kf = KFactorCalibration.calibrate(
+      g => withPqTraversal(g).queryLSearch(qs, kEff, lSearch, nprobeShards))
+    if (persist) {
+      IndexMeta.write(uri, IndexMeta.read(uri).copy(pqKFactor = kf))
+      graft.plans.GraftSql.onIndexMutated(spark, uri)
+    }
+    kf
   }
 
   /** The PERF.md-sweep default probe width for THIS build's persisted

@@ -1129,4 +1129,43 @@ class IndexSpec extends AnyFunSuite {
       assert(df.orderBy("qid", "rank").collect() === expected)
     } finally spark.conf.unset(VectorIndex.MaxBroadcastBytesKey)
   }
+
+  test("k_factor calibration persists a grid knee that becomes the query default") {
+    val uri = tmp()
+    Ingest.ingest(spark, uri, emb, "IVF_PQ", DistanceMetric.L2, timestamp = 1000L)
+    val pq = VectorIndex.open(spark, uri).asInstanceOf[graft.index.IvfPqIndex]
+    assert(pq.defaultKFactor === graft.index.IvfPqIndex.DefaultKFactor) // uncalibrated
+    val kf = pq.calibrateKFactor(k = 10, nq = 8)
+    assert(graft.index.KFactorCalibration.Grid.contains(kf))
+    val reopened = VectorIndex.open(spark, uri).asInstanceOf[graft.index.IvfPqIndex]
+    assert(reopened.meta.pqKFactor === kf)
+    assert(reopened.defaultKFactor === kf)
+    // the default query path now serves at the calibrated pool size
+    assert(gotIds(reopened.query(queries10, 10)) ===
+      gotIds(reopened.queryBase(queries10, 10, 0, kf)))
+  }
+
+  test("auto k_factor calibration runs inside ingest when the conf is set") {
+    val uri = tmp()
+    spark.conf.set(Ingest.AutoKFactorKey, "true")
+    try {
+      val idx = Ingest.ingest(spark, uri, emb, "IVF_SQ8", DistanceMetric.L2,
+        timestamp = 1000L)
+      assert(idx.meta.pqKFactor > 0f, "ingest must persist a calibrated kFactor")
+      assert(graft.index.KFactorCalibration.Grid.contains(idx.meta.pqKFactor))
+    } finally spark.conf.unset(Ingest.AutoKFactorKey)
+  }
+
+  test("VAMANA PQ-traversal default picks up a calibrated kFactor") {
+    val uri = tmp()
+    Ingest.ingest(spark, uri, emb, "VAMANA", DistanceMetric.L2,
+      timestamp = 1000L, partitions = Some(4))
+    val idx = VectorIndex.open(spark, uri).asInstanceOf[graft.index.VamanaIndex]
+    idx.buildPqCodes()
+    val kf = idx.calibratePqKFactor(k = 10, nq = 8)
+    assert(graft.index.KFactorCalibration.Grid.contains(kf))
+    val reopened = VectorIndex.open(spark, uri).asInstanceOf[graft.index.VamanaIndex]
+    assert(reopened.withPqTraversal().pqKFactor === kf) // default resolves to meta
+    assert(reopened.withPqTraversal(64f).pqKFactor === 64f) // explicit still wins
+  }
 }
