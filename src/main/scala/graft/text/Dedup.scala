@@ -504,10 +504,19 @@ object Dedup {
         toExpression(col("v")), centroids, probes))).as("blk")))
     val a = blocked.select(col("blk").as("blk_a"), col("id").as("id_a"), col("v").as("v_a"))
     val b = blocked.select(col("blk").as("blk_b"), col("id").as("id_b"), col("v").as("v_b"))
+    // VERIFY BEFORE DEDUP: the cosine predicate evaluates inside the
+    // block-join stage (codegen'd, pairs stream through memory), so only
+    // SURVIVING pairs — 16 bytes each — reach the dropDuplicates shuffle.
+    // The original dedup-then-verify order shuffled every candidate pair
+    // WITH both vector payloads: ~blockSize²/2 rows × (2·dims floats) per
+    // block ≈ 235 GB of spill at 432k vectors — measured filling the disk
+    // (round-13 dedup scale run) where the filtered order shuffles
+    // megabytes. Same result set: the predicate is a pure function of the
+    // (id_a, id_b) pair, so dedup-of-filtered ≡ filter-of-deduped.
     a.join(b, col("blk_a") === col("blk_b") && col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b") // pairs sharing several probed blocks
       .where(lit(1.0f) - dist_cosine(col("v_a"), col("v_b")) >= threshold)
       .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b") // pairs sharing several probed blocks
   }
 
   /** Full SEMANTIC corpus dedup (the SemDeDup pipeline shape): centroid-
