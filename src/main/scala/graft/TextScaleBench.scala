@@ -52,16 +52,23 @@ object TextScaleBench {
     * stage shows as a scaling ratio > reps ratio.
     *
     * Corpus: every base doc spawns `reps` replicas organized into
-    * NEAR-DUP TRIOS — a group token is interleaved every 4 tokens
-    * (shared within a trio, distinct across trios, so cross-trio
-    * 3-shingle Jaccard lands ~0.25, far under the 0.8 threshold) and a
-    * member token is appended (trio members differ only by it, Jaccard
-    * > 0.9). Expected components ≈ docs/3 regardless of scale — dup
-    * structure, bucket sizes, and union-find fan-in are all
-    * scale-invariant by construction. Base docs shorter than the
-    * interleave stride are excluded (their replicas cannot diverge, and
-    * a reps-sized identical group is a dup-BOMB stress, not a linearity
-    * measurement).
+    * NEAR-DUP TRIOS — a group token is interleaved every 2 tokens
+    * (shared within a trio, distinct across trios) and a member token is
+    * appended (trio members differ only by it, Jaccard > 0.9). The
+    * 2-token stride matters: it puts a group token inside EVERY
+    * 3-shingle, driving cross-trio Jaccard to ~0 — an earlier 4-token
+    * stride left cross-trio Jaccard ≈ 0.25, where banded LSH's
+    * false-positive rate is ~12% (1-(1-j⁴)³² at j=0.25), and since ALL
+    * same-base cross-trio pairs sit at that level, phantom candidates
+    * grew as reps² (260M pairs × two shingle-set payloads at reps=1000 —
+    * measured filling the disk). Real corpora don't carry
+    * reps²-correlated near-threshold families; the fixture must not
+    * either, or it measures its own artifact instead of the engine.
+    * Expected components ≈ docs/3 regardless of scale — dup structure,
+    * bucket sizes, and union-find fan-in are all scale-invariant by
+    * construction. Base docs shorter than the interleave stride are
+    * excluded (their replicas cannot diverge, and a reps-sized identical
+    * group is a dup-BOMB stress, not a linearity measurement).
     *
     * Embedding arm: trio-grouped jittered vectors (unit base + ±0.5/lane
     * group jitter decorrelates trios; a 5e-4 member epsilon keeps trio
@@ -82,7 +89,7 @@ object TextScaleBench {
       .withColumn("rep", explode(sequence(lit(0), lit(reps - 1))))
       .select((col("doc_id") * reps + col("rep")).as("doc_id"),
         concat(
-          regexp_replace(trim(col("text")), lit("(\\S+ \\S+ \\S+ \\S+) "),
+          regexp_replace(trim(col("text")), lit("(\\S+ \\S+) "),
             concat(lit("$1 g"), floor(col("rep") / 3).cast("string"), lit(" "))),
           lit(" m"), (col("rep") % 3).cast("string")).as("text"))
       .write.mode("overwrite").parquet(corpusPath)

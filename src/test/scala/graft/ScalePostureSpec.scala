@@ -233,4 +233,28 @@ class ScalePostureSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"),
       s"salted band join must stay an equi join:\n$plan")
   }
+
+  test("embedding ANN pairs: cosine filter runs BEFORE the dedup shuffle, ids only") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter}
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val pairs = graft.text.Dedup.embeddingCosinePairsAnn(emb, 0.5, partitions = 4)
+    val opt = pairs.queryExecution.optimizedPlan
+    // the dropDuplicates aggregate must see ONLY the 16-byte id pair —
+    // the un-filtered order shuffled every candidate pair with both
+    // vector payloads (~235 GB of spill at 432k vectors, measured)
+    val agg = opt.collectFirst { case a: Aggregate => a }
+      .getOrElse(fail(s"no dedup aggregate in:\n$opt"))
+    assert(agg.output.map(_.name).sorted === Seq("id_a", "id_b"),
+      s"dedup shuffle must carry ids only, got ${agg.output.map(_.name)}")
+    // and the cosine predicate must already have run underneath it —
+    // Catalyst folds the post-join where into the Join condition itself,
+    // so accept it in either a Filter node or the join criteria
+    val filtered = agg.child.collectFirst {
+      case f: Filter if f.condition.toString.contains("dist_cosine") => true
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+        if j.condition.exists(_.toString.contains("dist_cosine")) => true
+    }
+    assert(filtered.isDefined,
+      s"cosine verification must precede the dedup aggregate:\n$opt")
+  }
 }
