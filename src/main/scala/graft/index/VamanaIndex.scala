@@ -545,13 +545,29 @@ class VamanaIndex(spark: SparkSession, uri: String, meta: IndexMeta, ts: Long,
       Storage.deleteRecursively(s"$uri/$layer/v=$newTs")
     }
 
-    // 1. untouched shards: byte-identical copies of base + graph partitions
-    untouched.foreach { sid =>
-      Seq("base", "graph").foreach { layer =>
-        val src = s"$uri/$layer/v=$baseTimestamp/shard_id=$sid"
-        if (Storage.exists(src))
-          Storage.copyRecursively(src, s"$uri/$layer/v=$newTs/shard_id=$sid")
-      }
+    // 1. untouched shards: byte-identical copies of base + graph partitions.
+    // PARALLEL, not a driver loop: per-directory FS overhead (~35 ms of
+    // open/list/create per dir through the Hadoop API) dominates the bytes
+    // at production shard counts — sequentially, 3960 untouched shards × 2
+    // layers measured ~270 s of the 10M fold, a FIXED floor that hid the
+    // touched-proportional kernel cost entirely (MAINT arm, PERF.md
+    // round 13). Hadoop FileSystem instances are thread-safe; each task
+    // touches disjoint directories.
+    {
+      import scala.collection.parallel.CollectionConverters._
+      import scala.collection.parallel.ForkJoinTaskSupport
+      val copies = for (sid <- untouched; layer <- Seq("base", "graph"))
+        yield (sid, layer)
+      val pool = new java.util.concurrent.ForkJoinPool(16)
+      try {
+        val par = copies.par
+        par.tasksupport = new ForkJoinTaskSupport(pool)
+        par.foreach { case (sid, layer) =>
+          val src = s"$uri/$layer/v=$baseTimestamp/shard_id=$sid"
+          if (Storage.exists(src))
+            Storage.copyRecursively(src, s"$uri/$layer/v=$newTs/shard_id=$sid")
+        }
+      } finally pool.shutdown()
     }
     Storage.copyRecursively(s"$uri/centroids/v=$baseTimestamp",
       s"$uri/centroids/v=$newTs")
