@@ -89,7 +89,15 @@ object TextScaleBench {
       .withColumn("rep", explode(sequence(lit(0), lit(reps - 1))))
       .select((col("doc_id") * reps + col("rep")).as("doc_id"),
         concat(
-          regexp_replace(trim(col("text")), lit("(\\S+ \\S+) "),
+          // whitespace collapses FIRST: the interleave pattern matches
+          // single-space gaps, and the raw documents are line-structured —
+          // un-collapsed, a line-heavy doc gets no group tokens at all, its
+          // `reps` replicas stay mutually near-identical, and each such doc
+          // contributes (reps choose 2) pairs: measured 66 GB of pair
+          // shuffle at reps=1000 from exactly this
+          regexp_replace(
+            regexp_replace(trim(col("text")), lit("\\s+"), lit(" ")),
+            lit("(\\S+ \\S+) "),
             concat(lit("$1 g"), floor(col("rep") / 3).cast("string"), lit(" "))),
           lit(" m"), (col("rep") % 3).cast("string")).as("text"))
       .write.mode("overwrite").parquet(corpusPath)
