@@ -23,6 +23,12 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val repeat = math.max(1,
       sys.env.get("SPARK_GRAFT_BENCH_REPEAT").flatMap(_.toIntOption).getOrElse(3))
+    // Optimization-round iteration aid: SPARK_GRAFT_BENCH_ONLY=q1,q2 times
+    // only the named queries (builds still prebuild in full, so a filtered
+    // run keeps the same fixture state as a full one). The driver never
+    // sets it, so driver runs are always the full suite.
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -38,7 +44,9 @@ object Bench {
     val builds = SparkEntry.prebuild(spark, sfDir)
     var failures = List.empty[String]
     // (name, min, median) per query — min is the steal-resistant headline
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val times = (0 until repeat).flatMap { _ =>
         val t0 = System.nanoTime()
         // toRdd.count() executes the query's OWN plan (all output columns,
@@ -94,7 +102,9 @@ object Bench {
     // (the driver's end-of-round pass shares the host with its own
     // tooling) land in the BENCH_LAST_RUN.json side file instead, so a
     // contended number can never silently replace an isolated one
-    val label = sys.env.getOrElse("SPARK_GRAFT_BENCH_LABEL", "unattended")
+    // a filtered run must never overwrite a full-suite record
+    val label = if (only.isDefined) "filtered"
+      else sys.env.getOrElse("SPARK_GRAFT_BENCH_LABEL", "unattended")
     val full =
       s"""{"provenance":"$label","queries":$qs,"queries_median":$qsMed,""" +
         s""""builds":$buildJson,"failures":$failJson,"sf":"$sfDir",$headline}"""
