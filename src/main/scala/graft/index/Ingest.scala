@@ -484,18 +484,12 @@ object Ingest {
         val rd = rMaxDegree.getOrElse(VamanaIndex.DefaultRMaxDegree)
         vamanaLBuild = lb
         vamanaRMaxDegree = rd
-        val g = sharded.select(col("shard_id"), col("external_id"), col("vector"))
-          .as[(Int, Long, Array[Float])]
-          .groupByKey(_._1)
-          .flatMapGroups { (sid, it) =>
-            val arr = it.map { case (_, id, v) => (id, v) }.toArray
-            val ids = arr.map(_._1)
-            val pts = arr.map(_._2)
-            val (med, adj) = VamanaKernels.build(pts, lb, rd)
-            adj.indices.iterator.map { i =>
-              (sid, ids(i), adj(i).map(ids(_)).toSeq, i == med)
-            }
-          }.toDF("shard_id", "external_id", "neighbors", "is_medoid")
+        // one task per shard + id-sorted insertion order (see
+        // VamanaKernels.buildShardGraphs — the byte-sized AQE coalesce was
+        // serializing the CPU-heavy kernels onto 1-2 tasks)
+        val g = VamanaKernels.buildShardGraphs(
+          sharded.select(col("shard_id"), col("external_id"), col("vector")),
+          numShards, lb, rd)
         // boundary-replicated builds get the cross-shard neighbor
         // exchange: each replicated point's per-shard edges are re-pruned
         // from the union across its copies, with foreign endpoints

@@ -190,6 +190,49 @@ object VamanaKernels {
     (med, adj.map(_.toArray))
   }
 
+  /** Per-shard graph build with ONE TASK PER SHARD (optimization guide
+    * §2.5: AQE sizes post-shuffle partitions by BYTES, so the tiny shuffle
+    * of a sharded build coalesces to 1-2 partitions and serializes the
+    * CPU-heavy graph kernels — measured 6.3 s on 2 tasks for a 16-shard
+    * build that parallelizes to under a second. An explicit shard_id →
+    * partition mapping keeps the build embarrassingly parallel at every
+    * scale; at production shard counts the mapping is what a byte-sized
+    * coalesce would pick anyway, since each shard's rows are large).
+    *
+    * Rows are sorted by external_id inside each shard before the kernel
+    * runs: [[build]]'s insertion order shapes the graph, and pinning it to
+    * the id order makes the topology reproducible regardless of upstream
+    * partitioning (previously it followed shuffle-arrival order).
+    *
+    * Input columns: (shard_id, external_id, vector); output:
+    * (shard_id, external_id, neighbors, is_medoid). */
+  def buildShardGraphs(rows: DataFrame, numShards: Int, lBuild: Int,
+      rMaxDegree: Int): DataFrame = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val parts = math.max(1, numShards)
+    rows.select(col("shard_id"), col("external_id"), col("vector"))
+      .as[(Int, Long, Array[Float])].rdd
+      .map { case (sid, id, v) => (sid, (id, v)) }
+      .partitionBy(new org.apache.spark.Partitioner {
+        override def numPartitions: Int = parts
+        override def getPartition(key: Any): Int =
+          ((key.asInstanceOf[Int] % parts) + parts) % parts
+      })
+      .mapPartitions { it =>
+        it.toArray.groupBy(_._1).iterator.flatMap { case (sid, grp) =>
+          val arr = grp.map(_._2).sortBy(_._1)
+          val ids = arr.map(_._1)
+          val pts = arr.map(_._2)
+          val (med, adj) = build(pts, lBuild, rMaxDegree)
+          adj.indices.iterator.map { i =>
+            (sid, ids(i), adj(i).map(ids(_)).toSeq, i == med)
+          }
+        }
+      }
+      .toDF("shard_id", "external_id", "neighbors", "is_medoid")
+  }
+
   /** Per-shard beam search over (ids, points, adj) built from grouped rows:
     * returns (qid, external_id, sosScore) for the shard's top candidates. */
   def searchShard(
@@ -601,18 +644,12 @@ class VamanaIndex(spark: SparkSession, uri: String, meta: IndexMeta, ts: Long,
         else newAffected
       val lb = meta.lBuild
       val rd = meta.rMaxDegree
-      val g = floatView.select(col("shard_id"), col("external_id"), col("vector"))
-        .as[(Int, Long, Array[Float])]
-        .groupByKey(_._1)
-        .flatMapGroups { (sid, it) =>
-          val arr = it.map { case (_, id, v) => (id, v) }.toArray
-          val ids = arr.map(_._1)
-          val pts = arr.map(_._2)
-          val (med, adj) = VamanaKernels.build(pts, lb, rd)
-          adj.indices.iterator.map { i =>
-            (sid, ids(i), adj(i).map(ids(_)).toSeq, i == med)
-          }
-        }.toDF("shard_id", "external_id", "neighbors", "is_medoid")
+      // one task per shard + id-sorted insertion order (see
+      // VamanaKernels.buildShardGraphs); partitioner sized to the full
+      // shard count so affected-only rebuilds still map shard → task
+      val g = VamanaKernels.buildShardGraphs(
+        floatView.select(col("shard_id"), col("external_id"), col("vector")),
+        currentShards, lb, rd)
       g.write.mode("append").partitionBy("shard_id")
         .parquet(s"$uri/graph/v=$newTs")
     }

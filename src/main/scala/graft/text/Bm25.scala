@@ -77,8 +77,12 @@ object Bm25 {
     val avgdl = moments.getLong(1).toDouble / n.toDouble
     // one heavy pass: explode + (doc, term) aggregate, written term-sorted;
     // df/idf then derive from the WRITTEN parquet (a posting-table read,
-    // not a second corpus explode through lineage)
-    docs
+    // not a second corpus explode through lineage). Par.spread: the
+    // tokenize+explode is fused into the scan stage, so a corpus arriving
+    // as fewer splits than cores serializes it (measured 4.1 s on ONE task
+    // for the sf0.1 fixture) — spread to the parallelism floor first
+    // (no-op at production split counts).
+    graft.Par.spread(docs)
       .select(col(idCol).cast("long").as("id"),
         TextOps.tokenCount(col(textCol)).cast("long").as("dl"),
         explode(toks(col(textCol))).as("term"))

@@ -53,7 +53,9 @@ object LangModel {
       uri: String,
       textCol: String = "text"): Unit = {
     val spark = train.sparkSession
-    val grams = train
+    // Par.spread: the per-doc trigram kernel + explode fuse into the scan
+    // stage — a below-parallelism source would serialize them (guide §2.5)
+    val grams = graft.Par.spread(train)
       .select(explode(charTrigramCounts(col(textCol))).as("gc"))
       .select(col("gc.gram").as("gram"), col("gc.cnt").as("cnt"))
     val c3 = grams.groupBy("gram").agg(sum("cnt").as("c3"))
@@ -98,7 +100,9 @@ object LangModel {
     // one per character — the partial aggregation that keeps join-probe
     // volume at `Σ distinct grams` while `Σ cnt·lp` reproduces the
     // per-instance integer sum exactly
-    val grams = docs.select(col(idCol),
+    // Par.spread: same §2.5 spread as the fit — the trigram kernel is the
+    // scoring pass's dominant per-row cost
+    val grams = graft.Par.spread(docs).select(col(idCol),
         explode(charTrigramCounts(col(textCol))).as("gc"))
       .select(col(idCol), col("gc.gram").as("gram"), col("gc.cnt").as("cnt"))
       .withColumn("ctx", substring(col("gram"), 1, 2))
