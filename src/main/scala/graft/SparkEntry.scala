@@ -2413,7 +2413,13 @@ object SparkEntry {
       .withColumn("keep_dedup", col("keep_gopher") && col("doc_id") === col("__canon"))
     val clf = graft.text.QualityClassifier.scoreLogit(d, clfUri)
       .select(col("doc_id"), col("keep").as("keep_clf"))
-    val s3 = s2.join(clf, Seq("doc_id"))
+    // materialize the funnel's decision frame ONCE: s3 feeds the DSIR
+    // selection (whose boundary machinery runs several sequential jobs)
+    // AND the final output join — lazily, the gopher+fingerprint+classifier
+    // lineage re-evaluates per job/branch (profiled as ~7 repeated
+    // single-task evaluations dominating the query; guide §5 "localCheckpoint
+    // is a cheaper way to cut lineage")
+    val s3 = s2.join(clf, Seq("doc_id")).localCheckpoint()
     val survivors = s3.where(col("keep_dedup") && col("keep_clf"))
       .select(col("doc_id"), col("text"))
     val sel = graft.text.Dsir.select(survivors, dsUri, keepPermille = 500)

@@ -25,6 +25,10 @@ import graft.index.Ingest
   */
 object KnnGraph {
 
+  /** Salt-count override for the pair join (0/unset = auto:
+    * ceil(defaultParallelism / partitions); 1 disables salting). */
+  val PairSaltsKey = "spark.graft.knnGraphPairSalts"
+
   /** Shared blocking pipeline of [[build]] and [[hardNegatives]]:
     * `d` must carry (__id, __vec[, extra columns]); candidate-side copies
     * of `extraCandCols` are exposed with a `__c` prefix to `pairFilter`,
@@ -63,15 +67,44 @@ object KnnGraph {
       centroids: Array[Array[Float]],
       extraCandCols: Seq[String],
       pairFilter: Column): DataFrame = {
-    val home = d.withColumn("__pid",
+    // Salted partition-local join (guide §2.5): the join's shuffled BYTES
+    // are tiny relative to the pair-scoring CPU it fans out (|home_pid| ×
+    // |replicas_pid| distance kernels per key), so AQE's byte-sized
+    // coalescing can serialize the scoring onto one task when the blocking
+    // has fewer partitions than the cluster has cores. Salt the home side
+    // by a deterministic id hash and explode the replica side `salts`
+    // ways; `salts = ceil(cores / |centroids|)` is 1 whenever the blocking
+    // already spreads (every at-scale configuration — partitions grow with
+    // the corpus), so the replica duplication only exists when partitions
+    // < cores and the scoring would otherwise underparallelize.
+    val spark = d.sparkSession
+    val salts = math.max(1, graft.Conf.int(spark, KnnGraph.PairSaltsKey,
+      math.ceil(spark.sparkContext.defaultParallelism.toDouble /
+        math.max(1, centroids.length)).toInt))
+    val home0 = d.withColumn("__pid",
       toColumn(NearestCentroid(toExpression(col("__vec")), centroids)))
     val candCols = Seq(col("__id").as("__cid"), col("__vec").as("__cvec")) ++
       extraCandCols.map(c => col(c).as("__c" + c.stripPrefix("__"))) :+
       explode(toColumn(NearestCentroids(toExpression(col("__vec")), centroids, probes)))
         .as("__pid")
-    val replicas = d.select(candCols: _*)
+    val replicas0 = d.select(candCols: _*)
+    val (home, replicas, joinKeys) =
+      if (salts <= 1) (home0, replicas0, Seq("__pid"))
+      else {
+        val keys = Seq("__pid", "__salt")
+        // explicit numPartitions: a user-specified exchange is NOT
+        // AQE-coalescible, so the scoring stage keeps its parallelism —
+        // salting alone is useless here because coalescing is byte-sized,
+        // not key-sized
+        val h = home0.withColumn("__salt",
+            pmod(xxhash64(col("__id")), lit(salts)).cast("int"))
+          .repartition(spark.sparkContext.defaultParallelism, keys.map(col): _*)
+        val r = replicas0.withColumn("__salt",
+          explode(sequence(lit(0), lit(salts - 1))))
+        (h, r, keys)
+      }
 
-    val scored = home.join(replicas, Seq("__pid"))
+    val scored = home.join(replicas, joinKeys)
       .where(col("__id") =!= col("__cid") && pairFilter)
       .select(col("__id").as("__qid"), col("__cid").as("__id"),
         DistanceMetric.score(metric)(col("__cvec"), col("__vec")).as("__score"))
