@@ -29,8 +29,9 @@ object ProfileTool {
     val byId = scala.collection.mutable.HashMap.empty[Int, Job]
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = synchronized {
-        val site = Option(e.properties)
-          .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("?")
+        // last stage's name = the job's result stage call site
+        val site = e.stageInfos.sortBy(_.stageId).lastOption
+          .map(_.name.take(90)).getOrElse("?")
         val j = Job(e.jobId, site, e.time, nStages = e.stageInfos.size,
           nTasks = e.stageInfos.map(_.numTasks).sum)
         jobs += j; byId(e.jobId) = j

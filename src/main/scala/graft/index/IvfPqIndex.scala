@@ -30,7 +30,7 @@ class IvfPqIndex(spark: SparkSession, uri: String, meta: IndexMeta, ts: Long)
 
   lazy val centroids: Array[Array[Float]] =
     if (historyIdx < 0) Array.empty
-    else spark.read.parquet(s"$uri/centroids/v=$baseTimestamp")
+    else VectorIndex.readVersioned(spark, s"$uri/centroids/v=$baseTimestamp")
       .orderBy("partition_id").collect()
       .map(r => r.getSeq[Float](r.fieldIndex("centroid")).toArray)
 
@@ -38,7 +38,7 @@ class IvfPqIndex(spark: SparkSession, uri: String, meta: IndexMeta, ts: Long)
   lazy val codebooks: Array[Array[Array[Float]]] =
     if (historyIdx < 0) Array.empty
     else {
-      val rows = spark.read.parquet(s"$uri/pq_codebooks/v=$baseTimestamp")
+      val rows = VectorIndex.readVersioned(spark, s"$uri/pq_codebooks/v=$baseTimestamp")
         .orderBy("subspace", "code").collect()
       rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (_, rs) =>
         rs.sortBy(_.getInt(1)).map(r => r.getSeq[Float](2).toArray).toArray

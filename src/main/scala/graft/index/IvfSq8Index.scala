@@ -35,7 +35,7 @@ class IvfSq8Index(spark: SparkSession, uri: String, meta: IndexMeta, ts: Long)
 
   lazy val centroids: Array[Array[Float]] =
     if (historyIdx < 0) Array.empty
-    else spark.read.parquet(s"$uri/centroids/v=$baseTimestamp")
+    else VectorIndex.readVersioned(spark, s"$uri/centroids/v=$baseTimestamp")
       .orderBy("partition_id").collect()
       .map(r => r.getSeq[Float](r.fieldIndex("centroid")).toArray)
 
@@ -43,7 +43,7 @@ class IvfSq8Index(spark: SparkSession, uri: String, meta: IndexMeta, ts: Long)
   lazy val sqParams: (Array[Float], Array[Float]) =
     if (historyIdx < 0) (Array.empty, Array.empty)
     else {
-      val r = spark.read.parquet(s"$uri/sq_params/v=$baseTimestamp").head()
+      val r = VectorIndex.readVersioned(spark, s"$uri/sq_params/v=$baseTimestamp").head()
       (r.getSeq[Float](r.fieldIndex("mins")).toArray,
         r.getSeq[Float](r.fieldIndex("scales")).toArray)
     }

@@ -493,7 +493,7 @@ class VamanaIndex(spark: SparkSession, uri: String, meta: IndexMeta, ts: Long,
     if (historyIdx < 0 || !Storage.exists(s"$uri/pq_codebooks/v=$baseTimestamp"))
       Array.empty
     else {
-      val rows = spark.read.parquet(s"$uri/pq_codebooks/v=$baseTimestamp")
+      val rows = VectorIndex.readVersioned(spark, s"$uri/pq_codebooks/v=$baseTimestamp")
         .orderBy("subspace", "code").collect()
       rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (_, rs) =>
         rs.sortBy(_.getInt(1)).map(r => r.getSeq[Float](2).toArray).toArray
@@ -503,7 +503,7 @@ class VamanaIndex(spark: SparkSession, uri: String, meta: IndexMeta, ts: Long,
   lazy val shardCentroids: Array[Array[Float]] =
     if (historyIdx < 0 || !Storage.exists(s"$uri/centroids/v=$baseTimestamp"))
       Array.empty
-    else spark.read.parquet(s"$uri/centroids/v=$baseTimestamp")
+    else VectorIndex.readVersioned(spark, s"$uri/centroids/v=$baseTimestamp")
       .orderBy("partition_id")
       .collect()
       .map(r => r.getSeq[Float](r.fieldIndex("centroid")).toArray)
@@ -709,7 +709,7 @@ class VamanaIndex(spark: SparkSession, uri: String, meta: IndexMeta, ts: Long,
     // top-nprobe centroid list is a codegen'd expression in the plan, so
     // fan-out is S per query instead of O(total shards); without routing
     // every shard is searched (exact merge of all shard beams).
-    val shardIds = spark.read.parquet(s"$uri/graph/v=$baseTimestamp")
+    val shardIds = readVersioned(s"$uri/graph/v=$baseTimestamp")
       .select("shard_id").distinct().as[Int].collect().sorted.toSeq
     // > 0 routes; < 0 forces all-shard (overriding the conf); 0 inherits
     // the session conf (default all-shard)
@@ -830,7 +830,7 @@ class VamanaIndex(spark: SparkSession, uri: String, meta: IndexMeta, ts: Long,
         graft.functions.vector_normalize(col("qvec")).as("qvec"))
       case _ => qn0
     }
-    val shardIds = spark.read.parquet(s"$uri/graph/v=$baseTimestamp")
+    val shardIds = readVersioned(s"$uri/graph/v=$baseTimestamp")
       .select("shard_id").distinct().as[Int].collect().sorted.toSeq
     val effProbe =
       if (nprobeShards > 0) nprobeShards

@@ -212,10 +212,8 @@ abstract class VectorIndex(
     * 3162 partitions, PERF.md) — caching the analyzed DataFrame pays the
     * listing once per handle. NEVER use for the updates log: it mutates
     * in place between queries. */
-  private val versionReads =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   protected def readVersioned(path: String): DataFrame =
-    versionReads.getOrElseUpdate(path, spark.read.parquet(path))
+    VectorIndex.readVersioned(spark, path)
 
   /** Empty (id: Long, vector: array<float>) frame — the additions side of a
     * windowed read whose updates log has no in-window rows. */
@@ -515,6 +513,34 @@ abstract class VectorIndex(
 }
 
 object VectorIndex {
+
+  /** SESSION-wide memoized parquet reads of IMMUTABLE version artifacts
+    * (`base/v=<ts>`, `graph/v=<ts>`, `sketch/v=<ts>`, `pq/v=<ts>`,
+    * `centroids/v=<ts>` — a version directory never changes after its meta
+    * commit; mutations write NEW version paths). A fresh handle is opened
+    * per query call, so a handle-local memo still re-ran partition
+    * discovery + footer reads once per query (profiled as a 50-task
+    * listing job per read at bench scale; at 10M × 3162 partitions the
+    * discovery dominated probe-pruned batches, PERF.md). Keyed by
+    * (session, path); [[Storage.deleteRecursively]] — the one destructive
+    * primitive every reclaim path (vacuum, clear_history, failed-ingest
+    * pre-clean) funnels through — invalidates every entry under the
+    * deleted prefix, so a later re-write at the same path can never serve
+    * a stale relation. NEVER used for the updates log: it mutates in
+    * place between queries. */
+  private val versionReadCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+
+  private[graft] def readVersioned(spark: SparkSession, path: String): DataFrame =
+    versionReadCache.getOrElseUpdate(
+      (System.identityHashCode(spark.sparkContext), path),
+      spark.read.parquet(path))
+
+  private[index] def invalidateReadsUnder(pathPrefix: String): Unit =
+    versionReadCache.keys
+      .filter { case (_, p) => p == pathPrefix || p.startsWith(pathPrefix + "/") }
+      .foreach(versionReadCache.remove)
+
   /** Conf key: estimated build-side bytes above which the IVF/PQ query joins
     * switch from `broadcast()` to a shuffled hash join. Broadcast replicates
     * the per-query probe pairs (and PQ distance tables) to every executor —
@@ -646,6 +672,9 @@ private[graft] object Storage {
     val h = new org.apache.hadoop.fs.Path(p)
     val fs = fsOf(h)
     if (fs.exists(h)) { fs.delete(h, true); () }
+    // drop memoized relations under the deleted tree (see
+    // VectorIndex.versionReadCache) — a re-write at this path must re-list
+    VectorIndex.invalidateReadsUnder(p)
   }
 
   def move(src: String, dst: String): Unit = {
@@ -764,7 +793,7 @@ class IvfFlatIndex(spark: SparkSession, uri: String, meta: IndexMeta, ts: Long)
 
   lazy val centroids: Array[Array[Float]] =
     if (historyIdx < 0) Array.empty
-    else spark.read.parquet(s"$uri/centroids/v=$baseTimestamp")
+    else VectorIndex.readVersioned(spark, s"$uri/centroids/v=$baseTimestamp")
       .orderBy("partition_id")
       .collect()
       .map(r => r.getSeq[Float](r.fieldIndex("centroid")).toArray)

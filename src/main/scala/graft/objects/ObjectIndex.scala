@@ -209,7 +209,8 @@ class ObjectIndex(
       "graft: incremental updateIndex rides the one-vector-per-external_id " +
         "updates log; multi-vector layouts must re-create the index " +
         "(the reference's use_updates_array=False path)")
-    val vecs = ObjectIndex.embedContent(objects, "external_id", embedding)
+    val vecs = ObjectIndex.embedContent(objects, "external_id", embedding,
+      spread = true)
       .toDF("external_id", "embedding_seq", "vector")
       .select(col("external_id"), col("vector").cast("array<float>").as("vector"))
     // metadata FIRST: a crash between the two appends then leaves an
@@ -466,6 +467,10 @@ object ObjectIndex {
         Seq("external_id"), "left_semi")
       case None => df
     }
+    // NOT session-memoized: unlike the v=<ts> index layers, the metadata
+    // base is corruption-probed in place by the object-layer doctor (and
+    // rewritten at the same path by consolidate) — a cached relation here
+    // serves deleted files (IndexDoctorSpec caught exactly that)
     val base = restrict(spark.read.parquet(s"$uri/object_metadata"))
     val updPath = metadataUpdatesPath(uri)
     if (!graft.index.Storage.nonEmptyDir(updPath)) return base
@@ -492,7 +497,7 @@ object ObjectIndex {
       timestamp: Long = System.currentTimeMillis(),
       partitions: Option[Int] = None): ObjectIndex = {
     val objects = reader.readObjects(spark)
-    val vectors = embedContent(objects, "external_id", embedding)
+    val vectors = embedContent(objects, "external_id", embedding, spread = true)
       .toDF("external_id", "embedding_seq", "vector")
       .select(col("external_id"), col("vector").cast("array<float>").as("vector"))
     // chunk + embed is the expensive part of the plan — stage it so the
@@ -509,9 +514,15 @@ object ObjectIndex {
     * type: StringType → text models, BinaryType → image/audio models. Both
     * paths are mapPartitions with lazy per-executor `init()`. */
   private[objects] def embedContent(
-      df: DataFrame,
+      df0: DataFrame,
       idCol: String,
-      embedding: ObjectEmbedding): org.apache.spark.sql.Dataset[(Long, Int, Array[Float])] = {
+      embedding: ObjectEmbedding,
+      spread: Boolean = false): org.apache.spark.sql.Dataset[(Long, Int, Array[Float])] = {
+    // corpus-sized embed passes (create / incremental re-embed) spread to
+    // the parallelism floor — model inference is the heaviest per-row work
+    // in the object layer and a below-parallelism reader serializes it
+    // (guide §2.5); query batches (a handful of rows) skip the exchange
+    val df = if (spread) graft.Par.spread(df0) else df0
     val spark = df.sparkSession
     import spark.implicits._
     val e = embedding
