@@ -209,8 +209,7 @@ class ObjectIndex(
       "graft: incremental updateIndex rides the one-vector-per-external_id " +
         "updates log; multi-vector layouts must re-create the index " +
         "(the reference's use_updates_array=False path)")
-    val vecs = ObjectIndex.embedContent(objects, "external_id", embedding,
-      spread = true)
+    val vecs = ObjectIndex.embedContent(objects, "external_id", embedding)
       .toDF("external_id", "embedding_seq", "vector")
       .select(col("external_id"), col("vector").cast("array<float>").as("vector"))
     // metadata FIRST: a crash between the two appends then leaves an
@@ -497,7 +496,7 @@ object ObjectIndex {
       timestamp: Long = System.currentTimeMillis(),
       partitions: Option[Int] = None): ObjectIndex = {
     val objects = reader.readObjects(spark)
-    val vectors = embedContent(objects, "external_id", embedding, spread = true)
+    val vectors = embedContent(objects, "external_id", embedding)
       .toDF("external_id", "embedding_seq", "vector")
       .select(col("external_id"), col("vector").cast("array<float>").as("vector"))
     // chunk + embed is the expensive part of the plan — stage it so the
@@ -514,15 +513,15 @@ object ObjectIndex {
     * type: StringType → text models, BinaryType → image/audio models. Both
     * paths are mapPartitions with lazy per-executor `init()`. */
   private[objects] def embedContent(
-      df0: DataFrame,
+      df: DataFrame,
       idCol: String,
-      embedding: ObjectEmbedding,
-      spread: Boolean = false): org.apache.spark.sql.Dataset[(Long, Int, Array[Float])] = {
-    // corpus-sized embed passes (create / incremental re-embed) spread to
-    // the parallelism floor — model inference is the heaviest per-row work
-    // in the object layer and a below-parallelism reader serializes it
-    // (guide §2.5); query batches (a handful of rows) skip the exchange
-    val df = if (spread) graft.Par.spread(df0) else df0
+      embedding: ObjectEmbedding): org.apache.spark.sql.Dataset[(Long, Int, Array[Float])] = {
+    // NOT Par.spread: measured a 2-5x LOSS on the fixture builds — each
+    // extra task pays a full model init() (the per-task state the guide
+    // §4.5 says to amortize), and the wider embed stage multiplies the
+    // file count of the downstream partitionBy ingest write, slowing every
+    // later read of the index. A reader below cluster parallelism is the
+    // reader's concern (its splits), not this operator's.
     val spark = df.sparkSession
     import spark.implicits._
     val e = embedding
