@@ -2527,6 +2527,10 @@ object SparkEntry {
   // math in DECIMAL so sums are exact across engines. -----
 
   private def q1Agg(spark: SparkSession, dir: String): DataFrame =
+    // NOT Par.spread: tried both raw (defeats column pruning) and
+    // projected-first (sortBeforeRepartition + shuffling 600k rows costs
+    // more than the 3-split decimal aggregation saves) — the map-side
+    // partial agg already collapses the shuffle to a few hundred bytes
     spark.read.parquet(s"$dir/lineitem.parquet")
       .where(col("l_shipdate") <= lit("1998-09-02"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))

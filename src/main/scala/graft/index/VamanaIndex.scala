@@ -135,22 +135,53 @@ object VamanaKernels {
       candidates: Iterable[Int],
       alpha: Float,
       r: Int): Array[Int] = {
-    val pool = candidates.filter(_ != p).toArray.distinct
-      .map(c => (sos(points(c), points(p)), c)).sortBy(t => (t._1, t._2))
-    val kept = mutable.ArrayBuffer.empty[Int]
-    val alive = mutable.ArrayBuffer.empty[(Float, Int)] ++ pool
-    while (alive.nonEmpty && kept.size < r) {
-      val (dC, c) = alive.remove(0)
-      kept += c
-      // drop occluded: alpha * d(c, c') <= d(p, c')
-      var i = alive.length - 1
-      while (i >= 0) {
-        val (dP, cp) = alive(i)
-        if (alpha * sos(points(c), points(cp)) <= dP) alive.remove(i)
-        i -= 1
-      }
+    // Primitive formulation of "sort by (distance, id), keep nearest alive,
+    // drop occluded" — the prune runs O(inserts × reverse-edges) times per
+    // shard build and the boxed-tuple sort + O(n) ArrayBuffer.remove made
+    // it the build's hot path (guide §1.2 step 2, per-task work). sos
+    // distances are non-negative, so their raw IEEE-754 bits are
+    // order-preserving and (distBits << 32 | idx) longs sort exactly like
+    // the old (dist, idx) tuples, including the id tie-break.
+    val distinct = new java.util.HashSet[Integer]()
+    val it0 = candidates.iterator
+    var m = 0
+    val tmp = new Array[Int](candidates.size)
+    while (it0.hasNext) {
+      val c = it0.next()
+      if (c != p && distinct.add(c)) { tmp(m) = c; m += 1 }
     }
-    kept.toArray
+    val key = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val c = tmp(i)
+      key(i) = (java.lang.Float.floatToIntBits(sos(points(c), points(p))).toLong << 32) |
+        (c.toLong & 0xffffffffL)
+      i += 1
+    }
+    java.util.Arrays.sort(key)
+    val dead = new Array[Boolean](m)
+    val kept = new Array[Int](math.min(r, m))
+    var taken = 0
+    i = 0
+    while (i < m && taken < r) {
+      if (!dead(i)) {
+        val c = (key(i) & 0xffffffffL).toInt
+        kept(taken) = c; taken += 1
+        val pc = points(c)
+        // drop occluded: alpha * d(c, c') <= d(p, c')
+        var j = i + 1
+        while (j < m) {
+          if (!dead(j)) {
+            val cp = (key(j) & 0xffffffffL).toInt
+            val dP = java.lang.Float.intBitsToFloat((key(j) >>> 32).toInt)
+            if (alpha * sos(pc, points(cp)) <= dP) dead(j) = true
+          }
+          j += 1
+        }
+      }
+      i += 1
+    }
+    java.util.Arrays.copyOf(kept, taken)
   }
 
   /** Sequential Vamana build (reference: vamana_index.h:321-410): two
