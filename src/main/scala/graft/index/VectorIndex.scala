@@ -536,7 +536,7 @@ object VectorIndex {
       (System.identityHashCode(spark.sparkContext), path),
       spark.read.parquet(path))
 
-  private[index] def invalidateReadsUnder(pathPrefix: String): Unit =
+  private[graft] def invalidateReadsUnder(pathPrefix: String): Unit =
     versionReadCache.keys
       .filter { case (_, p) => p == pathPrefix || p.startsWith(pathPrefix + "/") }
       .foreach(versionReadCache.remove)

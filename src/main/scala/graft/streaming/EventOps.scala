@@ -17,6 +17,9 @@ import graft.index.VectorIndex
   */
 object EventOps {
 
+  private val eventReads =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), org.apache.spark.sql.DataFrame]
+
   private val NanosKey = "spark.sql.legacy.parquet.nanosAsLong"
 
   /** Load the events table: its parquet `ts` is TIMESTAMP(NANOS), which
@@ -30,14 +33,18 @@ object EventOps {
     * read path (the execution-time file readers convert against the plan's
     * relation schema, not the live conf; spec-asserted in StreamingSpec). */
   def loadEvents(spark: SparkSession, dir: String): DataFrame = {
-    val prior = spark.conf.getOption(NanosKey)
-    spark.conf.set(NanosKey, "true")
-    val raw =
-      try spark.read.parquet(s"$dir/events.parquet")
-      finally prior match {
-        case Some(v) => spark.conf.set(NanosKey, v)
-        case None => spark.conf.unset(NanosKey)
-      }
+    // session-memoized like every other immutable driver table: the
+    // conf-gated schema inference (listing + footer job) re-ran per query
+    val raw = EventOps.eventReads.getOrElseUpdate(
+      (System.identityHashCode(spark.sparkContext), s"$dir/events.parquet"), {
+        val prior = spark.conf.getOption(NanosKey)
+        spark.conf.set(NanosKey, "true")
+        try spark.read.parquet(s"$dir/events.parquet")
+        finally prior match {
+          case Some(v) => spark.conf.set(NanosKey, v)
+          case None => spark.conf.unset(NanosKey)
+        }
+      })
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         // Integer division: nano epochs (~1.7e18) exceed double's 53-bit

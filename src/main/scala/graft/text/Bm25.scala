@@ -57,6 +57,12 @@ object Bm25 {
 
   private def toks(textCol: Column): Column = TextOps.tokens(lower(textCol))
 
+  /** Session-memoized model-layer read (listing + footer schema otherwise
+    * re-run per query); every mutator below invalidates `uri` first, so a
+    * refit/append at the same uri always re-lists. */
+  private def readModel(spark: SparkSession, uri: String, layer: String): DataFrame =
+    graft.index.VectorIndex.readVersioned(spark, s"$uri/$layer")
+
   /** Fit over `docs`: persists `uri/idf (term, df, idf_micro)`,
     * `uri/meta (n_docs, avgdl)`, and the serving postings table
     * `uri/postings (term, id, tf, dl)` — repartitioned by term and sorted
@@ -69,6 +75,7 @@ object Bm25 {
       idCol: String = "doc_id"): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
+    graft.index.VectorIndex.invalidateReadsUnder(uri)
     // one light pass for the corpus moments (single aggregate scan)
     val moments = docs.select(count(lit(1)).as("n"),
       sum(TextOps.tokenCount(col(textCol)).cast("long")).as("total")).head()
@@ -123,6 +130,7 @@ object Bm25 {
       uri: String,
       textCol: String = "text",
       idCol: String = "doc_id"): Unit = {
+    graft.index.VectorIndex.invalidateReadsUnder(uri)
     val spark = newDocs.sparkSession
     import spark.implicits._
     val existing = spark.read.parquet(s"$uri/postings")
@@ -202,6 +210,7 @@ object Bm25 {
     * (the vector side's vacuum analogue): the swap is staged-dir +
     * directory move, not atomic against concurrent writers. */
   def compactPostings(spark: SparkSession, uri: String): Unit = {
+    graft.index.VectorIndex.invalidateReadsUnder(uri)
     import graft.index.Storage
     val src = s"$uri/postings"
     val tmp = s"$uri/postings_compact_tmp"
@@ -253,7 +262,7 @@ object Bm25 {
       textCol: String = "text",
       qidCol: String = "doc_id"): DataFrame = {
     val q = queryTerms(queryDocs, textCol, qidCol).persist()
-    val all = spark.read.parquet(s"$uri/postings")
+    val all = readModel(spark, uri, "postings")
     val maxTerms = graft.Conf.long(spark, MaxPushdownTermsKey, DefaultMaxPushdownTerms)
     // ONE job decides the gate AND supplies the literals: collect at most
     // cap+1 distinct terms — an overflow row means "past the gate". The
@@ -283,7 +292,7 @@ object Bm25 {
     // overflows on huge batches, exactly where the bound earns its cost).
     val anyHot = dfCap > 0 && {
       if (terms.length <= cap && terms.length.toLong <= maxTerms)
-        spark.read.parquet(s"$uri/idf")
+        readModel(spark, uri, "idf")
           .where(col("term").isin(terms.toIndexedSeq: _*) && col("df") > dfCap)
           .limit(1).collect().nonEmpty
       else true
@@ -311,8 +320,8 @@ object Bm25 {
   private def rank(postings: DataFrame, qTerms: DataFrame, k: Int, uri: String): DataFrame = {
     require(k > 0, s"graft: BM25 k must be positive, got $k")
     val spark = postings.sparkSession
-    val avgdl = spark.read.parquet(s"$uri/meta").head().getAs[Double]("avgdl")
-    val idf = spark.read.parquet(s"$uri/idf").select("term", "idf_micro")
+    val avgdl = readModel(spark, uri, "meta").head().getAs[Double]("avgdl")
+    val idf = readModel(spark, uri, "idf").select("term", "idf_micro")
     val contrib = postings
       .join(graft.gatedSmallSide(qTerms), Seq("term"))
       .join(graft.gatedSmallSide(idf), Seq("term"))
@@ -346,8 +355,8 @@ object Bm25 {
       dfCap: Long): DataFrame = {
     require(k > 0, s"graft: BM25 k must be positive, got $k")
     val spark = postings.sparkSession
-    val avgdl = spark.read.parquet(s"$uri/meta").head().getAs[Double]("avgdl")
-    val idf = spark.read.parquet(s"$uri/idf").select("term", "df", "idf_micro")
+    val avgdl = readModel(spark, uri, "meta").head().getAs[Double]("avgdl")
+    val idf = readModel(spark, uri, "idf").select("term", "df", "idf_micro")
     val qt = qTerms.join(graft.gatedSmallSide(idf), Seq("term"))
       .select("qid", "term", "df", "idf_micro")
     // per-term ceiling derived from the SAME constant the contribution

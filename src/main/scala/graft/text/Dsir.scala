@@ -49,6 +49,7 @@ object Dsir {
       textCol: String = "text"): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
+    graft.index.VectorIndex.invalidateReadsUnder(uri)
     val pairs = docs
       .select(explode(bigramBucketCounts(col(textCol), buckets)).as("e"),
         targetCond.cast("boolean").as("t"))
@@ -90,9 +91,9 @@ object Dsir {
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession
-    val meta = spark.read.parquet(s"$uri/meta").head()
+    val meta = graft.index.VectorIndex.readVersioned(spark, s"$uri/meta").head()
     val buckets = meta.getAs[Int]("buckets")
-    val model = spark.read.parquet(s"$uri/model")
+    val model = graft.index.VectorIndex.readVersioned(spark, s"$uri/model")
     // bucket -1 can never collide (real buckets are in [0, buckets)); its
     // cnt 0 contributes to neither sum
     val sentinel = array(struct(lit(-1L).as("bucket"), lit(0L).as("cnt")))

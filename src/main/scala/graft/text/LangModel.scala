@@ -53,6 +53,7 @@ object LangModel {
       uri: String,
       textCol: String = "text"): Unit = {
     val spark = train.sparkSession
+    graft.index.VectorIndex.invalidateReadsUnder(uri)
     // Par.spread: the per-doc trigram kernel + explode fuse into the scan
     // stage — a below-parallelism source would serialize them (guide §2.5)
     val grams = graft.Par.spread(train)
@@ -92,9 +93,10 @@ object LangModel {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
-    val model3 = spark.read.parquet(s"$uri/model3")
-    val model2 = spark.read.parquet(s"$uri/model2")
-    val meta = spark.read.parquet(s"$uri/meta")
+    // session-memoized model layers (invalidated by trainCharTrigram)
+    val model3 = graft.index.VectorIndex.readVersioned(spark, s"$uri/model3")
+    val model2 = graft.index.VectorIndex.readVersioned(spark, s"$uri/model2")
+    val meta = graft.index.VectorIndex.readVersioned(spark, s"$uri/meta")
     val logp0 = meta.select("logp0_micro").head().getLong(0)
     // one row per DISTINCT gram per document ([[CharTrigramCounts]]), not
     // one per character — the partial aggregation that keeps join-probe

@@ -65,6 +65,7 @@ object QualityClassifier {
     require(quantile > 0 && quantile < 0.5,
       s"graft: label quantile must be in (0, 0.5), got $quantile")
     val spark = docs.sparkSession
+    graft.index.VectorIndex.invalidateReadsUnder(uri)
     val labeled = weakLabels(docs, textCol, idCol, quantile)
     val assembled = new VectorAssembler()
       .setInputCols(featureNames.toArray)
@@ -182,7 +183,7 @@ object QualityClassifier {
 
   /** The persisted weight map (features + intercept). */
   def readWeights(spark: SparkSession, uri: String): Map[String, Double] = {
-    val m = spark.read.parquet(s"$uri/weights")
+    val m = graft.index.VectorIndex.readVersioned(spark, s"$uri/weights")
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     val missing = (featureNames :+ InterceptKey).filterNot(m.contains)
     require(missing.isEmpty,
