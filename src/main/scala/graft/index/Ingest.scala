@@ -78,6 +78,15 @@ object Ingest {
     }
   }
 
+  /** Hash-cluster rows on the layout key before a partitionBy write: each
+    * writer task owns whole partition dirs, so a scan of M tasks never
+    * fans out into M x P files (the guide §6 small-files blowup at scale)
+    * and a 1-split source never serializes all P dirs' writes through one
+    * task (the bench-scale symptom). The assignment expression computes on
+    * the exchange's map side; only assigned rows shuffle, once. */
+  private def clusterForWrite(df: DataFrame, partCol: String, parts: Int): DataFrame =
+    df.repartition(math.max(1, parts), col(partCol))
+
   /** Auto partition count: √size, ≥100 vectors per partition for k-means
     * (reference: ingestion.py:3180-3186). The min runs in the Long domain:
     * `(size / 100).toInt` would wrap negative past ~2×10¹¹ rows and
@@ -318,7 +327,8 @@ object Ingest {
         writeCentroids(spark, uri, timestamp, centroids)
         val assigned = base.withColumn("partition_id",
           toColumn(NearestCentroid(toExpression(col("vector")), centroids)))
-        packVector(assigned).write.mode("overwrite")
+        clusterForWrite(packVector(assigned), "partition_id", numParts)
+          .write.mode("overwrite")
           .partitionBy("partition_id")
           .parquet(s"$uri/base/v=$timestamp")
       case "IVF_SQ8" =>
@@ -380,7 +390,8 @@ object Ingest {
           .withColumn("sq",
             toColumn(graft.functions.Sq8Encode(
               toExpression(col("vector")), sqMins, sqScales)))
-        assignedSq.write.mode("overwrite")
+        clusterForWrite(assignedSq, "partition_id", numParts)
+          .write.mode("overwrite")
           .partitionBy("partition_id")
           .parquet(s"$uri/base/v=$timestamp")
       case "IVF_PQ" =>
@@ -426,7 +437,8 @@ object Ingest {
           .withColumn("codes",
             toColumn(PqEncode(toExpression(col("vector")), flatCb,
               mSubspaces, codesPer, dims / mSubspaces)))
-        packVector(assigned).write.mode("overwrite")
+        clusterForWrite(packVector(assigned), "partition_id", numParts)
+          .write.mode("overwrite")
           .partitionBy("partition_id")
           .parquet(s"$uri/base/v=$timestamp")
       case "VAMANA" =>
@@ -477,7 +489,8 @@ object Ingest {
         // search-only portal copies as imported=true, and logical-base
         // readers (SQL view registration, consolidation) filter on the flag
         // instead of paying a replica-dedup pass over the portal rows too.
-        packVector(sharded).withColumn("imported", lit(false))
+        clusterForWrite(packVector(sharded).withColumn("imported", lit(false)),
+            "shard_id", numShards)
           .write.mode("overwrite").partitionBy("shard_id")
           .parquet(s"$uri/base/v=$timestamp")
         val lb = lBuild.getOrElse(VamanaIndex.DefaultLBuild)
