@@ -516,12 +516,13 @@ object ObjectIndex {
       df: DataFrame,
       idCol: String,
       embedding: ObjectEmbedding): org.apache.spark.sql.Dataset[(Long, Int, Array[Float])] = {
-    // NOT Par.spread: measured a 2-5x LOSS on the fixture builds — each
-    // extra task pays a full model init() (the per-task state the guide
-    // §4.5 says to amortize), and the wider embed stage multiplies the
-    // file count of the downstream partitionBy ingest write, slowing every
-    // later read of the index. A reader below cluster parallelism is the
-    // reader's concern (its splits), not this operator's.
+    // NOT Par.spread: measured a repeatable 3-5x LOSS on the object
+    // fixture builds (obj_maxsim 5.2 -> 20-28 s across two sessions, even
+    // after the ingest write was hash-clustered) — the staged multi-pass
+    // ingest re-reads the widened embed output several times and the
+    // per-task embed state outweighs the parallelism at below-floor
+    // scales. A reader below cluster parallelism is the reader's concern
+    // (its splits), not this operator's.
     val spark = df.sparkSession
     import spark.implicits._
     val e = embedding
