@@ -589,7 +589,10 @@ object SparkEntry {
     * builds do), never the raw 100 TB. */
   private def embMedoid(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
-    e.select(col("vec_id").as("ia"), col("embedding").as("va"))
+    // Par.spread on the probe side: the broadcast cross join evaluates
+    // |db|^2 distance kernels in the left side's scan stage — a 1-split
+    // source serializes all of them (guide §2.5; no-op at scale)
+    graft.Par.spread(e.select(col("vec_id").as("ia"), col("embedding").as("va")))
       .crossJoin(e.select(col("embedding").as("vb")))
       .select(col("ia"),
         graft.functions.dist_l2(col("va"), col("vb")).cast("double").as("d"))
