@@ -78,8 +78,12 @@ object KnnGraph {
     // the corpus), so the replica duplication only exists when partitions
     // < cores and the scoring would otherwise underparallelize.
     val spark = d.sparkSession
+    // target 2x the cores' worth of (pid, salt) keys: with keys ~= cores a
+    // hash exchange leaves ~1/e of the slots empty (guide §2.5 wants more
+    // distinct keys than partitions); parts >= 2x cores already spreads,
+    // so salts collapses to 1 there and the plan is untouched
     val salts = math.max(1, graft.Conf.int(spark, KnnGraph.PairSaltsKey,
-      math.ceil(spark.sparkContext.defaultParallelism.toDouble /
+      math.ceil(2.0 * spark.sparkContext.defaultParallelism /
         math.max(1, centroids.length)).toInt))
     val home0 = d.withColumn("__pid",
       toColumn(NearestCentroid(toExpression(col("__vec")), centroids)))
