@@ -249,8 +249,18 @@ object Ingest {
       spark.read.parquet(s"$uri/input_vectors/v=$timestamp")
     } else base1
 
-    val dims = base.select(size(col("vector"))).head().getInt(0)
-    val count = base.count()
+    // dims + count in ONE aggregate job (they were a head() and a count()
+    // — two sequential scans; every ingest in the suite pays this probe).
+    // first() is deterministic here in the way that matters: every row's
+    // vector has the same size or the build is broken anyway, and the
+    // dimension checks downstream would name it.
+    val probe = base.agg(
+      first(size(col("vector")), ignoreNulls = true).as("d"),
+      org.apache.spark.sql.functions.count(lit(1)).as("n")).head()
+    require(!probe.isNullAt(0),
+      "graft: ingest source has no vectors (empty or all-null input)")
+    val dims = probe.getInt(0)
+    val count = probe.getLong(1)
 
     // Preset centroids PIN the partition count: the assignment uses them
     // verbatim, so the recorded layout must match their length — the
