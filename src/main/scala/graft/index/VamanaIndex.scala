@@ -67,6 +67,21 @@ object VamanaKernels {
     * an index->distance function generalizes the kernel to compressed
     * representations (PQ asymmetric lookups in [[searchShardPq]]) without
     * touching the float hot path's semantics. */
+  /** Sortable-int transform of a float's IEEE bits (monotone over every
+    * float, including negatives and the -0.0 < +0.0 edge `Float.compare`
+    * defines); self-inverse branch in [[unpackDist]]. */
+  @inline private def sortableBits(f: Float): Int = {
+    val b = java.lang.Float.floatToIntBits(f)
+    if (b < 0) ~b else b
+  }
+  @inline private def packKey(d: Float, idx: Int): Long =
+    (sortableBits(d).toLong << 32) | (idx.toLong & 0xffffffffL)
+  @inline private def unpackIdx(key: Long): Int = (key & 0xffffffffL).toInt
+  @inline private def unpackDist(key: Long): Float = {
+    val b0 = (key >>> 32).toInt
+    java.lang.Float.intBitsToFloat(if (b0 < 0) ~b0 else b0)
+  }
+
   def greedySearchDist(
       n: Int,
       dist: Int => Float,
@@ -80,41 +95,41 @@ object VamanaKernels {
     // usefully exceed the point count, so clamp there first.
     val lEff = math.min(L.toLong, math.max(1L, n.toLong)).toInt
     val cap = math.min(2L * lEff, Int.MaxValue.toLong).toInt
-    val seen = new java.util.HashSet[Integer]()
+    // primitive-keyed frontier: (sortableDistBits << 32 | idx) longs order
+    // exactly like the old (dist, id) tuple comparator, without the boxed
+    // tuple + comparator indirection on the kernel's hottest structure;
+    // seen/expanded become BitSets over the shard's node space (guide
+    // §1.2 step 2, per-task work)
+    val seen = new java.util.BitSet(n)
+    val expanded = new java.util.BitSet(n)
     val visited = mutable.ArrayBuffer.empty[Int]
-    // candidate frontier ordered by (dist, id)
-    val frontier = new java.util.TreeSet[(Float, Int)](
-      new java.util.Comparator[(Float, Int)] {
-        override def compare(a: (Float, Int), b: (Float, Int)): Int = {
-          val c = java.lang.Float.compare(a._1, b._1)
-          if (c != 0) c else Integer.compare(a._2, b._2)
-        }
-      })
-    val expanded = new java.util.HashSet[Integer]()
-    frontier.add((dist(start), start))
-    seen.add(start)
+    val frontier = new java.util.TreeSet[java.lang.Long]()
+    frontier.add(packKey(dist(start), start))
+    seen.set(start)
     var done = false
     while (!done) {
       // nearest unexpanded within the top-L frontier
-      var next: (Float, Int) = null
+      var next = 0L
+      var found = false
       val it = frontier.iterator()
       var rank = 0
-      while (next == null && it.hasNext && rank < lEff) {
-        val c = it.next()
-        if (!expanded.contains(c._2)) next = c
+      while (!found && it.hasNext && rank < lEff) {
+        val c = it.next().longValue()
+        if (!expanded.get(unpackIdx(c))) { next = c; found = true }
         rank += 1
       }
-      if (next == null) done = true
+      if (!found) done = true
       else {
-        expanded.add(next._2)
-        visited += next._2
-        val it2 = adj(next._2).iterator
+        val node = unpackIdx(next)
+        expanded.set(node)
+        visited += node
+        val it2 = adj(node).iterator
         while (it2.hasNext) {
           val nb = it2.next()
-          if (!seen.contains(nb)) {
-            seen.add(nb)
-            frontier.add((dist(nb), nb))
-            if (frontier.size() > cap) frontier.pollLast()
+          if (!seen.get(nb)) {
+            seen.set(nb)
+            frontier.add(packKey(dist(nb), nb))
+            if (frontier.size() > cap) { frontier.pollLast(); () }
           }
         }
         while (frontier.size() > cap) frontier.pollLast()
@@ -122,7 +137,10 @@ object VamanaKernels {
     }
     val top = frontier.iterator()
     val out = mutable.ArrayBuffer.empty[(Float, Int)]
-    while (top.hasNext && out.size < lEff) out += top.next()
+    while (top.hasNext && out.size < lEff) {
+      val c = top.next().longValue()
+      out += ((unpackDist(c), unpackIdx(c)))
+    }
     (out.toArray, visited.toArray)
   }
 
