@@ -67,19 +67,23 @@ object VamanaKernels {
     * an index->distance function generalizes the kernel to compressed
     * representations (PQ asymmetric lookups in [[searchShardPq]]) without
     * touching the float hot path's semantics. */
-  /** Sortable-int transform of a float's IEEE bits (monotone over every
-    * float, including negatives and the -0.0 < +0.0 edge `Float.compare`
-    * defines); self-inverse branch in [[unpackDist]]. */
+  /** Sortable-int transform of a float's IEEE bits: signed-int order of
+    * the key equals `Float.compare` order for every float (negatives keep
+    * the sign bit — below all non-negatives — and flip their magnitude
+    * bits so more-negative sorts lower; non-negatives are identity, which
+    * also preserves the -0.0 < +0.0 edge). XOR makes it self-inverse
+    * ([[unpackDist]]). Property-pinned against the old boxed comparator in
+    * R13OptimizationSpec, including negative distances. */
   @inline private def sortableBits(f: Float): Int = {
     val b = java.lang.Float.floatToIntBits(f)
-    if (b < 0) ~b else b
+    if (b < 0) b ^ 0x7fffffff else b
   }
   @inline private def packKey(d: Float, idx: Int): Long =
     (sortableBits(d).toLong << 32) | (idx.toLong & 0xffffffffL)
   @inline private def unpackIdx(key: Long): Int = (key & 0xffffffffL).toInt
   @inline private def unpackDist(key: Long): Float = {
     val b0 = (key >>> 32).toInt
-    java.lang.Float.intBitsToFloat(if (b0 < 0) ~b0 else b0)
+    java.lang.Float.intBitsToFloat(if (b0 < 0) b0 ^ 0x7fffffff else b0)
   }
 
   def greedySearchDist(
@@ -172,8 +176,8 @@ object VamanaKernels {
     var i = 0
     while (i < m) {
       val c = tmp(i)
-      key(i) = (java.lang.Float.floatToIntBits(sos(points(c), points(p))).toLong << 32) |
-        (c.toLong & 0xffffffffL)
+      // packKey: total float order even though sos is non-negative here
+      key(i) = packKey(sos(points(c), points(p)), c)
       i += 1
     }
     java.util.Arrays.sort(key)
@@ -191,7 +195,7 @@ object VamanaKernels {
         while (j < m) {
           if (!dead(j)) {
             val cp = (key(j) & 0xffffffffL).toInt
-            val dP = java.lang.Float.intBitsToFloat((key(j) >>> 32).toInt)
+            val dP = unpackDist(key(j))
             if (alpha * sos(pc, points(cp)) <= dP) dead(j) = true
           }
           j += 1
