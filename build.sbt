@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver parses Bench's one-line JSON from captured stdout. sbt's
+// default LoggedOutput strategy prefixes every forked-process line with
+// "[info] ", which is not valid JSON — the driver's parse failed on it every
+// round (BENCH_r01..r13 all carry "parsed": null). Stream the forked JVM's
+// stdout/stderr through raw instead.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

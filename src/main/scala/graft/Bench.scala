@@ -75,6 +75,10 @@ object Bench {
     // here pushes another query's time out of the visible window
     def r3(v: Double): String =
       if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // the driver-contract line uses 2-decimal values to stay as compact as
+    // the 124 query names allow; full precision lives in the side files
+    def r2(v: Double): String =
+      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val qsMed = results.map { case (k, _, m) => s"\"" + k + "\":" + r3(m) }
@@ -113,14 +117,27 @@ object Bench {
     val target = if (label == "quiet") "BENCH_LOCAL.json" else "BENCH_LAST_RUN.json"
     java.nio.file.Files.write(java.nio.file.Paths.get(target),
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    // compact summary printed closest to the end of the tail: totals plus
-    // the slowest paths (the ones a reviewer chases), guaranteed to fit
-    val slowQ = results.filter(_._2 >= 0).sortBy(-_._2).take(8)
-      .map { case (k, v, _) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
-    val slowB = builds.toSeq.sortBy(-_._2).take(4)
-      .map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
-    println(s"""{$headline,"n_queries":${results.size},"n_failures":${failures.size},""" +
-      s""""slowest_queries":$slowQ,"slowest_builds":$slowB,"sf":"$sfDir"}""")
+    // LAST stdout line = the driver contract, complete and minimal: every
+    // query at 2-decimal precision plus the headline fields. Medians,
+    // builds and slowest-path summaries are deliberately NOT here (they
+    // live in the full line above and the side files) so this line stays
+    // as short as the 124 query names permit. The line STARTS with
+    // `{"metric"` — the literal the driver-replay recipe greps for — and
+    // it is the only stdout line containing that prefix, so a grep-then-
+    // parse driver finds exactly this line and can json-parse it whole.
+    val qs2 = results.map { case (k, v, _) => s"\"" + k + "\":" + r2(v) }
+      .mkString("{", ",", "}")
+    // contention self-report: minima are the steal-resistant estimator, so
+    // a median total far above the min total means the run window was
+    // contended and per-run numbers should be discounted (VERDICT r13 §5)
+    val minMedRatio = if (queryTotal > 0) medianTotal / queryTotal else 1.0
+    val contended = minMedRatio > 1.3
+    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec",""" +
+      s""""query_total":${r2(queryTotal)},"build_total":${r2(buildTotal)},""" +
+      s""""query_total_median":${r2(medianTotal)},"repeat":$repeat,""" +
+      s""""n_queries":${results.size},"n_failures":${failures.size},""" +
+      s""""contended":$contended,"min_med_ratio":${r2(minMedRatio)},""" +
+      s""""sf":"$sfDir","failures":$failJson,"queries":$qs2}""")
     spark.stop()
   }
 }
