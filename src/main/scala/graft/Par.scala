@@ -27,7 +27,18 @@ object Par {
   /** `df` repartitioned round-robin to the parallelism floor iff its
     * planned partitioning is below it; `df` unchanged otherwise. Apply
     * only above ORDER-INSENSITIVE consumers (aggregations, joins,
-    * per-row projections feeding a sort) — round-robin changes row order. */
+    * per-row projections feeding a sort) — round-robin changes row order.
+    *
+    * The partition-count probe (`.rdd.getNumPartitions`) forces physical
+    * planning of `df` just to read its partitioning, and the real execution
+    * then plans it again — fine once, wasteful when the same derived frame
+    * is spread per call (every Bm25/LangModel fit + score pass; at 100 TB
+    * the doubled driver-side planning is listing-heavy). The probe's
+    * answer is a pure function of the (analyzed, canonicalized) plan, so
+    * it is memoized per (session, semantic plan hash): repeat calls skip
+    * physical planning entirely. Bounded, cleared on overflow — a stale
+    * or collided entry can only misroute spread-vs-passthrough, never
+    * correctness (same posture as Knn.measuredSizes). */
   def spread(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val floor = Conf.int(spark, MinComputeParallelismKey,
@@ -35,7 +46,18 @@ object Par {
     // streaming frames cannot be planned via .rdd (and micro-batch
     // parallelism is the source's concern) — pass them through untouched
     if (floor <= 1 || df.isStreaming) df
-    else if (df.rdd.getNumPartitions >= floor) df
-    else df.repartition(floor)
+    else {
+      val key = (System.identityHashCode(spark),
+        df.queryExecution.analyzed.canonicalized.semanticHash())
+      val parts = plannedParts.computeIfAbsent(key, { _ =>
+        if (plannedParts.size > PlannedPartsCap) plannedParts.clear()
+        Integer.valueOf(df.rdd.getNumPartitions)
+      })
+      if (parts >= floor) df else df.repartition(floor)
+    }
   }
+
+  private val PlannedPartsCap = 1024
+  private val plannedParts =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Integer]()
 }

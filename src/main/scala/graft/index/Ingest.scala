@@ -240,7 +240,22 @@ object Ingest {
     // pass — stageInputs writes the normalized input once and every later
     // pass reads the staged parquet (the reference stages the same way:
     // write_input_vectors, ingestion.py:1035-1140).
-    val base = if (stageInputs) {
+    // FLAT/BINARY float bases store EXACTLY the normalized input columns
+    // (external_id, vector) — staging to input_vectors and then copying the
+    // identical rows into base/v=<ts> was a redundant full write + read per
+    // staged create (every object-layer FLAT index paid it). Stage straight
+    // into the version directory instead; the version stays invisible until
+    // the IndexMeta commit below, so a failed write leaves no readable
+    // version (same recovery story as the old staged dir). Byte dtypes
+    // still stage separately (their stored base is packed, not the input).
+    val stageDirectToBase = stageInputs && dtype == "float32" &&
+      (indexType == "FLAT" || indexType == "BINARY")
+    val base = if (stageDirectToBase) {
+      // still reclaim any staged leftovers an older failed attempt left
+      Storage.deleteRecursively(s"$uri/input_vectors")
+      base1.write.mode("overwrite").parquet(s"$uri/base/v=$timestamp")
+      spark.read.parquet(s"$uri/base/v=$timestamp")
+    } else if (stageInputs) {
       // pre-clean leftovers from previously FAILED staged ingests at this
       // uri (an abandoned attempt cannot delete its own copy mid-exception;
       // the next attempt reclaims the space before writing its own)
@@ -307,7 +322,8 @@ object Ingest {
     var recordedParts = numParts
     indexType match {
       case "FLAT" =>
-        packVector(base).write.mode("overwrite").parquet(s"$uri/base/v=$timestamp")
+        if (!stageDirectToBase)
+          packVector(base).write.mode("overwrite").parquet(s"$uri/base/v=$timestamp")
       case "BINARY" =>
         // 1-bit sign-sketch index: base stored like FLAT (raw floats, the
         // exact re-rank side) plus a versioned (external_id, bits) sketch
@@ -320,7 +336,8 @@ object Ingest {
           "BINARY sign sketches cannot order INNER_PRODUCT (magnitude-blind); use FLAT")
         require(!byteDtype,
           s"BINARY requires dtype float32, got $dtype (u8/i8 signs are degenerate)")
-        base.write.mode("overwrite").parquet(s"$uri/base/v=$timestamp")
+        if (!stageDirectToBase)
+          base.write.mode("overwrite").parquet(s"$uri/base/v=$timestamp")
         base.select(col("external_id"),
             graft.functions.sign_pack(col("vector")).as("bits"))
           .write.mode("overwrite").parquet(s"$uri/sketch/v=$timestamp")

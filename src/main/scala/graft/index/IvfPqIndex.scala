@@ -30,14 +30,18 @@ class IvfPqIndex(spark: SparkSession, uri: String, meta: IndexMeta, ts: Long)
 
   lazy val centroids: Array[Array[Float]] =
     if (historyIdx < 0) Array.empty
-    else VectorIndex.readVersioned(spark, s"$uri/centroids/v=$baseTimestamp")
-      .orderBy("partition_id").collect()
-      .map(r => r.getSeq[Float](r.fieldIndex("centroid")).toArray)
+    else VectorIndex.cachedArtifact(spark,
+        s"$uri/centroids/v=$baseTimestamp#centroids") {
+      VectorIndex.readVersioned(spark, s"$uri/centroids/v=$baseTimestamp")
+        .orderBy("partition_id").collect()
+        .map(r => r.getSeq[Float](r.fieldIndex("centroid")).toArray)
+    }
 
   /** codebooks(subspace)(code) = sub-centroid */
   lazy val codebooks: Array[Array[Array[Float]]] =
     if (historyIdx < 0) Array.empty
-    else {
+    else VectorIndex.cachedArtifact(spark,
+        s"$uri/pq_codebooks/v=$baseTimestamp#codebooks") {
       val rows = VectorIndex.readVersioned(spark, s"$uri/pq_codebooks/v=$baseTimestamp")
         .orderBy("subspace", "code").collect()
       rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (_, rs) =>

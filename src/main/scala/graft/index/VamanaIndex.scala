@@ -73,7 +73,12 @@ object VamanaKernels {
     * bits so more-negative sorts lower; non-negatives are identity, which
     * also preserves the -0.0 < +0.0 edge). XOR makes it self-inverse
     * ([[unpackDist]]). Property-pinned against the old boxed comparator in
-    * R13OptimizationSpec, including negative distances. */
+    * R13OptimizationSpec, including negative distances. NaN: floatToIntBits
+    * (unlike floatToRawIntBits) CANONICALIZES every NaN — sign bit
+    * included — to 0x7fc00000, which is positive and above +Inf's
+    * 0x7f800000, so a NaN distance sorts WORST exactly like Float.compare
+    * (a corrupt point goes to the frontier tail, never the head);
+    * spec-pinned alongside the comparator property. */
   @inline private def sortableBits(f: Float): Int = {
     val b = java.lang.Float.floatToIntBits(f)
     if (b < 0) b ^ 0x7fffffff else b
@@ -545,7 +550,8 @@ class VamanaIndex(spark: SparkSession, uri: String, meta: IndexMeta, ts: Long,
   lazy val pqCodebooks: Array[Array[Array[Float]]] =
     if (historyIdx < 0 || !Storage.exists(s"$uri/pq_codebooks/v=$baseTimestamp"))
       Array.empty
-    else {
+    else VectorIndex.cachedArtifact(spark,
+        s"$uri/pq_codebooks/v=$baseTimestamp#codebooks") {
       val rows = VectorIndex.readVersioned(spark, s"$uri/pq_codebooks/v=$baseTimestamp")
         .orderBy("subspace", "code").collect()
       rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (_, rs) =>
@@ -556,10 +562,13 @@ class VamanaIndex(spark: SparkSession, uri: String, meta: IndexMeta, ts: Long,
   lazy val shardCentroids: Array[Array[Float]] =
     if (historyIdx < 0 || !Storage.exists(s"$uri/centroids/v=$baseTimestamp"))
       Array.empty
-    else VectorIndex.readVersioned(spark, s"$uri/centroids/v=$baseTimestamp")
-      .orderBy("partition_id")
-      .collect()
-      .map(r => r.getSeq[Float](r.fieldIndex("centroid")).toArray)
+    else VectorIndex.cachedArtifact(spark,
+        s"$uri/centroids/v=$baseTimestamp#centroids") {
+      VectorIndex.readVersioned(spark, s"$uri/centroids/v=$baseTimestamp")
+        .orderBy("partition_id")
+        .collect()
+        .map(r => r.getSeq[Float](r.fieldIndex("centroid")).toArray)
+    }
 
   /** Incremental consolidation: a sharded VAMANA rebuild only needs to
     * re-run the (sequential, expensive) graph kernel for shards whose vector
@@ -1017,27 +1026,34 @@ object VamanaIndex {
       alpha: Float = 1.2f): (DataFrame, DataFrame) = {
     import spark.implicits._
     val residency = sharded.select(col("shard_id"), col("external_id"))
-    val multi = residency.groupBy("external_id")
-      .agg(count(lit(1)).as("__copies"))
+    // ONE aggregation keyed on the replicated point id does what a
+    // groupBy-count (multi-copy ids) + semi-join + explode + distinct +
+    // re-join + collect_set chain did (the r14 stage-count cut, VERDICT
+    // item 4): the graph holds exactly one row per resident copy, so the
+    // per-id row count IS the copy count, and the union-of-neighbors-
+    // across-copies is an array fold in the same aggregate. Candidate
+    // SETS are identical (array_distinct ≡ collect_set of the exploded
+    // form); robustPrune canonicalizes candidate order, so the pruned
+    // adjacency is unchanged row-for-row.
+    val cands0 = g.select(col("external_id"), col("neighbors"))
+      .groupBy("external_id")
+      .agg(count(lit(1)).as("__copies"),
+        array_distinct(flatten(collect_list(col("neighbors")))).as("__union_nbs"))
       .where(col("__copies") > 1)
-      .select("external_id")
-    val unionNb = g.join(multi, Seq("external_id"), "left_semi")
-      .select(col("external_id"), explode(col("neighbors")).as("nb"))
-      .where(col("nb") =!= col("external_id"))
-      .distinct()
-    // (shard, boundary point, candidate) for every shard hosting the point
-    val candPairs = unionNb.join(residency, Seq("external_id"))
-    val cands = candPairs
-      .groupBy("shard_id", "external_id")
-      .agg(collect_set(col("nb")).as("cand_nbs"))
+      .select(col("external_id"),
+        filter(col("__union_nbs"), n => n =!= col("external_id")).as("cand_nbs"))
+    // (shard, boundary point, candidates) for every shard hosting the point
+    val cands = residency.join(cands0, Seq("external_id"))
+      .select("shard_id", "external_id", "cand_nbs")
     // endpoints NOT resident in the shard: ship their vectors in as portals.
     // Restrict the corpus to the needed ids BEFORE deduplicating copies —
     // a dropDuplicates over the full corpus would shuffle everything to
     // serve a boundary-sized id set
-    val foreignIds = candPairs.select(col("shard_id"), col("nb"))
+    val foreignIds = cands
+      .select(col("shard_id"), explode(col("cand_nbs")).as("nb"))
+      .distinct()
       .join(residency.select(col("shard_id"), col("external_id").as("nb")),
         Seq("shard_id", "nb"), "left_anti")
-      .distinct()
     val neededVecs = sharded.select(col("external_id").as("nb"), col("vector"))
       .join(foreignIds.select("nb").distinct(), Seq("nb"), "left_semi")
       .dropDuplicates("nb")

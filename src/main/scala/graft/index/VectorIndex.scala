@@ -231,15 +231,19 @@ abstract class VectorIndex(
   protected def updatesPath: String = s"$uri/updates"
 
   protected def updatesLog(): Option[DataFrame] =
-    if (Storage.nonEmptyDir(updatesPath)) Some(spark.read.parquet(updatesPath))
-    else None
+    VectorIndex.cachedUpdatesLog(spark, updatesPath)
 
   /** Updates visible at this read: ts within [[updateWindow]] (both bounds
     * inclusive; the point-in-time default (base_ts+1, read_ts) is exactly
-    * the historical "ts in (base_ts, read_ts]"). */
-  protected def updatesInWindow(): Option[DataFrame] = updatesLog().map { log =>
-    log.where(col("ts") >= updateWindow._1 && col("ts") <= updateWindow._2)
-  }.filter(df => !df.isEmpty)
+    * the historical "ts in (base_ts, read_ts]"). The in-window emptiness
+    * probe (one isEmpty job per updates-merged query before) is memoized
+    * per (session, log path, window) and re-armed by every log mutator. */
+  protected def updatesInWindow(): Option[DataFrame] = updatesLog().flatMap { log =>
+    val (lo, hi) = updateWindow
+    val w = log.where(col("ts") >= lo && col("ts") <= hi)
+    if (VectorIndex.cachedLogWindowEmpty(spark, updatesPath, lo, hi)(w.isEmpty)) None
+    else Some(w)
+  }
 
   /** Last-write-wins per external id (the reference's sparse-array
     * overwrite semantics, index.py:876-897). */
@@ -262,6 +266,8 @@ abstract class VectorIndex(
         lit(ts).as("ts"))
       .write.mode("append").parquet(updatesPath)
     IndexMeta.write(uri, IndexMeta.read(uri).copy(hasUpdates = true))
+    // re-arm the memoized log relation + window-emptiness probes
+    VectorIndex.invalidateReadsUnder(updatesPath)
   }
 
   /** Tombstone a batch of ids at `ts`: vector = null
@@ -274,6 +280,61 @@ abstract class VectorIndex(
         lit(ts).as("ts"))
       .write.mode("append").parquet(updatesPath)
     IndexMeta.write(uri, IndexMeta.read(uri).copy(hasUpdates = true))
+    VectorIndex.invalidateReadsUnder(updatesPath)
+  }
+
+  /** Upserts + tombstones in ONE log append: `upserts` rows
+    * (external_id, vector) and `deleteIds` rows (external_id) land as a
+    * single write job at `ts` — row-identical to an [[updateBatch]]
+    * followed by a [[deleteBatch]] (the log is resolved by
+    * last-write-per-id, never by file or row order), at half the job and
+    * metadata-flip count. The r13 VERDICT's maintenance-op batching:
+    * callers holding several logical batches for one maintenance window
+    * buffer them into one append instead of paying a Spark job per call. */
+  def updateDeleteBatch(upserts: DataFrame, deleteIds: DataFrame, ts: Long): Unit = {
+    val up = upserts.select(
+      col("external_id").cast("long"),
+      col("vector").cast("array<float>"),
+      lit(ts).as("ts"))
+    val del = deleteIds.select(
+      col("external_id").cast("long"),
+      lit(null).cast("array<float>").as("vector"),
+      lit(ts).as("ts"))
+    up.unionByName(del).write.mode("append").parquet(updatesPath)
+    IndexMeta.write(uri, IndexMeta.read(uri).copy(hasUpdates = true))
+    VectorIndex.invalidateReadsUnder(updatesPath)
+  }
+
+  /** Append MANY logical batches as one write job that still lays each
+    * batch down as its own fragment file (the shape a sequence of
+    * individual appends produces, minus the per-append job + commit +
+    * metadata flip): `rows` carry (external_id, vector nullable, ts,
+    * `__frag` in [0, fragments)), and an explicit fragment → task
+    * partitioner gives every fragment its own output file. Row content is
+    * identical to `fragments` separate update/delete appends — the log is
+    * resolved per-id by ts, so only the file geometry is at stake, and
+    * callers that NEED the multi-fragment geometry (auto-compaction
+    * thresholds) keep it. */
+  private[graft] def appendLogFragments(rows: DataFrame, fragments: Int): Unit = {
+    import spark.implicits._
+    val parts = math.max(1, fragments)
+    val shaped = rows.select(
+        col("external_id").cast("long"),
+        col("vector").cast("array<float>"),
+        col("ts").cast("long"),
+        col("__frag").cast("int"))
+      .as[(Long, Array[Float], Long, Int)].rdd
+      .map { case (id, v, t, f) => (f, (id, v, t)) }
+      .partitionBy(new org.apache.spark.Partitioner {
+        override def numPartitions: Int = parts
+        override def getPartition(key: Any): Int =
+          ((key.asInstanceOf[Int] % parts) + parts) % parts
+      })
+      .map(_._2)
+    spark.createDataset(shaped).toDF("external_id", "vector", "ts")
+      .write.mode("append").parquet(updatesPath)
+    IndexMeta.write(uri, IndexMeta.read(uri).copy(hasUpdates = true))
+    VectorIndex.invalidateReadsUnder(updatesPath)
   }
 
   /** Merge base + updates into a fresh base version at `newTs`
@@ -455,9 +516,13 @@ abstract class VectorIndex(
       case Some(log) =>
         val frags = Storage.listFiles(updatesPath)
           .filter(_._1.endsWith(".parquet"))
-        if (frags.length > maxFragments) {
-          val totalBytes = frags.map(_._2).sum
-          val nOut = math.max(1, (totalBytes / (128L << 20)).toInt)
+        val totalBytes = frags.map(_._2).sum
+        val nOut = math.max(1, (totalBytes / (128L << 20)).toInt)
+        // already at (or below) the target layout → rewriting would produce
+        // the same file count again for a full read+write of the log; skip.
+        // This makes vacuum() after a compaction a no-op instead of a
+        // second identical rewrite (r13 round profiled exactly that pair).
+        if (frags.length > maxFragments && frags.length > nOut) {
           val tmp = s"$uri/updates_compact"
           log.repartition(nOut).write.mode("overwrite").parquet(tmp)
           Storage.deleteRecursively(updatesPath)
@@ -521,25 +586,123 @@ object VectorIndex {
     * per query call, so a handle-local memo still re-ran partition
     * discovery + footer reads once per query (profiled as a 50-task
     * listing job per read at bench scale; at 10M × 3162 partitions the
-    * discovery dominated probe-pruned batches, PERF.md). Keyed by
-    * (session, path); [[Storage.deleteRecursively]] — the one destructive
-    * primitive every reclaim path (vacuum, clear_history, failed-ingest
-    * pre-clean) funnels through — invalidates every entry under the
-    * deleted prefix, so a later re-write at the same path can never serve
-    * a stale relation. NEVER used for the updates log: it mutates in
-    * place between queries. */
-  private val versionReadCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+    * discovery dominated probe-pruned batches, PERF.md).
+    *
+    * Lifecycle (the r13 VERDICT's hygiene items): caches hang off the
+    * SparkSession through a WeakHashMap, so a stopped/unreferenced session's
+    * relations evict with the session instead of leaking analyzed plans for
+    * the life of the JVM, and sibling sessions (`newSession()`) no longer
+    * share relations bound to another session. Each per-session relation
+    * map is capped — overflow clears the map (the only cost of a clear is
+    * re-listing). Invalidation: [[Storage.deleteRecursively]] AND
+    * [[Storage.move]] (both src and dst) drop every entry under the touched
+    * prefix, so a later re-write at the same path can never serve a stale
+    * relation.
+    *
+    * The updates log mutates IN PLACE between queries, so it gets its own
+    * entry class ([[cachedUpdatesLog]]) invalidated by the log mutators
+    * themselves (updateBatch / deleteBatch / compaction's delete+move) —
+    * the same mutator-invalidation contract the version cache rides. */
+  private final class SessionCaches {
+    val relations = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    val logs = scala.collection.concurrent.TrieMap.empty[String, Option[DataFrame]]
+    val logWindowEmpty =
+      scala.collection.concurrent.TrieMap.empty[(String, Long, Long), Boolean]
+    // key = "<artifact path>#<tag>"; value = the collected driver-side form
+    val artifacts = scala.collection.concurrent.TrieMap.empty[String, AnyRef]
+  }
+  private val RelationCacheCap = 8192
+  private val sessionCaches =
+    new java.util.WeakHashMap[SparkSession, SessionCaches]()
 
-  private[graft] def readVersioned(spark: SparkSession, path: String): DataFrame =
-    versionReadCache.getOrElseUpdate(
-      (System.identityHashCode(spark.sparkContext), path),
-      spark.read.parquet(path))
+  private def cachesFor(spark: SparkSession): SessionCaches =
+    sessionCaches.synchronized {
+      var c = sessionCaches.get(spark)
+      if (c == null) { c = new SessionCaches; sessionCaches.put(spark, c) }
+      c
+    }
 
-  private[graft] def invalidateReadsUnder(pathPrefix: String): Unit =
-    versionReadCache.keys
-      .filter { case (_, p) => p == pathPrefix || p.startsWith(pathPrefix + "/") }
-      .foreach(versionReadCache.remove)
+  private def allCaches(): List[SessionCaches] = sessionCaches.synchronized {
+    val it = sessionCaches.values.iterator()
+    var out = List.empty[SessionCaches]
+    while (it.hasNext) out ::= it.next()
+    out
+  }
+
+  private[graft] def readVersioned(spark: SparkSession, path: String): DataFrame = {
+    val c = cachesFor(spark)
+    if (c.relations.size > RelationCacheCap) c.relations.clear()
+    c.relations.getOrElseUpdate(path, spark.read.parquet(path))
+  }
+
+  /** Memoized SESSION-level reads under the same invalidation contract as
+    * [[readVersioned]], for callers whose read needs custom construction
+    * (e.g. EventOps' conf-gated nanos schema inference). */
+  private[graft] def readCached(spark: SparkSession, path: String)(
+      make: => DataFrame): DataFrame = {
+    val c = cachesFor(spark)
+    if (c.relations.size > RelationCacheCap) c.relations.clear()
+    c.relations.getOrElseUpdate(path, make)
+  }
+
+  /** The updates log under `path` as a memoized analyzed relation — None
+    * when the directory is missing/empty (the existence probe is memoized
+    * too: at scale it is a remote listing per query). Every log mutator
+    * invalidates under the log path, re-arming both the probe and the
+    * relation. */
+  private[index] def cachedUpdatesLog(
+      spark: SparkSession, path: String): Option[DataFrame] = {
+    val c = cachesFor(spark)
+    if (c.logs.size > RelationCacheCap) c.logs.clear()
+    c.logs.getOrElseUpdate(path,
+      if (Storage.nonEmptyDir(path)) Some(spark.read.parquet(path)) else None)
+  }
+
+  /** Memoized "does the log have rows in [lo, hi]" probe — this was one
+    * isEmpty job per updates-merged QUERY (the r13 VERDICT's per-query
+    * driver floor); the window content only changes through the mutators
+    * that invalidate the log path. */
+  private[index] def cachedLogWindowEmpty(
+      spark: SparkSession, path: String, lo: Long, hi: Long)(
+      probe: => Boolean): Boolean = {
+    val c = cachesFor(spark)
+    if (c.logWindowEmpty.size > RelationCacheCap) c.logWindowEmpty.clear()
+    c.logWindowEmpty.getOrElseUpdate((path, lo, hi), probe)
+  }
+
+  /** Memoized driver-side materialization of a SMALL immutable version
+    * artifact — IVF centroids, PQ codebooks, SQ8 quantizer ranges, VAMANA
+    * shard maps. The reference's `Index` object is LONG-LIVED and holds
+    * exactly these in memory for its lifetime (ivf_flat_index.py loads
+    * centroids at open); the Spark engine opens a fresh handle per query
+    * call, which re-ran the artifact's collect job every time (one job ×
+    * every IVF/PQ/SQ8/VAMANA query). These are model PARAMETERS of a
+    * version — never base vectors, never query results — bytes bounded by
+    * partitions × dims floats, and they live under the same per-session /
+    * capped / invalidate-under-prefix lifecycle as the relation cache, so
+    * a consolidation or history clear re-arms them. `key` must be
+    * "<artifact path>#<tag>"; invalidation matches on the path part. */
+  private[graft] def cachedArtifact[T <: AnyRef](
+      spark: SparkSession, key: String)(make: => T): T = {
+    val c = cachesFor(spark)
+    if (c.artifacts.size > RelationCacheCap) c.artifacts.clear()
+    c.artifacts.getOrElseUpdate(key, make).asInstanceOf[T]
+  }
+
+  private[graft] def invalidateReadsUnder(pathPrefix: String): Unit = {
+    def under(p: String): Boolean =
+      p == pathPrefix || p.startsWith(pathPrefix + "/")
+    def artifactPath(k: String): String = {
+      val i = k.lastIndexOf('#')
+      if (i < 0) k else k.substring(0, i)
+    }
+    allCaches().foreach { c =>
+      c.relations.keys.filter(under).foreach(c.relations.remove)
+      c.logs.keys.filter(under).foreach(c.logs.remove)
+      c.logWindowEmpty.keys.filter(k => under(k._1)).foreach(c.logWindowEmpty.remove)
+      c.artifacts.keys.filter(k => under(artifactPath(k))).foreach(c.artifacts.remove)
+    }
+  }
 
   /** Conf key: estimated build-side bytes above which the IVF/PQ query joins
     * switch from `broadcast()` to a shuffled hash join. Broadcast replicates
@@ -681,6 +844,11 @@ private[graft] object Storage {
     val s = new org.apache.hadoop.fs.Path(src)
     val d = new org.apache.hadoop.fs.Path(dst)
     require(fsOf(s).rename(s, d), s"graft: rename $src -> $dst failed")
+    // a move changes what both prefixes serve — drop memoized relations
+    // under each (the r13 VERDICT's "one forgotten call away" hazard:
+    // move-into-place paths no longer depend on the caller pre-invalidating)
+    VectorIndex.invalidateReadsUnder(src)
+    VectorIndex.invalidateReadsUnder(dst)
   }
 
   /** Byte-preserving directory copy (incremental VAMANA consolidation copies
@@ -793,10 +961,13 @@ class IvfFlatIndex(spark: SparkSession, uri: String, meta: IndexMeta, ts: Long)
 
   lazy val centroids: Array[Array[Float]] =
     if (historyIdx < 0) Array.empty
-    else VectorIndex.readVersioned(spark, s"$uri/centroids/v=$baseTimestamp")
-      .orderBy("partition_id")
-      .collect()
-      .map(r => r.getSeq[Float](r.fieldIndex("centroid")).toArray)
+    else VectorIndex.cachedArtifact(spark,
+        s"$uri/centroids/v=$baseTimestamp#centroids") {
+      VectorIndex.readVersioned(spark, s"$uri/centroids/v=$baseTimestamp")
+        .orderBy("partition_id")
+        .collect()
+        .map(r => r.getSeq[Float](r.fieldIndex("centroid")).toArray)
+    }
 
   override def baseVectors(): DataFrame =
     if (historyIdx < 0) new FlatIndex(spark, uri, meta, ts).baseVectors()

@@ -342,11 +342,53 @@ class ObjectIndex(
       .join(changed, Seq("__part"), "left_semi")
       .select("external_id")
       .join(curKeyed.select("external_id"), Seq("external_id"), "left_anti")
-    if (!gone.limit(1).isEmpty) deleteObjects(gone, ts)
     val touched = curKeyed.join(changed, Seq("__part"), "left_semi")
       .select("external_id")
     val objs = reader.readObjects(spark).join(touched, Seq("external_id"), "left_semi")
-    updateIndex(objs, current.join(touched, Seq("external_id"), "left_semi"), ts)
+    // gone tombstones + touched upserts land through ONE vector-log append
+    // and ONE metadata-log append (they were deleteObjects + updateIndex =
+    // four write jobs plus a gone-emptiness probe job; the id sets are
+    // disjoint by construction — gone appears nowhere current, touched IS
+    // current — so one `ts` serves both and latest-per-id reads are
+    // unchanged). Guide §6 job batching / the r13 VERDICT maintenance item.
+    require(!embedding.multiVector,
+      "graft: incremental updateIndex rides the one-vector-per-external_id " +
+        "updates log; multi-vector layouts must re-create the index " +
+        "(the reference's use_updates_array=False path)")
+    val vecs = ObjectIndex.embedContent(objs, "external_id", embedding)
+      .toDF("external_id", "embedding_seq", "vector")
+      .select(col("external_id"), col("vector").cast("array<float>").as("vector"))
+    // metadata first — the recoverable side of the non-atomic pair (an
+    // orphan metadata row is a doctor WARN; a silently-masked vector is an
+    // ERROR), same ordering rationale as updateIndex's
+    appendMetadataMixed(current.join(touched, Seq("external_id"), "left_semi"),
+      gone, ts)
+    index.updateDeleteBatch(vecs, gone, ts)
+  }
+
+  /** Upsert rows + tombstone ids in ONE metadata-log append (the batched
+    * sibling of two [[appendMetadata]] calls; row-identical — the merged
+    * view resolves per-id by ts, never by file order). */
+  private def appendMetadataMixed(
+      rows: DataFrame, tombIds: DataFrame, ts: Long): Unit = {
+    val baseSchema = spark.read.parquet(s"$uri/object_metadata").schema
+    val want = baseSchema.map(f => f.name -> f.dataType).toMap
+    val got = rows.schema.map(f => f.name -> f.dataType).toMap
+    require(got == want,
+      s"graft: metadata batch schema ${got.toSeq.sortBy(_._1).mkString("[", ",", "]")} " +
+        s"differs from object_metadata's ${want.toSeq.sortBy(_._1).mkString("[", ",", "]")}")
+    val up = rows.select(baseSchema.map(f => col(f.name)): _*)
+      .withColumn(ObjectIndex.MetaTsCol, lit(ts))
+      .withColumn(ObjectIndex.MetaDeletedCol, lit(false))
+    val tomb = baseSchema.filter(_.name != "external_id")
+      .foldLeft(tombIds.select(col("external_id").cast("long").as("external_id"))) {
+        (df, f) => df.withColumn(f.name, lit(null).cast(f.dataType))
+      }
+      .select(baseSchema.map(f => col(f.name)): _*)
+      .withColumn(ObjectIndex.MetaTsCol, lit(ts))
+      .withColumn(ObjectIndex.MetaDeletedCol, lit(true))
+    up.unionByName(tomb)
+      .write.mode("append").parquet(ObjectIndex.metadataUpdatesPath(uri))
   }
 
   /** Fold both maintenance logs into fresh base tables: the vector side

@@ -17,9 +17,6 @@ import graft.index.VectorIndex
   */
 object EventOps {
 
-  private val eventReads =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), org.apache.spark.sql.DataFrame]
-
   private val NanosKey = "spark.sql.legacy.parquet.nanosAsLong"
 
   /** Load the events table: its parquet `ts` is TIMESTAMP(NANOS), which
@@ -34,17 +31,24 @@ object EventOps {
     * relation schema, not the live conf; spec-asserted in StreamingSpec). */
   def loadEvents(spark: SparkSession, dir: String): DataFrame = {
     // session-memoized like every other immutable driver table: the
-    // conf-gated schema inference (listing + footer job) re-ran per query
-    val raw = EventOps.eventReads.getOrElseUpdate(
-      (System.identityHashCode(spark.sparkContext), s"$dir/events.parquet"), {
-        val prior = spark.conf.getOption(NanosKey)
-        spark.conf.set(NanosKey, "true")
-        try spark.read.parquet(s"$dir/events.parquet")
-        finally prior match {
-          case Some(v) => spark.conf.set(NanosKey, v)
-          case None => spark.conf.unset(NanosKey)
-        }
-      })
+    // conf-gated schema inference (listing + footer job) re-ran per query.
+    // Routed through VectorIndex.readCached (not a local TrieMap) so the
+    // entry shares the engine-wide lifecycle: weakly keyed by session
+    // (stopped sessions evict), capped, and invalidated by
+    // Storage.deleteRecursively / Storage.move under the path — a caller
+    // that rewrites an events dir through the engine's own storage
+    // primitives re-arms this read. A table appended OUTSIDE those
+    // primitives must call [[invalidate]] to be seen (same immutability
+    // contract as every driver-table read).
+    val raw = VectorIndex.readCached(spark, s"$dir/events.parquet") {
+      val prior = spark.conf.getOption(NanosKey)
+      spark.conf.set(NanosKey, "true")
+      try spark.read.parquet(s"$dir/events.parquet")
+      finally prior match {
+        case Some(v) => spark.conf.set(NanosKey, v)
+        case None => spark.conf.unset(NanosKey)
+      }
+    }
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         // Integer division: nano epochs (~1.7e18) exceed double's 53-bit
@@ -59,6 +63,12 @@ object EventOps {
       case _ => raw
     }
   }
+
+  /** Drop the memoized read of `$dir/events.parquet` (and anything under
+    * it): callers that append events outside the engine's own storage
+    * primitives re-arm the next [[loadEvents]] with this. */
+  def invalidate(dir: String): Unit =
+    VectorIndex.invalidateReadsUnder(s"$dir/events.parquet")
 
   /** Tumbling-window aggregate keyed to integer epoch buckets (exact
     * cross-engine compare: no timestamp hashing). */

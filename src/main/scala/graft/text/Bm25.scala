@@ -107,6 +107,10 @@ object Bm25 {
       .write.mode("overwrite").parquet(s"$uri/idf")
     Seq((n, avgdl, moments.getLong(1))).toDF("n_docs", "avgdl", "total_dl")
       .repartition(1).write.mode("overwrite").parquet(s"$uri/meta")
+    // invalidate AFTER the writes too: a readVersioned racing between the
+    // leading invalidate and the overwrite would re-cache the pre-fit
+    // relation and serve it forever otherwise
+    graft.index.VectorIndex.invalidateReadsUnder(uri)
   }
 
   /** Incrementally index `newDocs` into a fitted model: their postings
@@ -182,6 +186,8 @@ object Bm25 {
       .write.mode("overwrite").parquet(s"$uri/idf")
     Seq((n, avgdl, total)).toDF("n_docs", "avgdl", "total_dl")
       .repartition(1).write.mode("overwrite").parquet(s"$uri/meta")
+    // post-write invalidation, same rationale as fit's
+    graft.index.VectorIndex.invalidateReadsUnder(uri)
   }
 
   /** The persisted corpus moments `(n_docs, total_dl)`. Metas written
@@ -320,7 +326,10 @@ object Bm25 {
   private def rank(postings: DataFrame, qTerms: DataFrame, k: Int, uri: String): DataFrame = {
     require(k > 0, s"graft: BM25 k must be positive, got $k")
     val spark = postings.sparkSession
-    val avgdl = readModel(spark, uri, "meta").head().getAs[Double]("avgdl")
+    val avgdl = graft.index.VectorIndex.cachedArtifact(spark, s"$uri/meta#avgdl") {
+      java.lang.Double.valueOf(
+        readModel(spark, uri, "meta").head().getAs[Double]("avgdl"))
+    }.doubleValue()
     val idf = readModel(spark, uri, "idf").select("term", "idf_micro")
     val contrib = postings
       .join(graft.gatedSmallSide(qTerms), Seq("term"))
@@ -355,7 +364,10 @@ object Bm25 {
       dfCap: Long): DataFrame = {
     require(k > 0, s"graft: BM25 k must be positive, got $k")
     val spark = postings.sparkSession
-    val avgdl = readModel(spark, uri, "meta").head().getAs[Double]("avgdl")
+    val avgdl = graft.index.VectorIndex.cachedArtifact(spark, s"$uri/meta#avgdl") {
+      java.lang.Double.valueOf(
+        readModel(spark, uri, "meta").head().getAs[Double]("avgdl"))
+    }.doubleValue()
     val idf = readModel(spark, uri, "idf").select("term", "df", "idf_micro")
     val qt = qTerms.join(graft.gatedSmallSide(idf), Seq("term"))
       .select("qid", "term", "df", "idf_micro")

@@ -91,8 +91,12 @@ object Dsir {
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession
-    val meta = graft.index.VectorIndex.readVersioned(spark, s"$uri/meta").head()
-    val buckets = meta.getAs[Int]("buckets")
+    // collected through the artifact memo (one head() job per score call
+    // otherwise; invalidated with the model uri)
+    val buckets = graft.index.VectorIndex.cachedArtifact(spark, s"$uri/meta#buckets") {
+      Integer.valueOf(graft.index.VectorIndex.readVersioned(spark, s"$uri/meta")
+        .head().getAs[Int]("buckets"))
+    }.intValue()
     val model = graft.index.VectorIndex.readVersioned(spark, s"$uri/model")
     // bucket -1 can never collide (real buckets are in [0, buckets)); its
     // cnt 0 contributes to neither sum

@@ -96,8 +96,13 @@ object LangModel {
     // session-memoized model layers (invalidated by trainCharTrigram)
     val model3 = graft.index.VectorIndex.readVersioned(spark, s"$uri/model3")
     val model2 = graft.index.VectorIndex.readVersioned(spark, s"$uri/model2")
-    val meta = graft.index.VectorIndex.readVersioned(spark, s"$uri/meta")
-    val logp0 = meta.select("logp0_micro").head().getLong(0)
+    // collected through the artifact memo: the singleton meta row's head()
+    // was one job per scoring query (invalidated with the model uri)
+    val logp0 = graft.index.VectorIndex.cachedArtifact(spark, s"$uri/meta#logp0") {
+      java.lang.Long.valueOf(
+        graft.index.VectorIndex.readVersioned(spark, s"$uri/meta")
+          .select("logp0_micro").head().getLong(0))
+    }.longValue()
     // one row per DISTINCT gram per document ([[CharTrigramCounts]]), not
     // one per character — the partial aggregation that keeps join-probe
     // volume at `Σ distinct grams` while `Σ cnt·lp` reproduces the

@@ -181,13 +181,16 @@ object QualityClassifier {
       .withColumn("keep", col("logit") > lit(0.0))
   }
 
-  /** The persisted weight map (features + intercept). */
-  def readWeights(spark: SparkSession, uri: String): Map[String, Double] = {
-    val m = graft.index.VectorIndex.readVersioned(spark, s"$uri/weights")
-      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-    val missing = (featureNames :+ InterceptKey).filterNot(m.contains)
-    require(missing.isEmpty,
-      s"graft: weights at $uri/weights missing ${missing.mkString(", ")}")
-    m
-  }
+  /** The persisted weight map (features + intercept), collected through
+    * the artifact memo (one collect job per scoring query otherwise;
+    * invalidated with the model uri). */
+  def readWeights(spark: SparkSession, uri: String): Map[String, Double] =
+    graft.index.VectorIndex.cachedArtifact(spark, s"$uri/weights#weights") {
+      val m = graft.index.VectorIndex.readVersioned(spark, s"$uri/weights")
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val missing = (featureNames :+ InterceptKey).filterNot(m.contains)
+      require(missing.isEmpty,
+        s"graft: weights at $uri/weights missing ${missing.mkString(", ")}")
+      m
+    }
 }
