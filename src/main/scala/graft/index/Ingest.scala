@@ -22,6 +22,11 @@ import graft.operators.DistanceMetric
   */
 object Ingest {
 
+  /** Process-unique suffix for observed-metric names (see the ingest
+    * probe): Observation matches on name, so concurrent builds must not
+    * share one. */
+  private val obsSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** IVF_SQ8 quantizer-range quantile, q in (0.5, 1.0]: 1.0 (default)
     * trains exact per-dim min/max; q < 1.0 clips the range to the
     * [1-q, q] quantiles so a single outlier per dim cannot stretch the
@@ -250,32 +255,64 @@ object Ingest {
     // still stage separately (their stored base is packed, not the input).
     val stageDirectToBase = stageInputs && dtype == "float32" &&
       (indexType == "FLAT" || indexType == "BINARY")
+
+    // dims + count probe: rather than a standalone aggregate job, the probe
+    // rides a write wherever one happens anyway, as an observed aggregate
+    // (Dataset.observe — the metrics accumulate DURING the write job):
+    //   - staged ingests observe the staging write,
+    //   - non-staged FLAT/BINARY observe the base write inside the match
+    //     (deferred resolution — they only need dims/count for the meta
+    //     record written at the end),
+    //   - only non-staged IVF/PQ/VAMANA keep the upfront aggregate (they
+    //     need `count` BEFORE training for partition/sample sizing).
+    // max(size) ≡ the old first(size) under the engine's uniform-dims
+    // contract (downstream dimension checks name any violation); an empty
+    // or all-null input leaves the metric null and fails with the same
+    // named error as before.
+    // process-unique name: Observation listeners match on the metric name,
+    // and concurrent ingests (parallel test suites; threaded maintenance)
+    // routinely share timestamps — a shared name could deliver another
+    // query's metrics
+    val obs = org.apache.spark.sql.Observation(
+      s"graft_ingest_${Ingest.obsSeq.incrementAndGet()}")
+    def withProbe(df: DataFrame): DataFrame =
+      df.observe(obs, max(size(col("vector"))).as("d"),
+        org.apache.spark.sql.functions.count(lit(1)).as("n"))
+    def obsDimsCount(): (Int, Long) = {
+      val m = obs.get
+      require(m("d") != null,
+        "graft: ingest source has no vectors (empty or all-null input)")
+      (m("d").asInstanceOf[Int], m("n").asInstanceOf[Long])
+    }
+
     val base = if (stageDirectToBase) {
       // still reclaim any staged leftovers an older failed attempt left
       Storage.deleteRecursively(s"$uri/input_vectors")
-      base1.write.mode("overwrite").parquet(s"$uri/base/v=$timestamp")
+      withProbe(base1).write.mode("overwrite").parquet(s"$uri/base/v=$timestamp")
       spark.read.parquet(s"$uri/base/v=$timestamp")
     } else if (stageInputs) {
       // pre-clean leftovers from previously FAILED staged ingests at this
       // uri (an abandoned attempt cannot delete its own copy mid-exception;
       // the next attempt reclaims the space before writing its own)
       Storage.deleteRecursively(s"$uri/input_vectors")
-      base1.write.mode("overwrite").parquet(s"$uri/input_vectors/v=$timestamp")
+      withProbe(base1).write.mode("overwrite")
+        .parquet(s"$uri/input_vectors/v=$timestamp")
       spark.read.parquet(s"$uri/input_vectors/v=$timestamp")
     } else base1
 
-    // dims + count in ONE aggregate job (they were a head() and a count()
-    // — two sequential scans; every ingest in the suite pays this probe).
-    // first() is deterministic here in the way that matters: every row's
-    // vector has the same size or the build is broken anyway, and the
-    // dimension checks downstream would name it.
-    val probe = base.agg(
-      first(size(col("vector")), ignoreNulls = true).as("d"),
-      org.apache.spark.sql.functions.count(lit(1)).as("n")).head()
-    require(!probe.isNullAt(0),
-      "graft: ingest source has no vectors (empty or all-null input)")
-    val dims = probe.getInt(0)
-    val count = probe.getLong(1)
+    val flatLike = indexType == "FLAT" || indexType == "BINARY"
+    // -1 sentinels = deferred to the observed base write inside the match
+    val (dims, count): (Int, Long) =
+      if (stageInputs) obsDimsCount()
+      else if (flatLike) (-1, -1L)
+      else {
+        val probe = base.agg(
+          first(size(col("vector")), ignoreNulls = true).as("d"),
+          org.apache.spark.sql.functions.count(lit(1)).as("n")).head()
+        require(!probe.isNullAt(0),
+          "graft: ingest source has no vectors (empty or all-null input)")
+        (probe.getInt(0), probe.getLong(1))
+      }
 
     // Preset centroids PIN the partition count: the assignment uses them
     // verbatim, so the recorded layout must match their length — the
@@ -322,8 +359,11 @@ object Ingest {
     var recordedParts = numParts
     indexType match {
       case "FLAT" =>
+        // withProbe BEFORE packVector: dims must measure the float view,
+        // not the packed byte payload
         if (!stageDirectToBase)
-          packVector(base).write.mode("overwrite").parquet(s"$uri/base/v=$timestamp")
+          packVector(if (stageInputs) base else withProbe(base))
+            .write.mode("overwrite").parquet(s"$uri/base/v=$timestamp")
       case "BINARY" =>
         // 1-bit sign-sketch index: base stored like FLAT (raw floats, the
         // exact re-rank side) plus a versioned (external_id, bits) sketch
@@ -337,7 +377,8 @@ object Ingest {
         require(!byteDtype,
           s"BINARY requires dtype float32, got $dtype (u8/i8 signs are degenerate)")
         if (!stageDirectToBase)
-          base.write.mode("overwrite").parquet(s"$uri/base/v=$timestamp")
+          (if (stageInputs) base else withProbe(base))
+            .write.mode("overwrite").parquet(s"$uri/base/v=$timestamp")
         base.select(col("external_id"),
             graft.functions.sign_pack(col("vector")).as("bits"))
           .write.mode("overwrite").parquet(s"$uri/sketch/v=$timestamp")
@@ -571,14 +612,19 @@ object Ingest {
         throw new IllegalArgumentException(s"unsupported index_type $other")
     }
 
+    // resolve the deferred (observed) probe for non-staged FLAT/BINARY —
+    // the base write above populated it
+    val (dimsF, countF): (Int, Long) =
+      if (dims >= 0) (dims, count) else obsDimsCount()
+
     val meta = IndexMeta(
       indexType = indexType,
       dtype = dtype,
-      dimensions = dims,
+      dimensions = dimsF,
       distanceMetric = metric.id,
       storageVersion = IndexMeta.StorageVersion,
       ingestionTimestamps = prior.map(_.ingestionTimestamps).getOrElse(Nil) :+ timestamp,
-      baseSizes = prior.map(_.baseSizes).getOrElse(Nil) :+ count,
+      baseSizes = prior.map(_.baseSizes).getOrElse(Nil) :+ countF,
       partitionHistory = prior.map(_.partitionHistory).getOrElse(Nil) :+ recordedParts,
       hasUpdates = prior.exists(_.hasUpdates),
       numSubspaces = mSubspaces,

@@ -52,6 +52,11 @@ object Bm25 {
     * complete (or falls the query back to full evaluation). 0 or negative
     * disables pruning. Results are EXACT either way — the knob only moves
     * work, never answers. */
+  /** Process-unique suffix for observed-metric names (fit's fused moments
+    * probe): Observation matches on name, so concurrent fits must not
+    * share one. */
+  private val obsSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   val MaxScoreDfCapKey = "spark.graft.bm25MaxScoreDfCap"
   val DefaultMaxScoreDfCap = 262144L
 
@@ -76,12 +81,6 @@ object Bm25 {
     val spark = docs.sparkSession
     import spark.implicits._
     graft.index.VectorIndex.invalidateReadsUnder(uri)
-    // one light pass for the corpus moments (single aggregate scan)
-    val moments = docs.select(count(lit(1)).as("n"),
-      sum(TextOps.tokenCount(col(textCol)).cast("long")).as("total")).head()
-    val n = moments.getLong(0)
-    require(n > 0, "graft: BM25 fit over an empty corpus")
-    val avgdl = moments.getLong(1).toDouble / n.toDouble
     // one heavy pass: explode + (doc, term) aggregate, written term-sorted;
     // df/idf then derive from the WRITTEN parquet (a posting-table read,
     // not a second corpus explode through lineage). Par.spread: the
@@ -89,7 +88,17 @@ object Bm25 {
     // as fewer splits than cores serializes it (measured 4.1 s on ONE task
     // for the sf0.1 fixture) — spread to the parallelism floor first
     // (no-op at production split counts).
+    // The corpus moments (n docs, total tokens) ride this same pass as an
+    // OBSERVED aggregate over the pre-explode doc rows — they were a
+    // separate full tokenize-and-scan job before (guide §1.2: don't make
+    // two passes where one carries both answers).
+    // process-unique name — Observation listeners match on it, and
+    // concurrent fits (parallel test suites) must not share one
+    val obs = org.apache.spark.sql.Observation(
+      s"bm25_fit_moments_${Bm25.obsSeq.incrementAndGet()}")
     graft.Par.spread(docs)
+      .observe(obs, count(lit(1)).as("n"),
+        sum(TextOps.tokenCount(col(textCol)).cast("long")).as("total"))
       .select(col(idCol).cast("long").as("id"),
         TextOps.tokenCount(col(textCol)).cast("long").as("dl"),
         explode(toks(col(textCol))).as("term"))
@@ -98,6 +107,11 @@ object Bm25 {
       .sortWithinPartitions("term")
       .select("term", "id", "tf", "dl")
       .write.mode("overwrite").parquet(s"$uri/postings")
+    val moments = obs.get
+    val n = moments("n").asInstanceOf[Long]
+    require(n > 0, "graft: BM25 fit over an empty corpus")
+    val total = Option(moments("total")).map(_.asInstanceOf[Long]).getOrElse(0L)
+    val avgdl = total.toDouble / n.toDouble
     spark.read.parquet(s"$uri/postings")
       .groupBy("term").agg(count(lit(1)).as("df"))
       .select(col("term"), col("df"),
@@ -105,7 +119,7 @@ object Bm25 {
           (lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
           .as("idf_micro"))
       .write.mode("overwrite").parquet(s"$uri/idf")
-    Seq((n, avgdl, moments.getLong(1))).toDF("n_docs", "avgdl", "total_dl")
+    Seq((n, avgdl, total)).toDF("n_docs", "avgdl", "total_dl")
       .repartition(1).write.mode("overwrite").parquet(s"$uri/meta")
     // invalidate AFTER the writes too: a readVersioned racing between the
     // leading invalidate and the overwrite would re-cache the pre-fit

@@ -59,9 +59,15 @@ object LangModel {
     val grams = graft.Par.spread(train)
       .select(explode(charTrigramCounts(col(textCol))).as("gc"))
       .select(col("gc.gram").as("gram"), col("gc.cnt").as("cnt"))
+    // materialize the corpus-wide trigram aggregate ONCE: v, the c2 join
+    // inside model3 (both join sides derive from c3), and model2 each
+    // re-ran the full explode+aggregate through lineage otherwise — four
+    // corpus passes for one vocabulary-bounded table (guide §5
+    // localCheckpoint lineage cut; c3 is ≤ charset³ rows by construction)
     val c3 = grams.groupBy("gram").agg(sum("cnt").as("c3"))
       .withColumn("ctx", substring(col("gram"), 1, 2))
       .withColumn("third", substring(col("gram"), 3, 1))
+      .localCheckpoint()
     val c2 = c3.groupBy("ctx").agg(sum("c3").as("c2"))
     val v = c3.select(countDistinct("third")).head().getLong(0)
     require(v > 0, "graft: LM training corpus produced no trigrams")
@@ -183,12 +189,20 @@ object LangModel {
     // cached (ONE scoring pass), then serve from parquet — the bucket
     // table is a pipeline OUTPUT, and a lazy plan here would re-score the
     // corpus on every downstream action
+    // size the bucket-table write from its ROW COUNT, not the sort's
+    // partition count: the table is two integer columns, so the range
+    // sort's ~cores partitions wrote ~cores near-empty files per call
+    // (profiled as the query's single biggest job — 66 task launches +
+    // commits for a 12-byte-per-row table). ~4M rows per output task keeps
+    // files well-formed at any corpus size (guide §6 output sizing).
+    val writeParts = math.max(1L, counts.map(_._2).sum / 4000000L).toInt
     sorted.rdd.zipWithIndex()
       .map { case ((lang, _, id), idx) =>
         val (off, n) = offsets(lang)
         (id, (((idx - off) * buckets) / n).toInt)
       }
       .toDF(idCol, "ppl_bucket")
+      .coalesce(writeParts)
       .write.mode("overwrite").parquet(s"$uri/buckets")
     sorted.unpersist()
     docs.select(col(idCol), col(langCol))
